@@ -1,0 +1,69 @@
+"""mars_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of mars-project/mars.
+
+Mars (the reference, at /root/reference) is a tensor/dataframe framework
+that scales numpy/pandas/scikit-learn on a custom actor runtime. This
+package re-expresses its *capabilities* Spark-first:
+
+- pandas-semantics DataFrame/Series API  ->  Spark DataFrame / Column
+  expressions (Catalyst plans, whole-stage codegen; see SURVEY.md §3).
+- Mars's own tiling/shuffle/scheduling/spill machinery is NOT rebuilt —
+  Spark already provides it (SURVEY.md §1, §4.2).
+- Additive, beyond the reference: Structured Streaming surface and
+  LLM-training-data operators (dedup, similarity search, text analysis,
+  multimodal plumbing) under ``mars_spark.llm``.
+
+Entry points mirror the reference's public API (``mars.dataframe`` =
+``md``)::
+
+    import mars_spark as ms
+    df = ms.read_parquet("/path/lineitem.parquet")
+    out = df[df["l_shipdate"] <= "1998-09-02"].groupby("l_returnflag").agg(
+        sum_qty=("l_quantity", "sum"))
+    out.to_pandas()          # or .execute() / .to_spark()
+"""
+
+from mars_spark.session import get_spark, stop_spark
+from mars_spark.core.frame import DataFrame
+from mars_spark.core.series import Series
+from mars_spark.sources.io import (
+    read_parquet,
+    read_csv,
+    read_json,
+    read_orc,
+    read_sql,
+    from_pandas,
+    from_spark,
+    range as range_,
+    date_range,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DataFrame",
+    "Series",
+    "get_spark",
+    "stop_spark",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_sql",
+    "from_pandas",
+    "from_spark",
+    "range_",
+    "date_range",
+    "concat",
+    "merge",
+]
+
+
+def concat(objs, axis=0, join="outer", ignore_index=False):
+    from mars_spark.operators.merge import concat as _concat
+
+    return _concat(objs, axis=axis, join=join, ignore_index=ignore_index)
+
+
+def merge(left, right, **kwargs):
+    return left.merge(right, **kwargs)

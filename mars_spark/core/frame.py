@@ -1,0 +1,500 @@
+"""DataFrame: pandas-semantics frame compiled to Spark DataFrame plans.
+
+Reference parity: mars/dataframe/core.py:2243 (DataFrame surface);
+indexing ops mars/dataframe/indexing/{getitem,setitem,loc,iloc}.py;
+row ops mars/dataframe/base/*; missing-data mars/dataframe/missing/*.
+
+Design (SURVEY.md §7): every frame wraps a ``pyspark.sql.DataFrame``
+plus a list of "index" column names (pandas row-index analog — plain
+columns, surfaced by groupby(as_index=True), set_index, etc.). All
+transformations are lazy Catalyst plans; actions happen only on
+``to_pandas()/collect()/count()``. No Mars-style tiling/chunking — row
+partitioning is Spark's job; column-axis chunking is dropped in favor
+of Catalyst column pruning (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+from mars_spark.core.series import Series, _dtype_to_spark
+
+
+class _LocIndexer:
+    """df.loc[:, [cols]] / df.loc[mask] / df.loc[mask, [cols]].
+
+    Reference: mars/dataframe/indexing/loc.py:241. Label-based *row*
+    selection on an explicit index uses a filter on the index columns —
+    which Catalyst turns into partition/file pruning when the data is
+    laid out on the index (Mars does this manually with chunk min/max).
+    """
+
+    def __init__(self, frame: "DataFrame"):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+        else:
+            rows, cols = key, None
+        out = self._frame
+        if isinstance(rows, Series):
+            out = out[rows]
+        elif isinstance(rows, slice):
+            if rows.start is not None or rows.stop is not None or rows.step is not None:
+                raise NotImplementedError("loc slices beyond ':' need an index")
+        else:
+            raise NotImplementedError(f"loc row selector {type(rows)}")
+        if cols is not None:
+            if isinstance(cols, str):
+                return out[cols]
+            out = out[list(cols)]
+        return out
+
+
+class DataFrame:
+    """Distributed pandas-semantics frame backed by a Spark plan."""
+
+    def __init__(self, sdf: SparkDataFrame, index: list[str] | None = None):
+        self._sdf = sdf
+        self._index = list(index or [])
+
+    # ------------------------------------------------------------ basics
+    @property
+    def spark(self) -> SparkDataFrame:
+        return self._sdf
+
+    def to_spark(self) -> SparkDataFrame:
+        return self._sdf
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._sdf.columns if c not in self._index]
+
+    @property
+    def dtypes(self):
+        return dict(self._sdf.dtypes)
+
+    @property
+    def loc(self) -> _LocIndexer:
+        return _LocIndexer(self)
+
+    def __repr__(self):
+        return f"DataFrame(columns={self._sdf.columns}, index={self._index})"
+
+    def __len__(self):
+        return self._sdf.count()
+
+    def __getattr__(self, name: str):
+        if not name.startswith("_") and name in self._sdf.columns:
+            return Series(self, F.col(name), name)
+        raise AttributeError(name)
+
+    def __getitem__(self, key):
+        # df[col] → Series; df[[cols]] → projection; df[mask] → filter
+        # Reference: mars/dataframe/indexing/getitem.py:44,266
+        if isinstance(key, str):
+            return Series(self, F.col(key), key)
+        if isinstance(key, Series):
+            return DataFrame(self._sdf.filter(key._col), self._index)
+        if isinstance(key, (list, tuple)):
+            cols = [F.col(c) for c in self._index] + [F.col(c) for c in key]
+            return DataFrame(self._sdf.select(*cols), self._index)
+        raise TypeError(f"invalid getitem key: {type(key)}")
+
+    def __setitem__(self, key: str, value):
+        # Reference: mars/dataframe/indexing/setitem.py:35 → withColumn
+        if isinstance(value, Series):
+            col = value._col
+        elif isinstance(value, Column):
+            col = value
+        else:
+            col = F.lit(value)
+        self._sdf = self._sdf.withColumn(key, col)
+
+    # ------------------------------------------------------- projections
+    def assign(self, **kwargs) -> "DataFrame":
+        sdf = self._sdf
+        for name, value in kwargs.items():
+            col = value._col if isinstance(value, Series) else (
+                value if isinstance(value, Column) else F.lit(value))
+            sdf = sdf.withColumn(name, col)
+        return DataFrame(sdf, self._index)
+
+    def withColumn(self, name: str, value) -> "DataFrame":
+        return self.assign(**{name: value})
+
+    def select(self, *cols) -> "DataFrame":
+        return self[list(cols)]
+
+    def drop(self, columns=None, labels=None, axis=1) -> "DataFrame":
+        """mars/dataframe/base/drop.py:29 (column drop only; row drop by
+        label needs an index and is an anti-join — see merge)."""
+        cols = columns if columns is not None else labels
+        if isinstance(cols, str):
+            cols = [cols]
+        return DataFrame(self._sdf.drop(*cols), self._index)
+
+    def rename(self, columns: dict | None = None) -> "DataFrame":
+        """mars/dataframe/indexing/rename.py:26"""
+        sdf = self._sdf
+        for old, new in (columns or {}).items():
+            sdf = sdf.withColumnRenamed(old, new)
+        index = [columns.get(c, c) if columns else c for c in self._index]
+        return DataFrame(sdf, index)
+
+    def astype(self, dtypes: dict | str) -> "DataFrame":
+        sdf = self._sdf
+        if isinstance(dtypes, dict):
+            for c, t in dtypes.items():
+                sdf = sdf.withColumn(c, F.col(c).cast(_dtype_to_spark(t)))
+        else:
+            for c in self.columns:
+                sdf = sdf.withColumn(c, F.col(c).cast(_dtype_to_spark(dtypes)))
+        return DataFrame(sdf, self._index)
+
+    # ------------------------------------------------------------ filters
+    def query(self, expr: str) -> "DataFrame":
+        """mars/dataframe/base/eval.py:690 (df.query): Mars parses the
+        expression with a Python AST visitor and re-executes via
+        numexpr; Spark-first this is just a SQL predicate that Catalyst
+        compiles into codegen."""
+        return DataFrame(self._sdf.filter(expr), self._index)
+
+    def eval(self, expr: str) -> Series:
+        """mars/dataframe/base/eval.py:263 → F.expr"""
+        return Series(self, F.expr(expr), expr)
+
+    def filter(self, cond) -> "DataFrame":
+        cond = cond._col if isinstance(cond, Series) else cond
+        return DataFrame(self._sdf.filter(cond), self._index)
+
+    def where(self, cond, other=None) -> "DataFrame":
+        """mars/dataframe/indexing/where.py:28 applied to every column."""
+        cond_col = cond._col if isinstance(cond, Series) else cond
+        sdf = self._sdf
+        for c in self.columns:
+            sdf = sdf.withColumn(
+                c, F.when(cond_col, F.col(c)).otherwise(F.lit(other))
+            )
+        return DataFrame(sdf, self._index)
+
+    def mask(self, cond, other=None) -> "DataFrame":
+        cond_col = cond._col if isinstance(cond, Series) else cond
+        return self.where(Series(self, ~cond_col), other)
+
+    def isin(self, values) -> "DataFrame":
+        sdf = self._sdf.select(
+            *[F.col(c) for c in self._index],
+            *[F.col(c).isin(list(values)).alias(c) for c in self.columns],
+        )
+        return DataFrame(sdf, self._index)
+
+    # ------------------------------------------------------ missing data
+    def dropna(self, how="any", subset=None, thresh=None) -> "DataFrame":
+        """mars/dataframe/missing/dropna.py:33 → DataFrameNaFunctions"""
+        return DataFrame(
+            self._sdf.dropna(how=how, thresh=thresh, subset=subset), self._index
+        )
+
+    def fillna(self, value) -> "DataFrame":
+        """mars/dataframe/missing/fillna.py:36 (scalar/dict; ffill/bfill
+        live in operators.window — they need an ordering)."""
+        return DataFrame(self._sdf.fillna(value), self._index)
+
+    def replace(self, to_replace, value=None) -> "DataFrame":
+        """mars/dataframe/missing/replace.py:38"""
+        return DataFrame(self._sdf.replace(to_replace, value), self._index)
+
+    def isna(self) -> "DataFrame":
+        sdf = self._sdf.select(
+            *[F.col(c) for c in self._index],
+            *[F.col(c).isNull().alias(c) for c in self.columns],
+        )
+        return DataFrame(sdf, self._index)
+
+    def notna(self) -> "DataFrame":
+        sdf = self._sdf.select(
+            *[F.col(c) for c in self._index],
+            *[F.col(c).isNotNull().alias(c) for c in self.columns],
+        )
+        return DataFrame(sdf, self._index)
+
+    # ---------------------------------------------------------- groupby
+    def groupby(self, by, as_index: bool = True, sort: bool = False):
+        from mars_spark.core.groupby import GroupBy
+
+        keys = [by] if isinstance(by, str) else list(by)
+        return GroupBy(self, keys, as_index=as_index, sort=sort)
+
+    def agg(self, arg=None, **named) -> "DataFrame":
+        """Frame-wide aggregation (mars/dataframe/reduction/aggregation.py:86).
+        Catalyst plans the partial/final split that Mars's
+        ReductionCompiler builds by hand (reduction/core.py:790)."""
+        from mars_spark.core.groupby import build_agg_exprs
+
+        exprs, _ = build_agg_exprs(arg, named, self.columns)
+        return DataFrame(self._sdf.agg(*exprs))
+
+    # ------------------------------------------------------------- joins
+    def merge(self, right: "DataFrame", how: str = "inner", on=None,
+              left_on=None, right_on=None, suffixes=("_x", "_y"),
+              broadcast: bool | None = None) -> "DataFrame":
+        from mars_spark.operators.merge import merge as _merge
+
+        return _merge(self, right, how=how, on=on, left_on=left_on,
+                      right_on=right_on, suffixes=suffixes, broadcast=broadcast)
+
+    def join(self, right: "DataFrame", on=None, how: str = "left",
+             lsuffix: str = "", rsuffix: str = "") -> "DataFrame":
+        suffixes = (lsuffix or "_x", rsuffix or "_y")
+        return self.merge(right, how=how, on=on, suffixes=suffixes)
+
+    def crossJoin(self, right: "DataFrame") -> "DataFrame":
+        return DataFrame(self._sdf.crossJoin(right._sdf))
+
+    # ------------------------------------------------------------- sorts
+    def sort_values(self, by, ascending=True, na_position="last") -> "DataFrame":
+        """mars/dataframe/sort/sort_values.py:29. Mars implements PSRS
+        by hand; Spark's orderBy IS sample-based range partitioning
+        (RangePartitioner) — same algorithm, built-in."""
+        by = [by] if isinstance(by, str) else list(by)
+        if isinstance(ascending, bool):
+            ascending = [ascending] * len(by)
+        cols = []
+        for c, asc in zip(by, ascending):
+            col = F.col(c)
+            if asc:
+                col = col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first()
+            else:
+                col = col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first()
+            cols.append(col)
+        return DataFrame(self._sdf.orderBy(*cols), self._index)
+
+    def sort_index(self, ascending=True) -> "DataFrame":
+        if not self._index:
+            return self
+        return self.sort_values(self._index, ascending=ascending)
+
+    def head(self, n: int = 5) -> "DataFrame":
+        """head-pushdown (mars/optimization/logical/common/head.py:30)
+        is Catalyst's LimitPushDown — ``limit`` after orderBy plans as
+        TakeOrderedAndProject (a distributed top-k, no full sort)."""
+        return DataFrame(self._sdf.limit(n), self._index)
+
+    def nlargest(self, n: int, columns) -> "DataFrame":
+        return self.sort_values(columns, ascending=False).head(n)
+
+    def nsmallest(self, n: int, columns) -> "DataFrame":
+        return self.sort_values(columns, ascending=True).head(n)
+
+    def sample(self, frac: float = None, n: int = None, replace: bool = False,
+               seed: int = None) -> "DataFrame":
+        """mars/dataframe/indexing/sample.py:41; exact-n sampling is a
+        count-then-fraction two-pass like Mars's."""
+        if frac is None:
+            total = self._sdf.count()
+            frac = min(1.0, (n / total) * 1.2 if total else 0.0)
+            out = self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed)
+            return DataFrame(out.limit(n), self._index)
+        return DataFrame(
+            self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed),
+            self._index,
+        )
+
+    def limit(self, n: int) -> "DataFrame":
+        return self.head(n)
+
+    # ----------------------------------------------------------- dedup/set
+    def drop_duplicates(self, subset=None, keep="first") -> "DataFrame":
+        """mars/dataframe/base/drop_duplicates.py:35. keep=first/last on
+        an unordered distributed frame needs a tie-break ordering; with
+        no index we use Spark's dropDuplicates (arbitrary winner, same
+        rows-kept semantics). operators.dedup has the ordered variant."""
+        if keep not in ("first", "last", False):
+            raise ValueError(keep)
+        if keep is False:
+            sub = subset or self.columns
+            counts = self._sdf.groupBy(*sub).agg(F.count(F.lit(1)).alias("__n"))
+            keep_keys = counts.filter(F.col("__n") == 1).drop("__n")
+            return DataFrame(self._sdf.join(keep_keys, on=sub, how="leftsemi"),
+                             self._index)
+        return DataFrame(self._sdf.dropDuplicates(subset=subset), self._index)
+
+    def duplicated(self, subset=None) -> "DataFrame":
+        """mars/dataframe/base/duplicated.py:25 → windowed count"""
+        from pyspark.sql import Window
+
+        sub = subset or self.columns
+        w = Window.partitionBy(*sub)
+        sdf = self._sdf.withColumn(
+            "duplicated", F.count(F.lit(1)).over(w) > 1
+        )
+        return DataFrame(sdf, self._index)
+
+    def value_counts(self, subset=None, ascending=False) -> "DataFrame":
+        sub = subset or self.columns
+        out = self._sdf.groupBy(*sub).agg(F.count(F.lit(1)).alias("count"))
+        order = F.col("count").asc() if ascending else F.col("count").desc()
+        return DataFrame(out.orderBy(order, *sub), index=list(sub))
+
+    def union(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self._sdf.unionByName(other._sdf, allowMissingColumns=True),
+                         self._index)
+
+    append = union  # mars/dataframe/merge/append.py:32
+
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self._sdf.intersect(other._sdf), self._index)
+
+    def exceptAll(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self._sdf.exceptAll(other._sdf), self._index)
+
+    # ------------------------------------------------------------ windows
+    def rolling(self, window: int, min_periods: int | None = None):
+        from mars_spark.operators.window import Rolling
+
+        return Rolling(self, window, min_periods=min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        from mars_spark.operators.window import Expanding
+
+        return Expanding(self, min_periods=min_periods)
+
+    def shift(self, periods: int = 1, order_by=None, partition_by=None) -> "DataFrame":
+        from mars_spark.operators.window import shift
+
+        return shift(self, periods, order_by=order_by, partition_by=partition_by)
+
+    def diff(self, periods: int = 1, order_by=None, partition_by=None) -> "DataFrame":
+        from mars_spark.operators.window import diff
+
+        return diff(self, periods, order_by=order_by, partition_by=partition_by)
+
+    # --------------------------------------------------------- reshaping
+    def melt(self, id_vars=None, value_vars=None, var_name="variable",
+             value_name="value") -> "DataFrame":
+        """mars/dataframe/base/melt.py:27 → native Spark melt (3.4+)"""
+        return DataFrame(
+            self._sdf.melt(
+                ids=id_vars or [], values=value_vars,
+                variableColumnName=var_name, valueColumnName=value_name,
+            ),
+            self._index,
+        )
+
+    def explode(self, column: str) -> "DataFrame":
+        """mars/dataframe/base/explode.py:27 → F.explode"""
+        others = [c for c in self._sdf.columns if c != column]
+        sdf = self._sdf.select(*others, F.explode(F.col(column)).alias(column))
+        return DataFrame(sdf.select(*self._sdf.columns), self._index)
+
+    def pivot_table(self, index, columns, values, aggfunc="mean") -> "DataFrame":
+        from mars_spark.core.groupby import _AGG_FUNCS
+
+        idx = [index] if isinstance(index, str) else list(index)
+        fn = _AGG_FUNCS[aggfunc]
+        out = self._sdf.groupBy(*idx).pivot(columns).agg(fn(F.col(values)))
+        return DataFrame(out, index=idx)
+
+    # -------------------------------------------------------- index mgmt
+    def set_index(self, keys) -> "DataFrame":
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        return DataFrame(self._sdf, index=keys)
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        if drop:
+            return DataFrame(self._sdf.drop(*self._index))
+        return DataFrame(self._sdf)
+
+    def rebalance(self, num_partitions: int | None = None) -> "DataFrame":
+        """mars/dataframe/base/rebalance.py:25 → repartition (AQE
+        coalesces automatically after shuffles; explicit only for
+        output-file sizing)."""
+        sdf = self._sdf.repartition(num_partitions) if num_partitions else self._sdf
+        return DataFrame(sdf, self._index)
+
+    def repartition(self, n: int, *cols) -> "DataFrame":
+        sdf = self._sdf.repartition(n, *cols) if cols else self._sdf.repartition(n)
+        return DataFrame(sdf, self._index)
+
+    # ------------------------------------------------------- aggregates
+    def describe(self, percentiles=(0.25, 0.5, 0.75)) -> "DataFrame":
+        """mars/dataframe/base/describe.py:241 → summary()"""
+        stats = ["count", "mean", "stddev", "min"] + [
+            f"{int(p * 100)}%" for p in percentiles
+        ] + ["max"]
+        return DataFrame(self._sdf.summary(*stats))
+
+    def count(self) -> int:
+        return self._sdf.count()
+
+    def nunique_rows(self) -> int:
+        return self._sdf.distinct().count()
+
+    def corr(self, c1: str, c2: str, method: str = "pearson") -> float:
+        """mars/dataframe/statistics/corr.py:29"""
+        return self._sdf.stat.corr(c1, c2, method)
+
+    def cov(self, c1: str, c2: str) -> float:
+        return self._sdf.stat.cov(c1, c2)
+
+    def quantile(self, cols, q, relative_error: float = 0.0):
+        """Exact when relative_error=0 (approxQuantile contract)."""
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        qs = [q] if isinstance(q, float) else list(q)
+        return self._sdf.approxQuantile(cols, qs, relative_error)
+
+    # ----------------------------------------------------------- actions
+    def to_pandas(self):
+        return self._sdf.toPandas()
+
+    def collect(self):
+        return self._sdf.collect()
+
+    def execute(self) -> "DataFrame":
+        """Mars's .execute() triggers the graph (mars/session.py:444);
+        here the nearest action-forcing equivalent is a count, with the
+        plan staying lazy for downstream composition."""
+        self._sdf.count()
+        return self
+
+    def cache(self) -> "DataFrame":
+        self._sdf.cache()
+        return self
+
+    def persist(self, level=None) -> "DataFrame":
+        from pyspark import StorageLevel
+
+        self._sdf.persist(level or StorageLevel.MEMORY_AND_DISK)
+        return self
+
+    def explain(self, mode: str = "formatted"):
+        return self._sdf.explain(mode=mode)
+
+    # -------------------------------------------------------------- IO
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None):
+        """mars/dataframe/datastore/to_parquet.py:44 → df.write.parquet"""
+        w = self._sdf.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True):
+        """mars/dataframe/datastore/to_csv.py:41 → df.write.csv"""
+        self._sdf.write.mode(mode).option("header", header).csv(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite"):
+        self._sdf.write.mode(mode).orc(path)
+
+    def to_json(self, path: str, mode: str = "overwrite"):
+        self._sdf.write.mode(mode).json(path)
+
+    def to_sql(self, table: str, url: str, mode: str = "append", properties=None):
+        """mars/dataframe/datastore/to_sql.py:60 → df.write.jdbc"""
+        self._sdf.write.jdbc(url=url, table=table, mode=mode,
+                             properties=properties or {})

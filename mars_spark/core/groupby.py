@@ -1,0 +1,267 @@
+"""GroupBy: deferred grouped frame → Spark groupBy().agg() plans.
+
+Reference parity: mars/dataframe/groupby/aggregation.py:164
+(DataFrameGroupByAgg, supported funcs :92-110), groupby/core.py:47.
+
+Mars picks between three physical plans (tree / shuffle / auto-sampled —
+aggregation.py:552-925). Spark needs none of that: ``groupBy().agg()``
+always plans a partial (map-side) hash aggregate before the shuffle and
+a final hash aggregate after, and AQE handles skew/coalescing — the
+"auto" strategy is built-in. Our job is only the pandas API surface:
+named aggs, dict aggs, as_index, per-group transforms via Window or
+applyInPandas.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mars_spark.core.series import Series
+
+# pandas agg-func name → Spark function. Note: pandas skew/kurt are
+# *sample* statistics with bias correction; Spark's skewness/kurtosis
+# are population moments — documented difference (SURVEY.md §7 risks).
+_AGG_FUNCS: dict[str, Callable] = {
+    "sum": F.sum,
+    "prod": F.product,
+    "product": F.product,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "size": lambda c: F.count(F.lit(1)),
+    "mean": F.avg,
+    "avg": F.avg,
+    "median": F.median,
+    "var": F.var_samp,
+    "std": F.stddev_samp,
+    "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
+    "skew": F.skewness,
+    "kurt": F.kurtosis,
+    "nunique": F.countDistinct,
+    "any": lambda c: F.max(c.cast("boolean")),
+    "all": lambda c: F.min(c.cast("boolean")),
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "approx_nunique": F.approx_count_distinct,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+}
+
+
+def _resolve(func, col_name: str):
+    if callable(func) and not isinstance(func, str):
+        return func(F.col(col_name))
+    if func not in _AGG_FUNCS:
+        raise ValueError(f"unsupported agg func: {func}")
+    return _AGG_FUNCS[func](F.col(col_name))
+
+
+def build_agg_exprs(arg, named: dict, default_cols: list[str]):
+    """Compile a pandas-style agg spec into aliased Spark agg exprs.
+
+    Supports: named aggs ``agg(out=('col','sum'))``, dict specs
+    ``{'col': 'sum'}`` / ``{'col': ['sum','mean']}``, a single func name
+    applied to all columns. Returns (exprs, out_names).
+    """
+    exprs, names = [], []
+    if named:
+        for out_name, spec in named.items():
+            col, fn = spec
+            exprs.append(_resolve(fn, col).alias(out_name))
+            names.append(out_name)
+    elif isinstance(arg, dict):
+        for col, fns in arg.items():
+            if isinstance(fns, (list, tuple)):
+                for fn in fns:
+                    out = f"{col}_{fn}"
+                    exprs.append(_resolve(fn, col).alias(out))
+                    names.append(out)
+            else:
+                # pandas: single func keeps the column name
+                exprs.append(_resolve(fns, col).alias(col))
+                names.append(col)
+    elif isinstance(arg, str):
+        for col in default_cols:
+            exprs.append(_resolve(arg, col).alias(col))
+            names.append(col)
+    elif isinstance(arg, (list, tuple)):
+        for col in default_cols:
+            for fn in arg:
+                out = f"{col}_{fn}"
+                exprs.append(_resolve(fn, col).alias(out))
+                names.append(out)
+    else:
+        raise TypeError(f"unsupported agg spec: {arg!r}")
+    return exprs, names
+
+
+class GroupBy:
+    """df.groupby(keys) — deferred; nothing shuffles until an agg."""
+
+    def __init__(self, frame, keys: list[str], as_index: bool = True,
+                 sort: bool = False, selection: list[str] | None = None):
+        self._frame = frame
+        self._keys = keys
+        self._as_index = as_index
+        self._sort = sort
+        self._selection = selection
+
+    def __getitem__(self, cols):
+        # gb[cols] — mars/dataframe/groupby/getitem.py:25. Column
+        # pruning happens in Catalyst regardless; this narrows the
+        # default agg target set.
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return GroupBy(self._frame, self._keys, self._as_index, self._sort, cols)
+
+    @property
+    def _value_cols(self) -> list[str]:
+        if self._selection is not None:
+            return self._selection
+        return [c for c in self._frame._sdf.columns if c not in self._keys]
+
+    def _finish(self, out):
+        from mars_spark.core.frame import DataFrame
+
+        if self._sort:
+            out = out.orderBy(*self._keys)
+        return DataFrame(out, index=self._keys if self._as_index else [])
+
+    def agg(self, arg=None, **named):
+        exprs, _ = build_agg_exprs(arg, named, self._value_cols)
+        return self._finish(self._frame._sdf.groupBy(*self._keys).agg(*exprs))
+
+    aggregate = agg
+
+    # single-func conveniences (reference: reduction ops of §2.4)
+    def sum(self):
+        return self.agg({c: "sum" for c in self._value_cols})
+
+    def mean(self):
+        return self.agg({c: "mean" for c in self._value_cols})
+
+    def min(self):
+        return self.agg({c: "min" for c in self._value_cols})
+
+    def max(self):
+        return self.agg({c: "max" for c in self._value_cols})
+
+    def count(self):
+        return self.agg({c: "count" for c in self._value_cols})
+
+    def nunique(self):
+        return self.agg({c: "nunique" for c in self._value_cols})
+
+    def size(self):
+        from mars_spark.core.frame import DataFrame
+
+        out = self._frame._sdf.groupBy(*self._keys).agg(
+            F.count(F.lit(1)).alias("size")
+        )
+        return self._finish(out)
+
+    # ------------------------------------------------- per-group row ops
+    def head(self, n: int = 5, order_by=None):
+        """mars/dataframe/groupby/head.py:30 → row_number window.
+        The window shuffles once on the group keys — same cost as the
+        groupby itself; no per-group collection."""
+        from mars_spark.core.frame import DataFrame
+
+        order = [F.col(c) for c in (order_by or self._keys)]
+        w = Window.partitionBy(*self._keys).orderBy(*order)
+        sdf = (
+            self._frame._sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+        return DataFrame(sdf, self._frame._index)
+
+    def rank(self, order_by, method: str = "min", ascending: bool = True):
+        from mars_spark.core.frame import DataFrame
+
+        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        cols = [F.col(c).asc() if ascending else F.col(c).desc() for c in order_by]
+        w = Window.partitionBy(*self._keys).orderBy(*cols)
+        fn = {"min": F.rank, "dense": F.dense_rank, "first": F.row_number}[method]
+        return DataFrame(
+            self._frame._sdf.withColumn("rank", fn().over(w)), self._frame._index
+        )
+
+    def cumsum(self, order_by):
+        return self._cum(order_by, F.sum)
+
+    def cummax(self, order_by):
+        return self._cum(order_by, F.max)
+
+    def cummin(self, order_by):
+        return self._cum(order_by, F.min)
+
+    def cumcount(self, order_by):
+        from mars_spark.core.frame import DataFrame
+
+        w = Window.partitionBy(*self._keys).orderBy(order_by)
+        return DataFrame(
+            self._frame._sdf.withColumn("cumcount", F.row_number().over(w) - 1),
+            self._frame._index,
+        )
+
+    def _cum(self, order_by, fn):
+        """mars/dataframe/groupby/cum.py:154 → running window agg"""
+        from mars_spark.core.frame import DataFrame
+
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sdf = self._frame._sdf
+        for c in self._value_cols:
+            t = dict(sdf.dtypes).get(c, "")
+            if t in ("timestamp", "date", "string") or c == order_by:
+                continue
+            sdf = sdf.withColumn(c, fn(F.col(c)).over(w))
+        return DataFrame(sdf, self._frame._index)
+
+    def ffill(self, order_by):
+        """mars/dataframe/groupby/fill.py:149 → last(ignorenulls) window"""
+        from mars_spark.core.frame import DataFrame
+
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sdf = self._frame._sdf
+        for c in self._value_cols:
+            sdf = sdf.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        return DataFrame(sdf, self._frame._index)
+
+    def bfill(self, order_by):
+        from mars_spark.core.frame import DataFrame
+
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(order_by)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        sdf = self._frame._sdf
+        for c in self._value_cols:
+            sdf = sdf.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+        return DataFrame(sdf, self._frame._index)
+
+    # --------------------------------------------------- UDF escape hatch
+    def apply(self, func, schema):
+        """mars/dataframe/groupby/apply.py:58 → applyInPandas. ``func``
+        receives a pandas DataFrame per group; Arrow-batched, the only
+        sane per-group escape hatch at scale."""
+        from mars_spark.core.frame import DataFrame
+
+        grouped = self._frame._sdf.groupBy(*self._keys)
+        return DataFrame(grouped.applyInPandas(func, schema=schema))
+
+    def transform_udf(self, func, schema):
+        """mars/dataframe/groupby/transform.py:28 — same-length variant;
+        caller's func must preserve group length."""
+        return self.apply(func, schema)

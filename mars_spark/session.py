@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Centralizes the configuration we want on a real cluster as well as in
+local tests. The knobs below are the Spark-native replacements for the
+reference engine's adaptive machinery (see SURVEY.md §4.2): AQE replaces
+Mars's dynamic tiling / auto merge-method selection, runtime bloom
+filters replace its join bloom-filter pre-filter
+(reference: mars/dataframe/merge/merge.py:369), skew-join handling
+replaces its groupby auto-method sampling
+(reference: mars/dataframe/groupby/aggregation.py:887).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # --- adaptive execution: Spark's answer to Mars's runtime re-tiling ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime semi-join filtering (Mars: bloom_filter pre-join filter).
+    # NOTE: runtimeFilter.semiJoinReduction hangs job execution on this
+    # Spark 4.1.2 local build — do not enable it.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # read TIMESTAMP(NANOS) parquet as long; sources.io.read_parquet
+    # converts back to timestamp (Spark has no native nanos reader)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # --- Arrow for every Python<->JVM hop (pandas UDFs, toPandas) ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- shuffle sizing: tests run tiny; a real cluster should size
+    # partitions so ~128MB each lands per reducer. AQE coalesces down. ---
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # broadcast threshold: dimension tables (region/nation/supplier/part
+    # at small SF) should broadcast; AQE can also convert at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "mars_spark", master: str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster, leave unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.stop()

@@ -1,0 +1,132 @@
+"""Data sources (SURVEY.md §2.1).
+
+Every Mars reader hand-rolls what Spark's DataSource V2 framework gives
+natively: byte-range splitting (read_csv.py:81), column pruning hooks
+(read_csv.py:119), row-group chunking (read_parquet.py:406), JDBC range
+partitioning (read_sql.py:348). Here each source is a thin wrapper that
+*preserves* those built-ins — the key discipline is passing explicit
+schemas (no inference scans) and letting Catalyst push filters/columns
+into the scan (check ``PushedFilters``/``ReadSchema`` in .explain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from mars_spark.core.frame import DataFrame
+
+
+def _spark() -> SparkSession:
+    from mars_spark.session import get_spark
+
+    s = SparkSession.getActiveSession()
+    return s if s is not None else get_spark()
+
+
+def _ns_timestamp_cols(path) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    long (nanosAsLong, session.py); we cast back to timestamp."""
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path).schema
+        return [f.name for f in schema
+                if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        return []
+
+
+def read_parquet(path, columns=None, **options) -> DataFrame:
+    """reference: mars/dataframe/datasource/read_parquet.py:277.
+    File/row-group splitting, partitioned datasets, predicate pushdown
+    are native; ``columns`` narrows ReadSchema immediately."""
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    sdf = _spark().read.options(**options).parquet(*paths)
+    for c in _ns_timestamp_cols(paths[0]):
+        # nanos since epoch (long) → micros → timestamp
+        sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame(sdf)
+
+
+def read_csv(path, schema=None, header: bool = True, sep: str = ",",
+             columns=None, **options) -> DataFrame:
+    """reference: mars/dataframe/datasource/read_csv.py:96. Mars splits
+    CSVs at byte offsets and seeks newlines by hand; Spark's text
+    datasource does identical splitting. Pass ``schema`` to avoid an
+    inference scan (Mars mock-infers from the head — same motivation)."""
+    reader = _spark().read.options(header=header, sep=sep, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    sdf = reader.csv(path)
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame(sdf)
+
+
+def read_json(path, schema=None, **options) -> DataFrame:
+    reader = _spark().read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return DataFrame(reader.json(path))
+
+
+def read_orc(path, **options) -> DataFrame:
+    return DataFrame(_spark().read.options(**options).orc(path))
+
+
+def read_sql(table: str, url: str, partition_column: str | None = None,
+             lower_bound=None, upper_bound=None, num_partitions: int = 8,
+             properties: dict | None = None) -> DataFrame:
+    """reference: mars/dataframe/datasource/read_sql.py:73. Mars
+    partitions by LIMIT/OFFSET (:289) or numeric/datetime range (:348);
+    Spark JDBC implements the range strategy natively."""
+    reader = _spark().read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return DataFrame(reader.load())
+
+
+def from_pandas(pdf, num_partitions: int | None = None) -> DataFrame:
+    """reference: mars/dataframe/datasource/dataframe.py:34 (parallelize
+    a pandas object) — Arrow-path createDataFrame."""
+    sdf = _spark().createDataFrame(pdf)
+    if num_partitions:
+        sdf = sdf.repartition(num_partitions)
+    return DataFrame(sdf)
+
+
+def from_spark(sdf) -> DataFrame:
+    return DataFrame(sdf)
+
+
+def range(start: int, end: int | None = None, step: int = 1,
+          num_partitions: int | None = None) -> DataFrame:
+    """Tensor-creation analog (mars/tensor/datasource/arange.py) —
+    spark.range is the scalable constructor for synthetic columns."""
+    sdf = _spark().range(start, end, step, num_partitions)
+    return DataFrame(sdf)
+
+
+def date_range(start: str, periods: int, freq: str = "D",
+               name: str = "ts") -> DataFrame:
+    """reference: mars/dataframe/datasource/date_range.py:122.
+    spark.range + interval arithmetic — no driver-side materialization."""
+    unit = {"D": "DAY", "H": "HOUR", "h": "HOUR", "T": "MINUTE",
+            "min": "MINUTE", "S": "SECOND", "s": "SECOND", "W": "WEEK",
+            "M": "MONTH", "MS": "MONTH", "Y": "YEAR"}[freq]
+    sdf = _spark().range(0, periods).select(
+        F.expr(f"timestampadd({unit}, id, cast('{start}' as timestamp))").alias(name)
+    )
+    return DataFrame(sdf)
