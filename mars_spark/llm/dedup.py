@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the whole point at 100 TB):
+
+- exact: one hash-groupBy on a 32-char fingerprint — a single shuffle
+  of (fingerprint, doc_id) pairs, NOT the documents themselves; the
+  winner set is then a broadcast-able or shuffled semi-join back.
+- minhash LSH: signatures are computed scan-side with higher-order
+  functions (no explode of shingles, no Python); only the (band_id,
+  band_hash, doc_id) triples shuffle — b rows per doc of ~50 bytes.
+  Candidate pairs come from a self-equi-join on the band hash, i.e.
+  a shuffle join keyed on band buckets; a verify pass computes true
+  Jaccard only for candidates (tiny fraction).
+- simhash: 32-bit signature scan-side; near-dup = hamming ≤ r via
+  band-rotation join (here: exact-signature buckets + optional
+  bit_count verify join).
+- hashes are md5 throughout — portable, so every stage has a DuckDB
+  oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from mars_spark.llm.text import fingerprint, word_shingles, tokens
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup_keys(sdf: SparkDF, text_col: str, id_col: str) -> SparkDF:
+    """One surviving id per normalized-content fingerprint (min id wins —
+    deterministic). Returns (fingerprint, keep_id, dup_count)."""
+    return (
+        sdf.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(sdf: SparkDF, text_col: str, id_col: str) -> SparkDF:
+    """Drop exact near-identical (normalized) duplicates, keep min-id row."""
+    keys = exact_dedup_keys(sdf, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return sdf.join(keys, on=id_col, how="leftsemi")
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signature(col: Column, num_hashes: int = 8, k: int = 3) -> list[Column]:
+    """num_hashes min-hash values of the word-k-gram shingle set.
+
+    Each "permutation" i is min(md5(i || '|' || shingle)) — the
+    lexicographic min of a salted md5 is a uniform minwise hash, needs
+    no coefficient tables, and is reproducible in any engine with md5.
+    Evaluated as array_min(transform(...)) — scan-side, no shuffle.
+    """
+    sh = word_shingles(col, k)
+
+    # NB: plain one-arg lambdas only — pyspark's higher-order-function
+    # bridge dispatches on the lambda's arity, so a captured default
+    # (lambda s, i=i: ...) would receive the array index as ``i``.
+    def salted(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    return [
+        F.array_min(F.transform(sh, salted(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_bands(sdf: SparkDF, text_col: str, id_col: str,
+                  num_hashes: int = 8, band_size: int = 2,
+                  k: int = 3) -> SparkDF:
+    """(id, band_idx, band_hash) triples — the only thing that shuffles."""
+    sigs = minhash_signature(F.col(text_col), num_hashes, k)
+    with_sig = sdf.select(F.col(id_col), *sigs)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            with_sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def minhash_candidate_pairs(sdf: SparkDF, text_col: str, id_col: str,
+                            num_hashes: int = 8, band_size: int = 2,
+                            k: int = 3) -> SparkDF:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket."""
+    bands = minhash_bands(sdf, text_col, id_col, num_hashes, band_size, k)
+    left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
+    right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
+    return (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
+                  threshold: float = 0.5, k: int = 3,
+                  candidates: SparkDF | None = None) -> SparkDF:
+    """True Jaccard similarity over word-k-gram shingle sets.
+
+    Without ``candidates`` this is the all-pairs inverted-index join
+    (explode shingles → self-join on shingle → count); with candidates
+    it verifies only the LSH survivors. The inverted-index join is the
+    classic scalable form: pairs are generated per posting list, so
+    cost is sum over shingles of df²(shingle), not n².
+    """
+    sh = sdf.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["a", "b"], how="leftsemi")
+    sza = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    out = (
+        inter.join(sza, "a").join(szb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(sdf: SparkDF, text_col: str, id_col: str,
+                  threshold: float = 0.7, num_hashes: int = 8,
+                  band_size: int = 2, k: int = 3) -> SparkDF:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify →
+    connected-pair collapse (min-id representative via one iteration of
+    min-propagation; full transitive closure is iterative — see
+    docstring note)."""
+    cands = minhash_candidate_pairs(sdf, text_col, id_col, num_hashes, band_size, k)
+    verified = jaccard_pairs(sdf, text_col, id_col, threshold, k, candidates=cands)
+    # one-hop min-id union: b maps to min(a) over verified pairs.
+    # (For chained near-dup clusters run to fixpoint; one hop removes
+    # every doc that has ANY smaller near-duplicate, which is the
+    # standard keep-first policy.)
+    drop = verified.select(F.col("b").alias(id_col)).distinct()
+    return sdf.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------- simhash
+def hash32(col: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 → bigint.
+    (xxhash64 would be faster but is Spark-only; md5 keeps the oracle.)"""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash signature of the token set, computed as 'bits' parallel
+    aggregates over the token array — all higher-order expressions.
+
+    For each bit b: sign(sum over tokens of (tokhash bit b ? +1 : -1)).
+    """
+    t = F.array_distinct(tokens(col))
+    h = F.transform(t, hash32)
+
+    def voter(mask: int):
+        # two-arg lambda closure (see minhash_signature note on arity)
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(h, F.lit(0), voter(1 << b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def simhash_near_pairs(sdf: SparkDF, text_col: str, id_col: str,
+                       max_hamming: int = 3, bits: int = 32) -> SparkDF:
+    """Near-dup pairs by simhash hamming distance, banded join.
+
+    Split the signature into (max_hamming+1) bands; by pigeonhole any
+    pair within hamming r shares ≥1 exact band → equi-join per band,
+    then verify with bit_count(xor). Only (band, value, id) shuffles.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sig = sdf.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sig"))
+    bands = []
+    for b in range(n_bands):
+        shifted = F.shiftright(F.col("sig"), b * band_bits)
+        mask = (1 << band_bits) - 1
+        bands.append(
+            sig.select(
+                F.col(id_col), F.lit(b).alias("band"),
+                shifted.bitwiseAND(F.lit(mask)).alias("bv"), F.col("sig"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    left = allb.select(F.col(id_col).alias("a"), "band", "bv",
+                       F.col("sig").alias("sig_a"))
+    right = allb.select(F.col(id_col).alias("b"), "band", "bv",
+                        F.col("sig").alias("sig_b"))
+    return (
+        left.join(right, on=["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

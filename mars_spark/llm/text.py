@@ -1,0 +1,145 @@
+"""Text analysis operators for document pipelines.
+
+All pure Column expressions — whole-stage codegen, zero Python in the
+hot path, linear scans with no shuffle. Each op is designed to be
+bit-reproducible in ANSI SQL (DuckDB oracle parity): tokenization is
+regex whitespace split, hashes are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language-marker stopwords for the n-gram language-ID heuristic.
+# Counting is done with a length-difference trick (portable SQL, no
+# regexp_count): occurrences(t, w) = (len(t) - len(replace(t, w))) / len(w)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " et ", " les ", " des ", " est "],
+    "es": [" el ", " y ", " los ", " que ", " es "],
+}
+
+STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+
+
+def normalize(col: Column) -> Column:
+    """lower + collapse whitespace — the canonical form every other
+    text op keys on."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the cheap path; BPE-ish estimate below)."""
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate without a vocab: splits on
+    word/number/punctuation boundaries the way byte-level BPE tends
+    to, ~chars/4 floor for CJK-free text."""
+    pieces = F.split(
+        F.lower(col), r"(?<=[a-z0-9])(?=[^a-z0-9\s])|(?<=[^a-z0-9\s])(?=[a-z0-9])|\s+"
+    )
+    return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def occurrences(col: Column, word: str) -> Column:
+    """Substring occurrence count via length difference — portable to
+    any SQL engine (no regexp_count dependency)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(word), F.lit(""))))
+        / len(word)
+    ).cast("int")
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Marker-word hit count for one language over padded text."""
+    padded = F.concat(F.lit(" "), normalize(col), F.lit(" "))
+    score = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        score = score + occurrences(padded, w)
+    return score
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID over the marker-word profile; returns the
+    argmax language or 'und' when nothing matches (CJK etc. — a real
+    pipeline plugs fasttext via mapInPandas; this is the JVM-side
+    fallback that needs no model artifact)."""
+    scores = {lang: lang_score(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    # deterministic tie-break: first lang in sorted order wins (CASE
+    # evaluates top-down)
+    expr = None
+    for lang in sorted(LANG_MARKERS):
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def alpha_ratio(col: Column) -> Column:
+    no_alpha = F.regexp_replace(col, r"[A-Za-z]", "")
+    return F.length(col).cast("double") - F.length(no_alpha)
+
+
+def quality_score(col: Column) -> Column:
+    """Document quality heuristic in [0,1]: combines length band,
+    alphabetic ratio, mean word length sanity, and stopword presence.
+    Deterministic closed form — reproducible in the SQL oracle."""
+    n = F.length(col).cast("double")
+    norm = normalize(col)
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks).cast("double")
+    alpha = alpha_ratio(col) / F.greatest(n, F.lit(1.0))
+    mean_word = n / F.greatest(n_tok, F.lit(1.0))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    stop_hits = F.lit(0)
+    for w in STOPWORDS_EN[:5]:
+        stop_hits = stop_hits + occurrences(padded, f" {w} ")
+    stop_ratio = stop_hits.cast("double") / F.greatest(n_tok, F.lit(1.0))
+    len_score = F.when(n < 20, n / 20.0).when(n > 5000, F.lit(0.5)).otherwise(F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return F.round(
+        0.3 * len_score + 0.3 * F.least(alpha * 1.5, F.lit(1.0))
+        + 0.2 * word_score + 0.2 * stop_score,
+        4,
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. The exact-dedup
+    key — portable, stable across engines."""
+    return F.md5(normalize(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles — input to minhash/jaccard dedup.
+
+    Pure higher-order expressions (sequence/transform), no explode, so
+    the per-row work stays inside codegen. Short docs (<k tokens)
+    produce their single partial shingle (concat_ws skips nulls).
+    """
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text."""
+    s = normalize(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(s, i, n))
+    return F.array_distinct(grams)

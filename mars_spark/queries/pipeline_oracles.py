@@ -1,0 +1,289 @@
+"""DuckDB oracle SQL for the pipeline corpus (pipeline.py).
+
+The text/dedup oracles re-derive the exact md5-based definitions used
+by mars_spark.llm — normalization, shingling, minwise hashing, LSH
+banding and simhash are all reproduced in portable SQL so every stage
+of the dedup pipelines is value-checked, not just row-counted.
+"""
+
+# normalized text (must match llm.text.normalize): lower + collapse ws
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+# word-3-gram distinct shingles (must match llm.text.word_shingles k=3):
+# DuckDB list slice l[i:i+2] is 1-based inclusive → 3 elements.
+_SHINGLES = (
+    "list_distinct([array_to_string(l[i:i+2], ' ') "
+    "for i in range(1, greatest(len(l)-1, 2))])"
+)
+
+_STOP5 = ["the", "and", "of", "to", "a"]
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " et ", " les ", " des ", " est "],
+    "es": [" el ", " y ", " los ", " que ", " es "],
+}
+
+
+def _occ(expr: str, word: str) -> str:
+    """Occurrence count by length difference (llm.text.occurrences)."""
+    w = word.replace("'", "''")
+    return (f"CAST((length({expr}) - length(replace({expr}, '{w}', '')))"
+            f" / {len(word)} AS INT)")
+
+
+def _lang_score(lang: str) -> str:
+    return " + ".join(_occ("padded", w) for w in _LANG_MARKERS[lang])
+
+
+def _langid_case() -> str:
+    whens = "\n".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(_LANG_MARKERS)
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def _minhash(i: int) -> str:
+    return f"list_min([md5('{i}|' || s) for s in sh])"
+
+
+def _simhash16() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum([CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END "
+        f"for h in hashes]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+PIPELINE_ORACLES: dict[str, str] = {
+    # ------------------------------------------------------------- events
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY hour, event_type
+    """,
+    "events_sessions": """
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev IS NULL
+                             OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                  FROM events)
+        ) GROUP BY user_id
+    """,
+    "events_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view_click,
+               CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM per_user
+    """,
+    "events_cumsum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS value_cumsum
+        FROM events
+    """,
+    "events_rolling_avg": """
+        SELECT event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+        FROM events
+    """,
+    "events_value_diff": """
+        SELECT event_id,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id), 4) AS value_diff
+        FROM events
+    """,
+    "events_top_users": """
+        SELECT user_id, round(sum(value), 2) AS total_value,
+               count(event_id) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC
+        LIMIT 10
+    """,
+    "events_dau": """
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS dau, count(*) AS n_events
+        FROM events GROUP BY day
+    """,
+    "events_type_stats": """
+        SELECT event_type, count(event_id) AS n,
+               round(avg(value), 4) AS avg_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               round(stddev_samp(value), 4) AS std_value
+        FROM events GROUP BY event_type
+    """,
+    # ---------------------------------------------------------- documents
+    "docs_token_stats": f"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(array_length({_TOKS})), 2) AS avg_tokens,
+               round(avg(length(text)), 2) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "docs_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n,
+                   CAST(array_length({_TOKS}) AS DOUBLE) AS n_tok,
+                   (CAST(length(text) AS DOUBLE)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS n_alpha,
+                   ' ' || {_NORM} || ' ' AS padded
+            FROM documents WHERE doc_id < 100
+        ), s AS (
+            SELECT doc_id, n, n_tok,
+                   n_alpha / greatest(n, 1.0) AS alpha,
+                   n / greatest(n_tok, 1.0) AS mean_word,
+                   ({" + ".join(_occ("padded", f" {w} ") for w in _STOP5)})
+                       / greatest(n_tok, 1.0) AS stop_ratio
+            FROM t
+        )
+        SELECT doc_id,
+               round(0.3 * (CASE WHEN n < 20 THEN n / 20.0
+                                 WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+                   + 0.3 * least(alpha * 1.5, 1.0)
+                   + 0.2 * (CASE WHEN mean_word >= 3 AND mean_word <= 12
+                                 THEN 1.0 ELSE 0.5 END)
+                   + 0.2 * least(stop_ratio * 5.0, 1.0), 4) AS quality
+        FROM s
+    """,
+    "docs_langid": f"""
+        WITH scored AS (
+            SELECT lang,
+                   {", ".join(f"({_lang_score(lang)}) AS s_{lang}" for lang in sorted(_LANG_MARKERS))}
+            FROM (SELECT lang, ' ' || {_NORM} || ' ' AS padded FROM documents)
+        ), best AS (
+            SELECT lang, greatest(s_de, s_en, s_es, s_fr) AS best,
+                   s_de, s_en, s_es, s_fr
+            FROM scored
+        )
+        SELECT lang, {_langid_case()} AS pred_lang, count(*) AS n
+        FROM best GROUP BY lang, pred_lang
+    """,
+    "docs_fingerprint": f"""
+        SELECT count(*) AS n_docs, count(DISTINCT md5({_NORM})) AS n_unique
+        FROM documents
+    """,
+    "docs_exact_dedup": f"""
+        WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
+             k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+        SELECT source, count(*) AS n_kept
+        FROM f JOIN k ON f.doc_id = k.keep_id
+        GROUP BY source
+    """,
+    "docs_minhash_sig": f"""
+        SELECT doc_id, {_minhash(0)} AS mh0, {_minhash(1)} AS mh1
+        FROM (SELECT doc_id, {_SHINGLES} AS sh
+              FROM (SELECT doc_id, {_TOKS} AS l FROM documents WHERE doc_id < 100))
+    """,
+    "docs_jaccard_pairs": f"""
+        WITH base AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+        ), ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM base
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT ea.doc_id AS a, eb.doc_id AS b, count(*) AS i
+            FROM ex ea JOIN ex eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+    """,
+    "docs_minhash_dedup": f"""
+        WITH base AS (
+            SELECT doc_id, source, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, source, {_TOKS} AS l FROM documents)
+        ), mh AS (
+            SELECT doc_id,
+                   {", ".join(f"{_minhash(i)} AS mh{i}" for i in range(8))}
+            FROM base
+        ), bands AS (
+            SELECT doc_id,
+                   {", ".join(f"md5(mh{2*i} || '|' || mh{2*i+1}) AS b{i}" for i in range(4))}
+            FROM mh
+        ), cand AS (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.doc_id < y.doc_id
+             AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        ), ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM base
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT ea.doc_id AS a, eb.doc_id AS b, count(*) AS i
+            FROM ex ea JOIN ex eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+            GROUP BY 1, 2
+        ), ver AS (
+            SELECT inter.a, inter.b
+            FROM inter
+            JOIN cand USING (a, b)
+            JOIN sizes sa ON sa.doc_id = inter.a
+            JOIN sizes sb ON sb.doc_id = inter.b
+            WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+        )
+        SELECT source, count(*) AS n_kept
+        FROM documents
+        WHERE doc_id NOT IN (SELECT DISTINCT b FROM ver)
+        GROUP BY source
+    """,
+    "docs_simhash": f"""
+        SELECT doc_id, {_simhash16()} AS sig
+        FROM (
+            SELECT doc_id,
+                   [('0x' || substr(md5(t), 1, 8))::BIGINT
+                    for t in list_distinct({_TOKS})] AS hashes
+            FROM documents WHERE doc_id < 50
+        )
+    """,
+    # --------------------------------------------------------- embeddings
+    "emb_topk": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "emb_neardup_pairs": """
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+    "emb_label_stats": """
+        SELECT label, count(*) AS n,
+               round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[]))), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+}
