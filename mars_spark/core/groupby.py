@@ -221,7 +221,10 @@ class GroupBy:
             t = dict(sdf.dtypes).get(c, "")
             if t in ("timestamp", "date", "string") or c == order_by:
                 continue
-            sdf = sdf.withColumn(c, fn(F.col(c)).over(w))
+            # pandas cum* semantics: NaN input rows stay NaN (the window
+            # agg itself skips nulls in the running state)
+            sdf = sdf.withColumn(
+                c, F.when(F.col(c).isNotNull(), fn(F.col(c)).over(w)))
         return DataFrame(sdf, self._frame._index)
 
     def ffill(self, order_by):

@@ -99,7 +99,10 @@ class StringAccessor:
         return self._wrap(fn(self._s._col, width, fillchar))
 
     def zfill(self, width):
-        return self._wrap(F.lpad(self._s._col, width, "0"))
+        # lpad truncates longer strings; pandas zfill never does
+        c = self._s._col
+        return self._wrap(
+            F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, "0")))
 
     def len(self):
         return self._wrap(F.length(self._s._col))

@@ -31,6 +31,17 @@ _ROLL_FUNCS = {
 }
 
 
+def _offset_seconds(offset: str) -> int:
+    """'90s' / '5min' / '2h' / '1d' → seconds (pandas offset subset)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(s|sec|min|t|h|d)", offset.strip().lower())
+    if not m:
+        raise ValueError(f"unsupported window offset: {offset!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    return n * {"s": 1, "sec": 1, "min": 60, "t": 60, "h": 3600, "d": 86400}[unit]
+
+
 def _order_cols(frame: DataFrame, order_by):
     if order_by is None:
         if frame._index:

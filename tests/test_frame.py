@@ -1,0 +1,160 @@
+"""Row-op / indexing / missing-data tests vs pandas oracle.
+
+Reference test pattern: mars/dataframe/base/tests/test_base_execution.py,
+mars/dataframe/indexing/tests/test_indexing_execution.py.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import mars_spark as ms
+from tests.conftest import assert_frame_equal
+
+
+@pytest.fixture(scope="module")
+def mdf(spark, pdf_numeric):
+    return ms.from_pandas(pdf_numeric, num_partitions=4)
+
+
+def test_getitem_filter(mdf, pdf_numeric):
+    out = mdf[mdf.a > 50][["a", "b"]].to_pandas()
+    exp = pdf_numeric[pdf_numeric.a > 50][["a", "b"]]
+    assert_frame_equal(out, exp)
+
+
+def test_setitem_arith(mdf, pdf_numeric):
+    f = mdf[["a", "b", "c"]]
+    f["d"] = f.a * 2 + f.b
+    f["e"] = (f.c.fillna(0) - 1).abs()
+    exp = pdf_numeric.copy()
+    exp["d"] = exp.a * 2 + exp.b
+    exp["e"] = (exp.c.fillna(0) - 1).abs()
+    assert_frame_equal(f.to_pandas(), exp[["a", "b", "c", "d", "e"]])
+
+
+def test_query_eval(mdf, pdf_numeric):
+    out = mdf.query("a > 30 and b < 0").to_pandas()
+    exp = pdf_numeric.query("a > 30 and b < 0")
+    assert_frame_equal(out, exp)
+
+
+def test_loc_mask_cols(mdf, pdf_numeric):
+    out = mdf.loc[mdf.a == 7, ["b", "c"]].to_pandas()
+    exp = pdf_numeric.loc[pdf_numeric.a == 7, ["b", "c"]]
+    assert_frame_equal(out, exp)
+
+
+def test_where_mask(mdf, pdf_numeric):
+    out = mdf[["a"]].where(mdf.a > 50, other=-1).to_pandas()
+    exp = pdf_numeric[["a"]].where(pdf_numeric.a > 50, other=-1)
+    assert_frame_equal(out, exp)
+
+
+def test_isin(mdf, pdf_numeric):
+    out = mdf[mdf.a.isin([1, 2, 3])].to_pandas()
+    exp = pdf_numeric[pdf_numeric.a.isin([1, 2, 3])]
+    assert_frame_equal(out, exp)
+
+
+def test_between(mdf, pdf_numeric):
+    out = mdf[mdf.b.between(-10, 10)].to_pandas()
+    exp = pdf_numeric[pdf_numeric.b.between(-10, 10)]
+    assert_frame_equal(out, exp)
+
+
+def test_dropna_fillna(mdf, pdf_numeric):
+    assert mdf.dropna().count() == len(pdf_numeric.dropna())
+    out = mdf.fillna({"c": 0.0}).to_pandas()
+    exp = pdf_numeric.fillna({"c": 0.0})
+    assert_frame_equal(out, exp)
+
+
+def test_replace(spark):
+    f = ms.from_pandas(pd.DataFrame({"s": ["a", "b", "c"]}))
+    out = f.replace("a", "z").to_pandas()
+    assert sorted(out.s) == ["b", "c", "z"]
+
+
+def test_astype(mdf, pdf_numeric):
+    out = mdf.astype({"a": "float64"}).to_pandas()
+    assert out["a"].dtype == np.float64
+
+
+def test_sort_head_nlargest(mdf, pdf_numeric):
+    out = mdf.sort_values(["a", "b"], ascending=[False, True]).head(10).to_pandas()
+    exp = pdf_numeric.sort_values(
+        ["a", "b"], ascending=[False, True], kind="stable").head(10)
+    # rows must match as a set (ties at the boundary may reorder)
+    assert len(out) == 10
+    assert out.a.min() >= exp.a.min()
+    nl = mdf.nlargest(5, "c").to_pandas()
+    assert set(nl.c.round(9)) == set(pdf_numeric.nlargest(5, "c").c.round(9))
+
+
+def test_drop_duplicates(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1, 1, 2, 3, 4]})
+    f = ms.from_pandas(pdf)
+    assert f.drop_duplicates().count() == 4
+    assert f.drop_duplicates(subset=["k"]).count() == 3
+    assert f.drop_duplicates(subset=["k"], keep=False).count() == 1
+
+
+def test_value_counts(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "c", "c", "c"]})
+    out = ms.from_pandas(pdf).k.value_counts().to_pandas()
+    assert list(out["count"]) == [3, 2, 1]
+    assert list(out.k) == ["c", "a", "b"]
+
+
+def test_explode(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "tags": [["x", "y"], ["z"]]})
+    out = ms.from_pandas(pdf).explode("tags").to_pandas()
+    assert len(out) == 3
+
+
+def test_melt(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "a": [10, 20], "b": [30, 40]})
+    out = ms.from_pandas(pdf).melt(id_vars=["id"], value_vars=["a", "b"]).to_pandas()
+    exp = pdf.melt(id_vars=["id"], value_vars=["a", "b"])
+    assert_frame_equal(out, exp)
+
+
+def test_describe_stats(mdf, pdf_numeric):
+    assert abs(mdf.a.mean() - pdf_numeric.a.mean()) < 1e-9
+    assert abs(mdf.c.std() - pdf_numeric.c.std()) < 1e-9
+    assert mdf.c.count() == pdf_numeric.c.count()
+    assert mdf.a.nunique() == pdf_numeric.a.nunique()
+    assert abs(mdf.c.quantile(0.5) - pdf_numeric.c.quantile(0.5)) < 1e-9
+
+
+def test_corr_cov(mdf, pdf_numeric):
+    assert abs(mdf.corr("a", "b") - pdf_numeric.a.corr(pdf_numeric.b)) < 1e-9
+
+
+def test_sample(mdf):
+    out = mdf.sample(frac=0.3, seed=7).to_pandas()
+    assert 200 < len(out) < 400
+
+
+def test_union_setops(spark):
+    a = ms.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
+    b = ms.from_pandas(pd.DataFrame({"x": [3, 4]}))
+    assert a.union(b).count() == 5
+    assert a.intersect(b).count() == 1
+    assert a.exceptAll(b).count() == 2
+
+
+def test_concat(spark):
+    a = ms.from_pandas(pd.DataFrame({"x": [1, 2]}))
+    b = ms.from_pandas(pd.DataFrame({"x": [3], "y": [9]}))
+    out = ms.concat([a, b]).to_pandas()
+    assert len(out) == 3 and "y" in out.columns
+
+
+def test_pivot_table(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "c": ["p", "q", "p"],
+                        "v": [1.0, 2.0, 3.0]})
+    out = ms.from_pandas(pdf).pivot_table(
+        index="k", columns="c", values="v", aggfunc="sum").to_pandas()
+    assert out.set_index("k").loc["a", "p"] == 1.0

@@ -1,0 +1,108 @@
+"""GroupBy tests vs pandas oracle.
+
+Reference test pattern: mars/dataframe/groupby/tests/
+test_groupby_execution.py (Mars sweeps method=tree|shuffle|auto; in
+Spark there is one plan — partial+final hash agg — so the sweep
+collapses to a single case).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import mars_spark as ms
+from tests.conftest import assert_frame_equal
+
+
+@pytest.fixture(scope="module")
+def mdf(spark, pdf_groupby):
+    return ms.from_pandas(pdf_groupby, num_partitions=4)
+
+
+def test_named_agg(mdf, pdf_groupby):
+    out = mdf.groupby("k1", as_index=False).agg(
+        s=("v2", "sum"), m=("v1", "mean"), n=("v2", "count"),
+        u=("k2", "nunique"),
+    ).to_pandas()
+    exp = pdf_groupby.groupby("k1", as_index=False).agg(
+        s=("v2", "sum"), m=("v1", "mean"), n=("v2", "count"),
+        u=("k2", "nunique"))
+    assert_frame_equal(out, exp, sort_by=["k1"])
+
+
+def test_dict_agg_multi_key(mdf, pdf_groupby):
+    out = mdf.groupby(["k1", "k2"], as_index=False).agg(
+        {"v1": "sum", "v2": "max"}).to_pandas()
+    exp = pdf_groupby.groupby(["k1", "k2"], as_index=False).agg(
+        v1=("v1", "sum"), v2=("v2", "max"))
+    assert_frame_equal(out, exp, sort_by=["k1", "k2"])
+
+
+def test_agg_func_sweep(mdf, pdf_groupby):
+    """min/max/var/std/first-order moments vs pandas (skew/kurt differ:
+    pandas uses bias-corrected sample stats — documented gap)."""
+    for fn in ["sum", "mean", "min", "max", "var", "std", "median"]:
+        out = mdf.groupby("k1", as_index=False).agg(x=("v2", fn)).to_pandas()
+        exp = pdf_groupby.groupby("k1", as_index=False).agg(x=("v2", fn))
+        assert_frame_equal(out, exp, sort_by=["k1"])
+
+
+def test_size_count_nan(mdf, pdf_groupby):
+    out = mdf.groupby("k1", as_index=False).agg(
+        n_all=("v1", "size"), n_nonnull=("v1", "count")).to_pandas()
+    exp = pdf_groupby.groupby("k1", as_index=False).agg(
+        n_all=("v1", "size"), n_nonnull=("v1", "count"))
+    assert_frame_equal(out, exp, sort_by=["k1"])
+
+
+def test_groupby_selection(mdf, pdf_groupby):
+    out = mdf.groupby("k1", as_index=False)[["v2"]].sum().to_pandas()
+    exp = pdf_groupby.groupby("k1", as_index=False)[["v2"]].sum()
+    assert_frame_equal(out, exp, sort_by=["k1"])
+
+
+def test_groupby_head(mdf, pdf_groupby):
+    out = mdf.groupby("k1").head(3, order_by=["k2", "v2"]).to_pandas()
+    assert len(out) == 9
+
+
+def test_groupby_cum_ffill(spark):
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b"],
+        "o": [1, 2, 3, 1, 2],
+        "v": [1.0, np.nan, 3.0, 4.0, np.nan],
+    })
+    f = ms.from_pandas(pdf)
+    out = f.groupby("g").ffill("o").to_pandas().sort_values(["g", "o"])
+    exp = pdf.sort_values(["g", "o"]).copy()
+    exp["v"] = exp.groupby("g").v.ffill()
+    np.testing.assert_allclose(out.v.values, exp.v.values)
+
+    cs = f.groupby("g")[["v"]].cumsum("o").to_pandas().sort_values(["g", "o"])
+    exp2 = pdf.sort_values(["g", "o"]).copy()
+    exp2["v"] = exp2.groupby("g").v.cumsum()
+    np.testing.assert_allclose(cs.v.values, exp2.v.values)
+
+
+def test_groupby_apply_udf(spark, pdf_groupby):
+    """applyInPandas escape hatch (reference: groupby/apply.py:58)."""
+    f = ms.from_pandas(pdf_groupby)
+
+    def top2(pdf):
+        return pdf.nlargest(2, "v2")[["k1", "v2"]]
+
+    out = f.groupby("k1").apply(top2, schema="k1 string, v2 long").to_pandas()
+    exp = pdf_groupby.groupby("k1").v2.nlargest(2).reset_index(drop=True)
+    assert sorted(out.v2) == sorted(exp)
+
+
+def test_frame_wide_agg(mdf, pdf_groupby):
+    out = mdf[["v2"]].agg(total=("v2", "sum"), hi=("v2", "max")).to_pandas()
+    assert out.total.iloc[0] == pdf_groupby.v2.sum()
+    assert out.hi.iloc[0] == pdf_groupby.v2.max()
+
+
+def test_rank(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [10, 20, 5]})
+    out = ms.from_pandas(pdf).groupby("g").rank("v").to_pandas()
+    assert set(out[out.g == "a"]["rank"]) == {1, 2}

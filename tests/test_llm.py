@@ -1,0 +1,166 @@
+"""LLM-data operator tests: known-answer cases + invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import mars_spark as ms
+from mars_spark.llm import dedup as D
+from mars_spark.llm import similarity as S
+from mars_spark.llm import text as T
+from mars_spark.llm import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",       # exact dup of 0
+            "the quick brown fox jumps over the lazy cat",       # near dup of 0
+            "completely different content about spark engines",
+            "der hund und die katze sind nicht der gleiche",     # german
+            "le chat et le chien sont les animaux des maisons",  # french
+        ],
+    })
+    return ms.from_pandas(pdf).to_spark(), pdf
+
+
+def test_token_count(spark, docs):
+    sdf, pdf = docs
+    out = sdf.select("doc_id", T.token_count(F.col("text")).alias("n")).toPandas()
+    exp = pdf.text.str.split().str.len()
+    assert list(out.sort_values("doc_id").n) == list(exp)
+
+
+def test_language_id(spark, docs):
+    sdf, _ = docs
+    out = sdf.select("doc_id", T.language_id(F.col("text")).alias("l")
+                     ).toPandas().sort_values("doc_id")
+    assert out.l.iloc[0] == "en"
+    assert out.l.iloc[4] == "de"
+    assert out.l.iloc[5] == "fr"
+
+
+def test_fingerprint_and_exact_dedup(spark, docs):
+    sdf, _ = docs
+    kept = D.exact_dedup(sdf, "text", "doc_id").toPandas()
+    assert sorted(kept.doc_id) == [0, 2, 3, 4, 5]  # doc 1 dropped (dup of 0)
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sdf, _ = docs
+    sigs = sdf.select("doc_id", *D.minhash_signature(F.col("text"), 4)).toPandas()
+    s = sigs.set_index("doc_id")
+    assert (s.loc[0] == s.loc[1]).all()          # identical text
+    assert (s.loc[0] == s.loc[3]).sum() == 0     # unrelated text
+
+
+def test_minhash_dedup_drops_near_dups(spark, docs):
+    sdf, _ = docs
+    kept = D.minhash_dedup(sdf, "text", "doc_id", threshold=0.4).toPandas()
+    assert 0 in set(kept.doc_id)
+    assert 1 not in set(kept.doc_id)
+    assert 3 in set(kept.doc_id)
+
+
+def test_jaccard_pairs_values(spark, docs):
+    sdf, _ = docs
+    pairs = D.jaccard_pairs(sdf, "text", "doc_id", threshold=0.1).toPandas()
+    exact = pairs[(pairs.a == 0) & (pairs.b == 1)]
+    assert len(exact) == 1 and exact.jaccard.iloc[0] == 1.0
+    near = pairs[(pairs.a == 0) & (pairs.b == 2)]
+    assert len(near) == 1 and 0.4 < near.jaccard.iloc[0] < 1.0
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    sdf, _ = docs
+    sig = sdf.select("doc_id", D.simhash(F.col("text")).alias("s")).toPandas()
+    s = sig.set_index("doc_id").s
+    assert s[0] == s[1]
+    ham02 = bin(int(s[0]) ^ int(s[2])).count("1")
+    ham03 = bin(int(s[0]) ^ int(s[3])).count("1")
+    assert ham02 < ham03
+
+
+def test_cosine_topk(spark):
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]],
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = S.topk_bruteforce(sdf, "embedding", [1.0, 0.0], k=2).toPandas()
+    assert list(out.vec_id) == [0, 1]
+    assert out.cos_sim.iloc[0] == 1.0
+
+
+def test_near_dup_pairs_threshold(spark):
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]],
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = S.near_dup_pairs(sdf, "embedding", threshold=0.95).toPandas()
+    assert len(out) == 1 and (out.a.iloc[0], out.b.iloc[0]) == (0, 1)
+
+
+def test_lsh_bucket_recall(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((50, 16))
+    dup = base[:10] + rng.standard_normal((10, 16)) * 0.01
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame({
+        "vec_id": range(60),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = S.lsh_bucketed_pairs(sdf, "embedding", dim=16, threshold=0.99,
+                               n_planes=4).toPandas()
+    expected_pairs = {(i, i + 50) for i in range(10)}
+    found = set(zip(got.a, got.b))
+    # hyperplane LSH with 4 planes: near-identical vectors land in the
+    # same bucket unless a plane splits them — expect high recall
+    assert len(found & expected_pairs) >= 7
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16))
+    pdf = pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    sdf = spark.createDataFrame(pdf)
+    query = list(map(float, vecs[0]))
+    exact = set(S.topk_bruteforce(sdf, "embedding", query, k=5).toPandas().vec_id)
+    assigned, centroids = S.ivf_index(sdf, "embedding", n_clusters=4)
+    approx = set(S.ivf_search(assigned, centroids, query, k=5,
+                              n_probe=3).toPandas().vec_id)
+    assert len(exact & approx) >= 3
+
+
+def test_multimodal_decode_plumbing(spark):
+    sdf = M.synthetic_multimodal(spark, n=30)
+    out = M.decode_features(sdf).toPandas()
+    assert len(out) == 30
+    assert all(len(v) == M.FEATURE_DIM for v in out.features)
+    # determinism: same payload → same features
+    out2 = M.decode_features(M.synthetic_multimodal(spark, n=30)).toPandas()
+    np.testing.assert_allclose(
+        np.stack(out.sort_values("id").features.values),
+        np.stack(out2.sort_values("id").features.values))
+
+
+def test_frame_sample_plan(spark):
+    sdf = M.synthetic_multimodal(spark, n=10)
+    out = M.frame_sample_plan(sdf, every_n=30).toPandas()
+    assert len(out) >= 10
+    assert "frame_idx" in out.columns
+
+
+def test_quality_score_range(spark, docs):
+    sdf, _ = docs
+    out = sdf.select(T.quality_score(F.col("text")).alias("q")).toPandas()
+    assert ((out.q >= 0) & (out.q <= 1)).all()

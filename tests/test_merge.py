@@ -1,0 +1,92 @@
+"""Join tests vs pandas oracle.
+
+Reference test pattern: mars/dataframe/merge/tests/
+test_merge_execution.py:26-148 (Mars sweeps method=auto|shuffle|
+broadcast + bloom on/off; Spark's planner picks, we sweep the
+broadcast hint only).
+"""
+
+import pandas as pd
+import pytest
+
+import mars_spark as ms
+from mars_spark.operators.merge import merge_asof
+from tests.conftest import assert_frame_equal
+
+
+@pytest.fixture(scope="module")
+def frames(spark, pdf_join):
+    left, right = pdf_join
+    return (ms.from_pandas(left, num_partitions=4),
+            ms.from_pandas(right, num_partitions=2), left, right)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+@pytest.mark.parametrize("broadcast", [None, True])
+def test_merge_hows(frames, how, broadcast):
+    ml, mr, left, right = frames
+    out = ml.merge(mr, on="key", how=how, broadcast=broadcast).to_pandas()
+    exp = left.merge(right, on="key", how=how)
+    assert len(out) == len(exp)
+    assert sorted(out.columns) == sorted(exp.columns)
+    # value check on the joined sums (order-insensitive)
+    assert abs(out.val_x.sum() - exp.val_x.sum()) < 1e-6
+
+
+def test_merge_left_on_right_on(frames):
+    ml, mr, left, right = frames
+    r2 = mr.rename(columns={"key": "rkey"})
+    out = ml.merge(r2, left_on="key", right_on="rkey").to_pandas()
+    exp = left.merge(right.rename(columns={"key": "rkey"}),
+                     left_on="key", right_on="rkey")
+    assert len(out) == len(exp)
+    assert "key" in out.columns and "rkey" in out.columns
+
+
+def test_merge_suffixes(frames):
+    ml, mr, left, right = frames
+    out = ml.merge(mr, on="key", suffixes=("_l", "_r")).to_pandas()
+    exp = left.merge(right, on="key", suffixes=("_l", "_r"))
+    assert sorted(out.columns) == sorted(exp.columns)
+
+
+def test_semi_anti(frames):
+    ml, mr, left, right = frames
+    semi = ml.merge(mr[["key"]].drop_duplicates(), on="key", how="semi")
+    anti = ml.merge(mr[["key"]].drop_duplicates(), on="key", how="anti")
+    in_right = left.key.isin(set(right.key))
+    assert semi.count() == int(in_right.sum())
+    assert anti.count() == int((~in_right).sum())
+
+
+def test_cross_join(spark):
+    a = ms.from_pandas(pd.DataFrame({"x": [1, 2]}))
+    b = ms.from_pandas(pd.DataFrame({"y": [10, 20, 30]}))
+    assert a.crossJoin(b).count() == 6
+
+
+def test_merge_asof_vs_pandas(spark):
+    left = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 5,
+        "t": list(range(0, 50, 10)) * 2,
+        "lv": range(10),
+    })
+    right = pd.DataFrame({
+        "g": ["a", "a", "b", "b"],
+        "t": [5, 25, 14, 40],
+        "rv": [100, 200, 300, 400],
+    })
+    ml, mr = ms.from_pandas(left), ms.from_pandas(right)
+    out = merge_asof(ml, mr, on="t", by="g").to_pandas()
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                        on="t", by="g")
+    assert_frame_equal(out, exp, sort_by=["g", "t"])
+
+
+def test_merge_asof_tolerance(spark):
+    left = pd.DataFrame({"t": [1, 10, 20], "lv": [1, 2, 3]})
+    right = pd.DataFrame({"t": [0, 9], "rv": [10, 20]})
+    out = merge_asof(ms.from_pandas(left), ms.from_pandas(right),
+                     on="t", tolerance=2).to_pandas().sort_values("t")
+    exp = pd.merge_asof(left, right, on="t", tolerance=2)
+    assert_frame_equal(out, exp, sort_by=["t"])

@@ -1,0 +1,63 @@
+"""IO round-trip tests (reference: datasource/datastore §2.1)."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+import mars_spark as ms
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_parquet_roundtrip(spark, pdf_numeric, tmpdir):
+    path = os.path.join(tmpdir, "pq")
+    f = ms.from_pandas(pdf_numeric)
+    f.to_parquet(path)
+    back = ms.read_parquet(path)
+    assert back.count() == len(pdf_numeric)
+    assert sorted(back.columns) == sorted(pdf_numeric.columns)
+
+
+def test_csv_roundtrip(spark, tmpdir):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "s": ["x", "y", "z"]})
+    path = os.path.join(tmpdir, "csv")
+    ms.from_pandas(pdf).to_csv(path)
+    back = ms.read_csv(path, schema="a bigint, s string").to_pandas()
+    assert sorted(back.a) == [1, 2, 3]
+
+
+def test_json_roundtrip(spark, tmpdir):
+    pdf = pd.DataFrame({"a": [1, 2], "s": ["x", "y"]})
+    path = os.path.join(tmpdir, "json")
+    ms.from_pandas(pdf).to_json(path)
+    back = ms.read_json(path).to_pandas()
+    assert sorted(back.a) == [1, 2]
+
+
+def test_read_parquet_column_pruning(spark, pdf_numeric, tmpdir):
+    path = os.path.join(tmpdir, "pq2")
+    ms.from_pandas(pdf_numeric).to_parquet(path)
+    f = ms.read_parquet(path, columns=["a"])
+    assert f.columns == ["a"]
+    plan = f.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<a:bigint>" in plan
+
+
+def test_range(spark):
+    out = ms.range_(0, 100, 2).to_pandas()
+    assert len(out) == 50
+
+
+def test_partitioned_write(spark, tmpdir):
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    path = os.path.join(tmpdir, "part")
+    ms.from_pandas(pdf).to_parquet(path, partition_by="k")
+    assert os.path.isdir(os.path.join(path, "k=a"))
+    back = ms.read_parquet(path)
+    assert back.count() == 3

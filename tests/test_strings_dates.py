@@ -1,0 +1,99 @@
+"""String/datetime accessor tests vs pandas oracle.
+
+Reference test pattern: mars/dataframe/base/tests (string method sweep
+— Mars auto-dispatches dir(pd.Series.str), string_.py:411).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import mars_spark as ms
+
+
+@pytest.fixture(scope="module")
+def sframe(spark):
+    pdf = pd.DataFrame({"s": [
+        "Hello World", "  padded  ", "UPPER", "lower", "a,b,c",
+        "The cat and the dog", "xyz123", "", "Ünïcode tëxt", "tab\tsep",
+    ]})
+    return ms.from_pandas(pdf), pdf
+
+
+CASES = [
+    ("upper", lambda a: a.upper(), lambda s: s.str.upper()),
+    ("lower", lambda a: a.lower(), lambda s: s.str.lower()),
+    ("len", lambda a: a.len(), lambda s: s.str.len()),
+    ("strip", lambda a: a.strip(), lambda s: s.str.strip()),
+    ("contains", lambda a: a.contains("cat"), lambda s: s.str.contains("cat")),
+    ("startswith", lambda a: a.startswith("H"), lambda s: s.str.startswith("H")),
+    ("endswith", lambda a: a.endswith("c"), lambda s: s.str.endswith("c")),
+    ("slice", lambda a: a.slice(0, 3), lambda s: s.str.slice(0, 3)),
+    ("zfill", lambda a: a.zfill(12), lambda s: s.str.zfill(12)),
+    ("replace", lambda a: a.replace("cat", "bat"),
+     lambda s: s.str.replace("cat", "bat")),
+    ("repeat", lambda a: a.repeat(2), lambda s: s.str.repeat(2)),
+    # NOTE: .title() maps to initcap, which splits on whitespace only —
+    # pandas title-cases after ANY non-alpha ("a,b,c" → "A,B,C").
+    # Documented difference; not in the parity sweep.
+]
+
+
+@pytest.mark.parametrize("name,ours,theirs", CASES, ids=[c[0] for c in CASES])
+def test_str_method(sframe, name, ours, theirs):
+    f, pdf = sframe
+    got = ours(f.s.str).alias("out")
+    out = f[["s"]].assign(out=got).to_pandas().sort_values("s").out
+    exp = theirs(pdf.s).rename("out")
+    exp = pdf.assign(out=exp).sort_values("s").out
+    if name == "title":
+        # initcap lowercases the rest of each word like str.title
+        pass
+    assert list(out.fillna("<NA>").astype(str)) == list(
+        exp.fillna("<NA>").astype(str))
+
+
+def test_str_split_extract(sframe):
+    f, pdf = sframe
+    out = f[["s"]].assign(parts=f.s.str.split(",")).to_pandas()
+    row = out[out.s == "a,b,c"].parts.iloc[0]
+    assert list(row) == ["a", "b", "c"]
+    ext = f[["s"]].assign(num=f.s.str.extract(r"([0-9]+)")).to_pandas()
+    assert ext[ext.s == "xyz123"].num.iloc[0] == "123"
+    assert ext[ext.s == "UPPER"].num.isna().iloc[0]
+
+
+def test_dt_fields(spark):
+    pdf = pd.DataFrame({"t": pd.to_datetime([
+        "2024-01-15 10:30:45", "2023-12-31 23:59:59", "2024-02-29 00:00:00"])})
+    f = ms.from_pandas(pdf)
+    out = f.assign(
+        y=f.t.dt.year, m=f.t.dt.month, d=f.t.dt.day, h=f.t.dt.hour,
+        dow=f.t.dt.dayofweek, doy=f.t.dt.dayofyear, q=f.t.dt.quarter,
+    ).to_pandas().sort_values("t")
+    exp = pdf.sort_values("t")
+    np.testing.assert_array_equal(out.y.values, exp.t.dt.year.values)
+    np.testing.assert_array_equal(out.m.values, exp.t.dt.month.values)
+    np.testing.assert_array_equal(out.d.values, exp.t.dt.day.values)
+    np.testing.assert_array_equal(out.h.values, exp.t.dt.hour.values)
+    np.testing.assert_array_equal(out.dow.values, exp.t.dt.dayofweek.values)
+    np.testing.assert_array_equal(out.doy.values, exp.t.dt.dayofyear.values)
+    np.testing.assert_array_equal(out.q.values, exp.t.dt.quarter.values)
+
+
+def test_to_datetime_strftime(spark):
+    pdf = pd.DataFrame({"s": ["2024-01-15", "2023-06-30"]})
+    f = ms.from_pandas(pdf)
+    from mars_spark.functions.datetimes import to_datetime
+
+    out = f.assign(t=to_datetime(f.s, format="%Y-%m-%d")).to_pandas()
+    assert out.t.dt.year.tolist() == [2024, 2023]
+    f2 = f.assign(t=to_datetime(f.s))
+    fmt = f2.assign(back=f2.t.dt.strftime("%Y/%m/%d")).to_pandas()
+    assert fmt.back.tolist() == ["2024/01/15", "2023/06/30"]
+
+
+def test_date_range(spark):
+    out = ms.date_range("2024-01-01", periods=5, freq="D").to_pandas()
+    assert len(out) == 5
+    assert str(out.ts.iloc[-1])[:10] == "2024-01-05"

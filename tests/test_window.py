@@ -1,0 +1,100 @@
+"""Window-op tests vs pandas oracle.
+
+Reference test pattern: mars/dataframe/window/*/tests.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import mars_spark as ms
+from mars_spark.operators.window import cumsum, diff, ewm_mean, pct_change, shift
+
+
+@pytest.fixture(scope="module")
+def mts(spark, pdf_ts):
+    return ms.from_pandas(pdf_ts, num_partitions=4)
+
+
+def _sorted(pdf_ts):
+    return pdf_ts.sort_values(["g", "ts"])
+
+
+def test_rolling_mean_sum(mts, pdf_ts):
+    out = mts.rolling(5, min_periods=1).over(
+        order_by="ts", partition_by=["g"]).agg({"v": ["mean", "sum"]})
+    got = out.to_pandas().sort_values(["g", "ts"])
+    exp = _sorted(pdf_ts).copy()
+    r = exp.groupby("g", group_keys=False).v.rolling(5, min_periods=1)
+    exp["v_roll_mean"] = r.mean().reset_index(level=0, drop=True)
+    exp["v_roll_sum"] = r.sum().reset_index(level=0, drop=True)
+    np.testing.assert_allclose(got.v_roll_mean.values, exp.v_roll_mean.values)
+    np.testing.assert_allclose(got.v_roll_sum.values, exp.v_roll_sum.values)
+
+
+def test_rolling_min_periods_mask(mts, pdf_ts):
+    out = mts.rolling(5, min_periods=3).over(
+        order_by="ts", partition_by=["g"]).agg({"v": "mean"})
+    got = out.to_pandas().sort_values(["g", "ts"])
+    exp = _sorted(pdf_ts).groupby("g", group_keys=False).v.rolling(
+        5, min_periods=3).mean().reset_index(level=0, drop=True)
+    np.testing.assert_allclose(got.v_roll_mean.values, exp.values)
+
+
+def test_expanding(mts, pdf_ts):
+    out = mts.expanding().agg({"v": "sum"}) if False else None
+    e = mts.expanding(min_periods=1)
+    e._order_by, e._partition_by = ["ts"], ["g"]
+    got = e.agg({"v": "sum"}).to_pandas().sort_values(["g", "ts"])
+    exp = _sorted(pdf_ts).groupby("g", group_keys=False).v.expanding(
+        1).sum().reset_index(level=0, drop=True)
+    np.testing.assert_allclose(got.v_exp_sum.values, exp.values)
+
+
+def test_shift_diff_pct(mts, pdf_ts):
+    got = shift(mts, 1, order_by="ts", partition_by=["g"],
+                cols=["v"]).to_pandas().sort_values(["g", "ts"])
+    exp = _sorted(pdf_ts).copy()
+    exp["v_shift"] = exp.groupby("g").v.shift(1)
+    np.testing.assert_allclose(got.v_shift.values, exp.v_shift.values)
+
+    got = diff(mts, 1, order_by="ts", partition_by=["g"],
+               cols=["v"]).to_pandas().sort_values(["g", "ts"])
+    exp["v_diff"] = exp.groupby("g").v.diff(1)
+    np.testing.assert_allclose(got.v_diff.values, exp.v_diff.values)
+
+    got = pct_change(mts, 1, order_by="ts", partition_by=["g"],
+                     cols=["v"]).to_pandas().sort_values(["g", "ts"])
+    exp["v_pct"] = exp.groupby("g").v.pct_change(fill_method=None)
+    np.testing.assert_allclose(got.v_pct.values, exp.v_pct.values)
+
+
+def test_cumsum(mts, pdf_ts):
+    got = cumsum(mts, "v", order_by="ts",
+                 partition_by=["g"]).to_pandas().sort_values(["g", "ts"])
+    exp = _sorted(pdf_ts).copy()
+    exp["v_cumsum"] = exp.groupby("g").v.cumsum()
+    np.testing.assert_allclose(got.v_cumsum.values, exp.v_cumsum.values)
+
+
+@pytest.mark.parametrize("adjust", [True, False])
+def test_ewm(mts, pdf_ts, adjust):
+    got = ewm_mean(mts, "v", alpha=0.3, order_by=["ts"], partition_by=["g"],
+                   adjust=adjust).to_pandas().sort_values(["g", "ts"])
+    exp = _sorted(pdf_ts).copy()
+    exp["v_ewm"] = exp.groupby("g", group_keys=False).v.apply(
+        lambda s: s.ewm(alpha=0.3, adjust=adjust).mean())
+    np.testing.assert_allclose(got.v_ewm.values, exp.v_ewm.values)
+
+
+def test_offset_window(spark):
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:30",
+                              "2024-01-01 00:01:10", "2024-01-01 00:02:00"]),
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    f = ms.from_pandas(pdf)
+    out = f.rolling("60s", min_periods=1).over(order_by="ts").agg({"v": "sum"})
+    got = out.to_pandas().sort_values("ts")
+    exp = pdf.set_index("ts").v.rolling("60s").sum().values
+    np.testing.assert_allclose(got.v_roll_sum.values, exp)
