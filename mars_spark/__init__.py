@@ -23,6 +23,8 @@ Entry points mirror the reference's public API (``mars.dataframe`` =
     out.to_pandas()          # or .execute() / .to_spark()
 """
 
+from mars_spark import remote
+from mars_spark.functions.encoding import cut, qcut, get_dummies
 from mars_spark.session import get_spark, stop_spark
 from mars_spark.core.frame import DataFrame
 from mars_spark.core.series import Series
@@ -56,6 +58,10 @@ __all__ = [
     "date_range",
     "concat",
     "merge",
+    "remote",
+    "cut",
+    "qcut",
+    "get_dummies",
 ]
 
 

@@ -476,6 +476,39 @@ class DataFrame:
     def explain(self, mode: str = "formatted"):
         return self._sdf.explain(mode=mode)
 
+    # --------------------------------------------------- UDF escape hatches
+    def map_in_pandas(self, func, schema) -> "DataFrame":
+        """Per-partition pandas function (reference: DataFrameMapChunk
+        mars/dataframe/base/map_chunk.py:51). Arrow-batched mapInPandas
+        — THE escape hatch; everything expressible as columns should
+        stay columns (10-100× faster, SURVEY.md 'UDFs are the slow
+        path')."""
+        return DataFrame(self._sdf.mapInPandas(func, schema=schema))
+
+    map_chunk = map_in_pandas
+
+    def apply_batch(self, func, schema) -> "DataFrame":
+        """Row-batch apply (reference: DataFrameApply
+        mars/dataframe/base/apply.py:69): ``func(pdf) -> pdf`` applied
+        per Arrow batch."""
+        def _gen(batches):
+            for pdf in batches:
+                yield func(pdf)
+
+        return DataFrame(self._sdf.mapInPandas(_gen, schema=schema))
+
+    def transform_batch(self, func) -> "DataFrame":
+        """Same-schema transform (reference: DataFrameTransform
+        mars/dataframe/base/transform.py:39)."""
+        return self.apply_batch(func, schema=self._sdf.schema)
+
+    def cartesian_chunk(self, other: "DataFrame", func, schema) -> "DataFrame":
+        """Pairwise-partition product + pandas func (reference:
+        mars/dataframe/base/cartesian_chunk.py:39) → crossJoin +
+        mapInPandas."""
+        joined = self._sdf.crossJoin(other._sdf)
+        return DataFrame(joined.mapInPandas(func, schema=schema))
+
     # -------------------------------------------------------------- IO
     def to_parquet(self, path: str, mode: str = "overwrite", partition_by=None):
         """mars/dataframe/datastore/to_parquet.py:44 → df.write.parquet"""

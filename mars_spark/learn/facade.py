@@ -1,0 +1,231 @@
+"""sklearn-shaped estimators over MLlib.
+
+Input convention: a Spark DataFrame (or mars_spark.DataFrame) with
+either an array<numeric> column or a list of feature columns; labels
+are a plain column. fit() returns the wrapper with the MLlib model on
+`.model_`; transform/predict return DataFrames with appended columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+
+def _sdf(df) -> SparkDF:
+    return df.to_spark() if hasattr(df, "to_spark") else df
+
+
+def _with_features(sdf: SparkDF, features) -> tuple[SparkDF, str]:
+    """Assemble a `features` vector column from array col or col list."""
+    from pyspark.ml.functions import array_to_vector
+
+    if isinstance(features, str):
+        dtype = dict(sdf.dtypes)[features]
+        if dtype.startswith("array"):
+            arr = F.col(features)
+            if "float" in dtype or "int" in dtype or "bigint" in dtype:
+                arr = F.transform(arr, lambda x: x.cast("double"))
+            return sdf.withColumn("__features", array_to_vector(arr)), "__features"
+        features = [features]
+    arr = F.array(*[F.col(c).cast("double") for c in features])
+    return sdf.withColumn("__features", array_to_vector(arr)), "__features"
+
+
+class _Wrapper:
+    def __init__(self, **params):
+        self.params = params
+        self.model_ = None
+
+
+class KMeans(_Wrapper):
+    """reference: mars/learn/cluster/_kmeans.py:596 (Lloyd/Elkan in
+    Cython) → MLlib KMeans (distributed Lloyd with kmeans|| init)."""
+
+    def __init__(self, n_clusters: int = 8, seed: int = 42, max_iter: int = 20):
+        super().__init__(n_clusters=n_clusters, seed=seed, max_iter=max_iter)
+
+    def fit(self, df, features):
+        from pyspark.ml.clustering import KMeans as MLKMeans
+
+        sdf, fcol = _with_features(_sdf(df), features)
+        self.model_ = MLKMeans(
+            k=self.params["n_clusters"], seed=self.params["seed"],
+            maxIter=self.params["max_iter"], featuresCol=fcol,
+            predictionCol="cluster",
+        ).fit(sdf)
+        self._fcol, self._features = fcol, features
+        return self
+
+    def predict(self, df, features=None):
+        sdf, fcol = _with_features(_sdf(df), features or self._features)
+        return self.model_.transform(sdf).drop("__features")
+
+    @property
+    def cluster_centers_(self):
+        return [list(c) for c in self.model_.clusterCenters()]
+
+
+class PCA(_Wrapper):
+    """reference: mars/learn/decomposition/_pca.py → MLlib PCA."""
+
+    def __init__(self, n_components: int = 2):
+        super().__init__(n_components=n_components)
+
+    def fit(self, df, features):
+        from pyspark.ml.feature import PCA as MLPCA
+
+        sdf, fcol = _with_features(_sdf(df), features)
+        self.model_ = MLPCA(k=self.params["n_components"], inputCol=fcol,
+                            outputCol="pca_features").fit(sdf)
+        self._features = features
+        return self
+
+    def transform(self, df, features=None):
+        sdf, fcol = _with_features(_sdf(df), features or self._features)
+        from pyspark.ml.functions import vector_to_array
+
+        out = self.model_.transform(sdf)
+        return out.withColumn(
+            "pca_features", vector_to_array("pca_features")).drop("__features")
+
+    @property
+    def explained_variance_ratio_(self):
+        return list(self.model_.explainedVariance)
+
+
+class LinearRegression(_Wrapper):
+    """reference: mars/learn/linear_model/_base.py → MLlib (normal-eq
+    solver for small feature counts, L-BFGS otherwise — MLlib picks)."""
+
+    def __init__(self, reg_param: float = 0.0, elastic_net: float = 0.0):
+        super().__init__(reg_param=reg_param, elastic_net=elastic_net)
+
+    def fit(self, df, features, label: str):
+        from pyspark.ml.regression import LinearRegression as MLLR
+
+        sdf, fcol = _with_features(_sdf(df), features)
+        self.model_ = MLLR(
+            featuresCol=fcol, labelCol=label,
+            regParam=self.params["reg_param"],
+            elasticNetParam=self.params["elastic_net"],
+            predictionCol="prediction",
+        ).fit(sdf)
+        self._features = features
+        return self
+
+    def predict(self, df, features=None):
+        sdf, fcol = _with_features(_sdf(df), features or self._features)
+        return self.model_.transform(sdf).drop("__features")
+
+    @property
+    def coef_(self):
+        return list(self.model_.coefficients)
+
+    @property
+    def intercept_(self):
+        return float(self.model_.intercept)
+
+
+class LogisticRegression(_Wrapper):
+    """reference: mars/learn/glm → MLlib LogisticRegression."""
+
+    def __init__(self, reg_param: float = 0.0, max_iter: int = 100):
+        super().__init__(reg_param=reg_param, max_iter=max_iter)
+
+    def fit(self, df, features, label: str):
+        from pyspark.ml.classification import LogisticRegression as MLLogit
+
+        sdf, fcol = _with_features(_sdf(df), features)
+        self.model_ = MLLogit(
+            featuresCol=fcol, labelCol=label,
+            regParam=self.params["reg_param"],
+            maxIter=self.params["max_iter"],
+        ).fit(sdf)
+        self._features = features
+        return self
+
+    def predict(self, df, features=None):
+        sdf, fcol = _with_features(_sdf(df), features or self._features)
+        return self.model_.transform(sdf).drop(
+            "__features", "rawPrediction", "probability")
+
+
+class MinMaxScaler(_Wrapper):
+    """reference: mars/learn/preprocessing/_data.py. Implemented as a
+    pure aggregate + projection (no MLlib vector detour): one pass for
+    min/max, broadcast back — the exact two-stage plan Mars builds."""
+
+    def fit(self, df, cols: list[str]):
+        sdf = _sdf(df)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        self.bounds_ = sdf.agg(*aggs).collect()[0].asDict()
+        self._cols = cols
+        return self
+
+    def transform(self, df):
+        sdf = _sdf(df)
+        for c in self._cols:
+            mn, mx = self.bounds_[f"__mn_{c}"], self.bounds_[f"__mx_{c}"]
+            span = (mx - mn) or 1.0
+            sdf = sdf.withColumn(c, (F.col(c) - F.lit(mn)) / F.lit(span))
+        return sdf
+
+
+class StandardScaler(_Wrapper):
+    def fit(self, df, cols: list[str]):
+        sdf = _sdf(df)
+        aggs = []
+        for c in cols:
+            aggs += [F.avg(c).alias(f"__mu_{c}"),
+                     F.stddev_samp(c).alias(f"__sd_{c}")]
+        self.stats_ = sdf.agg(*aggs).collect()[0].asDict()
+        self._cols = cols
+        return self
+
+    def transform(self, df):
+        sdf = _sdf(df)
+        for c in self._cols:
+            mu, sd = self.stats_[f"__mu_{c}"], self.stats_[f"__sd_{c}"] or 1.0
+            sdf = sdf.withColumn(c, (F.col(c) - F.lit(mu)) / F.lit(sd))
+        return sdf
+
+
+def train_test_split(df, test_size: float = 0.25, seed: int = 42):
+    """reference: mars/learn/model_selection/_split.py:29 →
+    randomSplit (per-partition Bernoulli — no global shuffle)."""
+    sdf = _sdf(df)
+    train, test = sdf.randomSplit([1 - test_size, test_size], seed=seed)
+    return train, test
+
+
+# ------------------------------------------------------------------ metrics
+def accuracy_score(df, label: str, pred: str = "prediction") -> float:
+    """reference: mars/learn/metrics (classification)."""
+    sdf = _sdf(df)
+    row = sdf.agg(
+        F.avg((F.col(label) == F.col(pred)).cast("double")).alias("acc")
+    ).collect()[0]
+    return float(row.acc)
+
+
+def mean_squared_error(df, label: str, pred: str = "prediction") -> float:
+    sdf = _sdf(df)
+    row = sdf.agg(F.avg(F.pow(F.col(label) - F.col(pred), 2)).alias("mse")
+                  ).collect()[0]
+    return float(row.mse)
+
+
+def r2_score(df, label: str, pred: str = "prediction") -> float:
+    sdf = _sdf(df)
+    # one pass: ss_tot = sum(y²) - n·ȳ² (computational form)
+    s = sdf.agg(
+        F.sum(F.pow(F.col(label) - F.col(pred), 2)).alias("ss_res"),
+        F.sum(F.pow(F.col(label), 2)).alias("sum_y2"),
+        F.sum(F.col(label)).alias("sum_y"),
+        F.count(F.col(label)).alias("n"),
+    ).collect()[0]
+    ss_tot = s.sum_y2 - (s.sum_y ** 2) / s.n
+    return 1.0 - s.ss_res / ss_tot

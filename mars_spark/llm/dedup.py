@@ -57,11 +57,55 @@ def minhash_signature(col: Column, num_hashes: int = 8, k: int = 3) -> list[Colu
     no coefficient tables, and is reproducible in any engine with md5.
     Evaluated as array_min(transform(...)) — scan-side, no shuffle.
     """
-    sh = word_shingles(col, k)
+    # NB: plain one-arg lambdas only inside _sig_from_shingles —
+    # pyspark's higher-order-function bridge dispatches on the lambda's
+    # arity, so a captured default (lambda s, i=i: ...) would receive
+    # the array index as ``i``.
+    return _sig_from_shingles(word_shingles(col, k), num_hashes)
 
-    # NB: plain one-arg lambdas only — pyspark's higher-order-function
-    # bridge dispatches on the lambda's arity, so a captured default
-    # (lambda s, i=i: ...) would receive the array index as ``i``.
+
+def shingle_frame(sdf: SparkDF, text_col: str, id_col: str,
+                  k: int = 3) -> SparkDF:
+    """(id, sh: array<string>) — the shared input of every minhash/
+    jaccard stage. Compute ONCE and reuse (the shingling regexes are
+    the expensive scan-side work; a pipeline that shingles per stage
+    pays it 4-32×)."""
+    return sdf.select(F.col(id_col),
+                      word_shingles(F.col(text_col), k).alias("sh"))
+
+
+def minhash_bands(sdf: SparkDF, text_col: str, id_col: str,
+                  num_hashes: int = 8, band_size: int = 2,
+                  k: int = 3, shingled: SparkDF | None = None) -> SparkDF:
+    """(id, band_idx, band_hash) triples — the only thing that shuffles.
+
+    Emitted via ONE projection + explode(array(structs)) rather than a
+    union of per-band selects: a union re-evaluates the signature
+    expressions once per branch (4× the scan work); the explode form
+    evaluates each minhash exactly once.
+    """
+    if shingled is None:
+        shingled = shingle_frame(sdf, text_col, id_col, k)
+    sigs = [s for s in _sig_from_shingles(F.col("sh"), num_hashes)]
+    with_sig = shingled.select(F.col(id_col), *sigs)
+    n_bands = num_hashes // band_size
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * band_size + j}") for j in range(band_size)
+            ])).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ])
+    return (
+        with_sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(F.col(id_col), F.col("bb.band").alias("band"),
+                F.col("bb.band_hash").alias("band_hash"))
+    )
+
+
+def _sig_from_shingles(sh, num_hashes: int):
     def salted(i: int):
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
@@ -71,34 +115,13 @@ def minhash_signature(col: Column, num_hashes: int = 8, k: int = 3) -> list[Colu
     ]
 
 
-def minhash_bands(sdf: SparkDF, text_col: str, id_col: str,
-                  num_hashes: int = 8, band_size: int = 2,
-                  k: int = 3) -> SparkDF:
-    """(id, band_idx, band_hash) triples — the only thing that shuffles."""
-    sigs = minhash_signature(F.col(text_col), num_hashes, k)
-    with_sig = sdf.select(F.col(id_col), *sigs)
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        parts = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            with_sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
-            )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
-
-
 def minhash_candidate_pairs(sdf: SparkDF, text_col: str, id_col: str,
                             num_hashes: int = 8, band_size: int = 2,
-                            k: int = 3) -> SparkDF:
+                            k: int = 3,
+                            shingled: SparkDF | None = None) -> SparkDF:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket."""
-    bands = minhash_bands(sdf, text_col, id_col, num_hashes, band_size, k)
+    bands = minhash_bands(sdf, text_col, id_col, num_hashes, band_size, k,
+                          shingled=shingled)
     left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
     return (
@@ -111,7 +134,8 @@ def minhash_candidate_pairs(sdf: SparkDF, text_col: str, id_col: str,
 
 def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
                   threshold: float = 0.5, k: int = 3,
-                  candidates: SparkDF | None = None) -> SparkDF:
+                  candidates: SparkDF | None = None,
+                  shingled: SparkDF | None = None) -> SparkDF:
     """True Jaccard similarity over word-k-gram shingle sets.
 
     Without ``candidates`` this is the all-pairs inverted-index join
@@ -120,9 +144,9 @@ def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
     classic scalable form: pairs are generated per posting list, so
     cost is sum over shingles of df²(shingle), not n².
     """
-    sh = sdf.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
-    ).distinct()
+    if shingled is None:
+        shingled = shingle_frame(sdf, text_col, id_col, k)
+    sh = shingled.select(F.col(id_col), F.explode("sh").alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")
@@ -156,9 +180,17 @@ def minhash_dedup(sdf: SparkDF, text_col: str, id_col: str,
     """Full near-dup pipeline: LSH candidates → Jaccard verify →
     connected-pair collapse (min-id representative via one iteration of
     min-propagation; full transitive closure is iterative — see
-    docstring note)."""
-    cands = minhash_candidate_pairs(sdf, text_col, id_col, num_hashes, band_size, k)
-    verified = jaccard_pairs(sdf, text_col, id_col, threshold, k, candidates=cands)
+    docstring note).
+
+    The (id, shingles) projection is computed once and cached — it
+    feeds the signature stage AND the verify stage; at 100 TB this is
+    the frame you would checkpoint rather than recompute from raw text.
+    """
+    shingled = shingle_frame(sdf, text_col, id_col, k).cache()
+    cands = minhash_candidate_pairs(sdf, text_col, id_col, num_hashes,
+                                    band_size, k, shingled=shingled)
+    verified = jaccard_pairs(sdf, text_col, id_col, threshold, k,
+                             candidates=cands, shingled=shingled)
     # one-hop min-id union: b maps to min(a) over verified pairs.
     # (For chained near-dup clusters run to fixpoint; one hop removes
     # every doc that has ANY smaller near-duplicate, which is the

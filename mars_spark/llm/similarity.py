@@ -61,20 +61,35 @@ def topk_bruteforce(sdf: SparkDF, vec_col: str, query: list[float], k: int = 10,
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def unit(col: Column) -> Column:
+    """L2-normalize once so pairwise cosine collapses to a single dot
+    (one aggregate per pair instead of dot+2 norms — 3× less per-pair
+    work in the O(n²) stage; normalization is O(n))."""
+    n = norm(col)
+    return F.transform(col, lambda x: x / n)
+
+
 def near_dup_pairs(sdf: SparkDF, vec_col: str, threshold: float = 0.95,
-                   id_col: str = "vec_id", max_id: int | None = None) -> SparkDF:
+                   id_col: str = "vec_id", max_id: int | None = None,
+                   parallelism: int = 32) -> SparkDF:
     """All-pairs cosine ≥ threshold (brute self-join; O(n²) — cap with
-    max_id for tests, use lsh_bucketed_pairs at scale)."""
+    max_id for tests, use lsh_bucketed_pairs at scale).
+
+    The left side is repartitioned so the nested-loop join fans out
+    across cores — a single-partition parquet scan would otherwise run
+    the whole O(n²) stage on one thread.
+    """
     base = sdf
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
-    base = base.select(F.col(id_col), to_double(F.col(vec_col)).alias("e"))
-    a = base.select(F.col(id_col).alias("a"), F.col("e").alias("ea"))
+    base = base.select(F.col(id_col), unit(to_double(F.col(vec_col))).alias("e"))
+    a = base.select(F.col(id_col).alias("a"), F.col("e").alias("ea")) \
+        .repartition(parallelism)
     b = base.select(F.col(id_col).alias("b"), F.col("e").alias("eb"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim"))
+        .select("a", "b", F.round(dot(F.col("ea"), F.col("eb")), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -1,0 +1,10 @@
+from mars_spark.streaming.core import (
+    read_stream,
+    tumbling_agg,
+    sliding_agg,
+    session_agg,
+    write_stream,
+)
+
+__all__ = ["read_stream", "tumbling_agg", "sliding_agg", "session_agg",
+           "write_stream"]

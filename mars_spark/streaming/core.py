@@ -1,0 +1,105 @@
+"""Structured Streaming surface — ADDITIVE, not reference-derived.
+
+The reference has no streaming abstraction at all (SURVEY.md §1.1: no
+watermark, no event-time window, no stateful operator anywhere in
+Mars). This module gives the engine the streaming counterpart of its
+batch ops with the same column conventions, so the batch queries in
+queries/pipeline.py (events_hourly, events_sessions) have streaming
+twins:
+
+- tumbling/sliding windows → ``F.window`` + watermark
+- session windows          → ``F.session_window`` + watermark
+- arbitrary stateful ops   → applyInPandasWithState (escape hatch)
+
+Scale notes: watermark bounds state size (old windows evict); the
+shuffle key is (window, keys) so skewed keys behave like any batch
+groupBy under AQE-less streaming — salt hot keys upstream if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream(spark: SparkSession, fmt: str, path: str | None = None,
+                schema=None, **options) -> SparkDF:
+    """readStream wrapper: file sources need an explicit schema (no
+    inference scans on a stream); 'rate' is the built-in test source."""
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if path is not None:
+        reader = reader.option("path", path)
+    return reader.load()
+
+
+def tumbling_agg(sdf: SparkDF, ts_col: str, duration: str, keys: list[str],
+                 aggs: dict[str, str], watermark: str = "10 minutes") -> SparkDF:
+    """Non-overlapping event-time windows (streaming twin of
+    queries/pipeline.events_hourly)."""
+    from mars_spark.core.groupby import _AGG_FUNCS
+
+    exprs = [_AGG_FUNCS[fn](F.col(c)).alias(f"{c}_{fn}")
+             for c, fn in aggs.items()]
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("win"), *keys)
+        .agg(*exprs)
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), *keys,
+                *[f"{c}_{fn}" for c, fn in aggs.items()])
+    )
+
+
+def sliding_agg(sdf: SparkDF, ts_col: str, duration: str, slide: str,
+                keys: list[str], aggs: dict[str, str],
+                watermark: str = "10 minutes") -> SparkDF:
+    from mars_spark.core.groupby import _AGG_FUNCS
+
+    exprs = [_AGG_FUNCS[fn](F.col(c)).alias(f"{c}_{fn}")
+             for c, fn in aggs.items()]
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("win"), *keys)
+        .agg(*exprs)
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"), *keys,
+                *[f"{c}_{fn}" for c, fn in aggs.items()])
+    )
+
+
+def session_agg(sdf: SparkDF, ts_col: str, gap: str, keys: list[str],
+                aggs: dict[str, str], watermark: str = "10 minutes") -> SparkDF:
+    """Session windows with an inactivity gap (streaming twin of
+    queries/pipeline.events_sessions)."""
+    from mars_spark.core.groupby import _AGG_FUNCS
+
+    exprs = [_AGG_FUNCS[fn](F.col(c)).alias(f"{c}_{fn}")
+             for c, fn in aggs.items()]
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *keys)
+        .agg(*exprs)
+        .select(F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), *keys,
+                *[f"{c}_{fn}" for c, fn in aggs.items()])
+    )
+
+
+def write_stream(sdf: SparkDF, fmt: str = "memory", query_name: str = "out",
+                 output_mode: str = "append", path: str | None = None,
+                 checkpoint: str | None = None, **options):
+    """Start the sink; returns the StreamingQuery (caller manages
+    lifecycle / processAllAvailable in tests)."""
+    writer = (sdf.writeStream.format(fmt).outputMode(output_mode)
+              .queryName(query_name))
+    if path is not None:
+        writer = writer.option("path", path)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer.start()

@@ -1,0 +1,127 @@
+"""Learn facade + Structured Streaming tests."""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import mars_spark as ms
+from mars_spark import learn as L
+from mars_spark import streaming as St
+
+
+@pytest.fixture(scope="module")
+def reg_data(rng):
+    n = 500
+    x1, x2 = rng.standard_normal(n), rng.standard_normal(n)
+    y = 3.0 * x1 - 2.0 * x2 + 1.0 + rng.standard_normal(n) * 0.01
+    return pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+
+
+def test_linear_regression(spark, reg_data):
+    f = ms.from_pandas(reg_data)
+    m = L.LinearRegression().fit(f, ["x1", "x2"], "y")
+    np.testing.assert_allclose(m.coef_, [3.0, -2.0], atol=0.01)
+    assert abs(m.intercept_ - 1.0) < 0.01
+    pred = m.predict(f)
+    assert L.r2_score(pred, "y") > 0.999
+    assert L.mean_squared_error(pred, "y") < 0.001
+
+
+def test_kmeans(spark, rng):
+    a = rng.standard_normal((100, 2)) + [10, 10]
+    b = rng.standard_normal((100, 2)) - [10, 10]
+    pdf = pd.DataFrame(np.vstack([a, b]), columns=["x", "y"])
+    m = L.KMeans(n_clusters=2).fit(ms.from_pandas(pdf), ["x", "y"])
+    centers = sorted(m.cluster_centers_)
+    np.testing.assert_allclose(centers[0], [-10, -10], atol=0.5)
+    np.testing.assert_allclose(centers[1], [10, 10], atol=0.5)
+    out = m.predict(ms.from_pandas(pdf)).toPandas()
+    assert out.cluster.nunique() == 2
+
+
+def test_pca_array_col(spark, rng):
+    base = rng.standard_normal((200, 2))
+    emb = np.hstack([base, base @ np.array([[1.0, 2.0], [0.5, -1.0]])])
+    pdf = pd.DataFrame({"embedding": [list(map(float, v)) for v in emb]})
+    m = L.PCA(n_components=2).fit(ms.from_pandas(pdf), "embedding")
+    assert sum(m.explained_variance_ratio_) > 0.99  # rank-2 data
+    out = m.transform(ms.from_pandas(pdf)).toPandas()
+    assert all(len(v) == 2 for v in out.pca_features)
+
+
+def test_logistic(spark, rng):
+    n = 400
+    x = rng.standard_normal(n)
+    y = (x > 0).astype(float)
+    f = ms.from_pandas(pd.DataFrame({"x": x, "y": y}))
+    m = L.LogisticRegression().fit(f, ["x"], "y")
+    assert L.accuracy_score(m.predict(f), "y") > 0.95
+
+
+def test_scalers(spark, reg_data):
+    f = ms.from_pandas(reg_data)
+    mm = L.MinMaxScaler().fit(f, ["x1"]).transform(f).toPandas()
+    assert 0 <= mm.x1.min() < 0.01 and 0.99 < mm.x1.max() <= 1
+    st = L.StandardScaler().fit(f, ["x1"]).transform(f).toPandas()
+    assert abs(st.x1.mean()) < 1e-9 and abs(st.x1.std(ddof=1) - 1) < 1e-9
+
+
+def test_train_test_split(spark, reg_data):
+    tr, te = L.train_test_split(ms.from_pandas(reg_data), test_size=0.3)
+    n_tr, n_te = tr.count(), te.count()
+    assert n_tr + n_te == len(reg_data)
+    assert 0.2 < n_te / len(reg_data) < 0.4
+
+
+def test_streaming_tumbling(spark):
+    """File-source stream → tumbling window agg → memory sink."""
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:10", "2024-01-01 00:00:50",
+             "2024-01-01 00:01:10", "2024-01-01 00:02:05"]),
+        "k": ["a", "a", "a", "b"],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = St.read_stream(spark, "parquet", src,
+                                schema="ts timestamp, k string, v double")
+        agg = St.tumbling_agg(stream, "ts", "1 minute", ["k"], {"v": "sum"})
+        q = St.write_stream(agg, "memory", query_name="tumb",
+                            output_mode="complete")
+        try:
+            q.processAllAvailable()
+            out = spark.sql("select * from tumb").toPandas()
+        finally:
+            q.stop()
+    assert len(out) == 3  # windows: [00:00 a], [00:01 a], [00:02 b]
+    w0 = out[out.window_start.astype(str) == "2024-01-01 00:00:00"]
+    assert w0.v_sum.iloc[0] == 3.0
+
+
+def test_streaming_session(spark):
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:00:30",
+             "2024-01-01 00:10:00"]),
+        "u": [1, 1, 1],
+        "v": [1.0, 1.0, 1.0],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = St.read_stream(spark, "parquet", src,
+                                schema="ts timestamp, u bigint, v double")
+        agg = St.session_agg(stream, "ts", "5 minutes", ["u"], {"v": "count"})
+        q = St.write_stream(agg, "memory", query_name="sess",
+                            output_mode="complete")
+        try:
+            q.processAllAvailable()
+            out = spark.sql("select * from sess").toPandas()
+        finally:
+            q.stop()
+    assert len(out) == 2  # 30s gap joins, 9.5min gap splits
