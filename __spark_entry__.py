@@ -30,18 +30,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mars_spark.queries.tpch import TPCH_QUERIES
     from mars_spark.queries.pipeline import PIPELINE_QUERIES
+    from mars_spark.queries.ops import OPS_QUERIES
 
     out: dict[str, Callable] = {}
     out.update(TPCH_QUERIES)
     out.update(PIPELINE_QUERIES)
+    out.update(OPS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from mars_spark.queries.tpch_oracles import TPCH_ORACLES
     from mars_spark.queries.pipeline_oracles import PIPELINE_ORACLES
+    from mars_spark.queries.ops_oracles import OPS_ORACLES
 
     out: dict[str, str] = {}
     out.update(TPCH_ORACLES)
     out.update(PIPELINE_ORACLES)
+    out.update(OPS_ORACLES)
     return out

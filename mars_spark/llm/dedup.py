@@ -64,19 +64,81 @@ def minhash_signature(col: Column, num_hashes: int = 8, k: int = 3) -> list[Colu
     return _sig_from_shingles(word_shingles(col, k), num_hashes)
 
 
+def _fan_out(sdf: SparkDF) -> SparkDF:
+    """Repartition up to defaultParallelism when the input arrives in
+    fewer partitions (a small parquet file = 1 partition = 1 core for
+    the whole scan-side text work). No-op at cluster scale."""
+    target = sdf.sparkSession.sparkContext.defaultParallelism
+    if sdf.rdd.getNumPartitions() < target:
+        sdf = sdf.repartition(target)
+    return sdf
+
+
+def shingle_postings(sdf: SparkDF, text_col: str, id_col: str,
+                     k: int = 3) -> SparkDF:
+    """(id, sh) posting rows of word-k-gram shingles — the scalable
+    shingle form.
+
+    Implementation note (measured 30× at sf0.1): the array-expression
+    form (word_shingles = transform over sequence) re-inlines the
+    tokenization INSIDE the lambda, so every shingle re-runs the
+    normalize regex — O(len·shingles) per doc, interpreted. This form
+    tokenizes once (posexplode), builds shingles with two window leads
+    (codegen'd), and filters trailing partials to match word_shingles
+    semantics exactly (docs shorter than k keep their single partial
+    shingle). One shuffle on id; the posting list is exactly what the
+    dedup joins/aggregations consume anyway.
+    """
+    from pyspark.sql import Window
+
+    toks = _fan_out(sdf).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    with_sh = toks.select(
+        F.col(id_col), F.col("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_tok"),
+        F.concat_ws(" ", *leads).alias("sh"),
+    )
+    return with_sh.filter(
+        (F.col("pos") <= F.col("n_tok") - k)
+        | ((F.col("n_tok") < k) & (F.col("pos") == 0))
+    ).select(F.col(id_col), F.col("sh"))
+
+
 def shingle_frame(sdf: SparkDF, text_col: str, id_col: str,
                   k: int = 3) -> SparkDF:
-    """(id, sh: array<string>) — the shared input of every minhash/
-    jaccard stage. Compute ONCE and reuse (the shingling regexes are
-    the expensive scan-side work; a pipeline that shingles per stage
-    pays it 4-32×)."""
-    return sdf.select(F.col(id_col),
-                      word_shingles(F.col(text_col), k).alias("sh"))
+    """(id, sh: array<string>) — distinct-shingle array per doc, built
+    from the posting list (collect_list of distinct postings)."""
+    return (
+        shingle_postings(sdf, text_col, id_col, k)
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list("sh").alias("sh"))
+    )
+
+
+def minhash_sig_frame(sdf: SparkDF, text_col: str, id_col: str,
+                      num_hashes: int = 8, k: int = 3,
+                      postings: SparkDF | None = None) -> SparkDF:
+    """(id, mh0..mh{n-1}) via hash-aggregate over the posting list:
+    sig_i = min(md5(i|shingle)) per doc. min over the multiset equals
+    min over the set, so no distinct pass is needed. Fully codegen'd
+    partial/final agg — the scalable form of minhash_signature."""
+    if postings is None:
+        postings = shingle_postings(sdf, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return postings.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(sdf: SparkDF, text_col: str, id_col: str,
                   num_hashes: int = 8, band_size: int = 2,
-                  k: int = 3, shingled: SparkDF | None = None) -> SparkDF:
+                  k: int = 3, postings: SparkDF | None = None) -> SparkDF:
     """(id, band_idx, band_hash) triples — the only thing that shuffles.
 
     Emitted via ONE projection + explode(array(structs)) rather than a
@@ -84,10 +146,8 @@ def minhash_bands(sdf: SparkDF, text_col: str, id_col: str,
     expressions once per branch (4× the scan work); the explode form
     evaluates each minhash exactly once.
     """
-    if shingled is None:
-        shingled = shingle_frame(sdf, text_col, id_col, k)
-    sigs = [s for s in _sig_from_shingles(F.col("sh"), num_hashes)]
-    with_sig = shingled.select(F.col(id_col), *sigs)
+    with_sig = minhash_sig_frame(sdf, text_col, id_col, num_hashes, k,
+                                 postings=postings)
     n_bands = num_hashes // band_size
     band_structs = F.array(*[
         F.struct(
@@ -118,10 +178,10 @@ def _sig_from_shingles(sh, num_hashes: int):
 def minhash_candidate_pairs(sdf: SparkDF, text_col: str, id_col: str,
                             num_hashes: int = 8, band_size: int = 2,
                             k: int = 3,
-                            shingled: SparkDF | None = None) -> SparkDF:
+                            postings: SparkDF | None = None) -> SparkDF:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket."""
     bands = minhash_bands(sdf, text_col, id_col, num_hashes, band_size, k,
-                          shingled=shingled)
+                          postings=postings)
     left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
     return (
@@ -135,7 +195,7 @@ def minhash_candidate_pairs(sdf: SparkDF, text_col: str, id_col: str,
 def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
                   threshold: float = 0.5, k: int = 3,
                   candidates: SparkDF | None = None,
-                  shingled: SparkDF | None = None) -> SparkDF:
+                  postings: SparkDF | None = None) -> SparkDF:
     """True Jaccard similarity over word-k-gram shingle sets.
 
     Without ``candidates`` this is the all-pairs inverted-index join
@@ -144,9 +204,12 @@ def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
     classic scalable form: pairs are generated per posting list, so
     cost is sum over shingles of df²(shingle), not n².
     """
-    if shingled is None:
-        shingled = shingle_frame(sdf, text_col, id_col, k)
-    sh = shingled.select(F.col(id_col), F.explode("sh").alias("sh"))
+    if postings is None:
+        postings = shingle_postings(sdf, text_col, id_col, k)
+    # cache the distinct posting list: it feeds BOTH self-join sides
+    # and the size agg — uncached, the scan-side shingle work would
+    # re-run once per consumer (3×)
+    sh = postings.distinct().cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")
@@ -182,15 +245,15 @@ def minhash_dedup(sdf: SparkDF, text_col: str, id_col: str,
     min-propagation; full transitive closure is iterative — see
     docstring note).
 
-    The (id, shingles) projection is computed once and cached — it
+    The (id, shingle) posting list is computed once and cached — it
     feeds the signature stage AND the verify stage; at 100 TB this is
     the frame you would checkpoint rather than recompute from raw text.
     """
-    shingled = shingle_frame(sdf, text_col, id_col, k).cache()
+    postings = shingle_postings(sdf, text_col, id_col, k).cache()
     cands = minhash_candidate_pairs(sdf, text_col, id_col, num_hashes,
-                                    band_size, k, shingled=shingled)
+                                    band_size, k, postings=postings)
     verified = jaccard_pairs(sdf, text_col, id_col, threshold, k,
-                             candidates=cands, shingled=shingled)
+                             candidates=cands, postings=postings)
     # one-hop min-id union: b maps to min(a) over verified pairs.
     # (For chained near-dup clusters run to fixpoint; one hop removes
     # every doc that has ANY smaller near-duplicate, which is the

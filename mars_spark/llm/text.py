@@ -128,10 +128,12 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """
     t = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
+    # try_element_at: docs shorter than k tokens index past the end —
+    # NULL there (concat_ws skips it) instead of an ANSI-mode error
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+            " ", *[F.try_element_at(t, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
     return F.array_distinct(grams)

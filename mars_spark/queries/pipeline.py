@@ -200,10 +200,11 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def docs_minhash_sig(spark: SparkSession, sf_dir: str) -> SparkDF:
     """MinHash signatures (first 2 of 8 permutations) — portable md5
-    minwise hashing over word-3-gram shingles."""
+    minwise hashing over word-3-gram shingles, via the codegen'd
+    posting-list hash-agg (llm.dedup.minhash_sig_frame)."""
     d = load(sf_dir, "documents").to_spark()
-    sigs = D.minhash_signature(F.col("text"), num_hashes=2, k=3)
-    return d.filter(F.col("doc_id") < 100).select("doc_id", *sigs)
+    return D.minhash_sig_frame(
+        d.filter(F.col("doc_id") < 100), "text", "doc_id", num_hashes=2)
 
 
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
