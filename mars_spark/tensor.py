@@ -1,0 +1,127 @@
+"""Thin tensor facade (SURVEY.md §2.9).
+
+The reference ships a full 282-op ndarray engine (mars/tensor/); a
+general ndarray engine is explicitly out of scope for the Spark-native
+build. What the DataFrame layer actually consumes is kept: random
+column generation (mars/tensor/random/, 42 ops → F.rand/randn +
+deterministic hashing), element-wise ufuncs (→ Column math, §2.8),
+reductions/statistics (→ aggregates, percentile), and distributed
+linear algebra for the learn facade (→ MLlib linalg: RowMatrix SVD /
+Gramian; mars/tensor/linalg/ has cholesky/qr/svd/… tiled by hand).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark() -> SparkSession:
+    from mars_spark.session import get_spark
+
+    s = SparkSession.getActiveSession()
+    return s if s is not None else get_spark()
+
+
+# ------------------------------------------------------- random (§2.9)
+def rand(n: int, seed: int = 42, name: str = "x",
+         num_partitions: int | None = None) -> SparkDF:
+    """Uniform[0,1) column of length n (mars/tensor/random/rand.py).
+    spark.range + F.rand: generated distributed, never materialized on
+    the driver."""
+    return _spark().range(0, n, 1, num_partitions).select(
+        "id", F.rand(seed).alias(name))
+
+
+def randn(n: int, seed: int = 42, name: str = "x",
+          num_partitions: int | None = None) -> SparkDF:
+    return _spark().range(0, n, 1, num_partitions).select(
+        "id", F.randn(seed).alias(name))
+
+
+def randint(n: int, low: int, high: int, seed: int = 42, name: str = "x",
+            num_partitions: int | None = None) -> SparkDF:
+    return _spark().range(0, n, 1, num_partitions).select(
+        "id", (F.floor(F.rand(seed) * (high - low)) + low)
+        .cast("bigint").alias(name))
+
+
+def random_vectors(n: int, dim: int, seed: int = 42, name: str = "vec",
+                   num_partitions: int | None = None) -> SparkDF:
+    """(id, vec: array<double>) — deterministic per (id, position) via
+    hash-seeded uniforms, reproducible regardless of partitioning
+    (unlike F.rand, which is per-partition-seeded)."""
+    u = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.col("id"), j, F.lit(seed))), 1, 8),
+                16, 10).cast("double") / F.lit(float(0xFFFFFFFF))
+        ),
+    )
+    return _spark().range(0, n, 1, num_partitions).select(
+        "id", u.alias(name))
+
+
+# -------------------------------------------------- statistics (§2.9)
+def percentile(sdf: SparkDF, col: str, q) -> list[float]:
+    """Exact percentile (mars/tensor/statistics/percentile.py). At
+    100 TB use approx_percentile(relative_error>0)."""
+    qs = [q] if isinstance(q, float) else list(q)
+    row = sdf.agg(*[
+        F.percentile(F.col(col), F.lit(x)).alias(f"p{i}")
+        for i, x in enumerate(qs)
+    ]).collect()[0]
+    return [row[f"p{i}"] for i in range(len(qs))]
+
+
+def histogram(sdf: SparkDF, col: str, bins: int = 10) -> list[tuple]:
+    """Fixed-width histogram: one min/max pass + one bucket-count agg
+    (mars/tensor/statistics/histogram.py tiles the same two passes)."""
+    row = sdf.agg(F.min(col), F.max(col)).collect()[0]
+    lo, hi = float(row[0]), float(row[1])  # Decimal columns → float
+    width = (hi - lo) / bins or 1.0
+    bucket = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    counts = (sdf.groupBy(bucket.alias("b"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("b").collect())
+    by_b = {int(r.b): r.n for r in counts}
+    return [(lo + i * width, lo + (i + 1) * width, by_b.get(i, 0))
+            for i in range(bins)]
+
+
+# ------------------------------------------------------ linalg (§2.9)
+def gramian(sdf: SparkDF, vec_col: str):
+    """Aᵀ·A of a tall-skinny matrix stored as an array column —
+    map-side outer products + tree aggregate (what mars/tensor/linalg
+    tiles by hand as blockwise-multiply + tree-sum). Returns a numpy
+    array of shape (d, d)."""
+    import numpy as np
+
+    def seq(acc, row):
+        v = np.asarray(row[0], dtype=np.float64)
+        return acc + np.outer(v, v) if acc is not None else np.outer(v, v)
+
+    def comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    rdd = sdf.select(vec_col).rdd
+    return rdd.treeAggregate(None, seq, comb)
+
+
+def svd(sdf: SparkDF, vec_col: str, k: int):
+    """Top-k SVD of a tall-skinny array-column matrix via the Gramian
+    (d×d eigendecomposition on the driver; d = vector dim, small).
+    mars/tensor/linalg/svd.py tiles the equivalent two-stage QR."""
+    import numpy as np
+
+    g = gramian(sdf, vec_col)
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    s = np.sqrt(np.maximum(vals[order], 0.0))
+    return s, vecs[:, order]  # singular values, right singular vectors

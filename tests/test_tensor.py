@@ -1,0 +1,45 @@
+"""Thin tensor facade tests (SURVEY §2.9 scope)."""
+
+import numpy as np
+
+from mars_spark import tensor as mt
+
+
+def test_rand_shapes(spark):
+    out = mt.rand(1000, seed=1).toPandas()
+    assert len(out) == 1000 and 0 <= out.x.min() and out.x.max() < 1
+    rn = mt.randn(1000, seed=1).toPandas()
+    assert abs(rn.x.mean()) < 0.2
+    ri = mt.randint(1000, 5, 10, seed=1).toPandas()
+    assert set(ri.x.unique()) <= {5, 6, 7, 8, 9}
+
+
+def test_random_vectors_deterministic(spark):
+    a = mt.random_vectors(50, 8, seed=7).toPandas().sort_values("id")
+    b = mt.random_vectors(50, 8, seed=7, num_partitions=13).toPandas().sort_values("id")
+    # partitioning must not change values (hash-seeded, unlike F.rand)
+    np.testing.assert_allclose(np.stack(a.vec.values), np.stack(b.vec.values))
+
+
+def test_percentile_histogram(spark, pdf_numeric):
+    import mars_spark as ms
+
+    f = ms.from_pandas(pdf_numeric).to_spark()
+    p = mt.percentile(f, "a", [0.25, 0.5, 0.75])
+    exp = np.percentile(pdf_numeric.a, [25, 50, 75])
+    np.testing.assert_allclose(p, exp, atol=1e-9)
+    h = mt.histogram(f, "a", bins=5)
+    assert sum(n for _, _, n in h) == len(pdf_numeric)
+
+
+def test_svd_recovers_rank(spark, rng):
+    import pandas as pd
+    import mars_spark as ms
+
+    base = rng.standard_normal((300, 2))
+    mat = base @ rng.standard_normal((2, 6))  # rank-2, 6-dim
+    pdf = pd.DataFrame({"v": [list(map(float, r)) for r in mat]})
+    sdf = ms.from_pandas(pdf).to_spark()
+    s, _ = mt.svd(sdf, "v", k=4)
+    assert s[0] > 0 and s[1] > 0
+    assert s[2] / s[0] < 1e-6  # rank 2 → 3rd singular value ~0
