@@ -148,7 +148,7 @@ def q6(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def q7(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Volume shipping FRANCE<->GERMANY. reference run_queries.py:375
+    """Volume shipping NATION_7<->NATION_8 (driver data uses synthetic nation names). reference run_queries.py:375
     (q07). Nation frames broadcast twice (supplier & customer sides);
     the or-ed nation pair filter is applied post-join like the
     reference does."""
@@ -170,8 +170,8 @@ def q7(spark: SparkSession, sf_dir: str) -> SparkDF:
     j = j.merge(n1, left_on="s_nationkey", right_on="sn_key", broadcast=True)
     j = j.merge(n2, left_on="c_nationkey", right_on="cn_key", broadcast=True)
     j = j[
-        ((j.supp_nation == "FRANCE") & (j.cust_nation == "GERMANY"))
-        | ((j.supp_nation == "GERMANY") & (j.cust_nation == "FRANCE"))
+        ((j.supp_nation == "NATION_7") & (j.cust_nation == "NATION_8"))
+        | ((j.supp_nation == "NATION_8") & (j.cust_nation == "NATION_7"))
     ]
     j = j[(j.l_shipdate >= "1996-01-01") & (j.l_shipdate < "1998-01-01")]
     j["l_year"] = j.l_shipdate.dt.year
@@ -183,7 +183,7 @@ def q7(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def q8_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     """National market share. reference run_queries.py:441 (q08),
-    adapted: share of CHINA suppliers in ASIA-customer revenue for
+    adapted: share of NATION_3 suppliers in ASIA-customer revenue for
     p_type='ECONOMY' parts by order year (reference uses BRAZIL/
     AMERICA/anodized steel on columns we don't have)."""
     region = load(sf_dir, "region")
@@ -216,7 +216,7 @@ def q8_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     sdf = j.to_spark()
     g = sdf.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("supp_nation") == "CHINA", F.col("volume"))
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
                   .otherwise(F.lit(0.0)))
             / F.sum("volume"),
             4,
@@ -450,7 +450,103 @@ def q22_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def q2_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Minimum-cost supplier. reference run_queries.py:166 (q02) uses
+    partsupp.ps_supplycost (absent); adapted: per part type, the
+    EUROPE supplier(s) with the cheapest observed lineitem price for
+    that type — min-join-back pattern, all dims broadcast."""
+    region = load(sf_dir, "region")
+    nation = load(sf_dir, "nation")
+    sup = load(sf_dir, "supplier")
+    part = load(sf_dir, "part")
+    li = load(sf_dir, "lineitem")
+
+    r = region[region.r_name == "EUROPE"][["r_regionkey"]]
+    n = nation.merge(r, left_on="n_regionkey", right_on="r_regionkey",
+                     broadcast=True)[["n_nationkey", "n_name"]]
+    s = sup.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                  broadcast=True)[["s_suppkey", "s_name", "n_name"]]
+    j = (li.merge(part[["p_partkey", "p_type"]], left_on="l_partkey",
+                  right_on="p_partkey", broadcast=True)
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    j["unit_price"] = j.l_extendedprice / j.l_quantity
+    per_sup = j.groupby(["p_type", "s_suppkey", "s_name", "n_name"],
+                        as_index=False).agg(min_price=("unit_price", "min"))
+    sdf = per_sup.to_spark().withColumn("min_price", F.round("min_price", 2))
+    best = sdf.groupBy("p_type").agg(F.min("min_price").alias("best"))
+    out = sdf.join(F.broadcast(best), on="p_type").filter(
+        F.col("min_price") == F.col("best")).drop("best")
+    return out
+
+
+def q11_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Important stock. reference run_queries.py:600 (q11) sums
+    ps_supplycost*ps_availqty per part (partsupp absent); adapted:
+    lineitem value per part for NATION_8 suppliers, keeping parts whose
+    value exceeds 0.0001 of the total — scalar-subquery broadcast."""
+    nation = load(sf_dir, "nation")
+    sup = load(sf_dir, "supplier")
+    li = load(sf_dir, "lineitem")
+
+    n = nation[nation.n_name == "NATION_8"][["n_nationkey"]]
+    s = sup.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                  broadcast=True)[["s_suppkey"]]
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey",
+                 broadcast=True)
+    j["value"] = j.l_extendedprice * (1 - j.l_discount)
+    per_part = j.groupby("l_partkey", as_index=False).agg(
+        value=("value", "sum"))
+    sdf = per_part.to_spark()
+    total = sdf.agg((F.sum("value") * 0.0001).alias("thresh"))
+    out = sdf.join(F.broadcast(total)).filter(
+        F.col("value") > F.col("thresh")).select(
+        "l_partkey", F.round("value", 2).alias("value"))
+    return out
+
+
+def q16_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Parts/supplier relationship. reference run_queries.py:747 (q16):
+    supplier counts per (brand, type, size) excluding one brand —
+    partsupp replaced by the lineitem part-supplier relation."""
+    part = load(sf_dir, "part")
+    li = load(sf_dir, "lineitem")
+    p = part[(part.p_brand != "Brand#1") & (part.p_size.isin([1, 2, 3, 4, 5]))]
+    j = li[["l_partkey", "l_suppkey"]].merge(
+        p[["p_partkey", "p_brand", "p_type", "p_size"]],
+        left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    sdf = j.to_spark()
+    return (
+        sdf.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Potential part promotion. reference run_queries.py:908 (q20):
+    suppliers who shipped more than half the average quantity of
+    'widget' parts in 1996 — semi-join chain, avg as broadcast scalar."""
+    part = load(sf_dir, "part")
+    sup = load(sf_dir, "supplier")
+    li = load(sf_dir, "lineitem")
+    p = part[part.p_name.str.contains("widget", regex=False)][["p_partkey"]]
+    l = li[(li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")]
+    lw = l.merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    per_sup = lw.groupby("l_suppkey", as_index=False).agg(
+        qty=("l_quantity", "sum"))
+    sdf = per_sup.to_spark()
+    avg_qty = sdf.agg((F.avg("qty") * 0.5).alias("half_avg"))
+    keep = sdf.join(F.broadcast(avg_qty)).filter(
+        F.col("qty") > F.col("half_avg")).select("l_suppkey")
+    out = load(sf_dir, "supplier").to_spark().join(
+        keep, F.col("s_suppkey") == F.col("l_suppkey"), "leftsemi")
+    return out.select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
 TPCH_QUERIES = {
+    "tpch_q02_adapted": q2_adapted,
+    "tpch_q11_adapted": q11_adapted,
+    "tpch_q16_adapted": q16_adapted,
+    "tpch_q20_adapted": q20_adapted,
     "tpch_q01": q1,
     "tpch_q03": q3,
     "tpch_q04_adapted": q4_adapted,

@@ -5,6 +5,62 @@ exactly — the driver hash-compares values column-sorted-by-name.
 """
 
 TPCH_ORACLES: dict[str, str] = {
+    "tpch_q02_adapted": """
+        WITH per_sup AS (
+            SELECT p_type, s_suppkey, s_name, n_name,
+                   round(min(l_extendedprice / l_quantity), 2) AS min_price
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY p_type, s_suppkey, s_name, n_name
+        )
+        SELECT per_sup.p_type, s_suppkey, s_name, n_name, min_price
+        FROM per_sup
+        JOIN (SELECT p_type, min(min_price) AS best
+              FROM per_sup GROUP BY p_type) b
+          ON per_sup.p_type = b.p_type AND per_sup.min_price = b.best
+    """,
+    "tpch_q11_adapted": """
+        WITH per_part AS (
+            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_8'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(value, 2) AS value
+        FROM per_part
+        WHERE value > (SELECT sum(value) * 0.0001 FROM per_part)
+    """,
+    "tpch_q16_adapted": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch_q20_adapted": """
+        WITH per_sup AS (
+            SELECT l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%widget%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM per_sup
+            WHERE qty > (SELECT avg(qty) * 0.5 FROM per_sup))
+        ORDER BY s_suppkey
+    """,
     "tpch_q01": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                   AS sum_qty,
@@ -77,15 +133,15 @@ TPCH_ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
         GROUP BY supp_nation, cust_nation, l_year
     """,
     "tpch_q08_adapted": """
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(CASE WHEN sn.n_name = 'CHINA'
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END)
                      / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
