@@ -245,12 +245,14 @@ def q9_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
                right_on="o_orderkey")
     )
     j["o_year"] = j.o_orderdate.dt.year
-    j["amount"] = j.l_extendedprice * (1 - j.l_discount)
+    # decimal sum: addition is associative, so the hash is deterministic
+    # regardless of partial-agg order (double sums are not).
+    j["amount"] = (j.l_extendedprice * (1 - j.l_discount)).astype("decimal(30,6)")
     g = j.groupby(["n_name", "o_year"], as_index=False).agg(
         sum_profit=("amount", "sum"))
     return (
         g.to_spark()
-        .withColumn("sum_profit", F.round("sum_profit", 2))
+        .withColumn("sum_profit", F.round("sum_profit", 2).cast("double"))
         .withColumnRenamed("n_name", "nation")
     )
 
@@ -493,14 +495,15 @@ def q11_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
                   broadcast=True)[["s_suppkey"]]
     j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey",
                  broadcast=True)
-    j["value"] = j.l_extendedprice * (1 - j.l_discount)
+    # decimal sum for order-independent (hash-stable) aggregation
+    j["value"] = (j.l_extendedprice * (1 - j.l_discount)).astype("decimal(30,6)")
     per_part = j.groupby("l_partkey", as_index=False).agg(
         value=("value", "sum"))
     sdf = per_part.to_spark()
     total = sdf.agg((F.sum("value") * 0.0001).alias("thresh"))
     out = sdf.join(F.broadcast(total)).filter(
         F.col("value") > F.col("thresh")).select(
-        "l_partkey", F.round("value", 2).alias("value"))
+        "l_partkey", F.round("value", 2).cast("double").alias("value"))
     return out
 
 

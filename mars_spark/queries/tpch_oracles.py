@@ -25,14 +25,15 @@ TPCH_ORACLES: dict[str, str] = {
     """,
     "tpch_q11_adapted": """
         WITH per_part AS (
-            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS value
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_8'
             GROUP BY l_partkey
         )
-        SELECT l_partkey, round(value, 2) AS value
+        SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS value
         FROM per_part
         WHERE value > (SELECT sum(value) * 0.0001 FROM per_part)
     """,
@@ -159,7 +160,8 @@ TPCH_ORACLES: dict[str, str] = {
     """,
     "tpch_q09_adapted": """
         SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey

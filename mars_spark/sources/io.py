@@ -42,10 +42,20 @@ def read_parquet(path, columns=None, **options) -> DataFrame:
     File/row-group splitting, partitioned datasets, predicate pushdown
     are native; ``columns`` narrows ReadSchema immediately."""
     paths = path if isinstance(path, (list, tuple)) else [path]
-    sdf = _spark().read.options(**options).parquet(*paths)
-    for c in _ns_timestamp_cols(paths[0]):
-        # nanos since epoch (long) → micros → timestamp
-        sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    spark = _spark()
+    ns_cols = _ns_timestamp_cols(paths[0])
+    if ns_cols:
+        # TIMESTAMP(NANOS) is illegal for Spark's vectorized reader unless
+        # nanosAsLong is on. Runtime-settable SQL conf — set it on whatever
+        # session we were handed (the driver builds its own session, not
+        # mars_spark.session.get_spark, so we cannot rely on session.py).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = spark.read.options(**options).parquet(*paths)
+    for c in ns_cols:
+        # nanos since epoch (long) → micros → timestamp; integer `div`
+        # keeps the arithmetic exact (float division loses precision
+        # above 2^53 and can flip the truncated microsecond).
+        sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if columns:
         sdf = sdf.select(*columns)
     return DataFrame(sdf)

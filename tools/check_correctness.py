@@ -71,9 +71,15 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
-    import mars_spark as ms
 
-    spark = ms.get_spark("check")
+    # Build a PLAIN session (NOT mars_spark.get_spark) to mirror the
+    # driver, which passes its own session into queries() — round 1's
+    # nanosAsLong bug was invisible here because get_spark set the conf.
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "8g")
+             .appName("check").getOrCreate())
     qs = entry.queries()
     oracles = entry.oracle_sql()
     con = duck_con(sf_dir)
