@@ -245,9 +245,17 @@ def emb_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """All-pairs cosine ≥0.4 (embedding near-dup sweep; data max ≈0.46)."""
+    """All-pairs cosine ≥0.4 through the cost-based similarity join —
+    at this low threshold it picks the EXACT blocked theta-join
+    (shuffle join on block-pair keys, bounded reducers, no crossJoin;
+    r01's broadcast-nested-loop brute path survives only as the DuckDB
+    oracle). A ≥0.7 threshold would dispatch to multiband LSH, which
+    was measured miss-free here but 95%-candidate at t=0.4 — see
+    similarity.similarity_self_join for the measured tradeoff."""
     e = load(sf_dir, "embeddings").to_spark()
-    return S.near_dup_pairs(e, "embedding", threshold=0.4, id_col="vec_id")
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    return S.similarity_self_join(e, "embedding", threshold=0.4, dim=dim,
+                                  id_col="vec_id")
 
 
 def emb_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -470,7 +470,8 @@ def q2_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
                   broadcast=True)[["s_suppkey", "s_name", "n_name"]]
     j = (li.merge(part[["p_partkey", "p_type"]], left_on="l_partkey",
                   right_on="p_partkey", broadcast=True)
-         .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey",
+                broadcast=True))
     j["unit_price"] = j.l_extendedprice / j.l_quantity
     per_sup = j.groupby(["p_type", "s_suppkey", "s_name", "n_name"],
                         as_index=False).agg(min_price=("unit_price", "min"))

@@ -164,3 +164,51 @@ def test_quality_score_range(spark, docs):
     sdf, _ = docs
     out = sdf.select(T.quality_score(F.col("text")).alias("q")).toPandas()
     assert ((out.q >= 0) & (out.q <= 1)).all()
+
+
+def test_blocked_all_pairs_matches_brute(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((80, 16))
+    pdf = pd.DataFrame({
+        "vec_id": range(80),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    sdf = spark.createDataFrame(pdf)
+    brute = S.near_dup_pairs(sdf, "embedding", threshold=0.5).toPandas()
+    blocked = S.all_pairs_blocked(sdf, "embedding", threshold=0.5,
+                                  n_blocks=5).toPandas()
+    key = lambda df: sorted(zip(df.a, df.b))
+    assert key(blocked) == key(brute)
+    plan = S.all_pairs_blocked(sdf, "embedding", threshold=0.5)
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+
+
+def test_multiband_lsh_matches_brute_high_threshold(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    dup = base[:8] + rng.standard_normal((8, 16)) * 0.02
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame({
+        "vec_id": range(48),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    sdf = spark.createDataFrame(pdf)
+    brute = S.near_dup_pairs(sdf, "embedding", threshold=0.95).toPandas()
+    lsh = S.lsh_multiband_pairs(sdf, "embedding", dim=16, threshold=0.95,
+                                bands=24, planes_per_band=3).toPandas()
+    key = lambda df: sorted(zip(df.a, df.b))
+    assert key(lsh) == key(brute)
+
+
+def test_similarity_self_join_dispatch(spark):
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.999, 0.01], [0.5, 0.866]],
+    })
+    sdf = spark.createDataFrame(pdf)
+    hi = S.similarity_self_join(sdf, "embedding", threshold=0.95, dim=2)
+    lo = S.similarity_self_join(sdf, "embedding", threshold=0.3, dim=2)
+    assert len(hi.toPandas()) == 1          # only the (0, 1) near-dup
+    assert len(lo.toPandas()) == 3          # all pairs ≥ 0.3
