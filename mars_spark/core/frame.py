@@ -25,7 +25,7 @@ from mars_spark.core.series import Series, _dtype_to_spark
 
 
 class _LocIndexer:
-    """df.loc[:, [cols]] / df.loc[mask] / df.loc[mask, [cols]].
+    """df.loc[:, [cols]] / df.loc[mask] / df.loc[label(s)/label-slice].
 
     Reference: mars/dataframe/indexing/loc.py:241. Label-based *row*
     selection on an explicit index uses a filter on the index columns —
@@ -45,10 +45,24 @@ class _LocIndexer:
         if isinstance(rows, Series):
             out = out[rows]
         elif isinstance(rows, slice):
-            if rows.start is not None or rows.stop is not None or rows.step is not None:
-                raise NotImplementedError("loc slices beyond ':' need an index")
-        else:
-            raise NotImplementedError(f"loc row selector {type(rows)}")
+            if rows.start is not None or rows.stop is not None:
+                # label-range on the (single) index column — pandas loc
+                # slices are inclusive on both ends
+                idx = self._frame._require_index("loc label slice")
+                cond = F.lit(True)
+                if rows.start is not None:
+                    cond = cond & (F.col(idx) >= F.lit(rows.start))
+                if rows.stop is not None:
+                    cond = cond & (F.col(idx) <= F.lit(rows.stop))
+                out = DataFrame(out._sdf.filter(cond), out._index)
+        elif isinstance(rows, (list, tuple)):
+            idx = self._frame._require_index("loc label list")
+            out = DataFrame(out._sdf.filter(F.col(idx).isin(list(rows))),
+                            out._index)
+        elif rows is not None:
+            idx = self._frame._require_index("loc scalar label")
+            out = DataFrame(out._sdf.filter(F.col(idx) == F.lit(rows)),
+                            out._index)
         if cols is not None:
             if isinstance(cols, str):
                 return out[cols]
@@ -56,12 +70,70 @@ class _LocIndexer:
         return out
 
 
+class _ILocIndexer:
+    """df.iloc[a:b] / df.iloc[i] / df.iloc[[i, j]] positional selection.
+
+    Reference: mars/dataframe/indexing/iloc.py:251 — Mars resolves
+    positions against cumulative chunk sizes computed at tile time;
+    the distributed-sequence index here is the same prefix-sum, built
+    once per frame (see set_sequence_index) with no global sort and no
+    single-partition window. Negative positions resolve against the
+    index max (one tiny agg job).
+    """
+
+    def __init__(self, frame: "DataFrame"):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+        else:
+            rows, cols = key, None
+        f = self._frame._ensure_seq()
+        seq = F.col(f._seq)
+        if isinstance(rows, slice):
+            if rows.step not in (None, 1):
+                raise NotImplementedError("iloc step != 1")
+            start, stop = rows.start, rows.stop
+            cond = F.lit(True)
+            if start is not None:
+                s = seq >= F.lit(start) if start >= 0 else \
+                    seq >= f._seq_len() + start
+                cond = cond & s
+            if stop is not None:
+                s = seq < F.lit(stop) if stop >= 0 else \
+                    seq < f._seq_len() + stop
+                cond = cond & s
+        elif isinstance(rows, int):
+            pos = rows if rows >= 0 else f._seq_len() + rows
+            cond = seq == F.lit(pos)
+        elif isinstance(rows, (list, tuple)):
+            cond = seq.isin([int(r) for r in rows])
+        else:
+            raise NotImplementedError(f"iloc row selector {type(rows)}")
+        out = DataFrame(f._sdf.filter(cond), f._index, seq=f._seq)
+        if self._frame._seq is None:
+            # ephemeral index: don't leak the helper column
+            out = DataFrame(out._sdf.drop(f._seq), self._frame._index)
+        if cols is not None:
+            names = self._frame.columns
+            if isinstance(cols, int):
+                return out[names[cols]]
+            out = out[[names[c] for c in cols]]
+        return out
+
+
 class DataFrame:
     """Distributed pandas-semantics frame backed by a Spark plan."""
 
-    def __init__(self, sdf: SparkDataFrame, index: list[str] | None = None):
+    def __init__(self, sdf: SparkDataFrame, index: list[str] | None = None,
+                 seq: str | None = None):
         self._sdf = sdf
         self._index = list(index or [])
+        # name of the engine-managed sequence-index column, if one was
+        # materialized by set_sequence_index (None = positional ops
+        # build an ephemeral one over the current plan order)
+        self._seq = seq
 
     # ------------------------------------------------------------ basics
     @property
@@ -82,6 +154,16 @@ class DataFrame:
     @property
     def loc(self) -> _LocIndexer:
         return _LocIndexer(self)
+
+    @property
+    def iloc(self) -> _ILocIndexer:
+        return _ILocIndexer(self)
+
+    def _require_index(self, what: str) -> str:
+        if len(self._index) != 1:
+            raise NotImplementedError(
+                f"{what} needs a single-column index (set_index first)")
+        return self._index[0]
 
     def __repr__(self):
         return f"DataFrame(columns={self._sdf.columns}, index={self._index})"
@@ -286,6 +368,18 @@ class DataFrame:
         TakeOrderedAndProject (a distributed top-k, no full sort)."""
         return DataFrame(self._sdf.limit(n), self._index)
 
+    def tail(self, n: int = 5) -> "DataFrame":
+        """Last n rows in plan order (reference:
+        mars/dataframe/indexing/iloc.py:823). Distributed: sequence
+        index + one max(seq) agg + filter — no driver-side collect of
+        data rows."""
+        f = self._ensure_seq()
+        out = f._sdf.filter(F.col(f._seq) >= f._seq_len() - n)
+        if self._seq is None:
+            out = out.drop(f._seq)
+            return DataFrame(out, self._index)
+        return DataFrame(out, f._index, seq=f._seq)
+
     def nlargest(self, n: int, columns) -> "DataFrame":
         return self.sort_values(columns, ascending=False).head(n)
 
@@ -312,9 +406,10 @@ class DataFrame:
     # ----------------------------------------------------------- dedup/set
     def drop_duplicates(self, subset=None, keep="first") -> "DataFrame":
         """mars/dataframe/base/drop_duplicates.py:35. keep=first/last on
-        an unordered distributed frame needs a tie-break ordering; with
-        no index we use Spark's dropDuplicates (arbitrary winner, same
-        rows-kept semantics). operators.dedup has the ordered variant."""
+        an unordered distributed frame needs a tie-break ordering: with
+        a sequence index present the winner is the min/max-seq row per
+        key (one window shuffle); without one, Spark's dropDuplicates
+        picks an arbitrary winner (same rows-kept semantics)."""
         if keep not in ("first", "last", False):
             raise ValueError(keep)
         if keep is False:
@@ -323,6 +418,19 @@ class DataFrame:
             keep_keys = counts.filter(F.col("__n") == 1).drop("__n")
             return DataFrame(self._sdf.join(keep_keys, on=sub, how="leftsemi"),
                              self._index)
+        if self._seq is not None:
+            from pyspark.sql import Window
+
+            sub = subset or self.columns
+            order = (F.col(self._seq).asc() if keep == "first"
+                     else F.col(self._seq).desc())
+            w = Window.partitionBy(*sub).orderBy(order)
+            out = (
+                self._sdf.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            return DataFrame(out, self._index, seq=self._seq)
         return DataFrame(self._sdf.dropDuplicates(subset=subset), self._index)
 
     def duplicated(self, subset=None) -> "DataFrame":
@@ -405,6 +513,59 @@ class DataFrame:
     def set_index(self, keys) -> "DataFrame":
         keys = [keys] if isinstance(keys, str) else list(keys)
         return DataFrame(self._sdf, index=keys)
+
+    def set_sequence_index(self, name: str = "index") -> "DataFrame":
+        """Engine-managed distributed sequence index 0..n-1 in current
+        plan order (reference: StandardizeRangeIndex,
+        mars/dataframe/base/standardize_range_index.py:29; same
+        prefix-sum scheme as pandas-on-Spark's distributed-sequence):
+        monotonically_increasing_id packs (partition, position) into
+        one long, a tiny per-partition count job feeds a driver-side
+        prefix sum (#partitions rows — bounded), and the sequence is
+        offset[partition] + position. No global sort, no
+        single-partition window, no zipWithIndex plan break.
+
+        The frame is cached first: the id assignment must be identical
+        between the count job and every downstream use. After a
+        sort_values on a total-order key the sequence equals the sort
+        rank (range partitions are emitted in key order).
+        """
+        sdf = self._sdf.withColumn(
+            "__mid", F.monotonically_increasing_id()).cache()
+        pid = F.shiftright(F.col("__mid"), 33)
+        pos = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+        counts = (
+            sdf.groupBy(pid.alias("__pid"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy("__pid")
+            .collect()
+        )
+        offsets: dict[int, int] = {}
+        acc = 0
+        for r in counts:
+            offsets[int(r["__pid"])] = acc
+            acc += int(r["__n"])
+        if offsets:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv])
+            seq = (mapping[pid] + pos).cast("bigint")
+        else:
+            seq = F.lit(0).cast("bigint")
+        out = sdf.select(
+            seq.alias(name),
+            *[c for c in self._sdf.columns],
+        ).drop("__mid")
+        return DataFrame(out, index=[name], seq=name)
+
+    def _ensure_seq(self) -> "DataFrame":
+        if self._seq is not None:
+            return self
+        return self.set_sequence_index("__seq__")
+
+    def _seq_len(self):
+        """Row count via max(seq)+1 — one distributed agg job."""
+        v = self._sdf.agg(F.max(F.col(self._seq)).alias("m")).collect()[0]["m"]
+        return F.lit((v if v is not None else -1) + 1)
 
     def reset_index(self, drop: bool = False) -> "DataFrame":
         if drop:

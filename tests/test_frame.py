@@ -158,3 +158,49 @@ def test_pivot_table(spark):
     out = ms.from_pandas(pdf).pivot_table(
         index="k", columns="c", values="v", aggfunc="sum").to_pandas()
     assert out.set_index("k").loc["a", "p"] == 1.0
+
+
+def test_sequence_index_matches_sort_rank(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"k": [3, 1, 2, 5, 4, 0], "v": list("abcdef")})
+    f = ms.from_spark(spark.createDataFrame(pdf).repartition(3))
+    s = f.sort_values("k").set_sequence_index("idx")
+    got = s.to_spark().orderBy("idx").toPandas()
+    assert list(got.idx) == [0, 1, 2, 3, 4, 5]
+    assert list(got.k) == [0, 1, 2, 3, 4, 5]
+
+
+def test_iloc_slice_and_scalar(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"k": range(20), "v": range(100, 120)})
+    f = ms.from_spark(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    sl = f.iloc[5:9].to_pandas().sort_values("k")
+    assert list(sl.k) == [5, 6, 7, 8]
+    one = f.iloc[17].to_pandas()
+    assert list(one.k) == [17]
+    neg = f.iloc[-3:].to_pandas().sort_values("k")
+    assert list(neg.k) == [17, 18, 19]
+    cols = f.iloc[0:2, [1]].to_pandas()
+    assert list(cols.columns) == ["v"]
+
+
+def test_tail_and_keep_last(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"g": [1, 1, 2, 2, 3], "v": [10, 11, 20, 21, 30]})
+    f = ms.from_spark(spark.createDataFrame(pdf).repartition(2)).sort_values("v")
+    t = f.tail(2).to_pandas().sort_values("v")
+    assert list(t.v) == [21, 30]
+    s = f.set_sequence_index("idx")
+    last = s.drop_duplicates(subset=["g"], keep="last").to_pandas()
+    assert sorted(last.v) == [11, 21, 30]
+    first = s.drop_duplicates(subset=["g"], keep="first").to_pandas()
+    assert sorted(first.v) == [10, 20, 30]
+
+
+def test_loc_label_selection(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    f = ms.from_spark(spark.createDataFrame(pdf)).set_index("k")
+    assert list(f.loc[3].to_pandas().v) == ["c"]
+    assert sorted(f.loc[[1, 5]].to_pandas().v) == ["a", "e"]
+    assert sorted(f.loc[2:4].to_pandas().v) == ["b", "c", "d"]
