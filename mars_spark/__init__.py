@@ -73,3 +73,21 @@ def concat(objs, axis=0, join="outer", ignore_index=False):
 
 def merge(left, right, **kwargs):
     return left.merge(right, **kwargs)
+
+
+def _module_ufunc(name):
+    def fn(series):
+        return getattr(series, name)()
+    fn.__name__ = name
+    fn.__doc__ = (f"Element-wise {name} (reference: mars/dataframe/"
+                  f"arithmetic/{name}.py — module-level ufunc form).")
+    return fn
+
+
+# module-level ufuncs mirroring the reference's md.sqrt(s) surface
+from mars_spark.core.series import _UFUNCS as _SERIES_UFUNCS  # noqa: E402
+
+for _n in _SERIES_UFUNCS:
+    globals()[_n] = _module_ufunc(_n)
+    __all__.append(_n)
+del _n

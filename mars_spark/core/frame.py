@@ -557,6 +557,21 @@ class DataFrame:
         ).drop("__mid")
         return DataFrame(out, index=[name], seq=name)
 
+    def align(self, other: "DataFrame", join: str = "outer",
+              fill_value=None):
+        """pandas align → (left, right) on the union/intersection of
+        indexes (reference: mars/dataframe/align.py:48)."""
+        from mars_spark.operators.align import align_frames
+
+        return align_frames(self, other, join=join, fill_value=fill_value)
+
+    def reindex(self, index=None, fill_value=None) -> "DataFrame":
+        """Conform to a new index label list (reference:
+        mars/dataframe/indexing/reindex.py:49) — broadcast left join."""
+        from mars_spark.operators.align import reindex as _reindex
+
+        return _reindex(self, index, fill_value=fill_value)
+
     def _ensure_seq(self) -> "DataFrame":
         if self._seq is not None:
             return self

@@ -43,10 +43,46 @@ class Series:
         return f"Series(name={self.name!r}, expr={self._col})"
 
     def _binop(self, other, op, reverse=False):
+        if isinstance(other, Series) and other._frame is not self._frame:
+            # cross-frame arithmetic: align on the index via outer join
+            # (reference: mars/dataframe/align.py:48)
+            from mars_spark.operators.align import align_series
+
+            if reverse:
+                return align_series(other, self, op)
+            return align_series(self, other, op)
         left, right = self._col, _lit(other)
         if reverse:
             left, right = right, left
         return Series(self._frame, op(left, right), self.name)
+
+    def add(self, other, fill_value=None) -> "Series":
+        """pandas .add with fill_value (cross-frame aligns on index)."""
+        return self._fill_binop(other, operator.add, fill_value)
+
+    def sub(self, other, fill_value=None) -> "Series":
+        return self._fill_binop(other, operator.sub, fill_value)
+
+    def mul(self, other, fill_value=None) -> "Series":
+        return self._fill_binop(other, operator.mul, fill_value)
+
+    def div(self, other, fill_value=None) -> "Series":
+        return self._fill_binop(other, operator.truediv, fill_value)
+
+    def _fill_binop(self, other, op, fill_value):
+        if isinstance(other, Series) and other._frame is not self._frame:
+            from mars_spark.operators.align import align_series
+
+            return align_series(self, other, op, fill_value=fill_value)
+        if fill_value is not None:
+            me = Series(self._frame, F.coalesce(self._col, _lit(fill_value)),
+                        self.name)
+            if isinstance(other, Series):
+                other = Series(other._frame,
+                               F.coalesce(other._col, _lit(fill_value)),
+                               other.name)
+            return me._binop(other, op)
+        return self._binop(other, op)
 
     def __add__(self, o):
         return self._binop(o, operator.add)
@@ -162,6 +198,9 @@ class Series:
 
     def abs(self) -> "Series":
         return Series(self._frame, F.abs(self._col), self.name)
+
+    def _unary(self, fn) -> "Series":
+        return Series(self._frame, fn(self._col), self.name)
 
     def clip(self, lower=None, upper=None) -> "Series":
         c = self._col
@@ -288,6 +327,49 @@ class Series:
 
     def execute(self):
         return self
+
+
+# Unary ufunc surface (reference: mars/dataframe/arithmetic/{sqrt,exp,
+# log,log2,log10,sin,cos,tan,...}.py — one operand class per file there;
+# each is a single JVM expression here, stays in whole-stage codegen).
+_UFUNCS = {
+    "sqrt": F.sqrt,
+    "cbrt": F.cbrt,
+    "exp": F.exp,
+    "expm1": F.expm1,
+    "log": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "log1p": F.log1p,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "arcsin": F.asin,
+    "arccos": F.acos,
+    "arctan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "arcsinh": F.asinh,
+    "arccosh": F.acosh,
+    "arctanh": F.atanh,
+    "floor": F.floor,
+    "ceil": F.ceil,
+    "degrees": F.degrees,
+    "radians": F.radians,
+    "sign": F.signum,
+    "isnan": F.isnan,
+}
+
+
+def _make_ufunc(fn):
+    def method(self) -> "Series":
+        return self._unary(fn)
+    return method
+
+
+for _name, _fn in _UFUNCS.items():
+    setattr(Series, _name, _make_ufunc(_fn))
 
 
 def _dtype_to_spark(dtype) -> str:

@@ -204,3 +204,58 @@ def test_loc_label_selection(spark):
     assert list(f.loc[3].to_pandas().v) == ["c"]
     assert sorted(f.loc[[1, 5]].to_pandas().v) == ["a", "e"]
     assert sorted(f.loc[2:4].to_pandas().v) == ["b", "c", "d"]
+
+
+def test_cross_frame_arithmetic_aligns(spark):
+    import pandas as pd
+    import numpy as np
+    p1 = pd.DataFrame({"k": [1, 2, 3], "a": [10.0, 20.0, 30.0]})
+    p2 = pd.DataFrame({"k": [2, 3, 4], "b": [1.0, 2.0, 3.0]})
+    f1 = ms.from_spark(spark.createDataFrame(p1)).set_index("k")
+    f2 = ms.from_spark(spark.createDataFrame(p2)).set_index("k")
+    out = (f1.a + f2.b).to_pandas()
+    exp = (p1.set_index("k").a + p2.set_index("k").b)
+    got = dict(zip(
+        (f1.a + f2.b)._frame._sdf.select("k").toPandas().k, out))
+    for k, v in exp.items():
+        if np.isnan(v):
+            assert got[k] is None or np.isnan(got[k])
+        else:
+            assert got[k] == v
+    # fill_value
+    filled = f1.a.add(f2.b, fill_value=0.0)
+    fgot = dict(zip(filled._frame._sdf.select("k").toPandas().k,
+                    filled.to_pandas()))
+    assert fgot == {1: 10.0, 2: 21.0, 3: 32.0, 4: 3.0}
+
+
+def test_align_frames(spark):
+    import pandas as pd
+    p1 = pd.DataFrame({"k": [1, 2], "a": [1.0, 2.0]})
+    p2 = pd.DataFrame({"k": [2, 3], "a": [20.0, 30.0]})
+    f1 = ms.from_spark(spark.createDataFrame(p1)).set_index("k")
+    f2 = ms.from_spark(spark.createDataFrame(p2)).set_index("k")
+    l, r = f1.align(f2, join="outer", fill_value=0.0)
+    lp = l.to_spark().orderBy("k").toPandas()
+    rp = r.to_spark().orderBy("k").toPandas()
+    assert list(lp.k) == [1, 2, 3] and list(lp.a) == [1.0, 2.0, 0.0]
+    assert list(rp.k) == [1, 2, 3] and list(rp.a) == [0.0, 20.0, 30.0]
+
+
+def test_reindex(spark):
+    import pandas as pd
+    p = pd.DataFrame({"k": [1, 2], "v": [5.0, 6.0]})
+    f = ms.from_spark(spark.createDataFrame(p)).set_index("k")
+    out = f.reindex([2, 3], fill_value=-1.0).to_spark().orderBy("k").toPandas()
+    assert list(out.k) == [2, 3] and list(out.v) == [6.0, -1.0]
+
+
+def test_series_ufuncs(spark):
+    import pandas as pd
+    import numpy as np
+    p = pd.DataFrame({"x": [1.0, 4.0, 9.0]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    assert list(f.x.sqrt().to_pandas()) == [1.0, 2.0, 3.0]
+    assert np.allclose(list(f.x.log().to_pandas()), np.log([1, 4, 9]))
+    assert list(ms.sqrt(f.x).to_pandas()) == [1.0, 2.0, 3.0]
+    assert list(f.x.sign().to_pandas()) == [1.0, 1.0, 1.0]
