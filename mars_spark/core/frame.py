@@ -325,11 +325,13 @@ class DataFrame:
     # ------------------------------------------------------------- joins
     def merge(self, right: "DataFrame", how: str = "inner", on=None,
               left_on=None, right_on=None, suffixes=("_x", "_y"),
-              broadcast: bool | None = None) -> "DataFrame":
+              broadcast: bool | None = None,
+              indicator: bool | str = False) -> "DataFrame":
         from mars_spark.operators.merge import merge as _merge
 
         return _merge(self, right, how=how, on=on, left_on=left_on,
-                      right_on=right_on, suffixes=suffixes, broadcast=broadcast)
+                      right_on=right_on, suffixes=suffixes,
+                      broadcast=broadcast, indicator=indicator)
 
     def join(self, right: "DataFrame", on=None, how: str = "left",
              lsuffix: str = "", rsuffix: str = "") -> "DataFrame":

@@ -299,10 +299,14 @@ class Series:
         rows = self._frame._sdf.select(self._col.alias("v")).distinct().collect()
         return [r["v"] for r in rows]
 
-    def value_counts(self, normalize=False, ascending=False):
-        """mars/dataframe/base/value_counts.py:31 → groupBy().count()"""
+    def value_counts(self, normalize=False, ascending=False, dropna=True):
+        """mars/dataframe/base/value_counts.py:31 → groupBy().count().
+        pandas drops NaN by default; proportions divide by the NON-null
+        count (dropna=False keeps the null group and divides by all)."""
         name = self.name or "value"
         sdf = self._frame._sdf.select(self._col.alias(name))
+        if dropna:
+            sdf = sdf.filter(F.col(name).isNotNull())
         out = sdf.groupBy(name).agg(F.count(F.lit(1)).alias("count"))
         if normalize:
             total = sdf.count()

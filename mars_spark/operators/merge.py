@@ -42,16 +42,24 @@ _HOW = {
 
 def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
           left_on=None, right_on=None, suffixes=("_x", "_y"),
-          broadcast: bool | None = None) -> DataFrame:
+          broadcast: bool | None = None,
+          indicator: bool | str = False) -> DataFrame:
     """pandas.merge semantics on Spark joins (equi-join, like Mars).
 
     ``broadcast=True`` forces the small-side hint (Mars's explicit
     ``method='broadcast'``); default None lets Catalyst/AQE choose —
     the equivalent of Mars ``auto`` (merge.py:674) without the manual
-    chunk-count heuristic.
+    chunk-count heuristic. ``indicator`` adds the pandas provenance
+    column (left_only/right_only/both — reference merge.py:166) from
+    per-side marker columns, no extra join.
     """
     how = _HOW[how]
     lsdf, rsdf = left._sdf, right._sdf
+    ind_name = None
+    if indicator:
+        ind_name = "_merge" if indicator is True else str(indicator)
+        lsdf = lsdf.withColumn("__from_l", F.lit(1))
+        rsdf = rsdf.withColumn("__from_r", F.lit(1))
 
     if on is not None:
         keys = [on] if isinstance(on, str) else list(on)
@@ -90,6 +98,14 @@ def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
             c = lsdf[lk] == rsdf[rk]
             cond = c if cond is None else (cond & c)
         joined = lsdf.join(rsdf, on=cond, how=how)
+    if ind_name is not None:
+        joined = joined.withColumn(
+            ind_name,
+            F.when(F.col("__from_l").isNotNull()
+                   & F.col("__from_r").isNotNull(), F.lit("both"))
+            .when(F.col("__from_l").isNotNull(), F.lit("left_only"))
+            .otherwise(F.lit("right_only")),
+        ).drop("__from_l", "__from_r")
     return DataFrame(joined)
 
 
@@ -145,15 +161,25 @@ def merge_asof(left: DataFrame, right: DataFrame, on: str, by=None,
 
     lcols = [c for c in lsdf.columns if c not in (on, *by)]
     rcols = [c for c in rsdf.columns if c not in (on, *by)]
+    rtypes = dict(rsdf.dtypes)
+    # The right side travels as ONE struct so a single last(ignorenulls)
+    # carries the whole matched row — per-column fills would mix values
+    # from different right rows whenever right columns contain nulls
+    # (pandas carries the matched row verbatim, nulls included).
+    null_struct = F.struct(
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+        F.lit(None).cast(rtypes[on]).alias("__on"),
+    )
     tagged_l = lsdf.select(
         *by, F.col(on), F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(rsdf.dtypes)[c]).alias(c) for c in rcols],
+        null_struct.alias("__r"),
     )
     tagged_r = rsdf.select(
         *by, F.col(on), F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(dict(lsdf.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c) for c in rcols],
+        F.struct(*[F.col(c) for c in rcols],
+                 F.col(on).alias("__on")).alias("__r"),
     )
     u = tagged_l.unionByName(tagged_r)
 
@@ -169,20 +195,20 @@ def merge_asof(left: DataFrame, right: DataFrame, on: str, by=None,
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     fill = F.last if direction == "backward" else F.first
 
-    matched_on = fill(
-        F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True
+    matched = fill(
+        F.when(F.col("__is_left") == 0, F.col("__r")), ignorenulls=True
     ).over(w)
-    out = u.withColumn("__r_on", matched_on)
+    out = (
+        u.withColumn("__m", matched)
+        .filter(F.col("__is_left") == 1)
+        .withColumn("__r_on", F.col("__m.__on"))
+    )
     for c in rcols:
-        out = out.withColumn(
-            c, fill(F.when(F.col("__is_left") == 0, F.col(c)),
-                    ignorenulls=True).over(w)
-        )
-    out = out.filter(F.col("__is_left") == 1)
+        out = out.withColumn(c, F.col(f"__m.{c}"))
     if tolerance is not None:
         within = (F.col(on) - F.col("__r_on")) if direction == "backward" else (
             F.col("__r_on") - F.col(on))
         keep = within <= F.lit(tolerance)
         for c in rcols:
             out = out.withColumn(c, F.when(keep, F.col(c)))
-    return DataFrame(out.drop("__is_left", "__r_on"))
+    return DataFrame(out.drop("__is_left", "__r", "__m", "__r_on"))

@@ -22,14 +22,26 @@ class Spawned:
         self._result: Any = None
         self._done = False
 
+    def _deps(self) -> list["Spawned"]:
+        return [a for a in list(self.args) + list(self.kwargs.values())
+                if isinstance(a, Spawned)]
+
+    def _run(self) -> Any:
+        args = [a._result if isinstance(a, Spawned) else a
+                for a in self.args]
+        kwargs = {k: (v._result if isinstance(v, Spawned) else v)
+                  for k, v in self.kwargs.items()}
+        self._result = self.func(*args, **kwargs)
+        self._done = True
+        return self._result
+
     def execute(self, pool: ThreadPoolExecutor | None = None) -> Any:
         if self._done:
             return self._result
         own_pool = pool is None
         pool = pool or ThreadPoolExecutor(max_workers=8)
         try:
-            self._result = _resolve(self, pool)
-            self._done = True
+            _run_graph([self], pool)
         finally:
             if own_pool:
                 pool.shutdown()
@@ -38,17 +50,44 @@ class Spawned:
     fetch = execute
 
 
-def _resolve(node: Any, pool: ThreadPoolExecutor) -> Any:
-    if not isinstance(node, Spawned):
-        return node
-    dep_futs = {
-        i: pool.submit(_resolve, a, pool)
-        for i, a in enumerate(node.args) if isinstance(a, Spawned)
-    }
-    args = [dep_futs[i].result() if i in dep_futs else a
-            for i, a in enumerate(node.args)]
-    kwargs = {k: _resolve(v, pool) for k, v in node.kwargs.items()}
-    return node.func(*args, **kwargs)
+def _topo(roots: list[Spawned]) -> list[Spawned]:
+    """Post-order (children before parents), deduped by identity."""
+    seen: set[int] = set()
+    order: list[Spawned] = []
+    stack: list[tuple[Spawned, bool]] = []
+    for r in roots:
+        if isinstance(r, Spawned) and id(r) not in seen:
+            seen.add(id(r))
+            stack.append((r, False))
+    while stack:
+        node, processed = stack.pop()
+        if processed:
+            order.append(node)
+            continue
+        stack.append((node, True))
+        for dep in node._deps():
+            if id(dep) not in seen:
+                seen.add(id(dep))
+                stack.append((dep, False))
+    return order
+
+
+def _run_graph(roots: list[Spawned], pool: ThreadPoolExecutor) -> None:
+    """Leaves-first wave scheduling: only READY nodes (all deps done)
+    are ever submitted, and only the caller blocks on futures — pool
+    workers never wait on other tasks, so dependency chains deeper than
+    the pool size cannot deadlock (the previous recursive scheme
+    exhausted all workers with blocked parents)."""
+    pending = [n for n in _topo(roots) if not n._done]
+    while pending:
+        ready = [n for n in pending
+                 if all(d._done for d in n._deps())]
+        if not ready:
+            raise ValueError("cycle detected in spawned task graph")
+        futs = [pool.submit(n._run) for n in ready]
+        for f in futs:
+            f.result()
+        pending = [n for n in pending if not n._done]
 
 
 def spawn(func: Callable, args: tuple = (), kwargs: dict | None = None) -> Spawned:
@@ -59,11 +98,8 @@ def spawn(func: Callable, args: tuple = (), kwargs: dict | None = None) -> Spawn
 def execute(*nodes: Spawned) -> list[Any]:
     """Batch-execute a set of spawned nodes sharing one pool."""
     with ThreadPoolExecutor(max_workers=8) as pool:
-        futs = [pool.submit(_resolve, n, pool) for n in nodes]
-        results = [f.result() for f in futs]
-    for n, r in zip(nodes, results):
-        n._result, n._done = r, True
-    return results
+        _run_graph(list(nodes), pool)
+    return [n._result for n in nodes]
 
 
 def parallel_map(func: Callable, items: list, spark=None,

@@ -259,3 +259,14 @@ def test_series_ufuncs(spark):
     assert np.allclose(list(f.x.log().to_pandas()), np.log([1, 4, 9]))
     assert list(ms.sqrt(f.x).to_pandas()) == [1.0, 2.0, 3.0]
     assert list(f.x.sign().to_pandas()) == [1.0, 1.0, 1.0]
+
+
+def test_value_counts_normalize_drops_nulls(spark):
+    import pandas as pd
+    p = pd.DataFrame({"x": ["a", "a", "b", None]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    out = f.x.value_counts(normalize=True).to_spark().toPandas()
+    got = dict(zip(out.x, out.proportion))
+    assert got == {"a": 2 / 3, "b": 1 / 3}
+    kept = f.x.value_counts(dropna=False).to_spark().toPandas()
+    assert len(kept) == 3

@@ -90,3 +90,27 @@ def test_merge_asof_tolerance(spark):
                      on="t", tolerance=2).to_pandas().sort_values("t")
     exp = pd.merge_asof(left, right, on="t", tolerance=2)
     assert_frame_equal(out, exp, sort_by=["t"])
+
+
+def test_merge_asof_carries_matched_row_nulls(spark):
+    import pandas as pd
+    left = pd.DataFrame({"t": [5, 10], "g": ["a", "a"]})
+    # the matched right row (t=4) has a null in v2: pandas carries that
+    # null, not an older non-null value from t=1
+    right = pd.DataFrame({"t": [1, 4], "g": ["a", "a"],
+                          "v1": [100.0, 200.0], "v2": [7.0, None]})
+    lf = ms.from_spark(spark.createDataFrame(left))
+    rf = ms.from_spark(spark.createDataFrame(right))
+    out = (merge_asof(lf, rf, on="t", by="g").to_pandas()
+           .sort_values("t").reset_index(drop=True))
+    assert list(out.v1) == [200.0, 200.0]
+    assert out.v2.isna().all()
+
+
+def test_merge_indicator(spark):
+    import pandas as pd
+    l = ms.from_spark(spark.createDataFrame(pd.DataFrame({"k": [1, 2]})))
+    r = ms.from_spark(spark.createDataFrame(pd.DataFrame({"k": [2, 3]})))
+    out = l.merge(r, on="k", how="outer", indicator=True).to_pandas()
+    got = dict(zip(out.k, out._merge))
+    assert got == {1: "left_only", 2: "both", 3: "right_only"}

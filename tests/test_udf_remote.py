@@ -62,3 +62,24 @@ def test_remote_spawn_graph():
 def test_parallel_map(spark):
     out = remote.parallel_map(lambda x: x * x, list(range(20)), spark=spark)
     assert out == [x * x for x in range(20)]
+
+
+def test_remote_deep_chain_no_deadlock():
+    from mars_spark import remote
+
+    # dependency chain much deeper than the 8-worker pool: the old
+    # recursive resolver blocked every worker on its child and hung
+    node = remote.spawn(lambda: 0)
+    for _ in range(30):
+        node = remote.spawn(lambda x: x + 1, args=(node,))
+    assert node.execute() == 30
+
+
+def test_remote_diamond_and_batch():
+    from mars_spark import remote
+
+    a = remote.spawn(lambda: 2)
+    b = remote.spawn(lambda x: x * 3, args=(a,))
+    c = remote.spawn(lambda x: x + 1, args=(a,))
+    d = remote.spawn(lambda x, y: x + y, args=(b, c))
+    assert remote.execute(d) == [9]
