@@ -75,6 +75,14 @@ def merge(left, right, **kwargs):
     return left.merge(right, **kwargs)
 
 
+def to_numeric(series, errors="coerce"):
+    """pandas.to_numeric (reference: mars/dataframe/base/to_numeric.py)."""
+    return series.to_numeric(errors=errors)
+
+
+__all__.append("to_numeric")
+
+
 def _module_ufunc(name):
     def fn(series):
         return getattr(series, name)()

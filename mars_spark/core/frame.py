@@ -503,6 +503,46 @@ class DataFrame:
         sdf = self._sdf.select(*others, F.explode(F.col(column)).alias(column))
         return DataFrame(sdf.select(*self._sdf.columns), self._index)
 
+    def stack(self, dropna: bool = True) -> "DataFrame":
+        """mars/dataframe/base/stack.py:29 — move the column axis into
+        rows: (index, variable, value) long form via native melt; pandas
+        drops missing values by default."""
+        out = self.melt(id_vars=list(self._index),
+                        value_vars=self.columns)
+        if dropna:
+            out = DataFrame(out._sdf.filter(F.col("value").isNotNull()),
+                            out._index)
+        return out
+
+    def corr_matrix(self, cols=None, method: str = "pearson") -> "DataFrame":
+        """All-pairs correlation matrix (reference:
+        mars/dataframe/statistics/corr.py:29 computes the full matrix;
+        frame.corr(c1,c2) is the pairwise fast path). ONE distributed
+        agg pass computes every pairwise corr; the k×k scalar result is
+        reshaped driver-side (bounded by column count, not rows)."""
+        if method != "pearson":
+            raise NotImplementedError(method)
+        cols = list(cols) if cols else [
+            c for c, t in self._sdf.dtypes
+            if c in self.columns and t in (
+                "double", "float", "int", "bigint", "smallint", "tinyint")]
+        exprs = []
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                exprs.append(F.corr(a, b).alias(f"{a}__{b}"))
+        row = self._sdf.agg(*exprs).collect()[0]
+        vals = {}
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                v = row[f"{a}__{b}"]
+                vals[(a, b)] = v
+                vals[(b, a)] = v
+        spark = self._sdf.sparkSession
+        data = [(a, *[float(vals[(a, b)]) if vals[(a, b)] is not None
+                      else None for b in cols]) for a in cols]
+        schema = "col string, " + ", ".join(f"`{b}` double" for b in cols)
+        return DataFrame(spark.createDataFrame(data, schema), index=["col"])
+
     def pivot_table(self, index, columns, values, aggfunc="mean") -> "DataFrame":
         from mars_spark.core.groupby import _AGG_FUNCS
 

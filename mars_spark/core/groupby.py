@@ -254,7 +254,64 @@ class GroupBy:
             sdf = sdf.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
         return DataFrame(sdf, self._frame._index)
 
+    def transform(self, spec):
+        """Same-length groupby transform, window fast path (reference:
+        mars/dataframe/groupby/transform.py:28). ``spec`` is a builtin
+        agg name or {col: name}: each value column gets the whole-group
+        aggregate broadcast onto every row via an unordered window —
+        ONE shuffle on the keys, no Python. For arbitrary callables use
+        transform_udf (applyInPandas)."""
+        from mars_spark.core.frame import DataFrame
+
+        if isinstance(spec, str):
+            spec = {c: spec for c in self._value_cols}
+        w = Window.partitionBy(*self._keys)
+        sdf = self._frame._sdf
+        for c, fn_name in spec.items():
+            fn = _AGG_FUNCS[fn_name]
+            sdf = sdf.withColumn(c, fn(F.col(c)).over(w))
+        return DataFrame(sdf, self._frame._index)
+
+    def sample(self, n: int | None = None, frac: float | None = None,
+               seed: int | None = None):
+        """Per-group sampling (reference: mars/dataframe/groupby/
+        sample.py:75). Exact-n (or exact ceil(frac·count)) per group via
+        row_number over a seeded random order — one window shuffle, no
+        driver pass, unlike sampleBy's bernoulli rows."""
+        from mars_spark.core.frame import DataFrame
+
+        w = Window.partitionBy(*self._keys).orderBy(
+            F.rand(seed) if seed is not None else F.rand())
+        sdf = self._frame._sdf.withColumn("__rn", F.row_number().over(w))
+        if n is not None:
+            keep = F.col("__rn") <= n
+        elif frac is not None:
+            sdf = sdf.withColumn(
+                "__cnt",
+                F.count(F.lit(1)).over(Window.partitionBy(*self._keys)))
+            keep = F.col("__rn") <= F.ceil(F.col("__cnt") * F.lit(frac))
+        else:
+            raise ValueError("groupby.sample needs n or frac")
+        return DataFrame(sdf.filter(keep).drop("__rn", "__cnt"),
+                         self._frame._index)
+
     # --------------------------------------------------- UDF escape hatch
+    def agg_udf(self, col: str, func, return_type: str = "double",
+                name: str | None = None):
+        """CustomReduction analog (reference: mars/dataframe/reduction/
+        core.py:652-701 — pre/agg/post compiled reduction): a grouped-agg
+        pandas UDF (pandas Series per group → scalar, Arrow-batched).
+        Spark runs Python UDAFs post-shuffle per group — no partial
+        aggregation — so prefer builtin F.* aggregates when the
+        reduction is expressible; this is the escape hatch for the rest.
+        """
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        udf = pandas_udf(func, return_type, PandasUDFType.GROUPED_AGG)
+        out = self._frame._sdf.groupBy(*self._keys).agg(
+            udf(F.col(col)).alias(name or f"{col}_agg"))
+        return self._finish(out)
+
     def apply(self, func, schema):
         """mars/dataframe/groupby/apply.py:58 → applyInPandas. ``func``
         receives a pandas DataFrame per group; Arrow-batched, the only

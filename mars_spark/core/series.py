@@ -223,16 +223,41 @@ class Series:
         cond_col = cond._col if isinstance(cond, Series) else cond
         return self.where(Series(self._frame, ~cond_col), other)
 
-    def map(self, mapping) -> "Series":
+    def map(self, mapping, return_type: str = "double") -> "Series":
         """mars/dataframe/base/map.py:32. Dict → literal map lookup
-        (JVM-side); callable would need a UDF (slow path, discouraged)."""
+        (JVM-side, codegen). Callable → Arrow-batched pandas UDF
+        (``func(pd.Series) -> pd.Series`` element semantics via
+        Series.map inside); declare return_type since a distributed
+        engine cannot probe-execute to infer it."""
         if isinstance(mapping, dict):
             pairs = []
             for k, v in mapping.items():
                 pairs.extend([F.lit(k), F.lit(v)])
             m = F.create_map(*pairs)
             return Series(self._frame, m[self._col], self.name)
-        raise TypeError("Series.map supports dict mappings; use .apply for callables")
+        if callable(mapping):
+            from pyspark.sql.functions import pandas_udf
+
+            fn = mapping
+
+            @pandas_udf(return_type)
+            def _mapper(s):
+                return s.map(fn)
+
+            return Series(self._frame, _mapper(self._col), self.name)
+        raise TypeError(f"Series.map: unsupported mapping {type(mapping)}")
+
+    def to_numeric(self, errors: str = "coerce") -> "Series":
+        """mars/dataframe/base/to_numeric.py — try_cast keeps malformed
+        values null (errors='coerce'); errors='raise' uses a strict
+        ANSI cast that fails the job on bad input."""
+        if errors == "coerce":
+            c = self._col.try_cast("double")
+        elif errors == "raise":
+            c = self._col.cast("double")
+        else:
+            raise ValueError(errors)
+        return Series(self._frame, c, self.name)
 
     def alias(self, name: str) -> "Series":
         return Series(self._frame, self._col.alias(name), name)

@@ -204,40 +204,63 @@ def cumsum(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
     return DataFrame(sdf, frame._index)
 
 
-def ewm_mean(frame: DataFrame, col: str, alpha: float, order_by,
-             partition_by=None, out: str | None = None,
-             adjust: bool = True) -> DataFrame:
-    """Exponentially-weighted mean, pandas semantics.
+def ewm_agg(frame: DataFrame, col: str, alpha: float, order_by,
+            partition_by=None, stats=("mean",), adjust: bool = True,
+            bias: bool = False, prefix: str | None = None) -> DataFrame:
+    """Exponentially-weighted mean/var/std, pandas semantics.
 
     reference: mars/dataframe/window/ewm/aggregation.py:207 — Mars
-    distributes EWM with per-chunk partials and decay-weight combines.
-    EWM is a sequential recurrence with no native Spark aggregate
-    (SURVEY.md §4.2 custom-work item (c)). Spark-first treatment: when
-    ``partition_by`` is given, each group is independent → one shuffle
-    on the keys, then pandas' C-implemented ewm per group via
-    Arrow-batched applyInPandas (the sanctioned per-group escape
-    hatch). A global EWM (no partition_by) is inherently sequential and
-    runs as a single group — correct, but not parallel; callers at
-    scale should always partition.
+    distributes EWM with per-chunk partials and decay-weight combines,
+    and implements mean+var+std. EWM is a sequential recurrence with no
+    native Spark aggregate (SURVEY.md §4.2 custom-work item (c)).
+    Spark-first treatment: when ``partition_by`` is given, each group
+    is independent → one shuffle on the keys, then pandas'
+    C-implemented ewm per group via Arrow-batched applyInPandas (the
+    sanctioned per-group escape hatch). A global EWM (no partition_by)
+    is inherently sequential and runs as a single group — correct, but
+    not parallel; callers at scale should always partition.
     """
     if not (0 < alpha <= 1):
         raise ValueError("alpha must be in (0, 1]")
+    bad = set(stats) - {"mean", "var", "std"}
+    if bad:
+        raise ValueError(f"unsupported ewm stats: {bad}")
     order = _order_cols(frame, order_by)
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
-    out = out or f"{col}_ewm"
+    prefix = prefix or f"{col}_ewm"
     sdf = frame._sdf
     if not keys:
         sdf = sdf.withColumn("__g", F.lit(0))
         keys = ["__g"]
 
-    schema_str = ", ".join(f"`{n}` {t}" for n, t in sdf.dtypes) + f", `{out}` double"
+    out_cols = [f"{prefix}_{s}" for s in stats]
+    schema_str = ", ".join(f"`{n}` {t}" for n, t in sdf.dtypes) + "".join(
+        f", `{c}` double" for c in out_cols)
 
     def _ewm(pdf):
         pdf = pdf.sort_values(order)
-        pdf[out] = pdf[col].ewm(alpha=alpha, adjust=adjust).mean()
+        ew = pdf[col].ewm(alpha=alpha, adjust=adjust)
+        for s, out_name in zip(stats, out_cols):
+            if s == "mean":
+                pdf[out_name] = ew.mean()
+            elif s == "var":
+                pdf[out_name] = ew.var(bias=bias)
+            else:
+                pdf[out_name] = ew.std(bias=bias)
         return pdf
 
     res = sdf.groupBy(*keys).applyInPandas(_ewm, schema=schema_str)
     if "__g" in res.columns:
         res = res.drop("__g")
     return DataFrame(res, frame._index)
+
+
+def ewm_mean(frame: DataFrame, col: str, alpha: float, order_by,
+             partition_by=None, out: str | None = None,
+             adjust: bool = True) -> DataFrame:
+    """Back-compat wrapper: single-stat EWM mean (see ewm_agg)."""
+    prefix = out or f"{col}_ewm"
+    res = ewm_agg(frame, col, alpha, order_by, partition_by=partition_by,
+                  stats=("mean",), adjust=adjust, prefix="__tmp_ewm")
+    sdf = res._sdf.withColumnRenamed("__tmp_ewm_mean", prefix)
+    return DataFrame(sdf, frame._index)

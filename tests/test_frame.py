@@ -270,3 +270,31 @@ def test_value_counts_normalize_drops_nulls(spark):
     assert got == {"a": 2 / 3, "b": 1 / 3}
     kept = f.x.value_counts(dropna=False).to_spark().toPandas()
     assert len(kept) == 3
+
+
+def test_stack_and_corr_matrix(spark):
+    import pandas as pd
+    import numpy as np
+    p = pd.DataFrame({"k": [1, 2], "a": [1.0, 2.0], "b": [3.0, None]})
+    f = ms.from_spark(spark.createDataFrame(p)).set_index("k")
+    st = f.stack().to_pandas()
+    assert len(st) == 3  # dropna removes the null b
+    p2 = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [2.0, 4.0, 6.0],
+                       "z": [3.0, 2.0, 1.0]})
+    f2 = ms.from_spark(spark.createDataFrame(p2))
+    cm = f2.corr_matrix().to_pandas().set_index("col")
+    assert np.isclose(cm.loc["x", "y"], 1.0)
+    assert np.isclose(cm.loc["x", "z"], -1.0)
+    assert np.isclose(cm.loc["x", "x"], 1.0)
+
+
+def test_to_numeric_and_map_callable(spark):
+    import pandas as pd
+    p = pd.DataFrame({"s": ["1.5", "oops", "3"]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    out = ms.to_numeric(f.s).to_pandas()
+    assert out[0] == 1.5 and pd.isna(out[1]) and out[2] == 3.0
+    p2 = pd.DataFrame({"v": [1.0, 2.0]})
+    f2 = ms.from_spark(spark.createDataFrame(p2))
+    m = f2.v.map(lambda x: x * 10, return_type="double").to_pandas()
+    assert list(m) == [10.0, 20.0]

@@ -106,3 +106,35 @@ def test_rank(spark):
     pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [10, 20, 5]})
     out = ms.from_pandas(pdf).groupby("g").rank("v").to_pandas()
     assert set(out[out.g == "a"]["rank"]) == {1, 2}
+
+
+def test_transform_window_fast_path(spark):
+    import pandas as pd
+    p = pd.DataFrame({"g": [1, 1, 2], "v": [1.0, 3.0, 10.0]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    out = f.groupby("g").transform({"v": "mean"}).to_pandas().sort_values("g")
+    assert list(out.v) == [2.0, 2.0, 10.0]
+    plan = f.groupby("g").transform("mean")._sdf._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_groupby_sample_exact_n(spark):
+    import pandas as pd
+    p = pd.DataFrame({"g": [1] * 10 + [2] * 10, "v": range(20)})
+    f = ms.from_spark(spark.createDataFrame(p))
+    out = f.groupby("g").sample(n=3, seed=1).to_pandas()
+    assert out.groupby("g").size().to_dict() == {1: 3, 2: 3}
+    fr = f.groupby("g").sample(frac=0.5, seed=1).to_pandas()
+    assert fr.groupby("g").size().to_dict() == {1: 5, 2: 5}
+
+
+def test_agg_udf_custom_reduction(spark):
+    import pandas as pd
+    import numpy as np
+    p = pd.DataFrame({"g": [1, 1, 2], "v": [1.0, 4.0, 9.0]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    out = f.groupby("g").agg_udf(
+        "v", lambda s: float(np.exp(np.log(s).mean())),
+        name="geomean").to_pandas().sort_values("g")
+    assert np.allclose(list(out.geomean), [2.0, 9.0])

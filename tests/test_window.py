@@ -98,3 +98,21 @@ def test_offset_window(spark):
     got = out.to_pandas().sort_values("ts")
     exp = pdf.set_index("ts").v.rolling("60s").sum().values
     np.testing.assert_allclose(got.v_roll_sum.values, exp)
+
+
+def test_ewm_var_std_match_pandas(spark):
+    import pandas as pd
+    import numpy as np
+    from mars_spark.operators.window import ewm_agg
+    p = pd.DataFrame({"g": [1, 1, 1, 1, 2, 2],
+                      "t": [1, 2, 3, 4, 1, 2],
+                      "v": [1.0, 2.0, 4.0, 8.0, 3.0, 9.0]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    out = ewm_agg(f, "v", alpha=0.5, order_by="t", partition_by="g",
+                  stats=("mean", "var", "std")).to_pandas()
+    out = out.sort_values(["g", "t"]).reset_index(drop=True)
+    exp = p.sort_values(["g", "t"]).groupby("g")["v"].apply(
+        lambda s: s.ewm(alpha=0.5).var()).reset_index(drop=True)
+    assert np.allclose(out.v_ewm_var.fillna(-1), exp.fillna(-1))
+    assert np.allclose(out.v_ewm_std.fillna(-1),
+                       np.sqrt(exp).fillna(-1))
