@@ -28,14 +28,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 queries (round-1's driver evaluated only the first 50
+    of 60, leaving 10 unverified — the corpus is now consolidated to
+    the cap, with overlapping single-operator queries merged; see
+    ops.py/pipeline.py docstrings for the mapping). Dict order puts
+    queries with no prior driver verdict first, then round-1 failures
+    whose fixes need confirmation, then the stable remainder."""
     from mars_spark.queries.tpch import TPCH_QUERIES
     from mars_spark.queries.pipeline import PIPELINE_QUERIES
     from mars_spark.queries.ops import OPS_QUERIES
 
-    out: dict[str, Callable] = {}
-    out.update(TPCH_QUERIES)
-    out.update(PIPELINE_QUERIES)
-    out.update(OPS_QUERIES)
+    pool: dict[str, Callable] = {}
+    pool.update(TPCH_QUERIES)
+    pool.update(PIPELINE_QUERIES)
+    pool.update(OPS_QUERIES)
+
+    priority = [
+        # new / renamed this round — no driver verdict yet
+        "op_window_rank", "op_pivot", "op_melt", "op_explode_seq",
+        "op_json_extract", "op_asof_join", "op_conditional",
+        "op_accessors", "op_stats", "op_cut_value_counts", "op_iloc_tail",
+        "op_align", "op_groupby_custom",
+        "events_window_funcs", "events_activity", "docs_text_metrics",
+        "docs_exact_dedup", "emb_ann_recall", "tpch_q21_adapted",
+        # round-1 failures, fixed this round
+        "events_hourly", "events_sessions", "events_funnel",
+        "tpch_q09_adapted", "tpch_q11_adapted", "emb_neardup_pairs",
+        "tpch_q02_adapted",
+    ]
+    out: dict[str, Callable] = {k: pool[k] for k in priority}
+    out.update({k: v for k, v in pool.items() if k not in out})
     return out
 
 

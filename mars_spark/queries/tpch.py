@@ -546,7 +546,50 @@ def q20_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out.select("s_suppkey", "s_name").orderBy("s_suppkey")
 
 
+def q21_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Suppliers who kept orders waiting. reference run_queries.py:922
+    (q21): the multi-relation EXISTS + NOT-EXISTS self-join on
+    lineitem. Testdata lacks l_receiptdate/l_commitdate, so "late" is
+    adapted to l_shipdate > o_orderdate + 60 days. Shape preserved:
+    EXISTS (another supplier on the same order) as a semi-join against
+    the multi-supplier order keys; NOT EXISTS (another LATE supplier)
+    as a semi-join against orders whose late lineitems have exactly one
+    distinct supplier. Both key sets are tiny relative to lineitem —
+    Catalyst broadcasts them; the only big shuffles are the two
+    per-order aggregations."""
+    nation = load(sf_dir, "nation")
+    sup = load(sf_dir, "supplier")
+    li = load(sf_dir, "lineitem")
+    orders = load(sf_dir, "orders")
+
+    o = orders[["o_orderkey", "o_orderdate", "o_orderstatus"]]
+    j = li[["l_orderkey", "l_suppkey", "l_shipdate"]].merge(
+        o, left_on="l_orderkey", right_on="o_orderkey")
+    # EXISTS: some other supplier contributed to the same order
+    multi = j.groupby("l_orderkey", as_index=False).agg(
+        nsup=("l_suppkey", "nunique"))
+    multi = multi[multi.nsup > 1][["l_orderkey"]]
+    # the late lineitems (this supplier failed the order)
+    late = j.query("l_shipdate > date_add(o_orderdate, 60)")
+    # NOT EXISTS: no OTHER supplier was late on that order
+    onelate = late.groupby("l_orderkey", as_index=False).agg(
+        nsup=("l_suppkey", "nunique"))
+    onelate = onelate[onelate.nsup == 1][["l_orderkey"]]
+
+    f = (late[late.o_orderstatus == "F"]
+         .merge(multi, on="l_orderkey", how="semi")
+         .merge(onelate, on="l_orderkey", how="semi"))
+    n3 = nation[nation.n_name == "NATION_3"][["n_nationkey"]]
+    s = sup.merge(n3, left_on="s_nationkey", right_on="n_nationkey",
+                  broadcast=True)[["s_suppkey", "s_name"]]
+    g = (f.merge(s, left_on="l_suppkey", right_on="s_suppkey",
+                 broadcast=True)
+         .groupby("s_name", as_index=False).agg(numwait=("l_orderkey", "count")))
+    return g.to_spark().orderBy(F.desc("numwait"), F.asc("s_name"))
+
+
 TPCH_QUERIES = {
+    "tpch_q21_adapted": q21_adapted,
     "tpch_q02_adapted": q2_adapted,
     "tpch_q11_adapted": q11_adapted,
     "tpch_q16_adapted": q16_adapted,

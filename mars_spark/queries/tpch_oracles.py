@@ -5,6 +5,33 @@ exactly — the driver hash-compares values column-sorted-by-name.
 """
 
 TPCH_ORACLES: dict[str, str] = {
+    "tpch_q21_adapted": """
+        WITH j AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate,
+                   o_orderdate, o_orderstatus
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        multi AS (
+            SELECT l_orderkey FROM j
+            GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+        ),
+        late AS (
+            SELECT * FROM j WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        ),
+        onelate AS (
+            SELECT l_orderkey FROM late
+            GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND l_orderkey IN (SELECT l_orderkey FROM multi)
+          AND l_orderkey IN (SELECT l_orderkey FROM onelate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
     "tpch_q02_adapted": """
         WITH per_sup AS (
             SELECT p_type, s_suppkey, s_name, n_name,

@@ -212,3 +212,22 @@ def test_similarity_self_join_dispatch(spark):
     lo = S.similarity_self_join(sdf, "embedding", threshold=0.3, dim=2)
     assert len(hi.toPandas()) == 1          # only the (0, 1) near-dup
     assert len(lo.toPandas()) == 3          # all pairs ≥ 0.3
+
+
+def test_ivf_deterministic_recall(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16))
+    pdf = pd.DataFrame({
+        "vec_id": range(300),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    sdf = spark.createDataFrame(pdf)
+    q = list(map(float, vecs[0]))
+    exact = {r.vec_id for r in
+             S.topk_bruteforce(sdf, "embedding", q, k=10).collect()}
+    for refine in (False, True):
+        assigned, cents = S.ivf_index_deterministic(
+            sdf, "embedding", n_clusters=8, refine=refine)
+        got = {r.vec_id for r in S.ivf_search(
+            assigned, cents, q, k=10, n_probe=6).collect()}
+        assert len(got & exact) >= 8, (refine, got)
