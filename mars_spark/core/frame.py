@@ -229,6 +229,26 @@ class DataFrame:
         index = [columns.get(c, c) if columns else c for c in self._index]
         return DataFrame(sdf, index)
 
+    def rename_axis(self, mapper) -> "DataFrame":
+        """mars/dataframe/indexing/rename_axis.py — rename the (single)
+        index column."""
+        idx = self._require_index("rename_axis")
+        return DataFrame(self._sdf.withColumnRenamed(idx, mapper),
+                         index=[mapper], seq=mapper if self._seq == idx
+                         else self._seq)
+
+    def insert(self, loc: int, column: str, value) -> None:
+        """mars/dataframe/indexing/insert.py — positional column
+        insert (in-place, pandas contract). Column order is metadata
+        in Spark; the select re-projects, no data movement."""
+        col = value._col if isinstance(value, Series) else (
+            value if isinstance(value, Column) else F.lit(value))
+        cols = list(self.columns)
+        cols.insert(loc, column)
+        sdf = self._sdf.withColumn(column, col)
+        self._sdf = sdf.select(*self._index,
+                               *[F.col(c) for c in cols])
+
     def astype(self, dtypes: dict | str) -> "DataFrame":
         sdf = self._sdf
         if isinstance(dtypes, dict):

@@ -168,6 +168,22 @@ class Series:
         dynamic sets via DataFrame.merge)."""
         return Series(self._frame, self._col.isin(list(values)), self.name)
 
+    def dot(self, other) -> float:
+        """mars/dataframe/arithmetic/dot.py — Series·Series inner
+        product as one distributed agg (same-frame columns; for
+        cross-frame operands the binop alignment path applies first).
+        Array-column dot products live in llm.similarity.dot."""
+        if isinstance(other, Series) and other._frame is not self._frame:
+            import operator
+
+            prod = self._binop(other, operator.mul)
+            sdf = prod._frame._sdf.select(prod._col.alias("__p"))
+        else:
+            ocol = other._col if isinstance(other, Series) else _lit(other)
+            sdf = self._frame._sdf.select((self._col * ocol).alias("__p"))
+        row = sdf.agg(F.sum("__p").alias("s")).collect()[0]
+        return float(row["s"]) if row["s"] is not None else 0.0
+
     def between(self, left, right, inclusive="both") -> "Series":
         c = self._col
         lo = c >= _lit(left) if inclusive in ("both", "left") else c > _lit(left)

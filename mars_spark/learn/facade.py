@@ -229,3 +229,105 @@ def r2_score(df, label: str, pred: str = "prediction") -> float:
     ).collect()[0]
     ss_tot = s.sum_y2 - (s.sum_y ** 2) / s.n
     return 1.0 - s.ss_res / ss_tot
+
+
+def precision_recall_f1(df, label: str, pred: str = "prediction",
+                        positive=1.0) -> dict:
+    """Binary precision/recall/F1 in ONE distributed agg pass
+    (reference: mars/learn/metrics/_classification.py — Mars computes
+    the confusion counts with tensor reductions; here they are four
+    conditional sums)."""
+    sdf = _sdf(df)
+    is_pos = F.col(label) == F.lit(positive)
+    pred_pos = F.col(pred) == F.lit(positive)
+    s = sdf.agg(
+        F.sum((is_pos & pred_pos).cast("long")).alias("tp"),
+        F.sum((~is_pos & pred_pos).cast("long")).alias("fp"),
+        F.sum((is_pos & ~pred_pos).cast("long")).alias("fn"),
+    ).collect()[0]
+    prec = s.tp / (s.tp + s.fp) if (s.tp + s.fp) else 0.0
+    rec = s.tp / (s.tp + s.fn) if (s.tp + s.fn) else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1}
+
+
+def log_loss(df, label: str, prob: str = "probability",
+             eps: float = 1e-15) -> float:
+    """Binary cross-entropy (reference: mars/learn/metrics). Clipped
+    probabilities, single agg."""
+    sdf = _sdf(df)
+    p = F.least(F.greatest(F.col(prob), F.lit(eps)), F.lit(1 - eps))
+    row = sdf.agg(F.avg(
+        -(F.col(label) * F.log(p) + (1 - F.col(label)) * F.log(1 - p))
+    ).alias("ll")).collect()[0]
+    return float(row.ll)
+
+
+def roc_auc_score(df, label: str, score: str) -> float:
+    """Rank-based AUC (Mann-Whitney U): AUC = (R_pos − n_pos(n_pos+1)/2)
+    / (n_pos·n_neg) where R_pos is the rank-sum of positives — ONE
+    distributed sort (rank window) + one agg; average ranks for score
+    ties keep the estimator exact. Reference: mars/learn/metrics/
+    _ranking.py computes the same integral via sorted cum-sums."""
+    from pyspark.sql import Window
+
+    sdf = _sdf(df).select(F.col(label).alias("y"), F.col(score).alias("s"))
+    # average rank over ties: avg of row_number within equal scores
+    w = Window.orderBy("s")
+    ranked = sdf.withColumn("r", F.row_number().over(w))
+    avg_rank = ranked.groupBy("s").agg(F.avg("r").alias("ar"))
+    joined = ranked.join(avg_rank, on="s")
+    agg = joined.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("ar"))).alias("rpos"),
+        F.sum((F.col("y") == 1).cast("long")).alias("npos"),
+        F.sum((F.col("y") == 0).cast("long")).alias("nneg"),
+    ).collect()[0]
+    if not agg.npos or not agg.nneg:
+        return float("nan")
+    return float((agg.rpos - agg.npos * (agg.npos + 1) / 2)
+                 / (agg.npos * agg.nneg))
+
+
+class KNeighborsClassifier:
+    """Brute-force k-NN estimator (reference: mars/learn/neighbors/
+    — Mars wraps kd/ball-tree and faiss/proxima backends per chunk).
+    Spark-first: the train set broadcasts (dimension tables of up to
+    ~100s of MB are broadcastable); each test row scores all train
+    rows via a JVM dot/distance expression, keeps top-k with a
+    row_number window, and majority-votes. For train sets beyond
+    broadcast size use llm.similarity (IVF / LSH) — those are the
+    scale backends, exactly as Mars swaps in ANN libraries."""
+
+    def __init__(self, n_neighbors: int = 5, features: str = "features",
+                 label: str = "label"):
+        self.k = n_neighbors
+        self.features = features
+        self.label = label
+        self._train = None
+
+    def fit(self, df):
+        self._train = _sdf(df).select(
+            F.col(self.features).alias("__tf"),
+            F.col(self.label).alias("__tl"))
+        return self
+
+    def predict(self, df, id_col: str):
+        from pyspark.sql import Window
+
+        test = _sdf(df).select(F.col(id_col), F.col(self.features))
+        dist = F.sqrt(F.aggregate(
+            F.zip_with(F.col(self.features), F.col("__tf"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        joined = test.join(F.broadcast(self._train)).withColumn("__d", dist)
+        w = Window.partitionBy(id_col).orderBy(F.asc("__d"))
+        topk = joined.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") <= self.k)
+        votes = topk.groupBy(id_col, "__tl").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__d").alias("__best"))
+        wv = Window.partitionBy(id_col).orderBy(
+            F.desc("__n"), F.asc("__best"), F.asc("__tl"))
+        return (votes.withColumn("__rv", F.row_number().over(wv))
+                .filter(F.col("__rv") == 1)
+                .select(id_col, F.col("__tl").alias("prediction")))

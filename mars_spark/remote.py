@@ -102,6 +102,21 @@ def execute(*nodes: Spawned) -> list[Any]:
     return [n._result for n in nodes]
 
 
+def run_script(code: str, data: dict | None = None,
+               retrieve: list[str] | None = None) -> dict:
+    """reference: mars/remote/run_script.py — execute a Python script
+    with injected globals and return requested names. Mars ships the
+    script to a worker; driver-side execution is the single-node
+    equivalent (the DataFrame engine remains the scale path — scripts
+    receive handles, not data copies)."""
+    ns: dict = dict(data or {})
+    exec(compile(code, "<run_script>", "exec"), ns)
+    if retrieve is None:
+        return {k: v for k, v in ns.items()
+                if not k.startswith("__")}
+    return {k: ns[k] for k in retrieve}
+
+
 def parallel_map(func: Callable, items: list, spark=None,
                  num_partitions: int | None = None) -> list:
     """Data-parallel map THROUGH Spark for large iterables — the scale

@@ -298,3 +298,15 @@ def test_to_numeric_and_map_callable(spark):
     f2 = ms.from_spark(spark.createDataFrame(p2))
     m = f2.v.map(lambda x: x * 10, return_type="double").to_pandas()
     assert list(m) == [10.0, 20.0]
+
+
+def test_insert_rename_axis_dot(spark):
+    import pandas as pd
+    p = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    f.insert(1, "c", f.a + f.b)
+    assert f.columns == ["a", "c", "b"]
+    idx = ms.from_spark(spark.createDataFrame(p)).set_index("a")
+    renamed = idx.rename_axis("k")
+    assert renamed._index == ["k"]
+    assert f.a.dot(f.b) == 1 * 3 + 2 * 4

@@ -125,3 +125,68 @@ def test_streaming_session(spark):
         finally:
             q.stop()
     assert len(out) == 2  # 30s gap joins, 9.5min gap splits
+
+
+def test_precision_recall_f1_and_logloss(spark):
+    import pandas as pd
+    from mars_spark.learn import facade as L
+    p = pd.DataFrame({"y": [1.0, 1.0, 0.0, 0.0],
+                      "pred": [1.0, 0.0, 1.0, 0.0],
+                      "prob": [0.9, 0.4, 0.6, 0.1]})
+    sdf = spark.createDataFrame(p)
+    m = L.precision_recall_f1(sdf, "y", "pred")
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+    import numpy as np
+    exp = -np.mean([np.log(0.9), np.log(0.4), np.log(1 - 0.6),
+                    np.log(1 - 0.1)])
+    assert abs(L.log_loss(sdf, "y", "prob") - exp) < 1e-9
+
+
+def test_roc_auc_matches_sklearn_formula(spark):
+    import pandas as pd
+    import numpy as np
+    from mars_spark.learn import facade as L
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 2, 200)
+    s = y * 0.5 + rng.random(200)  # informative score
+    sdf = spark.createDataFrame(pd.DataFrame({"y": y.astype(float),
+                                              "s": s}))
+    got = L.roc_auc_score(sdf, "y", "s")
+    # rank-based reference implementation in numpy
+    order = np.argsort(s)
+    ranks = np.empty(200); ranks[order] = np.arange(1, 201)
+    # average ties (none expected with random floats)
+    npos, nneg = y.sum(), (1 - y).sum()
+    exp = (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert abs(got - exp) < 1e-9
+
+
+def test_knn_classifier(spark):
+    import pandas as pd
+    from mars_spark.learn.facade import KNeighborsClassifier
+    train = pd.DataFrame({
+        "features": [[0.0, 0.0], [0.1, 0.0], [5.0, 5.0], [5.1, 5.0]],
+        "label": [0, 0, 1, 1]})
+    test = pd.DataFrame({"id": [1, 2],
+                         "features": [[0.05, 0.0], [5.05, 5.0]]})
+    knn = KNeighborsClassifier(n_neighbors=2).fit(
+        spark.createDataFrame(train))
+    out = knn.predict(spark.createDataFrame(test), "id").toPandas()
+    got = dict(zip(out.id, out.prediction))
+    assert got == {1: 0, 2: 1}
+
+
+def test_gbm_bridges_stub_interface(spark):
+    import pandas as pd
+    import pytest
+    from mars_spark.learn import contrib
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "features": [[1.0, 2.0]], "label": [1.0]}))
+    prepped = contrib.prepare_dataset(sdf, "features", "label",
+                                      num_workers=2)
+    assert prepped.rdd.getNumPartitions() == 2
+    assert set(prepped.columns) == {"features", "label"}
+    for cls in (contrib.XGBClassifier, contrib.XGBRegressor,
+                contrib.LGBMClassifier, contrib.LGBMRegressor):
+        with pytest.raises(ImportError, match="not[ \n]*installed|requires"):
+            cls(max_depth=3).fit(prepped)

@@ -83,3 +83,11 @@ def test_remote_diamond_and_batch():
     c = remote.spawn(lambda x: x + 1, args=(a,))
     d = remote.spawn(lambda x, y: x + y, args=(b, c))
     assert remote.execute(d) == [9]
+
+
+def test_run_script():
+    from mars_spark import remote
+
+    out = remote.run_script(
+        "z = x + y\nw = z * 2", data={"x": 2, "y": 3}, retrieve=["z", "w"])
+    assert out == {"z": 5, "w": 10}
