@@ -617,7 +617,11 @@ class DataFrame:
             seq.alias(name),
             *[c for c in self._sdf.columns],
         ).drop("__mid")
-        return DataFrame(out, index=[name], seq=name)
+        res = DataFrame(out, index=[name], seq=name)
+        # the prefix-sum job already produced the total row count —
+        # tail()/negative iloc reuse it instead of running a max agg
+        res._seq_total = acc
+        return res
 
     def align(self, other: "DataFrame", join: str = "outer",
               fill_value=None):
@@ -640,7 +644,11 @@ class DataFrame:
         return self.set_sequence_index("__seq__")
 
     def _seq_len(self):
-        """Row count via max(seq)+1 — one distributed agg job."""
+        """Row count: free when set_sequence_index recorded it, else
+        one max(seq)+1 agg job."""
+        total = getattr(self, "_seq_total", None)
+        if total is not None:
+            return F.lit(total)
         v = self._sdf.agg(F.max(F.col(self._seq)).alias("m")).collect()[0]["m"]
         return F.lit((v if v is not None else -1) + 1)
 

@@ -565,20 +565,20 @@ def q21_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     o = orders[["o_orderkey", "o_orderdate", "o_orderstatus"]]
     j = li[["l_orderkey", "l_suppkey", "l_shipdate"]].merge(
         o, left_on="l_orderkey", right_on="o_orderkey")
-    # EXISTS: some other supplier contributed to the same order
-    multi = j.groupby("l_orderkey", as_index=False).agg(
-        nsup=("l_suppkey", "nunique"))
-    multi = multi[multi.nsup > 1][["l_orderkey"]]
-    # the late lineitems (this supplier failed the order)
-    late = j.query("l_shipdate > date_add(o_orderdate, 60)")
-    # NOT EXISTS: no OTHER supplier was late on that order
-    onelate = late.groupby("l_orderkey", as_index=False).agg(
-        nsup=("l_suppkey", "nunique"))
-    onelate = onelate[onelate.nsup == 1][["l_orderkey"]]
+    # ONE per-order aggregation computes both the EXISTS and the
+    # NOT-EXISTS key sets (countDistinct ignores nulls, so the
+    # conditional column counts only LATE suppliers) — halves the
+    # shuffled agg work vs two separate groupbys.
+    late_cond = j.eval("l_shipdate > date_add(o_orderdate, 60)")
+    j["late_sup"] = j.l_suppkey.where(late_cond)
+    per_order = j.groupby("l_orderkey", as_index=False).agg(
+        nsup=("l_suppkey", "nunique"), nlate=("late_sup", "nunique"))
+    qualified = per_order[(per_order.nsup > 1)
+                          & (per_order.nlate == 1)][["l_orderkey"]]
 
+    late = j.query("l_shipdate > date_add(o_orderdate, 60)")
     f = (late[late.o_orderstatus == "F"]
-         .merge(multi, on="l_orderkey", how="semi")
-         .merge(onelate, on="l_orderkey", how="semi"))
+         .merge(qualified, on="l_orderkey", how="semi"))
     n3 = nation[nation.n_name == "NATION_3"][["n_nationkey"]]
     s = sup.merge(n3, left_on="s_nationkey", right_on="n_nationkey",
                   broadcast=True)[["s_suppkey", "s_name"]]
