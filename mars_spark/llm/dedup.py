@@ -67,9 +67,18 @@ def minhash_signature(col: Column, num_hashes: int = 8, k: int = 3) -> list[Colu
 def _fan_out(sdf: SparkDF) -> SparkDF:
     """Repartition up to defaultParallelism when the input arrives in
     fewer partitions (a small parquet file = 1 partition = 1 core for
-    the whole scan-side text work). No-op at cluster scale."""
+    the whole scan-side text work). No-op at cluster scale.
+
+    Partition count comes from the plan's output partitioning (no
+    ``sdf.rdd`` — that forces a full plan-to-RDD conversion on every
+    call, r01 advice)."""
     target = sdf.sparkSession.sparkContext.defaultParallelism
-    if sdf.rdd.getNumPartitions() < target:
+    try:
+        n = sdf._jdf.queryExecution().executedPlan() \
+            .outputPartitioning().numPartitions()
+    except Exception:
+        n = sdf.rdd.getNumPartitions()
+    if n < target:
         sdf = sdf.repartition(target)
     return sdf
 
