@@ -3,8 +3,10 @@ from mars_spark.streaming.core import (
     tumbling_agg,
     sliding_agg,
     session_agg,
+    stream_dedup,
+    stream_static_join,
     write_stream,
 )
 
 __all__ = ["read_stream", "tumbling_agg", "sliding_agg", "session_agg",
-           "write_stream"]
+           "stream_dedup", "stream_static_join", "write_stream"]

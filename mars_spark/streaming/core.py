@@ -103,3 +103,28 @@ def write_stream(sdf: SparkDF, fmt: str = "memory", query_name: str = "out",
     for k, v in options.items():
         writer = writer.option(k, v)
     return writer.start()
+
+
+def stream_dedup(sdf: SparkDF, subset: list[str], ts_col: str,
+                 watermark: str = "10 minutes") -> SparkDF:
+    """Streaming exact dedup — the streaming twin of
+    llm.dedup.exact_dedup: keeps the first arrival per key and drops
+    later duplicates that land within the watermark horizon
+    (dropDuplicatesWithinWatermark bounds the dedup state exactly like
+    the watermark bounds window state; an unbounded dropDuplicates
+    would grow state forever on a 100 TB/day firehose)."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(subset)
+    )
+
+
+def stream_static_join(stream: SparkDF, static: SparkDF, on,
+                       how: str = "inner",
+                       broadcast: bool = True) -> SparkDF:
+    """Stream-static enrichment join (dimension lookup on a stream).
+    The static side re-reads per micro-batch; broadcasting it keeps
+    the stream side shuffle-free — the streaming analog of the batch
+    dimension broadcast."""
+    s = F.broadcast(static) if broadcast else static
+    return stream.join(s, on=on, how=how)

@@ -190,3 +190,34 @@ def test_gbm_bridges_stub_interface(spark):
                 contrib.LGBMClassifier, contrib.LGBMRegressor):
         with pytest.raises(ImportError, match="not[ \n]*installed|requires"):
             cls(max_depth=3).fit(prepped)
+
+
+def test_stream_dedup_and_static_join(spark, tmp_path):
+    import pandas as pd
+    import time
+    src = str(tmp_path / "dsrc")
+    pdf = pd.DataFrame({
+        "k": [1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:30",
+            "2024-01-01 00:01:00", "2024-01-01 00:01:10",
+            "2024-01-01 00:02:00"]),
+        "v": [1.0, 1.0, 2.0, 2.0, 3.0],
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]}))
+
+    stream = St.read_stream(spark, "parquet", src, schema=schema)
+    deduped = St.stream_dedup(stream, ["k"], "ts")
+    joined = St.stream_static_join(deduped, dim, on="k")
+    q = St.write_stream(joined, "memory", query_name="dedup_join",
+                        output_mode="append")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from dedup_join").toPandas()
+    finally:
+        q.stop()
+    assert sorted(out.k) == [1, 2, 3]       # one row per key
+    assert set(out.name) == {"a", "b", "c"}
