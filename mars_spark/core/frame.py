@@ -668,6 +668,78 @@ class DataFrame:
         sdf = self._sdf.repartition(n, *cols) if cols else self._sdf.repartition(n)
         return DataFrame(sdf, self._index)
 
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        """mars/dataframe/base/add_prefix_suffix.py — metadata-only."""
+        return self.rename(columns={c: prefix + c for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename(columns={c: c + suffix for c in self.columns})
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        """mars/dataframe/base/clip.py applied per numeric column."""
+        sdf = self._sdf
+        for c in self.columns:
+            col = F.col(c)
+            if lower is not None:
+                col = F.greatest(col, F.lit(lower))
+            if upper is not None:
+                col = F.least(col, F.lit(upper))
+            sdf = sdf.withColumn(c, col)
+        return DataFrame(sdf, self._index)
+
+    def round(self, decimals: int = 0) -> "DataFrame":
+        sdf = self._sdf
+        for c, t in self._sdf.dtypes:
+            if c in self.columns and t in ("double", "float"):
+                sdf = sdf.withColumn(c, F.round(F.col(c), decimals))
+        return DataFrame(sdf, self._index)
+
+    def abs(self) -> "DataFrame":
+        sdf = self._sdf
+        for c in self.columns:
+            sdf = sdf.withColumn(c, F.abs(F.col(c)))
+        return DataFrame(sdf, self._index)
+
+    def nunique(self) -> dict:
+        """Per-column exact distinct counts in ONE agg pass
+        (mars/dataframe/reduction/nunique.py — Mars builds a
+        drop-duplicates tree per column; countDistinct partials do the
+        same map-side)."""
+        row = self._sdf.agg(*[
+            F.countDistinct(F.col(c)).alias(c) for c in self.columns
+        ]).collect()[0]
+        return {c: row[c] for c in self.columns}
+
+    def _reduce_all(self, fn, numeric_only: bool = True) -> dict:
+        num_types = ("double", "float", "int", "bigint", "smallint",
+                     "tinyint", "decimal")
+        cols = [c for c, t in self._sdf.dtypes
+                if c in self.columns
+                and (not numeric_only or t.startswith(num_types))]
+        row = self._sdf.agg(*[fn(F.col(c)).alias(c) for c in cols]
+                            ).collect()[0]
+        return {c: row[c] for c in cols}
+
+    def sum(self) -> dict:
+        """Frame-wide per-column reductions (pandas df.sum() analog;
+        mars/dataframe/reduction/sum.py) — one distributed agg."""
+        return self._reduce_all(F.sum)
+
+    def mean(self) -> dict:
+        return self._reduce_all(F.avg)
+
+    def min(self) -> dict:
+        return self._reduce_all(F.min, numeric_only=False)
+
+    def max(self) -> dict:
+        return self._reduce_all(F.max, numeric_only=False)
+
+    def std(self) -> dict:
+        return self._reduce_all(F.stddev_samp)
+
+    def var(self) -> dict:
+        return self._reduce_all(F.var_samp)
+
     # ------------------------------------------------------- aggregates
     def describe(self, percentiles=(0.25, 0.5, 0.75)) -> "DataFrame":
         """mars/dataframe/base/describe.py:241 → summary()"""

@@ -168,6 +168,73 @@ class Series:
         dynamic sets via DataFrame.merge)."""
         return Series(self._frame, self._col.isin(list(values)), self.name)
 
+    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+        """mars/dataframe/base/rank.py — GLOBAL rank needs a total
+        order and therefore plans a single-partition window; it's the
+        pandas contract, fine for moderate outputs. At scale prefer
+        groupby(...).rank(...) (partitioned window) — the same rule
+        Mars applies by ranking within chunks then merging."""
+        from pyspark.sql import Window
+
+        order = self._col.asc() if ascending else self._col.desc()
+        w = Window.orderBy(order)
+        if method == "first":
+            r = F.row_number().over(w).cast("double")
+        elif method == "min":
+            r = F.rank().over(w).cast("double")
+        elif method == "dense":
+            r = F.dense_rank().over(w).cast("double")
+        elif method == "average":
+            # avg of row_numbers over ties = rank + (count-1)/2
+            r = (F.rank().over(w)
+                 + (F.count(F.lit(1)).over(
+                     Window.partitionBy(self._col)) - 1) / 2.0).cast("double")
+        else:
+            raise ValueError(method)
+        return Series(self._frame, r, self.name)
+
+    def nlargest(self, n: int = 5) -> "Series":
+        f = self._frame
+        name = self.name or "value"
+        sdf = f._sdf.select(self._col.alias(name)) \
+            .orderBy(F.desc(name)).limit(n)
+        from mars_spark.core.frame import DataFrame
+
+        nf = DataFrame(sdf)
+        return Series(nf, F.col(name), name)
+
+    def nsmallest(self, n: int = 5) -> "Series":
+        f = self._frame
+        name = self.name or "value"
+        sdf = f._sdf.select(self._col.alias(name)) \
+            .orderBy(F.asc(name)).limit(n)
+        from mars_spark.core.frame import DataFrame
+
+        nf = DataFrame(sdf)
+        return Series(nf, F.col(name), name)
+
+    def mode(self):
+        """mars/dataframe/base/mode.py — most frequent value (ties →
+        smallest, pandas keeps all; scalar form here)."""
+        name = self.name or "value"
+        out = (self._frame._sdf.groupBy(self._col.alias(name))
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .orderBy(F.desc("__n"), F.asc(name)).limit(1).collect())
+        return out[0][name] if out else None
+
+    def idxmax(self):
+        """Index label of the max value (needs an index column)."""
+        idx = self._frame._require_index("idxmax")
+        row = (self._frame._sdf.orderBy(self._col.desc())
+               .select(idx).limit(1).collect())
+        return row[0][idx] if row else None
+
+    def idxmin(self):
+        idx = self._frame._require_index("idxmin")
+        row = (self._frame._sdf.orderBy(self._col.asc())
+               .select(idx).limit(1).collect())
+        return row[0][idx] if row else None
+
     def dot(self, other) -> float:
         """mars/dataframe/arithmetic/dot.py — Series·Series inner
         product as one distributed agg (same-frame columns; for

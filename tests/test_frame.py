@@ -310,3 +310,38 @@ def test_insert_rename_axis_dot(spark):
     renamed = idx.rename_axis("k")
     assert renamed._index == ["k"]
     assert f.a.dot(f.b) == 1 * 3 + 2 * 4
+
+
+def test_frame_reductions_and_cosmetics(spark):
+    import pandas as pd
+    p = pd.DataFrame({"a": [1.0, -2.0, 3.0], "b": [4.0, 5.0, None],
+                      "s": ["x", "y", "x"]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    assert f.sum() == {"a": 2.0, "b": 9.0}
+    assert f.mean()["a"] == pytest.approx(2 / 3)
+    assert f.min()["s"] == "x" and f.max()["s"] == "y"
+    assert f.nunique() == {"a": 3, "b": 2, "s": 2}
+    pref = f.add_prefix("p_")
+    assert pref.columns == ["p_a", "p_b", "p_s"]
+    clipped = f[["a"]].clip(lower=0.0).to_pandas()
+    assert list(clipped.a) == [1.0, 0.0, 3.0]
+    absd = f[["a"]].abs().to_pandas()
+    assert list(absd.a) == [1.0, 2.0, 3.0]
+
+
+def test_series_rank_mode_idx(spark):
+    import pandas as pd
+    p = pd.DataFrame({"k": [10, 20, 30, 40],
+                      "v": [3.0, 1.0, 3.0, 2.0]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    got = f.v.rank().to_pandas()
+    exp = p.v.rank()
+    joined = f._sdf.select("k", f.v.rank()._col.alias("r")).toPandas()
+    m = dict(zip(joined.k, joined.r))
+    pm = dict(zip(p.k, exp))
+    assert m == pm
+    assert f.v.mode() == 3.0
+    assert sorted(f.v.nlargest(2).to_pandas()) == [3.0, 3.0]
+    idx = f.set_index("k")
+    assert idx.v.idxmin() == 20
+    assert idx.v.idxmax() in (10, 30)  # ties: either max row
