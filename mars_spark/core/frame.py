@@ -213,9 +213,19 @@ class DataFrame:
     def select(self, *cols) -> "DataFrame":
         return self[list(cols)]
 
-    def drop(self, columns=None, labels=None, axis=1) -> "DataFrame":
-        """mars/dataframe/base/drop.py:29 (column drop only; row drop by
-        label needs an index and is an anti-join — see merge)."""
+    def drop(self, columns=None, labels=None, axis=1,
+             index=None) -> "DataFrame":
+        """mars/dataframe/base/drop.py:29. axis=1 (or columns=) drops
+        columns; axis=0 with labels/index= drops ROWS whose index-column
+        value matches — a Catalyst NOT-IN filter (partition-prunable),
+        the distributed form of pandas label drops."""
+        if axis == 0 or index is not None:
+            rows = index if index is not None else labels
+            rows = [rows] if not isinstance(rows, (list, tuple)) else list(rows)
+            idx = self._require_index("drop(axis=0)")
+            return DataFrame(
+                self._sdf.filter(~F.col(idx).isin(rows)), self._index,
+                seq=self._seq)
         cols = columns if columns is not None else labels
         if isinstance(cols, str):
             cols = [cols]

@@ -121,7 +121,9 @@ def concat(objs, axis: int = 0, join: str = "outer",
         out = objs[0]._sdf
         for o in objs[1:]:
             out = out.unionByName(o._sdf, allowMissingColumns=(join == "outer"))
-        return DataFrame(out, objs[0]._index)
+        # ignore_index drops the index metadata (pandas: fresh range
+        # index; positional ops would rebuild a sequence index lazily)
+        return DataFrame(out, None if ignore_index else objs[0]._index)
     # axis=1: join successive frames on shared index columns
     base = objs[0]
     idx = base._index

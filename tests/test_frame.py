@@ -345,3 +345,13 @@ def test_series_rank_mode_idx(spark):
     idx = f.set_index("k")
     assert idx.v.idxmin() == 20
     assert idx.v.idxmax() in (10, 30)  # ties: either max row
+
+
+def test_drop_rows_by_label(spark):
+    import pandas as pd
+    p = pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")})
+    f = ms.from_spark(spark.createDataFrame(p)).set_index("k")
+    out = f.drop(index=[2, 4]).to_pandas().sort_values("v")
+    assert list(out.v) == ["a", "c"]
+    single = f.drop(labels=3, axis=0).to_pandas()
+    assert len(single) == 3
