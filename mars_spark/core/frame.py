@@ -111,10 +111,15 @@ class _ILocIndexer:
             cond = seq.isin([int(r) for r in rows])
         else:
             raise NotImplementedError(f"iloc row selector {type(rows)}")
-        out = DataFrame(f._sdf.filter(cond), f._index, seq=f._seq)
-        if self._frame._seq is None:
-            # ephemeral index: don't leak the helper column
-            out = DataFrame(out._sdf.drop(f._seq), self._frame._index)
+        sel = f._sdf.filter(cond)
+        if f._seq != self._frame._seq:
+            # ephemeral helper index: don't leak the column; a stale
+            # user-visible sequence column (if any) stays as data
+            sel = sel.drop(f._seq)
+        # any propagated sequence now has gaps → positional ops against
+        # the result must rebuild (seq_dirty)
+        out = DataFrame(sel, self._frame._index, seq=self._frame._seq,
+                        seq_dirty=True)
         if cols is not None:
             names = self._frame.columns
             if isinstance(cols, int):
@@ -127,13 +132,19 @@ class DataFrame:
     """Distributed pandas-semantics frame backed by a Spark plan."""
 
     def __init__(self, sdf: SparkDataFrame, index: list[str] | None = None,
-                 seq: str | None = None):
+                 seq: str | None = None, seq_dirty: bool = False):
         self._sdf = sdf
         self._index = list(index or [])
         # name of the engine-managed sequence-index column, if one was
         # materialized by set_sequence_index (None = positional ops
         # build an ephemeral one over the current plan order)
         self._seq = seq
+        # True when rows were filtered AFTER the sequence was assigned:
+        # the labels are still a valid ordering (drop_duplicates keep=
+        # first/last) but have gaps, so positional ops (iloc/tail) must
+        # rebuild a dense sequence against the CURRENT frame — pandas
+        # positional semantics are always against the current frame.
+        self._seq_dirty = seq_dirty and seq is not None
 
     # ------------------------------------------------------------ basics
     @property
@@ -225,7 +236,7 @@ class DataFrame:
             idx = self._require_index("drop(axis=0)")
             return DataFrame(
                 self._sdf.filter(~F.col(idx).isin(rows)), self._index,
-                seq=self._seq)
+                seq=self._seq, seq_dirty=True)
         cols = columns if columns is not None else labels
         if isinstance(cols, str):
             cols = [cols]
@@ -245,7 +256,7 @@ class DataFrame:
         idx = self._require_index("rename_axis")
         return DataFrame(self._sdf.withColumnRenamed(idx, mapper),
                          index=[mapper], seq=mapper if self._seq == idx
-                         else self._seq)
+                         else self._seq, seq_dirty=self._seq_dirty)
 
     def insert(self, loc: int, column: str, value) -> None:
         """mars/dataframe/indexing/insert.py — positional column
@@ -407,10 +418,9 @@ class DataFrame:
         data rows."""
         f = self._ensure_seq()
         out = f._sdf.filter(F.col(f._seq) >= f._seq_len() - n)
-        if self._seq is None:
+        if f._seq != self._seq:
             out = out.drop(f._seq)
-            return DataFrame(out, self._index)
-        return DataFrame(out, f._index, seq=f._seq)
+        return DataFrame(out, self._index, seq=self._seq, seq_dirty=True)
 
     def nlargest(self, n: int, columns) -> "DataFrame":
         return self.sort_values(columns, ascending=False).head(n)
@@ -462,7 +472,7 @@ class DataFrame:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-            return DataFrame(out, self._index, seq=self._seq)
+            return DataFrame(out, self._index, seq=self._seq, seq_dirty=True)
         return DataFrame(self._sdf.dropDuplicates(subset=subset), self._index)
 
     def duplicated(self, subset=None) -> "DataFrame":
@@ -597,13 +607,18 @@ class DataFrame:
         offset[partition] + position. No global sort, no
         single-partition window, no zipWithIndex plan break.
 
-        The frame is cached first: the id assignment must be identical
-        between the count job and every downstream use. After a
-        sort_values on a total-order key the sequence equals the sort
-        rank (range partitions are emitted in key order).
+        The frame is snapshotted first (localCheckpoint): the id
+        assignment must be identical between the count job and every
+        downstream use. localCheckpoint rather than cache() so the
+        executor-side blocks are released by the ContextCleaner as soon
+        as the (often ephemeral — see _ensure_seq) frame is GC'd,
+        instead of pinning a full copy of the dataset in executor
+        memory for the session lifetime. After a sort_values on a
+        total-order key the sequence equals the sort rank (range
+        partitions are emitted in key order).
         """
         sdf = self._sdf.withColumn(
-            "__mid", F.monotonically_increasing_id()).cache()
+            "__mid", F.monotonically_increasing_id()).localCheckpoint()
         pid = F.shiftright(F.col("__mid"), 33)
         pos = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
         counts = (
@@ -649,9 +664,15 @@ class DataFrame:
         return _reindex(self, index, fill_value=fill_value)
 
     def _ensure_seq(self) -> "DataFrame":
-        if self._seq is not None:
+        if self._seq is not None and not self._seq_dirty:
             return self
-        return self.set_sequence_index("__seq__")
+        # no sequence, or a stale (gappy) one after row filtering:
+        # build a dense ephemeral sequence over the CURRENT plan order
+        # (narrow filters preserve order, so this matches pandas'
+        # position-after-slice semantics); pick a helper name that
+        # can't collide with a stale engine column.
+        name = "__seq__" if self._seq != "__seq__" else "__seq2__"
+        return self.set_sequence_index(name)
 
     def _seq_len(self):
         """Row count: free when set_sequence_index recorded it, else

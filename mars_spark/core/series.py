@@ -75,13 +75,14 @@ class Series:
 
             return align_series(self, other, op, fill_value=fill_value)
         if fill_value is not None:
-            me = Series(self._frame, F.coalesce(self._col, _lit(fill_value)),
-                        self.name)
-            if isinstance(other, Series):
-                other = Series(other._frame,
-                               F.coalesce(other._col, _lit(fill_value)),
-                               other.name)
-            return me._binop(other, op)
+            # fill only when exactly one side is missing — pandas keeps
+            # the result missing when BOTH locations are missing
+            fill = _lit(fill_value)
+            ocol = other._col if isinstance(other, Series) else _lit(other)
+            res = F.when(self._col.isNull() & ocol.isNull(), F.lit(None)) \
+                .otherwise(op(F.coalesce(self._col, fill),
+                              F.coalesce(ocol, fill)))
+            return Series(self._frame, res, self.name)
         return self._binop(other, op)
 
     def __add__(self, o):

@@ -77,8 +77,14 @@ def _fan_out(sdf: SparkDF) -> SparkDF:
         n = sdf._jdf.queryExecution().executedPlan() \
             .outputPartitioning().numPartitions()
     except Exception:
+        n = 0
+    if n <= 0:
+        # UnknownPartitioning reports 0 (AQE wrappers, non-bucketed file
+        # scans) — fall back to the RDD partition count rather than
+        # treating "unknown" as "single partition" and force-shuffling
+        # (which would also SHRINK wide inputs at cluster scale).
         n = sdf.rdd.getNumPartitions()
-    if n < target:
+    if 0 < n < target:
         sdf = sdf.repartition(target)
     return sdf
 

@@ -44,11 +44,15 @@ def align_series(left, right, op, fill_value=None, name: str | None = None):
     j = lsdf.join(rsdf, on=li, how="outer")
     lcol, rcol = F.col("__l"), F.col("__r")
     if fill_value is not None:
+        # pandas contract: fill substitutes for a missing SIDE; a row
+        # missing from both sides stays missing (never op(fill, fill))
         lit = F.lit(fill_value)
-        lcol = F.coalesce(lcol, lit)
-        rcol = F.coalesce(rcol, lit)
+        res = F.when(lcol.isNull() & rcol.isNull(), F.lit(None)).otherwise(
+            op(F.coalesce(lcol, lit), F.coalesce(rcol, lit)))
+    else:
+        res = op(lcol, rcol)
     out = DataFrame(j, index=list(li))
-    return Series(out, op(lcol, rcol), name or left.name)
+    return Series(out, res, name or left.name)
 
 
 def align_frames(lf, rf, join: str = "outer", fill_value=None):

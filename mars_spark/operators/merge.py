@@ -56,6 +56,11 @@ def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
     how = _HOW[how]
     lsdf, rsdf = left._sdf, right._sdf
     ind_name = None
+    if indicator and how in ("leftsemi", "leftanti"):
+        # semi/anti joins drop the right side entirely — an indicator is
+        # meaningless (pandas has no semi/anti merge at all); refusing
+        # beats the AnalysisException the marker column would raise.
+        raise ValueError("indicator= is not supported with semi/anti joins")
     if indicator:
         ind_name = "_merge" if indicator is True else str(indicator)
         lsdf = lsdf.withColumn("__from_l", F.lit(1))

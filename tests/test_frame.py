@@ -355,3 +355,55 @@ def test_drop_rows_by_label(spark):
     assert list(out.v) == ["a", "c"]
     single = f.drop(labels=3, axis=0).to_pandas()
     assert len(single) == 3
+
+
+def test_positional_ops_after_row_filter(spark):
+    # r02 advice: iloc/tail positions must be against the CURRENT frame,
+    # not stale pre-filter sequence labels (pandas semantics).
+    import pandas as pd
+    pdf = pd.DataFrame({"k": range(20), "v": range(100, 120)})
+    f = ms.from_spark(spark.createDataFrame(pdf).repartition(4)).sort_values("k")
+    s = f.set_sequence_index("idx")
+    sl = s.iloc[5:10]                      # k = 5..9
+    first = sl.iloc[0].to_pandas()
+    assert list(first.k) == [5]
+    assert list(sl.iloc[2:4].to_pandas().sort_values("k").k) == [7, 8]
+    # tail after row drops returns n rows of the filtered frame
+    dropped = s.drop(index=[18, 19], axis=0)
+    t = dropped.tail(3).to_pandas().sort_values("k")
+    assert list(t.k) == [15, 16, 17]
+    # the user-visible sequence labels survive as data
+    assert list(first.idx) == [5]
+
+
+def test_fill_value_both_null_stays_null(spark):
+    import math
+    import pandas as pd
+    p1 = pd.DataFrame({"k": [1, 2], "a": [None, 2.0]})
+    p2 = pd.DataFrame({"k": [1, 3], "b": [None, 3.0]})
+    f1 = ms.from_spark(spark.createDataFrame(p1)).set_index("k")
+    f2 = ms.from_spark(spark.createDataFrame(p2)).set_index("k")
+    out = f1.a.add(f2.b, fill_value=0.0)
+    got = dict(zip(out._frame._sdf.select("k").toPandas().k, out.to_pandas()))
+    assert got[1] is None or math.isnan(got[1])   # both missing -> missing
+    assert got[2] == 2.0 and got[3] == 3.0
+    # same-frame form: both-null row stays null
+    import numpy as np
+    p3 = pd.DataFrame({"x": [np.nan, 1.0], "y": [np.nan, np.nan]})
+    f3 = ms.from_spark(spark.createDataFrame(
+        [(None, None), (1.0, None)], "x double, y double"))
+    vals = f3.x.add(f3.y, fill_value=5.0).to_pandas()
+    pd_vals = p3.x.add(p3.y, fill_value=5.0)
+    assert (math.isnan(vals[0]) or vals[0] is None) == math.isnan(pd_vals[0])
+    assert vals[1] == pd_vals[1] == 6.0
+
+
+def test_merge_indicator_semi_anti_raises(spark):
+    import pandas as pd
+    import pytest as pt
+    p = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    with pt.raises(ValueError):
+        f.merge(f, on="k", how="semi", indicator=True)
+    with pt.raises(ValueError):
+        f.merge(f, on="k", how="anti", indicator=True)
