@@ -565,27 +565,39 @@ def q21_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     o = orders[["o_orderkey", "o_orderdate", "o_orderstatus"]]
     j = li[["l_orderkey", "l_suppkey", "l_shipdate"]].merge(
         o, left_on="l_orderkey", right_on="o_orderkey")
-    # ONE per-order aggregation computes both the EXISTS and the
-    # NOT-EXISTS key sets (countDistinct ignores nulls, so the
-    # conditional column counts only LATE suppliers) — halves the
-    # shuffled agg work vs two separate groupbys.
+    # ONE per-order aggregation answers everything — both distinct
+    # counts collapse to min/max flags (countDistinct would plan an
+    # Expand that doubles the shuffled rows; min!=max ⇔ >1 distinct,
+    # min==max ∧ count>0 ⇔ exactly 1 distinct), and because a
+    # qualified order has exactly ONE late supplier, that supplier is
+    # min(late_sup) and its late-row count is count(late_sup) — so the
+    # big join is consumed exactly once (no recompute, no cache needed,
+    # no semi-join back against lineitem).
     late_cond = j.eval("l_shipdate > date_add(o_orderdate, 60)")
     j["late_sup"] = j.l_suppkey.where(late_cond)
-    per_order = j.groupby("l_orderkey", as_index=False).agg(
-        nsup=("l_suppkey", "nunique"), nlate=("late_sup", "nunique"))
-    qualified = per_order[(per_order.nsup > 1)
-                          & (per_order.nlate == 1)][["l_orderkey"]]
-
-    late = j.query("l_shipdate > date_add(o_orderdate, 60)")
-    f = (late[late.o_orderstatus == "F"]
-         .merge(qualified, on="l_orderkey", how="semi"))
+    sdf = j.to_spark()
+    per_order = sdf.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("minsup"),
+        F.max("l_suppkey").alias("maxsup"),
+        F.count("late_sup").alias("nlate_rows"),
+        F.min("late_sup").alias("minlate"),
+        F.max("late_sup").alias("maxlate"),
+        F.min("o_orderstatus").alias("status"),
+    )
+    qualified = per_order.filter(
+        (F.col("minsup") != F.col("maxsup"))
+        & (F.col("nlate_rows") > 0)
+        & (F.col("minlate") == F.col("maxlate"))
+        & (F.col("status") == "F")
+    ).select(F.col("minlate").alias("l_suppkey"),
+             F.col("nlate_rows"))
     n3 = nation[nation.n_name == "NATION_3"][["n_nationkey"]]
-    s = sup.merge(n3, left_on="s_nationkey", right_on="n_nationkey",
-                  broadcast=True)[["s_suppkey", "s_name"]]
-    g = (f.merge(s, left_on="l_suppkey", right_on="s_suppkey",
-                 broadcast=True)
-         .groupby("s_name", as_index=False).agg(numwait=("l_orderkey", "count")))
-    return g.to_spark().orderBy(F.desc("numwait"), F.asc("s_name"))
+    s = (sup.merge(n3, left_on="s_nationkey", right_on="n_nationkey",
+                   broadcast=True)[["s_suppkey", "s_name"]]).to_spark()
+    g = (qualified.join(F.broadcast(s),
+                        qualified.l_suppkey == s.s_suppkey)
+         .groupBy("s_name").agg(F.sum("nlate_rows").alias("numwait")))
+    return g.orderBy(F.desc("numwait"), F.asc("s_name"))
 
 
 TPCH_QUERIES = {
