@@ -429,9 +429,34 @@ class DataFrame:
         return self.sort_values(columns, ascending=True).head(n)
 
     def sample(self, frac: float = None, n: int = None, replace: bool = False,
-               seed: int = None) -> "DataFrame":
+               seed: int = None, weights=None) -> "DataFrame":
         """mars/dataframe/indexing/sample.py:41; exact-n sampling is a
-        count-then-fraction two-pass like Mars's."""
+        count-then-fraction two-pass like Mars's. ``weights`` (a column
+        name or Series) samples without replacement proportional to the
+        weight via the Efraimidis-Spirakis exponential-keys trick:
+        key = rand^(1/w), keep the n largest keys — one pass, the top-n
+        is TakeOrderedAndProject (per-partition heaps, no global sort,
+        nothing through the driver)."""
+        if weights is not None:
+            if replace:
+                raise NotImplementedError("weighted sample with replace")
+            from mars_spark.core.series import Series
+
+            wcol = (F.col(weights) if isinstance(weights, str)
+                    else weights._col if isinstance(weights, Series)
+                    else weights)
+            if n is None:
+                total = self._sdf.count()
+                n = int(round((frac or 0.0) * total))
+            # zero-weight rows → null key → sort last (never sampled
+            # while positive-weight rows remain); pandas raises on
+            # negative weights, matched here by the <= 0 gate
+            w = wcol.cast("double")
+            key = F.when(w > 0, F.pow(F.rand(seed if seed is not None else 42),
+                                      F.try_divide(F.lit(1.0), w)))
+            out = (self._sdf.withColumn("__wk", key)
+                   .orderBy(F.desc_nulls_last("__wk")).limit(n).drop("__wk"))
+            return DataFrame(out, self._index)
         if frac is None:
             total = self._sdf.count()
             frac = min(1.0, (n / total) * 1.2 if total else 0.0)

@@ -198,6 +198,11 @@ class GroupBy:
     def cummin(self, order_by):
         return self._cum(order_by, F.min)
 
+    def cumprod(self, order_by):
+        """mars/dataframe/reduction/cumprod.py:21 — F.product is a
+        native Spark aggregate (sign/zero exact, no exp/ln trick)."""
+        return self._cum(order_by, F.product)
+
     def cumcount(self, order_by):
         from mars_spark.core.frame import DataFrame
 

@@ -170,29 +170,27 @@ class Series:
         return Series(self._frame, self._col.isin(list(values)), self.name)
 
     def rank(self, method: str = "average", ascending: bool = True) -> "Series":
-        """mars/dataframe/base/rank.py — GLOBAL rank needs a total
-        order and therefore plans a single-partition window; it's the
-        pandas contract, fine for moderate outputs. At scale prefer
-        groupby(...).rank(...) (partitioned window) — the same rule
-        Mars applies by ranking within chunks then merging."""
-        from pyspark.sql import Window
+        """mars/dataframe/base/rank.py — Mars ranks within chunks and
+        merges cumulative chunk counts; the Spark-first equivalent is
+        operators/rank.py: per-distinct-value stats + range-partitioned
+        prefix sums + a join back. Fully partition-parallel — no
+        single-partition ``Window.orderBy`` (that plan funnels the
+        whole dataset through one task and dies at scale).
 
-        order = self._col.asc() if ascending else self._col.desc()
-        w = Window.orderBy(order)
-        if method == "first":
-            r = F.row_number().over(w).cast("double")
-        elif method == "min":
-            r = F.rank().over(w).cast("double")
-        elif method == "dense":
-            r = F.dense_rank().over(w).cast("double")
-        elif method == "average":
-            # avg of row_numbers over ties = rank + (count-1)/2
-            r = (F.rank().over(w)
-                 + (F.count(F.lit(1)).over(
-                     Window.partitionBy(self._col)) - 1) / 2.0).cast("double")
-        else:
-            raise ValueError(method)
-        return Series(self._frame, r, self.name)
+        Returns a Series over a NEW frame (the stats join), like all
+        alignment-producing ops; the frame carries every original
+        column plus the rank."""
+        from mars_spark.core.frame import DataFrame
+        from mars_spark.operators.rank import add_rank
+
+        name = self.name or "value"
+        base = self._frame._sdf
+        if name not in base.columns:
+            base = base.withColumn(name, self._col)
+        out = add_rank(base, name, method=method, ascending=ascending,
+                       out="__rank__")
+        nf = DataFrame(out, self._frame._index)
+        return Series(nf, F.col("__rank__"), name)
 
     def nlargest(self, n: int = 5) -> "Series":
         f = self._frame

@@ -265,22 +265,30 @@ def log_loss(df, label: str, prob: str = "probability",
 
 def roc_auc_score(df, label: str, score: str) -> float:
     """Rank-based AUC (Mann-Whitney U): AUC = (R_pos − n_pos(n_pos+1)/2)
-    / (n_pos·n_neg) where R_pos is the rank-sum of positives — ONE
-    distributed sort (rank window) + one agg; average ranks for score
-    ties keep the estimator exact. Reference: mars/learn/metrics/
-    _ranking.py computes the same integral via sorted cum-sums."""
-    from pyspark.sql import Window
+    / (n_pos·n_neg) where R_pos is the rank-sum of positives with
+    average ranks over score ties. Reference: mars/learn/metrics/
+    _ranking.py computes the same integral via sorted cum-sums.
 
-    sdf = _sdf(df).select(F.col(label).alias("y"), F.col(score).alias("s"))
-    # average rank over ties: avg of row_number within equal scores
-    w = Window.orderBy("s")
-    ranked = sdf.withColumn("r", F.row_number().over(w))
-    avg_rank = ranked.groupBy("s").agg(F.avg("r").alias("ar"))
-    joined = ranked.join(avg_rank, on="s")
-    agg = joined.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("ar"))).alias("rpos"),
-        F.sum((F.col("y") == 1).cast("long")).alias("npos"),
-        F.sum((F.col("y") == 0).cast("long")).alias("nneg"),
+    Fully distributed: ONE per-score aggregation (cnt, n_pos), the
+    range-partitioned prefix-sum machinery (operators/rank.py) for the
+    exclusive cumulative counts, then a scalar agg over the per-score
+    table — the full dataset is touched exactly once (the groupBy) and
+    never funnels through a single-partition window."""
+    from mars_spark.operators.rank import prefix_stats
+
+    per_score = (_sdf(df)
+                 .select(F.col(label).alias("y"), F.col(score).alias("s"))
+                 .filter(F.col("s").isNotNull())
+                 .groupBy("s")
+                 .agg(F.count(F.lit(1)).alias("__cnt"),
+                      F.sum((F.col("y") == 1).cast("long")).alias("np")))
+    stats = prefix_stats(per_score, "s", "__cnt", ascending=True)
+    # avg rank of every row at score s = before + (cnt+1)/2
+    agg = stats.agg(
+        F.sum((F.col("__before") + (F.col("__cnt") + 1) / 2.0)
+              * F.col("np")).alias("rpos"),
+        F.sum("np").alias("npos"),
+        F.sum(F.col("__cnt") - F.col("np")).alias("nneg"),
     ).collect()[0]
     if not agg.npos or not agg.nneg:
         return float("nan")

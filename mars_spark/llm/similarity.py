@@ -182,9 +182,12 @@ def lsh_multiband_pairs(sdf: SparkDF, vec_col: str, dim: int,
     miss-free against the brute oracle at sf0.01 and sf0.1.
     """
     # unit-normalize once: pairwise cosine collapses to a single dot in
-    # the verify stage (1 aggregate per pair instead of 3)
+    # the verify stage (1 aggregate per pair instead of 3).
+    # localCheckpoint, not cache: blocks are GC-released after the
+    # query instead of pinning executor memory for the session.
     base = sdf.select(
-        F.col(id_col), unit(to_double(F.col(vec_col))).alias("e")).cache()
+        F.col(id_col),
+        unit(to_double(F.col(vec_col))).alias("e")).localCheckpoint()
     # Each band's bucket is ONE parsed SQL expression (plane sign rows
     # inlined as array literals). Building this from per-element F.lit
     # Columns costs thousands of py4j round-trips (~10s driver time),
@@ -204,13 +207,13 @@ def lsh_multiband_pairs(sdf: SparkDF, vec_col: str, dim: int,
 
     # each band is an independent hash table (its own plane slice); one
     # posexplode emits (id, band, bucket) triples — all that shuffles.
-    # Cached: both join sides read it, banding must not run twice.
+    # Snapshotted: both join sides read it, banding must not run twice.
     band_entries = base.select(
         F.col(id_col),
         F.posexplode(F.array(*[
             F.expr(_band_sql(t)).cast("int") for t in range(bands)
         ])).alias("band", "bk"),
-    ).cache()
+    ).localCheckpoint()
     a = band_entries.select(F.col(id_col).alias("a"), "band", "bk")
     b = band_entries.select(F.col(id_col).alias("b"), "band", "bk")
     cand = (
@@ -315,9 +318,14 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
     shifts with the reader's split count. That property is what lets
     the driver hash-compare an IVF recall contract (emb_ann_recall).
 
-    Assignment is argmax-cosine over centroid literals — generated SQL
-    expressions (see the LSH banding note on why not per-element
-    Columns). Collects only centroid-sized data (n_clusters × dim)."""
+    Assignment is ONE BLAS gemm per Arrow batch (vectorized pandas
+    UDF): the n×d batch matrix times the d×k centroid matrix, argmax
+    per row. The previous form — k interpreted aggregate/zip_with dots
+    per row — was the round-2 corpus' single most expensive stage
+    (HOFs never enter codegen); the gemm is ~10× cheaper and is the
+    index-build cost at 100 TB. argmax tie-break (first max) matches
+    the SQL array_position form it replaces. Collects only
+    centroid-sized data (n_clusters × dim)."""
     base = sdf.select(
         F.col(id_col), unit(to_double(F.col(vec_col))).alias("e"))
     seeds = [list(r["e"]) for r in
@@ -325,31 +333,33 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
              .orderBy(id_col).select("e").collect()]
 
     def _assign(df, cents):
-        # dots materialized ONCE per row in a temp column; inlining the
-        # array into array_position(array(...), array_max(array(...)))
-        # would parse and evaluate every centroid dot twice
-        dots = ",".join(
-            "aggregate(zip_with(e, array(%s), (x, y) -> x * y), "
-            "cast(0 as double), (acc, x) -> acc + x)"
-            % ",".join(f"{v}D" for v in c)
-            for c in cents)
-        return (
-            df.withColumn("__dots", F.expr(f"array({dots})"))
-            .withColumn(
-                "cluster",
-                F.expr("array_position(__dots, array_max(__dots))")
-                .cast("int") - 1)
-            .drop("__dots")
-        )
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cmat = np.asarray(cents, dtype=np.float64).T  # d × k
+
+        # no type hints: this module postpones annotation evaluation
+        # (PEP 563), which pandas_udf's signature inspection rejects
+        def _argmax(e):
+            if e.empty:
+                return pd.Series([], dtype="int32")
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in e])
+            return pd.Series(np.argmax(m @ cmat, axis=1).astype("int32"))
+
+        _argmax_dot = pandas_udf(_argmax, "int")
+        return df.withColumn("cluster", _argmax_dot(F.col("e")))
 
     if not refine:
         # seed centroids alone already give recall 1.0 on the corpus
         # data (measured sf0.01 + sf0.1) and save two Spark jobs.
-        # cache: the assignment expressions are interpreted HOFs that
-        # projection-collapse would otherwise re-inline (and re-run)
-        # into every downstream branch; at scale, write the assigned
-        # table partitioned by cluster instead (partition pruning).
-        return _assign(base, seeds).cache(), seeds
+        # localCheckpoint (NOT cache): downstream branches must not
+        # re-run the Python assignment stage, and checkpoint blocks are
+        # released by the ContextCleaner when the frame is dropped —
+        # cache() pinned a copy for the whole session. At scale, write
+        # the assigned table partitioned by cluster instead
+        # (partition pruning).
+        return _assign(base, seeds).localCheckpoint(), seeds
     # one Lloyd refinement: per-cluster mean, computed distributed and
     # collected at centroid size (n_clusters x dim scalars)
     first = _assign(base, seeds)

@@ -1,0 +1,115 @@
+"""Distributed rank: global ranks without a single-partition window.
+
+Reference: mars/dataframe/base/rank.py ranks within chunks then merges
+cumulative chunk counts — the same two-level scheme implemented here
+with Spark primitives. A naive ``Window.orderBy(col)`` (no partition)
+funnels the ENTIRE dataset through one WindowExec partition — a
+driver-style bottleneck that dies at 100 TB. Instead:
+
+1. aggregate per distinct value (shuffle with map-side combine —
+   the stats table is |distinct values|, usually ≪ rows);
+2. range-partition the stats table on the value (tiny shuffle), snap
+   the layout (localCheckpoint), and compute per-partition subtotal
+   offsets driver-side (#partitions rows — bounded);
+3. intra-partition running sums via a window PARTITIONED BY the
+   physical partition id (parallel, codegen'd) + the broadcast
+   offsets give each distinct value its exclusive prefix count
+   ``before`` and distinct index ``didx``;
+4. every rank method is then a per-value closed form joined back:
+   min = before+1, max = before+cnt, average = before+(cnt+1)/2,
+   dense = didx+1, first = before + row_number within the tie group
+   (a window partitioned by the VALUE — parallel).
+
+All shuffles are on the (small) distinct-value table except the final
+join back, which Catalyst/AQE makes a broadcast join whenever the
+stats table is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, Window
+from pyspark.sql import functions as F
+
+
+def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
+                 ascending: bool = True) -> SparkDF:
+    """Given an aggregated per-distinct-value table, add:
+
+    - ``__before``: sum of ``weight_col`` over all strictly-preceding
+      values (exclusive prefix sum in value order);
+    - ``__didx``: number of strictly-preceding distinct values.
+
+    No global window: range partition + driver-side offsets of the
+    per-partition subtotals (the set_sequence_index prefix-sum scheme
+    generalized to weighted counts).
+    """
+    order = (F.col(value_col).asc() if ascending
+             else F.col(value_col).desc())
+    d = (per_value.repartitionByRange(order)
+         .sortWithinPartitions(order)
+         .localCheckpoint())
+    d = d.withColumn("__pid", F.spark_partition_id())
+    offs = (d.groupBy("__pid")
+            .agg(F.sum(weight_col).alias("__t"),
+                 F.count(F.lit(1)).alias("__k"))
+            .orderBy("__pid").collect())
+    cum_off: dict[int, int] = {}
+    idx_off: dict[int, int] = {}
+    acc = dacc = 0
+    for r in offs:
+        cum_off[int(r["__pid"])] = acc
+        idx_off[int(r["__pid"])] = dacc
+        acc += int(r["__t"])
+        dacc += int(r["__k"])
+    if not cum_off:
+        return (d.withColumn("__before", F.lit(0).cast("bigint"))
+                .withColumn("__didx", F.lit(0).cast("bigint"))
+                .drop("__pid"))
+    cmap = F.create_map(*[F.lit(x) for kv in cum_off.items() for x in kv])
+    imap = F.create_map(*[F.lit(x) for kv in idx_off.items() for x in kv])
+    w = (Window.partitionBy("__pid").orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.withColumn(
+                "__before",
+                (cmap[F.col("__pid")] + F.sum(weight_col).over(w)
+                 - F.col(weight_col)).cast("bigint"))
+            .withColumn(
+                "__didx",
+                (imap[F.col("__pid")] + F.count(F.lit(1)).over(w)
+                 - 1).cast("bigint"))
+            .drop("__pid"))
+
+
+def add_rank(sdf: SparkDF, col: str, method: str = "average",
+             ascending: bool = True, out: str = "__rank__") -> SparkDF:
+    """Return ``sdf`` with a global rank column (pandas semantics:
+    nulls unranked → null rank). Methods: average/min/max/dense/first."""
+    if method not in ("average", "min", "max", "dense", "first"):
+        raise ValueError(method)
+    per_value = (sdf.select(F.col(col).alias("__v"))
+                 .filter(F.col("__v").isNotNull())
+                 .groupBy("__v")
+                 .agg(F.count(F.lit(1)).alias("__cnt")))
+    stats = prefix_stats(per_value, "__v", "__cnt", ascending=ascending)
+
+    if method == "first":
+        # original plan order disambiguates ties; the id is assigned
+        # BEFORE the join so it reflects the input frame's order
+        sdf = sdf.withColumn("__mid", F.monotonically_increasing_id())
+    j = sdf.join(stats, sdf[col] == stats["__v"], "left").drop("__v")
+    if method == "min":
+        r = F.col("__before") + 1
+    elif method == "max":
+        r = F.col("__before") + F.col("__cnt")
+    elif method == "dense":
+        r = F.col("__didx") + 1
+    elif method == "average":
+        r = F.col("__before") + (F.col("__cnt") + 1) / 2.0
+    else:  # first
+        tie = Window.partitionBy(col).orderBy(F.col("__mid").asc())
+        r = F.col("__before") + F.row_number().over(tie)
+    j = j.withColumn(
+        out,
+        F.when(F.col(col).isNotNull(), r.cast("double")))
+    return j.drop("__before", "__didx", "__cnt", "__mid") \
+        if method == "first" else j.drop("__before", "__didx", "__cnt")

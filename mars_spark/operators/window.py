@@ -8,17 +8,32 @@ Mars tiles windows by pulling boundary rows from neighboring chunks
 (rolling/aggregation.py:236). Spark's Window spec does the same thing
 inside the shuffle service: ``rowsBetween`` frames never materialize a
 group, they stream sorted partitions. The one true gap is EWM — no
-native exponentially-weighted aggregate — implemented below with the
-O(1)-state recurrence inside an ordered window using a log-domain
-prefix-sum trick, fully JVM-side (no Python UDF).
+native exponentially-weighted aggregate — handled in ewm_agg as an
+Arrow-batched applyInPandas per group (pandas' C ewm kernel), the
+sanctioned per-group escape hatch; every other operator here is a pure
+JVM window expression.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mars_spark.core.frame import DataFrame
+
+
+def _global_window_warning(what: str) -> None:
+    """An unpartitioned ordered window funnels the ENTIRE dataset
+    through one WindowExec task — fine on a laptop-sized frame, fatal
+    at cluster scale. The corpus always partitions; warn naive callers
+    instead of silently planning the bottleneck."""
+    warnings.warn(
+        f"{what} without partition_by plans a single-partition global "
+        f"window — every row flows through ONE task. Pass partition_by "
+        f"(or groupby(...) first) for a partition-parallel plan.",
+        UserWarning, stacklevel=4)
 
 _ROLL_FUNCS = {
     "sum": F.sum,
@@ -74,6 +89,8 @@ class Rolling:
 
     def _spec(self):
         order = _order_cols(self._frame, self._order_by)
+        if not self._partition_by:
+            _global_window_warning("rolling")
         w = Window.partitionBy(*self._partition_by) if self._partition_by else Window.partitionBy()
         if isinstance(self._window, int):
             return (w.orderBy(*[F.col(c) for c in order])
@@ -127,6 +144,8 @@ class Expanding(Rolling):
 
     def _spec(self):
         order = _order_cols(self._frame, self._order_by)
+        if not self._partition_by:
+            _global_window_warning("expanding")
         w = Window.partitionBy(*self._partition_by) if self._partition_by else Window.partitionBy()
         return (w.orderBy(*[F.col(c) for c in order])
                 .rowsBetween(Window.unboundedPreceding, 0))
@@ -204,6 +223,24 @@ def cumsum(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
     sdf = frame._sdf
     for c in ([cols] if isinstance(cols, str) else cols):
         sdf = sdf.withColumn(c + "_cumsum", F.sum(F.col(c)).over(w))
+    return DataFrame(sdf, frame._index)
+
+
+def cumprod(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
+    """reference: mars/dataframe/reduction/cumprod.py:21 — running
+    product. F.product is a first-class Spark aggregate, so the window
+    form handles signs and zeros natively (no exp/ln round-trip, exact
+    match with DuckDB's product() window); pandas NaN-passthrough
+    semantics via the isNotNull gate like the other cum* ops."""
+    order = _order_cols(frame, order_by)
+    w = (Window.partitionBy(*(partition_by or []))
+         .orderBy(*[F.col(c) for c in order])
+         .rowsBetween(Window.unboundedPreceding, 0))
+    sdf = frame._sdf
+    for c in ([cols] if isinstance(cols, str) else cols):
+        sdf = sdf.withColumn(
+            c + "_cumprod",
+            F.when(F.col(c).isNotNull(), F.product(F.col(c)).over(w)))
     return DataFrame(sdf, frame._index)
 
 

@@ -334,11 +334,10 @@ def test_series_rank_mode_idx(spark):
     p = pd.DataFrame({"k": [10, 20, 30, 40],
                       "v": [3.0, 1.0, 3.0, 2.0]})
     f = ms.from_spark(spark.createDataFrame(p))
-    got = f.v.rank().to_pandas()
-    exp = p.v.rank()
-    joined = f._sdf.select("k", f.v.rank()._col.alias("r")).toPandas()
+    r = f.v.rank()
+    joined = r._frame._sdf.select("k", r._col.alias("r")).toPandas()
     m = dict(zip(joined.k, joined.r))
-    pm = dict(zip(p.k, exp))
+    pm = dict(zip(p.k, p.v.rank()))
     assert m == pm
     assert f.v.mode() == 3.0
     assert sorted(f.v.nlargest(2).to_pandas()) == [3.0, 3.0]
@@ -407,3 +406,62 @@ def test_merge_indicator_semi_anti_raises(spark):
         f.merge(f, on="k", how="semi", indicator=True)
     with pt.raises(ValueError):
         f.merge(f, on="k", how="anti", indicator=True)
+
+
+def test_distributed_rank_all_methods(spark):
+    # r02 verdict item 3: rank must be partition-parallel (no
+    # single-partition WindowExec) and match pandas for every method.
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    p = pd.DataFrame({"k": np.arange(500),
+                      "v": rng.integers(0, 40, 500).astype("float64")})
+    p.loc[p.sample(frac=0.05, random_state=3).index, "v"] = np.nan
+    f = ms.from_spark(spark.createDataFrame(p).repartition(5))
+    for method in ["average", "min", "max", "dense"]:
+        for asc in [True, False]:
+            r = f.v.rank(method=method, ascending=asc)
+            got = r._frame._sdf.select("k", r._col.alias("r")).toPandas()
+            m = dict(zip(got.k, got.r))
+            exp = dict(zip(p.k, p.v.rank(method=method, ascending=asc)))
+            for k, e in exp.items():
+                if np.isnan(e):
+                    assert m[k] is None or np.isnan(m[k]), (method, asc, k)
+                else:
+                    assert m[k] == e, (method, asc, k, m[k], e)
+    # method='first': tie order is plan order, which after a sort is the
+    # pandas order — compare against pandas on the sorted frame
+    fs = f.sort_values("k")
+    r = fs.v.rank(method="first")
+    got = r._frame._sdf.select("k", r._col.alias("r")).toPandas()
+    m = dict(zip(got.k, got.r))
+    ps = p.sort_values("k")
+    exp = dict(zip(ps.k, ps.v.rank(method="first")))
+    for k, e in exp.items():
+        if not np.isnan(e):
+            assert m[k] == e, ("first", k, m[k], e)
+    # plan check: no unpartitioned window over the full data
+    plan = f.v.rank()._frame._sdf._jdf.queryExecution().executedPlan().toString()
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in spec or "__v" in spec, f"global window: {spec}"
+
+
+def test_roc_auc_distributed_matches_closed_form(spark):
+    import numpy as np
+    import pandas as pd
+    from mars_spark.learn.facade import roc_auc_score
+    rng = np.random.default_rng(11)
+    n = 2000
+    y = rng.integers(0, 2, n)
+    s = np.where(y == 1, rng.normal(0.6, 0.3, n), rng.normal(0.4, 0.3, n))
+    s = np.round(s, 2)  # force ties
+    f = ms.from_spark(spark.createDataFrame(
+        pd.DataFrame({"y": y, "s": s})).repartition(6))
+    got = roc_auc_score(f, "y", "s")
+    # pandas oracle: rank-sum with average ranks
+    pr = pd.Series(s).rank(method="average")
+    rpos = pr[y == 1].sum()
+    npos, nneg = (y == 1).sum(), (y == 0).sum()
+    exp = (rpos - npos * (npos + 1) / 2) / (npos * nneg)
+    assert abs(got - exp) < 1e-12
