@@ -202,6 +202,17 @@ class DataFrame:
     def __setitem__(self, key: str, value):
         # Reference: mars/dataframe/indexing/setitem.py:35 → withColumn
         if isinstance(value, Series):
+            origin = getattr(value._frame, "_origin_frame", None)
+            if value._frame is not self and origin is not None and (
+                    origin is self or origin._sdf is self._sdf):
+                # the value rides a row-preserving extension of this
+                # frame (e.g. Series.rank's stats join): adopt the
+                # extended plan, keeping exactly this frame's columns
+                # plus the assigned one
+                base = value._frame._sdf.withColumn(key, value._col)
+                cols = [c for c in self._sdf.columns if c != key] + [key]
+                self._sdf = base.select(*cols)
+                return
             col = value._col
         elif isinstance(value, Column):
             col = value
@@ -437,6 +448,8 @@ class DataFrame:
         key = rand^(1/w), keep the n largest keys — one pass, the top-n
         is TakeOrderedAndProject (per-partition heaps, no global sort,
         nothing through the driver)."""
+        if n is None and frac is None:
+            n = 1  # pandas default: one row
         if weights is not None:
             if replace:
                 raise NotImplementedError("weighted sample with replace")
@@ -445,19 +458,37 @@ class DataFrame:
             wcol = (F.col(weights) if isinstance(weights, str)
                     else weights._col if isinstance(weights, Series)
                     else weights)
-            if n is None:
-                total = self._sdf.count()
-                n = int(round((frac or 0.0) * total))
-            # zero-weight rows → null key → sort last (never sampled
-            # while positive-weight rows remain); pandas raises on
-            # negative weights, matched here by the <= 0 gate
             w = wcol.cast("double")
-            key = F.when(w > 0, F.pow(F.rand(seed if seed is not None else 42),
-                                      F.try_divide(F.lit(1.0), w)))
+            # one bounded agg: validate weights (pandas raises on any
+            # negative weight, and when fewer positive-weight rows
+            # exist than the requested sample size) and get the total
+            stats = self._sdf.agg(
+                F.sum((w < 0).cast("long")).alias("__neg"),
+                F.sum((w > 0).cast("long")).alias("__pos"),
+                F.count(F.lit(1)).alias("__tot")).collect()[0]
+            if stats["__neg"]:
+                raise ValueError("weight vector may not include negative values")
+            if n is None:
+                n = int(round((frac or 0.0) * int(stats["__tot"])))
+            if int(stats["__pos"] or 0) < n:
+                raise ValueError("Fewer non-zero entries in p than size")
+            # zero-weight rows → null key → sort last (never sampled
+            # while positive-weight rows remain)
+            r = F.rand(seed) if seed is not None else F.rand()
+            key = F.when(w > 0, F.pow(r, F.try_divide(F.lit(1.0), w)))
             out = (self._sdf.withColumn("__wk", key)
                    .orderBy(F.desc_nulls_last("__wk")).limit(n).drop("__wk"))
             return DataFrame(out, self._index)
         if frac is None:
+            if not replace:
+                # exact-n without replacement: uniform random key +
+                # top-n (TakeOrderedAndProject: per-partition heaps,
+                # no global sort) — always returns exactly n rows,
+                # unlike fraction-oversampling which can undershoot
+                r = F.rand(seed) if seed is not None else F.rand()
+                out = (self._sdf.withColumn("__rk", r)
+                       .orderBy("__rk").limit(n).drop("__rk"))
+                return DataFrame(out, self._index)
             total = self._sdf.count()
             frac = min(1.0, (n / total) * 1.2 if total else 0.0)
             out = self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed)
@@ -641,6 +672,15 @@ class DataFrame:
         memory for the session lifetime. After a sort_values on a
         total-order key the sequence equals the sort rank (range
         partitions are emitted in key order).
+
+        Cluster caveat: localCheckpoint truncates lineage — its blocks
+        live only on executors, so losing an executor makes downstream
+        reads of this frame fail instead of recomputing. On a real
+        cluster with preemptible nodes, prefer
+        ``spark.sparkContext.setCheckpointDir`` + reliable
+        ``checkpoint()`` for long-lived sequence-indexed frames; the
+        id-stability requirement (count job and downstream reads must
+        see identical ids) is the same either way.
         """
         sdf = self._sdf.withColumn(
             "__mid", F.monotonically_increasing_id()).localCheckpoint()
@@ -718,11 +758,16 @@ class DataFrame:
         coalesces automatically after shuffles; explicit only for
         output-file sizing)."""
         sdf = self._sdf.repartition(num_partitions) if num_partitions else self._sdf
-        return DataFrame(sdf, self._index)
+        return DataFrame(sdf, self._index, seq=self._seq,
+                         seq_dirty=self._seq_dirty)
 
     def repartition(self, n: int, *cols) -> "DataFrame":
+        # rows are unchanged, so an existing sequence index stays a
+        # valid logical order (physical layout no longer matches it —
+        # exactly why rank(method='first') ties break on the seq)
         sdf = self._sdf.repartition(n, *cols) if cols else self._sdf.repartition(n)
-        return DataFrame(sdf, self._index)
+        return DataFrame(sdf, self._index, seq=self._seq,
+                         seq_dirty=self._seq_dirty)
 
     def add_prefix(self, prefix: str) -> "DataFrame":
         """mars/dataframe/base/add_prefix_suffix.py — metadata-only."""

@@ -30,6 +30,18 @@ def _lit(value):
     return F.lit(value)
 
 
+def _extension_frame(a, b):
+    """If frame ``b`` is a row-preserving extension of ``a`` (tagged
+    via Series._origin, e.g. by Series.rank) return ``b``; if ``a``
+    extends ``b`` return ``a``; else None."""
+    for derived, base in ((b, a), (a, b)):
+        origin = getattr(derived, "_origin_frame", None)
+        if origin is not None and (origin is base
+                                   or origin._sdf is base._sdf):
+            return derived
+    return None
+
+
 class Series:
     """A lazy column of a mars_spark DataFrame."""
 
@@ -44,6 +56,16 @@ class Series:
 
     def _binop(self, other, op, reverse=False):
         if isinstance(other, Series) and other._frame is not self._frame:
+            # if one frame is a row-preserving extension of the other
+            # (e.g. the stats-join frame Series.rank returns, tagged
+            # with _origin), evaluate both expressions on the extended
+            # frame — no align join needed and no index required
+            ext = _extension_frame(self._frame, other._frame)
+            if ext is not None:
+                left, right = self._col, other._col
+                if reverse:
+                    left, right = right, left
+                return Series(ext, op(left, right), self.name)
             # cross-frame arithmetic: align on the index via outer join
             # (reference: mars/dataframe/align.py:48)
             from mars_spark.operators.align import align_series
@@ -179,18 +201,30 @@ class Series:
 
         Returns a Series over a NEW frame (the stats join), like all
         alignment-producing ops; the frame carries every original
-        column plus the rank."""
+        column plus the rank. The new frame is row-for-row derived
+        from the original (``_origin``), so ``f['r'] = f.v.rank()``
+        and arithmetic against the original frame's columns both
+        resolve without an explicit align.
+
+        The ranked expression is always materialized under a private
+        helper name — never reusing an existing column whose name
+        happens to match, so derived series (``(f.v * -1).rank()``)
+        rank the derived values, not the base column. method='first'
+        breaks ties by the materialized sequence index when the frame
+        has one (pandas row order under any partitioning); otherwise
+        by physical plan order."""
         from mars_spark.core.frame import DataFrame
         from mars_spark.operators.rank import add_rank
 
-        name = self.name or "value"
-        base = self._frame._sdf
-        if name not in base.columns:
-            base = base.withColumn(name, self._col)
-        out = add_rank(base, name, method=method, ascending=ascending,
-                       out="__rank__")
-        nf = DataFrame(out, self._frame._index)
-        return Series(nf, F.col("__rank__"), name)
+        base = self._frame._sdf.withColumn("__rank_in__", self._col)
+        out = add_rank(base, "__rank_in__", method=method,
+                       ascending=ascending, out="__rank__",
+                       order_col=self._frame._seq)
+        out = out.drop("__rank_in__")
+        nf = DataFrame(out, self._frame._index, seq=self._frame._seq,
+                       seq_dirty=self._frame._seq_dirty)
+        nf._origin_frame = self._frame
+        return Series(nf, F.col("__rank__"), self.name)
 
     def nlargest(self, n: int = 5) -> "Series":
         f = self._frame

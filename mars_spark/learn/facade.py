@@ -278,17 +278,20 @@ def roc_auc_score(df, label: str, score: str) -> float:
 
     per_score = (_sdf(df)
                  .select(F.col(label).alias("y"), F.col(score).alias("s"))
-                 .filter(F.col("s").isNotNull())
+                 .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
                  .groupBy("s")
                  .agg(F.count(F.lit(1)).alias("__cnt"),
-                      F.sum((F.col("y") == 1).cast("long")).alias("np")))
+                      F.sum((F.col("y") == 1).cast("long")).alias("np"),
+                      F.sum((F.col("y") == 0).cast("long")).alias("nn")))
     stats = prefix_stats(per_score, "s", "__cnt", ascending=True)
-    # avg rank of every row at score s = before + (cnt+1)/2
+    # avg rank of every row at score s = before + (cnt+1)/2; negatives
+    # are counted explicitly (y == 0), not inferred as cnt - np, so
+    # rows with labels outside {0, 1} never shift the AUC
     agg = stats.agg(
         F.sum((F.col("__before") + (F.col("__cnt") + 1) / 2.0)
               * F.col("np")).alias("rpos"),
         F.sum("np").alias("npos"),
-        F.sum(F.col("__cnt") - F.col("np")).alias("nneg"),
+        F.sum("nn").alias("nneg"),
     ).collect()[0]
     if not agg.npos or not agg.nneg:
         return float("nan")

@@ -81,9 +81,17 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
 
 
 def add_rank(sdf: SparkDF, col: str, method: str = "average",
-             ascending: bool = True, out: str = "__rank__") -> SparkDF:
+             ascending: bool = True, out: str = "__rank__",
+             order_col: str | None = None) -> SparkDF:
     """Return ``sdf`` with a global rank column (pandas semantics:
-    nulls unranked → null rank). Methods: average/min/max/dense/first."""
+    nulls unranked → null rank). Methods: average/min/max/dense/first.
+
+    ``order_col``: column that defines the frame's logical row order
+    (a materialized sequence index) — used to break ties for
+    method='first'. Without one, ties break by the physical plan
+    order (monotonically_increasing_id), which matches pandas only
+    when the layout preserves read order.
+    """
     if method not in ("average", "min", "max", "dense", "first"):
         raise ValueError(method)
     per_value = (sdf.select(F.col(col).alias("__v"))
@@ -92,9 +100,12 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
                  .agg(F.count(F.lit(1)).alias("__cnt")))
     stats = prefix_stats(per_value, "__v", "__cnt", ascending=ascending)
 
-    if method == "first":
-        # original plan order disambiguates ties; the id is assigned
-        # BEFORE the join so it reflects the input frame's order
+    tie_col = order_col
+    if method == "first" and tie_col is None:
+        # no logical order available: physical plan order disambiguates
+        # ties; the id is assigned BEFORE the join so it reflects the
+        # input frame's layout
+        tie_col = "__mid"
         sdf = sdf.withColumn("__mid", F.monotonically_increasing_id())
     j = sdf.join(stats, sdf[col] == stats["__v"], "left").drop("__v")
     if method == "min":
@@ -106,10 +117,10 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
     elif method == "average":
         r = F.col("__before") + (F.col("__cnt") + 1) / 2.0
     else:  # first
-        tie = Window.partitionBy(col).orderBy(F.col("__mid").asc())
+        tie = Window.partitionBy(col).orderBy(F.col(tie_col).asc())
         r = F.col("__before") + F.row_number().over(tie)
     j = j.withColumn(
         out,
         F.when(F.col(col).isNotNull(), r.cast("double")))
-    return j.drop("__before", "__didx", "__cnt", "__mid") \
-        if method == "first" else j.drop("__before", "__didx", "__cnt")
+    j = j.drop("__before", "__didx", "__cnt")
+    return j.drop("__mid") if tie_col == "__mid" else j
