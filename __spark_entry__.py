@@ -44,17 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool.update(OPS_QUERIES)
 
     priority = [
-        # new / renamed this round — no driver verdict yet
-        "op_window_rank", "op_pivot", "op_melt", "op_explode_seq",
-        "op_json_extract", "op_asof_join", "op_conditional",
-        "op_accessors", "op_stats", "op_cut_value_counts", "op_iloc_tail",
-        "op_align", "op_groupby_custom",
-        "events_window_funcs", "events_activity", "docs_text_metrics",
-        "docs_exact_dedup", "emb_ann_recall", "tpch_q21_adapted",
-        # round-1 failures, fixed this round
-        "events_hourly", "events_sessions", "events_funnel",
-        "tpch_q09_adapted", "tpch_q11_adapted", "emb_neardup_pairs",
-        "tpch_q02_adapted",
+        # new this round (r4) — no driver verdict yet: the five
+        # composite rows packing previously-unverified operator
+        # families, plus the two merged TPC-H composites
+        "op_learn_metrics", "op_groupby_rowops", "op_ewm_expanding",
+        "op_series_misc", "op_rank_cumprod",
+        "tpch_q06_12_14_17_19", "tpch_q04_22",
     ]
     out: dict[str, Callable] = {k: pool[k] for k in priority}
     out.update({k: v for k, v in pool.items() if k not in out})

@@ -79,7 +79,8 @@ class Rolling:
         self._window = window
         self._min_periods = min_periods
         self._order_by = order_by
-        self._partition_by = partition_by or []
+        self._partition_by = ([partition_by] if isinstance(partition_by, str)
+                              else list(partition_by or []))
         self._on = on
 
     def over(self, order_by=None, partition_by=None) -> "Rolling":
@@ -141,6 +142,13 @@ class Expanding(Rolling):
                  order_by=None, partition_by=None):
         super().__init__(frame, window=None, min_periods=min_periods,
                          order_by=order_by, partition_by=partition_by)
+
+    def over(self, order_by=None, partition_by=None) -> "Expanding":
+        # Rolling.over would rebuild a Rolling (positional window arg);
+        # keep the expanding frame spec
+        return Expanding(self._frame, self._min_periods,
+                         order_by or self._order_by,
+                         partition_by or self._partition_by)
 
     def _spec(self):
         order = _order_cols(self._frame, self._order_by)

@@ -248,6 +248,180 @@ def op_groupby_custom(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round("geomean", 2).alias("geomean"))
 
 
+def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.10 learn metrics, driver-verified (r3 verdict item 1):
+    accuracy / precision / recall / F1 / log-loss / ROC-AUC
+    (mars/learn/metrics/_classification.py, _ranking.py) on a
+    deterministic prediction table derived from events. Every metric
+    is a bounded distributed agg; the AUC rides the range-partitioned
+    prefix-sum rank machinery (operators/rank.py) — no global window."""
+    import math
+
+    from mars_spark.learn import facade as L
+
+    e = load(sf_dir, "events")
+    f = e[["event_id"]]
+    f["y"] = f.event_id % 2
+    f["s"] = ((f.event_id * 37) % 1000).astype("float64") / 1000.0
+    f["pred"] = (f.s >= 0.5).astype("int64")
+    acc = L.accuracy_score(f, "y", "pred")
+    prf = L.precision_recall_f1(f, "y", "pred", positive=1)
+    ll = L.log_loss(f, "y", prob="s")
+    auc = L.roc_auc_score(f, "y", "s")
+
+    def r6(x: float) -> float:
+        # floor(x·1e6 + .5)/1e6 on BOTH engine and oracle sides —
+        # round() half-rule disagreements on doubles (FIXTURES.md)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return spark.createDataFrame(
+        [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
+          r6(ll), r6(auc))],
+        "accuracy double, prec double, recall double, f1 double, "
+        "log_loss double, auc double")
+
+
+def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.4 groupby row ops, driver-verified (r3 verdict item 1):
+    ffill/bfill (mars/dataframe/groupby/fill.py:149), apply →
+    applyInPandas (groupby/apply.py:58), per-group seeded sample
+    (groupby/sample.py:75 — content is random, so the verified fact is
+    the exact-n-per-group contract), and describe (base/describe.py:241)
+    as global stat columns. All shuffles are on user_id."""
+    import math
+
+    e = load(sf_dir, "events")
+    f = e[e.user_id < 40][["user_id", "event_id", "value"]]
+    f["v"] = f.value.where(f.value > 5.0)  # ~10% nulls to fill
+    filled = f.groupby("user_id").ffill(order_by="event_id")
+    filled = filled.groupby("user_id").bfill(order_by="event_id")
+    agg = filled.groupby("user_id", as_index=False).agg(
+        n=("event_id", "count"), v_sum=("v", "sum"))
+
+    def _per_group(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({
+            "user_id": [pdf.user_id.iloc[0]],
+            "v_rng": [pdf.v.max() - pdf.v.min()],
+            "v_med": [pdf.v.median()],
+        })
+
+    rng = filled.groupby("user_id").apply(
+        _per_group, schema="user_id bigint, v_rng double, v_med double")
+    samp = (f.groupby("user_id").sample(n=5, seed=11)
+            .groupby("user_id", as_index=False).agg(
+                n_samp=("event_id", "count")))
+    # describe: exact rows of summary() (count/mean/stddev), parsed and
+    # attached as broadcast literals so the oracle verifies the values
+    d = f[["value"]].describe(percentiles=()).to_pandas()
+    stats = {r["summary"]: float(r["value"]) for _, r in d.iterrows()}
+    out = agg.merge(rng, on="user_id").merge(samp, on="user_id")
+    return out.to_spark().select(
+        "user_id", "n",
+        F.round("v_sum", 4).alias("v_sum"),
+        F.round("v_rng", 4).alias("v_rng"),
+        F.round("v_med", 4).alias("v_med"),
+        "n_samp",
+        F.lit(int(stats["count"])).cast("bigint").alias("desc_count"),
+        F.lit(math.floor(stats["mean"] * 1e4 + 0.5) / 1e4).alias("desc_mean"),
+        F.lit(math.floor(stats["stddev"] * 1e4 + 0.5) / 1e4).alias("desc_std"),
+    )
+
+
+def op_ewm_expanding(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.5 EWM + expanding windows, driver-verified (r3 verdict item
+    1): ewm mean (mars/dataframe/window/ewm/aggregation.py:207 —
+    Arrow-batched applyInPandas per user group) and expanding sum/mean
+    (window/expanding/aggregation.py:119 — running-window agg, pure
+    JVM). Oracle uses the closed-form scaled prefix sum for the
+    adjusted EWM. One shuffle on user_id for both."""
+    from mars_spark.operators.window import ewm_agg
+
+    e = load(sf_dir, "events")
+    f = e[e.user_id < 30][["user_id", "event_id", "value"]]
+    f = ewm_agg(f, "value", alpha=0.2, order_by="event_id",
+                partition_by="user_id", stats=("mean",))
+    f = f.expanding().over(order_by="event_id", partition_by="user_id") \
+        .agg({"value": ["sum", "mean"]})
+    def r4(c):
+        # floor(x·1e4+.5+1e-6)/1e4 on BOTH sides: Spark and DuckDB
+        # round() disagree on decimal-half doubles, and running means
+        # of 2-decimal values land on exact 4dp halves constantly; the
+        # 1e-6 bias is far above the cross-engine accumulation drift
+        # (~1e-10 in these units) and far below the spacing of
+        # attainable values, so both engines floor identically
+        return F.floor(F.col(c) * 1e4 + F.lit(0.5) + F.lit(1e-6)) / 1e4
+
+    return f.to_spark().select(
+        "user_id", "event_id",
+        r4("value_ewm_mean").alias("ewm_mean"),
+        r4("value_exp_sum").alias("exp_sum"),
+        r4("value_exp_mean").alias("exp_mean"))
+
+
+def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.8 Series misc, driver-verified (r3 verdict item 1): stack
+    (mars/dataframe/base/stack.py:29 — long-form reshape via native
+    melt), Series.dot (arithmetic/dot.py — one distributed agg),
+    to_numeric (base/to_numeric.py — try_cast), dict map (base/map.py
+    — literal create_map lookup, JVM-side). Scalars ride every row as
+    broadcast literals."""
+    p = load(sf_dir, "part")
+    f = p[p.p_partkey < 80]
+    f["size_d"] = f.p_size.astype("float64")
+    f["brand_num"] = f.p_brand.str.extract(r"#([0-9]+)").to_numeric()
+    f["type_code"] = f.p_type.map(
+        {"ECONOMY": 1.0, "SMALL": 2.0, "STANDARD": 3.0,
+         "LARGE": 4.0, "PROMO": 5.0, "MEDIUM": 6.0})
+    dot = f.p_retailprice.dot(f.size_d)
+    brand_sum = f.brand_num.sum()
+    type_sum = f.type_code.sum()
+    stacked = f.set_index("p_partkey")[["size_d", "p_retailprice"]].stack()
+    return stacked.to_spark().select(
+        "p_partkey", "variable",
+        F.round("value", 2).alias("value"),
+        F.round(F.lit(float(dot)), 2).alias("dot"),
+        F.lit(float(brand_sum)).alias("brand_sum"),
+        F.lit(float(type_sum)).alias("type_sum"))
+
+
+def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.6/§2.4 distributed rank + cumprod + weighted sample,
+    driver-verified (r3 verdict item 1 — all three were new in r3 with
+    pytest-only coverage): global ranks for every method via the
+    range-partitioned prefix-sum operator (operators/rank.py — no
+    single-partition window; 'first' ties break by the materialized
+    sequence index, pandas row order), per-order cumprod of the
+    discount growth factor (native F.product running window), and the
+    Efraimidis-Spirakis weighted sample verified on its exact-n
+    contract."""
+    from mars_spark.operators.window import cumprod as w_cumprod
+
+    li = load(sf_dir, "lineitem")
+    f = li[li.l_orderkey < 1500][
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]]
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # sort on the full 4-column key so the sequence assignment is a
+    # total order (ties are whole-row duplicates, interchangeable in
+    # the hash) and both engines agree row-for-row
+    f = f.sort_values(["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_discount"]).set_sequence_index("sq")
+    f["r_avg"] = f.l_quantity.rank()
+    f["r_min"] = f.l_quantity.rank(method="min")
+    f["r_max"] = f.l_quantity.rank(method="max")
+    f["r_dense"] = f.l_quantity.rank(method="dense")
+    f["r_first"] = f.l_quantity.rank(method="first")
+    f["growth"] = 1.0 + f.l_discount
+    f = w_cumprod(f, "growth", order_by="sq", partition_by=["l_orderkey"])
+    n_samp = f.sample(n=50, weights="l_quantity", seed=5).to_spark().count()
+    return f.to_spark().select(
+        "sq", "l_orderkey", "l_linenumber",
+        "r_avg", "r_min", "r_max", "r_dense", "r_first",
+        F.round("growth_cumprod", 6).alias("cum_growth"),
+        F.lit(int(n_samp)).cast("bigint").alias("n_samp"))
+
+
 OPS_QUERIES = {
     "op_conditional": op_conditional,
     "op_accessors": op_accessors,
@@ -263,4 +437,9 @@ OPS_QUERIES = {
     "op_iloc_tail": op_iloc_tail,
     "op_align": op_align,
     "op_groupby_custom": op_groupby_custom,
+    "op_learn_metrics": op_learn_metrics,
+    "op_groupby_rowops": op_groupby_rowops,
+    "op_ewm_expanding": op_ewm_expanding,
+    "op_series_misc": op_series_misc,
+    "op_rank_cumprod": op_rank_cumprod,
 }

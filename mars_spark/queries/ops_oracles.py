@@ -145,4 +145,158 @@ OPS_ORACLES: dict[str, str] = {
                round(geomean, 2) AS geomean
         FROM f JOIN g ON f.o_orderpriority = g.o_orderpriority
     """,
+    "op_learn_metrics": """
+        WITH t AS (
+            SELECT CAST(event_id % 2 AS BIGINT) AS y,
+                   CAST((event_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s
+            FROM events
+        ), p AS (
+            SELECT y, s, CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS pred FROM t
+        ), base AS (
+            SELECT avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END) AS acc,
+                   CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS tp,
+                   CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS fp,
+                   CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS fn,
+                   avg(-(y * ln(least(greatest(s, 1e-15), 1 - 1e-15))
+                         + (1 - y) * ln(1 - least(greatest(s, 1e-15),
+                                                  1 - 1e-15)))) AS ll
+            FROM p
+        ), per_s AS (
+            SELECT s, count(*) AS c, sum(y) AS np FROM t GROUP BY s
+        ), pre AS (
+            SELECT s, c, np,
+                   sum(c) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                       AS bef
+            FROM per_s
+        ), a AS (
+            SELECT sum((bef + (c + 1) / 2.0) * np) AS rpos,
+                   sum(np) AS npos, sum(c - np) AS nneg
+            FROM pre
+        )
+        SELECT floor(acc * 1e6 + 0.5) / 1e6 AS accuracy,
+               floor(tp / (tp + fp) * 1e6 + 0.5) / 1e6 AS prec,
+               floor(tp / (tp + fn) * 1e6 + 0.5) / 1e6 AS recall,
+               floor(2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                     / ((tp / (tp + fp)) + (tp / (tp + fn)))
+                     * 1e6 + 0.5) / 1e6 AS f1,
+               floor(ll * 1e6 + 0.5) / 1e6 AS log_loss,
+               floor((rpos - npos * (npos + 1) / 2) / (npos * nneg)
+                     * 1e6 + 0.5) / 1e6 AS auc
+        FROM base CROSS JOIN a
+    """,
+    "op_groupby_rowops": """
+        WITH f AS (
+            SELECT user_id, event_id, value,
+                   CASE WHEN value > 5.0 THEN value END AS v0
+            FROM events WHERE user_id < 40
+        ), ff AS (
+            SELECT user_id, event_id, value,
+                   coalesce(
+                       last_value(v0 IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       first_value(v0 IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   ) AS v
+            FROM f
+        ), ag AS (
+            SELECT user_id, count(event_id) AS n,
+                   round(sum(v), 4) AS v_sum,
+                   round(max(v) - min(v), 4) AS v_rng,
+                   round(quantile_cont(v, 0.5), 4) AS v_med,
+                   least(5, count(*)) AS n_samp
+            FROM ff GROUP BY user_id
+        ), d AS (
+            SELECT CAST(count(value) AS BIGINT) AS desc_count,
+                   floor(avg(value) * 1e4 + 0.5) / 1e4 AS desc_mean,
+                   floor(stddev_samp(value) * 1e4 + 0.5) / 1e4 AS desc_std
+            FROM f
+        )
+        SELECT user_id, n, v_sum, v_rng, v_med, n_samp,
+               desc_count, desc_mean, desc_std
+        FROM ag CROSS JOIN d
+    """,
+    "op_ewm_expanding": """
+        WITH b AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) - 1 AS i
+            FROM events WHERE user_id < 30
+        ), s AS (
+            SELECT user_id, event_id, i,
+                   sum(value * power(0.8, -i)) OVER (
+                       PARTITION BY user_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc,
+                   sum(value) OVER (
+                       PARTITION BY user_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS es,
+                   -- mean as the sequential sum over count: DuckDB's
+                   -- windowed AVG accumulates differently from Spark's
+                   -- sum/count and drifts in the last ulp
+                   sum(value) OVER (
+                       PARTITION BY user_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / (i + 1) AS em
+            FROM b
+        )
+        SELECT user_id, event_id,
+               floor(sc * power(0.8, i) * 0.2 / (1 - power(0.8, i + 1))
+                     * 1e4 + 0.5 + 1e-6) / 1e4 AS ewm_mean,
+               floor(es * 1e4 + 0.5 + 1e-6) / 1e4 AS exp_sum,
+               floor(em * 1e4 + 0.5 + 1e-6) / 1e4 AS exp_mean
+        FROM s
+    """,
+    "op_series_misc": """
+        WITH f AS (SELECT * FROM part WHERE p_partkey < 80),
+        sc AS (
+            SELECT round(sum(p_retailprice * p_size), 2) AS dot,
+                   sum(CAST(regexp_extract(p_brand, '#([0-9]+)', 1)
+                            AS DOUBLE)) AS brand_sum,
+                   sum(CASE p_type WHEN 'ECONOMY' THEN 1.0
+                        WHEN 'SMALL' THEN 2.0 WHEN 'STANDARD' THEN 3.0
+                        WHEN 'LARGE' THEN 4.0 WHEN 'PROMO' THEN 5.0
+                        WHEN 'MEDIUM' THEN 6.0 END) AS type_sum
+            FROM f
+        )
+        SELECT p_partkey, 'size_d' AS variable,
+               round(CAST(p_size AS DOUBLE), 2) AS value,
+               dot, brand_sum, type_sum
+        FROM f CROSS JOIN sc
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2),
+               dot, brand_sum, type_sum
+        FROM f CROSS JOIN sc
+    """,
+    "op_rank_cumprod": """
+        WITH f AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                   row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                      l_quantity, l_discount) - 1 AS sq
+            FROM lineitem WHERE l_orderkey < 1500
+        ), r AS (
+            SELECT *,
+                   rank() OVER (ORDER BY l_quantity) AS rmin,
+                   count(*) OVER (PARTITION BY l_quantity) AS cnt,
+                   dense_rank() OVER (ORDER BY l_quantity) AS rdense,
+                   row_number() OVER (ORDER BY l_quantity, sq) AS rfirst
+            FROM f
+        )
+        SELECT sq, l_orderkey, l_linenumber,
+               CAST(rmin + (cnt - 1) / 2.0 AS DOUBLE) AS r_avg,
+               CAST(rmin AS DOUBLE) AS r_min,
+               CAST(rmin + cnt - 1 AS DOUBLE) AS r_max,
+               CAST(rdense AS DOUBLE) AS r_dense,
+               CAST(rfirst AS DOUBLE) AS r_first,
+               round(product(1.0 + l_discount) OVER (
+                   PARTITION BY l_orderkey ORDER BY sq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cum_growth,
+               CAST(50 AS BIGINT) AS n_samp
+        FROM r
+    """,
 }

@@ -600,6 +600,43 @@ def q21_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     return g.orderBy(F.desc("numwait"), F.asc("s_name"))
 
 
+def q06_12_14_17_19(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite of the scan+filter+(broadcast-join)+conditional-agg
+    family (r3 verdict item 1: merged to free corpus slots under the
+    50-row cap; every sub-plan still runs in full): q12's 5-row
+    priority split carries the q06/q14/q17/q19 scalar aggregates as
+    broadcast columns. Reference shapes: run_queries.py:341 (q06),
+    :634 (q12), :700 (q14), :810 (q17), :892 (q19)."""
+    base = q12_adapted(spark, sf_dir)
+    scalars = [
+        q6(spark, sf_dir).withColumnRenamed("revenue", "q06_revenue"),
+        q14(spark, sf_dir),
+        q17_adapted(spark, sf_dir),
+        q19_adapted(spark, sf_dir).withColumnRenamed("revenue", "q19_revenue"),
+    ]
+    out = base
+    for s in scalars:
+        out = out.crossJoin(F.broadcast(s))
+    return out
+
+
+def q04_22(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite of the semi/anti-join aggregate family (r3 verdict
+    item 1): q04's EXISTS semi-join priority counts unioned with q22's
+    NOT-EXISTS anti-join segment totals under a harmonized
+    (grp, cnt, val) schema. Reference: run_queries.py:259 (q04),
+    :952 (q22)."""
+    a = q4_adapted(spark, sf_dir).select(
+        F.concat(F.lit("prio:"), F.col("o_orderpriority")).alias("grp"),
+        F.col("order_count").alias("cnt"),
+        F.lit(None).cast("double").alias("val"))
+    b = q22_adapted(spark, sf_dir).select(
+        F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("grp"),
+        F.col("numcust").alias("cnt"),
+        F.col("totacctbal").alias("val"))
+    return a.unionByName(b)
+
+
 TPCH_QUERIES = {
     "tpch_q21_adapted": q21_adapted,
     "tpch_q02_adapted": q2_adapted,
@@ -608,19 +645,17 @@ TPCH_QUERIES = {
     "tpch_q20_adapted": q20_adapted,
     "tpch_q01": q1,
     "tpch_q03": q3,
-    "tpch_q04_adapted": q4_adapted,
     "tpch_q05": q5,
-    "tpch_q06": q6,
     "tpch_q07": q7,
     "tpch_q08_adapted": q8_adapted,
     "tpch_q09_adapted": q9_adapted,
     "tpch_q10": q10,
-    "tpch_q12_adapted": q12_adapted,
     "tpch_q13": q13,
-    "tpch_q14": q14,
     "tpch_q15": q15,
-    "tpch_q17_adapted": q17_adapted,
     "tpch_q18": q18,
-    "tpch_q19_adapted": q19_adapted,
-    "tpch_q22_adapted": q22_adapted,
+    # r4 composites — the merged members (q04 q06 q12 q14 q17 q19 q22)
+    # still run in full inside these two rows; merging frees corpus
+    # slots for previously driver-unverified operator families
+    "tpch_q06_12_14_17_19": q06_12_14_17_19,
+    "tpch_q04_22": q04_22,
 }

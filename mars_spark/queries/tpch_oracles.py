@@ -116,18 +116,6 @@ TPCH_ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
         LIMIT 10
     """,
-    "tpch_q04_adapted": """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate <  TIMESTAMP '1997-01-01'
-          AND EXISTS (
-                SELECT 1 FROM lineitem
-                WHERE l_orderkey = o_orderkey
-                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-    """,
     "tpch_q05": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -142,14 +130,6 @@ TPCH_ORACLES: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
-    """,
-    "tpch_q06": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-01-01'
-          AND l_discount >= 0.05 AND l_discount <= 0.07
-          AND l_quantity < 24
     """,
     "tpch_q07": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -211,18 +191,6 @@ TPCH_ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
     """,
-    "tpch_q12_adapted": """
-        SELECT o_orderpriority,
-               CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-                             THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
-               count(*) AS total_count
-        FROM orders
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate <  TIMESTAMP '1997-01-01'
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-    """,
     "tpch_q13": """
         SELECT c_count, count(*) AS custdist
         FROM (
@@ -233,16 +201,6 @@ TPCH_ORACLES: dict[str, str] = {
         )
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
-    """,
-    "tpch_q14": """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate <  TIMESTAMP '1996-04-01'
     """,
     "tpch_q15": """
         WITH revenue AS (
@@ -256,19 +214,6 @@ TPCH_ORACLES: dict[str, str] = {
         SELECT s_suppkey, s_name, total_revenue
         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    "tpch_q17_adapted": """
-        WITH l AS (
-            SELECT l_partkey, l_quantity, l_extendedprice
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE p_brand = 'Brand#13'
-        ), avg_q AS (
-            SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_q
-            FROM l GROUP BY l_partkey
-        )
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-        FROM l JOIN avg_q ON l_partkey = ap_key
-        WHERE l_quantity < 0.2 * avg_q
     """,
     "tpch_q18": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
@@ -284,24 +229,75 @@ TPCH_ORACLES: dict[str, str] = {
         ORDER BY round(o_totalprice, 2) DESC, o_orderdate ASC, o_orderkey ASC
         LIMIT 100
     """,
-    "tpch_q19_adapted": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-               AND l_quantity >= 1 AND l_quantity <= 11)
-           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-               AND l_quantity >= 10 AND l_quantity <= 20)
-           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-               AND l_quantity >= 20 AND l_quantity <= 30)
+    "tpch_q06_12_14_17_19": """
+        WITH q12 AS (
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+                   count(*) AS total_count
+            FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
+        ), q06 AS (
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS q06_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        ), q14 AS (
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        ), q17l AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'
+        ), q17a AS (
+            SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_q
+            FROM q17l GROUP BY l_partkey
+        ), q17 AS (
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM q17l JOIN q17a ON l_partkey = ap_key
+            WHERE l_quantity < 0.2 * avg_q
+        ), q19 AS (
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS q19_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity >= 1 AND l_quantity <= 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity >= 10 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity >= 20 AND l_quantity <= 30)
+        )
+        SELECT * FROM q12
+        CROSS JOIN q06 CROSS JOIN q14 CROSS JOIN q17 CROSS JOIN q19
     """,
-    "tpch_q22_adapted": """
-        SELECT c_mktsegment, count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+    "tpch_q04_22": """
+        SELECT 'prio:' || o_orderpriority AS grp,
+               count(*) AS cnt, CAST(NULL AS DOUBLE) AS val
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'seg:' || c_mktsegment AS grp,
+               count(*) AS cnt, round(sum(c_acctbal), 2) AS val
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                            WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment
     """,
 }
