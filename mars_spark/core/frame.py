@@ -38,7 +38,18 @@ class _LocIndexer:
 
     def __getitem__(self, key):
         if isinstance(key, tuple) and len(key) == 2:
-            rows, cols = key
+            # disambiguate (rows, cols) from a 2-part composite label
+            # on a 2-level index: the second element of a (rows, cols)
+            # pair is a column selector (slice/list/column name/None)
+            second_is_cols = (
+                key[1] is None or isinstance(key[1], (slice, list))
+                or (isinstance(key[1], str)
+                    and key[1] in self._frame._sdf.columns))
+            if (len(self._frame._index) == 2 and not second_is_cols
+                    and not isinstance(key[0], (slice, list, Series))):
+                rows, cols = key, None
+            else:
+                rows, cols = key
         else:
             rows, cols = key, None
         out = self._frame
@@ -55,13 +66,15 @@ class _LocIndexer:
                 if rows.stop is not None:
                     cond = cond & (F.col(idx) <= F.lit(rows.stop))
                 out = DataFrame(out._sdf.filter(cond), out._index)
-        elif isinstance(rows, (list, tuple)):
-            idx = self._frame._require_index("loc label list")
-            out = DataFrame(out._sdf.filter(F.col(idx).isin(list(rows))),
+        elif isinstance(rows, list):
+            out = DataFrame(out._sdf.filter(self._frame._label_cond(rows)),
                             out._index)
+        elif isinstance(rows, tuple):
+            # tuple = one composite (MultiIndex) label
+            out = DataFrame(
+                out._sdf.filter(self._frame._label_cond(rows)), out._index)
         elif rows is not None:
-            idx = self._frame._require_index("loc scalar label")
-            out = DataFrame(out._sdf.filter(F.col(idx) == F.lit(rows)),
+            out = DataFrame(out._sdf.filter(self._frame._label_cond(rows)),
                             out._index)
         if cols is not None:
             if isinstance(cols, str):
@@ -176,6 +189,38 @@ class DataFrame:
                 f"{what} needs a single-column index (set_index first)")
         return self._index[0]
 
+    def _label_cond(self, labels) -> Column:
+        """Filter condition for index label(s); composite (MultiIndex)
+        labels are tuples matched across every index column
+        (reference: mars/dataframe/core.py:275 carries MultiIndex
+        through loc/reindex/drop). A list is a set of labels; for a
+        multi-column index each list element is one tuple."""
+        idx = self._index
+        if not idx:
+            raise NotImplementedError(
+                "label selection needs an index (set_index first)")
+        if len(idx) == 1:
+            if isinstance(labels, (list, tuple)):
+                return F.col(idx[0]).isin(list(labels))
+            return F.col(idx[0]) == F.lit(labels)
+
+        def one(lbl):
+            if not isinstance(lbl, (tuple, list)) or len(lbl) != len(idx):
+                raise ValueError(
+                    f"composite label {lbl!r} must have {len(idx)} parts "
+                    f"(index: {idx})")
+            c = F.lit(True)
+            for col, v in zip(idx, lbl):
+                c = c & (F.col(col) == F.lit(v))
+            return c
+
+        if isinstance(labels, list):
+            cond = F.lit(False)
+            for lbl in labels:
+                cond = cond | one(lbl)
+            return cond
+        return one(labels)
+
     def __repr__(self):
         return f"DataFrame(columns={self._sdf.columns}, index={self._index})"
 
@@ -243,10 +288,8 @@ class DataFrame:
         the distributed form of pandas label drops."""
         if axis == 0 or index is not None:
             rows = index if index is not None else labels
-            rows = [rows] if not isinstance(rows, (list, tuple)) else list(rows)
-            idx = self._require_index("drop(axis=0)")
             return DataFrame(
-                self._sdf.filter(~F.col(idx).isin(rows)), self._index,
+                self._sdf.filter(~self._label_cond(rows)), self._index,
                 seq=self._seq, seq_dirty=True)
         cols = columns if columns is not None else labels
         if isinstance(cols, str):

@@ -226,6 +226,25 @@ class Series:
         nf._origin_frame = self._frame
         return Series(nf, F.col("__rank__"), self.name)
 
+    def ranks(self, methods, ascending: bool = True):
+        """Multi-method rank sharing ONE stats pass (see
+        operators/rank.py add_ranks — the per-value aggregate, prefix
+        sums, and join back are method-independent). ``methods`` is a
+        dict {out_col: method} or an iterable of method names (output
+        columns ``r_<method>``). Returns the extended DataFrame."""
+        from mars_spark.core.frame import DataFrame
+        from mars_spark.operators.rank import add_ranks
+
+        if not isinstance(methods, dict):
+            methods = {f"r_{m}": m for m in methods}
+        base = self._frame._sdf.withColumn("__rank_in__", self._col)
+        out = add_ranks(base, "__rank_in__", methods, ascending=ascending,
+                        order_col=self._frame._seq).drop("__rank_in__")
+        nf = DataFrame(out, self._frame._index, seq=self._frame._seq,
+                       seq_dirty=self._frame._seq_dirty)
+        nf._origin_frame = self._frame
+        return nf
+
     def nlargest(self, n: int = 5) -> "Series":
         f = self._frame
         name = self.name or "value"
@@ -392,6 +411,12 @@ class Series:
         from mars_spark.functions.datetimes import DatetimeAccessor
 
         return DatetimeAccessor(self)
+
+    @property
+    def cat(self):
+        from mars_spark.functions.categorical import CategoricalAccessor
+
+        return CategoricalAccessor(self)
 
     # ------------------------------------------------------ aggregations
     # Scalar reductions run eagerly (single-row Spark job). Mars keeps a

@@ -8,6 +8,8 @@ are a plain column. fit() returns the wrapper with the MLlib model on
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
@@ -342,3 +344,231 @@ class KNeighborsClassifier:
         return (votes.withColumn("__rv", F.row_number().over(wv))
                 .filter(F.col("__rv") == 1)
                 .select(id_col, F.col("__tl").alias("prediction")))
+
+
+class GeneralizedLinearModel(_Wrapper):
+    """GLM (reference: mars/learn/glm/ — Mars implements multinomial
+    logistic by hand over tensors) → MLlib GeneralizedLinearRegression:
+    gaussian/binomial/poisson/gamma/tweedie families with IRLS, fully
+    distributed."""
+
+    def __init__(self, family: str = "gaussian", link: str | None = None,
+                 reg_param: float = 0.0, max_iter: int = 25):
+        super().__init__(family=family, link=link, reg_param=reg_param,
+                         max_iter=max_iter)
+
+    def fit(self, df, features, label: str):
+        from pyspark.ml.regression import GeneralizedLinearRegression
+
+        sdf, fcol = _with_features(_sdf(df), features)
+        kw = dict(family=self.params["family"],
+                  regParam=self.params["reg_param"],
+                  maxIter=self.params["max_iter"],
+                  featuresCol=fcol, labelCol=label,
+                  predictionCol="prediction")
+        if self.params["link"]:
+            kw["link"] = self.params["link"]
+        self.model_ = GeneralizedLinearRegression(**kw).fit(sdf)
+        self._features = features
+        return self
+
+    def predict(self, df, features=None):
+        sdf, _ = _with_features(_sdf(df), features or self._features)
+        return self.model_.transform(sdf).drop("__features")
+
+    @property
+    def coef_(self):
+        return list(self.model_.coefficients)
+
+    @property
+    def intercept_(self):
+        return float(self.model_.intercept)
+
+
+class TruncatedSVD(_Wrapper):
+    """reference: mars/learn/decomposition/_truncated_svd.py (randomized
+    SVD over tensors). Spark-first: one distributed gramian pass
+    (X'X, d×d — bounded by feature count, not rows), driver-side eigh
+    on the d×d matrix, transform as a JVM matrix-vector projection.
+    Unlike PCA the data is NOT centered (TruncatedSVD contract — works
+    on sparse/long-tailed features without densifying a mean)."""
+
+    def __init__(self, n_components: int = 2):
+        super().__init__(n_components=n_components)
+
+    def fit(self, df, features: str):
+        import numpy as np
+
+        sdf = _sdf(df)
+        k = self.params["n_components"]
+        arr = F.transform(F.col(features), lambda x: x.cast("double"))
+        d = sdf.select(F.size(arr).alias("d")).first()["d"]
+        # gramian via aggregate of outer-product rows: one pass,
+        # d(d+1)/2 sums map-side-combined
+        exprs = []
+        for i in range(d):
+            for j in range(i, d):
+                exprs.append(F.sum(arr[i] * arr[j]).alias(f"g_{i}_{j}"))
+        row = sdf.agg(*exprs).collect()[0]
+        G = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+        w, v = np.linalg.eigh(G)
+        order = np.argsort(w)[::-1][:k]
+        self.singular_values_ = np.sqrt(np.maximum(w[order], 0.0))
+        self.components_ = v[:, order].T  # k × d
+        self._features = features
+        return self
+
+    def transform(self, df, features=None):
+        sdf = _sdf(df)
+        features = features or self._features
+        arr = F.transform(F.col(features), lambda x: x.cast("double"))
+        comps = self.components_
+        out = F.array(*[
+            sum((arr[j] * float(comps[i, j]) for j in range(comps.shape[1])),
+                start=F.lit(0.0)).alias(f"c{i}")
+            for i in range(comps.shape[0])
+        ])
+        return sdf.withColumn("svd", out)
+
+
+class BaggingRegressor(_Wrapper):
+    """reference: mars/learn/ensemble/_bagging.py (chunk-level bagging
+    with shuffle reducers). Spark-first: each base model fits on a
+    Bernoulli subsample (no data movement — sample() is a scan
+    filter), predictions average column-wise. The driver loop is over
+    n_estimators (bounded, small); every fit/predict is distributed."""
+
+    def __init__(self, n_estimators: int = 5, sample_frac: float = 0.8,
+                 seed: int = 42):
+        super().__init__(n_estimators=n_estimators,
+                         sample_frac=sample_frac, seed=seed)
+
+    def fit(self, df, features, label: str):
+        from pyspark.ml.regression import LinearRegression as MLLinReg
+
+        sdf = _sdf(df)
+        self.models_ = []
+        for i in range(self.params["n_estimators"]):
+            sub = sdf.sample(fraction=self.params["sample_frac"],
+                             seed=self.params["seed"] + i)
+            s, fcol = _with_features(sub, features)
+            self.models_.append(MLLinReg(
+                featuresCol=fcol, labelCol=label,
+                predictionCol="prediction").fit(s))
+        self._features = features
+        return self
+
+    def predict(self, df, features=None):
+        sdf, fcol = _with_features(_sdf(df), features or self._features)
+        preds = []
+        for i, m in enumerate(self.models_):
+            sdf = m.transform(sdf).withColumnRenamed("prediction", f"__p{i}")
+            preds.append(f"__p{i}")
+        avg = sum((F.col(p) for p in preds), start=F.lit(0.0)) / len(preds)
+        return sdf.withColumn("prediction", avg).drop(*preds, "__features")
+
+
+class IsolationForest(_Wrapper):
+    """reference: mars/learn/ensemble/_iforest.py (wraps per-chunk
+    trees). The iForest algorithm itself trains each tree on a tiny
+    uniform subsample (ψ=256 in the original paper) — so tree BUILD is
+    a driver-side numpy loop over bounded samples by design, and only
+    SCORING touches the full data: an Arrow-batched pandas UDF walks
+    the broadcast trees per row batch. No sklearn dependency."""
+
+    def __init__(self, n_estimators: int = 50, max_samples: int = 256,
+                 seed: int = 42):
+        super().__init__(n_estimators=n_estimators,
+                         max_samples=max_samples, seed=seed)
+
+    @staticmethod
+    def _build_tree(X, rng, depth_limit):
+        # nodes: (feature, threshold, left, right) or (-1, size, -1, -1)
+        nodes = []
+
+        def rec(idx, depth):
+            node_id = len(nodes)
+            nodes.append(None)
+            if depth >= depth_limit or len(idx) <= 1:
+                nodes[node_id] = (-1, float(len(idx)), -1, -1)
+                return node_id
+            cols = X.shape[1]
+            f = int(rng.integers(0, cols))
+            lo, hi = X[idx, f].min(), X[idx, f].max()
+            if lo == hi:
+                nodes[node_id] = (-1, float(len(idx)), -1, -1)
+                return node_id
+            t = float(rng.uniform(lo, hi))
+            lmask = X[idx, f] < t
+            l = rec(idx[lmask], depth + 1)
+            r = rec(idx[~lmask], depth + 1)
+            nodes[node_id] = (f, t, l, r)
+            return node_id
+
+        import numpy as np
+
+        rec(np.arange(len(X)), 0)
+        return nodes
+
+    def fit(self, df, features: str):
+        import numpy as np
+
+        sdf = _sdf(df)
+        psi = self.params["max_samples"]
+        total = sdf.count()
+        frac = min(1.0, (psi * 1.3) / max(total, 1))
+        rng = np.random.default_rng(self.params["seed"])
+        self.trees_ = []
+        self.psi_ = min(psi, total)
+        depth = int(np.ceil(np.log2(max(self.psi_, 2))))
+        for i in range(self.params["n_estimators"]):
+            pdf = (sdf.select(F.col(features).alias("x"))
+                   .sample(fraction=frac, seed=self.params["seed"] + i)
+                   .limit(psi).toPandas())
+            X = np.vstack(pdf["x"].to_numpy()).astype("float64")
+            self.trees_.append(self._build_tree(X, rng, depth))
+        self._features = features
+        return self
+
+    def scores(self, df, features=None):
+        """Anomaly score in (0, 1] per the iForest paper:
+        s = 2^(−E[h(x)]/c(ψ)); ≥0.5-ish = anomalous."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        trees = self.trees_
+        psi = self.psi_
+
+        def c(n):
+            if n <= 1:
+                return 0.0
+            return 2.0 * (np.log(n - 1) + 0.5772156649) - 2.0 * (n - 1) / n
+
+        cpsi = c(psi)
+
+        def path_len(x, nodes):
+            node, depth = 0, 0
+            while True:
+                f, t, l, r = nodes[node]
+                if f == -1:
+                    return depth + c(int(t))
+                node = l if x[f] < t else r
+                depth += 1
+
+        @pandas_udf("double")
+        def _score(col: pd.Series) -> pd.Series:
+            X = np.vstack(col.to_numpy()).astype("float64")
+            out = np.empty(len(X))
+            for i in range(len(X)):
+                e = np.mean([path_len(X[i], t) for t in trees])
+                out[i] = 2.0 ** (-e / cpsi) if cpsi > 0 else 0.5
+            return pd.Series(out)
+
+        sdf = _sdf(df)
+        features = features or self._features
+        arr = F.transform(F.col(features), lambda x: x.cast("double"))
+        return sdf.withColumn("anomaly_score", _score(arr))

@@ -247,10 +247,24 @@ def all_pairs_blocked(sdf: SparkDF, vec_col: str, threshold: float = 0.9,
     - ordinary shuffle hash join, NO CartesianProduct / broadcast
       nested loop — survives when neither side fits in memory;
     - B(B+1)/2 independent reducers of bounded size (n/B)² — skew-free
-      parallelism across the cluster; tune B ≈ √(2·cores) (replication
-      through the shuffle is ~B/2 rows per input row). The join is
+      parallelism across the cluster; replication through the shuffle
+      is ~B/2 rows per input row, so B trades parallelism against
+      shuffle volume: B ≈ √(2·cores) minimizes *replication* while
+      still feeding every core, but larger B is harmless when the
+      replicated rows are small vs the verify work. The join is
       hinted shuffle_hash: sort-merge on these few heavy keys buffers
       whole key groups and was measured 4-9× slower;
+    - r4 attribution of the r3 bench swing (2.54→4.71s on unchanged
+      code): an interleaved 3-rep isolation bench at sf0.1 measured
+      the CURRENT config (B=32, shuffle_hash, HOF dot) at median
+      2.0s / warm 1.7s — fastest of all variants tried; B=8 was
+      ~1.7× slower (fewer reducers under-fill 32 cores at this size)
+      and a pandas-UDF gemm verify was ~1.6× slower (Arrow-shipping
+      2M pairs of 64-double arrays costs more than JVM-side HOF
+      dots — the OPPOSITE of the IVF case, where centroid tables are
+      shipped once per batch, not per pair). The r3 number was
+      ambient load + cold ordering, not a plan problem; bench.py now
+      runs two passes and reports per-query minima to bound this;
     - total verify work is exactly n²/2 dots — an exact low-threshold
       sweep is inherently Θ(n²); when threshold ≥ ~0.7 use
       lsh_multiband_pairs, which prunes candidates 100-1000× (at low

@@ -85,18 +85,24 @@ def align_frames(lf, rf, join: str = "outer", fill_value=None):
 
 
 def reindex(frame, index, fill_value=None):
-    """Conform the frame to a new label list on its (single) index
-    column (reference: mars/dataframe/indexing/reindex.py:49). The
-    label list is driver-provided by contract (it's a Python list in
-    pandas too) — it becomes a broadcast side of a left join, so the
-    data never funnels through the driver."""
+    """Conform the frame to a new label list on its index columns
+    (reference: mars/dataframe/indexing/reindex.py:49); a multi-column
+    (MultiIndex) frame takes a list of label tuples. The label list is
+    driver-provided by contract (it's a Python list in pandas too) —
+    it becomes a broadcast side of a left join, so the data never
+    funnels through the driver."""
     from mars_spark.core.frame import DataFrame
 
-    idx = frame._require_index("reindex")
+    idx = _index_of(frame, "reindex")
     spark = frame._sdf.sparkSession
-    idx_type = dict(frame._sdf.dtypes)[idx]
-    lbl = spark.createDataFrame([(v,) for v in index], f"{idx} {idx_type}")
-    j = F.broadcast(lbl).join(frame._sdf, on=idx, how="left")
+    dtypes = dict(frame._sdf.dtypes)
+    schema = ", ".join(f"`{c}` {dtypes[c]}" for c in idx)
+    if len(idx) == 1:
+        rows = [(v,) for v in index]
+    else:
+        rows = [tuple(v) for v in index]
+    lbl = spark.createDataFrame(rows, schema)
+    j = F.broadcast(lbl).join(frame._sdf, on=list(idx), how="left")
     if fill_value is not None:
         j = j.fillna(fill_value, subset=frame.columns)
-    return DataFrame(j, index=[idx])
+    return DataFrame(j, index=list(idx))

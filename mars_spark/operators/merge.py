@@ -144,19 +144,23 @@ def concat(objs, axis: int = 0, join: str = "outer",
 
 def merge_asof(left: DataFrame, right: DataFrame, on: str, by=None,
                direction: str = "backward", tolerance=None,
-               suffixes=("_x", "_y")) -> DataFrame:
+               suffixes=("_x", "_y"),
+               allow_exact_matches: bool = True) -> DataFrame:
     """As-of join — absent from the reference (SURVEY.md §2.3 notes no
     merge_asof exists); added here because time-series pipelines need it.
 
     Spark-first plan: union both sides tagged with a source marker, sort
     within (by, on) once, and carry the most recent right-side row
     forward with a last(ignorenulls) window — one shuffle on ``by``,
-    no per-key loops, no crossJoin. direction='backward' only (the
-    common case); 'forward' is the mirrored window.
+    no per-key loops, no crossJoin. 'forward' is the mirrored window;
+    'nearest' composes the backward and forward carries over the same
+    union and keeps the closer timestamp (ties prefer backward, pandas
+    semantics). allow_exact_matches=False flips the equal-key tie
+    order so same-``on`` right rows fall outside the window frame.
     """
     from pyspark.sql import Window
 
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     by = [by] if isinstance(by, str) else list(by or [])
 
@@ -190,32 +194,52 @@ def merge_asof(left: DataFrame, right: DataFrame, on: str, by=None,
     )
     u = tagged_l.unionByName(tagged_r)
 
-    if direction == "backward":
-        # right rows sort before left rows at equal ``on`` so an exact
-        # match is visible to the left row (pandas allow_exact_matches)
-        w = (Window.partitionBy(*by)
-             .orderBy(F.col(on).asc(), F.col("__is_left").asc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    else:
-        w = (Window.partitionBy(*by)
-             .orderBy(F.col(on).asc(), F.col("__is_left").desc())
-             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    fill = F.last if direction == "backward" else F.first
+    def _matched(dirn):
+        # equal-``on`` tie order controls exact-match visibility: a
+        # right row at the same key matches only when it sorts INSIDE
+        # the left row's window frame
+        if dirn == "backward":
+            tie = (F.col("__is_left").asc() if allow_exact_matches
+                   else F.col("__is_left").desc())
+            w = (Window.partitionBy(*by)
+                 .orderBy(F.col(on).asc(), tie)
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            fill = F.last
+        else:
+            tie = (F.col("__is_left").desc() if allow_exact_matches
+                   else F.col("__is_left").asc())
+            w = (Window.partitionBy(*by)
+                 .orderBy(F.col(on).asc(), tie)
+                 .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            fill = F.first
+        return fill(
+            F.when(F.col("__is_left") == 0, F.col("__r")), ignorenulls=True
+        ).over(w)
 
-    matched = fill(
-        F.when(F.col("__is_left") == 0, F.col("__r")), ignorenulls=True
-    ).over(w)
-    out = (
-        u.withColumn("__m", matched)
-        .filter(F.col("__is_left") == 1)
-        .withColumn("__r_on", F.col("__m.__on"))
-    )
+    if direction == "nearest":
+        out = (u.withColumn("__mb", _matched("backward"))
+               .withColumn("__mf", _matched("forward"))
+               .filter(F.col("__is_left") == 1))
+        bd = F.col(on) - F.col("__mb.__on")
+        fd = F.col("__mf.__on") - F.col(on)
+        use_b = F.col("__mf.__on").isNull() | (
+            F.col("__mb.__on").isNotNull() & (bd <= fd))
+        out = out.withColumn(
+            "__m", F.when(use_b, F.col("__mb")).otherwise(F.col("__mf")))
+    else:
+        out = (u.withColumn("__m", _matched(direction))
+               .filter(F.col("__is_left") == 1))
+    out = out.withColumn("__r_on", F.col("__m.__on"))
     for c in rcols:
         out = out.withColumn(c, F.col(f"__m.{c}"))
     if tolerance is not None:
-        within = (F.col(on) - F.col("__r_on")) if direction == "backward" else (
-            F.col("__r_on") - F.col(on))
+        # direction-agnostic |on - matched_on| (backward matches have
+        # __r_on <= on, forward the reverse, nearest either)
+        within = F.when(
+            F.col("__r_on") <= F.col(on), F.col(on) - F.col("__r_on")
+        ).otherwise(F.col("__r_on") - F.col(on))
         keep = within <= F.lit(tolerance)
         for c in rcols:
             out = out.withColumn(c, F.when(keep, F.col(c)))
-    return DataFrame(out.drop("__is_left", "__r", "__m", "__r_on"))
+    return DataFrame(out.drop("__is_left", "__r", "__m", "__r_on",
+                              "__mb", "__mf"))

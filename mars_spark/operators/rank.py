@@ -80,6 +80,43 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
             .drop("__pid"))
 
 
+def add_ranks(sdf: SparkDF, col: str, methods: dict[str, str],
+              ascending: bool = True,
+              order_col: str | None = None) -> SparkDF:
+    """Multi-method rank with ONE shared stats pass: the per-value
+    aggregate, prefix sums, and the join back are method-independent,
+    so ranking the same column under several methods (a common
+    analytics shape) costs one scan + one join instead of one per
+    method. ``methods`` maps output column name → method name."""
+    bad = set(methods.values()) - {"average", "min", "max", "dense", "first"}
+    if bad:
+        raise ValueError(sorted(bad))
+    per_value = (sdf.select(F.col(col).alias("__v"))
+                 .filter(F.col("__v").isNotNull())
+                 .groupBy("__v")
+                 .agg(F.count(F.lit(1)).alias("__cnt")))
+    stats = prefix_stats(per_value, "__v", "__cnt", ascending=ascending)
+
+    tie_col = order_col
+    if "first" in methods.values() and tie_col is None:
+        tie_col = "__mid"
+        sdf = sdf.withColumn("__mid", F.monotonically_increasing_id())
+    j = sdf.join(stats, sdf[col] == stats["__v"], "left").drop("__v")
+    forms = {
+        "min": lambda: F.col("__before") + 1,
+        "max": lambda: F.col("__before") + F.col("__cnt"),
+        "dense": lambda: F.col("__didx") + 1,
+        "average": lambda: F.col("__before") + (F.col("__cnt") + 1) / 2.0,
+        "first": lambda: F.col("__before") + F.row_number().over(
+            Window.partitionBy(col).orderBy(F.col(tie_col).asc())),
+    }
+    for out, method in methods.items():
+        j = j.withColumn(out, F.when(F.col(col).isNotNull(),
+                                     forms[method]().cast("double")))
+    j = j.drop("__before", "__didx", "__cnt")
+    return j.drop("__mid") if tie_col == "__mid" else j
+
+
 def add_rank(sdf: SparkDF, col: str, method: str = "average",
              ascending: bool = True, out: str = "__rank__",
              order_col: str | None = None) -> SparkDF:

@@ -407,11 +407,11 @@ def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:
     # the hash) and both engines agree row-for-row
     f = f.sort_values(["l_orderkey", "l_linenumber", "l_quantity",
                        "l_discount"]).set_sequence_index("sq")
-    f["r_avg"] = f.l_quantity.rank()
-    f["r_min"] = f.l_quantity.rank(method="min")
-    f["r_max"] = f.l_quantity.rank(method="max")
-    f["r_dense"] = f.l_quantity.rank(method="dense")
-    f["r_first"] = f.l_quantity.rank(method="first")
+    # all five methods share ONE stats pass + join (Series.ranks);
+    # 'first' ties break by the sequence index
+    f = f.l_quantity.ranks({"r_avg": "average", "r_min": "min",
+                            "r_max": "max", "r_dense": "dense",
+                            "r_first": "first"})
     f["growth"] = 1.0 + f.l_discount
     f = w_cumprod(f, "growth", order_by="sq", partition_by=["l_orderkey"])
     n_samp = f.sample(n=50, weights="l_quantity", seed=5).to_spark().count()

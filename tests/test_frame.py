@@ -539,3 +539,54 @@ def test_roc_auc_ignores_null_and_foreign_labels(spark):
         ms.from_spark(spark.createDataFrame(pd.concat([pdf, extra]))),
         "y", "s")
     assert abs(clean - dirty) < 1e-12
+
+
+def test_multiindex_label_ops(spark):
+    import pandas as pd
+    p = pd.DataFrame({"k1": [1, 1, 2, 2], "k2": [10, 20, 10, 20],
+                      "v": ["a", "b", "c", "d"]})
+    f = ms.from_spark(spark.createDataFrame(p)).set_index(["k1", "k2"])
+    # composite scalar label
+    assert list(f.loc[(1, 20)].to_pandas().v) == ["b"]
+    # list of composite labels
+    got = f.loc[[(1, 10), (2, 20)]].to_pandas().sort_values("v")
+    assert list(got.v) == ["a", "d"]
+    # (rows, cols) disambiguation still works
+    assert list(f.loc[(1, 20), "v"]._frame.to_pandas().v) == ["b"]
+    # drop rows by composite label
+    kept = f.drop(index=[(1, 10), (2, 10)], axis=0).to_pandas().sort_values("v")
+    assert list(kept.v) == ["b", "d"]
+    # reindex on composite labels (one missing -> null row)
+    r = f.reindex([(2, 10), (1, 10), (9, 9)]).to_pandas()
+    assert len(r) == 3 and r.v.isna().sum() == 1
+
+
+def test_series_ranks_shared_stats(spark):
+    import numpy as np
+    import pandas as pd
+    p = pd.DataFrame({"k": range(100),
+                      "v": np.random.default_rng(3).integers(0, 12, 100)
+                      .astype("float64")})
+    f = ms.from_spark(spark.createDataFrame(p).repartition(1)) \
+        .sort_values("k").set_sequence_index("sq")
+    out = f.v.ranks({"ra": "average", "rm": "min", "rx": "max",
+                     "rd": "dense", "rf": "first"})
+    got = out.to_spark().select("k", "ra", "rm", "rx", "rd", "rf").toPandas() \
+        .sort_values("k").reset_index(drop=True)
+    for col, method in [("ra", "average"), ("rm", "min"), ("rx", "max"),
+                        ("rd", "dense"), ("rf", "first")]:
+        exp = p.v.rank(method=method)
+        assert list(got[col]) == list(exp), method
+
+
+def test_categorical_accessor(spark):
+    import pandas as pd
+    p = pd.DataFrame({"c": ["b", "a", "c", "a", None]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    s = f.c.astype("category")
+    assert s.cat.categories == ["a", "b", "c"]
+    pc = p.c.astype("category")
+    got = s.cat.codes.to_pandas()
+    assert list(got) == list(pc.cat.codes)
+    renamed = s.cat.rename_categories({"a": "alpha"}).to_pandas()
+    assert set(renamed.dropna()) == {"alpha", "b", "c"}

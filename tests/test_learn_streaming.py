@@ -221,3 +221,55 @@ def test_stream_dedup_and_static_join(spark, tmp_path):
         q.stop()
     assert sorted(out.k) == [1, 2, 3]       # one row per key
     assert set(out.name) == {"a", "b", "c"}
+
+
+def test_glm_and_truncated_svd(spark, rng):
+    import numpy as np
+    import pandas as pd
+    from mars_spark.learn.facade import GeneralizedLinearModel, TruncatedSVD
+    n = 400
+    X = rng.normal(0, 1, (n, 3))
+    y = 2.0 * X[:, 0] - 1.0 * X[:, 1] + 0.5 + rng.normal(0, 0.01, n)
+    pdf = pd.DataFrame({"f": list(map(list, X)), "y": y})
+    sdf = spark.createDataFrame(pdf)
+    glm = GeneralizedLinearModel(family="gaussian").fit(sdf, "f", "y")
+    assert abs(glm.coef_[0] - 2.0) < 0.05
+    assert abs(glm.intercept_ - 0.5) < 0.05
+    svd = TruncatedSVD(n_components=2).fit(sdf, "f")
+    assert svd.components_.shape == (2, 3)
+    # components are orthonormal rows
+    C = svd.components_
+    assert np.allclose(C @ C.T, np.eye(2), atol=1e-8)
+    out = svd.transform(sdf)
+    assert out.select("svd").first()["svd"] is not None
+    # projection matches numpy
+    row0 = out.select("f", "svd").first()
+    exp = C @ np.array(row0["f"])
+    assert np.allclose(np.array(row0["svd"]), exp, atol=1e-8)
+
+
+def test_bagging_and_isolation_forest(spark, rng):
+    import numpy as np
+    import pandas as pd
+    from mars_spark.learn.facade import BaggingRegressor, IsolationForest
+    n = 300
+    X = rng.normal(0, 1, (n, 2))
+    y = 3.0 * X[:, 0] + X[:, 1]
+    pdf = pd.DataFrame({"f": list(map(list, X)), "y": y})
+    sdf = spark.createDataFrame(pdf)
+    bag = BaggingRegressor(n_estimators=3).fit(sdf, "f", "y")
+    pred = bag.predict(sdf).select("y", "prediction").toPandas()
+    resid = (pred.y - pred.prediction).abs().mean()
+    assert resid < 0.1
+    # isolation forest: inliers cluster at origin, outliers far away
+    inliers = rng.normal(0, 1, (500, 2))
+    outliers = np.array([[8.0, 8.0], [-9.0, 7.5], [10.0, -10.0]])
+    pdf2 = pd.DataFrame({"f": list(map(list, np.vstack([inliers, outliers]))),
+                         "is_out": [0] * 500 + [1] * 3})
+    sdf2 = spark.createDataFrame(pdf2)
+    forest = IsolationForest(n_estimators=40, seed=7).fit(sdf2, "f")
+    scored = forest.scores(sdf2).select("is_out", "anomaly_score").toPandas()
+    out_mean = scored[scored.is_out == 1].anomaly_score.mean()
+    in_mean = scored[scored.is_out == 0].anomaly_score.mean()
+    assert out_mean > in_mean + 0.1
+    assert out_mean > 0.6

@@ -114,3 +114,31 @@ def test_merge_indicator(spark):
     out = l.merge(r, on="k", how="outer", indicator=True).to_pandas()
     got = dict(zip(out.k, out._merge))
     assert got == {1: "left_only", 2: "both", 3: "right_only"}
+
+
+def test_merge_asof_nearest_and_exact_matches(spark):
+    left = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "t": [0, 7, 15, 30] * 2,
+        "lv": range(8),
+    })
+    right = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b"],
+        "t": [5, 15, 26, 8, 30],
+        "rv": [100, 200, 300, 400, 500],
+    })
+    ml, mr = ms.from_pandas(left), ms.from_pandas(right)
+    for direction in ["nearest", "backward", "forward"]:
+        for exact in [True, False]:
+            out = merge_asof(ml, mr, on="t", by="g", direction=direction,
+                             allow_exact_matches=exact).to_pandas()
+            exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                                on="t", by="g", direction=direction,
+                                allow_exact_matches=exact)
+            assert_frame_equal(out, exp, sort_by=["g", "t"]), (direction, exact)
+    # nearest + tolerance
+    out = merge_asof(ml, mr, on="t", by="g", direction="nearest",
+                     tolerance=4).to_pandas()
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                        on="t", by="g", direction="nearest", tolerance=4)
+    assert_frame_equal(out, exp, sort_by=["g", "t"])
