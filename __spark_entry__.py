@@ -44,12 +44,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool.update(OPS_QUERIES)
 
     priority = [
-        # new this round (r4) — no driver verdict yet: the five
-        # composite rows packing previously-unverified operator
-        # families, plus the two merged TPC-H composites
+        # new this round (r4) — no driver verdict yet: composite rows
+        # packing previously-unverified operator families, the merged
+        # TPC-H/pipeline composites, and the reshaped set-ops row
         "op_learn_metrics", "op_groupby_rowops", "op_ewm_expanding",
-        "op_series_misc", "op_rank_cumprod",
+        "op_series_misc", "op_rank_cumprod", "op_io_roundtrip",
+        "op_knn", "op_set_ops",
         "tpch_q06_12_14_17_19", "tpch_q04_22",
+        "events_hourly_funnel", "emb_topk_label_stats",
     ]
     out: dict[str, Callable] = {k: pool[k] for k in priority}
     out.update({k: v for k, v in pool.items() if k not in out})

@@ -572,3 +572,61 @@ class IsolationForest(_Wrapper):
         features = features or self._features
         arr = F.transform(F.col(features), lambda x: x.cast("double"))
         return sdf.withColumn("anomaly_score", _score(arr))
+
+
+def label_propagation(df, features: str, label: str, id_col: str,
+                      n_neighbors: int = 5, max_iter: int = 10):
+    """Semi-supervised label propagation (reference:
+    mars/learn/semi_supervised/_label_propagation.py — Mars builds the
+    rbf/knn kernel as a tensor and iterates the propagation matrix).
+    Spark-first kNN-graph variant: edges are the k nearest neighbors
+    per node (broadcast train side — the same scale envelope as
+    KNeighborsClassifier; swap in llm.similarity IVF/LSH for beyond-
+    broadcast data), then iterative majority vote over neighbors with
+    clamped seeds. Each round is one join + one groupBy, lineage
+    truncated per round (localCheckpoint, same pattern as
+    llm.dedup.dedup_clusters); unlabeled rows carry label NULL.
+    Returns (id_col, label) with propagated labels.
+    """
+    from pyspark.sql import Window
+
+    sdf = _sdf(df)
+    arr = F.transform(F.col(features), lambda x: x.cast("double"))
+    base = sdf.select(F.col(id_col).alias("id"), arr.alias("f"),
+                      F.col(label).alias("y"))
+    lhs = base.select(F.col("id").alias("src"), F.col("f").alias("fs"))
+    rhs = base.select(F.col("id").alias("dst"), F.col("f").alias("fd"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("fs"), F.col("fd"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("src").orderBy(F.asc("__d"), F.asc("dst"))
+    edges = (lhs.join(F.broadcast(rhs))
+             .filter(F.col("src") != F.col("dst"))
+             .withColumn("__d", dist)
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= n_neighbors)
+             .select("src", "dst")
+             .localCheckpoint())
+    seeds = base.select("id", "y").localCheckpoint()
+    labels = seeds
+    for _ in range(max_iter):
+        votes = (edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+                 .filter(F.col("y").isNotNull())
+                 .groupBy("src", "y")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        wv = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("y"))
+        prop = (votes.withColumn("__rv", F.row_number().over(wv))
+                .filter(F.col("__rv") == 1)
+                .select(F.col("src").alias("id"), F.col("y").alias("py")))
+        new_labels = (seeds.join(prop, on="id", how="left")
+                      .select("id", F.coalesce(seeds.y, F.col("py"))
+                              .alias("y"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.y").eqNullSafe(F.col("o.y")) == False)  # noqa: E712
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("id", id_col) \
+        .withColumnRenamed("y", label)

@@ -86,16 +86,25 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def op_set_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.7 set ops — nations having BOTH customers and suppliers;
-    the two inputs exercise drop_duplicates (r01's op_drop_duplicates
-    absorbed here: distinct is its keep-agnostic core; the ordered
-    keep=first/last variants are pytest-covered via the sequence
-    index, tests/test_frame.py::test_tail_and_keep_last)."""
-    c = load(sf_dir, "customer")[["c_nationkey"]].rename(
-        columns={"c_nationkey": "nationkey"}).drop_duplicates()
-    s = load(sf_dir, "supplier")[["s_nationkey"]].rename(
-        columns={"s_nationkey": "nationkey"}).drop_duplicates()
-    return c.intersect(s).to_spark()
+    """§2.7 set ops — intersect (nations having BOTH customers and
+    suppliers) plus exceptAll (r4: MULTISET difference of the raw,
+    non-deduped nationkey bags, counted per key — driver-verifies the
+    exceptAll family that was pytest-only). The distinct inputs
+    exercise drop_duplicates (r01's op_drop_duplicates absorbed here;
+    ordered keep=first/last variants are pytest-covered via the
+    sequence index)."""
+    c_raw = load(sf_dir, "customer")[["c_nationkey"]].rename(
+        columns={"c_nationkey": "nationkey"})
+    s_raw = load(sf_dir, "supplier")[["s_nationkey"]].rename(
+        columns={"s_nationkey": "nationkey"})
+    both = c_raw.drop_duplicates().intersect(s_raw.drop_duplicates())         .to_spark().select(
+            F.lit("both").alias("op"), "nationkey",
+            F.lit(1).cast("bigint").alias("n"))
+    extra = (c_raw.exceptAll(s_raw).to_spark()
+             .groupBy("nationkey")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("cust_extra").alias("op"), "nationkey", "n"))
+    return both.unionByName(extra)
 
 
 def op_window_rank(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -260,7 +269,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     from mars_spark.learn import facade as L
 
     e = load(sf_dir, "events")
-    f = e[["event_id"]]
+    f = e[["event_id", "value"]]
     f["y"] = f.event_id % 2
     f["s"] = ((f.event_id * 37) % 1000).astype("float64") / 1000.0
     f["pred"] = (f.s >= 0.5).astype("int64")
@@ -268,17 +277,32 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     prf = L.precision_recall_f1(f, "y", "pred", positive=1)
     ll = L.log_loss(f, "y", prob="s")
     auc = L.roc_auc_score(f, "y", "s")
+    # regression metrics: OLS value ~ s (MLlib normal-equation solve);
+    # the oracle is the covariance/variance closed form, and r2/mse
+    # verify the facade metric functions on the fitted predictions
+    lr = L.LinearRegression().fit(f, ["s"], "value")
+    pred = lr.predict(f)
+    from mars_spark.core.frame import DataFrame as MDF
+
+    pf = MDF(pred)
+    r2 = L.r2_score(pf, "value", "prediction")
+    mse = L.mean_squared_error(pf, "value", "prediction")
 
     def r6(x: float) -> float:
         # floor(x·1e6 + .5)/1e6 on BOTH engine and oracle sides —
         # round() half-rule disagreements on doubles (FIXTURES.md)
         return math.floor(x * 1e6 + 0.5) / 1e6
 
+    def r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
     return spark.createDataFrame(
         [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
-          r6(ll), r6(auc))],
+          r6(ll), r6(auc), r4(lr.coef_[0]), r4(lr.intercept_),
+          r6(r2), r4(mse))],
         "accuracy double, prec double, recall double, f1 double, "
-        "log_loss double, auc double")
+        "log_loss double, auc double, slope double, intercept double, "
+        "r2 double, mse double")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -422,6 +446,65 @@ def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.lit(int(n_samp)).cast("bigint").alias("n_samp"))
 
 
+def op_io_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.1 IO round-trips, driver-verified (r3 'what's missing' #1
+    listed read_csv as never driver-exercised): the same events subset
+    is written with to_csv / to_json / to_orc
+    (mars/dataframe/datastore/to_csv.py:41, to_parquet.py:44 family)
+    and read back with read_csv / read_json / read_orc
+    (mars/dataframe/datasource/read_csv.py:406 family, schema
+    inference on for csv/json); each source aggregates to the same
+    (n, sum_id, sum_value) row — the oracle computes it once from
+    parquet, so any loss in the round-trip (schema, precision, rows)
+    breaks the hash."""
+    import mars_spark as _ms
+
+    base = load(sf_dir, "events")[["event_id", "user_id", "value"]]
+    # per-session scratch dir: concurrent sessions (or a parallel
+    # verify run) must not overwrite each other's round-trip files
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    app = spark.sparkContext.applicationId
+    root = f"/tmp/mars_spark_io_{tag}_{app}"
+    outs = []
+    for fmt, write, read in [
+        ("csv", "to_csv", _ms.read_csv),
+        ("json", "to_json", _ms.read_json),
+        ("orc", "to_orc", _ms.read_orc),
+    ]:
+        path = f"{root}/{fmt}"
+        getattr(base, write)(path)
+        back = read(path)
+        outs.append(back.to_spark().agg(
+            F.count(F.lit(1)).alias(f"n_{fmt}"),
+            F.sum("event_id").alias(f"sum_id_{fmt}"),
+            F.round(F.sum("value"), 2).alias(f"sum_value_{fmt}")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.crossJoin(F.broadcast(o))
+    return out
+
+
+def op_knn(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.10 KNN classifier, driver-verified: 5-NN euclidean majority
+    vote over the embeddings table (mars/learn/neighbors/ — Mars wraps
+    kd/ball-tree per chunk; ours broadcasts the train side and scores
+    with a JVM distance expression + row_number window,
+    learn/facade.py KNeighborsClassifier). The oracle replays the
+    exact vote/tie-break (count desc, best-distance asc, label asc)
+    with SQL windows."""
+    from mars_spark.learn.facade import KNeighborsClassifier
+
+    e = load(sf_dir, "embeddings").to_spark()
+    train = e.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("label"))
+    test = e.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"))
+    knn = KNeighborsClassifier(n_neighbors=5).fit(train)
+    return knn.predict(test, id_col="vec_id")
+
+
 OPS_QUERIES = {
     "op_conditional": op_conditional,
     "op_accessors": op_accessors,
@@ -442,4 +525,6 @@ OPS_QUERIES = {
     "op_ewm_expanding": op_ewm_expanding,
     "op_series_misc": op_series_misc,
     "op_rank_cumprod": op_rank_cumprod,
+    "op_io_roundtrip": op_io_roundtrip,
+    "op_knn": op_knn,
 }

@@ -42,9 +42,16 @@ OPS_ORACLES: dict[str, str] = {
         SELECT * FROM per_flag CROSS JOIN tot
     """,
     "op_set_ops": """
-        SELECT DISTINCT c_nationkey AS nationkey FROM customer
-        INTERSECT
-        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        SELECT 'both' AS op, nationkey, CAST(1 AS BIGINT) AS n
+        FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        UNION ALL
+        SELECT 'cust_extra', nationkey, count(*) AS n
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT ALL
+              SELECT s_nationkey FROM supplier)
+        GROUP BY nationkey
     """,
     "op_window_rank": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
@@ -177,6 +184,19 @@ OPS_ORACLES: dict[str, str] = {
                    sum(np) AS npos, sum(c - np) AS nneg
             FROM pre
         )
+        , reg AS (
+            SELECT covar_samp(s2.s, e2.value) / var_samp(s2.s) AS slope,
+                   avg(e2.value) - covar_samp(s2.s, e2.value)
+                       / var_samp(s2.s) * avg(s2.s) AS intercept,
+                   corr(s2.s, e2.value) * corr(s2.s, e2.value) AS r2,
+                   var_pop(e2.value)
+                       * (1 - corr(s2.s, e2.value) * corr(s2.s, e2.value))
+                       AS mse
+            FROM (SELECT event_id,
+                         CAST((event_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s
+                  FROM events) s2
+            JOIN events e2 USING (event_id)
+        )
         SELECT floor(acc * 1e6 + 0.5) / 1e6 AS accuracy,
                floor(tp / (tp + fp) * 1e6 + 0.5) / 1e6 AS prec,
                floor(tp / (tp + fn) * 1e6 + 0.5) / 1e6 AS recall,
@@ -185,8 +205,12 @@ OPS_ORACLES: dict[str, str] = {
                      * 1e6 + 0.5) / 1e6 AS f1,
                floor(ll * 1e6 + 0.5) / 1e6 AS log_loss,
                floor((rpos - npos * (npos + 1) / 2) / (npos * nneg)
-                     * 1e6 + 0.5) / 1e6 AS auc
-        FROM base CROSS JOIN a
+                     * 1e6 + 0.5) / 1e6 AS auc,
+               floor(slope * 1e4 + 0.5) / 1e4 AS slope,
+               floor(intercept * 1e4 + 0.5) / 1e4 AS intercept,
+               floor(r2 * 1e6 + 0.5) / 1e6 AS r2,
+               floor(mse * 1e4 + 0.5) / 1e4 AS mse
+        FROM base CROSS JOIN a CROSS JOIN reg
     """,
     "op_groupby_rowops": """
         WITH f AS (
@@ -298,5 +322,41 @@ OPS_ORACLES: dict[str, str] = {
                    AS cum_growth,
                CAST(50 AS BIGINT) AS n_samp
         FROM r
+    """,
+    "op_io_roundtrip": """
+        WITH agg AS (
+            SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+        )
+        SELECT n AS n_csv, sum_id AS sum_id_csv, sum_value AS sum_value_csv,
+               n AS n_json, sum_id AS sum_id_json, sum_value AS sum_value_json,
+               n AS n_orc, sum_id AS sum_id_orc, sum_value AS sum_value_orc
+        FROM agg
+    """,
+    "op_knn": """
+        WITH test AS (
+            SELECT vec_id, embedding::DOUBLE[] AS f FROM embeddings
+            WHERE vec_id < 20
+        ), train AS (
+            SELECT embedding::DOUBLE[] AS tf, label FROM embeddings
+        ), dists AS (
+            SELECT t.vec_id, tr.label,
+                   list_distance(t.f, tr.tf) AS d,
+                   row_number() OVER (PARTITION BY t.vec_id
+                                      ORDER BY list_distance(t.f, tr.tf))
+                       AS rn
+            FROM test t CROSS JOIN train tr
+        ), votes AS (
+            SELECT vec_id, label, count(*) AS n, min(d) AS best
+            FROM dists WHERE rn <= 5
+            GROUP BY vec_id, label
+        )
+        SELECT vec_id, label AS prediction
+        FROM (SELECT vec_id, label,
+                     row_number() OVER (PARTITION BY vec_id
+                         ORDER BY n DESC, best ASC, label ASC) AS rv
+              FROM votes)
+        WHERE rv = 1
     """,
 }

@@ -281,10 +281,33 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
     )
 
 
+def events_hourly_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite (r4 slot merge, both sub-plans run in full): the
+    hourly tumbling rollup rows carry the funnel's four scalar counts
+    as broadcast columns."""
+    hourly = events_hourly(spark, sf_dir)
+    funnel = events_funnel(spark, sf_dir)
+    return hourly.crossJoin(F.broadcast(funnel))
+
+
+def emb_topk_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite (r4 slot merge): cosine top-10 rows and per-label
+    norm stats unioned under a harmonized (key, m1, m2) schema."""
+    topk = emb_topk(spark, sf_dir).select(
+        F.concat(F.lit("top:"), F.col("vec_id").cast("string")).alias("key"),
+        F.col("cos_sim").alias("m1"),
+        F.lit(None).cast("double").alias("m2"))
+    stats = emb_label_stats(spark, sf_dir).select(
+        F.concat(F.lit("lbl:"), F.col("label").cast("string")).alias("key"),
+        F.col("n").cast("double").alias("m1"),
+        F.col("avg_norm").alias("m2"))
+    return topk.unionByName(stats)
+
+
 PIPELINE_QUERIES = {
-    "events_hourly": events_hourly,
+    "events_hourly_funnel": events_hourly_funnel,
+    "emb_topk_label_stats": emb_topk_label_stats,
     "events_sessions": events_sessions,
-    "events_funnel": events_funnel,
     "events_window_funcs": events_window_funcs,
     "events_activity": events_activity,
     "docs_text_metrics": docs_text_metrics,
@@ -292,8 +315,6 @@ PIPELINE_QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_simhash": docs_simhash,
-    "emb_topk": emb_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
-    "emb_label_stats": emb_label_stats,
     "emb_ann_recall": emb_ann_recall,
 }

@@ -60,11 +60,6 @@ def _simhash16() -> str:
 
 PIPELINE_ORACLES: dict[str, str] = {
     # ------------------------------------------------------------- events
-    "events_hourly": """
-        SELECT date_trunc('hour', ts) AS hour, event_type,
-               count(*) AS n, round(sum(value), 2) AS sum_value
-        FROM events GROUP BY hour, event_type
-    """,
     "events_sessions": """
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                count(*) AS n_events
@@ -77,23 +72,6 @@ PIPELINE_ORACLES: dict[str, str] = {
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
                   FROM events)
         ) GROUP BY user_id
-    """,
-    "events_funnel": """
-        WITH per_user AS (
-            SELECT user_id,
-                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
-            FROM events GROUP BY user_id
-        )
-        SELECT count(*) AS n_users,
-               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_view,
-               CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_view_click,
-               CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-        FROM per_user
     """,
     "events_window_funcs": """
         SELECT event_id, user_id,
@@ -239,15 +217,6 @@ PIPELINE_ORACLES: dict[str, str] = {
         )
     """,
     # --------------------------------------------------------- embeddings
-    "emb_topk": """
-        SELECT e.vec_id,
-               round(list_cosine_similarity(e.embedding::DOUBLE[],
-                                            q.embedding::DOUBLE[]), 4) AS cos_sim
-        FROM embeddings e
-        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        ORDER BY cos_sim DESC, e.vec_id ASC
-        LIMIT 10
-    """,
     "emb_neardup_pairs": """
         SELECT x.vec_id AS a, y.vec_id AS b,
                round(list_cosine_similarity(x.embedding::DOUBLE[],
@@ -262,10 +231,52 @@ PIPELINE_ORACLES: dict[str, str] = {
     "emb_ann_recall": """
         SELECT 10 AS k, true AS recall_pass
     """,
-    "emb_label_stats": """
+    "events_hourly_funnel": """
+        WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY hour, event_type
+    ),
+        funnel AS (
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view_click,
+               CAST(sum(CASE WHEN t_click > t_view AND t_buy > t_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM per_user
+    )
+        SELECT * FROM hourly CROSS JOIN funnel
+    """,
+    "emb_topk_label_stats": """
+        WITH topk AS (
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 4) AS cos_sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    ),
+        lbl AS (
         SELECT label, count(*) AS n,
                round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
                                                embedding::DOUBLE[]))), 4) AS avg_norm
         FROM embeddings GROUP BY label
+    )
+        SELECT 'top:' || CAST(vec_id AS VARCHAR) AS key, cos_sim AS m1,
+               CAST(NULL AS DOUBLE) AS m2
+        FROM topk
+        UNION ALL
+        SELECT 'lbl:' || CAST(label AS VARCHAR), CAST(n AS DOUBLE), avg_norm
+        FROM lbl
     """,
 }

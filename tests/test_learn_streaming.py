@@ -273,3 +273,20 @@ def test_bagging_and_isolation_forest(spark, rng):
     in_mean = scored[scored.is_out == 0].anomaly_score.mean()
     assert out_mean > in_mean + 0.1
     assert out_mean > 0.6
+
+
+def test_label_propagation(spark, rng):
+    import numpy as np
+    import pandas as pd
+    from mars_spark.learn.facade import label_propagation
+    # two well-separated clusters, one seed label each
+    a = rng.normal(0, 0.3, (40, 2))
+    b = rng.normal(5, 0.3, (40, 2))
+    X = np.vstack([a, b])
+    y = [0.0] + [None] * 39 + [1.0] + [None] * 39
+    pdf = pd.DataFrame({"id": range(80), "f": list(map(list, X)), "y": y})
+    sdf = spark.createDataFrame(pdf)
+    out = label_propagation(sdf, "f", "y", "id", n_neighbors=5).toPandas()
+    m = dict(zip(out.id, out.y))
+    assert all(m[i] == 0.0 for i in range(40))
+    assert all(m[i] == 1.0 for i in range(40, 80))
