@@ -402,10 +402,21 @@ class DataFrame:
         return DataFrame(sdf, self._index)
 
     # ---------------------------------------------------------- groupby
-    def groupby(self, by, as_index: bool = True, sort: bool = False):
+    def groupby(self, by=None, level=None, as_index: bool = True,
+                sort: bool = False):
+        """mars/dataframe/groupby/core.py — ``level=`` groups by index
+        column(s): positions resolve against the (Multi)Index column
+        list, names pass through."""
         from mars_spark.core.groupby import GroupBy
 
-        keys = [by] if isinstance(by, str) else list(by)
+        if by is None:
+            if level is None:
+                raise TypeError("groupby needs 'by' or 'level'")
+            levels = level if isinstance(level, (list, tuple)) else [level]
+            keys = [self._index[lv] if isinstance(lv, int) else lv
+                    for lv in levels]
+        else:
+            keys = [by] if isinstance(by, str) else list(by)
         return GroupBy(self, keys, as_index=as_index, sort=sort)
 
     def agg(self, arg=None, **named) -> "DataFrame":

@@ -590,3 +590,18 @@ def test_categorical_accessor(spark):
     assert list(got) == list(pc.cat.codes)
     renamed = s.cat.rename_categories({"a": "alpha"}).to_pandas()
     assert set(renamed.dropna()) == {"alpha", "b", "c"}
+
+
+def test_groupby_level(spark):
+    import pandas as pd
+    p = pd.DataFrame({"k1": [1, 1, 2, 2], "k2": [10, 20, 10, 20],
+                      "v": [1.0, 2.0, 3.0, 4.0]})
+    f = ms.from_spark(spark.createDataFrame(p)).set_index(["k1", "k2"])
+    got = f.groupby(level=0, as_index=False).agg(s=("v", "sum")).to_pandas() \
+        .sort_values("k1")
+    assert list(got.s) == [3.0, 7.0]
+    got2 = f.groupby(level=[0, 1], as_index=False).agg(s=("v", "sum"))
+    assert got2.count() == 4
+    got3 = f.groupby(level="k2", as_index=False).agg(s=("v", "sum")) \
+        .to_pandas().sort_values("k2")
+    assert list(got3.s) == [4.0, 6.0]
