@@ -14,6 +14,24 @@ class DatetimeAccessor:
     def __init__(self, series):
         self._s = series
 
+    def __getattr__(self, name):
+        """mars/dataframe/base/datetimes.py:152-154 — any other
+        ``pd.Series.dt`` property/method dispatches to the vectorized
+        pandas fallback (day_name, is_leap_year, round, normalize, …)."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        import pandas as pd
+
+        from mars_spark.functions._pandas_dispatch import accessor_fallback
+
+        probe = pd.Series(pd.to_datetime(
+            ["2024-02-29 13:45:59.123", "2023-06-15 00:00:00.000"]))
+        try:
+            return accessor_fallback(self._s, "dt", name, probe)
+        except AttributeError:
+            raise AttributeError(
+                f"Series.dt has no attribute {name!r}") from None
+
     def _wrap(self, col):
         from mars_spark.core.series import Series
 

@@ -17,6 +17,23 @@ class StringAccessor:
     def __init__(self, series):
         self._s = series
 
+    def __getattr__(self, name):
+        """mars/dataframe/base/string_.py:411-418 — any other
+        ``pd.Series.str`` method dispatches to the vectorized pandas
+        fallback (swapcase, casefold, isnumeric, findall, wrap, …)."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        import pandas as pd
+
+        from mars_spark.functions._pandas_dispatch import accessor_fallback
+
+        probe = pd.Series(["Ab1 c", "", "xyz9"], dtype="object")
+        try:
+            return accessor_fallback(self._s, "str", name, probe)
+        except AttributeError:
+            raise AttributeError(
+                f"Series.str has no attribute {name!r}") from None
+
     def _wrap(self, col, name=None):
         from mars_spark.core.series import Series
 
@@ -32,7 +49,11 @@ class StringAccessor:
     def title(self):
         return self._wrap(F.initcap(self._s._col))
 
-    capitalize = title
+    def capitalize(self):
+        # pandas: first char upper, REST lower — not per-word initcap
+        c = self._s._col
+        return self._wrap(F.concat(F.upper(F.substring(c, 1, 1)),
+                                   F.lower(F.substring(c, 2, 2**31 - 1))))
 
     # predicates
     def contains(self, pat, regex: bool = True):

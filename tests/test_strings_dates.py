@@ -97,3 +97,43 @@ def test_date_range(spark):
     out = ms.date_range("2024-01-01", periods=5, freq="D").to_pandas()
     assert len(out) == 5
     assert str(out.ts.iloc[-1])[:10] == "2024-01-05"
+
+
+def test_str_dt_generic_fallback(spark):
+    """mars/dataframe/base/string_.py:411 auto-registers the whole
+    pd.Series.str surface; unknown methods route through the pandas-UDF
+    fallback and must match pandas exactly."""
+    import warnings
+
+    pdf = pd.DataFrame({
+        "s": ["Hello World", "abc 123", None, "ZZ top", "42"],
+        "t": pd.to_datetime(
+            ["2024-02-29 13:45:59", "2023-06-15 08:00:01",
+             "2020-01-01 00:00:00", "2021-12-31 23:59:59",
+             "2024-07-04 12:00:00"]),
+    })
+    f = ms.from_pandas(pdf)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cases = [
+            (f.s.str.swapcase(), pdf.s.str.swapcase()),
+            (f.s.str.casefold(), pdf.s.str.casefold()),
+            (f.s.str.isnumeric(), pdf.s.str.isnumeric()),
+            (f.s.str.capitalize(), pdf.s.str.capitalize()),
+            (f.t.dt.day_name(), pdf.t.dt.day_name()),
+            (f.t.dt.is_leap_year, pdf.t.dt.is_leap_year),
+            (f.t.dt.round("h"), pdf.t.dt.round("h")),
+            (f.t.dt.microsecond, pdf.t.dt.microsecond),
+        ]
+        for ours, theirs in cases:
+            got = ours.to_pandas()
+            assert list(pd.Series(got).fillna("~")) == \
+                list(pd.Series(theirs).fillna("~"))
+        fa = f.s.str.findall(r"[a-z]+").to_pandas()
+        exp = pdf.s.str.findall(r"[a-z]+")
+        assert [None if v is None else list(v) for v in fa] == \
+            [None if not isinstance(v, list) else v for v in exp]
+    with pytest.raises(AttributeError):
+        f.s.str.not_a_method
+    with pytest.raises(AttributeError):
+        f.t.dt.not_a_field
