@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H/pipeline composites, and the reshaped set-ops row
         "op_learn_metrics", "op_groupby_rowops", "op_ewm_expanding",
         "op_series_misc", "op_rank_cumprod", "op_io_roundtrip",
-        "op_knn", "op_set_ops",
+        "op_knn_kmeans", "op_set_ops",
         "tpch_q06_12_14_17_19", "tpch_q04_22",
         "events_hourly_funnel", "emb_topk_label_stats",
     ]

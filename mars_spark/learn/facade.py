@@ -44,10 +44,26 @@ class KMeans(_Wrapper):
     """reference: mars/learn/cluster/_kmeans.py:596 (Lloyd/Elkan in
     Cython) → MLlib KMeans (distributed Lloyd with kmeans|| init)."""
 
-    def __init__(self, n_clusters: int = 8, seed: int = 42, max_iter: int = 20):
-        super().__init__(n_clusters=n_clusters, seed=seed, max_iter=max_iter)
+    def __init__(self, n_clusters: int = 8, seed: int = 42,
+                 max_iter: int = 20, init=None, tol: float = 1e-4,
+                 centroid_decimals: int | None = None):
+        """``init=`` with explicit centroid vectors (sklearn's ndarray
+        init) runs a DataFrame-native Lloyd loop instead of MLlib —
+        MLlib KMeans has no user-provided-centroid init, and its
+        kmeans|| seeding samples per partition, so results shift with
+        the reader's split count. The Lloyd path is bit-deterministic
+        given the init (assignment is a BLAS gemm per Arrow batch, the
+        update one groupBy agg); ``centroid_decimals`` additionally
+        quantizes centroids after each update so reduction-order fp
+        noise cannot flip a near-tie assignment across engines/layouts.
+        """
+        super().__init__(n_clusters=n_clusters, seed=seed,
+                         max_iter=max_iter, init=init, tol=tol,
+                         centroid_decimals=centroid_decimals)
 
     def fit(self, df, features):
+        if self.params["init"] is not None:
+            return self._fit_lloyd(_sdf(df), features)
         from pyspark.ml.clustering import KMeans as MLKMeans
 
         sdf, fcol = _with_features(_sdf(df), features)
@@ -59,12 +75,79 @@ class KMeans(_Wrapper):
         self._fcol, self._features = fcol, features
         return self
 
+    # ------------------------------------------------------ Lloyd path
+    @staticmethod
+    def _assign_euclid(sdf: SparkDF, arr_col: str, cents):
+        """argmin_k ||x - c_k||² as ONE gemm per Arrow batch: the
+        n×d batch times dᵀ×k centroids; ||x||² is row-constant so
+        argmin(-2x·c + ||c||²) suffices. Ties break to the lowest
+        cluster id (np.argmin first-min), matching the SQL
+        min-then-first ordering an oracle replays. Same design as the
+        IVF quantizer (llm/similarity.py ivf_index_deterministic);
+        reference: mars/learn/cluster/_kmeans.py:596."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        cmat = np.asarray(cents, dtype=np.float64)      # k × d
+        c2 = (cmat ** 2).sum(axis=1)                    # k
+
+        def _argmin(e):
+            if e.empty:
+                return pd.Series([], dtype="int32")
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in e])
+            scores = -2.0 * (m @ cmat.T) + c2
+            return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+        _argmin_udf = pandas_udf(_argmin, "int")
+        return sdf.withColumn("cluster", _argmin_udf(F.col(arr_col)))
+
+    def _fit_lloyd(self, sdf: SparkDF, features):
+        cents = [[float(x) for x in c] for c in self.params["init"]]
+        k, dim = len(cents), len(cents[0])
+        dec = self.params["centroid_decimals"]
+        base = sdf.select(F.transform(
+            features, lambda x: x.cast("double")).alias("e"))
+        for _ in range(self.params["max_iter"]):
+            assigned = self._assign_euclid(base, "e", cents)
+            # k×(d+1) collect — bounded by cluster count, never data-sized
+            rows = {r["cluster"]: r for r in assigned.groupBy("cluster").agg(
+                *[F.avg(F.col("e")[i]).alias(f"c{i}") for i in range(dim)],
+                F.count("*").alias("n")).collect()}
+            new = []
+            for ci in range(k):
+                if ci in rows:
+                    c = [rows[ci][f"c{i}"] for i in range(dim)]
+                    if dec is not None:
+                        import math
+                        c = [math.floor(x * 10**dec + 0.5) / 10**dec
+                             for x in c]
+                else:
+                    c = cents[ci]  # empty cluster keeps its centroid
+                new.append(c)
+            shift = max(abs(a - b) for cn, co in zip(new, cents)
+                        for a, b in zip(cn, co))
+            cents = new
+            if shift <= self.params["tol"]:
+                break
+        self._centers, self._features = cents, features
+        return self
+
     def predict(self, df, features=None):
+        if self.params["init"] is not None:
+            sdf = _sdf(df)
+            feat = features or self._features
+            out = self._assign_euclid(
+                sdf.withColumn("__e", F.transform(
+                    feat, lambda x: x.cast("double"))), "__e",
+                self._centers)
+            return out.drop("__e")
         sdf, fcol = _with_features(_sdf(df), features or self._features)
         return self.model_.transform(sdf).drop("__features")
 
     @property
     def cluster_centers_(self):
+        if self.params["init"] is not None:
+            return [list(c) for c in self._centers]
         return [list(c) for c in self.model_.clusterCenters()]
 
 

@@ -484,25 +484,59 @@ def op_io_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
     return out
 
 
-def op_knn(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.10 KNN classifier, driver-verified: 5-NN euclidean majority
+def op_knn_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.10 estimators, driver-verified: (a) 5-NN euclidean majority
     vote over the embeddings table (mars/learn/neighbors/ — Mars wraps
     kd/ball-tree per chunk; ours broadcasts the train side and scores
-    with a JVM distance expression + row_number window,
-    learn/facade.py KNeighborsClassifier). The oracle replays the
-    exact vote/tie-break (count desc, best-distance asc, label asc)
-    with SQL windows."""
-    from mars_spark.learn.facade import KNeighborsClassifier
+    with a JVM distance expression + row_number window); (b) KMeans
+    with provided init (mars/learn/cluster/_kmeans.py:596) — the
+    DataFrame-native Lloyd loop seeded from the 4 lowest vec_ids, two
+    quantized iterations, reporting per-cluster size + mean squared
+    distance. Both are fully deterministic, so the oracle replays the
+    vote tie-break and the Lloyd iterations in SQL. Inertia uses the
+    closed form Σᵢ avg(xᵢ²) − 2cᵢ·avg(xᵢ) + cᵢ² so the engine side is
+    one k×(2d+1) aggregate — no second data pass, collect is
+    cluster-sized."""
+    import math
+
+    from mars_spark.learn.facade import KMeans, KNeighborsClassifier
 
     e = load(sf_dir, "embeddings").to_spark()
-    train = e.select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
-        F.col("label"))
+    feats = F.transform("embedding", lambda x: x.cast("double"))
+    train = e.select(feats.alias("features"), F.col("label"))
     test = e.filter(F.col("vec_id") < 20).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("features"))
+        "vec_id", feats.alias("features"))
     knn = KNeighborsClassifier(n_neighbors=5).fit(train)
-    return knn.predict(test, id_col="vec_id")
+    knn_out = knn.predict(test, id_col="vec_id").select(
+        F.lit("knn").alias("tag"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("prediction").cast("long").alias("val"),
+        F.lit(None).cast("double").alias("score"))
+
+    init = [list(r["e"]) for r in
+            e.filter(F.col("vec_id") < 4).orderBy("vec_id")
+            .select(feats.alias("e")).collect()]
+    dim = len(init[0])
+    km = KMeans(n_clusters=4, init=init, max_iter=2, tol=0.0,
+                centroid_decimals=6).fit(e, "embedding")
+    assigned = km.predict(e, "embedding").select(
+        "cluster", feats.alias("e"))
+    aggs = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)],
+        *[F.avg(F.col("e")[i] * F.col("e")[i]).alias(f"s{i}")
+          for i in range(dim)]).collect()
+    cents = km.cluster_centers_
+    km_rows = []
+    for r in aggs:
+        c = cents[r["cluster"]]
+        msd = sum(r[f"s{i}"] - 2.0 * c[i] * r[f"m{i}"] + c[i] * c[i]
+                  for i in range(dim))
+        km_rows.append(("km", int(r["cluster"]), int(r["n"]),
+                        math.floor(msd * 1e4 + 0.5) / 1e4))
+    km_out = spark.createDataFrame(
+        km_rows, "tag string, id long, val long, score double")
+    return knn_out.unionByName(km_out)
 
 
 OPS_QUERIES = {
@@ -526,5 +560,5 @@ OPS_QUERIES = {
     "op_series_misc": op_series_misc,
     "op_rank_cumprod": op_rank_cumprod,
     "op_io_roundtrip": op_io_roundtrip,
-    "op_knn": op_knn,
+    "op_knn_kmeans": op_knn_kmeans,
 }

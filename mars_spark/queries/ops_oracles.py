@@ -334,12 +334,13 @@ OPS_ORACLES: dict[str, str] = {
                n AS n_orc, sum_id AS sum_id_orc, sum_value AS sum_value_orc
         FROM agg
     """,
-    "op_knn": """
-        WITH test AS (
-            SELECT vec_id, embedding::DOUBLE[] AS f FROM embeddings
-            WHERE vec_id < 20
+    "op_knn_kmeans": """
+        WITH X AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        ), test AS (
+            SELECT vec_id, e AS f FROM X WHERE vec_id < 20
         ), train AS (
-            SELECT embedding::DOUBLE[] AS tf, label FROM embeddings
+            SELECT e AS tf, label FROM X
         ), dists AS (
             SELECT t.vec_id, tr.label,
                    list_distance(t.f, tr.tf) AS d,
@@ -351,12 +352,64 @@ OPS_ORACLES: dict[str, str] = {
             SELECT vec_id, label, count(*) AS n, min(d) AS best
             FROM dists WHERE rn <= 5
             GROUP BY vec_id, label
+        ), knn AS (
+            SELECT vec_id, label AS prediction
+            FROM (SELECT vec_id, label,
+                         row_number() OVER (PARTITION BY vec_id
+                             ORDER BY n DESC, best ASC, label ASC) AS rv
+                  FROM votes)
+            WHERE rv = 1
+        ), pos AS (
+            SELECT unnest(range(1, 65)) AS i
+        ), c0 AS (
+            SELECT vec_id::INT AS cl, e AS c FROM X WHERE vec_id < 4
+        ), asg1 AS (
+            SELECT vec_id, e, cl FROM (
+                SELECT x.vec_id, x.e, c.cl,
+                       row_number() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_distance(x.e, c.c), c.cl) AS rn
+                FROM X x CROSS JOIN c0 c) WHERE rn = 1
+        ), m1 AS (
+            SELECT cl, list(floor(m * 1e6 + 0.5) / 1e6 ORDER BY i) AS c
+            FROM (SELECT cl, i, avg(e[i]) AS m
+                  FROM asg1 CROSS JOIN pos GROUP BY cl, i)
+            GROUP BY cl
+        ), c1 AS (
+            SELECT c0.cl, coalesce(m1.c, c0.c) AS c
+            FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl
+        ), asg2 AS (
+            SELECT vec_id, e, cl FROM (
+                SELECT x.vec_id, x.e, c.cl,
+                       row_number() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_distance(x.e, c.c), c.cl) AS rn
+                FROM X x CROSS JOIN c1 c) WHERE rn = 1
+        ), m2 AS (
+            SELECT cl, list(floor(m * 1e6 + 0.5) / 1e6 ORDER BY i) AS c
+            FROM (SELECT cl, i, avg(e[i]) AS m
+                  FROM asg2 CROSS JOIN pos GROUP BY cl, i)
+            GROUP BY cl
+        ), c2 AS (
+            SELECT c1.cl, coalesce(m2.c, c1.c) AS c
+            FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl
+        ), fin AS (
+            SELECT vec_id, e, cl FROM (
+                SELECT x.vec_id, x.e, c.cl,
+                       row_number() OVER (PARTITION BY x.vec_id
+                           ORDER BY list_distance(x.e, c.c), c.cl) AS rn
+                FROM X x CROSS JOIN c2 c) WHERE rn = 1
+        ), km AS (
+            SELECT f.cl, count(*) AS n,
+                   floor(avg(power(list_distance(f.e, c.c), 2)) * 1e4
+                         + 0.5) / 1e4 AS msd
+            FROM fin f JOIN c2 c ON f.cl = c.cl
+            GROUP BY f.cl
         )
-        SELECT vec_id, label AS prediction
-        FROM (SELECT vec_id, label,
-                     row_number() OVER (PARTITION BY vec_id
-                         ORDER BY n DESC, best ASC, label ASC) AS rv
-              FROM votes)
-        WHERE rv = 1
+        SELECT 'knn' AS tag, vec_id::BIGINT AS id,
+               prediction::BIGINT AS val, NULL::DOUBLE AS score
+        FROM knn
+        UNION ALL
+        SELECT 'km' AS tag, cl::BIGINT AS id, n::BIGINT AS val,
+               msd AS score
+        FROM km
     """,
 }

@@ -290,3 +290,26 @@ def test_label_propagation(spark, rng):
     m = dict(zip(out.id, out.y))
     assert all(m[i] == 0.0 for i in range(40))
     assert all(m[i] == 1.0 for i in range(40, 80))
+
+
+def test_kmeans_provided_init_lloyd(spark, rng):
+    """init= runs the DataFrame-native Lloyd loop; must equal a numpy
+    replay of the same quantized iterations bit-for-bit, regardless of
+    partition layout (mars/learn/cluster/_kmeans.py:596)."""
+    X = rng.standard_normal((300, 8))
+    pdf = pd.DataFrame({"vid": range(300), "emb": [list(r) for r in X]})
+    f = ms.from_pandas(pdf).to_spark().repartition(13)
+    init = [list(X[i]) for i in range(3)]
+    m = L.KMeans(n_clusters=3, init=init, max_iter=4, tol=0.0,
+                 centroid_decimals=6).fit(f, "emb")
+    C = np.asarray(init)
+    for _ in range(4):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        C = np.vstack([X[a == j].mean(0) if (a == j).any() else C[j]
+                       for j in range(3)])
+        C = np.floor(C * 1e6 + 0.5) / 1e6
+    np.testing.assert_array_equal(np.asarray(m.cluster_centers_), C)
+    got = m.predict(f, "emb").toPandas().sort_values("vid")
+    exp = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    np.testing.assert_array_equal(got.cluster.values, exp)
