@@ -278,6 +278,56 @@ class StandardScaler(_Wrapper):
         return sdf
 
 
+class LabelEncoder:
+    """reference: mars/learn/preprocessing/_label.py — codes are the
+    position in the sorted distinct values (sklearn contract). The
+    distinct set is label-cardinality-sized by definition; small sets
+    become a literal map expression (whole-stage codegen), large ones
+    a broadcast join against the code table — never a global window."""
+
+    _MAP_THRESHOLD = 10_000
+
+    def fit(self, df, col: str):
+        sdf = _sdf(df)
+        self.classes_ = [r[0] for r in
+                         sdf.select(col).distinct().collect()]
+        self.classes_.sort()
+        self._col = col
+        return self
+
+    def transform(self, df, col: str | None = None):
+        sdf, col = _sdf(df), col or self._col
+        out_name = f"{col}_code"
+        if len(self.classes_) <= self._MAP_THRESHOLD:
+            pairs = []
+            for i, v in enumerate(self.classes_):
+                pairs += [F.lit(v), F.lit(i)]
+            code = F.element_at(F.create_map(*pairs), F.col(col))
+            return sdf.withColumn(out_name, code.cast("int"))
+        codes = sdf.sparkSession.createDataFrame(
+            [(v, i) for i, v in enumerate(self.classes_)],
+            f"{col} string, {out_name} int")
+        return sdf.join(F.broadcast(codes), on=col, how="left")
+
+    def fit_transform(self, df, col: str):
+        return self.fit(df, col).transform(df)
+
+
+def normalize(df, col: str, norm: str = "l2"):
+    """reference: mars/learn/preprocessing (normalize) — row-wise
+    array normalization as a JVM higher-order expression."""
+    sdf = _sdf(df)
+    arr = F.transform(col, lambda x: x.cast("double"))
+    mag = {
+        "l2": F.sqrt(F.aggregate(arr, F.lit(0.0),
+                                 lambda a, x: a + x * x)),
+        "l1": F.aggregate(arr, F.lit(0.0), lambda a, x: a + F.abs(x)),
+        "max": F.array_max(F.transform(arr, F.abs)),
+    }[norm]
+    return sdf.withColumn(
+        col, F.transform(arr, lambda x: F.try_divide(x, mag)))
+
+
 def train_test_split(df, test_size: float = 0.25, seed: int = 42):
     """reference: mars/learn/model_selection/_split.py:29 →
     randomSplit (per-partition Bernoulli — no global shuffle)."""

@@ -296,13 +296,29 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     def r4(x: float) -> float:
         return math.floor(x * 1e4 + 0.5) / 1e4
 
+    # PCA over (s, value): MLlib eigendecomposition of the 2×2
+    # covariance (mars/learn/decomposition/_pca.py); the oracle
+    # replays the closed-form 2×2 eigenvalue ratio. Sign-ambiguous
+    # eigenvectors are NOT emitted — only the variance ratio.
+    pca = L.PCA(n_components=2).fit(f, ["s", "value"])
+    ev1 = pca.explained_variance_ratio_[0]
+    # MinMaxScaler (mars/learn/preprocessing/_data.py): the scaled
+    # mean pins min/max/projection in one number
+    mm = L.MinMaxScaler().fit(f, ["value"]).transform(f)
+    mm_mean = mm.agg(F.avg("value")).collect()[0][0]
+    # LabelEncoder (mars/learn/preprocessing/_label.py): code =
+    # position in sorted distinct; checksum over all rows
+    le_out = L.LabelEncoder().fit_transform(e, "event_type")
+    le_sum = le_out.agg(F.sum("event_type_code")).collect()[0][0]
+
     return spark.createDataFrame(
         [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
           r6(ll), r6(auc), r4(lr.coef_[0]), r4(lr.intercept_),
-          r6(r2), r4(mse))],
+          r6(r2), r4(mse), r6(ev1), r6(mm_mean), int(le_sum))],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
-        "r2 double, mse double")
+        "r2 double, mse double, pca_ev1 double, mm_mean double, "
+        "le_sum long")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

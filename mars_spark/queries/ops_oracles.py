@@ -209,8 +209,33 @@ OPS_ORACLES: dict[str, str] = {
                floor(slope * 1e4 + 0.5) / 1e4 AS slope,
                floor(intercept * 1e4 + 0.5) / 1e4 AS intercept,
                floor(r2 * 1e6 + 0.5) / 1e6 AS r2,
-               floor(mse * 1e4 + 0.5) / 1e4 AS mse
+               floor(mse * 1e4 + 0.5) / 1e4 AS mse,
+               floor(((pc.vx + pc.vy) / 2
+                      + sqrt(power((pc.vx - pc.vy) / 2, 2)
+                             + pc.cv * pc.cv)) / (pc.vx + pc.vy)
+                     * 1e6 + 0.5) / 1e6 AS pca_ev1,
+               floor(mm.mm_mean * 1e6 + 0.5) / 1e6 AS mm_mean,
+               le.le_sum
         FROM base CROSS JOIN a CROSS JOIN reg
+        CROSS JOIN (
+            SELECT var_samp(CAST((event_id * 37) % 1000 AS DOUBLE)
+                            / 1000.0) AS vx,
+                   var_samp(value) AS vy,
+                   covar_samp(CAST((event_id * 37) % 1000 AS DOUBLE)
+                              / 1000.0, value) AS cv
+            FROM events) pc
+        CROSS JOIN (
+            SELECT (avg(value) - min(value))
+                   / (max(value) - min(value)) AS mm_mean
+            FROM events) mm
+        CROSS JOIN (
+            SELECT sum(code)::BIGINT AS le_sum
+            FROM events ev
+            JOIN (SELECT event_type,
+                         row_number() OVER (ORDER BY event_type) - 1
+                             AS code
+                  FROM (SELECT DISTINCT event_type FROM events))
+                USING (event_type)) le
     """,
     "op_groupby_rowops": """
         WITH f AS (

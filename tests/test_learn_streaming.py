@@ -313,3 +313,28 @@ def test_kmeans_provided_init_lloyd(spark, rng):
     got = m.predict(f, "emb").toPandas().sort_values("vid")
     exp = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
     np.testing.assert_array_equal(got.cluster.values, exp)
+
+
+def test_label_encoder_and_normalize(spark):
+    """mars/learn/preprocessing/_label.py and normalize."""
+    pdf = pd.DataFrame({"c": ["b", "a", "c", "a", "b", "a"],
+                        "e": [[3.0, 4.0], [0.0, 0.0], [1.0, 1.0],
+                              [6.0, 8.0], [-3.0, 4.0], [2.0, 0.0]]})
+    f = ms.from_pandas(pdf).to_spark()
+    from mars_spark.learn.facade import LabelEncoder, normalize
+
+    le = LabelEncoder().fit(f, "c")
+    assert le.classes_ == ["a", "b", "c"]
+    out = le.transform(f).toPandas()
+    assert list(out.c_code) == [1, 0, 2, 0, 1, 0]
+
+    nz = normalize(f, "e").toPandas()
+    got = np.vstack([np.array(v) for v in nz.e])
+    exp = np.vstack([
+        np.array(v) / (np.linalg.norm(v) or np.nan) for v in pdf.e])
+    np.testing.assert_allclose(got[[0, 2, 3, 4, 5]],
+                               exp[[0, 2, 3, 4, 5]], rtol=1e-12)
+    assert all(x is None or np.isnan(x) for x in got[1])  # zero vector
+
+    l1 = normalize(f, "e", norm="l1").toPandas()
+    assert list(l1.e[0]) == [3.0 / 7.0, 4.0 / 7.0]
