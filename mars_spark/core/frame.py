@@ -465,10 +465,35 @@ class DataFrame:
             cols.append(col)
         return DataFrame(self._sdf.orderBy(*cols), self._index)
 
-    def sort_index(self, ascending=True) -> "DataFrame":
+    def sort_index(self, ascending=True, level=None) -> "DataFrame":
+        """mars/dataframe/sort/sort_index.py:34. ``level=`` sorts by the
+        chosen (Multi)Index level(s) first — positions or names — then
+        the remaining levels, pandas-style."""
         if not self._index:
             return self
-        return self.sort_values(self._index, ascending=ascending)
+        by = self._index
+        if level is not None:
+            levels = level if isinstance(level, (list, tuple)) else [level]
+            chosen = [self._index[lv] if isinstance(lv, int) else lv
+                      for lv in levels]
+            by = chosen + [c for c in self._index if c not in chosen]
+        return self.sort_values(by, ascending=ascending)
+
+    def swaplevel(self, i: int = -2, j: int = -1) -> "DataFrame":
+        """mars/dataframe/core.py:275 (MultiIndex) — reorder index
+        levels; plan-only, no shuffle."""
+        idx = list(self._index)
+        idx[i], idx[j] = idx[j], idx[i]
+        return DataFrame(self._sdf, idx)
+
+    def droplevel(self, level) -> "DataFrame":
+        """Drop index level(s) by position or name; the dropped level
+        returns to being invisible (column removed)."""
+        levels = level if isinstance(level, (list, tuple)) else [level]
+        names = {self._index[lv] if isinstance(lv, int) else lv
+                 for lv in levels}
+        keep = [c for c in self._index if c not in names]
+        return DataFrame(self._sdf.drop(*names), keep)
 
     def head(self, n: int = 5) -> "DataFrame":
         """head-pushdown (mars/optimization/logical/common/head.py:30)

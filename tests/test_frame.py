@@ -605,3 +605,20 @@ def test_groupby_level(spark):
     got3 = f.groupby(level="k2", as_index=False).agg(s=("v", "sum")) \
         .to_pandas().sort_values("k2")
     assert list(got3.s) == [4.0, 6.0]
+
+
+def test_sort_index_level_swap_drop(spark):
+    import pandas as pd
+    p = pd.DataFrame({"k1": [2, 1, 2, 1], "k2": [1, 2, 2, 1],
+                      "v": [1.0, 2.0, 3.0, 4.0]})
+    f = ms.from_spark(spark.createDataFrame(p)).set_index(["k1", "k2"])
+    got = f.sort_index(level=1).to_pandas()
+    exp = p.set_index(["k1", "k2"]).sort_index(level=1).reset_index()
+    assert list(got.v) == list(exp.v)
+    sw = f.swaplevel()
+    assert sw._index == ["k2", "k1"]
+    assert sw.sort_index().to_pandas().v.tolist() == \
+        p.set_index(["k2", "k1"]).sort_index().reset_index().v.tolist()
+    dr = f.droplevel(0)
+    assert dr._index == ["k2"]
+    assert "k1" not in dr.to_pandas().columns
