@@ -107,16 +107,34 @@ class KMeans(_Wrapper):
         dec = self.params["centroid_decimals"]
         base = sdf.select(F.transform(
             features, lambda x: x.cast("double")).alias("e"))
+        # the loop scans base max_iter times — keep the projected
+        # doubles resident (MEMORY_AND_DISK: spills, never OOMs;
+        # explicit unpersist, not localCheckpoint — lineage survives
+        # executor loss at cluster scale)
+        from pyspark import StorageLevel
+
+        cached = self.params["max_iter"] > 1
+        if cached:
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.stat import Summarizer
+
         for _ in range(self.params["max_iter"]):
             assigned = self._assign_euclid(base, "e", cents)
-            # k×(d+1) collect — bounded by cluster count, never data-sized
-            rows = {r["cluster"]: r for r in assigned.groupBy("cluster").agg(
-                *[F.avg(F.col("e")[i]).alias(f"c{i}") for i in range(dim)],
-                F.count("*").alias("n")).collect()}
+            # centroid update = ONE JVM vector-mean aggregate
+            # (Summarizer), not d per-element agg expressions — the
+            # wide-agg form spent seconds in Catalyst codegen per call.
+            # k×(d+1) collect — bounded by cluster count, never
+            # data-sized.
+            rows = {r["cluster"]: r for r in assigned
+                    .select("cluster", array_to_vector("e").alias("fv"))
+                    .groupBy("cluster")
+                    .agg(Summarizer.mean(F.col("fv")).alias("m"))
+                    .collect()}
             new = []
             for ci in range(k):
                 if ci in rows:
-                    c = [rows[ci][f"c{i}"] for i in range(dim)]
+                    c = [float(x) for x in rows[ci]["m"]]
                     if dec is not None:
                         import math
                         c = [math.floor(x * 10**dec + 0.5) / 10**dec
@@ -129,6 +147,8 @@ class KMeans(_Wrapper):
             cents = new
             if shift <= self.params["tol"]:
                 break
+        if cached:
+            base.unpersist()
         self._centers, self._features = cents, features
         return self
 
@@ -458,20 +478,46 @@ class KNeighborsClassifier:
         return self
 
     def predict(self, df, id_col: str):
+        """Top-k search is ONE BLAS gemm per Arrow batch: the train
+        matrix (broadcast-sized by the class contract) rides into the
+        UDF closure; each test batch computes b×n distances and keeps
+        its k nearest. No pair blow-up ever materializes — the old
+        test×train join evaluated an interpreted zip_with/aggregate
+        distance per pair and funneled 100k+ rows through a window.
+        Per-test-row d² values share the −‖x‖² shift, so every
+        ordering (neighbor rank, best-distance tie-break) is
+        unchanged."""
+        import numpy as np
         from pyspark.sql import Window
+        from pyspark.sql.functions import pandas_udf
 
+        rows = self._train.collect()
+        M = np.vstack([np.asarray(r["__tf"], dtype=np.float64)
+                       for r in rows])
+        labels = np.asarray([r["__tl"] for r in rows])
+        M2 = (M ** 2).sum(axis=1)
+        k = min(self.k, len(rows))
+
+        def _topk(e):
+            out = []
+            for lo in range(0, len(e), 1024):
+                chunk = e.iloc[lo:lo + 1024]
+                B = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in chunk])
+                D = -2.0 * (B @ M.T) + M2          # b × n (+‖x‖² const)
+                idx = np.argsort(D, axis=1, kind="stable")[:, :k]
+                out.extend(
+                    [(int(labels[j]), float(D[i, j])) for j in idx[i]]
+                    for i in range(len(chunk)))
+            return pd.Series(out)
+
+        topk_udf = pandas_udf(_topk, "array<struct<l: long, d: double>>")
         test = _sdf(df).select(F.col(id_col), F.col(self.features))
-        dist = F.sqrt(F.aggregate(
-            F.zip_with(F.col(self.features), F.col("__tf"),
-                       lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x))
-        joined = test.join(F.broadcast(self._train)).withColumn("__d", dist)
-        w = Window.partitionBy(id_col).orderBy(F.asc("__d"))
-        topk = joined.withColumn("__rn", F.row_number().over(w)) \
-            .filter(F.col("__rn") <= self.k)
-        votes = topk.groupBy(id_col, "__tl").agg(
+        ex = test.select(
+            id_col, F.explode(topk_udf(F.col(self.features))).alias("nb"))
+        votes = ex.groupBy(id_col, F.col("nb.l").alias("__tl")).agg(
             F.count(F.lit(1)).alias("__n"),
-            F.min("__d").alias("__best"))
+            F.min("nb.d").alias("__best"))
         wv = Window.partitionBy(id_col).orderBy(
             F.desc("__n"), F.asc("__best"), F.asc("__tl"))
         return (votes.withColumn("__rv", F.row_number().over(wv))

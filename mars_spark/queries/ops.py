@@ -273,6 +273,9 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     f["y"] = f.event_id % 2
     f["s"] = ((f.event_id * 37) % 1000).astype("float64") / 1000.0
     f["pred"] = (f.s >= 0.5).astype("int64")
+    # ~12 metric/estimator jobs share this 5-column projection —
+    # keep it resident rather than re-scanning parquet per job
+    f.persist()
     acc = L.accuracy_score(f, "y", "pred")
     prf = L.precision_recall_f1(f, "y", "pred", positive=1)
     ll = L.log_loss(f, "y", prob="s")
@@ -310,6 +313,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     # position in sorted distinct; checksum over all rows
     le_out = L.LabelEncoder().fit_transform(e, "event_type")
     le_sum = le_out.agg(F.sum("event_type_code")).collect()[0][0]
+    f._sdf.unpersist()
 
     return spark.createDataFrame(
         [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
@@ -519,40 +523,52 @@ def op_knn_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
 
     e = load(sf_dir, "embeddings").to_spark()
     feats = F.transform("embedding", lambda x: x.cast("double"))
-    train = e.select(feats.alias("features"), F.col("label"))
-    test = e.filter(F.col("vec_id") < 20).select(
-        "vec_id", feats.alias("features"))
-    knn = KNeighborsClassifier(n_neighbors=5).fit(train)
-    knn_out = knn.predict(test, id_col="vec_id").select(
-        F.lit("knn").alias("tag"),
-        F.col("vec_id").cast("long").alias("id"),
-        F.col("prediction").cast("long").alias("val"),
-        F.lit(None).cast("double").alias("score"))
+    # eight jobs share this projection (knn train+test, init collect,
+    # 2 Lloyd iterations, final assignment, inertia agg) — keep the
+    # projected doubles resident, explicit unpersist at the end
+    ed = e.select("vec_id", "label", feats.alias("features")).cache()
+    try:
+        train = ed.select("features", "label")
+        test = ed.filter(F.col("vec_id") < 20).select(
+            "vec_id", "features")
+        knn = KNeighborsClassifier(n_neighbors=5).fit(train)
+        # ≤20 test rows — collect inside the cached scope so the
+        # returned frame doesn't re-run the join after unpersist
+        knn_rows = [("knn", int(r["vec_id"]), int(r["prediction"]), None)
+                    for r in knn.predict(test, id_col="vec_id").collect()]
 
-    init = [list(r["e"]) for r in
-            e.filter(F.col("vec_id") < 4).orderBy("vec_id")
-            .select(feats.alias("e")).collect()]
-    dim = len(init[0])
-    km = KMeans(n_clusters=4, init=init, max_iter=2, tol=0.0,
-                centroid_decimals=6).fit(e, "embedding")
-    assigned = km.predict(e, "embedding").select(
-        "cluster", feats.alias("e"))
-    aggs = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)],
-        *[F.avg(F.col("e")[i] * F.col("e")[i]).alias(f"s{i}")
-          for i in range(dim)]).collect()
+        init = [list(r["features"]) for r in
+                ed.filter(F.col("vec_id") < 4).orderBy("vec_id")
+                .select("features").collect()]
+        dim = len(init[0])
+        km = KMeans(n_clusters=4, init=init, max_iter=2, tol=0.0,
+                    centroid_decimals=6).fit(ed, "features")
+        # inertia from ONE vector-stats aggregate (Summarizer mean +
+        # per-dim normL2 + count — JVM-side, tiny plan): avg‖x−c‖² =
+        # Σᵢ normL2ᵢ²/n − 2cᵢ·meanᵢ + cᵢ²
+        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.stat import Summarizer
+
+        assigned = km.predict(ed, "features").select(
+            "cluster", array_to_vector("features").alias("fv"))
+        aggs = assigned.groupBy("cluster").agg(
+            Summarizer.metrics("mean", "normL2", "count")
+            .summary(F.col("fv")).alias("st")).collect()
+    finally:
+        ed.unpersist()
     cents = km.cluster_centers_
     km_rows = []
     for r in aggs:
         c = cents[r["cluster"]]
-        msd = sum(r[f"s{i}"] - 2.0 * c[i] * r[f"m{i}"] + c[i] * c[i]
+        st = r["st"]
+        n = int(st["count"])
+        msd = sum(float(st["normL2"][i]) ** 2 / n
+                  - 2.0 * c[i] * float(st["mean"][i]) + c[i] * c[i]
                   for i in range(dim))
-        km_rows.append(("km", int(r["cluster"]), int(r["n"]),
+        km_rows.append(("km", int(r["cluster"]), n,
                         math.floor(msd * 1e4 + 0.5) / 1e4))
-    km_out = spark.createDataFrame(
-        km_rows, "tag string, id long, val long, score double")
-    return knn_out.unionByName(km_out)
+    return spark.createDataFrame(
+        knn_rows + km_rows, "tag string, id long, val long, score double")
 
 
 OPS_QUERIES = {

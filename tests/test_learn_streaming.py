@@ -275,18 +275,23 @@ def test_bagging_and_isolation_forest(spark, rng):
     assert out_mean > 0.6
 
 
-def test_label_propagation(spark, rng):
+def test_label_propagation(spark):
     import numpy as np
     import pandas as pd
     from mars_spark.learn.facade import label_propagation
-    # two well-separated clusters, one seed label each
-    a = rng.normal(0, 0.3, (40, 2))
-    b = rng.normal(5, 0.3, (40, 2))
+    # two well-separated clusters, one seed label each. Local rng, NOT
+    # the session-scoped fixture: this test's pass depends on the 5-NN
+    # graph diameter staying under max_iter, so the geometry must not
+    # shift with test execution order.
+    lrng = np.random.default_rng(7)
+    a = lrng.normal(0, 0.3, (40, 2))
+    b = lrng.normal(5, 0.3, (40, 2))
     X = np.vstack([a, b])
     y = [0.0] + [None] * 39 + [1.0] + [None] * 39
     pdf = pd.DataFrame({"id": range(80), "f": list(map(list, X)), "y": y})
     sdf = spark.createDataFrame(pdf)
-    out = label_propagation(sdf, "f", "y", "id", n_neighbors=5).toPandas()
+    out = label_propagation(sdf, "f", "y", "id", n_neighbors=5,
+                            max_iter=20).toPandas()
     m = dict(zip(out.id, out.y))
     assert all(m[i] == 0.0 for i in range(40))
     assert all(m[i] == 1.0 for i in range(40, 80))
