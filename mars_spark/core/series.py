@@ -324,9 +324,21 @@ class Series:
         return Series(self._frame, F.coalesce(self._col, _lit(value)), self.name)
 
     def astype(self, dtype) -> "Series":
-        """mars/dataframe/base/astype.py:32 → Column.cast"""
+        """mars/dataframe/base/astype.py:32 → Column.cast.
+        ``astype('category')`` additionally pins the category set as a
+        LAZY distinct plan over the column at this point (Mars computes
+        global uniques at execute time, astype.py 'categorical via
+        global uniques') — downstream where/mask filtering keeps the
+        full set, so value_counts can report zero-count categories."""
         spark_type = _dtype_to_spark(dtype)
-        return Series(self._frame, self._col.cast(spark_type), self.name)
+        out = Series(self._frame, self._col.cast(spark_type), self.name)
+        key = dtype if isinstance(dtype, str) else getattr(
+            dtype, "name", str(dtype))
+        if key == "category":
+            out._cat_plan = (self._frame._sdf
+                             .select(self._col.cast("string").alias("v"))
+                             .filter(F.col("v").isNotNull()).distinct())
+        return out
 
     def round(self, decimals=0) -> "Series":
         return Series(self._frame, F.round(self._col, decimals), self.name)
@@ -346,13 +358,17 @@ class Series:
         return Series(self._frame, c, self.name)
 
     def where(self, cond, other=None) -> "Series":
-        """mars/dataframe/indexing/where.py:28 → when/otherwise"""
+        """mars/dataframe/indexing/where.py:28 → when/otherwise.
+        Categorical metadata survives filtering (pandas parity)."""
         cond_col = cond._col if isinstance(cond, Series) else cond
-        return Series(
+        out = Series(
             self._frame,
             F.when(cond_col, self._col).otherwise(_lit(other)),
             self.name,
         )
+        if getattr(self, "_cat_plan", None) is not None:
+            out._cat_plan = self._cat_plan
+        return out
 
     def mask(self, cond, other=None) -> "Series":
         cond_col = cond._col if isinstance(cond, Series) else cond
@@ -474,6 +490,15 @@ class Series:
         if dropna:
             sdf = sdf.filter(F.col(name).isNotNull())
         out = sdf.groupBy(name).agg(F.count(F.lit(1)).alias("count"))
+        cat_plan = getattr(self, "_cat_plan", None)
+        if cat_plan is not None:
+            # categorical: every pinned category appears, zero-filled
+            # (pandas semantics). The category side is |categories|
+            # rows — broadcast, no extra shuffle.
+            cats = cat_plan.select(F.col("v").alias(name))
+            # full outer keeps the null group under dropna=False;
+            # unseen categories zero-fill
+            out = cats.join(out, on=name, how="full").fillna({"count": 0})
         if normalize:
             total = sdf.count()
             out = out.withColumn("proportion", F.col("count") / F.lit(total)).drop(

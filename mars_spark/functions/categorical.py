@@ -25,6 +25,10 @@ class CategoricalAccessor:
 
     @property
     def categories(self) -> list:
+        plan = getattr(self._s, "_cat_plan", None)
+        if plan is not None:
+            # pinned at astype('category') time — survives filtering
+            return [r["v"] for r in plan.orderBy("v").collect()]
         rows = (self._s._frame._sdf
                 .select(self._s._col.alias("v"))
                 .filter(F.col("v").isNotNull())
