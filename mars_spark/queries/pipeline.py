@@ -304,7 +304,56 @@ def emb_topk_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     return topk.unionByName(stats)
 
 
+_STREAM_SEQ = [0]
+
+
+def events_stream_hourly(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """REAL Structured Streaming run, driver-verified against the batch
+    SQL oracle: readStream over the events parquet (bounded), 1-hour
+    tumbling event-time windows per event_type via
+    streaming.core.tumbling_agg, complete-mode memory sink,
+    availableNow trigger. Deterministic because the source is bounded
+    and windows are event-time (processing order can't change the
+    result). At scale the same plan runs unbounded with append mode +
+    watermark eviction; complete+memory here is the bounded test
+    harness, not the production sink."""
+    import os
+
+    from mars_spark.streaming.core import read_stream, tumbling_agg
+
+    path = f"{sf_dir}/events.parquet"
+    # FileStreamSource monitors DIRECTORIES (a bare file path fails
+    # with "Option 'basePath' must be a directory") — stage a symlink
+    # dir; in production the source would be a landing directory anyway
+    stage = "/tmp/ms_stream_" + sf_dir.strip("/").replace("/", "_")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    # events.ts is TIMESTAMP(NANOS): same handling as sources/io.py:46
+    # (nanosAsLong conf + exact integer div back to micros)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = read_stream(spark, "parquet", stage, schema=schema)
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    agg = tumbling_agg(src, "ts", "1 hour", ["event_type"],
+                       {"value": "sum", "event_id": "count"},
+                       watermark="30 minutes")
+    _STREAM_SEQ[0] += 1
+    qname = f"ms_stream_hourly_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window_start"),
+        F.col("event_type"),
+        F.col("event_id_count").alias("n"),
+        F.round(F.col("value_sum"), 2).alias("sum_value"),
+    )
+
+
 PIPELINE_QUERIES = {
+    "events_stream_hourly": events_stream_hourly,
     "events_hourly_funnel": events_hourly_funnel,
     "emb_topk_label_stats": emb_topk_label_stats,
     "events_sessions": events_sessions,

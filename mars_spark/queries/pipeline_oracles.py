@@ -60,6 +60,13 @@ def _simhash16() -> str:
 
 PIPELINE_ORACLES: dict[str, str] = {
     # ------------------------------------------------------------- events
+    # oracle for the REAL Structured Streaming run: bounded stream +
+    # event-time windows must equal the batch group-by exactly
+    "events_stream_hourly": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY window_start, event_type
+    """,
     "events_sessions": """
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                count(*) AS n_events

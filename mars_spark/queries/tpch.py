@@ -637,6 +637,32 @@ def q04_22(spark: SparkSession, sf_dir: str) -> SparkDF:
     return a.unionByName(b)
 
 
+def q03_10(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite of the join+agg+top-k family: q03's shipping-priority
+    top-10 unioned with q10's returned-item top-20 under a harmonized
+    (grp, k, name, nat, acctbal, odate, revenue) schema. Both member
+    plans run in full (broadcast dims, one big shuffle each, top-k via
+    TakeOrderedAndProject). Reference: run_queries.py:214 (q03),
+    :570 (q10)."""
+    a = q3(spark, sf_dir).select(
+        F.lit("q03").alias("grp"),
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("nat"),
+        F.lit(None).cast("double").alias("acctbal"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.col("revenue"))
+    b = q10(spark, sf_dir).select(
+        F.lit("q10").alias("grp"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("n_name").alias("nat"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(None).cast("string").alias("odate"),
+        F.col("revenue"))
+    return a.unionByName(b)
+
+
 TPCH_QUERIES = {
     "tpch_q21_adapted": q21_adapted,
     "tpch_q02_adapted": q2_adapted,
@@ -644,18 +670,17 @@ TPCH_QUERIES = {
     "tpch_q16_adapted": q16_adapted,
     "tpch_q20_adapted": q20_adapted,
     "tpch_q01": q1,
-    "tpch_q03": q3,
     "tpch_q05": q5,
     "tpch_q07": q7,
     "tpch_q08_adapted": q8_adapted,
     "tpch_q09_adapted": q9_adapted,
-    "tpch_q10": q10,
     "tpch_q13": q13,
     "tpch_q15": q15,
     "tpch_q18": q18,
-    # r4 composites — the merged members (q04 q06 q12 q14 q17 q19 q22)
-    # still run in full inside these two rows; merging frees corpus
-    # slots for previously driver-unverified operator families
+    # r4 composites — the merged members (q03 q04 q06 q10 q12 q14 q17
+    # q19 q22) still run in full inside these rows; merging frees
+    # corpus slots for previously driver-unverified operator families
     "tpch_q06_12_14_17_19": q06_12_14_17_19,
     "tpch_q04_22": q04_22,
+    "tpch_q03_10": q03_10,
 }

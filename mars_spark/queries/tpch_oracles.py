@@ -103,18 +103,45 @@ TPCH_ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "tpch_q03": """
-        SELECT o_orderkey, o_orderdate,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1996-06-30'
-          AND l_shipdate  > TIMESTAMP '1996-06-30'
-        GROUP BY o_orderkey, o_orderdate
-        ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
-        LIMIT 10
+    "tpch_q03_10": """
+        WITH a AS (
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-30'
+              AND l_shipdate  > TIMESTAMP '1996-06-30'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT 10
+        ), b AS (
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        )
+        SELECT 'q03' AS grp, o_orderkey AS k,
+               CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS nat,
+               CAST(NULL AS DOUBLE) AS acctbal,
+               strftime(o_orderdate, '%Y-%m-%d') AS odate, revenue
+        FROM a
+        UNION ALL
+        SELECT 'q10' AS grp, c_custkey AS k, c_name AS name, n_name AS nat,
+               round(c_acctbal, 2) AS acctbal,
+               CAST(NULL AS VARCHAR) AS odate, revenue
+        FROM b
     """,
     "tpch_q05": """
         SELECT n_name,
@@ -176,20 +203,6 @@ TPCH_ORACLES: dict[str, str] = {
         JOIN orders   ON l_orderkey = o_orderkey
         WHERE p_name LIKE '%a%'
         GROUP BY n_name, o_year
-    """,
-    "tpch_q10": """
-        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate <  TIMESTAMP '1997-01-01'
-        GROUP BY c_custkey, c_name, c_acctbal, n_name
-        ORDER BY revenue DESC, c_custkey ASC
-        LIMIT 20
     """,
     "tpch_q13": """
         SELECT c_count, count(*) AS custdist
