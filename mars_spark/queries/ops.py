@@ -150,6 +150,52 @@ def op_explode_seq(spark: SparkSession, sf_dir: str) -> SparkDF:
     return f.groupBy("l_linenumber").agg(F.count(F.lit(1)).alias("n"))
 
 
+def op_melt_explode(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite (r4 slot merge, both sub-plans run in full): melt's
+    long-form rows unioned with explode's per-linenumber counts under
+    a harmonized (k, variable, value) schema."""
+    a = op_melt(spark, sf_dir).select(
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("variable"),
+        F.col("value").cast("double"))
+    b = op_explode_seq(spark, sf_dir).select(
+        F.col("l_linenumber").cast("long").alias("k"),
+        F.lit("explode_n").alias("variable"),
+        F.col("n").cast("double").alias("value"))
+    return a.unionByName(b)
+
+
+def op_skew_salted(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Skew-mitigation operators (operators/skew.py), driver-verified:
+    the two-stage salted aggregation and the salt+replicate join must
+    be byte-identical to the plain group-by / plain join the oracle
+    runs. The salted agg spreads a hot group key over 16 reducers
+    (stage 2 re-aggregates one row per key per bucket); the salted
+    join replicates the small side ×8 so a hot user_id can't pin one
+    reducer — the 100 TB answers to skew AQE can't fix (skewed aggs,
+    non-broadcastable small sides)."""
+    from mars_spark.operators.skew import salted_groupby_agg, salted_join
+
+    e = load(sf_dir, "events").to_spark()
+    agg = salted_groupby_agg(
+        e, ["event_type"], {"value": "sum", "event_id": "count"},
+        salt_buckets=16)
+    a = agg.select(
+        F.concat(F.lit("type:"), F.col("event_type")).alias("grp"),
+        F.col("event_id").cast("long").alias("n"),
+        F.round(F.col("value"), 2).alias("val"))
+    cust = load(sf_dir, "customer").to_spark().select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = salted_join(e.select("user_id", "value"), cust, on="user_id",
+                    salt_buckets=8)
+    b = (j.groupBy("c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("value"), 2).alias("val"))
+         .select(F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("grp"),
+                 F.col("n").cast("long").alias("n"), "val"))
+    return a.unionByName(b)
+
+
 def op_json_extract(spark: SparkSession, sf_dir: str) -> SparkDF:
     """§2.8 JSON functions — ADDITIVE (Mars has no JSON ops; free in
     Spark via get_json_object)."""
@@ -578,8 +624,8 @@ OPS_QUERIES = {
     "op_set_ops": op_set_ops,
     "op_window_rank": op_window_rank,
     "op_pivot": op_pivot,
-    "op_melt": op_melt,
-    "op_explode_seq": op_explode_seq,
+    "op_melt_explode": op_melt_explode,
+    "op_skew_salted": op_skew_salted,
     "op_json_extract": op_json_extract,
     "op_cut_value_counts": op_cut_value_counts,
     "op_asof_join": op_asof_join,

@@ -71,18 +71,31 @@ OPS_ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         FROM events GROUP BY user_id
     """,
-    "op_melt": """
-        SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value
+    "op_melt_explode": """
+        SELECT p_partkey AS k, 'p_size' AS variable,
+               CAST(p_size AS DOUBLE) AS value
         FROM part WHERE p_partkey < 100
         UNION ALL
         SELECT p_partkey, 'p_retailprice', p_retailprice
         FROM part WHERE p_partkey < 100
-    """,
-    "op_explode_seq": """
-        SELECT l_linenumber, count(*) AS n
+        UNION ALL
+        SELECT l_linenumber AS k, 'explode_n' AS variable,
+               CAST(count(*) AS DOUBLE) AS value
         FROM (SELECT l_linenumber, unnest(range(1, l_linenumber + 1)) AS pos
               FROM lineitem WHERE l_orderkey < 50)
         GROUP BY l_linenumber
+    """,
+    # plain group-by / plain join — the engine side must reproduce
+    # these exactly through the salted two-stage plans
+    "op_skew_salted": """
+        SELECT 'type:' || event_type AS grp, count(event_id) AS n,
+               round(sum(value), 2) AS val
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'seg:' || c_mktsegment AS grp, count(*) AS n,
+               round(sum(value), 2) AS val
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     "op_json_extract": """
         SELECT CAST(props->>'k' AS BIGINT) % 7 AS k_mod, count(*) AS n,

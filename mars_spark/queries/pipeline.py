@@ -212,6 +212,34 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
         "doc_id", D.simhash(F.col("text"), bits=16).alias("sig"))
 
 
+def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite (r4 slot merge, both sub-plans run in full): exact
+    dedup's per-source keep counts unioned with the per-doc SimHash
+    signatures under a harmonized (grp, k, v) schema."""
+    a = docs_exact_dedup(spark, sf_dir).select(
+        F.concat(F.lit("src:"), F.col("source")).alias("grp"),
+        F.col("n_kept").cast("long").alias("k"),
+        F.col("n_unique_fp").cast("long").alias("v"))
+    b = docs_simhash(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("grp"),
+        F.col("sig").cast("long").alias("k"),
+        F.lit(None).cast("long").alias("v"))
+    return a.unionByName(b)
+
+
+def docs_cc_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Connected-components dedup clusters (llm.dedup.dedup_clusters),
+    driver-verified: iterative min-label propagation over the n-gram
+    Jaccard near-dup edge list, checked against a DuckDB recursive-CTE
+    transitive closure. The Spark side is the GraphX-style large-graph
+    loop (per-round join + min-agg, localCheckpoint lineage cut); at
+    100 TB rounds are O(cluster diameter) — near-dup clusters are
+    shallow, so 2-3 rounds."""
+    d = load(sf_dir, "documents").to_spark()
+    pairs = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, k=3)
+    return D.dedup_clusters(pairs.select("a", "b"))
+
+
 # ------------------------------------------------------------- embeddings
 def emb_topk(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Brute-force cosine top-10 against vec_id=0's embedding — the
@@ -360,10 +388,10 @@ PIPELINE_QUERIES = {
     "events_window_funcs": events_window_funcs,
     "events_activity": events_activity,
     "docs_text_metrics": docs_text_metrics,
-    "docs_exact_dedup": docs_exact_dedup,
+    "docs_dedup_simhash": docs_dedup_simhash,
+    "docs_cc_clusters": docs_cc_clusters,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
-    "docs_simhash": docs_simhash,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_ann_recall": emb_ann_recall,
 }

@@ -149,13 +149,54 @@ PIPELINE_ORACLES: dict[str, str] = {
                round(avg(round(quality, 4)), 4) AS avg_quality
         FROM q GROUP BY lang, pred_lang
     """,
-    "docs_exact_dedup": f"""
+    "docs_dedup_simhash": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
-             k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
-        SELECT source, count(*) AS n_kept,
-               (SELECT count(DISTINCT fp) FROM f) AS n_unique_fp
-        FROM f JOIN k ON f.doc_id = k.keep_id
+             kk AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+        SELECT 'src:' || source AS grp,
+               count(*) AS k,
+               (SELECT count(DISTINCT fp) FROM f) AS v
+        FROM f JOIN kk ON f.doc_id = kk.keep_id
         GROUP BY source
+        UNION ALL
+        SELECT 'doc:' || doc_id AS grp, {_simhash16()} AS k,
+               CAST(NULL AS BIGINT) AS v
+        FROM (
+            SELECT doc_id,
+                   [('0x' || substr(md5(t), 1, 8))::BIGINT
+                    for t in list_distinct({_TOKS})] AS hashes
+            FROM documents WHERE doc_id < 50
+        )
+    """,
+    # transitive closure of the Jaccard near-dup edge list — the
+    # recursive CTE replays what the Spark side computes iteratively
+    "docs_cc_clusters": f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+        ), ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM base
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT ea.doc_id AS a, eb.doc_id AS b, count(*) AS i
+            FROM ex ea JOIN ex eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a, b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+        ), edges AS (
+            SELECT a AS x, b AS y FROM pairs
+            UNION
+            SELECT b AS x, a AS y FROM pairs
+        ), reach AS (
+            SELECT x AS id, y AS r FROM edges
+            UNION
+            SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        )
+        SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id
     """,
     "docs_jaccard_pairs": f"""
         WITH base AS (
@@ -213,15 +254,6 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM documents
         WHERE doc_id NOT IN (SELECT DISTINCT b FROM ver)
         GROUP BY source
-    """,
-    "docs_simhash": f"""
-        SELECT doc_id, {_simhash16()} AS sig
-        FROM (
-            SELECT doc_id,
-                   [('0x' || substr(md5(t), 1, 8))::BIGINT
-                    for t in list_distinct({_TOKS})] AS hashes
-            FROM documents WHERE doc_id < 50
-        )
     """,
     # --------------------------------------------------------- embeddings
     "emb_neardup_pairs": """
