@@ -304,23 +304,23 @@ def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
             edges.join(labels, edges.y == labels.id)
             .groupBy("x").agg(F.min("cluster").alias("nbr_min"))
         )
+        # Carry a per-row changed flag through the SAME plan so the
+        # convergence test is a cheap agg over the checkpointed result
+        # instead of a second join against the previous labels (one
+        # shuffle join per round instead of two).
+        new_min = F.least(F.col("cluster"),
+                          F.coalesce(F.col("nbr_min"), F.col("cluster")))
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
             .select(
                 "id",
-                F.least(F.col("cluster"),
-                        F.coalesce(F.col("nbr_min"), F.col("cluster")))
-                .alias("cluster"),
+                new_min.alias("cluster"),
+                (new_min < F.col("cluster")).cast("long").alias("__chg__"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("__chg__")).collect()[0][0]
+        labels = new_labels.drop("__chg__")
+        if not changed:
             break
     return labels
 
