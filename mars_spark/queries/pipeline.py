@@ -335,24 +335,16 @@ def emb_topk_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
 _STREAM_SEQ = [0]
 
 
-def events_stream_hourly(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """REAL Structured Streaming run, driver-verified against the batch
-    SQL oracle: readStream over the events parquet (bounded), 1-hour
-    tumbling event-time windows per event_type via
-    streaming.core.tumbling_agg, complete-mode memory sink,
-    availableNow trigger. Deterministic because the source is bounded
-    and windows are event-time (processing order can't change the
-    result). At scale the same plan runs unbounded with append mode +
-    watermark eviction; complete+memory here is the bounded test
-    harness, not the production sink."""
+def _stream_source(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Bounded streaming source over events.parquet. FileStreamSource
+    monitors DIRECTORIES (a bare file path fails with "Option
+    'basePath' must be a directory") — stage a symlink dir; in
+    production the source would be a landing directory anyway."""
     import os
 
-    from mars_spark.streaming.core import read_stream, tumbling_agg
+    from mars_spark.streaming.core import read_stream
 
     path = f"{sf_dir}/events.parquet"
-    # FileStreamSource monitors DIRECTORIES (a bare file path fails
-    # with "Option 'basePath' must be a directory") — stage a symlink
-    # dir; in production the source would be a landing directory anyway
     stage = "/tmp/ms_stream_" + sf_dir.strip("/").replace("/", "_")
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
@@ -363,25 +355,77 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> SparkDF:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     src = read_stream(spark, "parquet", stage, schema=schema)
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
-    agg = tumbling_agg(src, "ts", "1 hour", ["event_type"],
-                       {"value": "sum", "event_id": "count"},
-                       watermark="30 minutes")
+    return src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+
+
+def _start_bounded(agg: SparkDF, qname: str):
+    return (agg.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(availableNow=True).start())
+
+
+def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """THREE real Structured Streaming runs, driver-verified against
+    one batch SQL oracle: readStream over the events parquet
+    (bounded), then (a) 1-hour tumbling windows per event_type via
+    streaming.core.tumbling_agg, (b) 1-hour/30-min sliding windows
+    per event_type via sliding_agg (each event lands in exactly two
+    windows), and (c) 30-min-gap session windows per user (user_id <
+    10) via session_agg — Spark's session_window with merge
+    semantics (a new session starts when the gap to the previous
+    event is >= the gap, since [t, t+gap) windows that only touch do
+    not overlap). All three use complete-mode memory sinks with
+    availableNow triggers: deterministic because the source is
+    bounded and windows are event-time. At scale the same plans run
+    unbounded with append mode + watermark eviction; complete+memory
+    here is the bounded test harness, not the production sink."""
+    from mars_spark.streaming.core import (session_agg, sliding_agg,
+                                           tumbling_agg)
+
+    src = _stream_source(spark, sf_dir)
+    aggs = {"value": "sum", "event_id": "count"}
     _STREAM_SEQ[0] += 1
-    qname = f"ms_stream_hourly_{_STREAM_SEQ[0]}"
-    q = (agg.writeStream.format("memory").queryName(qname)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(qname).select(
-        F.col("window_start"),
-        F.col("event_type"),
+    seq = _STREAM_SEQ[0]
+
+    # start all three queries before awaiting any — independent sinks
+    # run concurrently (shared source files, separate state stores)
+    queries = [
+        _start_bounded(
+            tumbling_agg(src, "ts", "1 hour", ["event_type"], aggs,
+                         watermark="30 minutes"),
+            f"ms_stream_tum_{seq}"),
+        _start_bounded(
+            sliding_agg(src, "ts", "1 hour", "30 minutes",
+                        ["event_type"], aggs, watermark="30 minutes"),
+            f"ms_stream_sli_{seq}"),
+        _start_bounded(
+            session_agg(src.filter(F.col("user_id") < 10), "ts",
+                        "30 minutes", ["user_id"], aggs,
+                        watermark="30 minutes"),
+            f"ms_stream_ses_{seq}"),
+    ]
+    for q in queries:
+        q.awaitTermination()
+
+    tum = spark.table(f"ms_stream_tum_{seq}").select(
+        F.concat(F.lit("tum:"), F.col("event_type")).alias("grp"),
+        F.col("window_start").alias("wstart"),
         F.col("event_id_count").alias("n"),
-        F.round(F.col("value_sum"), 2).alias("sum_value"),
-    )
+        F.round(F.col("value_sum"), 2).alias("sum_value"))
+    sli = spark.table(f"ms_stream_sli_{seq}").select(
+        F.concat(F.lit("sli:"), F.col("event_type")).alias("grp"),
+        F.col("window_start").alias("wstart"),
+        F.col("event_id_count").alias("n"),
+        F.round(F.col("value_sum"), 2).alias("sum_value"))
+    ses = spark.table(f"ms_stream_ses_{seq}").select(
+        F.concat(F.lit("ses:"), F.col("user_id").cast("string")).alias("grp"),
+        F.col("session_start").alias("wstart"),
+        F.col("event_id_count").alias("n"),
+        F.round(F.col("value_sum"), 2).alias("sum_value"))
+    return tum.unionByName(sli).unionByName(ses)
 
 
 PIPELINE_QUERIES = {
-    "events_stream_hourly": events_stream_hourly,
+    "events_stream_windows": events_stream_windows,
     "events_hourly_funnel": events_hourly_funnel,
     "emb_topk_label_stats": emb_topk_label_stats,
     "events_sessions": events_sessions,

@@ -62,10 +62,46 @@ PIPELINE_ORACLES: dict[str, str] = {
     # ------------------------------------------------------------- events
     # oracle for the REAL Structured Streaming run: bounded stream +
     # event-time windows must equal the batch group-by exactly
-    "events_stream_hourly": """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
+    # one oracle for all three streaming window types: tumbling =
+    # hour-trunc; sliding = each event lands in the two half-hour-
+    # aligned 1h windows covering it; session = gap>=30min islands
+    # per user (lag + running sum), session_start = min ts
+    "events_stream_windows": """
+        SELECT 'tum:' || event_type AS grp,
+               date_trunc('hour', ts) AS wstart,
                count(*) AS n, round(sum(value), 2) AS sum_value
-        FROM events GROUP BY window_start, event_type
+        FROM events GROUP BY grp, wstart
+        UNION ALL
+        SELECT 'sli:' || event_type AS grp, wstart,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   unnest([base, base - INTERVAL 30 MINUTE]) AS wstart
+            FROM (SELECT event_type, value,
+                         date_trunc('hour', ts)
+                         + CASE WHEN minute(ts) >= 30
+                                THEN INTERVAL 30 MINUTE
+                                ELSE INTERVAL 0 MINUTE END AS base
+                  FROM events)
+        ) GROUP BY grp, wstart
+        UNION ALL
+        SELECT 'ses:' || user_id AS grp, min(ts) AS wstart,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT user_id, ts, value,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM (SELECT user_id, ts, value,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts) AS prev
+                      FROM events WHERE user_id < 10)
+            )
+        ) GROUP BY user_id, sid
     """,
     "events_sessions": """
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
