@@ -148,6 +148,19 @@ def events_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
     return day.unionByName(typ).unionByName(usr)
 
 
+def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite (r4 slot merge, both sub-plans run in full): the
+    30-min-gap batch sessionization rows joined into events_activity's
+    long form as a fourth 'sess' dimension."""
+    sess = events_sessions(spark, sf_dir).select(
+        F.lit("sess").alias("dim"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n_events").alias("n"),
+        F.col("n_sessions").cast("double").alias("metric"),
+        F.lit(None).cast("double").alias("metric2"))
+    return events_activity(spark, sf_dir).unionByName(sess)
+
+
 # -------------------------------------------------------------- documents
 def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     """The text-analysis surface in one pass (replaces r01's
@@ -424,13 +437,145 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
     return tum.unionByName(sli).unionByName(ses)
 
 
+def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Driver-verifies the remaining streaming operator families with
+    THREE more concurrent bounded runs: (a) custom stateful totals via
+    applyInPandasWithState (streaming/stateful.py running_totals —
+    per-key (count, sum) state, update-mode sink; with a bounded
+    single-batch source the final emission per key equals the batch
+    group-by), (b) streaming exact dedup via
+    dropDuplicatesWithinWatermark (streaming/core.py stream_dedup —
+    key columns only, so the kept-row arrival order can't leak into
+    the result), and (c) a stream-static broadcast enrichment join
+    (stream_static_join) feeding a complete-mode aggregation. All
+    deterministic: bounded source, event-time/state semantics."""
+    from mars_spark.streaming.core import stream_dedup, stream_static_join
+    from mars_spark.streaming.stateful import running_totals
+
+    src = _stream_source(spark, sf_dir)
+    _STREAM_SEQ[0] += 1
+    seq = _STREAM_SEQ[0]
+
+    tot = running_totals(
+        src.filter(F.col("user_id") < 100).select("user_id", "value", "ts"),
+        "user_id", "value")
+    q_tot = (tot.writeStream.format("memory")
+             .queryName(f"ms_sf_tot_{seq}").outputMode("update")
+             .trigger(availableNow=True).start())
+
+    ddp = stream_dedup(
+        src.filter(F.col("user_id") < 200)
+        .select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"], "ts",
+        watermark="30 minutes").select("user_id", "event_type")
+    q_ddp = (ddp.writeStream.format("memory")
+             .queryName(f"ms_sf_ddp_{seq}").outputMode("append")
+             .trigger(availableNow=True).start())
+
+    cust = load(sf_dir, "customer").to_spark().select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = stream_static_join(
+        src.select("user_id", "value"), cust, on="user_id")
+    seg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    q_seg = (seg.writeStream.format("memory")
+             .queryName(f"ms_sf_seg_{seq}").outputMode("complete")
+             .trigger(availableNow=True).start())
+
+    for q in (q_tot, q_ddp, q_seg):
+        q.awaitTermination()
+
+    tot_out = spark.table(f"ms_sf_tot_{seq}").select(
+        F.concat(F.lit("tot:"), F.col("user_id").cast("string")).alias("grp"),
+        F.col("n"), F.round(F.col("total"), 2).alias("v"))
+    ddp_out = spark.table(f"ms_sf_ddp_{seq}").select(
+        F.concat(F.lit("ddp:"), F.col("user_id").cast("string"),
+                 F.lit(":"), F.col("event_type")).alias("grp"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"))
+    seg_out = spark.table(f"ms_sf_seg_{seq}").select(
+        F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("grp"),
+        F.col("n"), F.round(F.col("sv"), 2).alias("v"))
+    return tot_out.unionByName(ddp_out).unionByName(seg_out)
+
+
+def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Multimodal binary-column plumbing, driver-verified end-to-end
+    (llm/multimodal.py): documents' text bytes stand in for opaque
+    image/audio/video payloads (codec libs are absent — DECODERS is a
+    deterministic fake; the verified facts are the Spark-side
+    machinery). The row drives the full pipeline: binary content +
+    typed meta map → decode_features (Arrow-batched mapInPandas whose
+    32-dim output width proves the UDF ran with the right batch
+    shape) → resize_meta (declarative meta update) →
+    frame_sample_plan (explode fan-out sized by meta['n_frames']) →
+    per-item rollup of payload bytes, feature dim, sampled-frame
+    count, and the resize tag."""
+    from mars_spark.llm.multimodal import (decode_features,
+                                           frame_sample_plan, resize_meta)
+
+    d = load(sf_dir, "documents").to_spark().filter(F.col("doc_id") < 200)
+    mm = d.select(
+        F.col("doc_id").alias("id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.create_map(F.lit("n_frames"),
+                     (F.col("doc_id") % 90 + 1).cast("string")).alias("meta"))
+    fs = frame_sample_plan(resize_meta(decode_features(mm), 64, 64),
+                           every_n=30)
+    return fs.groupBy("id", "modality").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(F.octet_length("content")).cast("long").alias("n_bytes"),
+        F.max(F.size("features")).cast("long").alias("feat_dim"),
+        F.max(F.element_at("meta", "resize")).alias("resize"))
+
+
+def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """§2.9 tensor facade, driver-verified: exact percentile (one
+    multi-quantile agg), fixed-width histogram (min/max pass + bucket
+    agg), and the Gramian AᵀA of the 64-dim embedding matrix
+    (map-side outer products + treeAggregate; 4×4 corner emitted,
+    rounded — the float64 tree-sum is order-stable to well inside
+    1e-4). Long-form (grp, v1, v2, n) rows built on the driver from
+    the facade's returns — each facade call is itself distributed."""
+    import math
+
+    from mars_spark import tensor as MT
+
+    li = load(sf_dir, "lineitem").to_spark()
+    emb = load(sf_dir, "embeddings").to_spark()
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    rows = []
+    for i, (lo, hi, n) in enumerate(
+            MT.histogram(li, "l_extendedprice", bins=10)):
+        rows.append((f"hist:{i}", r6(lo), r6(hi), int(n)))
+    for i, v in enumerate(
+            MT.percentile(li, "l_quantity", [0.25, 0.5, 0.75])):
+        rows.append((f"pct:{i}", r6(float(v)), None, None))
+    g = MT.gramian(emb, "embedding")
+    for i in range(4):
+        for j in range(4):
+            rows.append((f"gram:{i}:{j}", r4(float(g[i, j])), None, None))
+    return spark.createDataFrame(
+        rows, "grp string, v1 double, v2 double, n long")
+
+
 PIPELINE_QUERIES = {
     "events_stream_windows": events_stream_windows,
+    "op_stream_stateful": op_stream_stateful,
+    "op_multimodal": op_multimodal,
+    "op_tensor": op_tensor,
     "events_hourly_funnel": events_hourly_funnel,
     "emb_topk_label_stats": emb_topk_label_stats,
-    "events_sessions": events_sessions,
     "events_window_funcs": events_window_funcs,
-    "events_activity": events_activity,
+    "events_sessions_activity": events_sessions_activity,
     "docs_text_metrics": docs_text_metrics,
     "docs_dedup_simhash": docs_dedup_simhash,
     "docs_cc_clusters": docs_cc_clusters,

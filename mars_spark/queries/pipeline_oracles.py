@@ -103,18 +103,76 @@ PIPELINE_ORACLES: dict[str, str] = {
             )
         ) GROUP BY user_id, sid
     """,
-    "events_sessions": """
-        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
-               count(*) AS n_events
-        FROM (
-            SELECT user_id,
-                   CASE WHEN prev IS NULL
-                             OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM (SELECT user_id, ts,
-                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-                  FROM events)
-        ) GROUP BY user_id
+    # final per-key stateful totals (single-batch bounded source =
+    # batch group-by), distinct dedup keys, broadcast-join rollup
+    "op_stream_stateful": """
+        SELECT 'tot:' || user_id AS grp, count(*) AS n,
+               round(sum(value), 2) AS v
+        FROM events WHERE user_id < 100 GROUP BY user_id
+        UNION ALL
+        SELECT DISTINCT 'ddp:' || user_id || ':' || event_type AS grp,
+               CAST(1 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v
+        FROM events WHERE user_id < 200
+        UNION ALL
+        SELECT 'seg:' || c_mktsegment AS grp, count(*) AS n,
+               round(sum(value), 2) AS v
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "op_multimodal": """
+        SELECT doc_id AS id,
+               list_extract(['image', 'audio', 'video'],
+                            CAST(doc_id % 3 + 1 AS INT)) AS modality,
+               CAST(floor((doc_id % 90) / 30) + 1 AS BIGINT) AS n_frames,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(32 AS BIGINT) AS feat_dim,
+               '64x64' AS resize
+        FROM documents WHERE doc_id < 200
+    """,
+    "op_tensor": """
+        WITH mm AS (
+            SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+                   (CAST(max(l_extendedprice) AS DOUBLE)
+                    - CAST(min(l_extendedprice) AS DOUBLE)) / 10 AS w
+            FROM lineitem
+        ), buckets AS (
+            SELECT least(floor((CAST(l_extendedprice AS DOUBLE) - lo) / w),
+                         9) AS b
+            FROM lineitem, mm
+        ), hist AS (
+            SELECT b, count(*) AS n FROM buckets GROUP BY b
+        ), q AS (
+            SELECT quantile_cont(CAST(l_quantity AS DOUBLE),
+                                 [0.25, 0.5, 0.75]) AS v
+            FROM lineitem
+        ), gram AS (
+            SELECT r1.i AS i, r2.j AS j,
+                   sum(CAST(list_extract(embedding, CAST(r1.i + 1 AS INT))
+                            AS DOUBLE)
+                       * CAST(list_extract(embedding, CAST(r2.j + 1 AS INT))
+                              AS DOUBLE)) AS v
+            FROM embeddings, range(4) r1(i), range(4) r2(j)
+            GROUP BY 1, 2
+        )
+        SELECT 'hist:' || x.i AS grp,
+               floor((x.lo + CAST(x.i AS DOUBLE) * x.w) * 1e6 + 0.5) / 1e6 AS v1,
+               floor((x.lo + CAST(x.i + 1 AS DOUBLE) * x.w) * 1e6 + 0.5) / 1e6 AS v2,
+               CAST(coalesce(hist.n, 0) AS BIGINT) AS n
+        FROM (SELECT r.i AS i, mm.lo AS lo, mm.w AS w
+              FROM range(10) r(i), mm) x
+        LEFT JOIN hist ON hist.b = x.i
+        UNION ALL
+        SELECT 'pct:' || (r.i - 1) AS grp,
+               floor(list_extract(q.v, CAST(r.i AS INT)) * 1e6 + 0.5) / 1e6
+                   AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+        FROM range(1, 4) r(i), q
+        UNION ALL
+        SELECT 'gram:' || i || ':' || j AS grp,
+               floor(v * 1e4 + 0.5) / 1e4 AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+        FROM gram
     """,
     "events_window_funcs": """
         SELECT event_id, user_id,
@@ -133,7 +191,7 @@ PIPELINE_ORACLES: dict[str, str] = {
             w_roll AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
-    "events_activity": """
+    "events_sessions_activity": """
         SELECT 'day' AS dim, strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
                count(*) AS n, CAST(count(DISTINCT user_id) AS DOUBLE) AS metric,
                CAST(NULL AS DOUBLE) AS metric2
@@ -147,6 +205,18 @@ PIPELINE_ORACLES: dict[str, str] = {
                 round(sum(value), 2), CAST(NULL AS DOUBLE)
          FROM events GROUP BY user_id
          ORDER BY round(sum(value), 2) DESC, user_id LIMIT 10)
+        UNION ALL
+        SELECT 'sess', CAST(user_id AS VARCHAR), count(*),
+               CAST(sum(new_sess) AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev IS NULL
+                             OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                  FROM events)
+        ) GROUP BY user_id
     """,
     # ---------------------------------------------------------- documents
     "docs_text_metrics": f"""

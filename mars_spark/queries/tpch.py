@@ -663,6 +663,40 @@ def q03_10(spark: SparkSession, sf_dir: str) -> SparkDF:
     return a.unionByName(b)
 
 
+def q05_07(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite of the multi-join volume family (r4 slot merge; both
+    member plans run in full): q05's same-nation revenue and q07's
+    cross-nation shipping volume under a harmonized (grp, yr, revenue)
+    schema. Reference: run_queries.py:291 (q05), :375 (q07)."""
+    a = q5(spark, sf_dir).select(
+        F.concat(F.lit("q5:"), F.col("n_name")).alias("grp"),
+        F.lit(None).cast("int").alias("yr"),
+        F.col("revenue"))
+    b = q7(spark, sf_dir).select(
+        F.concat(F.lit("q7:"), F.col("supp_nation"), F.lit(">"),
+                 F.col("cust_nation")).alias("grp"),
+        F.col("l_year").cast("int").alias("yr"),
+        F.col("revenue"))
+    return a.unionByName(b)
+
+
+def q08_09(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Composite of the market-share / profit-by-year family (r4 slot
+    merge; both member plans run in full): q08's yearly NATION_3 market
+    share and q09's nation×year profit under a harmonized
+    (grp, yr, val) schema. Reference: run_queries.py:441 (q08),
+    :526 (q09)."""
+    a = q8_adapted(spark, sf_dir).select(
+        F.lit("q8").alias("grp"),
+        F.col("o_year").cast("int").alias("yr"),
+        F.col("mkt_share").alias("val"))
+    b = q9_adapted(spark, sf_dir).select(
+        F.concat(F.lit("q9:"), F.col("nation")).alias("grp"),
+        F.col("o_year").cast("int").alias("yr"),
+        F.col("sum_profit").alias("val"))
+    return a.unionByName(b)
+
+
 TPCH_QUERIES = {
     "tpch_q21_adapted": q21_adapted,
     "tpch_q02_adapted": q2_adapted,
@@ -670,10 +704,8 @@ TPCH_QUERIES = {
     "tpch_q16_adapted": q16_adapted,
     "tpch_q20_adapted": q20_adapted,
     "tpch_q01": q1,
-    "tpch_q05": q5,
-    "tpch_q07": q7,
-    "tpch_q08_adapted": q8_adapted,
-    "tpch_q09_adapted": q9_adapted,
+    "tpch_q05_07": q05_07,
+    "tpch_q08_09": q08_09,
     "tpch_q13": q13,
     "tpch_q15": q15,
     "tpch_q18": q18,

@@ -143,8 +143,8 @@ TPCH_ORACLES: dict[str, str] = {
                CAST(NULL AS VARCHAR) AS odate, revenue
         FROM b
     """,
-    "tpch_q05": """
-        SELECT n_name,
+    "tpch_q05_07": """
+        SELECT 'q5:' || n_name AS grp, CAST(NULL AS INT) AS yr,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -157,10 +157,9 @@ TPCH_ORACLES: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
-    """,
-    "tpch_q07": """
-        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               CAST(year(l_shipdate) AS INT) AS l_year,
+        UNION ALL
+        SELECT 'q7:' || n1.n_name || '>' || n2.n_name AS grp,
+               CAST(year(l_shipdate) AS INT) AS yr,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
@@ -172,14 +171,14 @@ TPCH_ORACLES: dict[str, str] = {
             OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
           AND l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
-        GROUP BY supp_nation, cust_nation, l_year
+        GROUP BY grp, yr
     """,
-    "tpch_q08_adapted": """
-        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    "tpch_q08_09": """
+        SELECT 'q8' AS grp, CAST(year(o_orderdate) AS INT) AS yr,
                round(sum(CASE WHEN sn.n_name = 'NATION_3'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS val
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN orders   ON l_orderkey = o_orderkey
@@ -189,20 +188,18 @@ TPCH_ORACLES: dict[str, str] = {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
-        GROUP BY o_year
-        ORDER BY o_year
-    """,
-    "tpch_q09_adapted": """
-        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        GROUP BY yr
+        UNION ALL
+        SELECT 'q9:' || n_name AS grp, CAST(year(o_orderdate) AS INT) AS yr,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_profit
+                                   AS DECIMAL(30,6))), 2) AS DOUBLE) AS val
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         JOIN orders   ON l_orderkey = o_orderkey
         WHERE p_name LIKE '%a%'
-        GROUP BY n_name, o_year
+        GROUP BY grp, yr
     """,
     "tpch_q13": """
         SELECT c_count, count(*) AS custdist
