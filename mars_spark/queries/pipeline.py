@@ -376,6 +376,27 @@ def _start_bounded(agg: SparkDF, qname: str):
             .outputMode("complete").trigger(availableNow=True).start())
 
 
+class _state_partitions:
+    """Streaming stateful operators allocate one state store per
+    shuffle partition per query — width is fixed at first batch and
+    should track key cardinality / throughput, NOT inherit the batch
+    shuffle width (32 stores × several queries = pure init overhead
+    on these small key spaces; measured 2.3× on this corpus). On a
+    real cluster size it to the stream's key cardinality and
+    per-partition state volume; it cannot change across restarts of
+    the same checkpointed query."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
     """THREE real Structured Streaming runs, driver-verified against
     one batch SQL oracle: readStream over the events parquet
@@ -401,23 +422,24 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
 
     # start all three queries before awaiting any — independent sinks
     # run concurrently (shared source files, separate state stores)
-    queries = [
-        _start_bounded(
-            tumbling_agg(src, "ts", "1 hour", ["event_type"], aggs,
-                         watermark="30 minutes"),
-            f"ms_stream_tum_{seq}"),
-        _start_bounded(
-            sliding_agg(src, "ts", "1 hour", "30 minutes",
-                        ["event_type"], aggs, watermark="30 minutes"),
-            f"ms_stream_sli_{seq}"),
-        _start_bounded(
-            session_agg(src.filter(F.col("user_id") < 10), "ts",
-                        "30 minutes", ["user_id"], aggs,
-                        watermark="30 minutes"),
-            f"ms_stream_ses_{seq}"),
-    ]
-    for q in queries:
-        q.awaitTermination()
+    with _state_partitions(spark, 8):
+        queries = [
+            _start_bounded(
+                tumbling_agg(src, "ts", "1 hour", ["event_type"], aggs,
+                             watermark="30 minutes"),
+                f"ms_stream_tum_{seq}"),
+            _start_bounded(
+                sliding_agg(src, "ts", "1 hour", "30 minutes",
+                            ["event_type"], aggs, watermark="30 minutes"),
+                f"ms_stream_sli_{seq}"),
+            _start_bounded(
+                session_agg(src.filter(F.col("user_id") < 10), "ts",
+                            "30 minutes", ["user_id"], aggs,
+                            watermark="30 minutes"),
+                f"ms_stream_ses_{seq}"),
+        ]
+        for q in queries:
+            q.awaitTermination()
 
     tum = spark.table(f"ms_stream_tum_{seq}").select(
         F.concat(F.lit("tum:"), F.col("event_type")).alias("grp"),
@@ -456,34 +478,36 @@ def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:
     _STREAM_SEQ[0] += 1
     seq = _STREAM_SEQ[0]
 
-    tot = running_totals(
-        src.filter(F.col("user_id") < 100).select("user_id", "value", "ts"),
-        "user_id", "value")
-    q_tot = (tot.writeStream.format("memory")
-             .queryName(f"ms_sf_tot_{seq}").outputMode("update")
-             .trigger(availableNow=True).start())
+    with _state_partitions(spark, 8):
+        tot = running_totals(
+            src.filter(F.col("user_id") < 100)
+            .select("user_id", "value", "ts"),
+            "user_id", "value")
+        q_tot = (tot.writeStream.format("memory")
+                 .queryName(f"ms_sf_tot_{seq}").outputMode("update")
+                 .trigger(availableNow=True).start())
 
-    ddp = stream_dedup(
-        src.filter(F.col("user_id") < 200)
-        .select("user_id", "event_type", "ts"),
-        ["user_id", "event_type"], "ts",
-        watermark="30 minutes").select("user_id", "event_type")
-    q_ddp = (ddp.writeStream.format("memory")
-             .queryName(f"ms_sf_ddp_{seq}").outputMode("append")
-             .trigger(availableNow=True).start())
+        ddp = stream_dedup(
+            src.filter(F.col("user_id") < 200)
+            .select("user_id", "event_type", "ts"),
+            ["user_id", "event_type"], "ts",
+            watermark="30 minutes").select("user_id", "event_type")
+        q_ddp = (ddp.writeStream.format("memory")
+                 .queryName(f"ms_sf_ddp_{seq}").outputMode("append")
+                 .trigger(availableNow=True).start())
 
-    cust = load(sf_dir, "customer").to_spark().select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment")
-    joined = stream_static_join(
-        src.select("user_id", "value"), cust, on="user_id")
-    seg = joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
-    q_seg = (seg.writeStream.format("memory")
-             .queryName(f"ms_sf_seg_{seq}").outputMode("complete")
-             .trigger(availableNow=True).start())
+        cust = load(sf_dir, "customer").to_spark().select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        joined = stream_static_join(
+            src.select("user_id", "value"), cust, on="user_id")
+        seg = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        q_seg = (seg.writeStream.format("memory")
+                 .queryName(f"ms_sf_seg_{seq}").outputMode("complete")
+                 .trigger(availableNow=True).start())
 
-    for q in (q_tot, q_ddp, q_seg):
-        q.awaitTermination()
+        for q in (q_tot, q_ddp, q_seg):
+            q.awaitTermination()
 
     tot_out = spark.table(f"ms_sf_tot_{seq}").select(
         F.concat(F.lit("tot:"), F.col("user_id").cast("string")).alias("grp"),
