@@ -247,16 +247,23 @@ class DataFrame:
     def __setitem__(self, key: str, value):
         # Reference: mars/dataframe/indexing/setitem.py:35 → withColumn
         if isinstance(value, Series):
-            origin = getattr(value._frame, "_origin_frame", None)
-            if value._frame is not self and origin is not None and (
-                    origin is self or origin._sdf is self._sdf):
-                # the value rides a row-preserving extension of this
-                # frame (e.g. Series.rank's stats join): adopt the
-                # extended plan, keeping exactly this frame's columns
-                # plus the assigned one
-                base = value._frame._sdf.withColumn(key, value._col)
-                cols = [c for c in self._sdf.columns if c != key] + [key]
-                self._sdf = base.select(*cols)
+            origin_sdf = getattr(value._frame, "_origin_sdf", None)
+            if value._frame is not self and origin_sdf is not None:
+                if origin_sdf is self._sdf:
+                    # the value rides a row-preserving extension of
+                    # this frame's CURRENT plan (e.g. Series.rank's
+                    # stats join): adopt the extended plan, keeping
+                    # exactly this frame's columns plus the assigned
+                    # one. Keyed on plan identity — if this frame was
+                    # mutated after the extension was produced, the
+                    # captured plan no longer matches and we align
+                    # instead (adoption would revert the mutation).
+                    base = value._frame._sdf.withColumn(key, value._col)
+                    cols = [c for c in self._sdf.columns
+                            if c != key] + [key]
+                    self._sdf = base.select(*cols)
+                    return
+                self._setitem_aligned(key, value)
                 return
             col = value._col
         elif isinstance(value, Column):

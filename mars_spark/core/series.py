@@ -32,12 +32,18 @@ def _lit(value):
 
 def _extension_frame(a, b):
     """If frame ``b`` is a row-preserving extension of ``a`` (tagged
-    via Series._origin, e.g. by Series.rank) return ``b``; if ``a``
-    extends ``b`` return ``a``; else None."""
+    via ``_origin_sdf``, e.g. by Series.rank) return ``b``; if ``a``
+    extends ``b`` return ``a``; else None.
+
+    Keyed SOLELY on plan identity: the extension captured its origin's
+    ``_sdf`` object at tag time, and adoption requires the base frame
+    to still hold that exact plan. If the base was mutated in place
+    since (``f['v'] = f.v * 2``), the captured plan no longer matches
+    and we fall back to the align path — adopting would silently
+    revert the mutation."""
     for derived, base in ((b, a), (a, b)):
-        origin = getattr(derived, "_origin_frame", None)
-        if origin is not None and (origin is base
-                                   or origin._sdf is base._sdf):
+        origin_sdf = getattr(derived, "_origin_sdf", None)
+        if origin_sdf is not None and origin_sdf is base._sdf:
             return derived
     return None
 
@@ -223,7 +229,7 @@ class Series:
         out = out.drop("__rank_in__")
         nf = DataFrame(out, self._frame._index, seq=self._frame._seq,
                        seq_dirty=self._frame._seq_dirty)
-        nf._origin_frame = self._frame
+        nf._origin_sdf = self._frame._sdf
         return Series(nf, F.col("__rank__"), self.name)
 
     def ranks(self, methods, ascending: bool = True):
@@ -242,7 +248,7 @@ class Series:
                         order_col=self._frame._seq).drop("__rank_in__")
         nf = DataFrame(out, self._frame._index, seq=self._frame._seq,
                        seq_dirty=self._frame._seq_dirty)
-        nf._origin_frame = self._frame
+        nf._origin_sdf = self._frame._sdf
         return nf
 
     def nlargest(self, n: int = 5) -> "Series":
