@@ -272,6 +272,26 @@ class DataFrame:
             col = F.lit(value)
         self._sdf = self._sdf.withColumn(key, col)
 
+    def _setitem_aligned(self, key: str, value) -> None:
+        """Assignment of a Series from another frame (or from a stale
+        extension of this frame's plan): align on the index — a left
+        join, the distributed form of pandas' df[k] = s reindexing
+        (unmatched rows get null; extra value rows drop). Requires an
+        index on both frames, like all cross-frame ops (align.py)."""
+        from mars_spark.operators.align import _index_of
+
+        li = _index_of(self, "cross-frame setitem")
+        ri = _index_of(value._frame, "cross-frame setitem")
+        if len(li) != len(ri):
+            raise ValueError(f"index arity mismatch: {li} vs {ri}")
+        vsdf = value._frame._sdf.select(
+            *[F.col(a).alias(b) for a, b in zip(ri, li)],
+            value._col.alias("__setitem_v"),
+        )
+        cols = [c for c in self._sdf.columns if c != key]
+        joined = self._sdf.select(*cols).join(vsdf, on=li, how="left")
+        self._sdf = joined.select(*cols, F.col("__setitem_v").alias(key))
+
     # ------------------------------------------------------- projections
     def assign(self, **kwargs) -> "DataFrame":
         sdf = self._sdf

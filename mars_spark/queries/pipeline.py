@@ -41,9 +41,12 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> SparkDF:
     shuffle on user_id; the gap/cum-count is a sorted window within
     each user partition (reference has no streaming ops — SURVEY §1.1;
     this is the batch twin of the Structured Streaming session window)."""
+    from mars_spark.sources.io import epoch_seconds
+
     e = load(sf_dir, "events").to_spark()
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sec = epoch_seconds(e, "ts")
+    gap = sec - F.lag(sec).over(w)
     with_new = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
     return (
@@ -363,12 +366,30 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> SparkDF:
     link = f"{stage}/events.parquet"
     if not os.path.lexists(link):
         os.symlink(path, link)
-    # events.ts is TIMESTAMP(NANOS): same handling as sources/io.py:46
-    # (nanosAsLong conf + exact integer div back to micros)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Dtype-driven timestamp handling (same discipline as
+    # sources/io.py:40): only if the parquet file stores ts as
+    # TIMESTAMP(NANOS) does Spark need the nanosAsLong conf + exact
+    # integer div back to micros. timestamp[us] (TIMESTAMP_NTZ) and
+    # plain TIMESTAMP pass straight through — F.window / session_window
+    # / watermarks accept NTZ natively.
+    from mars_spark.sources.io import _ns_timestamp_cols
+
+    from pyspark.sql.types import TimestampNTZType
+
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     src = read_stream(spark, "parquet", stage, schema=schema)
-    return src.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    for c in ns_cols:
+        src = src.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if isinstance(src.schema["ts"].dataType, TimestampNTZType):
+        # withWatermark rejects TIMESTAMP_NTZ
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE): interpret the wall time
+        # in the session timezone (UTC here), same event-time values the
+        # nanos encoding produced.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
 
 
 def _start_bounded(agg: SparkDF, qname: str):

@@ -37,6 +37,31 @@ def _ns_timestamp_cols(path) -> list[str]:
         return []
 
 
+def epoch_seconds(sdf, col: str):
+    """Event-time column → exact epoch seconds, dispatched on the dtype
+    Spark actually REPORTS for the column — never on an assumed parquet
+    encoding (testdata has shipped the same logical column as
+    TIMESTAMP(NANOS)->long, TIMESTAMP_NTZ, and TIMESTAMP across
+    environments; reference precedent: Mars infers per-column dtypes at
+    graph-build time and dispatches on them,
+    mars/dataframe/utils.py build_empty_df).
+
+    - LongType: legacy nanosAsLong read — integer div, exact.
+    - TimestampNTZType: NTZ has no BIGINT cast; route through LTZ
+      (interpreted in the session timezone — differences/sessionization
+      are tz-invariant, and the driver session runs UTC).
+    - TimestampType: direct long cast (epoch seconds) is defined.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = sdf.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"`{col}` div 1000000000")
+    if isinstance(dt, TimestampNTZType):
+        return F.col(col).cast("timestamp_ltz").cast("long")
+    return F.col(col).cast("long")
+
+
 def read_parquet(path, columns=None, **options) -> DataFrame:
     """reference: mars/dataframe/datasource/read_parquet.py:277.
     File/row-group splitting, partitioned datasets, predicate pushdown

@@ -639,3 +639,52 @@ def test_categorical_metadata_roundtrip(spark):
     pc = p.c.astype("category")
     pvc = pc.where(pc != "c").value_counts()
     assert vc.sort_index().tolist() == pvc.sort_index().tolist()
+
+
+def test_setitem_rank_extension_adopt(spark):
+    # the happy path: assigning a rank Series straight back onto its
+    # own (unmutated) frame adopts the extended plan
+    p = pd.DataFrame({"k": [10, 20, 30, 40], "v": [3.0, 1.0, 3.0, 2.0]})
+    f = ms.from_spark(spark.createDataFrame(p))
+    f["r"] = f.v.rank()
+    out = f.to_pandas().sort_values("k")
+    assert list(out.r) == list(p.v.rank())
+
+
+def test_setitem_stale_extension_aligns(spark):
+    # ADVICE r5: base frame mutated AFTER the extension was produced —
+    # adoption would revert the mutation, so the fallback must ALIGN
+    p = pd.DataFrame({"k": [10, 20, 30, 40], "v": [3.0, 1.0, 3.0, 2.0]})
+    f = ms.from_spark(spark.createDataFrame(p)).set_index("k")
+    s = f.v.rank()
+    f["v"] = f.v * 2          # mutates the plan → s is now stale
+    f["r"] = s
+    out = f.to_pandas().sort_values("k")
+    assert list(out.v) == [6.0, 2.0, 6.0, 4.0]   # mutation survives
+    assert list(out.r) == list(p.v.rank())
+
+
+def test_setitem_cross_frame_aligns(spark):
+    # df2[k] = df1.col.rank() — pure cross-frame: left-join alignment
+    # on the index, unmatched rows null, extra value rows dropped
+    p1 = pd.DataFrame({"k": [10, 20, 30, 40], "v": [3.0, 1.0, 3.0, 2.0]})
+    p2 = pd.DataFrame({"k": [20, 40, 50], "w": [1, 2, 3]})
+    f1 = ms.from_spark(spark.createDataFrame(p1)).set_index("k")
+    f2 = ms.from_spark(spark.createDataFrame(p2)).set_index("k")
+    f2["r"] = f1.v.rank()
+    out = f2.to_pandas().sort_values("k")
+    exp = p2.set_index("k")
+    exp["r"] = p1.set_index("k").v.rank()
+    assert list(out.w) == [1, 2, 3]
+    assert out.r.tolist()[:2] == exp.r.tolist()[:2]
+    assert pd.isna(out.r.tolist()[2]) and pd.isna(exp.r.tolist()[2])
+
+
+def test_setitem_cross_frame_requires_index(spark):
+    p1 = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})
+    p2 = pd.DataFrame({"k": [1, 2], "w": [3, 4]})
+    f1 = ms.from_spark(spark.createDataFrame(p1))
+    f2 = ms.from_spark(spark.createDataFrame(p2))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="index"):
+        f2["r"] = f1.v.rank()
