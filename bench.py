@@ -54,6 +54,10 @@ def main():
     best = {name: (min(ts) if all(t >= 0 for t in ts) else -1.0)
             for name, ts in ((n, [p[n] for p in passes])
                              for n in passes[0])}
+    # failed queries (-1 markers) are named explicitly and excluded
+    # from the headline total — a 47-row total must not read as
+    # comparable to a 50-row one (r5 postmortem)
+    failed = sorted(n for n, t in best.items() if t < 0)
     total = round(sum(t for t in best.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "corpus_wall_clock",
@@ -62,6 +66,9 @@ def main():
         "queries": best,
         "sf": sf,
         "passes": 2,
+        "n_queries": len(best),
+        "n_green": len(best) - len(failed),
+        "failed": failed,
         "pass_totals": [round(sum(t for t in p.values() if t >= 0), 3)
                         for p in passes],
     }))

@@ -40,11 +40,23 @@ class _LocIndexer:
         if isinstance(key, tuple) and len(key) == 2:
             # disambiguate (rows, cols) from a 2-part composite label
             # on a 2-level index: the second element of a (rows, cols)
-            # pair is a column selector (slice/list/column name/None)
+            # pair is a column selector (slice/list/column name/None).
+            # pandas precedence (indexing/_LocIndexer._getitem_lowerdim):
+            # on a MultiIndex a full-length tuple is FIRST tried as a
+            # row label — so when the second index level is string-typed
+            # a string key[1] is a label even if it collides with a
+            # column name. Schema-only decision, no job.
             second_is_cols = (
                 key[1] is None or isinstance(key[1], (slice, list))
                 or (isinstance(key[1], str)
                     and key[1] in self._frame._sdf.columns))
+            if (len(self._frame._index) == 2 and isinstance(key[1], str)
+                    and second_is_cols
+                    and not isinstance(key[0], (slice, list, Series, tuple))):
+                lvl2 = self._frame._index[1]
+                lvl2_type = dict(self._frame._sdf.dtypes).get(lvl2, "")
+                if lvl2_type == "string" and key[1] != lvl2:
+                    second_is_cols = False
             if (len(self._frame._index) == 2 and not second_is_cols
                     and not isinstance(key[0], (slice, list, Series))):
                 rows, cols = key, None
@@ -590,7 +602,14 @@ class DataFrame:
                 # exact-n without replacement: uniform random key +
                 # top-n (TakeOrderedAndProject: per-partition heaps,
                 # no global sort) — always returns exactly n rows,
-                # unlike fraction-oversampling which can undershoot
+                # unlike fraction-oversampling which can undershoot.
+                # pandas contract: n > population without replacement
+                # raises — one bounded count job to enforce it
+                total = self._sdf.count()
+                if n > total:
+                    raise ValueError(
+                        "Cannot take a larger sample than population "
+                        "when 'replace=False'")
                 r = F.rand(seed) if seed is not None else F.rand()
                 out = (self._sdf.withColumn("__rk", r)
                        .orderBy("__rk").limit(n).drop("__rk"))

@@ -309,13 +309,22 @@ class LabelEncoder:
 
     def fit(self, df, col: str):
         sdf = _sdf(df)
+        # NULLs are excluded from the class set (sorting a distinct set
+        # containing None is a TypeError, and a null is "no label", not
+        # a label); transform passes nulls through as null codes
         self.classes_ = [r[0] for r in
-                         sdf.select(col).distinct().collect()]
+                         sdf.select(col).distinct().collect()
+                         if r[0] is not None]
         self.classes_.sort()
         self._col = col
         return self
 
     def transform(self, df, col: str | None = None):
+        """Unseen (non-null) labels code to -1 — the distributed
+        handle_unknown convention (sklearn OrdinalEncoder's
+        use_encoded_value; Spark ML StringIndexer's handleInvalid):
+        raising per-row inside a cluster job is not actionable, a
+        sentinel is filterable. Nulls stay null."""
         sdf, col = _sdf(df), col or self._col
         out_name = f"{col}_code"
         if len(self.classes_) <= self._MAP_THRESHOLD:
@@ -323,11 +332,16 @@ class LabelEncoder:
             for i, v in enumerate(self.classes_):
                 pairs += [F.lit(v), F.lit(i)]
             code = F.element_at(F.create_map(*pairs), F.col(col))
+            code = F.when(F.col(col).isNull(), F.lit(None)).otherwise(
+                F.coalesce(code, F.lit(-1)))
             return sdf.withColumn(out_name, code.cast("int"))
         codes = sdf.sparkSession.createDataFrame(
             [(v, i) for i, v in enumerate(self.classes_)],
             f"{col} string, {out_name} int")
-        return sdf.join(F.broadcast(codes), on=col, how="left")
+        out = sdf.join(F.broadcast(codes), on=col, how="left")
+        unseen = F.when(F.col(col).isNull(), F.lit(None)).otherwise(
+            F.coalesce(F.col(out_name), F.lit(-1)))
+        return out.withColumn(out_name, unseen.cast("int"))
 
     def fit_transform(self, df, col: str):
         return self.fit(df, col).transform(df)
@@ -505,7 +519,13 @@ class KNeighborsClassifier:
                 B = np.vstack([np.asarray(v, dtype=np.float64)
                                for v in chunk])
                 D = -2.0 * (B @ M.T) + M2          # b × n (+‖x‖² const)
-                idx = np.argsort(D, axis=1, kind="stable")[:, :k]
+                # equal-distance ties break on label, not on the
+                # train rows' collect() order — the selection is then
+                # deterministic across partitionings and replayable by
+                # a SQL oracle (ORDER BY distance, label); among equal
+                # (d, label) pairs any pick yields identical votes
+                L = np.broadcast_to(labels, D.shape)
+                idx = np.lexsort((L, D), axis=1)[:, :k]
                 out.extend(
                     [(int(labels[j]), float(D[i, j])) for j in idx[i]]
                     for i in range(len(chunk)))

@@ -264,7 +264,13 @@ def all_pairs_blocked(sdf: SparkDF, vec_col: str, threshold: float = 0.9,
       dots — the OPPOSITE of the IVF case, where centroid tables are
       shipped once per batch, not per pair). The r3 number was
       ambient load + cold ordering, not a plan problem; bench.py now
-      runs two passes and reports per-query minima to bound this;
+      runs two passes and reports per-query minima to bound this.
+      r6 attribution of the r5 swing (2.54→8.81s on unchanged code):
+      the three streaming rows were failing mid-session (testdata ts
+      encoding drift), leaving session confs mutated and failed
+      stream machinery behind; with those rows fixed and NO change
+      here the same config re-benched at 3.34s — bench numbers are
+      only comparable when every row runs clean;
     - total verify work is exactly n²/2 dots — an exact low-threshold
       sweep is inherently Θ(n²); when threshold ≥ ~0.7 use
       lsh_multiband_pairs, which prunes candidates 100-1000× (at low

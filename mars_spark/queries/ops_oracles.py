@@ -380,10 +380,13 @@ OPS_ORACLES: dict[str, str] = {
         ), train AS (
             SELECT e AS tf, label FROM X
         ), dists AS (
+            -- k-selection tie-break mirrors the engine's lexsort
+            -- (distance, then label) — deterministic on equal distances
             SELECT t.vec_id, tr.label,
                    list_distance(t.f, tr.tf) AS d,
                    row_number() OVER (PARTITION BY t.vec_id
-                                      ORDER BY list_distance(t.f, tr.tf))
+                                      ORDER BY list_distance(t.f, tr.tf),
+                                               tr.label)
                        AS rn
             FROM test t CROSS JOIN train tr
         ), votes AS (
@@ -398,7 +401,9 @@ OPS_ORACLES: dict[str, str] = {
                   FROM votes)
             WHERE rv = 1
         ), pos AS (
-            SELECT unnest(range(1, 65)) AS i
+            -- dims derived from the data, not hard-coded
+            SELECT unnest(range(1, (SELECT len(e) FROM X LIMIT 1) + 1))
+                AS i
         ), c0 AS (
             SELECT vec_id::INT AS cl, e AS c FROM X WHERE vec_id < 4
         ), asg1 AS (

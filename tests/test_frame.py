@@ -137,6 +137,30 @@ def test_sample(mdf):
     assert 200 < len(out) < 400
 
 
+def test_sample_n_exceeds_population_raises(spark):
+    df = ms.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
+    with pytest.raises(ValueError, match="larger sample than population"):
+        df.sample(n=5)
+    assert len(df.sample(n=3, seed=1).to_pandas()) == 3
+    # with replacement oversampling is legal (pandas contract)
+    assert len(df.sample(n=5, replace=True, seed=1).to_pandas()) <= 5
+
+
+def test_loc_composite_label_column_collision(spark):
+    # 2-level index whose second level is string-typed: a full 2-tuple
+    # is a row label even when its second element collides with a
+    # column name (pandas tries the tuple as a label first)
+    pdf = pd.DataFrame({
+        "k": [1, 1, 2], "tag": ["x", "v", "x"], "v": [10.0, 20.0, 30.0]})
+    mf = ms.from_pandas(pdf).set_index(["k", "tag"])
+    exp = pdf.set_index(["k", "tag"])
+    got = mf.loc[1, "v"]  # "v" collides with the value column
+    assert got.to_pandas()["v"].tolist() == [exp.loc[(1, "v"), "v"]]
+    # non-colliding second element still resolves as a label
+    got2 = mf.loc[2, "x"]
+    assert got2.to_pandas()["v"].tolist() == [30.0]
+
+
 def test_union_setops(spark):
     a = ms.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
     b = ms.from_pandas(pd.DataFrame({"x": [3, 4]}))

@@ -343,3 +343,33 @@ def test_label_encoder_and_normalize(spark):
 
     l1 = normalize(f, "e", norm="l1").toPandas()
     assert list(l1.e[0]) == [3.0 / 7.0, 4.0 / 7.0]
+
+
+def test_label_encoder_nulls_and_unseen(spark):
+    """Nulls are excluded from classes_ and pass through as null codes;
+    unseen non-null labels code to the -1 sentinel (the distributed
+    handle_unknown convention — see LabelEncoder.transform)."""
+    from mars_spark.learn.facade import LabelEncoder
+
+    pdf = pd.DataFrame({"c": ["b", None, "a", "b", None]})
+    f = ms.from_pandas(pdf).to_spark()
+    le = LabelEncoder().fit(f, "c")
+    assert le.classes_ == ["a", "b"]
+    out = le.transform(f).toPandas().c_code
+    assert [None if pd.isna(v) else int(v) for v in out] == \
+        [1, None, 0, 1, None]
+
+    other = ms.from_pandas(
+        pd.DataFrame({"c": ["a", "z", None]})).to_spark()
+    got = le.transform(other).toPandas().c_code
+    assert [None if pd.isna(v) else int(v) for v in got] == [0, -1, None]
+
+    # large-cardinality path (broadcast-join branch) honors the same
+    # null/unseen contract (join output order is not guaranteed —
+    # compare as a multiset of (label, code) pairs)
+    le._MAP_THRESHOLD = 1
+    out2 = le.transform(other).toPandas()
+    pairs = sorted(
+        (str(c), None if pd.isna(v) else int(v))
+        for c, v in zip(out2.c, out2.c_code))
+    assert pairs == [("None", None), ("a", 0), ("z", -1)]
