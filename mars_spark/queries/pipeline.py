@@ -397,6 +397,76 @@ def _start_bounded(agg: SparkDF, qname: str):
             .outputMode("complete").trigger(availableNow=True).start())
 
 
+def _append_watermark_run(spark: SparkSession, sf_dir: str,
+                          seq: int) -> SparkDF:
+    """APPEND-mode + watermark-eviction run — the production streaming
+    semantics (the complete-mode bounded runs never evict state). The
+    events table is staged as TWO files delivered as separate
+    micro-batches (processAllAvailable between arrivals): batch 1 =
+    event_id % 4 != 0, batch 2 = the rest. Deterministic eviction
+    contract, replayed exactly by the SQL oracle:
+    - after batch 1 the watermark is floor_ms(max batch-1 ts) − 30 min
+      (Spark tracks event-time stats in milliseconds);
+    - batch-2 rows whose 1-hour window END <= that watermark are LATE
+      — their state was evicted, the rows are dropped on arrival;
+    - the final appended set is every window with end <= the final
+      watermark, aggregating on-time rows only. Windows within 30 min
+      of the stream's tail stay open and are never emitted.
+    At scale this is the plan that bounds state on an unbounded
+    firehose: eviction is what keeps the state store O(open windows)
+    instead of O(stream length)."""
+    import glob
+    import os
+    import shutil
+
+    from mars_spark.sources.io import _ns_timestamp_cols
+    from mars_spark.streaming.core import read_stream, tumbling_agg
+
+    path = f"{sf_dir}/events.parquet"
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(path)
+    if "ts" in ns_cols:
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    # normalize to TIMESTAMP (LTZ) once at staging time: the staged
+    # files then stream watermark-ready regardless of how the source
+    # testdata encodes ts (dtype-dispatch discipline, sources/io.py)
+    e = e.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "event_type", "value")
+
+    root = "/tmp/ms_apw_" + sf_dir.strip("/").replace("/", "_") + f"_{seq}"
+    shutil.rmtree(root, ignore_errors=True)
+    stage = f"{root}/stage"
+    os.makedirs(stage)
+    parts = {}
+    for name, cond in (("b1", F.col("event_id") % 4 != 0),
+                       ("b2", F.col("event_id") % 4 == 0)):
+        e.filter(cond).coalesce(1).write.parquet(f"{root}/{name}")
+        parts[name] = glob.glob(f"{root}/{name}/part-*.parquet")[0]
+    shutil.copy(parts["b1"], f"{stage}/b1.parquet")
+
+    src = read_stream(spark, "parquet", stage, schema=e.schema)
+    agg = tumbling_agg(src, "ts", "1 hour", ["event_type"],
+                       {"value": "sum", "event_id": "count"},
+                       watermark="30 minutes")
+    qname = f"ms_stream_apw_{seq}"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()   # batch 1 + no-data watermark flush
+        shutil.copy(parts["b2"], f"{stage}/b2.parquet")
+        q.processAllAvailable()   # batch 2: late rows dropped + flush
+    finally:
+        q.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.table(qname).select(
+        F.concat(F.lit("apw:"), F.col("event_type")).alias("grp"),
+        F.col("window_start").alias("wstart"),
+        F.col("event_id_count").alias("n"),
+        F.round(F.col("value_sum"), 2).alias("sum_value"))
+
+
 class _state_partitions:
     """Streaming stateful operators allocate one state store per
     shuffle partition per query — width is fixed at first batch and
@@ -430,9 +500,11 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
     event is >= the gap, since [t, t+gap) windows that only touch do
     not overlap). All three use complete-mode memory sinks with
     availableNow triggers: deterministic because the source is
-    bounded and windows are event-time. At scale the same plans run
-    unbounded with append mode + watermark eviction; complete+memory
-    here is the bounded test harness, not the production sink."""
+    bounded and windows are event-time. A FOURTH run
+    (_append_watermark_run) verifies the production semantics those
+    three don't: append mode with real watermark eviction across two
+    micro-batches — late rows dropped, only closed windows emitted —
+    against an oracle that replays the watermark rules in SQL."""
     from mars_spark.streaming.core import (session_agg, sliding_agg,
                                            tumbling_agg)
 
@@ -459,6 +531,10 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
                             watermark="30 minutes"),
                 f"ms_stream_ses_{seq}"),
         ]
+        # the append-mode eviction run drives its own 2-batch lifecycle
+        # (processAllAvailable between file arrivals) while the three
+        # availableNow queries drain concurrently
+        apw = _append_watermark_run(spark, sf_dir, seq)
         for q in queries:
             q.awaitTermination()
 
@@ -477,7 +553,7 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("session_start").alias("wstart"),
         F.col("event_id_count").alias("n"),
         F.round(F.col("value_sum"), 2).alias("sum_value"))
-    return tum.unionByName(sli).unionByName(ses)
+    return tum.unionByName(sli).unionByName(ses).unionByName(apw)
 
 
 def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:

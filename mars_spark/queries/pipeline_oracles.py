@@ -66,7 +66,40 @@ PIPELINE_ORACLES: dict[str, str] = {
     # hour-trunc; sliding = each event lands in the two half-hour-
     # aligned 1h windows covering it; session = gap>=30min islands
     # per user (lag + running sum), session_start = min ts
+    # the apw: CTEs replay the append-mode watermark rules of
+    # pipeline._append_watermark_run: batch 1 = event_id % 4 != 0;
+    # watermark = floor-to-ms(max ts seen) - 30 min (Spark tracks
+    # event-time stats in ms); batch-2 rows in windows whose END <=
+    # the batch-1 watermark are dropped; emitted windows are those
+    # with END <= the final watermark, over surviving rows only
     "events_stream_windows": """
+        WITH apw_b1 AS (
+            SELECT ts, event_type, value FROM events
+            WHERE event_id % 4 != 0
+        ), apw_wm1 AS (
+            SELECT date_trunc('milliseconds', max(ts))
+                   - INTERVAL 30 MINUTE AS w
+            FROM apw_b1
+        ), apw_wm2 AS (
+            SELECT date_trunc('milliseconds', max(ts))
+                   - INTERVAL 30 MINUTE AS w
+            FROM events
+        ), apw_surv AS (
+            SELECT * FROM apw_b1
+            UNION ALL
+            SELECT ts, event_type, value FROM events
+            WHERE event_id % 4 = 0
+              AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+                  > (SELECT w FROM apw_wm1)
+        )
+        SELECT 'apw:' || event_type AS grp,
+               date_trunc('hour', ts) AS wstart,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM apw_surv
+        GROUP BY grp, wstart
+        HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+               <= (SELECT w FROM apw_wm2)
+        UNION ALL
         SELECT 'tum:' || event_type AS grp,
                date_trunc('hour', ts) AS wstart,
                count(*) AS n, round(sum(value), 2) AS sum_value

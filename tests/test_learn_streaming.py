@@ -103,6 +103,63 @@ def test_streaming_tumbling(spark):
     assert w0.v_sum.iloc[0] == 3.0
 
 
+def test_streaming_append_watermark_eviction(spark):
+    """Append mode + watermark eviction across two micro-batches — the
+    production semantics (complete-mode bounded runs don't exercise
+    eviction). Batch 1 advances the watermark past window [00:00,00:01);
+    batch 2 then delivers a LATE row into that window, which must be
+    dropped (its state was evicted), plus a fresh row that closes
+    window [00:02,00:03). Final appended rows = on-time windows only."""
+    import shutil
+
+    b1 = pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:10", "2024-01-01 00:00:20",
+             "2024-01-01 00:02:00"]),
+        "k": ["a", "a", "a"],
+        "v": [1.0, 2.0, 10.0],
+    })
+    b2 = pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:40",    # LATE: watermark is 00:01:30
+             "2024-01-01 00:04:00"]),  # advances watermark to 00:03:30
+        "k": ["a", "a"],
+        "v": [100.0, 5.0],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        src_dir = os.path.join(d, "src")
+        os.makedirs(src_dir)
+
+        def _stage(pdf, name):
+            tmp = os.path.join(d, f"tmp_{name}")
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp)
+            part = [f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(tmp, part),
+                        os.path.join(src_dir, f"{name}.parquet"))
+
+        _stage(b1, "b1")
+        stream = St.read_stream(spark, "parquet", src_dir,
+                                schema="ts timestamp, k string, v double")
+        agg = St.tumbling_agg(stream, "ts", "1 minute", ["k"], {"v": "sum"},
+                              watermark="30 seconds")
+        q = St.write_stream(agg, "memory", query_name="apw",
+                            output_mode="append")
+        try:
+            q.processAllAvailable()   # batch 1 + no-data flush
+            _stage(b2, "b2")
+            q.processAllAvailable()   # batch 2: late row dropped + flush
+            out = spark.sql("select * from apw").toPandas()
+        finally:
+            q.stop()
+    got = {str(r.window_start): r.v_sum for r in out.itertuples()}
+    # [00:00,00:01) closed after batch 1 with ONLY the on-time rows —
+    # the late 100.0 appears nowhere; [00:02,00:03) closed after
+    # batch 2; [00:04,00:05) is still open (> watermark), not emitted
+    assert got == {"2024-01-01 00:00:00": 3.0,
+                   "2024-01-01 00:02:00": 10.0}
+
+
 def test_streaming_session(spark):
     pdf = pd.DataFrame({
         "ts": pd.to_datetime(
