@@ -349,6 +349,7 @@ def emb_topk_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 _STREAM_SEQ = [0]
+_APW_STAGED: dict[str, dict[str, str]] = {}
 
 
 def _stream_source(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -435,15 +436,28 @@ def _append_watermark_run(spark: SparkSession, sf_dir: str,
     e = e.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
                  "event_type", "value")
 
-    root = "/tmp/ms_apw_" + sf_dir.strip("/").replace("/", "_") + f"_{seq}"
+    # the staged batch files are a deterministic function of the
+    # events table — write them once per process, per-call work is
+    # two file copies (the stream's source dir must still be
+    # per-call: it starts with only b1 present)
+    cache_key = sf_dir
+    if cache_key not in _APW_STAGED or not all(
+            os.path.exists(p) for p in _APW_STAGED[cache_key].values()):
+        croot = "/tmp/ms_apw_" + sf_dir.strip("/").replace("/", "_")
+        shutil.rmtree(croot, ignore_errors=True)
+        parts = {}
+        for name, cond in (("b1", F.col("event_id") % 4 != 0),
+                           ("b2", F.col("event_id") % 4 == 0)):
+            e.filter(cond).coalesce(1).write.parquet(f"{croot}/{name}")
+            parts[name] = glob.glob(f"{croot}/{name}/part-*.parquet")[0]
+        _APW_STAGED[cache_key] = parts
+    parts = _APW_STAGED[cache_key]
+
+    root = "/tmp/ms_apw_run_" + sf_dir.strip("/").replace("/", "_") \
+        + f"_{seq}"
     shutil.rmtree(root, ignore_errors=True)
     stage = f"{root}/stage"
     os.makedirs(stage)
-    parts = {}
-    for name, cond in (("b1", F.col("event_id") % 4 != 0),
-                       ("b2", F.col("event_id") % 4 == 0)):
-        e.filter(cond).coalesce(1).write.parquet(f"{root}/{name}")
-        parts[name] = glob.glob(f"{root}/{name}/part-*.parquet")[0]
     shutil.copy(parts["b1"], f"{stage}/b1.parquet")
 
     src = read_stream(spark, "parquet", stage, schema=e.schema)
