@@ -209,14 +209,53 @@ def op_json_extract(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def op_cut_value_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.8 cut binning + §2.4 value_counts composed (absorbs r01's
-    op_cut_bucket + op_value_counts): the cut bands
-    (mars/dataframe/base/cut.py:43) are counted through
-    Series.value_counts (base/value_counts.py:31)."""
+    """§2.8 cut/qcut/get_dummies + §2.4 value_counts + categorical
+    codes in one harmonized (key, n, v) row set — r6 driver-verifies
+    the three encoding families that were pytest-only:
+    - cut bands (mars/dataframe/base/cut.py:43) counted through
+      Series.value_counts (base/value_counts.py:31);
+    - qcut quartiles (base/qcut.py — exact quantile edges via
+      approxQuantile(err=0); counts per bucket pin the edge ranks, so
+      an edge disagreement with the oracle's quantile_disc breaks the
+      hash);
+    - get_dummies one-hot columns (base/get_dummies.py:360) reduced
+      to per-dummy sums;
+    - astype('category').cat.codes (core.py:3012 categorical chunks):
+      per-value row count with the code as value — codes are the
+      position in the sorted distinct set."""
     li = load(sf_dir, "lineitem")
-    band = ms.cut(li.l_quantity, [0, 10, 25, 50], labels=["low", "mid", "high"])
+    band = ms.cut(li.l_quantity, [0, 10, 25, 50],
+                  labels=["low", "mid", "high"])
     f = li.assign(band=band)
-    return f["band"].value_counts().to_spark()
+    vc = f["band"].value_counts().to_spark().select(
+        F.concat(F.lit("cut:"), F.col("band")).alias("key"),
+        F.col("count").alias("n"),
+        F.lit(None).cast("double").alias("v"))
+
+    qband = ms.qcut(li.l_quantity, 4, labels=["q1", "q2", "q3", "q4"])
+    qc = li.assign(qband=qband)["qband"].value_counts().to_spark().select(
+        F.concat(F.lit("qcut:"), F.col("qband")).alias("key"),
+        F.col("count").alias("n"),
+        F.lit(None).cast("double").alias("v"))
+
+    gd = ms.get_dummies(li[["l_returnflag"]], "l_returnflag").to_spark()
+    dums = sorted(c for c in gd.columns if c.startswith("l_returnflag_"))
+    stack_args = ", ".join(
+        f"'dum:{c.rsplit('_', 1)[-1]}', cast({c} as bigint)" for c in dums)
+    dum = (gd.agg(*[F.sum(c).alias(c) for c in dums])
+           .select(F.expr(f"stack({len(dums)}, {stack_args}) as (key, n)"))
+           .withColumn("v", F.lit(None).cast("double")))
+
+    om = load(sf_dir, "orders")[["o_orderpriority"]]
+    codes = om.o_orderpriority.astype("category").cat.codes
+    cat = (om.assign(code=codes).to_spark()
+           .groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("code").alias("code"))
+           .select(F.concat(F.lit("cat:"),
+                            F.col("o_orderpriority")).alias("key"),
+                   "n", F.col("code").cast("double").alias("v")))
+    return vc.unionByName(qc).unionByName(dum).unionByName(cat)
 
 
 def op_asof_join(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -275,7 +314,41 @@ def op_align(spark: SparkSession, sf_dir: str) -> SparkDF:
     src = a.reset_index().merge(b.reset_index(), on="o_custkey",
                                 how="outer", indicator=True).to_spark() \
         .select("o_custkey", F.col("_merge").alias("src"))
-    return aligned.join(src, on="o_custkey")
+    out = aligned.join(src, on="o_custkey")
+
+    # r6 arm — driver-verifies the label-indexing families that were
+    # pytest-only, as extra (o_custkey, diff, src) rows:
+    # - groupby(level=0) on a 2-level index (indexing/set_index.py +
+    #   groupby on index level)
+    # - loc label-list and inclusive label-slice row selection
+    #   (indexing/loc.py:241)
+    # - swaplevel().droplevel() index reshapes (base/rechunk family)
+    # - sort_index(level=[0,1]).head(): MultiIndex-ordered top rows
+    def key_sum(fr, tag):
+        return (fr.to_spark().groupBy("o_custkey")
+                .agg(F.round(F.sum("o_totalprice"), 2).alias("diff"))
+                .select("o_custkey", "diff", F.lit(tag).alias("src")))
+
+    mi = o[o.o_custkey < 200].set_index(["o_orderpriority", "o_custkey"])
+    lvl = (mi.groupby(level=0).agg(diff=("o_totalprice", "sum"))
+           .to_spark().select(
+               F.lit(None).cast("bigint").alias("o_custkey"),
+               F.round("diff", 2).alias("diff"),
+               F.concat(F.lit("lvl:"),
+                        F.col("o_orderpriority")).alias("src")))
+    oi = o.set_index("o_custkey")
+    locl = key_sum(oi.loc[[11, 13, 17]], "loc_list")
+    locs = key_sum(oi.loc[30:40], "loc_slice")
+    sd = key_sum(mi.swaplevel().droplevel(1), "swapdrop")
+    u = o[["o_custkey", "o_orderkey", "o_totalprice"]].set_index(
+        ["o_custkey", "o_orderkey"])
+    h = (u.sort_index(level=[0, 1]).head(5).to_spark()
+         .select("o_custkey",
+                 F.col("o_orderkey").cast("double").alias("diff"),
+                 F.lit("mi_head").alias("src")))
+    for arm in (lvl, locl, locs, sd, h):
+        out = out.unionByName(arm)
+    return out
 
 
 def op_groupby_custom(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -544,6 +617,59 @@ def op_io_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
             F.count(F.lit(1)).alias(f"n_{fmt}"),
             F.sum("event_id").alias(f"sum_id_{fmt}"),
             F.round(F.sum("value"), 2).alias(f"sum_value_{fmt}")))
+    # r6: driver-verify the remaining §2.1 constructors and the
+    # partitioning ops that were pytest-only, as more columns of the
+    # same single row:
+    # - range: spark.range-backed arithmetic sequence
+    #   (mars/tensor/datasource/arange.py analog)
+    # - date_range: range + timestampadd
+    #   (mars/dataframe/datasource/date_range.py:122)
+    # - from_pandas: Arrow-path createDataFrame
+    #   (datasource/dataframe.py:34), partitioned on arrival
+    # - repartition/rebalance (base/rebalance.py:25): full shuffle to
+    #   16 partitions then AQE-style rebalance — content must be
+    #   byte-identical to the source, which the shared oracle column
+    #   pins (n/sum over the shuffled frame = n/sum over parquet)
+    outs.append(_ms.range_(0, 1000, 3).to_spark().agg(
+        F.count(F.lit(1)).alias("n_range"),
+        F.sum("id").alias("sum_range")))
+    outs.append(_ms.date_range("2024-01-01", periods=240, freq="H")
+                .to_spark().agg(
+                    F.count(F.lit(1)).alias("n_dr"),
+                    F.sum(F.unix_timestamp("ts")).alias("sum_dr")))
+    import pandas as _pd
+
+    pdf = _pd.DataFrame({"a": list(range(20)),
+                         "b": [x * 0.5 for x in range(20)]})
+    outs.append(_ms.from_pandas(pdf, num_partitions=4).to_spark().agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.round(F.sum(F.col("a") + F.col("b")), 2).alias("sum_fp")))
+    shuffled = base.repartition(16).rebalance(8)
+    outs.append(shuffled.to_spark().agg(
+        F.count(F.lit(1)).alias("n_shuf"),
+        F.sum("event_id").alias("sum_id_shuf")))
+    # r6: read_sql/to_sql END-TO-END (was documented-untested: no JDBC
+    # endpoint in the sandbox — but Spark ships embedded Derby for the
+    # Hive metastore, which IS a JDBC endpoint). A deterministic ~1%
+    # slice round-trips through a Derby table; read_sql uses the
+    # numeric range-partitioning path (4 JDBC partitions), the
+    # reference's read_sql.py:348 strategy on Spark's native
+    # implementation. DB dir is app-scoped like the rest of root —
+    # embedded Derby locks per JVM.
+    sub = base[base.event_id % 97 == 0]
+    sql_url = f"jdbc:derby:{root}/derbydb;create=true"
+    # one writer connection: the slice is ~1% of events — 32 JDBC
+    # connections each flushing tiny batches into embedded Derby is
+    # pure connection overhead (measured ~3s of the row's time)
+    sub.rebalance(1).to_sql("events_rt", sql_url, mode="overwrite")
+    back_sql = _ms.read_sql("events_rt", sql_url,
+                            partition_column="event_id",
+                            lower_bound=0, upper_bound=10_000_000,
+                            num_partitions=4)
+    outs.append(back_sql.to_spark().agg(
+        F.count(F.lit(1)).alias("n_sql"),
+        F.sum("event_id").alias("sum_id_sql"),
+        F.round(F.sum("value"), 2).alias("sum_value_sql")))
     out = outs[0]
     for o in outs[1:]:
         out = out.crossJoin(F.broadcast(o))

@@ -103,14 +103,38 @@ OPS_ORACLES: dict[str, str] = {
         FROM events GROUP BY k_mod
     """,
     "op_cut_value_counts": """
-        SELECT CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
+        WITH qe AS (
+            SELECT quantile_disc(l_quantity, [0.25, 0.5, 0.75]) AS e
+            FROM lineitem
+        )
+        SELECT 'cut:' ||
+               CASE WHEN l_quantity > 0  AND l_quantity <= 10 THEN 'low'
                     WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
                     WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'high'
-               END AS band,
-               count(*) AS count
+               END AS key,
+               count(*) AS n, CAST(NULL AS DOUBLE) AS v
         FROM lineitem
         WHERE l_quantity > 0 AND l_quantity <= 50
-        GROUP BY band
+        GROUP BY key
+        UNION ALL
+        SELECT 'qcut:' ||
+               CASE WHEN l_quantity <= e[1] THEN 'q1'
+                    WHEN l_quantity <= e[2] THEN 'q2'
+                    WHEN l_quantity <= e[3] THEN 'q3'
+                    ELSE 'q4' END AS key,
+               count(*) AS n, CAST(NULL AS DOUBLE) AS v
+        FROM lineitem, qe
+        GROUP BY key
+        UNION ALL
+        SELECT 'dum:' || l_returnflag AS key, count(*) AS n,
+               CAST(NULL AS DOUBLE) AS v
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'cat:' || o_orderpriority AS key, n,
+               CAST(rk - 1 AS DOUBLE) AS v
+        FROM (SELECT o_orderpriority, count(*) AS n,
+                     dense_rank() OVER (ORDER BY o_orderpriority) AS rk
+              FROM orders GROUP BY o_orderpriority)
     """,
     "op_asof_join": """
         SELECT c.event_id, c.user_id, v.event_id AS view_id
@@ -149,6 +173,28 @@ OPS_ORACLES: dict[str, str] = {
                     WHEN a.o_custkey IS NOT NULL THEN 'left_only'
                     ELSE 'right_only' END AS src
         FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) AS o_custkey,
+               round(sum(o_totalprice), 2) AS diff,
+               'lvl:' || o_orderpriority AS src
+        FROM orders WHERE o_custkey < 200 GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS diff,
+               'loc_list' AS src
+        FROM orders WHERE o_custkey IN (11, 13, 17) GROUP BY o_custkey
+        UNION ALL
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS diff,
+               'loc_slice' AS src
+        FROM orders WHERE o_custkey BETWEEN 30 AND 40 GROUP BY o_custkey
+        UNION ALL
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS diff,
+               'swapdrop' AS src
+        FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+        UNION ALL
+        SELECT o_custkey, CAST(o_orderkey AS DOUBLE) AS diff,
+               'mi_head' AS src
+        FROM (SELECT o_custkey, o_orderkey FROM orders
+              ORDER BY o_custkey, o_orderkey LIMIT 5)
     """,
     "op_groupby_custom": """
         WITH f AS (
@@ -366,11 +412,36 @@ OPS_ORACLES: dict[str, str] = {
             SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
                    round(sum(value), 2) AS sum_value
             FROM events
+        ), range_agg AS (
+            SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+            FROM generate_series(0, 999, 3) t(x)
+        ), dr_agg AS (
+            SELECT count(*) AS n,
+                   CAST(sum(CAST(epoch(TIMESTAMP '2024-01-01 00:00:00'
+                                       + x * INTERVAL 1 HOUR) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM generate_series(0, 239) t(x)
+        ), fp_agg AS (
+            SELECT count(*) AS n, round(sum(x + x * 0.5), 2) AS s
+            FROM generate_series(0, 19) t(x)
+        ), sql_agg AS (
+            SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s,
+                   round(sum(value), 2) AS sv
+            FROM events WHERE event_id % 97 = 0
         )
-        SELECT n AS n_csv, sum_id AS sum_id_csv, sum_value AS sum_value_csv,
-               n AS n_json, sum_id AS sum_id_json, sum_value AS sum_value_json,
-               n AS n_orc, sum_id AS sum_id_orc, sum_value AS sum_value_orc
-        FROM agg
+        SELECT agg.n AS n_csv, sum_id AS sum_id_csv,
+               sum_value AS sum_value_csv,
+               agg.n AS n_json, sum_id AS sum_id_json,
+               sum_value AS sum_value_json,
+               agg.n AS n_orc, sum_id AS sum_id_orc,
+               sum_value AS sum_value_orc,
+               range_agg.n AS n_range, range_agg.s AS sum_range,
+               dr_agg.n AS n_dr, dr_agg.s AS sum_dr,
+               fp_agg.n AS n_fp, CAST(fp_agg.s AS DOUBLE) AS sum_fp,
+               agg.n AS n_shuf, sum_id AS sum_id_shuf,
+               sql_agg.n AS n_sql, sql_agg.s AS sum_id_sql,
+               sql_agg.sv AS sum_value_sql
+        FROM agg, range_agg, dr_agg, fp_agg, sql_agg
     """,
     "op_knn_kmeans": """
         WITH X AS (
