@@ -777,7 +777,8 @@ class DataFrame:
         keys = [keys] if isinstance(keys, str) else list(keys)
         return DataFrame(self._sdf, index=keys)
 
-    def set_sequence_index(self, name: str = "index") -> "DataFrame":
+    def set_sequence_index(self, name: str = "index",
+                           reliable: bool = False) -> "DataFrame":
         """Engine-managed distributed sequence index 0..n-1 in current
         plan order (reference: StandardizeRangeIndex,
         mars/dataframe/base/standardize_range_index.py:29; same
@@ -801,14 +802,16 @@ class DataFrame:
         Cluster caveat: localCheckpoint truncates lineage — its blocks
         live only on executors, so losing an executor makes downstream
         reads of this frame fail instead of recomputing. On a real
-        cluster with preemptible nodes, prefer
-        ``spark.sparkContext.setCheckpointDir`` + reliable
-        ``checkpoint()`` for long-lived sequence-indexed frames; the
-        id-stability requirement (count job and downstream reads must
-        see identical ids) is the same either way.
+        cluster with preemptible nodes pass ``reliable=True`` (needs
+        ``spark.sparkContext.setCheckpointDir`` set): the snapshot goes
+        to the checkpoint filesystem and survives executor loss, at
+        the cost of one write+read of the frame. The id-stability
+        requirement (count job and downstream reads must see identical
+        ids) is the same either way.
         """
         sdf = self._sdf.withColumn(
-            "__mid", F.monotonically_increasing_id()).localCheckpoint()
+            "__mid", F.monotonically_increasing_id())
+        sdf = sdf.checkpoint() if reliable else sdf.localCheckpoint()
         pid = F.shiftright(F.col("__mid"), 33)
         pos = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
         counts = (

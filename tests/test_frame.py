@@ -194,6 +194,20 @@ def test_sequence_index_matches_sort_rank(spark):
     assert list(got.k) == [0, 1, 2, 3, 4, 5]
 
 
+def test_sequence_index_reliable_checkpoint(spark, tmpdir):
+    """reliable=True snapshots to the checkpoint filesystem — the
+    preemption-safe variant for long-lived sequence-indexed frames on
+    a real cluster (localCheckpoint blocks die with their executor)."""
+    import pandas as pd
+    spark.sparkContext.setCheckpointDir(str(tmpdir))
+    pdf = pd.DataFrame({"k": [2, 0, 1], "v": list("abc")})
+    f = ms.from_spark(spark.createDataFrame(pdf).repartition(2))
+    s = f.sort_values("k").set_sequence_index("idx", reliable=True)
+    got = s.to_spark().orderBy("idx").toPandas()
+    assert list(got.idx) == [0, 1, 2]
+    assert list(got.k) == [0, 1, 2]
+
+
 def test_iloc_slice_and_scalar(spark):
     import pandas as pd
     pdf = pd.DataFrame({"k": range(20), "v": range(100, 120)})
