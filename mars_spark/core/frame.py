@@ -458,6 +458,20 @@ class DataFrame:
             keys = [by] if isinstance(by, str) else list(by)
         return GroupBy(self, keys, as_index=as_index, sort=sort)
 
+    def cube(self, *cols) -> "GroupBy":
+        """Aggregate every subset of the grouping keys in ONE shuffle
+        (SURVEY §2.4: pandas/Mars have no cube — Spark gives it free;
+        null key = the 'all' stratum, as in SQL GROUPING SETS)."""
+        from mars_spark.core.groupby import GroupBy
+
+        return GroupBy(self, list(cols), as_index=False, kind="cube")
+
+    def rollup(self, *cols) -> "GroupBy":
+        """Hierarchical prefix aggregates of the keys, one shuffle."""
+        from mars_spark.core.groupby import GroupBy
+
+        return GroupBy(self, list(cols), as_index=False, kind="rollup")
+
     def agg(self, arg=None, **named) -> "DataFrame":
         """Frame-wide aggregation (mars/dataframe/reduction/aggregation.py:86).
         Catalyst plans the partial/final split that Mars's

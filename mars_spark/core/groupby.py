@@ -99,22 +99,33 @@ def build_agg_exprs(arg, named: dict, default_cols: list[str]):
 
 
 class GroupBy:
-    """df.groupby(keys) — deferred; nothing shuffles until an agg."""
+    """df.groupby(keys) — deferred; nothing shuffles until an agg.
+
+    ``kind`` extends the same surface to the multi-dimensional
+    groupings Spark gives for free (SURVEY §2.4: Mars/pandas have no
+    cube/rollup — additive): 'cube' aggregates every key subset,
+    'rollup' the hierarchical prefixes. Physically both are ONE
+    shuffle — Spark expands grouping sets map-side, so a d-dimension
+    cube is 2^d partial aggregates in the same stage, not 2^d scans
+    (exactly how a 100 TB OLAP rollup must run)."""
 
     def __init__(self, frame, keys: list[str], as_index: bool = True,
-                 sort: bool = False, selection: list[str] | None = None):
+                 sort: bool = False, selection: list[str] | None = None,
+                 kind: str = "groupby"):
         self._frame = frame
         self._keys = keys
         self._as_index = as_index
         self._sort = sort
         self._selection = selection
+        self._kind = kind
 
     def __getitem__(self, cols):
         # gb[cols] — mars/dataframe/groupby/getitem.py:25. Column
         # pruning happens in Catalyst regardless; this narrows the
         # default agg target set.
         cols = [cols] if isinstance(cols, str) else list(cols)
-        return GroupBy(self._frame, self._keys, self._as_index, self._sort, cols)
+        return GroupBy(self._frame, self._keys, self._as_index, self._sort,
+                       cols, self._kind)
 
     @property
     def _value_cols(self) -> list[str]:
@@ -131,7 +142,12 @@ class GroupBy:
 
     def agg(self, arg=None, **named):
         exprs, _ = build_agg_exprs(arg, named, self._value_cols)
-        return self._finish(self._frame._sdf.groupBy(*self._keys).agg(*exprs))
+        grouped = {
+            "groupby": self._frame._sdf.groupBy,
+            "cube": self._frame._sdf.cube,
+            "rollup": self._frame._sdf.rollup,
+        }[self._kind](*self._keys)
+        return self._finish(grouped.agg(*exprs))
 
     aggregate = agg
 

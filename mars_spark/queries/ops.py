@@ -153,7 +153,11 @@ def op_explode_seq(spark: SparkSession, sf_dir: str) -> SparkDF:
 def op_melt_explode(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Composite (r4 slot merge, both sub-plans run in full): melt's
     long-form rows unioned with explode's per-linenumber counts under
-    a harmonized (k, variable, value) schema."""
+    a harmonized (k, variable, value) schema. r6 adds cube/rollup
+    strata (additive — SURVEY §2.4 notes pandas/Mars have no
+    multi-dimensional grouping and Spark gives it free): every
+    (returnflag, linestatus) subset aggregated in ONE shuffle each,
+    subtotal rows keyed with '*'."""
     a = op_melt(spark, sf_dir).select(
         F.col("p_partkey").cast("long").alias("k"),
         F.col("variable"),
@@ -162,7 +166,21 @@ def op_melt_explode(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("l_linenumber").cast("long").alias("k"),
         F.lit("explode_n").alias("variable"),
         F.col("n").cast("double").alias("value"))
-    return a.unionByName(b)
+    li = load(sf_dir, "lineitem")[["l_returnflag", "l_linestatus",
+                                   "l_quantity"]]
+
+    def strata(kind):
+        gb = getattr(li, kind)("l_returnflag", "l_linestatus")
+        return gb.agg(value=("l_quantity", "sum")).to_spark().select(
+            F.lit(0).cast("long").alias("k"),
+            F.concat(F.lit(f"{kind}:"),
+                     F.coalesce("l_returnflag", F.lit("*")), F.lit(":"),
+                     F.coalesce("l_linestatus", F.lit("*"))
+                     ).alias("variable"),
+            F.round(F.col("value"), 2).cast("double").alias("value"))
+
+    return (a.unionByName(b)
+            .unionByName(strata("cube")).unionByName(strata("rollup")))
 
 
 def op_skew_salted(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -84,6 +84,18 @@ OPS_ORACLES: dict[str, str] = {
         FROM (SELECT l_linenumber, unnest(range(1, l_linenumber + 1)) AS pos
               FROM lineitem WHERE l_orderkey < 50)
         GROUP BY l_linenumber
+        UNION ALL
+        SELECT 0 AS k,
+               'cube:' || coalesce(l_returnflag, '*') || ':'
+                       || coalesce(l_linestatus, '*') AS variable,
+               CAST(round(sum(l_quantity), 2) AS DOUBLE) AS value
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 0 AS k,
+               'rollup:' || coalesce(l_returnflag, '*') || ':'
+                         || coalesce(l_linestatus, '*') AS variable,
+               CAST(round(sum(l_quantity), 2) AS DOUBLE) AS value
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     # plain group-by / plain join — the engine side must reproduce
     # these exactly through the salted two-stage plans

@@ -138,3 +138,18 @@ def test_agg_udf_custom_reduction(spark):
         "v", lambda s: float(np.exp(np.log(s).mean())),
         name="geomean").to_pandas().sort_values("g")
     assert np.allclose(list(out.geomean), [2.0, 9.0])
+
+
+def test_cube_rollup(spark):
+    pdf = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                        "v": [1.0, 2.0, 4.0]})
+    f = ms.from_pandas(pdf)
+    cu = f.cube("a", "b").agg(s=("v", "sum")).to_pandas()
+    # strata: 4 (a,b) pairs present? x:p,x:q,y:p plus subtotals
+    key = {(r.a, r.b): r.s for r in cu.itertuples()}
+    assert key[("x", "p")] == 1.0 and key[("x", None)] == 3.0
+    assert key[(None, "p")] == 5.0 and key[(None, None)] == 7.0
+    ro = f.rollup("a", "b").agg(s=("v", "sum")).to_pandas()
+    rkey = {(r.a, r.b): r.s for r in ro.itertuples()}
+    assert ("x", None) in rkey and (None, None) in rkey
+    assert (None, "p") not in rkey  # rollup = hierarchical prefixes only
