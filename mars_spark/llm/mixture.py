@@ -1,0 +1,56 @@
+"""Deterministic corpus mixing for training-data pipelines.
+
+ADDITIVE — the reference has no dataset-mixture operator (SURVEY.md
+§1.1); this is the "mix corpora at sampling weights" step every
+LLM-pretraining data pipeline runs (e.g. upweight curated sources,
+downweight crawl). Design constraints at 100 TB:
+
+- **No shuffle.** Sampling is a pure narrow filter per source; the
+  union is a plan-level concat. Nothing moves between executors.
+- **Deterministic & portable.** Membership is a hash rule, not RNG
+  state: keep a row iff the first 6 hex chars of ``md5(seed|id)``
+  fall below the fraction threshold. Hex strings compare
+  lexicographically = numerically, so the rule is one string
+  comparison any engine with md5 can replay bit-identically (the
+  DuckDB oracle does) — re-runs reproduce the same sample regardless
+  of partitioning, speculative retries, or cluster size.
+- **Composable.** Different seeds give independent samples; the same
+  seed gives nested samples (frac 0.1 ⊂ frac 0.5), which is exactly
+  what you want for scaling-law subset ladders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16 ** 6
+
+
+def _hex_threshold(frac: float) -> str:
+    t = max(0, min(_HEX_SPAN, int(round(frac * _HEX_SPAN))))
+    return format(t, "06x")
+
+
+def hash_bernoulli(sdf: SparkDF, id_col: str, frac: float,
+                   seed="0") -> SparkDF:
+    """Deterministic Bernoulli(frac) sample keyed on md5(seed|id).
+    Resolution is 16^-6 ≈ 6e-8 of the fraction — far below any
+    mixing-weight tolerance."""
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)),
+                            F.col(id_col).cast("string")))
+    return sdf.filter(F.substring(key, 1, 6) < F.lit(_hex_threshold(frac)))
+
+
+def sample_mixture(sources, id_col: str, seed="0") -> SparkDF:
+    """Mix corpora: ``sources = [(sdf, frac, tag), ...]`` → one frame
+    with a ``_corpus`` provenance column. Each source is sampled under
+    its own derived seed (``seed:i``) so per-source samples are
+    independent; schemas may differ (missing columns null-fill)."""
+    out = None
+    for i, (sdf, frac, tag) in enumerate(sources):
+        s = hash_bernoulli(sdf, id_col, frac, seed=f"{seed}:{i}")
+        s = s.withColumn("_corpus", F.lit(tag))
+        out = s if out is None else out.unionByName(
+            s, allowMissingColumns=True)
+    return out

@@ -172,7 +172,13 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     closed-form heuristic) and language-ID prediction (language_id,
     n-gram heuristic) computed in a single projection — all pure
     Column expressions, zero Python — then rolled up per (gold lang,
-    predicted lang) confusion cell with count/avg metrics."""
+    predicted lang) confusion cell with count/avg metrics. r6 adds
+    the deterministic corpus-mixture rows (llm/mixture.py — the
+    shuffle-free md5-rule sampler): three doc_id%3 'corpora' mixed at
+    0.9/0.5/0.1, per-corpus counts and id/char averages; the oracle
+    replays the exact md5 membership rule in SQL."""
+    from mars_spark.llm import mixture as M
+
     d = load(sf_dir, "documents").to_spark()
     per_doc = d.select(
         "lang",
@@ -181,7 +187,7 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.length("text").alias("n_char"),
         T.quality_score(F.col("text")).alias("quality"),
     )
-    return (
+    conf = (
         per_doc.groupBy("lang", "pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -190,6 +196,20 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+    mix = M.sample_mixture(
+        [(d.filter(F.col("doc_id") % 3 == 0), 0.9, "c0"),
+         (d.filter(F.col("doc_id") % 3 == 1), 0.5, "c1"),
+         (d.filter(F.col("doc_id") % 3 == 2), 0.1, "c2")],
+        "doc_id", seed=7)
+    mrows = (mix.groupBy("_corpus")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.round(F.avg("doc_id"), 2).alias("avg_tokens"),
+                  F.round(F.avg(F.length("text")), 2).alias("avg_chars"))
+             .select(F.lit("mix").alias("lang"),
+                     F.col("_corpus").alias("pred_lang"),
+                     "n_docs", "avg_tokens", "avg_chars",
+                     F.lit(None).cast("double").alias("avg_quality")))
+    return conf.unionByName(mrows)
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:

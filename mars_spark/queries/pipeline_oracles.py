@@ -287,6 +287,21 @@ PIPELINE_ORACLES: dict[str, str] = {
                round(avg(n_char), 2) AS avg_chars,
                round(avg(round(quality, 4)), 4) AS avg_quality
         FROM q GROUP BY lang, pred_lang
+        UNION ALL
+        -- deterministic corpus mixture (llm/mixture.py): keep iff the
+        -- first 6 md5 hex chars of 'seed:i|doc_id' are under the
+        -- per-corpus fraction threshold (0.9/0.5/0.1 of 16^6)
+        SELECT 'mix' AS lang, 'c' || (doc_id % 3) AS pred_lang,
+               count(*) AS n_docs,
+               round(avg(doc_id), 2) AS avg_tokens,
+               round(avg(length(text)), 2) AS avg_chars,
+               CAST(NULL AS DOUBLE) AS avg_quality
+        FROM documents
+        WHERE substr(md5('7:' || (doc_id % 3) || '|' || doc_id), 1, 6)
+              < CASE doc_id % 3 WHEN 0 THEN 'e66666'
+                                WHEN 1 THEN '800000'
+                                ELSE '19999a' END
+        GROUP BY doc_id % 3
     """,
     "docs_dedup_simhash": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),

@@ -231,3 +231,29 @@ def test_ivf_deterministic_recall(spark):
         got = {r.vec_id for r in S.ivf_search(
             assigned, cents, q, k=10, n_probe=6).collect()}
         assert len(got & exact) >= 8, (refine, got)
+
+
+def test_mixture_deterministic_and_nested(spark):
+    """llm.mixture: md5-rule sampling is deterministic, approximately
+    weight-proportional, and NESTED across fractions under the same
+    seed (frac 0.2 sample ⊆ frac 0.6 sample) — the subset-ladder
+    property scaling-law runs rely on."""
+    from mars_spark.llm.mixture import hash_bernoulli, sample_mixture
+
+    sdf = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a1 = hash_bernoulli(sdf, "doc_id", 0.6, seed="s").toPandas()
+    a2 = hash_bernoulli(sdf, "doc_id", 0.6, seed="s").toPandas()
+    assert sorted(a1.doc_id) == sorted(a2.doc_id)  # deterministic
+    assert 0.55 * 5000 < len(a1) < 0.65 * 5000     # ~weight
+    sub = hash_bernoulli(sdf, "doc_id", 0.2, seed="s").toPandas()
+    assert set(sub.doc_id) <= set(a1.doc_id)       # nested
+    other = hash_bernoulli(sdf, "doc_id", 0.6, seed="t").toPandas()
+    assert sorted(other.doc_id) != sorted(a1.doc_id)  # seed-independent
+
+    mix = sample_mixture(
+        [(sdf.filter("doc_id % 2 = 0"), 0.8, "even"),
+         (sdf.filter("doc_id % 2 = 1"), 0.1, "odd")],
+        "doc_id", seed=3).toPandas()
+    n = mix.groupby("_corpus").size()
+    assert 0.7 * 2500 < n["even"] < 0.9 * 2500
+    assert 0.05 * 2500 < n["odd"] < 0.15 * 2500
