@@ -1,0 +1,55 @@
+"""Sequence packing for training-data pipelines.
+
+ADDITIVE — the reference has no packing op (SURVEY.md §1.1). This is
+the "fill each training sequence up to the token budget" step that
+turns a document corpus into fixed-length samples. True first-fit
+bin packing is inherently sequential; the distributed form used here
+is the streaming **contiguous-fill** rule every large pipeline
+actually ships:
+
+1. hash documents into ``n_buckets`` independent streams (bounded
+   reducers — bucket count scales with the cluster, not the data);
+2. within a bucket, order by a deterministic key and fill greedily:
+   ``pack = floor((cumsum(tokens) - tokens) / budget)``.
+
+Properties at 100 TB: ONE shuffle (on the bucket key), per-bucket
+sort via the partition window, no driver state, and the assignment
+is a closed-form expression over (bucket, order, tokens) — fully
+replayable by the SQL oracle, unlike greedy per-partition packers
+whose output depends on physical partitioning. Packs can overflow
+the budget by at most one document (the straddler) — callers that
+need hard caps split the straddling document first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, Window
+from pyspark.sql import functions as F
+
+
+def pack_documents(sdf: SparkDF, token_col: str, budget: int,
+                   id_col: str = "doc_id",
+                   n_buckets: int = 64, bucket=None) -> SparkDF:
+    """Assign (pack_bucket, pack_id) to every row. Documents larger
+    than the budget become single-document packs (cumsum crosses one
+    or more whole budgets — subsequent documents land in later packs,
+    never share theirs). ``bucket`` overrides the stream-assignment
+    Column (default murmur3 ``pmod(hash(id), n)``); pass an
+    engine-portable rule like ``pmod(id, n)`` when the assignment
+    must be replayable outside Spark."""
+    if bucket is None:
+        bucket = F.pmod(F.hash(F.col(id_col)), F.lit(n_buckets))
+    w = Window.partitionBy("pack_bucket").orderBy(id_col)
+    out = sdf.withColumn("pack_bucket", bucket.cast("bigint"))
+    run = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return out.withColumn(
+        "pack_id", F.floor(run / F.lit(budget)).cast("bigint"))
+
+
+def pack_stats(packed: SparkDF, token_col: str) -> SparkDF:
+    """Per-pack rollup: documents per pack and fill level — the
+    packing-efficiency report (waste = budget − fill on non-straddler
+    packs)."""
+    return (packed.groupBy("pack_bucket", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_col).alias("fill")))

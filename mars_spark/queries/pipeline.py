@@ -209,7 +209,27 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
                      F.col("_corpus").alias("pred_lang"),
                      "n_docs", "avg_tokens", "avg_chars",
                      F.lit(None).cast("double").alias("avg_quality")))
-    return conf.unionByName(mrows)
+    # sequence packing (llm/packing.py): contiguous-fill into
+    # 2048-token packs over 8 id-mod streams (portable bucket rule so
+    # the oracle replays the closed-form cumsum assignment); reported
+    # as per-stream pack count / mean / max fill
+    from mars_spark.llm import packing as P
+
+    tk = d.select("doc_id", T.token_count(F.col("text")).alias("n_tok"))
+    packed = P.pack_documents(
+        tk, "n_tok", budget=2048, id_col="doc_id", n_buckets=8,
+        bucket=F.pmod(F.col("doc_id"), F.lit(8)))
+    prow = (P.pack_stats(packed, "n_tok")
+            .groupBy("pack_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("fill"), 2).alias("avg_tokens"),
+                 F.max("fill").cast("double").alias("avg_chars"))
+            .select(F.lit("pack").alias("lang"),
+                    F.concat(F.lit("b"), F.col("pack_bucket")
+                             .cast("string")).alias("pred_lang"),
+                    "n_docs", "avg_tokens", "avg_chars",
+                    F.lit(None).cast("double").alias("avg_quality")))
+    return conf.unionByName(mrows).unionByName(prow)
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:

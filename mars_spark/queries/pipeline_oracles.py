@@ -302,6 +302,28 @@ PIPELINE_ORACLES: dict[str, str] = {
                                 WHEN 1 THEN '800000'
                                 ELSE '19999a' END
         GROUP BY doc_id % 3
+        UNION ALL
+        -- sequence packing (llm/packing.py): contiguous fill,
+        -- pack = floor((cumsum(tokens) - tokens) / budget) per
+        -- id-mod-8 stream ordered by doc_id, budget 2048
+        SELECT 'pack' AS lang, 'b' || pb AS pred_lang,
+               count(*) AS n_docs,
+               round(avg(fill), 2) AS avg_tokens,
+               CAST(max(fill) AS DOUBLE) AS avg_chars,
+               CAST(NULL AS DOUBLE) AS avg_quality
+        FROM (
+            SELECT pb, pack_id, sum(n_tok) AS fill
+            FROM (
+                SELECT pb, n_tok,
+                       floor((sum(n_tok) OVER (
+                            PARTITION BY pb ORDER BY doc_id) - n_tok)
+                             / 2048) AS pack_id
+                FROM (SELECT doc_id, doc_id % 8 AS pb,
+                             CAST(array_length({_TOKS}) AS BIGINT)
+                                 AS n_tok
+                      FROM documents)
+            ) GROUP BY pb, pack_id
+        ) GROUP BY pb
     """,
     "docs_dedup_simhash": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),

@@ -257,3 +257,30 @@ def test_mixture_deterministic_and_nested(spark):
     n = mix.groupby("_corpus").size()
     assert 0.7 * 2500 < n["even"] < 0.9 * 2500
     assert 0.05 * 2500 < n["odd"] < 0.15 * 2500
+
+
+def test_pack_documents_contiguous_fill(spark):
+    """llm.packing: greedy contiguous fill — packs respect the budget
+    except a single straddling document; oversized documents get their
+    own pack and never absorb neighbors."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from mars_spark.llm.packing import pack_documents, pack_stats
+
+    pdf = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "n_tok": [500, 600, 500, 900, 5000, 100, 100, 100],
+    })
+    packed = pack_documents(
+        spark.createDataFrame(pdf), "n_tok", budget=1000,
+        id_col="doc_id", n_buckets=1, bucket=F.lit(0)).toPandas()
+    by_id = dict(zip(packed.doc_id, packed.pack_id))
+    # cum-starts: 0,500,1100,1600,2500,7500,7600,7700 → packs
+    assert [by_id[i] for i in range(8)] == [0, 0, 1, 1, 2, 7, 7, 7]
+    st = pack_stats(
+        pack_documents(spark.createDataFrame(pdf), "n_tok", budget=1000,
+                       id_col="doc_id", n_buckets=1, bucket=F.lit(0)),
+        "n_tok").toPandas()
+    fills = dict(zip(st.pack_id, st.fill))
+    assert fills[2] == 5000          # oversized doc alone in its pack
+    assert fills[7] == 300           # post-straddler stream resumes
