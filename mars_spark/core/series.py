@@ -463,7 +463,14 @@ class Series:
     def count(self):
         return self._agg_scalar(F.count(self._col))
 
-    def nunique(self):
+    def nunique(self, approx: bool = False, rsd: float = 0.05):
+        """Distinct count. ``approx=True`` → HyperLogLog++
+        (approx_count_distinct): one pass, fixed ~1.5KB of state per
+        partition instead of a distinct shuffle — the only viable form
+        at 100 TB cardinalities; ``rsd`` is the relative error."""
+        if approx:
+            return self._agg_scalar(
+                F.approx_count_distinct(self._col, rsd=rsd))
         return self._agg_scalar(F.countDistinct(self._col))
 
     def std(self, ddof=1):

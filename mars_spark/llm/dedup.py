@@ -48,6 +48,25 @@ def exact_dedup(sdf: SparkDF, text_col: str, id_col: str) -> SparkDF:
     return sdf.join(keys, on=id_col, how="leftsemi")
 
 
+def incremental_dedup(new: SparkDF, seen_fps: SparkDF, text_col: str,
+                      id_col: str) -> SparkDF:
+    """Dedup an arriving batch against an EXISTING corpus — the daily
+    shape of a 100 TB pipeline (re-running global dedup over the whole
+    corpus per increment is quadratic in deliveries). ``seen_fps`` is
+    the persisted fingerprint set from prior batches (one 'fp' column,
+    e.g. ``exact_dedup_keys(...).select('fp')`` written to parquet).
+    Returns the batch rows that are new w.r.t. BOTH the corpus
+    (anti-join on fingerprint — a shuffle keyed on fp, or a broadcast
+    when the seen set is small) and the batch itself (min-id winner).
+    Append ``exact_dedup_keys`` of the survivors to the store for the
+    next increment."""
+    batch = new.withColumn("__fp", fingerprint(F.col(text_col)))
+    fresh = batch.join(seen_fps.withColumnRenamed("fp", "__fp"),
+                       on="__fp", how="left_anti")
+    w = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return fresh.join(w, on=id_col, how="leftsemi").drop("__fp")
+
+
 # ---------------------------------------------------------------- minhash
 def minhash_signature(col: Column, num_hashes: int = 8, k: int = 3) -> list[Column]:
     """num_hashes min-hash values of the word-k-gram shingle set.

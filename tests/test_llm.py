@@ -284,3 +284,31 @@ def test_pack_documents_contiguous_fill(spark):
     fills = dict(zip(st.pack_id, st.fill))
     assert fills[2] == 5000          # oversized doc alone in its pack
     assert fills[7] == 300           # post-straddler stream resumes
+
+
+def test_incremental_dedup(spark):
+    """llm.dedup.incremental_dedup: batch vs existing-corpus dedup —
+    rows already fingerprinted in the store are dropped, in-batch
+    duplicates keep the min id, genuinely new rows survive."""
+    from mars_spark.llm.dedup import exact_dedup_keys, incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "old news here")], "doc_id long, text string")
+    store = exact_dedup_keys(corpus, "text", "doc_id").select("fp")
+    batch = spark.createDataFrame(
+        [(10, "The  Cat   SAT"),      # dup of corpus (normalized)
+         (11, "fresh content one"),
+         (12, "fresh content one"),   # in-batch dup, id 11 wins
+         (13, "fresh content two")],
+        "doc_id long, text string")
+    out = incremental_dedup(batch, store, "text", "doc_id").toPandas()
+    assert sorted(out.doc_id) == [11, 13]
+    assert "__fp" not in out.columns
+
+
+def test_nunique_approx(spark):
+    f = ms.from_pandas(pd.DataFrame({"x": [i % 500 for i in range(5000)]}))
+    exact = f.x.nunique()
+    approx = f.x.nunique(approx=True, rsd=0.02)
+    assert exact == 500
+    assert abs(approx - 500) / 500 < 0.1
