@@ -160,6 +160,56 @@ def test_streaming_append_watermark_eviction(spark):
                    "2024-01-01 00:02:00": 10.0}
 
 
+def test_streaming_session_append_merge_and_eviction(spark):
+    """Session windows in append mode across two micro-batches: a
+    session that closed under the watermark is emitted once and a
+    late event into it is dropped; the still-open session MERGES with
+    a batch-2 event (session_window state merge) and closes only when
+    the watermark passes; the stream-tail session is never emitted."""
+    import shutil
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+
+        def _stage(rows, name):
+            pdf = pd.DataFrame({
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "u": [r[1] for r in rows], "v": [1.0] * len(rows)})
+            tmp = os.path.join(d, f"tmp_{name}")
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp)
+            part = [f for f in os.listdir(tmp)
+                    if f.startswith("part-")][0]
+            shutil.copy(os.path.join(tmp, part),
+                        os.path.join(src, f"{name}.parquet"))
+
+        _stage([("2024-01-01 00:00:00", 1), ("2024-01-01 00:00:40", 1),
+                ("2024-01-01 00:05:00", 1)], "b1")
+        stream = St.read_stream(spark, "parquet", src,
+                                schema="ts timestamp, u bigint, v double")
+        agg = St.session_agg(stream, "ts", "1 minute", ["u"],
+                             {"v": "count"}, watermark="30 seconds")
+        q = St.write_stream(agg, "memory", query_name="sessapw",
+                            output_mode="append")
+        try:
+            q.processAllAvailable()
+            first = spark.sql("select * from sessapw").toPandas()
+            # watermark = 00:05:00-30s: session [00:00,00:01:40) closed
+            assert len(first) == 1 and first.v_count.iloc[0] == 2
+            _stage([("2024-01-01 00:00:50", 1),   # LATE: dropped
+                    ("2024-01-01 00:05:30", 1),   # merges open session
+                    ("2024-01-01 00:10:00", 1)], "b2")  # advances wm
+            q.processAllAvailable()
+            out = (spark.sql("select * from sessapw").toPandas()
+                   .sort_values("session_start").reset_index(drop=True))
+        finally:
+            q.stop()
+    assert len(out) == 2
+    assert out.v_count.tolist() == [2, 2]  # late row in NEITHER session
+    assert str(out.session_end[1]) == "2024-01-01 00:06:30"  # merged
+    # the 00:10 session is still open → not emitted
+
+
 def test_streaming_session(spark):
     pdf = pd.DataFrame({
         "ts": pd.to_datetime(
