@@ -47,3 +47,56 @@ def running_totals(sdf: SparkDF, key_col: str, value_col: str,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def emit_on_close_totals(sdf: SparkDF, key_col: str, value_col: str,
+                         ts_col: str = "ts", gap: str = "10 minutes",
+                         watermark: str = "10 minutes") -> SparkDF:
+    """Custom sessionization with EMIT-ON-CLOSE semantics: per-key
+    totals accumulate silently and are emitted exactly once, when the
+    key has been quiet for ``gap`` of event time — the state times out
+    (EventTimeTimeout) once the watermark passes last_event + gap and
+    ``hasTimedOut`` delivers the final row. This is the stateful
+    pattern built-in session windows can't express (arbitrary payload,
+    single closing emission), and the state store stays O(open keys):
+    eviction is driven by the same watermark that bounds every other
+    stateful op."""
+    import re as _re
+
+    m = _re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    if not m:
+        raise ValueError(f"unsupported gap: {gap!r}")
+    gap_ms = int(m.group(1)) * {"second": 1, "minute": 60,
+                                "hour": 3600}[m.group(2)] * 1000
+
+    out_schema = f"{key_col} bigint, n bigint, total double"
+    state_schema = "n bigint, total double, last_ms bigint"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "total": [total]})
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            last = max(last, int(pdf[ts_col].max().value // 10 ** 6))
+        state.update((n, total, last))
+        state.setTimeoutTimestamp(last + gap_ms)
+        return
+        yield  # generator form with no per-batch emission
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -480,3 +480,58 @@ def test_label_encoder_nulls_and_unseen(spark):
         (str(c), None if pd.isna(v) else int(v))
         for c, v in zip(out2.c, out2.c_code))
     assert pairs == [("None", None), ("a", 0), ("z", -1)]
+
+
+def test_stateful_emit_on_close_event_time_timeout(spark):
+    """streaming.stateful.emit_on_close_totals: state accumulates
+    silently and emits exactly once when the watermark passes
+    last_event + gap (EventTimeTimeout firing hasTimedOut); keys
+    still inside their gap emit nothing and keep their state."""
+    import shutil
+    from mars_spark.streaming.stateful import emit_on_close_totals
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+
+        def _stage(rows, name):
+            pdf = pd.DataFrame({
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "u": [r[1] for r in rows],
+                "v": [float(r[2]) for r in rows]})
+            tmp = os.path.join(d, f"tmp_{name}")
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp)
+            part = [f for f in os.listdir(tmp)
+                    if f.startswith("part-")][0]
+            shutil.copy(os.path.join(tmp, part),
+                        os.path.join(src, f"{name}.parquet"))
+
+        # key 1: two events then quiet; key 2: active into batch 2
+        _stage([("2024-01-01 00:00:00", 1, 1.0),
+                ("2024-01-01 00:00:30", 1, 2.0),
+                ("2024-01-01 00:01:00", 2, 5.0)], "b1")
+        stream = St.read_stream(spark, "parquet", src,
+                                schema="ts timestamp, u bigint, v double")
+        out_df = emit_on_close_totals(stream, "u", "v", gap="1 minute",
+                                      watermark="30 seconds")
+        q = St.write_stream(out_df, "memory", query_name="closetot",
+                            output_mode="append")
+        try:
+            q.processAllAvailable()
+            assert len(spark.sql("select * from closetot").toPandas()) == 0
+            # batch 2: key 2 stays active; watermark jumps past
+            # key 1's last_event+gap -> key 1 closes with its total
+            _stage([("2024-01-01 00:05:00", 2, 7.0)], "b2")
+            q.processAllAvailable()
+            mid = spark.sql("select * from closetot").toPandas()
+            assert mid.set_index("u").total.to_dict() == {1: 3.0}
+            # batch 3: advance watermark past key 2's gap -> closes
+            # with BOTH its events (state merged across batches)
+            _stage([("2024-01-01 00:20:00", 3, 0.0)], "b3")
+            q.processAllAvailable()
+            out = spark.sql("select * from closetot").toPandas()
+        finally:
+            q.stop()
+    tot = out.set_index("u").total.to_dict()
+    assert tot == {1: 3.0, 2: 12.0}
+    assert out.set_index("u").n.to_dict() == {1: 2, 2: 2}
