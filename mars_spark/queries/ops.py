@@ -427,6 +427,12 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     pf = MDF(pred)
     r2 = L.r2_score(pf, "value", "prediction")
     mse = L.mean_squared_error(pf, "value", "prediction")
+    # r6: GLM family driver-verified — gaussian/identity IRLS solves
+    # the same normal equations as OLS, so the closed-form slope
+    # oracle pins the whole GeneralizedLinearRegression path
+    glm = L.GeneralizedLinearModel(family="gaussian").fit(
+        f, ["s"], "value")
+    glm_slope = glm.coef_[0]
 
     def r6(x: float) -> float:
         # floor(x·1e6 + .5)/1e6 on BOTH engine and oracle sides —
@@ -455,11 +461,12 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     return spark.createDataFrame(
         [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
           r6(ll), r6(auc), r4(lr.coef_[0]), r4(lr.intercept_),
-          r6(r2), r4(mse), r6(ev1), r6(mm_mean), int(le_sum))],
+          r6(r2), r4(mse), r6(ev1), r6(mm_mean), int(le_sum),
+          r4(glm_slope))],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
         "r2 double, mse double, pca_ev1 double, mm_mean double, "
-        "le_sum long")
+        "le_sum long, glm_slope double")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

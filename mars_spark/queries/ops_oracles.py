@@ -286,7 +286,8 @@ OPS_ORACLES: dict[str, str] = {
                              + pc.cv * pc.cv)) / (pc.vx + pc.vy)
                      * 1e6 + 0.5) / 1e6 AS pca_ev1,
                floor(mm.mm_mean * 1e6 + 0.5) / 1e6 AS mm_mean,
-               le.le_sum
+               le.le_sum,
+               floor(slope * 1e4 + 0.5) / 1e4 AS glm_slope
         FROM base CROSS JOIN a CROSS JOIN reg
         CROSS JOIN (
             SELECT var_samp(CAST((event_id * 37) % 1000 AS DOUBLE)
