@@ -410,29 +410,76 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     f["y"] = f.event_id % 2
     f["s"] = ((f.event_id * 37) % 1000).astype("float64") / 1000.0
     f["pred"] = (f.s >= 0.5).astype("int64")
-    # ~12 metric/estimator jobs share this 5-column projection —
+    # ~13 metric/estimator jobs share this 5-column projection —
     # keep it resident rather than re-scanning parquet per job
     f.persist()
-    acc = L.accuracy_score(f, "y", "pred")
-    prf = L.precision_recall_f1(f, "y", "pred", positive=1)
-    ll = L.log_loss(f, "y", prob="s")
-    auc = L.roc_auc_score(f, "y", "s")
-    # regression metrics: OLS value ~ s (MLlib normal-equation solve);
-    # the oracle is the covariance/variance closed form, and r2/mse
-    # verify the facade metric functions on the fitted predictions
-    lr = L.LinearRegression().fit(f, ["s"], "value")
-    pred = lr.predict(f)
     from mars_spark.core.frame import DataFrame as MDF
 
-    pf = MDF(pred)
-    r2 = L.r2_score(pf, "value", "prediction")
-    mse = L.mean_squared_error(pf, "value", "prediction")
-    # r6: GLM family driver-verified — gaussian/identity IRLS solves
-    # the same normal equations as OLS, so the closed-form slope
-    # oracle pins the whole GeneralizedLinearRegression path
-    glm = L.GeneralizedLinearModel(family="gaussian").fit(
-        f, ["s"], "value")
-    glm_slope = glm.coef_[0]
+    # the jobs are independent driver-orchestrated Spark actions —
+    # submit them from a small thread pool so their stages interleave
+    # on the cluster instead of serializing ~13 fixed scheduling
+    # latencies (the FAIR/FIFO scheduler handles concurrent job
+    # groups natively; each closure only reads the shared cached f).
+    # pyspark.ml must be imported BEFORE the pool: Python's import
+    # machinery is not safe against concurrent first-imports of a
+    # package this circular (partially-initialized-module errors)
+    import pyspark.ml.feature  # noqa: F401
+    import pyspark.ml.regression  # noqa: F401
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cls():
+        return (L.accuracy_score(f, "y", "pred"),
+                L.precision_recall_f1(f, "y", "pred", positive=1),
+                L.log_loss(f, "y", prob="s"))
+
+    def _auc():
+        return L.roc_auc_score(f, "y", "s")
+
+    def _reg():
+        # OLS value ~ s (MLlib normal-equation solve); the oracle is
+        # the covariance/variance closed form, and r2/mse verify the
+        # facade metric functions on the fitted predictions
+        lr = L.LinearRegression().fit(f, ["s"], "value")
+        pf = MDF(lr.predict(f))
+        return (lr, L.r2_score(pf, "value", "prediction"),
+                L.mean_squared_error(pf, "value", "prediction"))
+
+    def _glm():
+        # r6: GLM family driver-verified — gaussian/identity IRLS
+        # solves the same normal equations as OLS, so the closed-form
+        # slope oracle pins the whole GeneralizedLinearRegression path
+        return L.GeneralizedLinearModel(family="gaussian").fit(
+            f, ["s"], "value").coef_[0]
+
+    def _pca():
+        # PCA over (s, value): MLlib eigendecomposition of the 2×2
+        # covariance (mars/learn/decomposition/_pca.py); the oracle
+        # replays the closed-form 2×2 eigenvalue ratio. Sign-ambiguous
+        # eigenvectors are NOT emitted — only the variance ratio.
+        return L.PCA(n_components=2).fit(
+            f, ["s", "value"]).explained_variance_ratio_[0]
+
+    def _mm():
+        # MinMaxScaler (mars/learn/preprocessing/_data.py): the
+        # scaled mean pins min/max/projection in one number
+        mm = L.MinMaxScaler().fit(f, ["value"]).transform(f)
+        return mm.agg(F.avg("value")).collect()[0][0]
+
+    def _le():
+        # LabelEncoder (mars/learn/preprocessing/_label.py): code =
+        # position in sorted distinct; checksum over all rows
+        le_out = L.LabelEncoder().fit_transform(e, "event_type")
+        return le_out.agg(F.sum("event_type_code")).collect()[0][0]
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le = (
+            ex.submit(fn)
+            for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le))
+        (acc, prf, ll), auc = f_cls.result(), f_auc.result()
+        lr, r2, mse = f_reg.result()
+        glm_slope, ev1 = f_glm.result(), f_pca.result()
+        mm_mean, le_sum = f_mm.result(), f_le.result()
+    f._sdf.unpersist()
 
     def r6(x: float) -> float:
         # floor(x·1e6 + .5)/1e6 on BOTH engine and oracle sides —
@@ -441,22 +488,6 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
 
     def r4(x: float) -> float:
         return math.floor(x * 1e4 + 0.5) / 1e4
-
-    # PCA over (s, value): MLlib eigendecomposition of the 2×2
-    # covariance (mars/learn/decomposition/_pca.py); the oracle
-    # replays the closed-form 2×2 eigenvalue ratio. Sign-ambiguous
-    # eigenvectors are NOT emitted — only the variance ratio.
-    pca = L.PCA(n_components=2).fit(f, ["s", "value"])
-    ev1 = pca.explained_variance_ratio_[0]
-    # MinMaxScaler (mars/learn/preprocessing/_data.py): the scaled
-    # mean pins min/max/projection in one number
-    mm = L.MinMaxScaler().fit(f, ["value"]).transform(f)
-    mm_mean = mm.agg(F.avg("value")).collect()[0][0]
-    # LabelEncoder (mars/learn/preprocessing/_label.py): code =
-    # position in sorted distinct; checksum over all rows
-    le_out = L.LabelEncoder().fit_transform(e, "event_type")
-    le_sum = le_out.agg(F.sum("event_type_code")).collect()[0][0]
-    f._sdf.unpersist()
 
     return spark.createDataFrame(
         [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
