@@ -660,19 +660,53 @@ def op_io_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     app = spark.sparkContext.applicationId
     root = f"/tmp/mars_spark_io_{tag}_{app}"
-    outs = []
-    for fmt, write, read in [
-        ("csv", "to_csv", _ms.read_csv),
-        ("json", "to_json", _ms.read_json),
-        ("orc", "to_orc", _ms.read_orc),
-    ]:
+    # the four write legs (csv/json/orc + the Derby table below) are
+    # independent write ACTIONS — run them from a thread pool so the
+    # write jobs interleave; the read-back aggs stay lazy and execute
+    # together in the final crossJoin plan
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _leg(arg):
+        fmt, write, read = arg
         path = f"{root}/{fmt}"
         getattr(base, write)(path)
         back = read(path)
-        outs.append(back.to_spark().agg(
+        return back.to_spark().agg(
             F.count(F.lit(1)).alias(f"n_{fmt}"),
             F.sum("event_id").alias(f"sum_id_{fmt}"),
-            F.round(F.sum("value"), 2).alias(f"sum_value_{fmt}")))
+            F.round(F.sum("value"), 2).alias(f"sum_value_{fmt}"))
+
+    def _sql_leg(_):
+        # r6: read_sql/to_sql END-TO-END (was documented-untested: no
+        # JDBC endpoint in the sandbox — but Spark ships embedded
+        # Derby for the Hive metastore, which IS a JDBC endpoint). A
+        # deterministic ~1% slice round-trips through a Derby table;
+        # read_sql uses the numeric range-partitioning path (4 JDBC
+        # partitions), the reference's read_sql.py:348 strategy on
+        # Spark's native implementation. DB dir is app-scoped like
+        # the rest of root — embedded Derby locks per JVM. One writer
+        # connection: 32 tiny-batch connections into embedded Derby
+        # measured ~3s of pure overhead.
+        sub = base[base.event_id % 97 == 0]
+        sql_url = f"jdbc:derby:{root}/derbydb;create=true"
+        sub.rebalance(1).to_sql("events_rt", sql_url, mode="overwrite")
+        back_sql = _ms.read_sql("events_rt", sql_url,
+                                partition_column="event_id",
+                                lower_bound=0, upper_bound=10_000_000,
+                                num_partitions=4)
+        return back_sql.to_spark().agg(
+            F.count(F.lit(1)).alias("n_sql"),
+            F.sum("event_id").alias("sum_id_sql"),
+            F.round(F.sum("value"), 2).alias("sum_value_sql"))
+
+    legs = [("csv", "to_csv", _ms.read_csv),
+            ("json", "to_json", _ms.read_json),
+            ("orc", "to_orc", _ms.read_orc)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        fmt_futs = [ex.submit(_leg, leg) for leg in legs]
+        sql_fut = ex.submit(_sql_leg, None)
+        outs = [fut.result() for fut in fmt_futs]
+        sql_out = sql_fut.result()
     # r6: driver-verify the remaining §2.1 constructors and the
     # partitioning ops that were pytest-only, as more columns of the
     # same single row:
@@ -704,28 +738,7 @@ def op_io_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
     outs.append(shuffled.to_spark().agg(
         F.count(F.lit(1)).alias("n_shuf"),
         F.sum("event_id").alias("sum_id_shuf")))
-    # r6: read_sql/to_sql END-TO-END (was documented-untested: no JDBC
-    # endpoint in the sandbox — but Spark ships embedded Derby for the
-    # Hive metastore, which IS a JDBC endpoint). A deterministic ~1%
-    # slice round-trips through a Derby table; read_sql uses the
-    # numeric range-partitioning path (4 JDBC partitions), the
-    # reference's read_sql.py:348 strategy on Spark's native
-    # implementation. DB dir is app-scoped like the rest of root —
-    # embedded Derby locks per JVM.
-    sub = base[base.event_id % 97 == 0]
-    sql_url = f"jdbc:derby:{root}/derbydb;create=true"
-    # one writer connection: the slice is ~1% of events — 32 JDBC
-    # connections each flushing tiny batches into embedded Derby is
-    # pure connection overhead (measured ~3s of the row's time)
-    sub.rebalance(1).to_sql("events_rt", sql_url, mode="overwrite")
-    back_sql = _ms.read_sql("events_rt", sql_url,
-                            partition_column="event_id",
-                            lower_bound=0, upper_bound=10_000_000,
-                            num_partitions=4)
-    outs.append(back_sql.to_spark().agg(
-        F.count(F.lit(1)).alias("n_sql"),
-        F.sum("event_id").alias("sum_id_sql"),
-        F.round(F.sum("value"), 2).alias("sum_value_sql")))
+    outs.append(sql_out)
     out = outs[0]
     for o in outs[1:]:
         out = out.crossJoin(F.broadcast(o))
