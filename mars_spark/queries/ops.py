@@ -768,16 +768,25 @@ def op_knn_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
     # 2 Lloyd iterations, final assignment, inertia agg) — keep the
     # projected doubles resident, explicit unpersist at the end
     ed = e.select("vec_id", "label", feats.alias("features")).cache()
-    try:
+    # the kNN leg and the Lloyd-loop leg are independent job chains
+    # over the shared cache — thread them (import pyspark.ml first:
+    # concurrent first-imports race, see op_learn_metrics)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    def _knn():
         train = ed.select("features", "label")
         test = ed.filter(F.col("vec_id") < 20).select(
             "vec_id", "features")
         knn = KNeighborsClassifier(n_neighbors=5).fit(train)
         # ≤20 test rows — collect inside the cached scope so the
         # returned frame doesn't re-run the join after unpersist
-        knn_rows = [("knn", int(r["vec_id"]), int(r["prediction"]), None)
-                    for r in knn.predict(test, id_col="vec_id").collect()]
+        return [("knn", int(r["vec_id"]), int(r["prediction"]), None)
+                for r in knn.predict(test, id_col="vec_id").collect()]
 
+    def _km():
         init = [list(r["features"]) for r in
                 ed.filter(F.col("vec_id") < 4).orderBy("vec_id")
                 .select("features").collect()]
@@ -787,14 +796,18 @@ def op_knn_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
         # inertia from ONE vector-stats aggregate (Summarizer mean +
         # per-dim normL2 + count — JVM-side, tiny plan): avg‖x−c‖² =
         # Σᵢ normL2ᵢ²/n − 2cᵢ·meanᵢ + cᵢ²
-        from pyspark.ml.functions import array_to_vector
-        from pyspark.ml.stat import Summarizer
-
         assigned = km.predict(ed, "features").select(
             "cluster", array_to_vector("features").alias("fv"))
         aggs = assigned.groupBy("cluster").agg(
             Summarizer.metrics("mean", "normL2", "count")
             .summary(F.col("fv")).alias("st")).collect()
+        return km, dim, aggs
+
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            knn_fut, km_fut = ex.submit(_knn), ex.submit(_km)
+            knn_rows = knn_fut.result()
+            km, dim, aggs = km_fut.result()
     finally:
         ed.unpersist()
     cents = km.cluster_centers_
