@@ -48,6 +48,11 @@ _AGG_FUNCS: dict[str, Callable] = {
     "approx_nunique": F.approx_count_distinct,
     "collect_list": F.collect_list,
     "collect_set": F.collect_set,
+    # reference reduction/str_concat.py concatenates in chunk order;
+    # a distributed frame has no inherent row order, so the
+    # deterministic contract here is sorted-value order
+    "str_concat": lambda c: F.concat_ws("", F.sort_array(
+        F.collect_list(c.cast("string")))),
 }
 
 

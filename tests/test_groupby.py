@@ -153,3 +153,13 @@ def test_cube_rollup(spark):
     rkey = {(r.a, r.b): r.s for r in ro.itertuples()}
     assert ("x", None) in rkey and (None, None) in rkey
     assert (None, "p") not in rkey  # rollup = hierarchical prefixes only
+
+
+def test_str_concat_agg(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "s": ["z", "x", "q"]})
+    out = (ms.from_pandas(pdf).groupby("k", as_index=False)
+           .agg(cat=("s", "str_concat")).to_pandas()
+           .set_index("k").cat.to_dict())
+    # deterministic sorted-value order (documented contract — a
+    # distributed frame has no inherent row order)
+    assert out == {"a": "xz", "b": "q"}
