@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side machinery is real and tested: schema conventions, Arrow
-batch shape, mapInPandas signatures, partition sizing. The actual codec
-work (PIL/ffmpeg/torchaudio) is stubbed behind DECODERS — those libs
-aren't in this container — with a deterministic fake so pipelines are
-testable end-to-end. Swap the stub for a real decoder without touching
-any Spark code.
+batch shape, mapInPandas signatures, partition sizing. DECODERS
+dispatch on content magic bytes: self-describing uncompressed formats
+decode FOR REAL with the stdlib (PCM WAV via ``wave``; 24-bit BMP and
+binary PPM via struct parsing); compressed formats (JPEG/PNG/MP3/MP4)
+still fall back to a deterministic fake because their codec libs
+(PIL/ffmpeg/torchaudio) aren't in this container — swap those in
+without touching any Spark code.
 
 Schema convention for a multimodal table::
 
@@ -41,9 +43,10 @@ FEATURE_DIM = 32
 
 
 def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: hash-seeded feature
-    vector. REPLACE with PIL/ffmpeg/torchaudio in production — the
-    surrounding Spark plumbing does not change."""
+    """Deterministic stand-in for decoders that need absent codec libs
+    (JPEG/PNG/MP3/MP4 → PIL/ffmpeg/torchaudio): hash-seeded feature
+    vector. The surrounding Spark plumbing does not change when a real
+    decoder lands."""
     import hashlib
 
     seed = int(hashlib.md5(payload or b"").hexdigest()[:8], 16)
@@ -51,10 +54,106 @@ def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+def _pad(vals: list) -> np.ndarray:
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[:len(vals)] = np.asarray(vals, dtype=np.float32)
+    return out
+
+
+def _wav_features(payload: bytes) -> np.ndarray:
+    """REAL audio decode via the stdlib ``wave`` module (PCM WAV is
+    self-describing — no codec libs needed): sample rate, channels,
+    duration, RMS, peak, zero-crossing rate, and 8 spectral band
+    energies of the mono mix."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr, nch = w.getframerate(), w.getnchannels()
+        nframes, sw = w.getnframes(), w.getsampwidth()
+        raw = w.readframes(nframes)
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    if sw == 1:
+        x = x - 128.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    x = x / float(2 ** (8 * sw - 1))
+    if not len(x):
+        return _pad([sr, nch, 0.0])
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    bands = [float(b.mean()) if len(b) else 0.0
+             for b in np.array_split(spec, 8)]
+    return _pad([sr, nch, len(x) / sr, rms, peak, zcr] + bands)
+
+
+def _image_features(payload: bytes) -> np.ndarray:
+    """REAL image decode for the self-describing uncompressed formats
+    (24-bit BMP, binary PPM 'P6') via struct parsing: width, height,
+    channels, per-channel means, grayscale std."""
+    import struct
+
+    if payload[:2] == b"BM":
+        off, = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp, = struct.unpack_from("<H", payload, 28)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0:
+            return _fake_decode(payload, "image")
+        flipped, h = h > 0, abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=h * stride, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flipped:
+            rows = rows[::-1]
+        bgr = rows.astype(np.float64)
+        r, g, b = bgr[..., 2], bgr[..., 1], bgr[..., 0]
+    elif payload[:2] == b"P6":
+        parts, pos = [], 2
+        while len(parts) < 3:
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while not payload[end:end + 1].isspace():
+                end += 1
+            parts.append(int(payload[pos:end]))
+            pos = end
+        pos += 1  # single whitespace after maxval
+        w, h, _ = parts
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos).reshape(h, w, 3).astype(np.float64)
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    else:
+        return _fake_decode(payload, "image")
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return _pad([w, h, 3, float(r.mean()), float(g.mean()),
+                 float(b.mean()), float(gray.std())])
+
+
+def _decode_audio(payload: bytes, modality: str) -> np.ndarray:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_features(payload)
+    return _fake_decode(payload, modality)  # compressed: needs ffmpeg
+
+
+def _decode_image(payload: bytes, modality: str) -> np.ndarray:
+    if payload[:2] in (b"BM", b"P6"):
+        return _image_features(payload)
+    return _fake_decode(payload, modality)  # JPEG/PNG: needs PIL
+
+
 DECODERS = {
-    "image": _fake_decode,   # stub: real impl = PIL.Image.open + resize + CNN
-    "audio": _fake_decode,   # stub: real impl = torchaudio.load + mel features
-    "video": _fake_decode,   # stub: real impl = frame-sample + per-frame image path
+    "image": _decode_image,  # REAL for BMP/PPM; stub for JPEG/PNG (PIL absent)
+    "audio": _decode_audio,  # REAL for PCM WAV; stub for MP3/OGG (ffmpeg absent)
+    "video": _fake_decode,   # stub: containers need ffmpeg — frame fan-out
+                             # shape is real (frame_sample_plan)
 }
 
 
