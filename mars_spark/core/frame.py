@@ -911,6 +911,33 @@ class DataFrame:
         return DataFrame(sdf, self._index, seq=self._seq,
                          seq_dirty=self._seq_dirty)
 
+    def memory_usage(self, deep: bool = False) -> dict:
+        """mars/dataframe/base/memory_usage.py:34 — per-column byte
+        estimate. On a distributed engine the honest number is the
+        SERIALIZED working size, not a pandas heap size: fixed-width
+        columns = width × rows; strings/binary (deep=True) = one
+        distributed octet_length sum. One count job (+ one agg when
+        deep) — bounded output, no collect of data."""
+        widths = {"bigint": 8, "double": 8, "int": 4, "float": 4,
+                  "smallint": 2, "tinyint": 1, "boolean": 1,
+                  "date": 4, "timestamp": 8, "timestamp_ntz": 8}
+        n = self._sdf.count()
+        out, var_cols = {}, []
+        for c, t in self._sdf.dtypes:
+            if t in widths:
+                out[c] = widths[t] * n
+            elif t in ("string", "binary") and deep:
+                var_cols.append(c)
+            else:
+                out[c] = None  # unknown/nested: no honest estimate
+        if var_cols:
+            row = self._sdf.agg(*[
+                F.sum(F.octet_length(F.col(c))).alias(c)
+                for c in var_cols]).collect()[0]
+            for c in var_cols:
+                out[c] = int(row[c] or 0)
+        return out
+
     def add_prefix(self, prefix: str) -> "DataFrame":
         """mars/dataframe/base/add_prefix_suffix.py — metadata-only."""
         return self.rename(columns={c: prefix + c for c in self.columns})

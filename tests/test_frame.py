@@ -726,3 +726,13 @@ def test_setitem_cross_frame_requires_index(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="index"):
         f2["r"] = f1.v.rank()
+
+
+def test_memory_usage(spark):
+    pdf = pd.DataFrame({"i": [1, 2, 3], "s": ["ab", "c", ""]})
+    f = ms.from_pandas(pdf)
+    shallow = f.memory_usage()
+    assert shallow["i"] == 24          # 3 rows x 8 bytes
+    assert shallow["s"] is None        # variable width, not estimated
+    deep = f.memory_usage(deep=True)
+    assert deep["s"] == 3              # serialized octet lengths
