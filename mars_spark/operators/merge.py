@@ -243,3 +243,43 @@ def merge_asof(left: DataFrame, right: DataFrame, on: str, by=None,
             out = out.withColumn(c, F.when(keep, F.col(c)))
     return DataFrame(out.drop("__is_left", "__r", "__m", "__r_on",
                               "__mb", "__mf"))
+
+
+def merge_range(left: DataFrame, right: DataFrame, point_col: str,
+                lo_col: str, hi_col: str, by=None,
+                bucket_width: int | None = None) -> DataFrame:
+    """Point-in-interval (range) join — absent from the reference
+    (SURVEY.md §2.3 lists it as unimplemented); added because
+    time-series / attribution pipelines need it. Matches left rows
+    whose ``point_col`` falls in ``[lo_col, hi_col)`` of a right row
+    (optionally per ``by`` key).
+
+    Spark plans a raw ``p >= lo AND p < hi`` theta-join as
+    BroadcastNestedLoopJoin — O(|L|·|R|) and undriveable at scale when
+    neither side broadcasts. This is the standard bucket
+    decomposition instead: each interval is exploded to the
+    ``bucket_width``-sized buckets it overlaps, each point hashes to
+    exactly one bucket, and the equi-join on (by, bucket) + residual
+    filter meets every (point, interval) pair exactly once — an
+    ordinary shuffle(+broadcast when tiny) hash join. Replication is
+    ~interval_width/bucket_width rows per interval and 1 per point,
+    so pick bucket_width near the MEDIAN interval width: wider wastes
+    bucket co-residents on the filter, narrower multiplies the
+    interval side. Column names must be disjoint apart from ``by``.
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("merge_range requires a positive bucket_width")
+    by = [by] if isinstance(by, str) else list(by or [])
+    w = int(bucket_width)
+    lsdf = left._sdf if isinstance(left, DataFrame) else left
+    rsdf = right._sdf if isinstance(right, DataFrame) else right
+    lb = lsdf.withColumn("__rb", F.floor(F.col(point_col) / w))
+    rb = rsdf.withColumn(
+        "__rb",
+        F.explode(F.sequence(F.floor(F.col(lo_col) / w),
+                             F.floor(F.col(hi_col) / w))))
+    out = (lb.join(rb, on=["__rb"] + by)
+           .filter((F.col(point_col) >= F.col(lo_col))
+                   & (F.col(point_col) < F.col(hi_col)))
+           .drop("__rb"))
+    return DataFrame(out)

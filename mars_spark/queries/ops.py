@@ -179,8 +179,28 @@ def op_melt_explode(spark: SparkSession, sf_dir: str) -> SparkDF:
                      ).alias("variable"),
             F.round(F.col("value"), 2).cast("double").alias("value"))
 
+    # r6: range join (operators/merge.py merge_range — bucket
+    # decomposition, no BroadcastNestedLoopJoin): ship-date days
+    # joined into 90-day windows sliding by 30 (each point lands in
+    # ~3 overlapping windows), counted per window
+    from mars_spark.operators.merge import merge_range
+
+    pts = load(sf_dir, "lineitem").to_spark().select(
+        F.datediff(F.col("l_shipdate"),
+                   F.lit("1992-01-01").cast("date")).alias("d"))
+    wins = spark.range(0, 84).select(
+        F.col("id").alias("win_id"), (F.col("id") * 30).alias("lo"),
+        (F.col("id") * 30 + 90).alias("hi"))
+    rj = (merge_range(pts, wins, "d", "lo", "hi", bucket_width=30)
+          .to_spark().groupBy("win_id")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.col("win_id").alias("k"),
+                  F.lit("rjoin").alias("variable"),
+                  F.col("n").cast("double").alias("value")))
+
     return (a.unionByName(b)
-            .unionByName(strata("cube")).unionByName(strata("rollup")))
+            .unionByName(strata("cube")).unionByName(strata("rollup"))
+            .unionByName(rj))
 
 
 def op_skew_salted(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -96,6 +96,17 @@ OPS_ORACLES: dict[str, str] = {
                          || coalesce(l_linestatus, '*') AS variable,
                CAST(round(sum(l_quantity), 2) AS DOUBLE) AS value
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        UNION ALL
+        -- range join (merge_range): point-in-[lo,hi) over sliding
+        -- 90-day windows, counted per window
+        SELECT w.win_id AS k, 'rjoin' AS variable,
+               CAST(count(*) AS DOUBLE) AS value
+        FROM (SELECT datediff('day', DATE '1992-01-01', l_shipdate)
+                  AS d FROM lineitem) p
+        JOIN (SELECT x AS win_id, x * 30 AS lo, x * 30 + 90 AS hi
+              FROM generate_series(0, 83) t(x)) w
+          ON p.d >= w.lo AND p.d < w.hi
+        GROUP BY w.win_id
     """,
     # plain group-by / plain join — the engine side must reproduce
     # these exactly through the salted two-stage plans

@@ -142,3 +142,26 @@ def test_merge_asof_nearest_and_exact_matches(spark):
     exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
                         on="t", by="g", direction="nearest", tolerance=4)
     assert_frame_equal(out, exp, sort_by=["g", "t"])
+
+
+def test_merge_range_bucket_decomposition(spark):
+    """merge_range: point-in-[lo,hi) with by-keys; the bucket
+    decomposition must plan an equi hash join, never
+    BroadcastNestedLoopJoin; boundary semantics lo inclusive / hi
+    exclusive."""
+    from mars_spark.operators.merge import merge_range
+
+    pts = ms.from_pandas(pd.DataFrame({
+        "g": ["a", "a", "b", "a"], "p": [5, 10, 5, 29]}))
+    iv = ms.from_pandas(pd.DataFrame({
+        "g": ["a", "a", "b"], "lo": [0, 8, 0], "hi": [10, 30, 4],
+        "tag": ["i1", "i2", "i3"]}))
+    out = merge_range(pts, iv, "p", "lo", "hi", by="g",
+                      bucket_width=8).to_pandas()
+    got = sorted(zip(out.p, out.tag))
+    # p=5(a)->i1 only; p=10(a)->i2 (hi=10 exclusive on i1);
+    # p=5(b) outside i3 (hi=4); p=29(a)->i2
+    assert got == [(5, "i1"), (10, "i2"), (29, "i2")]
+    plan = merge_range(pts, iv, "p", "lo", "hi", by="g", bucket_width=8) \
+        .to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
