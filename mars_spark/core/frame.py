@@ -306,12 +306,14 @@ class DataFrame:
 
     # ------------------------------------------------------- projections
     def assign(self, **kwargs) -> "DataFrame":
-        sdf = self._sdf
+        # delegate to __setitem__ on a shallow copy so extension-plan
+        # adoption (rank etc.) and cross-frame alignment work the same
+        # whether a column arrives via assign or via df[k] = v
+        out = DataFrame(self._sdf, self._index, seq=self._seq,
+                        seq_dirty=self._seq_dirty)
         for name, value in kwargs.items():
-            col = value._col if isinstance(value, Series) else (
-                value if isinstance(value, Column) else F.lit(value))
-            sdf = sdf.withColumn(name, col)
-        return DataFrame(sdf, self._index)
+            out[name] = value
+        return out
 
     def withColumn(self, name: str, value) -> "DataFrame":
         return self.assign(**{name: value})

@@ -197,7 +197,8 @@ class Series:
         dynamic sets via DataFrame.merge)."""
         return Series(self._frame, self._col.isin(list(values)), self.name)
 
-    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False) -> "Series":
         """mars/dataframe/base/rank.py — Mars ranks within chunks and
         merges cumulative chunk counts; the Spark-first equivalent is
         operators/rank.py: per-distinct-value stats + range-partitioned
@@ -230,6 +231,13 @@ class Series:
         nf = DataFrame(out, self._frame._index, seq=self._frame._seq,
                        seq_dirty=self._frame._seq_dirty)
         nf._origin_sdf = self._frame._sdf
+        if pct:
+            # pandas pct: rank / count of valid (non-null) values.
+            # One scalar agg job — NOT a global window (which would
+            # funnel the dataset through one task)
+            n = base.agg(F.count("__rank_in__")).collect()[0][0]
+            return Series(nf, F.col("__rank__") / F.lit(float(n or 1)),
+                          self.name)
         return Series(nf, F.col("__rank__"), self.name)
 
     def ranks(self, methods, ascending: bool = True):

@@ -736,3 +736,14 @@ def test_memory_usage(spark):
     assert shallow["s"] is None        # variable width, not estimated
     deep = f.memory_usage(deep=True)
     assert deep["s"] == 3              # serialized octet lengths
+
+
+def test_rank_pct(spark):
+    pdf = pd.DataFrame({"v": [10.0, 20.0, 20.0, None, 5.0]})
+    f = ms.from_pandas(pdf)
+    got = f.assign(r=f.v.rank(pct=True)).to_pandas().sort_values(
+        "v", na_position="last").r.tolist()
+    exp = pdf.assign(r=pdf.v.rank(pct=True)).sort_values(
+        "v", na_position="last").r.tolist()
+    assert got[:4] == pytest.approx(exp[:4])
+    assert pd.isna(got[4]) and pd.isna(exp[4])  # null rank stays null
