@@ -535,3 +535,58 @@ def test_stateful_emit_on_close_event_time_timeout(spark):
     tot = out.set_index("u").total.to_dict()
     assert tot == {1: 3.0, 2: 12.0}
     assert out.set_index("u").n.to_dict() == {1: 2, 2: 2}
+
+
+def test_streaming_checkpoint_restart_recovers_state(spark, tmpdir):
+    """Stop a checkpointed append-mode query, deliver data while it is
+    down, restart from the same checkpoint (parquet sink — the
+    production shape): the open window's state survives the restart
+    and closes with its pre-restart contents; emitted windows are not
+    re-emitted (exactly-once over the sink)."""
+    import shutil
+
+    d = str(tmpdir)
+    src, ckpt, out = f"{d}/src", f"{d}/ckpt", f"{d}/out"
+    os.makedirs(src)
+
+    def _stage(rows, name):
+        pdf = pd.DataFrame({
+            "ts": pd.to_datetime([r[0] for r in rows]),
+            "k": [r[1] for r in rows], "v": [float(r[2]) for r in rows]})
+        tmp = f"{d}/tmp_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        shutil.copy(os.path.join(tmp, part), f"{src}/{name}.parquet")
+
+    def _start():
+        stream = St.read_stream(spark, "parquet", src,
+                                schema="ts timestamp, k string, v double")
+        agg = St.tumbling_agg(stream, "ts", "1 minute", ["k"],
+                              {"v": "sum"}, watermark="30 seconds")
+        return (agg.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    _stage([("2024-01-01 00:00:10", "a", 1.0),
+            ("2024-01-01 00:02:00", "a", 10.0)], "b1")
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    p1 = {str(r.window_start): r.v_sum
+          for r in spark.read.parquet(out).toPandas().itertuples()}
+    assert p1 == {"2024-01-01 00:00:00": 1.0}  # [00:02) still open
+
+    _stage([("2024-01-01 00:04:00", "a", 7.0)], "b2")  # while DOWN
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    p2 = {str(r.window_start): r.v_sum
+          for r in spark.read.parquet(out).toPandas().itertuples()}
+    # state recovered: [00:02) closes with its PRE-restart sum;
+    # [00:00) emitted exactly once; [00:04) still open
+    assert p2 == {"2024-01-01 00:00:00": 1.0,
+                  "2024-01-01 00:02:00": 10.0}
