@@ -25,7 +25,7 @@ Entry points mirror the reference's public API (``mars.dataframe`` =
 
 from mars_spark import remote
 from mars_spark.functions.encoding import cut, qcut, get_dummies
-from mars_spark.session import get_spark, stop_spark
+from mars_spark.session import get_spark, register, sql, stop_spark
 from mars_spark.core.frame import DataFrame
 from mars_spark.core.series import Series
 from mars_spark.sources.io import (
@@ -46,6 +46,8 @@ __all__ = [
     "DataFrame",
     "Series",
     "get_spark",
+    "register",
+    "sql",
     "stop_spark",
     "read_parquet",
     "read_csv",

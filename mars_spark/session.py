@@ -67,3 +67,23 @@ def stop_spark() -> None:
     spark = SparkSession.getActiveSession()
     if spark is not None:
         spark.stop()
+
+
+def register(df, name: str) -> None:
+    """Expose a frame to SQL as a temp view (Mars has no SQL surface —
+    SURVEY.md §2.8 notes Spark's is free). Lazy: registering plans
+    nothing."""
+    sdf = df._sdf if hasattr(df, "_sdf") else df
+    sdf.createOrReplaceTempView(name)
+
+
+def sql(query: str):
+    """Run ANSI SQL over registered views and get an engine frame
+    back — the full Catalyst surface (CTEs, window functions,
+    grouping sets) composes with the pandas-style API on the result."""
+    from mars_spark.core.frame import DataFrame
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession — call get_spark()")
+    return DataFrame(spark.sql(query))

@@ -747,3 +747,15 @@ def test_rank_pct(spark):
         "v", na_position="last").r.tolist()
     assert got[:4] == pytest.approx(exp[:4])
     assert pd.isna(got[4]) and pd.isna(exp[4])  # null rank stays null
+
+
+def test_sql_passthrough(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 4.0]})
+    ms.register(ms.from_pandas(pdf), "t_sql")
+    out = ms.sql("""
+        WITH s AS (SELECT k, sum(v) AS sv FROM t_sql GROUP BY k)
+        SELECT k, sv, rank() OVER (ORDER BY sv DESC) AS r FROM s
+    """)
+    # result is an engine frame — pandas-style ops compose on it
+    got = out[out.r <= 1].to_pandas()
+    assert got.k.tolist() == ["b"] and got.sv.tolist() == [4.0]
