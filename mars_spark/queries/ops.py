@@ -527,8 +527,6 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
     (groupby/sample.py:75 — content is random, so the verified fact is
     the exact-n-per-group contract), and describe (base/describe.py:241)
     as global stat columns. All shuffles are on user_id."""
-    import math
-
     e = load(sf_dir, "events")
     f = e[e.user_id < 40][["user_id", "event_id", "value"]]
     f["v"] = f.value.where(f.value > 5.0)  # ~10% nulls to fill
@@ -551,20 +549,25 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
     samp = (f.groupby("user_id").sample(n=5, seed=11)
             .groupby("user_id", as_index=False).agg(
                 n_samp=("event_id", "count")))
-    # describe: exact rows of summary() (count/mean/stddev), parsed and
-    # attached as broadcast literals so the oracle verifies the values
-    d = f[["value"]].describe(percentiles=()).to_pandas()
-    stats = {r["summary"]: float(r["value"]) for _, r in d.iterrows()}
+    # describe: exact rows of summary() (count/mean/stddev), pivoted
+    # IN-PLAN and broadcast onto every row — no separate driver job,
+    # the whole row is one Spark action (was a collect + literals)
+    ds = (f[["value"]].describe(percentiles=()).to_spark()
+          .filter(F.col("summary").isin("count", "mean", "stddev"))
+          .groupBy().pivot("summary", ["count", "mean", "stddev"])
+          .agg(F.first("value")))
+    r4 = lambda c: F.floor(c.cast("double") * 1e4 + F.lit(0.5)) / 1e4
+    desc = ds.select(
+        F.col("count").cast("bigint").alias("desc_count"),
+        r4(F.col("mean")).alias("desc_mean"),
+        r4(F.col("stddev")).alias("desc_std"))
     out = agg.merge(rng, on="user_id").merge(samp, on="user_id")
-    return out.to_spark().select(
+    return out.to_spark().crossJoin(F.broadcast(desc)).select(
         "user_id", "n",
         F.round("v_sum", 4).alias("v_sum"),
         F.round("v_rng", 4).alias("v_rng"),
         F.round("v_med", 4).alias("v_med"),
-        "n_samp",
-        F.lit(int(stats["count"])).cast("bigint").alias("desc_count"),
-        F.lit(math.floor(stats["mean"] * 1e4 + 0.5) / 1e4).alias("desc_mean"),
-        F.lit(math.floor(stats["stddev"] * 1e4 + 0.5) / 1e4).alias("desc_std"),
+        "n_samp", "desc_count", "desc_mean", "desc_std",
     )
 
 
