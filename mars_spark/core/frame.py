@@ -260,7 +260,7 @@ class DataFrame:
         # Reference: mars/dataframe/indexing/setitem.py:35 → withColumn
         if isinstance(value, Series):
             origin_sdf = getattr(value._frame, "_origin_sdf", None)
-            if value._frame is not self and origin_sdf is not None:
+            if value._frame is not self:
                 if origin_sdf is self._sdf:
                     # the value rides a row-preserving extension of
                     # this frame's CURRENT plan (e.g. Series.rank's
@@ -275,8 +275,14 @@ class DataFrame:
                             if c != key] + [key]
                     self._sdf = base.select(*cols)
                     return
-                self._setitem_aligned(key, value)
-                return
+                if origin_sdf is not None:
+                    # rides an extension of some OTHER plan: align on
+                    # the index. Plain Series from a derived frame
+                    # (projection/filter of this one) fall through to
+                    # name resolution, which is correct for any
+                    # row-preserving derivation.
+                    self._setitem_aligned(key, value)
+                    return
             col = value._col
         elif isinstance(value, Column):
             col = value
@@ -299,6 +305,21 @@ class DataFrame:
         vsdf = value._frame._sdf.select(
             *[F.col(a).alias(b) for a, b in zip(ri, li)],
             value._col.alias("__setitem_v"),
+        )
+        # pandas contract: a duplicated value index raises ('cannot
+        # reindex from a duplicate axis') rather than silently
+        # multiplying target rows through the join. Enforced in-plan via
+        # raise_error over a per-key window — no extra driver job, and
+        # the window's shuffle on the index is the same exchange the
+        # join needs anyway.
+        from pyspark.sql import Window
+
+        dup = F.count(F.lit(1)).over(Window.partitionBy(*li))
+        vsdf = vsdf.select(
+            *li,
+            F.when(dup > 1, F.raise_error(
+                "cannot reindex from a duplicate axis"))
+            .otherwise(F.col("__setitem_v")).alias("__setitem_v"),
         )
         cols = [c for c in self._sdf.columns if c != key]
         joined = self._sdf.select(*cols).join(vsdf, on=li, how="left")
@@ -620,9 +641,10 @@ class DataFrame:
                 # no global sort) — always returns exactly n rows,
                 # unlike fraction-oversampling which can undershoot.
                 # pandas contract: n > population without replacement
-                # raises — one bounded count job to enforce it
-                total = self._sdf.count()
-                if n > total:
+                # raises — proved with a bounded probe: limit(n) stops
+                # scanning after n rows (CollectLimit early-exit), so
+                # tiny n never pays a full-input count
+                if self._sdf.limit(n).count() < n:
                     raise ValueError(
                         "Cannot take a larger sample than population "
                         "when 'replace=False'")

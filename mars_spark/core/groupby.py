@@ -176,18 +176,26 @@ class GroupBy:
         return self.agg({c: "nunique" for c in self._value_cols})
 
     def size(self):
-        from mars_spark.core.frame import DataFrame
+        grouped = {
+            "groupby": self._frame._sdf.groupBy,
+            "cube": self._frame._sdf.cube,
+            "rollup": self._frame._sdf.rollup,
+        }[self._kind](*self._keys)
+        return self._finish(grouped.agg(F.count(F.lit(1)).alias("size")))
 
-        out = self._frame._sdf.groupBy(*self._keys).agg(
-            F.count(F.lit(1)).alias("size")
-        )
-        return self._finish(out)
+    def _require_plain_groupby(self, op: str):
+        # Per-group row ops are windowed over exact key partitions —
+        # cube/rollup strata have no single-row-level meaning here.
+        if self._kind != "groupby":
+            raise NotImplementedError(
+                f"{op} is not defined for {self._kind}(); use agg()")
 
     # ------------------------------------------------- per-group row ops
     def head(self, n: int = 5, order_by=None):
         """mars/dataframe/groupby/head.py:30 → row_number window.
         The window shuffles once on the group keys — same cost as the
         groupby itself; no per-group collection."""
+        self._require_plain_groupby("head")
         from mars_spark.core.frame import DataFrame
 
         order = [F.col(c) for c in (order_by or self._keys)]
@@ -200,6 +208,7 @@ class GroupBy:
         return DataFrame(sdf, self._frame._index)
 
     def rank(self, order_by, method: str = "min", ascending: bool = True):
+        self._require_plain_groupby("rank")
         from mars_spark.core.frame import DataFrame
 
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -225,6 +234,7 @@ class GroupBy:
         return self._cum(order_by, F.product)
 
     def cumcount(self, order_by):
+        self._require_plain_groupby("cumcount")
         from mars_spark.core.frame import DataFrame
 
         w = Window.partitionBy(*self._keys).orderBy(order_by)
@@ -235,6 +245,7 @@ class GroupBy:
 
     def _cum(self, order_by, fn):
         """mars/dataframe/groupby/cum.py:154 → running window agg"""
+        self._require_plain_groupby("cum*")
         from mars_spark.core.frame import DataFrame
 
         w = (
@@ -255,6 +266,7 @@ class GroupBy:
 
     def ffill(self, order_by):
         """mars/dataframe/groupby/fill.py:149 → last(ignorenulls) window"""
+        self._require_plain_groupby("ffill")
         from mars_spark.core.frame import DataFrame
 
         w = (
@@ -268,6 +280,7 @@ class GroupBy:
         return DataFrame(sdf, self._frame._index)
 
     def bfill(self, order_by):
+        self._require_plain_groupby("bfill")
         from mars_spark.core.frame import DataFrame
 
         w = (
@@ -287,6 +300,7 @@ class GroupBy:
         aggregate broadcast onto every row via an unordered window —
         ONE shuffle on the keys, no Python. For arbitrary callables use
         transform_udf (applyInPandas)."""
+        self._require_plain_groupby("transform")
         from mars_spark.core.frame import DataFrame
 
         if isinstance(spec, str):
@@ -304,6 +318,7 @@ class GroupBy:
         sample.py:75). Exact-n (or exact ceil(frac·count)) per group via
         row_number over a seeded random order — one window shuffle, no
         driver pass, unlike sampleBy's bernoulli rows."""
+        self._require_plain_groupby("sample")
         from mars_spark.core.frame import DataFrame
 
         w = Window.partitionBy(*self._keys).orderBy(

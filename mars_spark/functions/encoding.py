@@ -32,11 +32,16 @@ def cut(series: Series, bins: list[float], labels: list[str] | None = None,
 
 
 def qcut(series: Series, q: int, labels: list[str] | None = None,
-         relative_error: float = 0.0) -> Series:
-    """Quantile binning: edges from approxQuantile (exact when
-    relative_error=0; at 100 TB pass ~1e-4 — the reference computes
-    exact quantiles through its tensor machinery, mars/dataframe/base/
-    qcut.py, which is the same two-pass shape)."""
+         relative_error: float = 1e-4, exact: bool = False) -> Series:
+    """Quantile binning: edges from approxQuantile. The DEFAULT is
+    approximate (relative_error=1e-4, indistinguishable at any sane bin
+    count) because exact quantiles plan a full-precision pass — at
+    100 TB the user should opt INTO exactness, not out of it. Pass
+    exact=True (or relative_error=0) for bit-exact pandas-parity edges
+    (the reference computes exact quantiles through its tensor
+    machinery, mars/dataframe/base/qcut.py, same two-pass shape)."""
+    if exact:
+        relative_error = 0.0
     sdf = series._frame._sdf
     name = "__qcut_in"
     probe = sdf.select(series._col.alias(name))

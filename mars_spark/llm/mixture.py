@@ -36,10 +36,21 @@ def hash_bernoulli(sdf: SparkDF, id_col: str, frac: float,
                    seed="0") -> SparkDF:
     """Deterministic Bernoulli(frac) sample keyed on md5(seed|id).
     Resolution is 16^-6 ≈ 6e-8 of the fraction — far below any
-    mixing-weight tolerance."""
+    mixing-weight tolerance.
+
+    frac that rounds to >= 1.0 short-circuits to the unfiltered frame
+    (the hex threshold would otherwise be the 7-char string "1000000",
+    which compares lexicographically *below* most 6-char prefixes and
+    silently dropped ~94% of a keep-everything source); frac <= 0 is a
+    constant-false filter."""
+    t = max(0, min(_HEX_SPAN, int(round(frac * _HEX_SPAN))))
+    if t >= _HEX_SPAN:
+        return sdf
+    if t <= 0:
+        return sdf.filter(F.lit(False))
     key = F.md5(F.concat_ws("|", F.lit(str(seed)),
                             F.col(id_col).cast("string")))
-    return sdf.filter(F.substring(key, 1, 6) < F.lit(_hex_threshold(frac)))
+    return sdf.filter(F.substring(key, 1, 6) < F.lit(format(t, "06x")))
 
 
 def sample_mixture(sources, id_col: str, seed="0") -> SparkDF:

@@ -72,8 +72,18 @@ def _wav_features(payload: bytes) -> np.ndarray:
         sr, nch = w.getframerate(), w.getnchannels()
         nframes, sw = w.getnframes(), w.getsampwidth()
         raw = w.readframes(nframes)
-    dt = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
-    x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dt is not None:
+        x = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    elif sw == 3:  # 24-bit PCM: widen each 3-byte sample to int32
+        raw = raw[: (len(raw) // 3) * 3]
+        b3 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (b3[:, 0].astype(np.int32)
+             | (b3[:, 1].astype(np.int32) << 8)
+             | (b3[:, 2].astype(np.int32) << 16))
+        x = np.where(x & 0x800000, x - 0x1000000, x).astype(np.float64)
+    else:
+        return _fake_decode(payload, "audio")
     if sw == 1:
         x = x - 128.0
     if nch > 1:
@@ -118,11 +128,16 @@ def _image_features(payload: bytes) -> np.ndarray:
             while pos < len(payload) and payload[pos:pos + 1].isspace():
                 pos += 1
             if payload[pos:pos + 1] == b"#":
-                pos = payload.index(b"\n", pos) + 1
+                nl = payload.find(b"\n", pos)
+                if nl < 0:  # comment runs off the end: malformed
+                    return _fake_decode(payload, "image")
+                pos = nl + 1
                 continue
             end = pos
-            while not payload[end:end + 1].isspace():
+            while end < len(payload) and not payload[end:end + 1].isspace():
                 end += 1
+            if end == pos or end >= len(payload):  # truncated header
+                return _fake_decode(payload, "image")
             parts.append(int(payload[pos:end]))
             pos = end
         pos += 1  # single whitespace after maxval
@@ -170,10 +185,18 @@ def decode_features(sdf: SparkDF, content_col: str = "content",
         sdf.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
     )
 
+    def _decode_one(c, m):
+        # A malformed payload must degrade to the fallback features, not
+        # fail the Spark task (one bad file would kill the whole stage).
+        try:
+            return DECODERS.get(m, _fake_decode)(c, m)
+        except Exception:
+            return _fake_decode(c, m)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                DECODERS.get(m, _fake_decode)(c, m).tolist()
+                _decode_one(c, m).tolist()
                 for c, m in zip(pdf[content_col], pdf[modality_col])
             ]
             pdf[out_col] = feats

@@ -728,6 +728,19 @@ def test_setitem_cross_frame_requires_index(spark):
         f2["r"] = f1.v.rank()
 
 
+def test_setitem_cross_frame_duplicate_index_raises(spark):
+    # pandas: df[k] = series-with-duplicate-index raises 'cannot
+    # reindex from a duplicate axis'; ours raises in-plan at execution
+    p1 = pd.DataFrame({"k": [10, 10, 20], "v": [1.0, 2.0, 3.0]})
+    p2 = pd.DataFrame({"k": [10, 20], "w": [1, 2]})
+    f1 = ms.from_spark(spark.createDataFrame(p1)).set_index("k")
+    f2 = ms.from_spark(spark.createDataFrame(p2)).set_index("k")
+    f2["r"] = f1.v.rank()
+    import pytest as _pt
+    with _pt.raises(Exception, match="duplicate axis"):
+        f2.to_pandas()
+
+
 def test_memory_usage(spark):
     pdf = pd.DataFrame({"i": [1, 2, 3], "s": ["ab", "c", ""]})
     f = ms.from_pandas(pdf)

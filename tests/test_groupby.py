@@ -155,6 +155,26 @@ def test_cube_rollup(spark):
     assert (None, "p") not in rkey  # rollup = hierarchical prefixes only
 
 
+def test_cube_rollup_size_and_rowop_guard(spark):
+    """Regression: cube().size() must produce cube strata (it used to
+    silently fall back to plain groupBy), and per-group row ops on
+    cube/rollup raise instead of returning wrong-kind answers."""
+    pdf = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                        "v": [1.0, 2.0, 4.0]})
+    f = ms.from_pandas(pdf)
+    cu = f.cube("a", "b").size().to_pandas()
+    key = {(r.a, r.b): r.size for r in cu.itertuples()}
+    assert key[(None, None)] == 3 and key[("x", None)] == 2
+    ro = f.rollup("a", "b").size().to_pandas()
+    rkey = {(r.a, r.b): r.size for r in ro.itertuples()}
+    assert (None, "p") not in rkey and rkey[(None, None)] == 3
+    import pytest
+    with pytest.raises(NotImplementedError):
+        f.cube("a", "b").head(1)
+    with pytest.raises(NotImplementedError):
+        f.rollup("a", "b").cumsum("v")
+
+
 def test_str_concat_agg(spark):
     pdf = pd.DataFrame({"k": ["a", "a", "b"], "s": ["z", "x", "q"]})
     out = (ms.from_pandas(pdf).groupby("k", as_index=False)

@@ -363,3 +363,50 @@ def test_multimodal_real_image_decode(spark):
     assert abs(f1[3] - 200) < 1e-6 and abs(f1[4] - 100) < 1e-6
     assert f1[5] == 0.0
     assert len(out[2]) == 32  # fallback path still shaped right
+
+def test_mixture_frac_extremes(spark):
+    """frac that rounds to >=1.0 keeps EVERY row (regression: the
+    7-char hex threshold '1000000' compared below 6-char md5 prefixes
+    and silently dropped ~94%); frac<=0 keeps none; both stay nested."""
+    from mars_spark.llm.mixture import hash_bernoulli
+
+    sdf = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    assert hash_bernoulli(sdf, "doc_id", 1.0, seed="s").count() == 2000
+    assert hash_bernoulli(sdf, "doc_id", 1.0 - 1e-9, seed="s").count() == 2000
+    assert hash_bernoulli(sdf, "doc_id", 0.0, seed="s").count() == 0
+    assert hash_bernoulli(sdf, "doc_id", -0.5, seed="s").count() == 0
+    half = hash_bernoulli(sdf, "doc_id", 0.5, seed="s").toPandas()
+    full = hash_bernoulli(sdf, "doc_id", 1.0, seed="s").toPandas()
+    assert set(half.doc_id) <= set(full.doc_id)  # ladder still nested
+
+
+def test_multimodal_wav_24bit_and_truncated_ppm(spark):
+    """Regression pair: (a) 24-bit PCM WAV decodes for real via 3-byte
+    widening instead of KeyError-ing the task; (b) a PPM payload
+    truncated mid-header falls back to the deterministic fake features
+    instead of scanning past the end forever."""
+    import io
+    import wave
+    import numpy as np
+    from mars_spark.llm.multimodal import decode_features
+
+    sr, dur, amp = 8000, 0.25, 0.5
+    t = np.arange(int(sr * dur)) / sr
+    x = (amp * np.sin(2 * np.pi * 440 * t) * (2**23 - 1)).astype("<i4")
+    pcm24 = x.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()  # LE low 3 bytes
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(3); w.setframerate(sr)
+        w.writeframes(pcm24)
+
+    sdf = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), {}),
+         (2, "image", bytearray(b"P6\n40 4"), {}),       # truncated header
+         (3, "image", bytearray(b"P6\n# cmt with no newline"), {})],
+        "id long, modality string, content binary, meta map<string,string>")
+    out = decode_features(sdf).toPandas().set_index("id").features
+    f1 = out[1]
+    assert f1[0] == sr and f1[1] == 1
+    assert abs(f1[2] - dur) < 1e-6
+    assert abs(f1[3] - amp / np.sqrt(2)) < 0.01  # real decode, not hash
+    assert len(out[2]) == 32 and len(out[3]) == 32  # fallback, no hang

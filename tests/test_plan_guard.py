@@ -8,11 +8,16 @@ tools/explain_audit.py for the patterns that matter most.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import __spark_entry__ as entry
 
 SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF), reason="driver testdata not present")
 
 # rows whose plans carry the big joins; streaming rows are excluded
 # (they execute stream lifecycles on construction), as are rows that
