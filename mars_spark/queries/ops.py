@@ -270,7 +270,9 @@ def op_cut_value_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("count").alias("n"),
         F.lit(None).cast("double").alias("v"))
 
-    qband = ms.qcut(li.l_quantity, 4, labels=["q1", "q2", "q3", "q4"])
+    # exact=True: the DuckDB oracle computes exact quantile edges
+    qband = ms.qcut(li.l_quantity, 4, labels=["q1", "q2", "q3", "q4"],
+                    exact=True)
     qc = li.assign(qband=qband)["qband"].value_counts().to_spark().select(
         F.concat(F.lit("qcut:"), F.col("qband")).alias("key"),
         F.col("count").alias("n"),
@@ -293,7 +295,18 @@ def op_cut_value_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
            .select(F.concat(F.lit("cat:"),
                             F.col("o_orderpriority")).alias("key"),
                    "n", F.col("code").cast("double").alias("v")))
-    return vc.unionByName(qc).unionByName(dum).unionByName(cat)
+    # approx nunique contract row (r7): the HLL++ estimate must land
+    # within 5×rsd of the exact distinct count — a deterministic
+    # engine-side contract (emb_ann_recall-style); v carries the exact
+    # count so the oracle verifies the baseline too.
+    exact_n = int(li.l_partkey.nunique())
+    approx_n = int(li.l_partkey.nunique(approx=True, rsd=0.02))
+    ok = int(abs(approx_n - exact_n) / exact_n <= 5 * 0.02)
+    anu = spark.createDataFrame(
+        [("nunique:approx_ok", ok, float(exact_n))],
+        "key string, n bigint, v double")
+    return (vc.unionByName(qc).unionByName(dum).unionByName(cat)
+            .unionByName(anu))
 
 
 def op_asof_join(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -407,11 +420,17 @@ def op_groupby_custom(spark: SparkSession, sf_dir: str) -> SparkDF:
     geo = f.groupby("o_orderpriority", as_index=False).agg_udf(
         "o_totalprice", lambda s: float(np.exp(np.log(s).mean())),
         name="geomean")
-    out = t.merge(geo, on="o_orderpriority", broadcast=True)
+    # str_concat reduction (reference: reduction/str_concat.py;
+    # sorted-value determinism contract) — driver-verified r7
+    sc = f.groupby("o_orderpriority", as_index=False).agg(
+        keycat=("o_orderkey", "str_concat"))
+    out = t.merge(geo, on="o_orderpriority", broadcast=True).merge(
+        sc, on="o_orderpriority", broadcast=True)
     return out.to_spark().select(
         "o_orderkey", "o_orderpriority",
         F.round("dev", 2).alias("dev"),
-        F.round("geomean", 2).alias("geomean"))
+        F.round("geomean", 2).alias("geomean"),
+        F.md5("keycat").alias("keycat_md5"))
 
 
 def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -654,12 +673,16 @@ def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:
     f = f.l_quantity.ranks({"r_avg": "average", "r_min": "min",
                             "r_max": "max", "r_dense": "dense",
                             "r_first": "first"})
+    # rank(pct=True) — r6-new code path, driver-verified r7: average
+    # rank over the valid count (one scalar agg, no global window)
+    f["r_pct"] = f.l_quantity.rank(pct=True)
     f["growth"] = 1.0 + f.l_discount
     f = w_cumprod(f, "growth", order_by="sq", partition_by=["l_orderkey"])
     n_samp = f.sample(n=50, weights="l_quantity", seed=5).to_spark().count()
     return f.to_spark().select(
         "sq", "l_orderkey", "l_linenumber",
         "r_avg", "r_min", "r_max", "r_dense", "r_first",
+        F.round("r_pct", 6).alias("r_pct"),
         F.round("growth_cumprod", 6).alias("cum_growth"),
         F.lit(int(n_samp)).cast("bigint").alias("n_samp"))
 

@@ -158,6 +158,10 @@ OPS_ORACLES: dict[str, str] = {
         FROM (SELECT o_orderpriority, count(*) AS n,
                      dense_rank() OVER (ORDER BY o_orderpriority) AS rk
               FROM orders GROUP BY o_orderpriority)
+        UNION ALL
+        SELECT 'nunique:approx_ok' AS key, 1 AS n,
+               CAST(count(DISTINCT l_partkey) AS DOUBLE) AS v
+        FROM lineitem
     """,
     "op_asof_join": """
         SELECT c.event_id, c.user_id, v.event_id AS view_id
@@ -226,12 +230,15 @@ OPS_ORACLES: dict[str, str] = {
         ), g AS (
             SELECT o_orderpriority,
                    avg(o_totalprice) AS grp_mean,
-                   exp(avg(ln(o_totalprice))) AS geomean
+                   exp(avg(ln(o_totalprice))) AS geomean,
+                   md5(string_agg(CAST(o_orderkey AS VARCHAR), ''
+                       ORDER BY CAST(o_orderkey AS VARCHAR))) AS keycat_md5
             FROM f GROUP BY o_orderpriority
         )
         SELECT o_orderkey, f.o_orderpriority,
                round(o_totalprice - grp_mean, 2) AS dev,
-               round(geomean, 2) AS geomean
+               round(geomean, 2) AS geomean,
+               keycat_md5
         FROM f JOIN g ON f.o_orderpriority = g.o_orderpriority
     """,
     "op_learn_metrics": """
@@ -424,6 +431,8 @@ OPS_ORACLES: dict[str, str] = {
                CAST(rmin + cnt - 1 AS DOUBLE) AS r_max,
                CAST(rdense AS DOUBLE) AS r_dense,
                CAST(rfirst AS DOUBLE) AS r_first,
+               round((rmin + (cnt - 1) / 2.0)
+                     / (count(*) OVER ()), 6) AS r_pct,
                round(product(1.0 + l_discount) OVER (
                    PARTITION BY l_orderkey ORDER BY sq
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)

@@ -269,9 +269,13 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Composite (r4 slot merge, both sub-plans run in full): exact
+    """Composite (r4 slot merge, all sub-plans run in full): exact
     dedup's per-source keep counts unioned with the per-doc SimHash
-    signatures under a harmonized (grp, k, v) schema."""
+    signatures, plus (r7) an incremental-dedup stratum — batch 2
+    (odd doc_ids) deduped against batch 1's persisted fingerprint
+    store (llm/dedup.py incremental_dedup: anti-join on fp + in-batch
+    min-id winner), the daily-delivery shape of a 100 TB corpus —
+    under a harmonized (grp, k, v) schema."""
     a = docs_exact_dedup(spark, sf_dir).select(
         F.concat(F.lit("src:"), F.col("source")).alias("grp"),
         F.col("n_kept").cast("long").alias("k"),
@@ -280,7 +284,19 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("grp"),
         F.col("sig").cast("long").alias("k"),
         F.lit(None).cast("long").alias("v"))
-    return a.unionByName(b)
+    d = load(sf_dir, "documents").to_spark()
+    store = D.exact_dedup_keys(
+        d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id").select("fp")
+    surv = D.incremental_dedup(
+        d.filter(F.col("doc_id") % 2 == 1), store, "text", "doc_id")
+    c = surv.filter(F.col("doc_id") < 400).select(
+        F.concat(F.lit("inc:"), F.col("doc_id").cast("string")).alias("grp"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.lit(None).cast("long").alias("v"))
+    tot = surv.agg(F.count(F.lit(1)).alias("k")).select(
+        F.lit("inc:total").alias("grp"), F.col("k").cast("long"),
+        F.lit(None).cast("long").alias("v"))
+    return a.unionByName(b).unionByName(c).unionByName(tot)
 
 
 def docs_cc_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -327,7 +327,18 @@ PIPELINE_ORACLES: dict[str, str] = {
     """,
     "docs_dedup_simhash": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
-             kk AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+             kk AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+             -- incremental dedup: odd-id batch vs even-id batch's store
+             winners AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn
+                    FROM f
+                    WHERE doc_id % 2 = 1
+                      AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
+                ) WHERE rn = 1
+             )
         SELECT 'src:' || source AS grp,
                count(*) AS k,
                (SELECT count(DISTINCT fp) FROM f) AS v
@@ -342,6 +353,14 @@ PIPELINE_ORACLES: dict[str, str] = {
                     for t in list_distinct({_TOKS})] AS hashes
             FROM documents WHERE doc_id < 50
         )
+        UNION ALL
+        SELECT 'inc:' || doc_id AS grp, doc_id AS k,
+               CAST(NULL AS BIGINT) AS v
+        FROM winners WHERE doc_id < 400
+        UNION ALL
+        SELECT 'inc:total' AS grp, count(*) AS k,
+               CAST(NULL AS BIGINT) AS v
+        FROM winners
     """,
     # transitive closure of the Jaccard near-dup edge list — the
     # recursive CTE replays what the Spark side computes iteratively

@@ -134,17 +134,22 @@ def q5(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def q6(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Forecast revenue change. reference run_queries.py:341 (q06).
-    Pure scan+filter+agg; every predicate reaches the parquet scan
-    (PushedFilters) so row groups outside the date range never load."""
-    li = load(sf_dir, "lineitem")
-    f = li[
-        (li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1997-01-01")
-        & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
-        & (li.l_quantity < 24)
-    ]
-    f["rev"] = f.l_extendedprice * f.l_discount
-    out = f[["rev"]].agg(revenue=("rev", "sum"))
-    return out.to_spark().withColumn("revenue", F.round("revenue", 2))
+    Expressed through the SQL passthrough (session.register + ms.sql)
+    so the driver hash-verifies that surface: a registered frame is a
+    lazy temp view, and Catalyst pushes the predicates through it to
+    the parquet scan (PushedFilters) exactly as the DataFrame form
+    does — same physical plan, different front-end."""
+    from mars_spark.session import register, sql
+
+    register(load(sf_dir, "lineitem"), "lineitem_q6")
+    out = sql("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem_q6
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """)
+    return out.to_spark()
 
 
 def q7(spark: SparkSession, sf_dir: str) -> SparkDF:
