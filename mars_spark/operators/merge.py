@@ -92,15 +92,45 @@ def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
         left_keys = [c + lsuf if k == c else k for k in left_keys]
         right_keys = [c + rsuf if k == c else k for k in right_keys]
 
-    if broadcast:
-        rsdf = F.broadcast(rsdf)
-
     if same_key_names and left_keys == right_keys:
-        joined = lsdf.join(rsdf, on=left_keys, how=how)
+        # pandas (and Mars) match null keys as equal — NaN joins NaN.
+        # Spark's USING join follows SQL and drops them, so join on
+        # null-safe equality (still an equi-join: Catalyst extracts
+        # EqualNullSafe keys into hash/sort-merge joins, no BNLJ) and
+        # rebuild the single key column pandas emits.
+        rtmp = {k: f"__rk_{k}" for k in right_keys}
+        r2 = rsdf
+        for k, t in rtmp.items():
+            r2 = r2.withColumnRenamed(k, t)
+        if broadcast:
+            r2 = F.broadcast(r2)
+        cond = None
+        for k in left_keys:
+            c = lsdf[k].eqNullSafe(r2[rtmp[k]])
+            cond = c if cond is None else (cond & c)
+        joined = lsdf.join(r2, on=cond, how=how)
+        if how not in ("leftsemi", "leftanti"):
+            # one key column under the original name: left's value,
+            # falling back to right's for right/outer-only rows
+            if how == "right":
+                key_of = {k: F.coalesce(F.col(rtmp[k]), F.col(k))
+                          for k in left_keys}
+            elif how in ("outer", "full", "fullouter", "full_outer"):
+                key_of = {k: F.coalesce(F.col(k), F.col(rtmp[k]))
+                          for k in left_keys}
+            else:
+                key_of = {k: F.col(k) for k in left_keys}
+            out_cols = [key_of[c].alias(c) if c in key_of else F.col(c)
+                        for c in lsdf.columns]
+            out_cols += [F.col(c) for c in r2.columns
+                         if c not in rtmp.values()]
+            joined = joined.select(*out_cols)
     else:
+        if broadcast:
+            rsdf = F.broadcast(rsdf)
         cond = None
         for lk, rk in zip(left_keys, right_keys):
-            c = lsdf[lk] == rsdf[rk]
+            c = lsdf[lk].eqNullSafe(rsdf[rk])
             cond = c if cond is None else (cond & c)
         joined = lsdf.join(rsdf, on=cond, how=how)
     if ind_name is not None:

@@ -137,8 +137,18 @@ def read_sql(table: str, url: str, partition_column: str | None = None,
 
 def from_pandas(pdf, num_partitions: int | None = None) -> DataFrame:
     """reference: mars/dataframe/datasource/dataframe.py:34 (parallelize
-    a pandas object) — Arrow-path createDataFrame."""
-    sdf = _spark().createDataFrame(pdf)
+    a pandas object) — Arrow-path createDataFrame. Empty frames carry
+    no rows to infer from, so the schema is derived from the pandas
+    dtypes instead of failing."""
+    if len(pdf) == 0:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(
+            pa.Schema.from_pandas(pdf, preserve_index=False))
+        sdf = _spark().createDataFrame([], schema=schema)
+    else:
+        sdf = _spark().createDataFrame(pdf)
     if num_partitions:
         sdf = sdf.repartition(num_partitions)
     return DataFrame(sdf)

@@ -95,3 +95,132 @@ def test_drop_duplicates_value_counts_match_pandas(spark, keys):
     got = f["k"].value_counts().to_pandas().set_index("k")["count"]
     exp = pdf.k.value_counts()
     assert dict(got) == dict(exp)
+
+# --------------------------------------------------------- r7 additions
+
+_dup_keys = st.lists(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    min_size=0, max_size=15)
+
+
+@given(lk=_dup_keys, rk=_dup_keys,
+       how=st.sampled_from(["inner", "left", "right", "outer"]))
+@_settings
+def test_merge_hows_dup_null_keys_match_pandas(spark, lk, rk, how):
+    """merge: every how x duplicate keys x NULL keys — pandas matches
+    NaN keys as equal (so does Mars); the engine joins on null-safe
+    equality to agree."""
+    left = pd.DataFrame({"k": pd.array(lk, dtype="Int64"),
+                         "v": range(len(lk))})
+    right = pd.DataFrame({"k": pd.array(rk, dtype="Int64"),
+                          "w": range(len(rk))})
+    exp = left.merge(right, on="k", how=how)
+    got = (ms.from_pandas(left).merge(ms.from_pandas(right),
+                                      on="k", how=how).to_pandas())
+    assert len(got) == len(exp)
+    norm = lambda d: sorted(
+        d[["k", "v", "w"]].fillna(-99).astype("float64")
+        .itertuples(index=False, name=None))
+    assert norm(got) == norm(exp)
+
+
+@given(keys=st.lists(st.sampled_from(["a", "b", ""]),
+                     min_size=1, max_size=20),
+       vals=_vals)
+@_settings
+def test_groupby_mean_min_max_adversarial_matches_pandas(spark, keys, vals):
+    """groupby-agg on adversarial shapes: string keys (incl. empty
+    string), NaN-laden float values — mean/min/max skip NaN in both
+    engines; all-NaN groups yield NULL in SQL vs NaN in pandas, which
+    compare equal after fillna."""
+    n = min(len(keys), len(vals))
+    pdf = pd.DataFrame({"k": keys[:n],
+                        "v": pd.array(vals[:n], dtype="float64")})
+    got = (ms.from_pandas(pdf).groupby("k", as_index=False)
+           .agg(m=("v", "mean"), lo=("v", "min"), hi=("v", "max"))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (pdf.groupby("k", as_index=False)
+           .agg(m=("v", "mean"), lo=("v", "min"), hi=("v", "max"))
+           .sort_values("k").reset_index(drop=True))
+    assert list(got.k) == list(exp.k)
+    for c in ("m", "lo", "hi"):
+        np.testing.assert_allclose(got[c].fillna(0.0), exp[c].fillna(0.0),
+                                   rtol=1e-6, atol=1e-9)
+
+
+@given(vals=st.lists(
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=3)
+              .map(float)),
+    min_size=1, max_size=20))
+@_settings
+def test_rank_methods_ties_nans_match_pandas(spark, vals):
+    """rank on ties and NaNs: all four order-independent methods agree
+    with pandas (NaN ranks NaN, ties resolve per method)."""
+    pdf = pd.DataFrame({"v": pd.array(vals, dtype="float64"),
+                        "i": range(len(vals))})
+    f = ms.from_pandas(pdf).sort_values("i").set_sequence_index("sq")
+    f = f.v.ranks({"r_avg": "average", "r_min": "min",
+                   "r_max": "max", "r_dense": "dense"})
+    got = f.to_pandas().sort_values("i").reset_index(drop=True)
+    for meth, col in [("average", "r_avg"), ("min", "r_min"),
+                      ("max", "r_max"), ("dense", "r_dense")]:
+        exp = pdf.v.rank(method=meth)
+        np.testing.assert_allclose(got[col].fillna(-1).astype(float),
+                                   exp.fillna(-1).values, rtol=1e-9)
+
+
+@given(vals=st.lists(
+    st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                   allow_nan=False, width=32)),
+    min_size=1, max_size=20),
+    win=st.integers(min_value=1, max_value=4))
+@_settings
+def test_rolling_sum_mean_ties_nans_match_pandas(spark, vals, win):
+    """rolling over NaN-laden values ordered by an explicit sequence:
+    sum/mean with pandas' default min_periods (= window) match."""
+    from mars_spark.operators.window import Rolling
+
+    pdf = pd.DataFrame({"v": pd.array(vals, dtype="float64"),
+                        "i": range(len(vals))})
+    f = ms.from_pandas(pdf)
+    out = Rolling(f, win, order_by="i").agg({"v": ["sum", "mean"]})
+    got = out.to_pandas().sort_values("i").reset_index(drop=True)
+    r = pdf.v.rolling(win)
+    np.testing.assert_allclose(got.v_roll_sum.fillna(-1),
+                               r.sum().fillna(-1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.v_roll_mean.fillna(-1),
+                               r.mean().fillna(-1), rtol=1e-5, atol=1e-6)
+
+
+@given(vals=st.lists(st.floats(min_value=-50, max_value=50,
+                               allow_nan=False, width=32),
+                     min_size=1, max_size=20),
+       periods=st.integers(min_value=-3, max_value=3))
+@_settings
+def test_shift_diff_matches_pandas(spark, vals, periods):
+    from mars_spark.operators.window import shift, diff
+
+    pdf = pd.DataFrame({"v": pd.array(vals, dtype="float64"),
+                        "i": range(len(vals))})
+    f = ms.from_pandas(pdf)
+    got_s = (shift(f, periods=periods, order_by="i", cols=["v"])
+             .to_pandas().sort_values("i").v_shift)
+    got_d = (diff(f, periods=periods, order_by="i", cols=["v"])
+             .to_pandas().sort_values("i").v_diff)
+    np.testing.assert_allclose(got_s.fillna(-999).values,
+                               pdf.v.shift(periods).fillna(-999).values,
+                               rtol=1e-6)
+    np.testing.assert_allclose(got_d.fillna(-999).values,
+                               pdf.v.diff(periods).fillna(-999).values,
+                               rtol=1e-6)
+
+
+@given(keys=_dup_keys)
+@_settings
+def test_concat_isin_matches_pandas(spark, keys):
+    pdf = pd.DataFrame({"k": pd.array(keys, dtype="Int64")})
+    f = ms.from_pandas(pdf)
+    two = ms.concat([f, f])
+    assert two.count() == 2 * len(pdf)
+    got = f[f.k.isin([0, 2])].count()
+    assert got == int(pdf.k.isin([0, 2]).sum())
