@@ -304,6 +304,12 @@ def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
     clusters are tiny, so 2-3 rounds in practice. The driver loop runs
     one Spark job per round and stops early when no label changes
     (the same large-graph CC pattern GraphX/GraphFrames uses).
+
+    Measured scaling (r7, SCALE.md): sublinear slopes (0.49/0.24 on
+    3×/10× data steps) — round count stays O(diameter) while per-round
+    shuffle volume grows linearly. The warm-session bench's ±1 s
+    run-to-run band on this row is scheduler/GC noise, confirmed by a
+    10-rep isolation bench (see SCALE.md); don't chase it.
     """
     edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
              .unionByName(pairs.select(F.col("b").alias("x"),

@@ -317,6 +317,13 @@ def similarity_self_join(sdf: SparkDF, vec_col: str, threshold: float,
     LSH candidates at t=0.4), so the exact blocked theta-join — same
     verify count, no candidate machinery — is strictly cheaper.
     Both plans are crossJoin-free shuffle joins.
+
+    Measured scaling (r7, SCALE.md): the exact path's wall-clock slope
+    is 1.84 on a 3×→10× data step (22.6× wall at 10× vectors on 32
+    cores) — quadratic as designed; the blocked plan parallelizes the
+    Θ(n²) dots across bounded reducers but cannot beat their count.
+    At 100 TB use the LSH dispatch (raise the threshold) or the IVF
+    probe path instead of the exact sweep.
     """
     if threshold >= 0.7:
         return lsh_multiband_pairs(sdf, vec_col, dim=dim,
