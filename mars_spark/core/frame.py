@@ -508,12 +508,14 @@ class DataFrame:
     def merge(self, right: "DataFrame", how: str = "inner", on=None,
               left_on=None, right_on=None, suffixes=("_x", "_y"),
               broadcast: bool | None = None,
-              indicator: bool | str = False) -> "DataFrame":
+              indicator: bool | str = False,
+              null_matches: bool = True) -> "DataFrame":
         from mars_spark.operators.merge import merge as _merge
 
         return _merge(self, right, how=how, on=on, left_on=left_on,
                       right_on=right_on, suffixes=suffixes,
-                      broadcast=broadcast, indicator=indicator)
+                      broadcast=broadcast, indicator=indicator,
+                      null_matches=null_matches)
 
     def join(self, right: "DataFrame", on=None, how: str = "left",
              lsuffix: str = "", rsuffix: str = "") -> "DataFrame":

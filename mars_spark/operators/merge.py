@@ -43,7 +43,8 @@ _HOW = {
 def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
           left_on=None, right_on=None, suffixes=("_x", "_y"),
           broadcast: bool | None = None,
-          indicator: bool | str = False) -> DataFrame:
+          indicator: bool | str = False,
+          null_matches: bool = True) -> DataFrame:
     """pandas.merge semantics on Spark joins (equi-join, like Mars).
 
     ``broadcast=True`` forces the small-side hint (Mars's explicit
@@ -52,6 +53,13 @@ def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
     chunk-count heuristic. ``indicator`` adds the pandas provenance
     column (left_only/right_only/both — reference merge.py:166) from
     per-side marker columns, no extra join.
+
+    ``null_matches=True`` (default) follows pandas/Mars: NaN join keys
+    match each other, via a null-safe equi-join (Catalyst still plans
+    hash/sort-merge). The semantic price is that scans cannot prune
+    null keys (no IsNotNull pushdown — null rows might match). On keys
+    known non-null (fact/dim ids at 100 TB), pass
+    ``null_matches=False`` to restore SQL semantics and the pruning.
     """
     how = _HOW[how]
     lsdf, rsdf = left._sdf, right._sdf
@@ -92,7 +100,11 @@ def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
         left_keys = [c + lsuf if k == c else k for k in left_keys]
         right_keys = [c + rsuf if k == c else k for k in right_keys]
 
-    if same_key_names and left_keys == right_keys:
+    if same_key_names and left_keys == right_keys and not null_matches:
+        if broadcast:
+            rsdf = F.broadcast(rsdf)
+        joined = lsdf.join(rsdf, on=left_keys, how=how)
+    elif same_key_names and left_keys == right_keys:
         # pandas (and Mars) match null keys as equal — NaN joins NaN.
         # Spark's USING join follows SQL and drops them, so join on
         # null-safe equality (still an equi-join: Catalyst extracts
@@ -130,7 +142,8 @@ def merge(left: DataFrame, right: DataFrame, how: str = "inner", on=None,
             rsdf = F.broadcast(rsdf)
         cond = None
         for lk, rk in zip(left_keys, right_keys):
-            c = lsdf[lk].eqNullSafe(rsdf[rk])
+            c = (lsdf[lk].eqNullSafe(rsdf[rk]) if null_matches
+                 else lsdf[lk] == rsdf[rk])
             cond = c if cond is None else (cond & c)
         joined = lsdf.join(rsdf, on=cond, how=how)
     if ind_name is not None:

@@ -320,9 +320,12 @@ def q13(spark: SparkSession, sf_dir: str) -> SparkDF:
     with map-side combine."""
     cust = load(sf_dir, "customer")
     orders = load(sf_dir, "orders")
+    # null_matches=False: TPC-H keys are non-null by spec — restores
+    # the IsNotNull scan pruning pandas NaN-matching has to give up
     j = cust[["c_custkey"]].merge(
         orders[["o_orderkey", "o_custkey"]],
-        left_on="c_custkey", right_on="o_custkey", how="left")
+        left_on="c_custkey", right_on="o_custkey", how="left",
+        null_matches=False)
     per_cust = j.groupby("c_custkey", as_index=False).agg(
         c_count=("o_orderkey", "count"))
     dist = per_cust.groupby("c_count", as_index=False).agg(
@@ -398,9 +401,11 @@ def q18(spark: SparkSession, sf_dir: str) -> SparkDF:
     qty = li.groupby("l_orderkey", as_index=False).agg(
         sum_qty=("l_quantity", "sum"))
     big = qty[qty.sum_qty > 300]
-    j = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+    # null_matches=False: non-null keys by spec — keep IsNotNull pruning
+    j = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey",
+                  null_matches=False).merge(
         cust[["c_custkey", "c_name"]], left_on="o_custkey",
-        right_on="c_custkey")
+        right_on="c_custkey", null_matches=False)
     sdf = j.to_spark().select(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate",
         F.round("o_totalprice", 2).alias("o_totalprice"),
