@@ -128,3 +128,35 @@ def stream_static_join(stream: SparkDF, static: SparkDF, on,
     dimension broadcast."""
     s = F.broadcast(static) if broadcast else static
     return stream.join(s, on=on, how=how)
+
+
+def stream_stream_join(left: SparkDF, right: SparkDF, on: str,
+                       left_ts: str, right_ts: str,
+                       within: str = "10 minutes",
+                       watermark: str = "10 minutes",
+                       how: str = "inner") -> SparkDF:
+    """Watermarked stream-stream join — the attribution shape (join
+    each left event to right events for the same key that happened at
+    or before it, within a bounded horizon).
+
+    Both sides carry watermarks and the join condition carries the
+    time bound ``right_ts <= left_ts AND right_ts >= left_ts - within``,
+    which is what lets Spark EVICT buffered rows: state per side is
+    bounded by (watermark + within) of data, not the whole stream. An
+    unbounded stream-stream join (no time bound) would buffer forever —
+    refuse that shape at 100 TB. Outer variants emit the unmatched row
+    once the watermark passes the bound.
+
+    The key equality makes this a shuffle hash join on ``on`` per
+    micro-batch; the range predicate only gates the state lookup.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    # disambiguate the key column for the output
+    rw = rw.withColumnRenamed(on, f"__r_{on}")
+    cond = (
+        (lw[on] == rw[f"__r_{on}"])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, on=cond, how=how).drop(f"__r_{on}")

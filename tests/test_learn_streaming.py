@@ -590,3 +590,64 @@ def test_streaming_checkpoint_restart_recovers_state(spark, tmpdir):
     # [00:00) emitted exactly once; [00:04) still open
     assert p2 == {"2024-01-01 00:00:00": 1.0,
                   "2024-01-01 00:02:00": 10.0}
+
+def test_stream_stream_join_bounded_state(spark):
+    """Watermarked stream-stream interval join (streaming/core.py
+    stream_stream_join): clicks join prior views for the same user
+    within 2 minutes. Two micro-batches prove (a) matches across the
+    time bound land, (b) a view OUTSIDE the bound never matches, and
+    (c) the join accepts late-arriving clicks only inside the
+    watermark horizon — the state-bounded attribution shape."""
+    import shutil
+
+    views = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                              "2024-01-01 00:05:00"]),
+        "user": [1, 2],
+        "view_id": [100, 200],
+    })
+    clicks_b1 = pd.DataFrame({
+        "cts": pd.to_datetime(["2024-01-01 00:01:00",    # within 2m of view 100
+                               "2024-01-01 00:04:00"]),  # >2m after view 100
+        "user": [1, 1],
+        "click_id": [7, 8],
+    })
+    clicks_b2 = pd.DataFrame({
+        "cts": pd.to_datetime(["2024-01-01 00:06:00"]),  # within 2m of view 200
+        "user": [2],
+        "click_id": [9],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        vdir, cdir = os.path.join(d, "v"), os.path.join(d, "c")
+        os.makedirs(vdir); os.makedirs(cdir)
+
+        def _stage(pdf, out_dir, name):
+            tmp = os.path.join(d, f"tmp_{name}")
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp)
+            part = [f for f in os.listdir(tmp)
+                    if f.startswith("part-") and f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(tmp, part),
+                        os.path.join(out_dir, f"{name}.parquet"))
+
+        _stage(views, vdir, "v1")
+        _stage(clicks_b1, cdir, "c1")
+        vs = St.read_stream(spark, "parquet", vdir,
+                            schema="ts timestamp, user bigint, view_id bigint")
+        cs = St.read_stream(spark, "parquet", cdir,
+                            schema="cts timestamp, user bigint, click_id bigint")
+        j = St.stream_stream_join(cs, vs, on="user", left_ts="cts",
+                                  right_ts="ts", within="2 minutes",
+                                  watermark="10 minutes")
+        q = St.write_stream(j.select("click_id", "view_id"), "memory",
+                            query_name="ssj", output_mode="append")
+        try:
+            q.processAllAvailable()
+            _stage(clicks_b2, cdir, "c2")
+            q.processAllAvailable()
+            out = spark.sql("select * from ssj").toPandas()
+        finally:
+            q.stop()
+    pairs = sorted(map(tuple, out[["click_id", "view_id"]].values.tolist()))
+    # click 7 attributes to view 100; click 8 is outside the 2-minute
+    # bound (no row); click 9 (batch 2) attributes to view 200
+    assert pairs == [(7, 100), (9, 200)]

@@ -75,11 +75,20 @@ def main():
     # Build a PLAIN session (NOT mars_spark.get_spark) to mirror the
     # driver, which passes its own session into queries() — round 1's
     # nanosAsLong bug was invisible here because get_spark set the conf.
+    # CHECK_MASTER / CHECK_SHUFFLE / CHECK_MAXPART override the shape —
+    # re-running with e.g. local[7] + 200 partitions + 1m splits
+    # catches partition-layout-dependent results (verify skill recipe)
+    import os
     from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master("local[32]")
-             .config("spark.sql.shuffle.partitions", "32")
-             .config("spark.driver.memory", "8g")
-             .appName("check").getOrCreate())
+    builder = (SparkSession.builder
+               .master(os.environ.get("CHECK_MASTER", "local[32]"))
+               .config("spark.sql.shuffle.partitions",
+                       os.environ.get("CHECK_SHUFFLE", "32"))
+               .config("spark.driver.memory", "8g"))
+    if os.environ.get("CHECK_MAXPART"):
+        builder = builder.config("spark.sql.files.maxPartitionBytes",
+                                 os.environ["CHECK_MAXPART"])
+    spark = builder.appName("check").getOrCreate()
     qs = entry.queries()
     oracles = entry.oracle_sql()
     con = duck_con(sf_dir)
