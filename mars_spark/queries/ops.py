@@ -261,50 +261,74 @@ def op_cut_value_counts(spark: SparkSession, sf_dir: str) -> SparkDF:
     - astype('category').cat.codes (core.py:3012 categorical chunks):
       per-value row count with the code as value — codes are the
       position in the sorted distinct set."""
+    from concurrent.futures import ThreadPoolExecutor
+
     li = load(sf_dir, "lineitem")
-    band = ms.cut(li.l_quantity, [0, 10, 25, 50],
-                  labels=["low", "mid", "high"])
-    f = li.assign(band=band)
-    vc = f["band"].value_counts().to_spark().select(
-        F.concat(F.lit("cut:"), F.col("band")).alias("key"),
-        F.col("count").alias("n"),
-        F.lit(None).cast("double").alias("v"))
 
-    # exact=True: the DuckDB oracle computes exact quantile edges
-    qband = ms.qcut(li.l_quantity, 4, labels=["q1", "q2", "q3", "q4"],
-                    exact=True)
-    qc = li.assign(qband=qband)["qband"].value_counts().to_spark().select(
-        F.concat(F.lit("qcut:"), F.col("qband")).alias("key"),
-        F.col("count").alias("n"),
-        F.lit(None).cast("double").alias("v"))
+    # four of the five strata run a driver ACTION at build time (exact
+    # quantile pass, dummies distinct, category distinct, the two
+    # nunique aggs) — independent jobs, so submit them from a thread
+    # pool (r6 lesson: serializing independent actions just stacks
+    # scheduler latency); the union of the resulting lazy plans is
+    # assembled after.
+    def _cut():
+        band = ms.cut(li.l_quantity, [0, 10, 25, 50],
+                      labels=["low", "mid", "high"])
+        f = li.assign(band=band)
+        return f["band"].value_counts().to_spark().select(
+            F.concat(F.lit("cut:"), F.col("band")).alias("key"),
+            F.col("count").alias("n"),
+            F.lit(None).cast("double").alias("v"))
 
-    gd = ms.get_dummies(li[["l_returnflag"]], "l_returnflag").to_spark()
-    dums = sorted(c for c in gd.columns if c.startswith("l_returnflag_"))
-    stack_args = ", ".join(
-        f"'dum:{c.rsplit('_', 1)[-1]}', cast({c} as bigint)" for c in dums)
-    dum = (gd.agg(*[F.sum(c).alias(c) for c in dums])
-           .select(F.expr(f"stack({len(dums)}, {stack_args}) as (key, n)"))
-           .withColumn("v", F.lit(None).cast("double")))
+    def _qcut():
+        # exact=True: the DuckDB oracle computes exact quantile edges
+        qband = ms.qcut(li.l_quantity, 4, labels=["q1", "q2", "q3", "q4"],
+                        exact=True)
+        return (li.assign(qband=qband)["qband"].value_counts().to_spark()
+                .select(F.concat(F.lit("qcut:"), F.col("qband")).alias("key"),
+                        F.col("count").alias("n"),
+                        F.lit(None).cast("double").alias("v")))
 
-    om = load(sf_dir, "orders")[["o_orderpriority"]]
-    codes = om.o_orderpriority.astype("category").cat.codes
-    cat = (om.assign(code=codes).to_spark()
-           .groupBy("o_orderpriority")
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.min("code").alias("code"))
-           .select(F.concat(F.lit("cat:"),
-                            F.col("o_orderpriority")).alias("key"),
-                   "n", F.col("code").cast("double").alias("v")))
-    # approx nunique contract row (r7): the HLL++ estimate must land
-    # within 5×rsd of the exact distinct count — a deterministic
-    # engine-side contract (emb_ann_recall-style); v carries the exact
-    # count so the oracle verifies the baseline too.
-    exact_n = int(li.l_partkey.nunique())
-    approx_n = int(li.l_partkey.nunique(approx=True, rsd=0.02))
-    ok = int(abs(approx_n - exact_n) / exact_n <= 5 * 0.02)
-    anu = spark.createDataFrame(
-        [("nunique:approx_ok", ok, float(exact_n))],
-        "key string, n bigint, v double")
+    def _dummies():
+        gd = ms.get_dummies(li[["l_returnflag"]], "l_returnflag").to_spark()
+        dums = sorted(c for c in gd.columns
+                      if c.startswith("l_returnflag_"))
+        stack_args = ", ".join(
+            f"'dum:{c.rsplit('_', 1)[-1]}', cast({c} as bigint)"
+            for c in dums)
+        return (gd.agg(*[F.sum(c).alias(c) for c in dums])
+                .select(F.expr(
+                    f"stack({len(dums)}, {stack_args}) as (key, n)"))
+                .withColumn("v", F.lit(None).cast("double")))
+
+    def _cat():
+        om = load(sf_dir, "orders")[["o_orderpriority"]]
+        codes = om.o_orderpriority.astype("category").cat.codes
+        return (om.assign(code=codes).to_spark()
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.min("code").alias("code"))
+                .select(F.concat(F.lit("cat:"),
+                                 F.col("o_orderpriority")).alias("key"),
+                        "n", F.col("code").cast("double").alias("v")))
+
+    def _anu():
+        # approx nunique contract row (r7): the HLL++ estimate must
+        # land within 5×rsd of the exact distinct count — a
+        # deterministic engine-side contract (emb_ann_recall-style);
+        # v carries the exact count so the oracle verifies the
+        # baseline too.
+        exact_n = int(li.l_partkey.nunique())
+        approx_n = int(li.l_partkey.nunique(approx=True, rsd=0.02))
+        ok = int(abs(approx_n - exact_n) / exact_n <= 5 * 0.02)
+        return spark.createDataFrame(
+            [("nunique:approx_ok", ok, float(exact_n))],
+            "key string, n bigint, v double")
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        vc, qc, dum, cat, anu = [
+            fut.result() for fut in
+            [ex.submit(t) for t in (_cut, _qcut, _dummies, _cat, _anu)]]
     return (vc.unionByName(qc).unionByName(dum).unionByName(cat)
             .unionByName(anu))
 
