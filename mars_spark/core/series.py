@@ -224,20 +224,16 @@ class Series:
         from mars_spark.operators.rank import add_rank
 
         base = self._frame._sdf.withColumn("__rank_in__", self._col)
+        # pct: rank / count of valid values — the denominator falls out
+        # of add_rank's prefix-sum offsets pass (no extra job, and no
+        # global window, which would funnel the dataset into one task)
         out = add_rank(base, "__rank_in__", method=method,
                        ascending=ascending, out="__rank__",
-                       order_col=self._frame._seq)
+                       order_col=self._frame._seq, pct=pct)
         out = out.drop("__rank_in__")
         nf = DataFrame(out, self._frame._index, seq=self._frame._seq,
                        seq_dirty=self._frame._seq_dirty)
         nf._origin_sdf = self._frame._sdf
-        if pct:
-            # pandas pct: rank / count of valid (non-null) values.
-            # One scalar agg job — NOT a global window (which would
-            # funnel the dataset through one task)
-            n = base.agg(F.count("__rank_in__")).collect()[0][0]
-            return Series(nf, F.col("__rank__") / F.lit(float(n or 1)),
-                          self.name)
         return Series(nf, F.col("__rank__"), self.name)
 
     def ranks(self, methods, ascending: bool = True):

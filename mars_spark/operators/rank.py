@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 
 def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
-                 ascending: bool = True) -> SparkDF:
+                 ascending: bool = True, with_total: bool = False):
     """Given an aggregated per-distinct-value table, add:
 
     - ``__before``: sum of ``weight_col`` over all strictly-preceding
@@ -62,14 +62,15 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
         acc += int(r["__t"])
         dacc += int(r["__k"])
     if not cum_off:
-        return (d.withColumn("__before", F.lit(0).cast("bigint"))
-                .withColumn("__didx", F.lit(0).cast("bigint"))
-                .drop("__pid"))
+        empty = (d.withColumn("__before", F.lit(0).cast("bigint"))
+                 .withColumn("__didx", F.lit(0).cast("bigint"))
+                 .drop("__pid"))
+        return (empty, 0) if with_total else empty
     cmap = F.create_map(*[F.lit(x) for kv in cum_off.items() for x in kv])
     imap = F.create_map(*[F.lit(x) for kv in idx_off.items() for x in kv])
     w = (Window.partitionBy("__pid").orderBy(order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (d.withColumn(
+    stats = (d.withColumn(
                 "__before",
                 (cmap[F.col("__pid")] + F.sum(weight_col).over(w)
                  - F.col(weight_col)).cast("bigint"))
@@ -78,6 +79,9 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
                 (imap[F.col("__pid")] + F.count(F.lit(1)).over(w)
                  - 1).cast("bigint"))
             .drop("__pid"))
+    # acc is the grand total of weight_col — already computed for the
+    # offsets, free for callers (rank pct denominator)
+    return (stats, acc) if with_total else stats
 
 
 def add_ranks(sdf: SparkDF, col: str, methods: dict[str, str],
@@ -119,7 +123,7 @@ def add_ranks(sdf: SparkDF, col: str, methods: dict[str, str],
 
 def add_rank(sdf: SparkDF, col: str, method: str = "average",
              ascending: bool = True, out: str = "__rank__",
-             order_col: str | None = None) -> SparkDF:
+             order_col: str | None = None, pct: bool = False) -> SparkDF:
     """Return ``sdf`` with a global rank column (pandas semantics:
     nulls unranked → null rank). Methods: average/min/max/dense/first.
 
@@ -128,6 +132,10 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
     method='first'. Without one, ties break by the physical plan
     order (monotonically_increasing_id), which matches pandas only
     when the layout preserves read order.
+
+    ``pct=True`` divides by the count of ranked (non-null) values —
+    the denominator falls out of the prefix-sum offsets pass, so pct
+    costs no extra job.
     """
     if method not in ("average", "min", "max", "dense", "first"):
         raise ValueError(method)
@@ -135,7 +143,8 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
                  .filter(F.col("__v").isNotNull())
                  .groupBy("__v")
                  .agg(F.count(F.lit(1)).alias("__cnt")))
-    stats = prefix_stats(per_value, "__v", "__cnt", ascending=ascending)
+    stats, total = prefix_stats(per_value, "__v", "__cnt",
+                                ascending=ascending, with_total=True)
 
     tie_col = order_col
     if method == "first" and tie_col is None:
@@ -156,8 +165,9 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
     else:  # first
         tie = Window.partitionBy(col).orderBy(F.col(tie_col).asc())
         r = F.col("__before") + F.row_number().over(tie)
-    j = j.withColumn(
-        out,
-        F.when(F.col(col).isNotNull(), r.cast("double")))
+    r = r.cast("double")
+    if pct:
+        r = r / F.lit(float(total or 1))
+    j = j.withColumn(out, F.when(F.col(col).isNotNull(), r))
     j = j.drop("__before", "__didx", "__cnt")
     return j.drop("__mid") if tie_col == "__mid" else j
