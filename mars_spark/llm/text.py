@@ -139,6 +139,55 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_ngrams(col: Column, k: int = 2) -> Column:
+    """ALL word k-grams in order (duplicates kept — the repetition
+    metrics below need multiplicity; ``word_shingles`` is the distinct
+    variant). Docs shorter than k tokens yield their single partial
+    gram. Pure higher-order expressions, no explode."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def dup_ngram_fraction(col: Column, k: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word k-grams that
+    are repeats of an earlier occurrence — ``(n - n_distinct) / n``.
+    0 for repetition-free text, → 1 for a looping generator. Stays
+    entirely inside codegen (size/array_distinct on the gram array)."""
+    g = word_ngrams(col, k)
+    n = F.size(g).cast("double")
+    return F.round((n - F.size(F.array_distinct(g))) / F.greatest(n, F.lit(1.0)), 4)
+
+
+def top_word_fraction(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent word (the
+    C4/Gopher "most common word covers too much of the doc" filter).
+
+    Computed as the longest equal-run of the SORTED token array via one
+    ``aggregate`` fold with a (prev, run, best) struct accumulator —
+    O(n log n) per row inside codegen, no shuffle, no UDF. The SQL
+    oracle states the same quantity relationally (unnest → group by
+    word → max(count)/count), demonstrating the two formulations agree.
+    """
+    t = F.array_sort(tokens(col))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(a["best"], run).alias("best"))
+
+    best = F.aggregate(t, zero, step, lambda a: a["best"]).cast("double")
+    return F.round(best / F.greatest(F.size(t).cast("double"), F.lit(1.0)), 4)
+
+
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text."""
     s = normalize(col)

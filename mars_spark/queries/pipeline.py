@@ -229,7 +229,15 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
                              .cast("string")).alias("pred_lang"),
                     "n_docs", "avg_tokens", "avg_chars",
                     F.lit(None).cast("double").alias("avg_quality")))
-    return conf.unionByName(mrows).unionByName(prow)
+    # r7 corpus-hygiene strata (repetition filters / PII redaction /
+    # eval-set decontamination) — see docs_decontam_pii below; its
+    # (grp, k, n, v1, v2) rows map onto this row's schema.
+    hyg = docs_decontam_pii(spark, sf_dir).select(
+        F.col("grp").alias("lang"), F.col("k").alias("pred_lang"),
+        F.col("n").alias("n_docs"), F.col("v1").alias("avg_tokens"),
+        F.col("v2").alias("avg_chars"),
+        F.lit(None).cast("double").alias("avg_quality"))
+    return conf.unionByName(mrows).unionByName(prow).unionByName(hyg)
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -756,6 +764,91 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
             rows.append((f"gram:{i}:{j}", r4(float(g[i, j])), None, None))
     return spark.createDataFrame(
         rows, "grp string, v1 double, v2 double, n long")
+
+
+def docs_decontam_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """The r7 corpus-hygiene surface in one row set — three operator
+    families every pretraining pipeline runs before the tokenizer,
+    under a harmonized (grp, k, n, v1, v2) schema keyed per source:
+
+    - 'rep'  : Gopher-style repetition filters (llm/text.py
+      dup_ngram_fraction k=2, top_word_fraction) — pure higher-order
+      Column expressions (the top-word mode is a sorted-run aggregate
+      fold); the oracle states the same quantities relationally
+      (unnest → group → max/count), proving the two formulations
+      agree per document.
+    - 'pii'  : detection + redaction (llm/pii.py) over text augmented
+      with deterministic doc_id-derived PII (email when id%2=0, IPv4
+      when id%3=0, phone always, SSN when id%5=0 — both engines build
+      the same string, so match counts and redacted-char deltas are
+      exactly replayable). v1 = Σ per-doc total matches, v2 = avg
+      chars removed by redaction.
+    - 'decon': eval-set decontamination (llm/decontam.py) — eval =
+      id%7==0, train = rest, flag any train doc sharing a word 8-gram
+      with the eval corpus (broadcast semi-join; the testdata's real
+      near-dup pairs supply the contamination signal). v1 = flagged
+      count, v2 = flagged fraction; zero-hit sources zero-fill via
+      left join.
+    """
+    from mars_spark.llm import decontam as DC
+    from mars_spark.llm import pii as PII
+
+    d = load(sf_dir, "documents").to_spark()
+
+    rep = (
+        d.select("source",
+                 T.dup_ngram_fraction(F.col("text"), 2).alias("dup2"),
+                 T.top_word_fraction(F.col("text")).alias("topw"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("dup2"), 4).alias("v1"),
+             F.round(F.avg("topw"), 4).alias("v2"))
+        .select(F.lit("rep").alias("grp"), F.col("source").alias("k"),
+                "n", "v1", "v2"))
+
+    did = F.col("doc_id")
+    email = F.when(did % 2 == 0, F.concat(
+        F.lit(" contact u"), did.cast("string"), F.lit("@ex"),
+        (did % 7).cast("string"), F.lit("a.com"))).otherwise(F.lit(""))
+    ip = F.when(did % 3 == 0, F.concat(
+        F.lit(" ip 10."), (did % 256).cast("string"),
+        F.lit(".0.1"))).otherwise(F.lit(""))
+    phone = F.concat(
+        F.lit(" tel 555-"),
+        F.lpad((did % 900 + 100).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))
+    ssn = F.when(did % 5 == 0, F.lit(" ssn 987-65-4321")).otherwise(F.lit(""))
+    aug = d.select(
+        "source", F.concat(F.col("text"), email, ip, phone, ssn).alias("aug"))
+    pii_rows = (
+        aug.select(
+            "source",
+            PII.pii_report(F.col("aug"))["total"].alias("tot"),
+            (F.length("aug") - F.length(PII.redact(F.col("aug"))))
+            .alias("removed"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("tot").cast("double").alias("v1"),
+             F.round(F.avg("removed"), 2).alias("v2"))
+        .select(F.lit("pii").alias("grp"), F.col("source").alias("k"),
+                "n", "v1", "v2"))
+
+    ev = d.filter(did % 7 == 0)
+    tr = d.filter(did % 7 != 0)
+    bad = DC.contaminated_ids(tr, ev, "text", "doc_id", k=8)
+    bad_src = (tr.join(bad, "doc_id", "left_semi")
+               .groupBy("source").agg(F.count(F.lit(1)).alias("n_bad")))
+    dec = (
+        tr.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .join(bad_src, "source", "left")
+        .select(F.lit("decon").alias("grp"), F.col("source").alias("k"),
+                "n",
+                F.coalesce(F.col("n_bad"), F.lit(0)).cast("double")
+                .alias("v1"),
+                F.round(F.coalesce(F.col("n_bad"), F.lit(0))
+                        / F.col("n"), 4).alias("v2")))
+
+    return rep.unionByName(pii_rows).unionByName(dec)
 
 
 PIPELINE_QUERIES = {

@@ -58,6 +58,93 @@ def _simhash16() -> str:
     return f"CAST({bits} AS BIGINT)"
 
 
+# Corpus-hygiene oracle (r7): repetition filters + PII redaction +
+# eval-set decontamination, unioned into docs_text_metrics. The
+# Spark side computes dup-ngram / top-word fractions with
+# higher-order Column folds; this SQL states the same per-doc
+# quantities relationally (list ops / unnest + group). PII strings
+# are rebuilt from doc_id with identical CASE rules; regexes live
+# in the Java-regex / RE2 intersection so both engines agree.
+_HYGIENE_SQL = """
+        WITH norm AS (
+            SELECT doc_id, source,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+            FROM documents
+        ), rep_doc AS (
+            SELECT doc_id, source, ws,
+                   list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                                  i -> array_to_string(ws[i:i+1], ' ')) AS g2
+            FROM norm
+        ), rep_frac AS (
+            SELECT doc_id, source,
+                   round((len(g2) - len(list_distinct(g2)))
+                         / greatest(len(g2), 1)::DOUBLE, 4) AS dup2
+            FROM rep_doc
+        ), wcount AS (
+            SELECT doc_id, any_value(source) AS source,
+                   round(max(c)::DOUBLE / greatest(sum(c), 1), 4) AS topw
+            FROM (SELECT doc_id, source, w, count(*) AS c
+                  FROM norm, UNNEST(ws) AS u(w) GROUP BY 1, 2, 3)
+            GROUP BY doc_id
+        ), rep AS (
+            SELECT 'rep' AS grp, r.source AS k, count(*) AS n,
+                   round(avg(r.dup2), 4) AS v1, round(avg(w.topw), 4) AS v2
+            FROM rep_frac r JOIN wcount w USING (doc_id)
+            GROUP BY r.source
+        ), aug AS (
+            SELECT doc_id, source, text
+                || CASE WHEN doc_id % 2 = 0 THEN ' contact u' || doc_id
+                        || '@ex' || (doc_id % 7) || 'a.com' ELSE '' END
+                || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' || (doc_id % 256)
+                        || '.0.1' ELSE '' END
+                || ' tel 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || CASE WHEN doc_id % 5 = 0 THEN ' ssn 987-65-4321' ELSE '' END AS a
+            FROM documents
+        ), pii_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(a, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                 + len(regexp_extract_all(a, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                 + len(regexp_extract_all(a, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+                 + len(regexp_extract_all(a, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS tot,
+                   length(a) - length(
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                           '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS removed
+            FROM aug
+        ), pii AS (
+            SELECT 'pii' AS grp, source AS k, count(*) AS n,
+                   CAST(sum(tot) AS DOUBLE) AS v1,
+                   round(avg(removed), 2) AS v2
+            FROM pii_doc GROUP BY source
+        ), evg AS (
+            SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
+            FROM norm, UNNEST(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
+            WHERE doc_id % 7 = 0
+        ), trg AS (
+            SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+7], ' ') AS gram
+            FROM norm, UNNEST(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
+            WHERE doc_id % 7 <> 0
+        ), bad AS (
+            SELECT DISTINCT doc_id, source FROM trg
+            WHERE gram IN (SELECT gram FROM evg)
+        ), bad_src AS (
+            SELECT source, count(*) AS n_bad FROM bad GROUP BY source
+        ), dec AS (
+            SELECT 'decon' AS grp, t.source AS k, t.n,
+                   CAST(coalesce(b.n_bad, 0) AS DOUBLE) AS v1,
+                   round(coalesce(b.n_bad, 0) / t.n::DOUBLE, 4) AS v2
+            FROM (SELECT source, count(*) AS n FROM documents
+                  WHERE doc_id % 7 <> 0 GROUP BY source) t
+            LEFT JOIN bad_src b USING (source)
+        )
+        SELECT * FROM rep
+        UNION ALL SELECT * FROM pii
+        UNION ALL SELECT * FROM dec
+    """
+
 PIPELINE_ORACLES: dict[str, str] = {
     # ------------------------------------------------------------- events
     # oracle for the REAL Structured Streaming run: bounded stream +
@@ -324,6 +411,11 @@ PIPELINE_ORACLES: dict[str, str] = {
                       FROM documents)
             ) GROUP BY pb, pack_id
         ) GROUP BY pb
+        UNION ALL
+        SELECT grp AS lang, k AS pred_lang, n AS n_docs,
+               v1 AS avg_tokens, v2 AS avg_chars,
+               CAST(NULL AS DOUBLE) AS avg_quality
+        FROM ({_HYGIENE_SQL}) hyg
     """,
     "docs_dedup_simhash": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),

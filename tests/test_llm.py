@@ -410,3 +410,82 @@ def test_multimodal_wav_24bit_and_truncated_ppm(spark):
     assert abs(f1[2] - dur) < 1e-6
     assert abs(f1[3] - amp / np.sqrt(2)) < 0.01  # real decode, not hash
     assert len(out[2]) == 32 and len(out[3]) == 32  # fallback, no hang
+
+
+def test_pii_redact_and_count(spark):
+    from mars_spark.llm import pii as P
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2],
+        "text": [
+            "mail bob@example.com or admin@sub.host.org now",
+            "server 10.0.0.1 phone 555-123-4567 ssn 123-45-6789",
+            "clean text with no pii at all",
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(
+        "id",
+        P.redact(F.col("text")).alias("red"),
+        P.pii_report(F.col("text")).alias("rep"),
+    ).toPandas().set_index("id")
+    assert out.red[0] == "mail <EMAIL> or <EMAIL> now"
+    assert out.red[1] == "server <IP> phone <PHONE> ssn <SSN>"
+    assert out.red[2] == pdf.text[2]
+    assert out.rep[0]["email"] == 2 and out.rep[0]["total"] == 2
+    r1 = out.rep[1]
+    assert (r1["ipv4"], r1["phone"], r1["ssn"], r1["total"]) == (1, 1, 1, 3)
+    # an email at an IP host has no alphabetic TLD -> the IP rule
+    # catches the host (documented: local part survives, address gone)
+    host = spark.createDataFrame([("x bob@10.0.0.1 y",)], "text string") \
+        .select(P.redact(F.col("text")).alias("r")).head().r
+    assert host == "x bob@<IP> y"
+
+
+def test_repetition_metrics(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2],
+        "text": [
+            "spam spam spam spam",                  # one word repeated
+            "a b c d e f g h",                      # repetition-free
+            "one two one two one two three",        # cycling bigrams
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(
+        "id",
+        T.dup_ngram_fraction(F.col("text"), 2).alias("dup2"),
+        T.top_word_fraction(F.col("text")).alias("topw"),
+    ).toPandas().set_index("id")
+    # "spam spam spam spam": 3 bigrams all equal -> 2/3 dup; top word 4/4
+    assert abs(out.dup2[0] - round(2 / 3, 4)) < 1e-9
+    assert out.topw[0] == 1.0
+    assert out.dup2[1] == 0.0 and out.topw[1] == 0.125
+    # bigrams: [one two, two one, one two, two one, one two, two three]
+    # distinct 3 -> dup 3/6; top word 'one'/'two' = 3/7
+    assert abs(out.dup2[2] - 0.5) < 1e-9
+    assert abs(out.topw[2] - round(3 / 7, 4)) < 1e-9
+
+
+def test_decontaminate(spark):
+    from mars_spark.llm import decontam as DC
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",   # contains eval 3gram
+            "totally fresh training text about engines",
+            "quick brown fox appears here too",              # shares "quick brown fox"
+            "short doc",                                     # < k tokens
+        ],
+    }))
+    ev = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["benchmark asks about the quick brown fox riddle"],
+    }))
+    bad = DC.contaminated_ids(train, ev, "text", "doc_id", k=3)
+    assert sorted(r.doc_id for r in bad.collect()) == [0, 2]
+    kept = DC.decontaminate(train, ev, "text", "doc_id", k=3)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    # short-doc partial-gram path: identical short docs match
+    ev2 = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": ["short doc"]}))
+    bad2 = DC.contaminated_ids(train, ev2, "text", "doc_id", k=13)
+    assert [r.doc_id for r in bad2.collect()] == [3]
