@@ -19,6 +19,7 @@ from mars_spark.learn.facade import (
     MinMaxScaler,
     StandardScaler,
     train_test_split,
+    hash_split,
     accuracy_score,
     mean_squared_error,
     r2_score,
@@ -26,6 +27,6 @@ from mars_spark.learn.facade import (
 
 __all__ = [
     "KMeans", "PCA", "LinearRegression", "LogisticRegression",
-    "MinMaxScaler", "StandardScaler", "train_test_split",
+    "MinMaxScaler", "StandardScaler", "train_test_split", "hash_split",
     "accuracy_score", "mean_squared_error", "r2_score",
 ]

@@ -364,10 +364,40 @@ def normalize(df, col: str, norm: str = "l2"):
 
 def train_test_split(df, test_size: float = 0.25, seed: int = 42):
     """reference: mars/learn/model_selection/_split.py:29 →
-    randomSplit (per-partition Bernoulli — no global shuffle)."""
+    randomSplit (per-partition Bernoulli — no global shuffle).
+
+    NOTE: randomSplit membership depends on the partition layout —
+    re-running after a repartition yields a DIFFERENT split. For the
+    reproducible production contract, use ``hash_split``."""
     sdf = _sdf(df)
     train, test = sdf.randomSplit([1 - test_size, test_size], seed=seed)
     return train, test
+
+
+def hash_split(df, test_size: float = 0.25, id_col: str = "id",
+               seed=42):
+    """Deterministic train/test split keyed on ``md5(seed|id)`` (the
+    llm/mixture.py hash-Bernoulli rule): a row is test iff its first 6
+    md5 hex chars fall under the test_size threshold.
+
+    Unlike ``randomSplit`` (per-partition seeded), membership depends
+    only on (id, seed): it is stable under repartitioning, speculative
+    retries, cluster size, and engine choice — the SQL oracle replays
+    the exact rule. Both halves are narrow filters over the input (no
+    shuffle, no materialization); resolution is 16^-6 ≈ 6e-8."""
+    from mars_spark.llm.mixture import _HEX_SPAN
+
+    sdf = _sdf(df)
+    t = max(0, min(_HEX_SPAN, int(round(test_size * _HEX_SPAN))))
+    if t >= _HEX_SPAN:
+        return sdf.filter(F.lit(False)), sdf
+    if t <= 0:
+        return sdf, sdf.filter(F.lit(False))
+    key = F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 6)
+    is_test = key < F.lit(format(t, "06x"))
+    return sdf.filter(~is_test), sdf.filter(is_test)
 
 
 # ------------------------------------------------------------------ metrics

@@ -534,14 +534,27 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         le_out = L.LabelEncoder().fit_transform(e, "event_type")
         return le_out.agg(F.sum("event_type_code")).collect()[0][0]
 
-    with ThreadPoolExecutor(max_workers=7) as ex:
-        f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le = (
+    def _split():
+        # r7: the split family driver-verified via the deterministic
+        # hash_split (md5-rule membership — randomSplit's output is
+        # partition-layout-dependent and legitimately un-oracle-able;
+        # the hash rule is the reproducible contract and the oracle
+        # replays it exactly)
+        tr, te = L.hash_split(f, test_size=0.25, id_col="event_id",
+                              seed=11)
+        a = tr.agg(F.count(F.lit(1)), F.sum("value")).collect()[0]
+        b = te.agg(F.count(F.lit(1)), F.sum("value")).collect()[0]
+        return int(a[0]), float(a[1]), int(b[0]), float(b[1])
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp = (
             ex.submit(fn)
-            for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le))
+            for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le, _split))
         (acc, prf, ll), auc = f_cls.result(), f_auc.result()
         lr, r2, mse = f_reg.result()
         glm_slope, ev1 = f_glm.result(), f_pca.result()
         mm_mean, le_sum = f_mm.result(), f_le.result()
+        tr_n, tr_vs, te_n, te_vs = f_sp.result()
     f._sdf.unpersist()
 
     def r6(x: float) -> float:
@@ -556,11 +569,12 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
           r6(ll), r6(auc), r4(lr.coef_[0]), r4(lr.intercept_),
           r6(r2), r4(mse), r6(ev1), r6(mm_mean), int(le_sum),
-          r4(glm_slope))],
+          r4(glm_slope), tr_n, r4(tr_vs), te_n, r4(te_vs))],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
         "r2 double, mse double, pca_ev1 double, mm_mean double, "
-        "le_sum long, glm_slope double")
+        "le_sum long, glm_slope double, split_tr_n long, "
+        "split_tr_vsum double, split_te_n long, split_te_vsum double")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -305,7 +305,9 @@ OPS_ORACLES: dict[str, str] = {
                      * 1e6 + 0.5) / 1e6 AS pca_ev1,
                floor(mm.mm_mean * 1e6 + 0.5) / 1e6 AS mm_mean,
                le.le_sum,
-               floor(slope * 1e4 + 0.5) / 1e4 AS glm_slope
+               floor(slope * 1e4 + 0.5) / 1e4 AS glm_slope,
+               sp.split_tr_n, sp.split_tr_vsum,
+               sp.split_te_n, sp.split_te_vsum
         FROM base CROSS JOIN a CROSS JOIN reg
         CROSS JOIN (
             SELECT var_samp(CAST((event_id * 37) % 1000 AS DOUBLE)
@@ -326,6 +328,20 @@ OPS_ORACLES: dict[str, str] = {
                              AS code
                   FROM (SELECT DISTINCT event_type FROM events))
                 USING (event_type)) le
+        -- hash_split (learn/facade.py): test iff substr(md5(seed|id),
+        -- 1,6) < hex(0.25 * 16^6) = '400000', seed 11
+        CROSS JOIN (
+            SELECT CAST(sum(CASE WHEN k >= '400000' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS split_tr_n,
+                   floor(sum(CASE WHEN k >= '400000' THEN value END)
+                         * 1e4 + 0.5) / 1e4 AS split_tr_vsum,
+                   CAST(sum(CASE WHEN k < '400000' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS split_te_n,
+                   floor(sum(CASE WHEN k < '400000' THEN value END)
+                         * 1e4 + 0.5) / 1e4 AS split_te_vsum
+            FROM (SELECT value,
+                         substr(md5('11|' || event_id), 1, 6) AS k
+                  FROM events)) sp
     """,
     "op_groupby_rowops": """
         WITH f AS (

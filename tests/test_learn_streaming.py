@@ -76,6 +76,38 @@ def test_train_test_split(spark, reg_data):
     assert 0.2 < n_te / len(reg_data) < 0.4
 
 
+def test_hash_split_deterministic(spark, reg_data):
+    import pandas as pd
+
+    pdf = reg_data.copy()
+    pdf["id"] = range(len(pdf))
+    f = ms.from_pandas(pdf)
+    tr, te = L.hash_split(f, test_size=0.3, id_col="id", seed=5)
+    tr_ids = sorted(r.id for r in tr.select("id").collect())
+    te_ids = sorted(r.id for r in te.select("id").collect())
+    # exact partition: disjoint, exhaustive, roughly sized
+    assert len(tr_ids) + len(te_ids) == len(pdf)
+    assert not set(tr_ids) & set(te_ids)
+    assert 0.2 < len(te_ids) / len(pdf) < 0.4
+    # membership survives repartitioning (randomSplit's does NOT)
+    f2 = ms.from_pandas(pdf).to_spark().repartition(7)
+    _, te2 = L.hash_split(f2, test_size=0.3, id_col="id", seed=5)
+    assert sorted(r.id for r in te2.select("id").collect()) == te_ids
+    # and replays in any engine with md5: pandas re-derivation
+    import hashlib
+
+    expect = sorted(
+        i for i in pdf.id
+        if hashlib.md5(f"5|{i}".encode()).hexdigest()[:6]
+        < format(int(round(0.3 * 16**6)), "06x"))
+    assert te_ids == expect
+    # degenerate fractions short-circuit
+    tr0, te0 = L.hash_split(f, test_size=0.0, id_col="id")
+    tr1, te1 = L.hash_split(f, test_size=1.0, id_col="id")
+    assert te0.count() == 0 and tr0.count() == len(pdf)
+    assert tr1.count() == 0 and te1.count() == len(pdf)
+
+
 def test_streaming_tumbling(spark):
     """File-source stream → tumbling window agg → memory sink."""
     pdf = pd.DataFrame({
