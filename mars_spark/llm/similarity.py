@@ -433,6 +433,43 @@ def ivf_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
     return assigned, centroids
 
 
+def semantic_dedup(sdf: SparkDF, vec_col: str, threshold: float = 0.95,
+                   n_clusters: int = 16, id_col: str = "vec_id") -> SparkDF:
+    """SemDeDup-style embedding dedup: coarse-cluster the vectors, then
+    drop any vector with a lower-id neighbor at cosine >= threshold
+    INSIDE ITS CLUSTER. Returns the surviving rows of ``sdf``.
+
+    The cluster pass is what makes this sub-quadratic: candidate pairs
+    are confined to cells of ~n/k vectors, so the pair count is
+    ~n²/k instead of n² — k is the knob that trades recall (near-dups
+    straddling a cell boundary are missed, like any ANN method) for
+    cost. Clustering uses the deterministic IVF quantizer
+    (ivf_index_deterministic, refine=False): seed centroids are the
+    k smallest-id vectors, so assignment — and therefore the dedup
+    verdict — is bit-reproducible across partitionings AND replayable
+    by the SQL oracle (argmax of k dot products). The in-cluster pass
+    is a self-join shuffled on the cluster key with bounded reducers;
+    at 100 TB, write the assigned table partitioned by cluster first
+    and the join becomes co-located. A hot cell (skewed cluster)
+    is the one operational risk — monitor cell sizes and split hot
+    cells by re-seeding locally (or raise k).
+    """
+    assigned, _ = ivf_index_deterministic(
+        sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+    a = assigned.select(F.col(id_col).alias("__ia"),
+                        F.col("e").alias("__ea"), "cluster")
+    b = assigned.select(F.col(id_col).alias("__ib"),
+                        F.col("e").alias("__eb"), "cluster")
+    # vectors are unit-normalized by the quantizer: cosine == dot
+    dropped = (
+        a.join(b.hint("shuffle_hash"), "cluster")
+        .filter(F.col("__ib") < F.col("__ia"))
+        .filter(dot(F.col("__ea"), F.col("__eb")) >= threshold)
+        .select(F.col("__ia").alias(id_col)).distinct()
+    )
+    return sdf.join(dropped, id_col, "left_anti")
+
+
 def ivf_search(assigned: SparkDF, centroids: list[list[float]],
                query: list[float], k: int = 10, n_probe: int = 4,
                id_col: str = "vec_id") -> SparkDF:

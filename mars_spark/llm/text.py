@@ -119,39 +119,34 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
+def _gram_extract(col: Column, k: int) -> Column:
+    """ALL word k-grams of the normalized text, in order, via ONE
+    native regex pass: the pattern captures the k-word window in a
+    lookahead (so matches overlap), then consumes one token to
+    advance. regexp_extract_all is a codegen'd JVM expression — the
+    earlier ``transform`` + k×``try_element_at`` form was interpreted
+    per element and measured ~10-30× slower on the corpus (Catalyst
+    never compiles lambda HOFs). Docs shorter than k tokens yield
+    their single partial gram (the whole normalized doc), matching
+    the list-slice truncation the SQL oracle uses."""
+    s = normalize(col)
+    pat = rf"(?=([^ ]+(?: [^ ]+){{{k - 1}}}))[^ ]+"
+    return F.when(
+        F.size(F.split(s, " ")) < k, F.array(s)
+    ).otherwise(F.regexp_extract_all(s, F.lit(pat), 1))
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles — input to minhash/jaccard dedup.
-
-    Pure higher-order expressions (sequence/transform), no explode, so
-    the per-row work stays inside codegen. Short docs (<k tokens)
-    produce their single partial shingle (concat_ws skips nulls).
-    """
-    t = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
-    # try_element_at: docs shorter than k tokens index past the end —
-    # NULL there (concat_ws skips it) instead of an ANSI-mode error
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(t, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.array_distinct(grams)
+    One narrow regex scan per row (see _gram_extract), no shuffle."""
+    return F.array_distinct(_gram_extract(col, k))
 
 
 def word_ngrams(col: Column, k: int = 2) -> Column:
     """ALL word k-grams in order (duplicates kept — the repetition
     metrics below need multiplicity; ``word_shingles`` is the distinct
-    variant). Docs shorter than k tokens yield their single partial
-    gram. Pure higher-order expressions, no explode."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(t, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    variant)."""
+    return _gram_extract(col, k)
 
 
 def dup_ngram_fraction(col: Column, k: int = 2) -> Column:

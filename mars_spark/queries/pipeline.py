@@ -383,10 +383,18 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
     approx = S.ivf_search(assigned, centroids, list(query), k=10, n_probe=8)
     exact = S.topk_bruteforce(e, "embedding", list(query), k=10)
     hits = approx.select("vec_id").join(exact.select("vec_id"), on="vec_id")
+    # r7: SemDeDup-style semantic dedup (similarity.semantic_dedup)
+    # rides the same deterministic quantizer, so its verdict is fully
+    # value-replayable: the oracle re-derives cluster assignment
+    # (argmax of 16 seed dots) and the min-id drop rule in SQL and
+    # must land on the same kept/total counts.
+    kept = S.semantic_dedup(e, "embedding", threshold=0.95, n_clusters=16)
+    sem = (kept.agg(F.count(F.lit(1)).alias("sem_kept"))
+           .crossJoin(e.agg(F.count(F.lit(1)).alias("n_vec"))))
     return hits.agg(
         F.lit(10).alias("k"),
         (F.count(F.lit(1)) >= 9).alias("recall_pass"),
-    )
+    ).crossJoin(F.broadcast(sem))
 
 
 def events_hourly_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -554,8 +554,39 @@ PIPELINE_ORACLES: dict[str, str] = {
     # The IVF search contract: recall@10 >= 0.9 vs the exact top-10,
     # computed inside the Spark plan (emb_ann_recall); the oracle is the
     # expected constant row — a regression flips recall_pass.
+    # recall_pass is the expected-constant contract (an index/search
+    # regression flips it); the semantic-dedup counts are a FULL value
+    # replay: unit-normalize, assign to the argmax of the 16 smallest-
+    # id seed vectors (first-max tie-break = smallest seed id), drop
+    # any vector with a smaller-id same-cluster neighbor at cos>=0.95
     "emb_ann_recall": """
-        SELECT 10 AS k, true AS recall_pass
+        WITH u AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]))) AS e
+            FROM embeddings
+        ), seeds AS (
+            SELECT vec_id AS sid, e AS se FROM u WHERE vec_id < 16
+        ), asg AS (
+            SELECT vec_id, e, sid AS cluster FROM (
+                SELECT u.vec_id, u.e, s.sid,
+                       row_number() OVER (
+                           PARTITION BY u.vec_id
+                           ORDER BY list_dot_product(u.e, s.se) DESC,
+                                    s.sid ASC) AS rn
+                FROM u CROSS JOIN seeds s
+            ) WHERE rn = 1
+        ), drops AS (
+            SELECT DISTINCT a.vec_id
+            FROM asg a JOIN asg b
+              ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+            WHERE list_dot_product(a.e, b.e) >= 0.95
+        )
+        SELECT 10 AS k, true AS recall_pass,
+               (SELECT count(*) FROM u)
+                   - (SELECT count(*) FROM drops) AS sem_kept,
+               (SELECT count(*) FROM u) AS n_vec
     """,
     "events_hourly_funnel": """
         WITH hourly AS (

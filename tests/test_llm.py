@@ -489,3 +489,30 @@ def test_decontaminate(spark):
     ev2 = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": ["short doc"]}))
     bad2 = DC.contaminated_ids(train, ev2, "text", "doc_id", k=13)
     assert [r.doc_id for r in bad2.collect()] == [3]
+
+
+def test_semantic_dedup(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 8))
+    # planted near-dups: 20..24 are scaled copies of 0..4 (cosine 1.0)
+    for i in range(5):
+        vecs[20 + i] = vecs[i] * 1.7
+    pdf = pd.DataFrame({"vec_id": range(30),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf)
+    kept = S.semantic_dedup(sdf, "embedding", threshold=0.95, n_clusters=4)
+    kept_ids = sorted(r.vec_id for r in kept.select("vec_id").collect())
+
+    # numpy replay of the exact contract: unit vectors, argmax-dot
+    # assignment to the 4 smallest-id seeds, drop on a smaller-id
+    # same-cluster neighbor at cos >= t
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    seeds = u[:4]
+    cl = np.argmax(u @ seeds.T, axis=1)
+    expect = [i for i in range(30)
+              if not any(cl[j] == cl[i] and u[i] @ u[j] >= 0.95
+                         for j in range(i))]
+    assert kept_ids == expect
+    # the planted copies must be gone, their originals kept
+    assert not set(range(20, 25)) & set(kept_ids)
+    assert set(range(5)) <= set(kept_ids)
