@@ -224,3 +224,50 @@ def test_concat_isin_matches_pandas(spark, keys):
     assert two.count() == 2 * len(pdf)
     got = f[f.k.isin([0, 2])].count()
     assert got == int(pdf.k.isin([0, 2]).sum())
+
+
+@given(words=st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                      min_size=0, max_size=20),
+       k=st.integers(min_value=2, max_value=9))
+@_settings
+def test_word_ngrams_match_reference(spark, words, k):
+    """Guards the overlapping-lookahead regexp_extract_all n-gram
+    builder (llm/text._gram_extract) against a plain Python
+    reference, including the short-doc partial-gram rule and the
+    distinct variant."""
+    from pyspark.sql import functions as F
+
+    from mars_spark.llm import text as T
+
+    text = " ".join(words)
+    sdf = spark.createDataFrame([(text,)], "text string")
+    row = sdf.select(
+        T.word_ngrams(F.col("text"), k).alias("all"),
+        T.word_shingles(F.col("text"), k).alias("uniq"),
+    ).head()
+    toks = text.split(" ") if text else [""]
+    if len(toks) < k:
+        exp = [" ".join(toks)]
+    else:
+        exp = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    assert list(row["all"]) == exp
+    assert list(row["uniq"]) == list(dict.fromkeys(exp))
+
+
+@given(lt=st.lists(st.integers(min_value=0, max_value=60),
+                   min_size=1, max_size=15),
+       rt=st.lists(st.integers(min_value=0, max_value=60),
+                   min_size=1, max_size=15),
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
+@_settings
+def test_merge_asof_directions_match_pandas(spark, lt, rt, direction):
+    from mars_spark.operators.merge import merge_asof
+
+    left = pd.DataFrame({"t": sorted(lt)}).reset_index(names="li")
+    right = pd.DataFrame({"t": sorted(set(rt))}).reset_index(names="ri")
+    ml, mr = ms.from_pandas(left), ms.from_pandas(right)
+    got = (merge_asof(ml, mr, on="t", direction=direction)
+           .to_pandas().sort_values("li").reset_index(drop=True))
+    exp = pd.merge_asof(left, right, on="t", direction=direction)
+    assert list(got.li) == list(exp.li)
+    assert list(got.ri.fillna(-1)) == list(exp.ri.fillna(-1))
