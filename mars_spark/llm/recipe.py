@@ -1,0 +1,82 @@
+"""Declarative corpus-cleaning recipe — the composition layer over
+the hygiene operators (text quality/repetition filters, PII
+redaction, dedup, eval-set decontamination).
+
+ADDITIVE (SURVEY.md §1.1): each stage is individually implemented and
+driver-verified elsewhere (llm/text.py, llm/pii.py, llm/dedup.py,
+llm/decontam.py); this module fixes the ORDER a 100 TB run wants:
+
+1. narrow per-row filters first (quality, repetition, language) —
+   pure Column predicates that reach the parquet scan and prune data
+   before anything shuffles;
+2. PII redaction next (narrow map, must precede fingerprinting so
+   redacted text is what gets deduped and shipped);
+3. dedup (the first shuffle — exact fingerprint or MinHash-LSH);
+4. decontamination last (broadcast semi-join against the small eval
+   gram set — cheapest on the already-shrunk corpus).
+
+The whole recipe stays ONE lazy DataFrame plan: Catalyst collapses
+the narrow stages into the scan projection, so stages cost one pass,
+not one pass each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from mars_spark.llm import decontam as _decontam
+from mars_spark.llm import dedup as _dedup
+from mars_spark.llm import pii as _pii
+from mars_spark.llm import text as _text
+
+
+def quality_predicate(col: Column, *, min_quality: float = 0.0,
+                      max_dup2: float = 1.0, max_topw: float = 1.0,
+                      min_tokens: int = 0,
+                      langs: list[str] | None = None) -> Column:
+    """The keep-row predicate for the filter stage — one Column
+    expression so it folds into the scan."""
+    keep = F.lit(True)
+    if min_quality > 0.0:
+        keep = keep & (_text.quality_score(col) >= min_quality)
+    if max_dup2 < 1.0:
+        keep = keep & (_text.dup_ngram_fraction(col, 2) <= max_dup2)
+    if max_topw < 1.0:
+        keep = keep & (_text.top_word_fraction(col) <= max_topw)
+    if min_tokens > 0:
+        keep = keep & (_text.token_count(col) >= min_tokens)
+    if langs:
+        keep = keep & _text.language_id(col).isin(langs)
+    return keep
+
+
+def clean_corpus(docs: SparkDF, *, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_quality: float = 0.0, max_dup2: float = 1.0,
+                 max_topw: float = 1.0, min_tokens: int = 0,
+                 langs: list[str] | None = None,
+                 redact_pii: bool = True,
+                 dedup: str | None = "exact",
+                 dedup_threshold: float = 0.5,
+                 eval_df: SparkDF | None = None,
+                 decontam_k: int = 13):
+    """Run the standard pretraining-hygiene pipeline; returns the
+    cleaned frame (same schema, ``text_col`` redacted in place when
+    ``redact_pii``). ``dedup`` ∈ {None, 'exact', 'minhash'}."""
+    out = docs.filter(quality_predicate(
+        F.col(text_col), min_quality=min_quality, max_dup2=max_dup2,
+        max_topw=max_topw, min_tokens=min_tokens, langs=langs))
+    if redact_pii:
+        out = out.withColumn(text_col, _pii.redact(F.col(text_col)))
+    if dedup == "exact":
+        out = _dedup.exact_dedup(out, text_col, id_col)
+    elif dedup == "minhash":
+        out = _dedup.minhash_dedup(out, text_col, id_col,
+                                   threshold=dedup_threshold)
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup mode {dedup!r}")
+    if eval_df is not None:
+        out = _decontam.decontaminate(out, eval_df, text_col, id_col,
+                                      k=decontam_k)
+    return out

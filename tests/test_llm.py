@@ -516,3 +516,34 @@ def test_semantic_dedup(spark):
     # the planted copies must be gone, their originals kept
     assert not set(range(20, 25)) & set(kept_ids)
     assert set(range(5)) <= set(kept_ids)
+
+
+def test_clean_corpus_recipe(spark):
+    from mars_spark.llm import recipe as R
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "a rich and varied document about the nature of things",
+            "a rich and varied document about the nature of things",  # dup
+            "spam spam spam spam spam spam spam spam",                # repetitive
+            "short",                                                  # too short
+            "contact me at bob@example.com for the full data set",    # pii
+            "the quick brown fox jumps over the lazy benchmark dog",  # contaminated
+        ],
+    })
+    ev = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [99], "text": ["quick brown fox jumps"]}))
+    out = R.clean_corpus(
+        spark.createDataFrame(pdf), max_topw=0.5, min_tokens=3,
+        redact_pii=True, dedup="exact", eval_df=ev, decontam_k=4,
+    ).toPandas().sort_values("doc_id")
+    # 1 deduped vs 0, 2 repetition-filtered, 3 under min_tokens,
+    # 5 decontaminated; 4 survives with its email redacted
+    assert list(out.doc_id) == [0, 4]
+    assert "<EMAIL>" in out[out.doc_id == 4].text.iloc[0]
+    # narrow stages fold into one scan: the plan shows no shuffle
+    # before the dedup aggregate
+    plan = R.clean_corpus(spark.createDataFrame(pdf), min_tokens=2,
+                          dedup=None, redact_pii=True)
+    txt = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in txt
