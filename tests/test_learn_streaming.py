@@ -683,3 +683,61 @@ def test_stream_stream_join_bounded_state(spark):
     # click 7 attributes to view 100; click 8 is outside the 2-minute
     # bound (no row); click 9 (batch 2) attributes to view 200
     assert pairs == [(7, 100), (9, 200)]
+
+
+def test_streaming_corpus_hygiene(spark):
+    """Streaming corpus ingestion: the hygiene stages (quality/
+    repetition predicate, PII redaction, fingerprinting) are all
+    stateless narrow maps, so they compose directly onto a stream;
+    dedup becomes dropDuplicatesWithinWatermark on the fingerprint.
+    The streamed result must equal the batch clean_corpus verdict on
+    the same data (everything arrives inside one watermark here)."""
+    from pyspark.sql import functions as F
+
+    from mars_spark.llm import pii as P
+    from mars_spark.llm import recipe as R
+    from mars_spark.llm import text as T
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:05"] * 5),
+        "doc_id": range(5),
+        "text": [
+            "a rich and varied document about the nature of things",
+            "a rich and varied document about the nature of things",
+            "spam spam spam spam spam spam",
+            "write to ann@example.org for the complete archive",
+            "an unrelated clean document mentioning nothing special",
+        ],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = St.read_stream(
+            spark, "parquet", src,
+            schema="ts timestamp, doc_id long, text string")
+        cleaned = (
+            stream
+            .filter(R.quality_predicate(F.col("text"), max_topw=0.5,
+                                        min_tokens=3))
+            .withColumn("text", P.redact(F.col("text")))
+            .withColumn("fp", T.fingerprint(F.col("text"))))
+        deduped = St.stream_dedup(cleaned, ["fp"], "ts", "10 minutes")
+        q = St.write_stream(deduped, "memory", query_name="hyg",
+                            output_mode="append")
+        try:
+            q.processAllAvailable()
+            out = spark.sql("select doc_id, text from hyg").toPandas()
+        finally:
+            q.stop()
+    batch = R.clean_corpus(
+        spark.createDataFrame(pdf.drop(columns="ts")), max_topw=0.5,
+        min_tokens=3, redact_pii=True, dedup="exact").toPandas()
+    # batch exact dedup keeps min-id deterministically; the streaming
+    # dedup keeps the FIRST-SEEN row of a fingerprint, which within a
+    # single micro-batch is partition-order-dependent — either of the
+    # two identical docs may survive (semantics, not a bug: arrival
+    # order IS the streaming contract). Compare modulo that choice.
+    assert sorted(batch.doc_id) == [0, 3, 4]
+    got = sorted(out.doc_id)
+    assert got in ([0, 3, 4], [1, 3, 4])
+    assert "<EMAIL>" in out.set_index("doc_id").text[3]

@@ -271,3 +271,37 @@ def test_merge_asof_directions_match_pandas(spark, lt, rt, direction):
     exp = pd.merge_asof(left, right, on="t", direction=direction)
     assert list(got.li) == list(exp.li)
     assert list(got.ri.fillna(-1)) == list(exp.ri.fillna(-1))
+
+
+@given(vals=st.lists(st.floats(min_value=-20, max_value=20,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=25),
+       edges=st.lists(st.integers(min_value=-20, max_value=20),
+                      min_size=2, max_size=6, unique=True),
+       right=st.booleans())
+@_settings
+def test_cut_matches_pandas(spark, vals, edges, right):
+    bins = sorted(float(e) for e in edges)
+    pdf = pd.DataFrame({"i": range(len(vals)), "v": vals})
+    f = ms.from_pandas(pdf)
+    labels = [f"b{j}" for j in range(len(bins) - 1)]
+    got = (f.assign(b=ms.cut(f.v, bins=bins, labels=labels, right=right))
+           .to_pandas().sort_values("i").b)
+    exp = pd.cut(pdf.sort_values("i").v, bins=bins, labels=labels,
+                 right=right).astype(object)
+    assert [x for x in got] == [None if pd.isna(x) else x for x in exp]
+
+
+@given(n=st.integers(min_value=8, max_value=60),
+       q=st.integers(min_value=2, max_value=5))
+@_settings
+def test_qcut_exact_counts_match_pandas(spark, n, q):
+    # distinct values => pandas qcut bin sizes are reproducible; the
+    # engine's exact path must land the same per-bin counts
+    vals = [float(3 * i + (i % 5)) for i in range(n)]
+    pdf = pd.DataFrame({"v": vals})
+    f = ms.from_pandas(pdf)
+    got = (f.assign(b=ms.qcut(f.v, q, exact=True)).to_pandas()
+           .b.value_counts().sort_index())
+    exp = (pd.qcut(pdf.v, q).astype(str).value_counts().sort_index())
+    assert sorted(got.values) == sorted(exp.values)
