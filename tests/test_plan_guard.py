@@ -41,6 +41,7 @@ BNLJ_OK = {
     "tpch_q11_adapted": "group-value threshold scalar",
     "tpch_q20_adapted": "half-avg-quantity scalar",
     "docs_dedup_simhash": "corpus-wide distinct-fp scalar",
+    "emb_ann_recall": "1-row recall + semantic-dedup count blocks",
 }
 
 # Rows whose plans must show non-empty parquet PushedFilters (every
