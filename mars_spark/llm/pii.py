@@ -58,9 +58,9 @@ def redact(col: Column, kinds: list[str] | None = None) -> Column:
 def pii_report(col: Column) -> Column:
     """Struct of per-kind match counts plus the total — one projection
     that a quality-gate filter or per-source rollup consumes."""
-    fields = [pii_count(col, k).alias(k) for k, _, _ in PII_PATTERNS]
+    counts = {k: pii_count(col, k) for k, _, _ in PII_PATTERNS}
     total = None
-    for k, _, _ in PII_PATTERNS:
-        c = pii_count(col, k)
+    for c in counts.values():
         total = c if total is None else total + c
-    return F.struct(*fields, total.alias("total"))
+    return F.struct(*[c.alias(k) for k, c in counts.items()],
+                    total.alias("total"))
