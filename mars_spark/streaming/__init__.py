@@ -8,7 +8,13 @@ from mars_spark.streaming.core import (
     stream_stream_join,
     write_stream,
 )
+from mars_spark.streaming.stateful import (
+    emit_on_close_totals,
+    heavy_hitters,
+    running_totals,
+)
 
 __all__ = ["read_stream", "tumbling_agg", "sliding_agg", "session_agg",
            "stream_dedup", "stream_static_join", "stream_stream_join",
-           "write_stream"]
+           "write_stream", "running_totals", "emit_on_close_totals",
+           "heavy_hitters"]

@@ -49,6 +49,71 @@ def running_totals(sdf: SparkDF, key_col: str, value_col: str,
     )
 
 
+def heavy_hitters(sdf: SparkDF, group_col: str, item_col: str,
+                  capacity: int = 16, ts_col: str = "ts",
+                  watermark: str = "10 minutes") -> SparkDF:
+    """Streaming per-group top-item tracking via the Space-Saving
+    sketch (Metwally, Agrawal & El Abbadi, ICDT 2005 — the public
+    bounded-memory heavy-hitters algorithm): state holds at most
+    ``capacity`` (item, count, err) counters per group. An untracked
+    item evicts the minimum counter, inheriting its count as the
+    overestimation bound ``err`` — so for every emitted row,
+    ``count - err <= true_count <= count``, and when a group's
+    distinct items fit the capacity the counts are EXACT (err = 0).
+
+    Emitted each micro-batch (update mode): the group's current
+    counters. State is O(groups × capacity) regardless of stream
+    length or item cardinality — the property that makes per-key
+    top-k feasible on an unbounded 100 TB/day stream where a
+    groupBy(item).count() would grow without bound."""
+
+    out_schema = (f"{group_col} bigint, item string, count bigint, "
+                  "err bigint")
+    state_schema = ("items array<string>, counts array<bigint>, "
+                    "errs array<bigint>")
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            items, counts, errs = state.get
+            tbl = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+        else:
+            tbl = {}
+        for pdf in pdfs:
+            for item, c in pdf[item_col].value_counts().items():
+                c = int(c)
+                if item in tbl:
+                    tbl[item][0] += c
+                elif len(tbl) < capacity:
+                    tbl[item] = [c, 0]
+                else:
+                    evict = min(tbl, key=lambda k: tbl[k][0])
+                    floor = tbl.pop(evict)[0]
+                    tbl[item] = [floor + c, floor]
+        state.update((list(tbl), [v[0] for v in tbl.values()],
+                      [v[1] for v in tbl.values()]))
+        yield pd.DataFrame({
+            group_col: [key[0]] * len(tbl),
+            "item": list(tbl),
+            "count": [v[0] for v in tbl.values()],
+            "err": [v[1] for v in tbl.values()],
+        })
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def emit_on_close_totals(sdf: SparkDF, key_col: str, value_col: str,
                          ts_col: str = "ts", gap: str = "10 minutes",
                          watermark: str = "10 minutes") -> SparkDF:

@@ -741,3 +741,46 @@ def test_streaming_corpus_hygiene(spark):
     got = sorted(out.doc_id)
     assert got in ([0, 3, 4], [1, 3, 4])
     assert "<EMAIL>" in out.set_index("doc_id").text[3]
+
+
+def test_streaming_heavy_hitters(spark):
+    """Space-saving sketch invariants on a bounded stream: exact when
+    a group's distinct items fit the capacity; when over capacity,
+    count-err <= true <= count and the true heavy hitter leads."""
+    rows = (
+        [("a", "x")] * 8 + [("a", "y")] * 3 + [("a", "z")] * 1
+        # group b: 5 distinct items through capacity 3, skewed to hot
+        + [("b", "hot")] * 20
+        + [("b", it) for it in ["c1", "c2", "c3", "c4"] * 2]
+    )
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:01"] * len(rows)),
+        "g": [1 if g == "a" else 2 for g, _ in rows],
+        "item": [it for _, it in rows],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = St.read_stream(
+            spark, "parquet", src,
+            schema="ts timestamp, g long, item string")
+        hh = St.heavy_hitters(stream, "g", "item", capacity=3)
+        q = St.write_stream(hh, "memory", query_name="hh",
+                            output_mode="update")
+        try:
+            q.processAllAvailable()
+            out = spark.sql("select * from hh").toPandas()
+        finally:
+            q.stop()
+    a = out[out.g == 1].set_index("item")
+    # group a: 3 distinct items == capacity -> exact, err 0
+    assert a["count"].to_dict() == {"x": 8, "y": 3, "z": 1}
+    assert (a.err == 0).all()
+    b = out[out.g == 2].set_index("item").sort_values(
+        "count", ascending=False)
+    true_b = {"hot": 20, "c1": 2, "c2": 2, "c3": 2, "c4": 2}
+    assert len(b) == 3
+    assert b.index[0] == "hot"
+    for item, row in b.iterrows():
+        true = true_b[item]
+        assert row["count"] - row["err"] <= true <= row["count"]
