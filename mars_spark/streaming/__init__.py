@@ -12,9 +12,10 @@ from mars_spark.streaming.stateful import (
     emit_on_close_totals,
     heavy_hitters,
     running_totals,
+    streaming_quantile,
 )
 
 __all__ = ["read_stream", "tumbling_agg", "sliding_agg", "session_agg",
            "stream_dedup", "stream_static_join", "stream_stream_join",
            "write_stream", "running_totals", "emit_on_close_totals",
-           "heavy_hitters"]
+           "heavy_hitters", "streaming_quantile"]

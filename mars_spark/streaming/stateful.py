@@ -114,6 +114,100 @@ def heavy_hitters(sdf: SparkDF, group_col: str, item_col: str,
     )
 
 
+def streaming_quantile(sdf: SparkDF, group_col: str, value_col: str,
+                       q: float = 0.5, ts_col: str = "ts",
+                       watermark: str = "10 minutes") -> SparkDF:
+    """Per-group running q-quantile estimate via the P² algorithm
+    (Jain & Chlamtac, CACM 1985 — the classic constant-memory online
+    quantile estimator): state is FIVE markers per group regardless of
+    stream length, vs the unbounded buffer an exact streaming quantile
+    needs. Emitted each micro-batch (update mode): the group's current
+    estimate and observation count. Until 5 observations arrive the
+    estimate is the exact order statistic of what has been seen.
+
+    Accuracy is the P² contract (markers track the quantile curve by
+    piecewise-parabolic adjustment; typical relative error well under
+    1 % on smooth distributions) — for exact quantiles over a bounded
+    window use the batch ``quantile`` on windowed aggregation
+    output instead."""
+
+    out_schema = f"{group_col} bigint, n bigint, estimate double"
+    state_schema = ("qs array<double>, ns array<double>, "
+                    "count bigint")
+    probs = [0.0, q / 2, q, (1 + q) / 2, 1.0]
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            heights, posns, n = state.get
+            heights, posns = list(heights), list(posns)
+        else:
+            heights, posns, n = [], [1.0, 2.0, 3.0, 4.0, 5.0], 0
+        for pdf in pdfs:
+            for x in pdf[value_col].astype(float):
+                n += 1
+                if len(heights) < 5:
+                    heights.append(x)
+                    heights.sort()
+                    continue
+                # locate cell k of x; clamp ends (markers 0/4 track
+                # the running min/max)
+                if x < heights[0]:
+                    heights[0] = x
+                    k = 0
+                elif x >= heights[4]:
+                    heights[4] = x
+                    k = 3
+                else:
+                    k = next(i for i in range(4)
+                             if heights[i] <= x < heights[i + 1])
+                for i in range(k + 1, 5):
+                    posns[i] += 1
+                desired = [1 + (n - 1) * p for p in probs]
+                for i in (1, 2, 3):
+                    d = desired[i] - posns[i]
+                    if ((d >= 1 and posns[i + 1] - posns[i] > 1)
+                            or (d <= -1 and posns[i - 1] - posns[i] < -1)):
+                        s = 1 if d >= 0 else -1
+                        # piecewise-parabolic prediction, linear fallback
+                        hp = heights[i] + s / (posns[i + 1] - posns[i - 1]) * (
+                            (posns[i] - posns[i - 1] + s)
+                            * (heights[i + 1] - heights[i])
+                            / (posns[i + 1] - posns[i])
+                            + (posns[i + 1] - posns[i] - s)
+                            * (heights[i] - heights[i - 1])
+                            / (posns[i] - posns[i - 1]))
+                        if not heights[i - 1] < hp < heights[i + 1]:
+                            j = i + s
+                            hp = heights[i] + s * (heights[j] - heights[i]) \
+                                / (posns[j] - posns[i])
+                        heights[i] = hp
+                        posns[i] += s
+        if len(heights) < 5:
+            seen = sorted(heights)
+            idx = min(int(q * len(seen)), len(seen) - 1) if seen else 0
+            est = seen[idx] if seen else float("nan")
+        else:
+            est = heights[2]
+        state.update((heights, posns, n))
+        yield pd.DataFrame({group_col: [key[0]], "n": [n],
+                            "estimate": [est]})
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def emit_on_close_totals(sdf: SparkDF, key_col: str, value_col: str,
                          ts_col: str = "ts", gap: str = "10 minutes",
                          watermark: str = "10 minutes") -> SparkDF:

@@ -784,3 +784,35 @@ def test_streaming_heavy_hitters(spark):
     for item, row in b.iterrows():
         true = true_b[item]
         assert row["count"] - row["err"] <= true <= row["count"]
+
+
+def test_streaming_quantile_p2(spark):
+    """P² online median on a bounded stream: constant 5-marker state,
+    estimate within ~2% of the exact median of what was seen."""
+    rng = np.random.default_rng(9)
+    vals = rng.normal(loc=50.0, scale=10.0, size=600)
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:01"] * (len(vals) + 3)),
+        "g": [1] * len(vals) + [2] * 3,
+        "v": list(vals) + [10.0, 20.0, 30.0],  # group 2: < 5 obs
+    })
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = St.read_stream(spark, "parquet", src,
+                                schema="ts timestamp, g long, v double")
+        sq = St.streaming_quantile(stream, "g", "v", q=0.5)
+        q = St.write_stream(sq, "memory", query_name="p2",
+                            output_mode="update")
+        try:
+            q.processAllAvailable()
+            out = spark.sql("select * from p2").toPandas()
+        finally:
+            q.stop()
+    g1 = out[out.g == 1].iloc[-1]
+    exact = float(np.median(vals))
+    assert g1.n == len(vals)
+    assert abs(g1.estimate - exact) / exact < 0.02
+    # under 5 observations the estimate is an exact order statistic
+    g2 = out[out.g == 2].iloc[-1]
+    assert g2.n == 3 and g2.estimate == 20.0
