@@ -53,3 +53,39 @@ def pack_stats(packed: SparkDF, token_col: str) -> SparkDF:
     return (packed.groupBy("pack_bucket", "pack_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(token_col).alias("fill")))
+
+
+def chunk_documents(sdf: SparkDF, text_col: str, id_col: str = "doc_id",
+                    size: int = 64, overlap: int = 8) -> SparkDF:
+    """Split each document into token windows of ``size`` with
+    ``overlap`` tokens shared between consecutive chunks (stride =
+    size − overlap) — the context-window prep every long-document
+    pipeline runs before tokenization/embedding. Returns one row per
+    chunk: (id, chunk_idx, chunk_text, n_tokens).
+
+    Chunk COUNT is closed-form over the token count — ``1`` when
+    n ≤ size else ``ceil((n − size)/stride) + 1`` — so the rollup is
+    SQL-oracle-replayable without re-splitting text; chunk TEXT is
+    built with native ``slice`` on the token array (one small
+    transform over chunk starts, O(chunks) per row, then a
+    posexplode). A narrow map + explode: no shuffle, scales with
+    corpus bytes."""
+    from mars_spark.llm import text as T
+
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    t = T.tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size) / F.lit(stride)) + 1).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", F.slice(t, i * stride + 1, size)))
+    return (
+        sdf.select(F.col(id_col), F.posexplode(chunks)
+                   .alias("chunk_idx", "chunk_text"))
+        .withColumn("n_tokens",
+                    F.size(F.split(F.col("chunk_text"), " ")))
+    )

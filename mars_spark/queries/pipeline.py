@@ -841,6 +841,23 @@ def docs_decontam_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
         .select(F.lit("pii").alias("grp"), F.col("source").alias("k"),
                 "n", "v1", "v2"))
 
+    # 'chunk': overlapping token-window chunking (llm/packing.py
+    # chunk_documents, size 32 / overlap 8) — the oracle replays the
+    # closed-form chunk-count and chunk-token arithmetic per doc, so
+    # the exploded rows' counts AND token totals are value-checked
+    from mars_spark.llm import packing as PK
+
+    ch = PK.chunk_documents(d, "text", size=32, overlap=8)
+    ch_rows = (
+        d.select("doc_id", "source").join(ch, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_tokens").cast("double").alias("v1"),
+             F.round(F.sum("n_tokens") / F.count(F.lit(1)), 2)
+             .alias("v2"))
+        .select(F.lit("chunk").alias("grp"), F.col("source").alias("k"),
+                "n", "v1", "v2"))
+
     ev = d.filter(did % 7 == 0)
     tr = d.filter(did % 7 != 0)
     bad = DC.contaminated_ids(tr, ev, "text", "doc_id", k=8)
@@ -856,7 +873,8 @@ def docs_decontam_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
                 F.round(F.coalesce(F.col("n_bad"), F.lit(0))
                         / F.col("n"), 4).alias("v2")))
 
-    return rep.unionByName(pii_rows).unionByName(dec)
+    return (rep.unionByName(pii_rows).unionByName(ch_rows)
+            .unionByName(dec))
 
 
 PIPELINE_QUERIES = {

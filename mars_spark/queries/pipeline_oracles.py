@@ -119,6 +119,26 @@ _HYGIENE_SQL = """
                    CAST(sum(tot) AS DOUBLE) AS v1,
                    round(avg(removed), 2) AS v2
             FROM pii_doc GROUP BY source
+        ), chdoc AS (
+            -- chunking closed form (size 32, stride 24): n_chunks and
+            -- total chunk tokens per doc; size-sized chunks plus a
+            -- partial tail of n - (n_chunks-1)*stride tokens
+            SELECT source,
+                   CASE WHEN len(ws) <= 32 THEN 1
+                        ELSE CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT) + 1
+                   END AS nch,
+                   CASE WHEN len(ws) <= 32 THEN len(ws)
+                        ELSE (CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT)) * 32
+                             + len(ws)
+                             - CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT) * 24
+                   END AS tot
+            FROM norm
+        ), chunkrows AS (
+            SELECT 'chunk' AS grp, source AS k,
+                   CAST(sum(nch) AS BIGINT) AS n,
+                   CAST(sum(tot) AS DOUBLE) AS v1,
+                   round(sum(tot) / CAST(sum(nch) AS DOUBLE), 2) AS v2
+            FROM chdoc GROUP BY source
         ), evg AS (
             SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
             FROM norm, UNNEST(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
@@ -142,6 +162,7 @@ _HYGIENE_SQL = """
         )
         SELECT * FROM rep
         UNION ALL SELECT * FROM pii
+        UNION ALL SELECT * FROM chunkrows
         UNION ALL SELECT * FROM dec
     """
 

@@ -547,3 +547,35 @@ def test_clean_corpus_recipe(spark):
                           dedup=None, redact_pii=True)
     txt = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in txt
+
+
+def test_chunk_documents(spark):
+    from mars_spark.llm import packing as P
+    texts = {
+        0: " ".join(f"w{i}" for i in range(25)),   # 25 toks: 3 chunks
+        1: " ".join(f"w{i}" for i in range(10)),   # exactly size: 1
+        2: " ".join(f"w{i}" for i in range(3)),    # short: 1
+        3: " ".join(f"w{i}" for i in range(24)),   # boundary: stride-exact
+    }
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    out = (P.chunk_documents(sdf, "text", size=10, overlap=3)
+           .toPandas().sort_values(["doc_id", "chunk_idx"]))
+
+    def ref(text, size=10, overlap=3):
+        toks = text.split(" ")
+        stride = size - overlap
+        if len(toks) <= size:
+            return [" ".join(toks)]
+        n = -(-(len(toks) - size) // stride) + 1
+        return [" ".join(toks[i * stride:i * stride + size])
+                for i in range(n)]
+
+    for doc_id, text in texts.items():
+        got = list(out[out.doc_id == doc_id].chunk_text)
+        assert got == ref(text), doc_id
+    # overlap contract: consecutive chunks share `overlap` tokens
+    c = list(out[out.doc_id == 0].chunk_text)
+    assert c[0].split()[-3:] == c[1].split()[:3]
+    # n_tokens column matches the split
+    assert all(out.n_tokens == out.chunk_text.str.split().str.len())
