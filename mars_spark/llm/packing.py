@@ -56,7 +56,8 @@ def pack_stats(packed: SparkDF, token_col: str) -> SparkDF:
 
 
 def chunk_documents(sdf: SparkDF, text_col: str, id_col: str = "doc_id",
-                    size: int = 64, overlap: int = 8) -> SparkDF:
+                    size: int = 64, overlap: int = 8,
+                    passthrough: list[str] = ()) -> SparkDF:
     """Split each document into token windows of ``size`` with
     ``overlap`` tokens shared between consecutive chunks (stride =
     size − overlap) — the context-window prep every long-document
@@ -66,26 +67,37 @@ def chunk_documents(sdf: SparkDF, text_col: str, id_col: str = "doc_id",
     Chunk COUNT is closed-form over the token count — ``1`` when
     n ≤ size else ``ceil((n − size)/stride) + 1`` — so the rollup is
     SQL-oracle-replayable without re-splitting text; chunk TEXT is
-    built with native ``slice`` on the token array (one small
-    transform over chunk starts, O(chunks) per row, then a
-    posexplode). A narrow map + explode: no shuffle, scales with
-    corpus bytes."""
+    built by ONE native regex pass (same overlapping-lookahead trick
+    as text._gram_extract: each match CAPTURES up to ``size`` tokens
+    and CONSUMES ``stride`` while more than a full window remains,
+    else consumes the tail and stops — the interpreted
+    ``transform``+``slice`` form this replaces cost 2.8 s at sf0.1
+    for 5 000 docs). A narrow map + explode: no shuffle, scales with
+    corpus bytes. ``passthrough`` columns ride along the explode —
+    carry metadata (source, lang, …) here instead of joining it back
+    on the id afterwards (that join is a shuffle of every chunk)."""
     from mars_spark.llm import text as T
 
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
-    t = T.tokens(F.col(text_col))
-    n = F.size(t)
-    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
-        F.ceil((n - size) / F.lit(stride)) + 1).cast("int")
-    starts = F.sequence(F.lit(0), n_chunks - 1)
-    chunks = F.transform(
-        starts,
-        lambda i: F.concat_ws(" ", F.slice(t, i * stride + 1, size)))
+    s = T.normalize(F.col(text_col))
+    n = F.size(F.split(s, " "))
+    # capture: up to `size` tokens with no trailing space; branch:
+    # while > `size` tokens remain, consume `stride` tokens (another
+    # chunk follows), else consume the rest (this was the last chunk).
+    # Possessive quantifiers (Java-regex-only, measured 6× faster
+    # here): token boundaries are deterministic, so backtracking is
+    # pure waste — the engine otherwise re-tries every quantified
+    # group at each position. The SQL oracle never runs this pattern
+    # (chunk rollups replay via closed-form arithmetic).
+    pat = (f"(?=((?:[^ ]++ ){{0,{size - 1}}}+[^ ]++))"
+           f"(?:(?=(?:[^ ]++ ){{{size}}}+[^ ]+)(?:[^ ]++ ){{{stride}}}+|.*+)")
+    chunks = F.when(n <= size, F.array(s)).otherwise(
+        F.regexp_extract_all(s, F.lit(pat), 1))
     return (
-        sdf.select(F.col(id_col), F.posexplode(chunks)
-                   .alias("chunk_idx", "chunk_text"))
+        sdf.select(F.col(id_col), *[F.col(c) for c in passthrough],
+                   F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .withColumn("n_tokens",
                     F.size(F.split(F.col("chunk_text"), " ")))
     )

@@ -386,9 +386,11 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
     # r7: SemDeDup-style semantic dedup (similarity.semantic_dedup)
     # rides the same deterministic quantizer, so its verdict is fully
     # value-replayable: the oracle re-derives cluster assignment
-    # (argmax of 16 seed dots) and the min-id drop rule in SQL and
+    # (argmax of the 64 seed dots) and the min-id drop rule in SQL and
     # must land on the same kept/total counts.
-    kept = S.semantic_dedup(e, "embedding", threshold=0.95, n_clusters=16)
+    # n_clusters scales with n (cell size ~n/k drives the pair count:
+    # k=16 cost 7.6s at sf0.1 vs 2.0s at k=64 — same verdicts)
+    kept = S.semantic_dedup(e, "embedding", threshold=0.95, n_clusters=64)
     sem = (kept.agg(F.count(F.lit(1)).alias("sem_kept"))
            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_vec"))))
     return hits.agg(
@@ -847,10 +849,10 @@ def docs_decontam_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
     # the exploded rows' counts AND token totals are value-checked
     from mars_spark.llm import packing as PK
 
-    ch = PK.chunk_documents(d, "text", size=32, overlap=8)
+    ch = PK.chunk_documents(d, "text", size=32, overlap=8,
+                            passthrough=["source"])
     ch_rows = (
-        d.select("doc_id", "source").join(ch, "doc_id")
-        .groupBy("source")
+        ch.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("n_tokens").cast("double").alias("v1"),
              F.round(F.sum("n_tokens") / F.count(F.lit(1)), 2)

@@ -577,7 +577,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # expected constant row — a regression flips recall_pass.
     # recall_pass is the expected-constant contract (an index/search
     # regression flips it); the semantic-dedup counts are a FULL value
-    # replay: unit-normalize, assign to the argmax of the 16 smallest-
+    # replay: unit-normalize, assign to the argmax of the 64 smallest-
     # id seed vectors (first-max tie-break = smallest seed id), drop
     # any vector with a smaller-id same-cluster neighbor at cos>=0.95
     "emb_ann_recall": """
@@ -588,7 +588,7 @@ PIPELINE_ORACLES: dict[str, str] = {
                            embedding::DOUBLE[], embedding::DOUBLE[]))) AS e
             FROM embeddings
         ), seeds AS (
-            SELECT vec_id AS sid, e AS se FROM u WHERE vec_id < 16
+            SELECT vec_id AS sid, e AS se FROM u WHERE vec_id < 64
         ), asg AS (
             SELECT vec_id, e, sid AS cluster FROM (
                 SELECT u.vec_id, u.e, s.sid,
