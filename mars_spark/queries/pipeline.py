@@ -256,9 +256,23 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     """n-gram Jaccard near-dup pairs ≥0.5 via the inverted-index join
-    (the testdata contains real near-dups at ~0.98)."""
+    (the testdata contains real near-dups at ~0.98), plus (r7) the
+    BM25 retrieval stratum: top-10 docs for a 3-term query
+    (llm/retrieval.py — posting-list explode, query-term-only idf
+    broadcast, k1/b saturation), folded as sentinel rows a=-1 with
+    the 4-dp score in the jaccard column. Both engines order by the
+    ROUNDED score with doc-id tie-break, so the selected set is
+    deterministic."""
+    from mars_spark.llm import retrieval as RT
+
     d = load(sf_dir, "documents").to_spark()
-    return D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, k=3)
+    pairs = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, k=3)
+    bm = (RT.bm25_scores(d, ["spark", "window", "merge"], "text")
+          .select(F.lit(-1).cast("long").alias("a"),
+                  F.col("doc_id").alias("b"),
+                  F.round("score", 4).alias("jaccard"))
+          .orderBy(F.desc("jaccard"), F.asc("b")).limit(10))
+    return pairs.unionByName(bm)
 
 
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -524,6 +524,34 @@ PIPELINE_ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = a
         JOIN sizes sb ON sb.doc_id = b
         WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+        UNION ALL
+        -- BM25 stratum (llm/retrieval.py): smoothed idf
+        -- ln(1+(N-df+.5)/(df+.5)), k1=1.2, b=0.75, query-term-only df
+        SELECT * FROM (
+            WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            tc AS (
+                SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+                FROM toks, UNNEST(l) AS u(t)
+                WHERE t IN ('spark', 'window', 'merge')
+                GROUP BY 1, 2, 3
+            ), st AS (
+                SELECT count(*) AS n, avg(len(l)) AS avgdl FROM toks
+            ), qdf AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM tc GROUP BY term
+            ), sc AS (
+                SELECT doc_id,
+                       sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ) AS s
+                FROM tc JOIN qdf USING (term) CROSS JOIN st
+                GROUP BY doc_id
+            )
+            SELECT CAST(-1 AS BIGINT) AS a, doc_id AS b,
+                   round(s, 4) AS jaccard
+            FROM sc ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+        )
     """,
     "docs_minhash_dedup": f"""
         WITH base AS (

@@ -579,3 +579,50 @@ def test_chunk_documents(spark):
     assert c[0].split()[-3:] == c[1].split()[:3]
     # n_tokens column matches the split
     assert all(out.n_tokens == out.chunk_text.str.split().str.len())
+
+
+def test_bm25_and_tfidf(spark):
+    import math
+
+    from mars_spark.llm import retrieval as RT
+    texts = {
+        0: "spark engine shuffles data fast",
+        1: "the spark spark spark repetition doc",
+        2: "window functions over streams",
+        3: "a totally unrelated document",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    q = ["spark", "window"]
+    got = {r.doc_id: r.score for r in
+           RT.bm25_scores(docs, q, "text").collect()}
+
+    # python reference (same smoothed-idf + k1/b form)
+    toks = {i: t.split() for i, t in texts.items()}
+    N, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+    k1, b = 1.2, 0.75
+
+    def score(i):
+        s = 0.0
+        for term in q:
+            df = sum(term in t for t in toks.values())
+            tf = toks[i].count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return s
+
+    exp = {i: score(i) for i in texts if score(i) > 0}
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-9
+    # saturation: doc 1's triple 'spark' beats doc 0's single but by
+    # less than 3x (k1 bounds term-frequency contribution)
+    assert got[1] > got[0] and got[1] < 3 * got[0]
+
+    tf_idf = RT.tf_idf(docs, "text").toPandas()
+    row = tf_idf[(tf_idf.doc_id == 1) & (tf_idf.term == "spark")]
+    exp_tfidf = 3 * (math.log((4 + 1) / (2 + 1)) + 1)
+    assert abs(row.tfidf.iloc[0] - exp_tfidf) < 1e-9

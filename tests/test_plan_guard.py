@@ -42,6 +42,7 @@ BNLJ_OK = {
     "tpch_q20_adapted": "half-avg-quantity scalar",
     "docs_dedup_simhash": "corpus-wide distinct-fp scalar",
     "emb_ann_recall": "1-row recall + semantic-dedup count blocks",
+    "docs_jaccard_pairs": "1-row BM25 corpus stats (N, avgdl) block",
 }
 
 # Rows whose plans must show non-empty parquet PushedFilters (every
