@@ -318,7 +318,22 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
     tot = surv.agg(F.count(F.lit(1)).alias("k")).select(
         F.lit("inc:total").alias("grp"), F.col("k").cast("long"),
         F.lit(None).cast("long").alias("v"))
-    return a.unionByName(b).unionByName(c).unionByName(tot)
+    # r7: DSIR-style importance weighting (llm/dsir.py — hashed-
+    # bigram log-likelihood ratio vs the id%7 target slice): top-10
+    # most target-like docs, weight scaled to a 4-dp long so the
+    # oracle's md5-bucket + ln replay is hash-comparable
+    from mars_spark.llm import dsir as DS
+
+    wts = DS.dsir_weights(d, d.filter(F.col("doc_id") % 7 == 0),
+                          "text", n_buckets=1024)
+    scaled = F.floor(F.col("weight") * 10000 + F.lit(0.5)).cast("long")
+    e = (wts.select("doc_id", scaled.alias("v"))
+         .orderBy(F.desc("v"), F.asc("doc_id")).limit(10)
+         .select(F.concat(F.lit("dsir:"),
+                          F.col("doc_id").cast("string")).alias("grp"),
+                 F.col("doc_id").cast("long").alias("k"), "v"))
+    return (a.unionByName(b).unionByName(c).unionByName(tot)
+            .unionByName(e))
 
 
 def docs_cc_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -474,6 +474,45 @@ PIPELINE_ORACLES: dict[str, str] = {
         SELECT 'inc:total' AS grp, count(*) AS k,
                CAST(NULL AS BIGINT) AS v
         FROM winners
+        UNION ALL
+        -- DSIR importance weights (llm/dsir.py): hashed-bigram
+        -- log-likelihood ratio vs the id%7 target slice, add-1
+        -- smoothed over 1024 md5 buckets, top-10 by 4-dp weight
+        SELECT * FROM (
+            WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            gr AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(l) < 2
+                                   THEN [array_to_string(l, ' ')]
+                                   ELSE [array_to_string(l[i:i+1], ' ')
+                                         for i in range(1, len(l))]
+                              END) AS g
+                FROM toks
+            ), gb AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bk
+                FROM gr
+            ), tcnt AS (
+                SELECT bk, count(*) AS tc FROM gb
+                WHERE doc_id % 7 = 0 GROUP BY bk
+            ), rcnt AS (
+                SELECT bk, count(*) AS rc FROM gb GROUP BY bk
+            ), lw AS (
+                SELECT r0.bk,
+                       ln((coalesce(tc, 0) + 1)
+                          / ((SELECT sum(tc) FROM tcnt) + 1024.0))
+                     - ln((rc + 1)
+                          / ((SELECT sum(rc) FROM rcnt) + 1024.0)) AS w
+                FROM rcnt r0 LEFT JOIN tcnt USING (bk)
+            ), wsum AS (
+                SELECT doc_id, sum(w) AS w FROM gb JOIN lw USING (bk)
+                GROUP BY doc_id
+            )
+            SELECT 'dsir:' || doc_id AS grp, doc_id AS k,
+                   CAST(floor(w * 10000 + 0.5) AS BIGINT) AS v
+            FROM wsum
+            ORDER BY floor(w * 10000 + 0.5) DESC, doc_id LIMIT 10
+        )
     """,
     # transitive closure of the Jaccard near-dup edge list — the
     # recursive CTE replays what the Spark side computes iteratively

@@ -626,3 +626,48 @@ def test_bm25_and_tfidf(spark):
     row = tf_idf[(tf_idf.doc_id == 1) & (tf_idf.term == "spark")]
     exp_tfidf = 3 * (math.log((4 + 1) / (2 + 1)) + 1)
     assert abs(row.tfidf.iloc[0] - exp_tfidf) < 1e-9
+
+
+def test_dsir_weights(spark):
+    import hashlib
+    import math
+
+    from mars_spark.llm import dsir as DS
+    raw_texts = {
+        0: "spark window join merge sort",         # shares target bigrams
+        1: "cat dog bird fish mouse",              # animal-flavored
+        2: "merge sort spark window hash",         # shares target bigrams
+        3: "horse cow sheep goat pig",             # animal-flavored
+    }
+    target_texts = ["spark window join", "merge sort spark window"]
+    raw = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(raw_texts), "text": list(raw_texts.values())}))
+    target = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(target_texts)), "text": target_texts}))
+    nb = 64
+    got = {r.doc_id: r.weight for r in
+           DS.dsir_weights(raw, target, "text", n_buckets=nb).collect()}
+
+    def bigrams(t):
+        w = t.split()
+        return ([" ".join(w[i:i + 2]) for i in range(len(w) - 1)]
+                if len(w) >= 2 else [" ".join(w)])
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % nb
+
+    from collections import Counter
+    tcnt = Counter(bucket(g) for t in target_texts for g in bigrams(t))
+    rcnt = Counter(bucket(g) for t in raw_texts.values() for g in bigrams(t))
+    tt, rt = sum(tcnt.values()), sum(rcnt.values())
+
+    def weight(t):
+        return sum(
+            math.log((tcnt.get(bucket(g), 0) + 1) / (tt + nb))
+            - math.log((rcnt.get(bucket(g), 0) + 1) / (rt + nb))
+            for g in bigrams(t))
+
+    for i, t in raw_texts.items():
+        assert abs(got[i] - weight(t)) < 1e-9, i
+    # engine-flavored raw docs score above animal-flavored ones
+    assert min(got[0], got[2]) > max(got[1], got[3])
