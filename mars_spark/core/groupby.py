@@ -293,6 +293,39 @@ class GroupBy:
             sdf = sdf.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
         return DataFrame(sdf, self._frame._index)
 
+    def interpolate(self, order_by):
+        """Per-group LINEAR interpolation of nulls (additive — the
+        reference has no interpolate; pandas parity:
+        ``g.interpolate(method='linear')``): a gap row gets
+        ``prev + (next−prev)·(pos−pos_prev)/(pos_next−pos_prev)``
+        over the ``order_by`` ordering. Pandas edge semantics: leading
+        nulls stay null, trailing nulls forward-fill from the last
+        valid value. Four window functions over ONE partition spec —
+        a single shuffle on the group keys, no UDF."""
+        self._require_plain_groupby("interpolate")
+        from mars_spark.core.frame import DataFrame
+
+        wp = Window.partitionBy(*self._keys).orderBy(order_by)
+        back = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fwd = wp.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        sdf = self._frame._sdf
+        rn = F.row_number().over(wp)
+        for c in self._value_cols:
+            v = F.col(c)
+            marked = F.when(v.isNotNull(), rn)
+            prev_v = F.last(v, ignorenulls=True).over(back)
+            next_v = F.first(v, ignorenulls=True).over(fwd)
+            prev_rn = F.last(marked, ignorenulls=True).over(back)
+            next_rn = F.first(marked, ignorenulls=True).over(fwd)
+            filled = (
+                F.when(v.isNotNull(), v)
+                .when(prev_v.isNull(), F.lit(None))
+                .when(next_v.isNull(), prev_v)
+                .otherwise(prev_v + (next_v - prev_v)
+                           * (rn - prev_rn) / (next_rn - prev_rn)))
+            sdf = sdf.withColumn(c, filled)
+        return DataFrame(sdf, self._frame._index)
+
     def transform(self, spec):
         """Same-length groupby transform, window fast path (reference:
         mars/dataframe/groupby/transform.py:28). ``spec`` is a builtin

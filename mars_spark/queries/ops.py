@@ -618,12 +618,19 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("count").cast("bigint").alias("desc_count"),
         r4(F.col("mean")).alias("desc_mean"),
         r4(F.col("stddev")).alias("desc_std"))
-    out = agg.merge(rng, on="user_id").merge(samp, on="user_id")
+    # r7: per-group LINEAR interpolate (groupby.py interpolate —
+    # additive vs the reference) over the raw null-bearing v, summed
+    # per user; the oracle replays the prev/next window formula
+    interp = (f.groupby("user_id").interpolate(order_by="event_id")
+              .groupby("user_id", as_index=False).agg(vi_sum=("v", "sum")))
+    out = (agg.merge(rng, on="user_id").merge(samp, on="user_id")
+           .merge(interp, on="user_id"))
     return out.to_spark().crossJoin(F.broadcast(desc)).select(
         "user_id", "n",
         F.round("v_sum", 4).alias("v_sum"),
         F.round("v_rng", 4).alias("v_rng"),
         F.round("v_med", 4).alias("v_med"),
+        F.round("vi_sum", 4).alias("vi_sum"),
         "n_samp", "desc_count", "desc_mean", "desc_std",
     )
 

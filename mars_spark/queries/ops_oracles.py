@@ -371,10 +371,39 @@ OPS_ORACLES: dict[str, str] = {
                    floor(avg(value) * 1e4 + 0.5) / 1e4 AS desc_mean,
                    floor(stddev_samp(value) * 1e4 + 0.5) / 1e4 AS desc_std
             FROM f
+        ), itp_base AS (
+            SELECT user_id, v0,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rn
+            FROM f
+        ), itp_win AS (
+            SELECT user_id, v0, rn,
+                   last_value(v0 IGNORE NULLS) OVER wb AS pv,
+                   first_value(v0 IGNORE NULLS) OVER wf AS nv,
+                   last_value(CASE WHEN v0 IS NOT NULL THEN rn END
+                              IGNORE NULLS) OVER wb AS prn,
+                   first_value(CASE WHEN v0 IS NOT NULL THEN rn END
+                               IGNORE NULLS) OVER wf AS nrn
+            FROM itp_base
+            WINDOW wb AS (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        ), itp AS (
+            SELECT user_id, round(sum(
+                CASE WHEN v0 IS NOT NULL THEN v0
+                     WHEN pv IS NULL THEN NULL
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + (nv - pv) * (rn - prn)
+                          / CAST(nrn - prn AS DOUBLE)
+                END), 4) AS vi_sum
+            FROM itp_win GROUP BY user_id
         )
-        SELECT user_id, n, v_sum, v_rng, v_med, n_samp,
+        SELECT user_id, n, v_sum, v_rng, v_med, vi_sum, n_samp,
                desc_count, desc_mean, desc_std
-        FROM ag CROSS JOIN d
+        FROM ag CROSS JOIN d JOIN itp USING (user_id)
     """,
     "op_ewm_expanding": """
         WITH b AS (

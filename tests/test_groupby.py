@@ -183,3 +183,28 @@ def test_str_concat_agg(spark):
     # deterministic sorted-value order (documented contract — a
     # distributed frame has no inherent row order)
     assert out == {"a": "xz", "b": "q"}
+
+
+def test_groupby_interpolate_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    import mars_spark as ms
+
+    pdf = pd.DataFrame({
+        "g": [1, 1, 1, 1, 1, 2, 2, 2, 2],
+        "o": [0, 1, 2, 3, 4, 0, 1, 2, 3],
+        "v": [np.nan, 1.0, np.nan, np.nan, 7.0,   # leading null + gap
+              2.0, np.nan, np.nan, np.nan],        # trailing nulls
+        "u": [1.0, np.nan, 3.0, np.nan, np.nan,
+              np.nan, 5.0, np.nan, 9.0],
+    })
+    f = ms.from_pandas(pdf)
+    got = (f.groupby("g").interpolate(order_by="o")
+           .to_pandas().sort_values(["g", "o"]).reset_index(drop=True))
+    exp = pdf.sort_values(["g", "o"]).reset_index(drop=True)
+    for c in ("v", "u"):
+        exp[c] = exp.groupby("g")[c].transform(
+            lambda s: s.interpolate(method="linear"))
+    for c in ("v", "u"):
+        assert np.allclose(got[c].fillna(-9), exp[c].fillna(-9)), c
