@@ -736,6 +736,19 @@ class DataFrame:
 
         return Expanding(self, min_periods=min_periods)
 
+    def resample(self, rule: str, on: str, by: list[str] | None = None):
+        """pandas-style time resampling (additive — the reference has
+        no resample; `mars/dataframe/tseries/` holds only
+        to_datetime): ``df.resample("1h", on="ts").agg({"v": "sum"})``
+        plans as a tumbling-window groupBy — map-side-combined, the
+        same shape as the streaming hourly rollup. ``rule`` accepts
+        pandas offsets with h/min/s/d units (epoch-aligned, matching
+        pandas' default origin for intraday frequencies). Optional
+        ``by`` adds grouping keys next to the time bucket."""
+        from mars_spark.operators.window import Resampler
+
+        return Resampler(self, rule, on, by=by or [])
+
     def shift(self, periods: int = 1, order_by=None, partition_by=None) -> "DataFrame":
         from mars_spark.operators.window import shift
 

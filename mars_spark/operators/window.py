@@ -312,3 +312,41 @@ def ewm_mean(frame: DataFrame, col: str, alpha: float, order_by,
                   stats=("mean",), adjust=adjust, prefix="__tmp_ewm")
     sdf = res._sdf.withColumnRenamed("__tmp_ewm_mean", prefix)
     return DataFrame(sdf, frame._index)
+
+
+class Resampler:
+    """``df.resample(rule, on).agg({...})`` — pandas-style time
+    resampling as a tumbling-window groupBy (additive; the reference
+    has no resample op). The bucket is ``F.window(on, rule)``: epoch-
+    aligned, matching pandas' default origin for intraday rules; the
+    agg is map-side-combined, so at 100 TB this is the cheapest shape
+    a time rollup can take (one shuffle keyed by bucket [+ ``by``]).
+    """
+
+    def __init__(self, frame: DataFrame, rule: str, on: str, by=()):
+        self._frame = frame
+        self._rule = rule
+        self._on = on
+        self._by = list(by)
+
+    def agg(self, spec: dict) -> DataFrame:
+        secs = _offset_seconds(self._rule)
+        win = F.window(F.col(self._on), f"{secs} seconds")
+        exprs = []
+        for col, fns in spec.items():
+            fns = fns if isinstance(fns, (list, tuple)) else [fns]
+            for fn in fns:
+                exprs.append(_ROLL_FUNCS[fn](F.col(col))
+                             .alias(f"{col}_{fn}"))
+        out = (self._frame._sdf
+               .groupBy(*self._by, win.alias("__w"))
+               .agg(*exprs)
+               .withColumn(self._on, F.col("__w.start"))
+               .drop("__w"))
+        return DataFrame(out, self._frame._index)
+
+    def sum(self):
+        return self.agg({c: "sum" for c in Rolling._numeric_cols(self)})
+
+    def mean(self):
+        return self.agg({c: "mean" for c in Rolling._numeric_cols(self)})

@@ -21,19 +21,18 @@ from mars_spark.queries.tpch import load
 
 # ----------------------------------------------------------------- events
 def events_hourly(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Tumbling-window agg (batch form of the streaming hourly rollup).
-    Map-side combine makes this shuffle tiny at any scale."""
-    e = load(sf_dir, "events").to_spark()
-    return (
-        e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-    )
+    """Tumbling-window agg (batch form of the streaming hourly rollup),
+    expressed through the r7 ``resample`` API (operators/window.py
+    Resampler — epoch-aligned F.window groupBy, identical plan to the
+    previous hand-written date_trunc form). Map-side combine makes
+    this shuffle tiny at any scale."""
+    e = load(sf_dir, "events")
+    r = e.resample("1h", on="ts", by=["event_type"]) \
+        .agg({"value": ["count", "sum"]})
+    return r.to_spark().select(
+        F.col("ts").alias("hour"), "event_type",
+        F.col("value_count").alias("n"),
+        F.round("value_sum", 2).alias("sum_value"))
 
 
 def events_sessions(spark: SparkSession, sf_dir: str) -> SparkDF:

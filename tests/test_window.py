@@ -116,3 +116,37 @@ def test_ewm_var_std_match_pandas(spark):
     assert np.allclose(out.v_ewm_var.fillna(-1), exp.fillna(-1))
     assert np.allclose(out.v_ewm_std.fillna(-1),
                        np.sqrt(exp).fillna(-1))
+
+
+def test_resample_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    import mars_spark as ms
+
+    rng = np.random.default_rng(4)
+    n = 300
+    pdf = pd.DataFrame({
+        "ts": pd.Timestamp("2024-03-01") + pd.to_timedelta(
+            rng.integers(0, 72 * 3600, n), unit="s"),
+        "k": rng.choice(["a", "b"], n),
+        "v": rng.normal(size=n).round(3),
+    })
+    f = ms.from_pandas(pdf)
+    for rule in ("1h", "30min"):
+        got = (f.resample(rule, on="ts").agg({"v": ["sum", "count"]})
+               .to_pandas().sort_values("ts").reset_index(drop=True))
+        exp = (pdf.set_index("ts").resample(rule).agg(
+                   v_sum=("v", "sum"), v_count=("v", "count"))
+               .query("v_count > 0").reset_index())
+        assert list(got.ts) == list(exp.ts), rule
+        assert np.allclose(got.v_sum, exp.v_sum)
+        assert list(got.v_count) == list(exp.v_count)
+    # with grouping keys
+    got = (f.resample("2h", on="ts", by=["k"]).agg({"v": "mean"})
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    exp = (pdf.set_index("ts").groupby("k").resample("2h")
+           .agg(v_mean=("v", "mean")).dropna().reset_index())
+    assert list(got.k) == list(exp.k)
+    assert list(got.ts) == list(exp.ts)
+    assert np.allclose(got.v_mean, exp.v_mean)
