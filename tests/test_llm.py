@@ -671,3 +671,23 @@ def test_dsir_weights(spark):
         assert abs(got[i] - weight(t)) < 1e-9, i
     # engine-flavored raw docs score above animal-flavored ones
     assert min(got[0], got[2]) > max(got[1], got[3])
+
+
+def test_hygiene_null_text_behavior(spark):
+    """Pins the documented null-text semantics: any configured filter
+    predicate is null for a null doc (row dropped — the hygiene-
+    correct default); redact/fingerprint propagate null."""
+    from mars_spark.llm import pii as P
+    from mars_spark.llm import recipe as R
+    sdf = spark.createDataFrame(
+        [(0, "a real document with words"), (1, None)],
+        "doc_id long, text string")
+    out = sdf.select(
+        P.redact(F.col("text")).alias("red"),
+        T.fingerprint(F.col("text")).alias("fp")).collect()
+    assert out[1].red is None and out[1].fp is None
+    # no filters configured -> null rows pass through untouched
+    assert R.clean_corpus(sdf, redact_pii=False, dedup=None).count() == 2
+    # any filter -> null predicate -> null row dropped
+    kept = R.clean_corpus(sdf, min_tokens=1, redact_pii=False, dedup=None)
+    assert [r.doc_id for r in kept.collect()] == [0]

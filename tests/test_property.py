@@ -305,3 +305,44 @@ def test_qcut_exact_counts_match_pandas(spark, n, q):
            .b.value_counts().sort_index())
     exp = (pd.qcut(pdf.v, q).astype(str).value_counts().sort_index())
     assert sorted(got.values) == sorted(exp.values)
+
+
+@given(keys=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1,
+                     max_size=20),
+       cols=st.lists(st.sampled_from(["x", "y"]), min_size=1,
+                     max_size=20),
+       vals=_vals)
+@_settings
+def test_pivot_sum_matches_pandas(spark, keys, cols, vals):
+    n = min(len(keys), len(cols), len(vals))
+    pdf = pd.DataFrame({"k": keys[:n], "c": cols[:n], "v": vals[:n]})
+    got = (ms.from_pandas(pdf).pivot_table(index="k", columns="c",
+                                           values="v", aggfunc="sum")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (pdf.pivot_table(index="k", columns="c", values="v",
+                           aggfunc="sum").reset_index()
+           .sort_values("k").reset_index(drop=True))
+    assert list(got.k) == list(exp.k)
+    for c in ("x", "y"):
+        if c in exp.columns:
+            # documented divergence (same as the groupby-sum property):
+            # pandas sums an all-NaN cell to 0.0, SQL SUM yields NULL —
+            # normalize both before comparing
+            np.testing.assert_allclose(
+                got[c].fillna(0.0), exp[c].fillna(0.0), rtol=1e-9)
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=5),
+                     min_size=1, max_size=12))
+@_settings
+def test_melt_explode_roundtrip(spark, vals):
+    pdf = pd.DataFrame({
+        "id": range(len(vals)),
+        "a": vals,
+        "b": [v * 2 for v in vals],
+    })
+    f = ms.from_pandas(pdf)
+    melted = f.melt(id_vars=["id"], value_vars=["a", "b"]).to_pandas()
+    exp = pdf.melt(id_vars=["id"], value_vars=["a", "b"])
+    key = lambda d: sorted(map(tuple, d[["id", "variable", "value"]].values))
+    assert key(melted) == key(exp)
