@@ -310,21 +310,34 @@ class GroupBy:
         fwd = wp.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         sdf = self._frame._sdf
         rn = F.row_number().over(wp)
-        for c in self._value_cols:
+        # ONE select over the original frame: rewriting columns in
+        # sequence would let a later column's window order by an
+        # already-interpolated order_by (nulls filled, cast changed).
+        # The order column and non-numeric columns pass through.
+        numeric = ("int", "bigint", "double", "float", "smallint",
+                   "tinyint", "decimal")
+        types = dict(sdf.dtypes)
+        filled_cols = []
+        for c in sdf.columns:
             v = F.col(c)
+            if (c == order_by or c not in self._value_cols
+                    or not any(types.get(c, "").startswith(n)
+                               for n in numeric)):
+                filled_cols.append(v)
+                continue
             marked = F.when(v.isNotNull(), rn)
             prev_v = F.last(v, ignorenulls=True).over(back)
             next_v = F.first(v, ignorenulls=True).over(fwd)
             prev_rn = F.last(marked, ignorenulls=True).over(back)
             next_rn = F.first(marked, ignorenulls=True).over(fwd)
-            filled = (
+            filled_cols.append(
                 F.when(v.isNotNull(), v)
                 .when(prev_v.isNull(), F.lit(None))
                 .when(next_v.isNull(), prev_v)
                 .otherwise(prev_v + (next_v - prev_v)
-                           * (rn - prev_rn) / (next_rn - prev_rn)))
-            sdf = sdf.withColumn(c, filled)
-        return DataFrame(sdf, self._frame._index)
+                           * (rn - prev_rn) / (next_rn - prev_rn))
+                .alias(c))
+        return DataFrame(sdf.select(*filled_cols), self._frame._index)
 
     def transform(self, spec):
         """Same-length groupby transform, window fast path (reference:

@@ -385,7 +385,7 @@ def hash_split(df, test_size: float = 0.25, id_col: str = "id",
     retries, cluster size, and engine choice — the SQL oracle replays
     the exact rule. Both halves are narrow filters over the input (no
     shuffle, no materialization); resolution is 16^-6 ≈ 6e-8."""
-    from mars_spark.llm.mixture import _HEX_SPAN
+    from mars_spark.llm.mixture import _HEX_SPAN, _hex_threshold, hash_key
 
     sdf = _sdf(df)
     t = max(0, min(_HEX_SPAN, int(round(test_size * _HEX_SPAN))))
@@ -393,10 +393,7 @@ def hash_split(df, test_size: float = 0.25, id_col: str = "id",
         return sdf.filter(F.lit(False)), sdf
     if t <= 0:
         return sdf, sdf.filter(F.lit(False))
-    key = F.substring(
-        F.md5(F.concat_ws("|", F.lit(str(seed)),
-                          F.col(id_col).cast("string"))), 1, 6)
-    is_test = key < F.lit(format(t, "06x"))
+    is_test = hash_key(id_col, seed) < F.lit(_hex_threshold(test_size))
     return sdf.filter(~is_test), sdf.filter(is_test)
 
 

@@ -32,6 +32,16 @@ def _hex_threshold(frac: float) -> str:
     return format(t, "06x")
 
 
+def hash_key(id_col: str, seed="0"):
+    """The 6-hex-char membership key ``md5(seed|id)[:6]`` — THE
+    deterministic-Bernoulli rule shared by hash_bernoulli and
+    learn.hash_split (one definition so the SQL oracles replay both
+    from the same formula)."""
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 6)
+
+
 def hash_bernoulli(sdf: SparkDF, id_col: str, frac: float,
                    seed="0") -> SparkDF:
     """Deterministic Bernoulli(frac) sample keyed on md5(seed|id).
@@ -48,9 +58,7 @@ def hash_bernoulli(sdf: SparkDF, id_col: str, frac: float,
         return sdf
     if t <= 0:
         return sdf.filter(F.lit(False))
-    key = F.md5(F.concat_ws("|", F.lit(str(seed)),
-                            F.col(id_col).cast("string")))
-    return sdf.filter(F.substring(key, 1, 6) < F.lit(format(t, "06x")))
+    return sdf.filter(hash_key(id_col, seed) < F.lit(_hex_threshold(frac)))
 
 
 def sample_mixture(sources, id_col: str, seed="0") -> SparkDF:

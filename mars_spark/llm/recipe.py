@@ -69,6 +69,12 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
         max_topw=max_topw, min_tokens=min_tokens, langs=langs))
     if redact_pii:
         out = out.withColumn(text_col, _pii.redact(F.col(text_col)))
+        # the eval set must see the SAME redaction, or any shared
+        # k-gram containing PII would no longer match at decontam time
+        # and a genuinely contaminated doc would survive
+        if eval_df is not None:
+            eval_df = eval_df.withColumn(
+                text_col, _pii.redact(F.col(text_col)))
     if dedup == "exact":
         out = _dedup.exact_dedup(out, text_col, id_col)
     elif dedup == "minhash":

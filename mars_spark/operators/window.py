@@ -46,6 +46,13 @@ _ROLL_FUNCS = {
 }
 
 
+def _numeric_cols(frame: DataFrame) -> list[str]:
+    num = ("int", "bigint", "double", "float", "smallint", "tinyint",
+           "decimal")
+    return [c for c, t in frame._sdf.dtypes
+            if any(t.startswith(n) for n in num)]
+
+
 def _offset_seconds(offset: str) -> int:
     """'90s' / '5min' / '2h' / '1d' → seconds (pandas offset subset)."""
     import re
@@ -129,10 +136,7 @@ class Rolling:
         return self.agg({c: "max" for c in cols or self._numeric_cols()})
 
     def _numeric_cols(self):
-        num = ("int", "bigint", "double", "float", "smallint", "tinyint",
-               "decimal")
-        return [c for c, t in self._frame._sdf.dtypes
-                if any(t.startswith(n) for n in num)]
+        return _numeric_cols(self._frame)
 
 
 class Expanding(Rolling):
@@ -336,8 +340,12 @@ class Resampler:
         for col, fns in spec.items():
             fns = fns if isinstance(fns, (list, tuple)) else [fns]
             for fn in fns:
-                exprs.append(_ROLL_FUNCS[fn](F.col(col))
-                             .alias(f"{col}_{fn}"))
+                # "size" = row count of the bucket (count(*) — the
+                # pandas .size()/len semantics); "count" = non-null
+                # count of the column, matching pandas .count()
+                agg = (F.count(F.lit(1)) if fn == "size"
+                       else _ROLL_FUNCS[fn](F.col(col)))
+                exprs.append(agg.alias(f"{col}_{fn}"))
         out = (self._frame._sdf
                .groupBy(*self._by, win.alias("__w"))
                .agg(*exprs)
@@ -345,8 +353,14 @@ class Resampler:
                .drop("__w"))
         return DataFrame(out, self._frame._index)
 
+    def _agg_cols(self):
+        # pandas semantics: grouping keys and the time column are
+        # never aggregated
+        skip = set(self._by) | {self._on}
+        return [c for c in _numeric_cols(self._frame) if c not in skip]
+
     def sum(self):
-        return self.agg({c: "sum" for c in Rolling._numeric_cols(self)})
+        return self.agg({c: "sum" for c in self._agg_cols()})
 
     def mean(self):
-        return self.agg({c: "mean" for c in Rolling._numeric_cols(self)})
+        return self.agg({c: "mean" for c in self._agg_cols()})

@@ -26,9 +26,8 @@ def running_totals(sdf: SparkDF, key_col: str, value_col: str,
     state_schema = "n bigint, total double"
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            return
+        # NoTimeout: hasTimedOut can never fire; state lives for the
+        # stream's lifetime (see heavy_hitters' eviction note)
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
@@ -65,17 +64,18 @@ def heavy_hitters(sdf: SparkDF, group_col: str, item_col: str,
     counters. State is O(groups × capacity) regardless of stream
     length or item cardinality — the property that makes per-key
     top-k feasible on an unbounded 100 TB/day stream where a
-    groupBy(item).count() would grow without bound."""
+    groupBy(item).count() would grow without bound. State lives for
+    the stream's lifetime (NoTimeout): eviction of idle GROUPS is the
+    caller's policy — compose with emit_on_close-style
+    EventTimeTimeout when idle keys must be dropped."""
 
-    out_schema = (f"{group_col} bigint, item string, count bigint, "
+    key_type = dict(sdf.dtypes)[group_col]
+    out_schema = (f"{group_col} {key_type}, item string, count bigint, "
                   "err bigint")
     state_schema = ("items array<string>, counts array<bigint>, "
                     "errs array<bigint>")
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            return
         if state.exists:
             items, counts, errs = state.get
             tbl = {i: [c, e] for i, c, e in zip(items, counts, errs)}
@@ -129,17 +129,17 @@ def streaming_quantile(sdf: SparkDF, group_col: str, value_col: str,
     piecewise-parabolic adjustment; typical relative error well under
     1 % on smooth distributions) — for exact quantiles over a bounded
     window use the batch ``quantile`` on windowed aggregation
-    output instead."""
+    output instead. State lives for the stream's lifetime
+    (NoTimeout); see heavy_hitters for the idle-group eviction
+    note."""
 
-    out_schema = f"{group_col} bigint, n bigint, estimate double"
+    key_type = dict(sdf.dtypes)[group_col]
+    out_schema = f"{group_col} {key_type}, n bigint, estimate double"
     state_schema = ("qs array<double>, ns array<double>, "
                     "count bigint")
     probs = [0.0, q / 2, q, (1 + q) / 2, 1.0]
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            return
         if state.exists:
             heights, posns, n = state.get
             heights, posns = list(heights), list(posns)

@@ -816,3 +816,30 @@ def test_streaming_quantile_p2(spark):
     # under 5 observations the estimate is an exact order statistic
     g2 = out[out.g == 2].iloc[-1]
     assert g2.n == 3 and g2.estimate == 20.0
+
+
+def test_streaming_heavy_hitters_string_key(spark):
+    """The group column's type is inferred from the input schema —
+    string keys must work, not just bigint."""
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:01"] * 6),
+        "src": ["crawl"] * 4 + ["wiki"] * 2,
+        "item": ["x", "x", "y", "x", "z", "z"],
+    })
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = St.read_stream(
+            spark, "parquet", src,
+            schema="ts timestamp, src string, item string")
+        hh = St.heavy_hitters(stream, "src", "item", capacity=4)
+        q = St.write_stream(hh, "memory", query_name="hhs",
+                            output_mode="update")
+        try:
+            q.processAllAvailable()
+            out = spark.sql("select * from hhs").toPandas()
+        finally:
+            q.stop()
+    crawl = out[out.src == "crawl"].set_index("item")["count"].to_dict()
+    assert crawl == {"x": 3, "y": 1}
+    assert out[out.src == "wiki"].set_index("item")["count"].to_dict() == {"z": 2}
