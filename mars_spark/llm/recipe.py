@@ -59,11 +59,16 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
                  redact_pii: bool = True,
                  dedup: str | None = "exact",
                  dedup_threshold: float = 0.5,
+                 vec_col: str | None = None,
+                 n_clusters: int = 64,
                  eval_df: SparkDF | None = None,
                  decontam_k: int = 13):
     """Run the standard pretraining-hygiene pipeline; returns the
     cleaned frame (same schema, ``text_col`` redacted in place when
-    ``redact_pii``). ``dedup`` ∈ {None, 'exact', 'minhash'}."""
+    ``redact_pii``). ``dedup`` ∈ {None, 'exact', 'minhash',
+    'semantic'} — 'semantic' needs ``vec_col`` (an embedding column)
+    and dedups on cosine >= ``dedup_threshold`` inside deterministic
+    IVF cells (raise ``n_clusters`` with corpus size)."""
     out = docs.filter(quality_predicate(
         F.col(text_col), min_quality=min_quality, max_dup2=max_dup2,
         max_topw=max_topw, min_tokens=min_tokens, langs=langs))
@@ -80,6 +85,14 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
     elif dedup == "minhash":
         out = _dedup.minhash_dedup(out, text_col, id_col,
                                    threshold=dedup_threshold)
+    elif dedup == "semantic":
+        if vec_col is None:
+            raise ValueError("dedup='semantic' needs vec_col")
+        from mars_spark.llm import similarity as _sim
+
+        out = _sim.semantic_dedup(out, vec_col,
+                                  threshold=dedup_threshold,
+                                  n_clusters=n_clusters, id_col=id_col)
     elif dedup is not None:
         raise ValueError(f"unknown dedup mode {dedup!r}")
     if eval_df is not None:

@@ -691,3 +691,22 @@ def test_hygiene_null_text_behavior(spark):
     # any filter -> null predicate -> null row dropped
     kept = R.clean_corpus(sdf, min_tokens=1, redact_pii=False, dedup=None)
     assert [r.doc_id for r in kept.collect()] == [0]
+
+
+def test_clean_corpus_semantic_dedup(spark):
+    from mars_spark.llm import recipe as R
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(12, 8))
+    vecs[10] = vecs[0] * 2.0   # exact-direction dup of 0
+    vecs[11] = vecs[3] * 0.5   # dup of 3
+    pdf = pd.DataFrame({
+        "doc_id": range(12),
+        "text": [f"document number {i} with real words" for i in range(12)],
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    out = R.clean_corpus(spark.createDataFrame(pdf), dedup="semantic",
+                         dedup_threshold=0.95, vec_col="embedding",
+                         n_clusters=4, redact_pii=False)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert 10 not in kept and 11 not in kept
+    assert {0, 3} <= set(kept)
