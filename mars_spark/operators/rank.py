@@ -65,7 +65,7 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
         empty = (d.withColumn("__before", F.lit(0).cast("bigint"))
                  .withColumn("__didx", F.lit(0).cast("bigint"))
                  .drop("__pid"))
-        return (empty, 0) if with_total else empty
+        return (empty, (0, 0)) if with_total else empty
     cmap = F.create_map(*[F.lit(x) for kv in cum_off.items() for x in kv])
     imap = F.create_map(*[F.lit(x) for kv in idx_off.items() for x in kv])
     w = (Window.partitionBy("__pid").orderBy(order)
@@ -79,9 +79,11 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
                 (imap[F.col("__pid")] + F.count(F.lit(1)).over(w)
                  - 1).cast("bigint"))
             .drop("__pid"))
-    # acc is the grand total of weight_col — already computed for the
-    # offsets, free for callers (rank pct denominator)
-    return (stats, acc) if with_total else stats
+    # acc / dacc are the grand total of weight_col and the distinct-
+    # value count — already computed for the offsets, free for callers
+    # (rank pct denominators: total rows, except dense which pandas
+    # divides by the DISTINCT count)
+    return (stats, (acc, dacc)) if with_total else stats
 
 
 def add_ranks(sdf: SparkDF, col: str, methods: dict[str, str],
@@ -134,8 +136,9 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
     when the layout preserves read order.
 
     ``pct=True`` divides by the count of ranked (non-null) values —
-    the denominator falls out of the prefix-sum offsets pass, so pct
-    costs no extra job.
+    except method='dense', which pandas divides by the number of
+    DISTINCT values; both denominators fall out of the prefix-sum
+    offsets pass, so pct costs no extra job.
     """
     if method not in ("average", "min", "max", "dense", "first"):
         raise ValueError(method)
@@ -143,8 +146,8 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
                  .filter(F.col("__v").isNotNull())
                  .groupBy("__v")
                  .agg(F.count(F.lit(1)).alias("__cnt")))
-    stats, total = prefix_stats(per_value, "__v", "__cnt",
-                                ascending=ascending, with_total=True)
+    stats, (total, n_distinct) = prefix_stats(
+        per_value, "__v", "__cnt", ascending=ascending, with_total=True)
 
     tie_col = order_col
     if method == "first" and tie_col is None:
@@ -167,7 +170,10 @@ def add_rank(sdf: SparkDF, col: str, method: str = "average",
         r = F.col("__before") + F.row_number().over(tie)
     r = r.cast("double")
     if pct:
-        r = r / F.lit(float(total or 1))
+        # pandas: dense pct divides by the number of DISTINCT values,
+        # every other method by the non-null row count
+        denom = n_distinct if method == "dense" else total
+        r = r / F.lit(float(denom or 1))
     j = j.withColumn(out, F.when(F.col(col).isNotNull(), r))
     j = j.drop("__before", "__didx", "__cnt")
     return j.drop("__mid") if tie_col == "__mid" else j

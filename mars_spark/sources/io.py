@@ -21,6 +21,16 @@ def _spark() -> SparkSession:
     from mars_spark.session import get_spark
 
     s = SparkSession.getActiveSession()
+    if s is not None:
+        return s
+    # getActiveSession() is THREAD-LOCAL: inside a ThreadPoolExecutor
+    # worker it returns None even though a session exists, and falling
+    # through to get_spark() would getOrCreate() — which MUTATES the
+    # existing session's runtime SQL confs with mars defaults
+    # (observed: shuffle.partitions and nanosAsLong rewritten mid-run
+    # under a driver-threaded query row, perturbing every later plan).
+    # The process-wide instantiated session is the correct fallback.
+    s = SparkSession._instantiatedSession
     return s if s is not None else get_spark()
 
 
@@ -146,6 +156,15 @@ def from_pandas(pdf, num_partitions: int | None = None) -> DataFrame:
 
         schema = from_arrow_schema(
             pa.Schema.from_pandas(pdf, preserve_index=False))
+        # an empty object-dtype column infers NullType (VOID) — it
+        # would fail confusingly at first write/union; demand dtypes
+        void = [f.name for f in schema.fields
+                if f.dataType.typeName() == "void"]
+        if void:
+            raise ValueError(
+                f"cannot infer a Spark type for empty object-dtype "
+                f"column(s) {void}: give the pandas frame concrete "
+                f"dtypes (e.g. .astype({{'col': 'string'}}))")
         sdf = _spark().createDataFrame([], schema=schema)
     else:
         sdf = _spark().createDataFrame(pdf)

@@ -159,4 +159,9 @@ def stream_stream_join(left: SparkDF, right: SparkDF, on: str,
         & (rw[right_ts] <= lw[left_ts])
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, on=cond, how=how).drop(f"__r_{on}")
+    out = lw.join(rw, on=cond, how=how)
+    # outer hows: a right-unmatched row has NULL in left's key column
+    # — coalesce the two key copies before dropping the renamed one,
+    # or the emitted row's key would be unrecoverable
+    return (out.withColumn(on, F.coalesce(F.col(on), F.col(f"__r_{on}")))
+            .drop(f"__r_{on}"))

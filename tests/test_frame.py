@@ -760,6 +760,12 @@ def test_rank_pct(spark):
         "v", na_position="last").r.tolist()
     assert got[:4] == pytest.approx(exp[:4])
     assert pd.isna(got[4]) and pd.isna(exp[4])  # null rank stays null
+    # dense pct divides by the DISTINCT count, not the row count
+    gd = f.assign(r=f.v.rank(method="dense", pct=True)).to_pandas() \
+        .sort_values("v", na_position="last").r.tolist()
+    ed = pdf.assign(r=pdf.v.rank(method="dense", pct=True)).sort_values(
+        "v", na_position="last").r.tolist()
+    assert gd[:4] == pytest.approx(ed[:4])
 
 
 def test_sql_passthrough(spark):

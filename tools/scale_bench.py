@@ -51,9 +51,14 @@ print(json.dumps({"t": round(time.time() - t0, 3), "rows": n}))
 
 
 def run_one(name: str, sf_dir: str, timeout: int = 1200) -> dict:
-    p = subprocess.run(
-        [sys.executable, "-c", CHILD, name, sf_dir],
-        capture_output=True, text=True, timeout=timeout)
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", CHILD, name, sf_dir],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        # one slow point must not kill the whole matrix — the slope
+        # summary for every OTHER query is the tool's purpose
+        return {"t": -1.0, "rows": -1, "err": f"timeout after {timeout}s"}
     for line in reversed(p.stdout.strip().splitlines()):
         try:
             return json.loads(line)
