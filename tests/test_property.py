@@ -346,3 +346,22 @@ def test_melt_explode_roundtrip(spark, vals):
     exp = pdf.melt(id_vars=["id"], value_vars=["a", "b"])
     key = lambda d: sorted(map(tuple, d[["id", "variable", "value"]].values))
     assert key(melted) == key(exp)
+
+
+@given(vals=st.lists(st.one_of(st.none(), st.floats(
+           min_value=-50, max_value=50, allow_nan=False)),
+       min_size=1, max_size=15),
+       keys=st.lists(st.integers(min_value=0, max_value=2),
+                     min_size=1, max_size=15))
+@_settings
+def test_groupby_interpolate_matches_pandas(spark, vals, keys):
+    n = min(len(vals), len(keys))
+    pdf = pd.DataFrame({"g": keys[:n], "o": range(n),
+                        "v": pd.array(vals[:n], dtype="float64")})
+    got = (ms.from_pandas(pdf).groupby("g").interpolate(order_by="o")
+           .to_pandas().sort_values(["g", "o"]).reset_index(drop=True))
+    exp = pdf.sort_values(["g", "o"]).reset_index(drop=True)
+    exp["v"] = exp.groupby("g")["v"].transform(
+        lambda s: s.interpolate(method="linear"))
+    np.testing.assert_allclose(got.v.fillna(-9e9), exp.v.fillna(-9e9),
+                               rtol=1e-9)
