@@ -742,9 +742,12 @@ class DataFrame:
         to_datetime): ``df.resample("1h", on="ts").agg({"v": "sum"})``
         plans as a tumbling-window groupBy — map-side-combined, the
         same shape as the streaming hourly rollup. ``rule`` accepts
-        pandas offsets with h/min/s/d units (epoch-aligned, matching
-        pandas' default origin for intraday frequencies). Optional
-        ``by`` adds grouping keys next to the time bucket."""
+        pandas offsets with h/min/s/d units. Buckets are
+        epoch-aligned; this coincides with pandas' default
+        ``origin='start_day'`` only for rules whose period evenly
+        divides 86400s (1h, 15min, 1d, ...) — a rule like ``7min``
+        buckets differently from pandas. Optional ``by`` adds
+        grouping keys next to the time bucket."""
         from mars_spark.operators.window import Resampler
 
         return Resampler(self, rule, on, by=by or [])

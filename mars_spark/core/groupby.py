@@ -301,7 +301,12 @@ class GroupBy:
         over the ``order_by`` ordering. Pandas edge semantics: leading
         nulls stay null, trailing nulls forward-fill from the last
         valid value. Four window functions over ONE partition spec —
-        a single shuffle on the group keys, no UDF."""
+        a single shuffle on the group keys, no UDF.
+
+        ``order_by`` values must be unique within each group: ties are
+        broken by ``row_number`` nondeterministically, so duplicate
+        order keys can make the fill positions (and interpolated
+        values) vary across runs and partition layouts."""
         self._require_plain_groupby("interpolate")
         from mars_spark.core.frame import DataFrame
 

@@ -64,6 +64,14 @@ def chunk_documents(sdf: SparkDF, text_col: str, id_col: str = "doc_id",
     pipeline runs before tokenization/embedding. Returns one row per
     chunk: (id, chunk_idx, chunk_text, n_tokens).
 
+    NOTE: ``chunk_text`` is built from the NORMALIZED text
+    (``text.normalize``: lowercased, whitespace-collapsed), not the
+    original — token boundaries must be deterministic for the regex
+    pass and the closed-form count oracle to agree. Case-sensitive
+    consumers (exact-match dedup against raw text, cased tokenizers)
+    should re-slice the original text by token offsets or chunk a
+    case-preserving normalization instead.
+
     Chunk COUNT is closed-form over the token count — ``1`` when
     n ≤ size else ``ceil((n − size)/stride) + 1`` — so the rollup is
     SQL-oracle-replayable without re-splitting text; chunk TEXT is

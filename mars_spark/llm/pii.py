@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 # Fixed application order — email first so "user@10.0.0.1"-style hosts
 # are consumed by the email rule before the IP rule sees them.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),

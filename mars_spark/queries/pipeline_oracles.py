@@ -103,13 +103,13 @@ _HYGIENE_SQL = """
             FROM documents
         ), pii_doc AS (
             SELECT source,
-                   len(regexp_extract_all(a, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                   len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                  + len(regexp_extract_all(a, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                  + len(regexp_extract_all(a, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
                  + len(regexp_extract_all(a, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS tot,
                    length(a) - length(
                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
-                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
                            '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
                            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS removed

@@ -20,7 +20,9 @@ def running_totals(sdf: SparkDF, key_col: str, value_col: str,
                    ts_col: str = "ts", watermark: str = "10 minutes") -> SparkDF:
     """Per-key running (count, sum) emitted on every micro-batch — the
     canonical applyInPandasWithState shape. State = two floats per key;
-    memory is O(distinct keys), bounded by the watermark timeout."""
+    memory is O(distinct keys ever seen) and never evicted (NoTimeout)
+    — compose with EventTimeTimeout (see emit_on_close_totals) when
+    idle keys must be dropped."""
 
     out_schema = f"{key_col} bigint, n bigint, total double"
     state_schema = "n bigint, total double"
