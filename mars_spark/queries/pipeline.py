@@ -261,9 +261,12 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     BM25 retrieval stratum: top-10 docs for a 3-term query
     (llm/retrieval.py — posting-list explode, query-term-only idf
     broadcast, k1/b saturation), folded as sentinel rows a=-1 with
-    the 4-dp score in the jaccard column. Both engines order by the
-    ROUNDED score with doc-id tie-break, so the selected set is
-    deterministic."""
+    the 4-dp score in the jaccard column, plus (r8) the TF-IDF
+    sentinel stratum (a=-2): top-10 docs by sklearn-form tf·idf for
+    the term 'the' — the full posting-list build + global df + N,
+    value-checking llm/retrieval.py tf_idf end to end. Both engines
+    order by the ROUNDED score with doc-id tie-break, so the
+    selected sets are deterministic."""
     from mars_spark.llm import retrieval as RT
 
     d = load(sf_dir, "documents").to_spark()
@@ -273,7 +276,13 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
                   F.col("doc_id").alias("b"),
                   F.round("score", 4).alias("jaccard"))
           .orderBy(F.desc("jaccard"), F.asc("b")).limit(10))
-    return pairs.unionByName(bm)
+    ti = (RT.tf_idf(d, "text")
+          .filter(F.col("term") == "the")
+          .select(F.lit(-2).cast("long").alias("a"),
+                  F.col("doc_id").alias("b"),
+                  F.round("tfidf", 4).alias("jaccard"))
+          .orderBy(F.desc("jaccard"), F.asc("b")).limit(10))
+    return pairs.unionByName(bm).unionByName(ti)
 
 
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -282,6 +291,31 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     d = load(sf_dir, "documents").to_spark()
     kept = D.minhash_dedup(d, "text", "doc_id", threshold=0.5)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """End-to-end clean_corpus contract (llm/recipe.py, r8): the full
+    pretraining-hygiene pipeline in ONE lazy plan — quality /
+    repetition / length filters (narrow predicates that fold into the
+    scan) → PII redaction (narrow map) → exact dedup (one fp shuffle)
+    → eval-set decontamination (13-gram broadcast semi-join; eval set
+    = the doc_id % 97 slice, redacted identically per
+    recipe.py:77-82). Per-source survivor counts + post-redaction
+    char totals + id extremes value-check the COMPOSITION of all four
+    stages; the oracle replays each stage's already-verified SQL form
+    and composes them the same way."""
+    from mars_spark.llm.recipe import clean_corpus
+
+    d = load(sf_dir, "documents").to_spark()
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    cleaned = clean_corpus(
+        d, min_quality=0.85, min_tokens=5, max_dup2=0.15,
+        redact_pii=True, dedup="exact", eval_df=ev, decontam_k=13)
+    return (cleaned.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(F.length("text")).cast("long").alias("chars_red"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -684,10 +718,21 @@ def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:
     dropDuplicatesWithinWatermark (streaming/core.py stream_dedup —
     key columns only, so the kept-row arrival order can't leak into
     the result), and (c) a stream-static broadcast enrichment join
-    (stream_static_join) feeding a complete-mode aggregation. All
+    (stream_static_join) feeding a complete-mode aggregation, plus
+    (r8) the streaming-sketch strata in their EXACT regimes: (d)
+    space-saving heavy hitters (streaming/stateful.py heavy_hitters)
+    with capacity 16 >= the 5 distinct event types — no counter ever
+    evicts, so every count is exact and err = 0, replayable as a
+    DuckDB group-count; (e) P² streaming quantile (streaming_quantile)
+    over groups of EXACTLY 5 observations (event_id < 500, id % 100 —
+    event_ids are dense, so each group fills the 5 markers and never
+    enters the parabolic-update regime): the estimate is the exact
+    median order statistic, replayable as quantile_cont(0.5). All
     deterministic: bounded source, event-time/state semantics."""
     from mars_spark.streaming.core import stream_dedup, stream_static_join
-    from mars_spark.streaming.stateful import running_totals
+    from mars_spark.streaming.stateful import (heavy_hitters,
+                                               running_totals,
+                                               streaming_quantile)
 
     src = _stream_source(spark, sf_dir)
     _STREAM_SEQ[0] += 1
@@ -721,7 +766,23 @@ def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:
                  .queryName(f"ms_sf_seg_{seq}").outputMode("complete")
                  .trigger(availableNow=True).start())
 
-        for q in (q_tot, q_ddp, q_seg):
+        hh = heavy_hitters(
+            src.select((F.col("user_id") % 4).alias("hh_g"),
+                       F.col("event_type"), "ts"),
+            "hh_g", "event_type", capacity=16)
+        q_hh = (hh.writeStream.format("memory")
+                .queryName(f"ms_sf_hh_{seq}").outputMode("update")
+                .trigger(availableNow=True).start())
+
+        pq = streaming_quantile(
+            src.filter(F.col("event_id") < 500)
+            .select((F.col("event_id") % 100).alias("pq_g"), "value", "ts"),
+            "pq_g", "value", q=0.5)
+        q_pq = (pq.writeStream.format("memory")
+                .queryName(f"ms_sf_pq_{seq}").outputMode("update")
+                .trigger(availableNow=True).start())
+
+        for q in (q_tot, q_ddp, q_seg, q_hh, q_pq):
             q.awaitTermination()
 
     tot_out = spark.table(f"ms_sf_tot_{seq}").select(
@@ -735,7 +796,16 @@ def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:
     seg_out = spark.table(f"ms_sf_seg_{seq}").select(
         F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("grp"),
         F.col("n"), F.round(F.col("sv"), 2).alias("v"))
-    return tot_out.unionByName(ddp_out).unionByName(seg_out)
+    hh_out = spark.table(f"ms_sf_hh_{seq}").select(
+        F.concat(F.lit("hh:"), F.col("hh_g").cast("string"),
+                 F.lit(":"), F.col("item")).alias("grp"),
+        F.col("count").alias("n"),
+        F.col("err").cast("double").alias("v"))
+    pq_out = spark.table(f"ms_sf_pq_{seq}").select(
+        F.concat(F.lit("pq:"), F.col("pq_g").cast("string")).alias("grp"),
+        F.col("n"), F.round(F.col("estimate"), 4).alias("v"))
+    return (tot_out.unionByName(ddp_out).unionByName(seg_out)
+            .unionByName(hh_out).unionByName(pq_out))
 
 
 def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -923,6 +993,7 @@ PIPELINE_QUERIES = {
     "docs_cc_clusters": docs_cc_clusters,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_clean_corpus": docs_clean_corpus,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_ann_recall": emb_ann_recall,
 }

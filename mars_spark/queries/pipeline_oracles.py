@@ -17,6 +17,23 @@ _SHINGLES = (
     "for i in range(1, greatest(len(l)-1, 2))])"
 )
 
+# PII redaction chain over `text` (must match llm.pii.PII_PATTERNS
+# order: email, ipv4, phone, ssn)
+_REDACT_TXT = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+    "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'), "
+    "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')"
+)
+# normalization + tokens + distinct word-13-gram shingles of the
+# REDACTED text `rtext` (must match llm.text.word_shingles k=13 incl.
+# the <k-token whole-doc truncation)
+_RNORM = r"trim(regexp_replace(lower(rtext), '\s+', ' ', 'g'))"
+_RL = f"regexp_split_to_array({_RNORM}, ' ')"
+_SHINGLES13 = ("list_distinct([array_to_string(rl[i:i+12], ' ') "
+               "for i in range(1, greatest(len(rl)-11, 2))])")
+
 _STOP5 = ["the", "and", "of", "to", "a"]
 _LANG_MARKERS = {
     "en": [" the ", " and ", " of ", " to ", " is "],
@@ -259,6 +276,18 @@ PIPELINE_ORACLES: dict[str, str] = {
                round(sum(value), 2) AS v
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+        UNION ALL
+        -- space-saving heavy hitters, exact regime (capacity 16 >= 5
+        -- distinct event types => no eviction, counts exact, err 0)
+        SELECT 'hh:' || (user_id % 4) || ':' || event_type AS grp,
+               count(*) AS n, 0.0 AS v
+        FROM events GROUP BY 1
+        UNION ALL
+        -- P2 quantile, exact regime (dense event_ids < 500 mod 100 =>
+        -- exactly 5 obs/group; estimate = exact median = marker 2)
+        SELECT 'pq:' || (event_id % 100) AS grp, count(*) AS n,
+               round(quantile_cont(value, 0.5), 4) AS v
+        FROM events WHERE event_id < 500 GROUP BY 1
     """,
     "op_multimodal": """
         SELECT doc_id AS id,
@@ -591,6 +620,89 @@ PIPELINE_ORACLES: dict[str, str] = {
                    round(s, 4) AS jaccard
             FROM sc ORDER BY round(s, 4) DESC, doc_id LIMIT 10
         )
+        UNION ALL
+        -- TF-IDF stratum (llm/retrieval.py tf_idf): sklearn smooth
+        -- idf ln((N+1)/(df+1)) + 1, df = docs containing the term
+        SELECT * FROM (
+            WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            tc AS (
+                SELECT doc_id, t AS term, count(*) AS tf
+                FROM toks, UNNEST(l) AS u(t) GROUP BY 1, 2
+            ), nn AS (SELECT count(*) AS n FROM toks),
+            dfq AS (SELECT count(*) AS df FROM tc WHERE term = 'the'),
+            sc2 AS (
+                SELECT doc_id,
+                       tf * (ln((n + 1.0) / (df + 1.0)) + 1) AS s
+                FROM tc, nn, dfq WHERE term = 'the'
+            )
+            SELECT CAST(-2 AS BIGINT) AS a, doc_id AS b,
+                   round(s, 4) AS jaccard
+            FROM sc2 ORDER BY round(s, 4) DESC, doc_id LIMIT 10
+        )
+    """,
+    # end-to-end clean_corpus (llm/recipe.py): quality/repetition/
+    # length filters -> PII redaction -> exact dedup (min-id per md5
+    # of normalized redacted text) -> 13-gram decontamination vs the
+    # identically-redacted doc_id % 97 eval slice
+    "docs_clean_corpus": f"""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   CAST(length(text) AS DOUBLE) AS n, {_TOKS} AS l,
+                   (CAST(length(text) AS DOUBLE)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS n_alpha,
+                   ' ' || {_NORM} || ' ' AS padded
+            FROM documents
+        ), s AS (
+            SELECT doc_id, source, text, n, len(l) AS n_tok,
+                   n_alpha / greatest(n, 1.0) AS alpha,
+                   n / greatest(len(l), 1.0) AS mean_word,
+                   ({" + ".join(_occ("padded", f" {w} ") for w in _STOP5)})
+                       / greatest(len(l), 1.0) AS stop_ratio,
+                   list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+                                  i -> array_to_string(l[i:i+1], ' ')) AS g2
+            FROM t
+        ), q AS (
+            SELECT doc_id, source, text,
+                   round(0.3 * (CASE WHEN n < 20 THEN n / 20.0
+                                     WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+                         + 0.3 * least(alpha * 1.5, 1.0)
+                         + 0.2 * (CASE WHEN mean_word >= 3 AND mean_word <= 12
+                                       THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * least(stop_ratio * 5.0, 1.0), 4) AS quality,
+                   n_tok,
+                   round((len(g2) - len(list_distinct(g2)))
+                         / greatest(len(g2), 1)::DOUBLE, 4) AS dup2
+            FROM s
+        ), filt AS (
+            SELECT doc_id, source, {_REDACT_TXT} AS rtext
+            FROM q WHERE quality >= 0.85 AND n_tok >= 5 AND dup2 <= 0.15
+        ), dd AS (
+            SELECT doc_id, source, rtext,
+                   min(doc_id) OVER (PARTITION BY md5({_RNORM})) AS keep_id
+            FROM filt
+        ), surv AS (
+            SELECT doc_id, source, rtext, {_RL} AS rl
+            FROM dd WHERE doc_id = keep_id
+        ), shing AS (
+            SELECT doc_id, source, rtext, {_SHINGLES13} AS sh FROM surv
+        ), evr AS (
+            SELECT {_REDACT_TXT} AS rtext
+            FROM documents WHERE doc_id % 97 = 0
+        ), evl AS (
+            SELECT {_RL} AS rl FROM evr
+        ), evg AS (
+            SELECT DISTINCT g FROM evl, UNNEST({_SHINGLES13}) AS u(g)
+        ), cont AS (
+            SELECT DISTINCT sh2.doc_id
+            FROM shing sh2, UNNEST(sh2.sh) AS u(g)
+            WHERE g IN (SELECT g FROM evg)
+        )
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(length(rtext)) AS BIGINT) AS chars_red,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM shing
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        GROUP BY source
     """,
     "docs_minhash_dedup": f"""
         WITH base AS (
