@@ -365,3 +365,129 @@ def test_groupby_interpolate_matches_pandas(spark, vals, keys):
         lambda s: s.interpolate(method="linear"))
     np.testing.assert_allclose(got.v.fillna(-9e9), exp.v.fillna(-9e9),
                                rtol=1e-9)
+
+
+# --------------------------------------------------------------- llm hygiene
+_doc_words = st.lists(
+    st.sampled_from(["a", "b", "ab", "the", "quick", "A", "The  ", "x9"]),
+    min_size=0, max_size=6)
+_docs = st.lists(_doc_words.map(" ".join), min_size=1, max_size=8)
+
+
+def _norm_ref(text: str) -> str:
+    return " ".join(text.lower().split())
+
+
+def _shingles_ref(text: str, k: int) -> set:
+    norm = _norm_ref(text)
+    toks = norm.split(" ")  # [''] for empty text, matching F.split
+    if len(toks) < k:
+        return {norm}
+    if norm == "":
+        # k=1 on empty text: the regex pass finds no tokens, so the
+        # gram set is empty (the <k truncation branch never fires)
+        return set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+@given(train=_docs, evals=_docs, k=st.integers(min_value=1, max_value=4))
+@_settings
+def test_decontaminate_matches_pure_python(spark, train, evals, k):
+    from mars_spark.llm import decontam as DC
+
+    tr = pd.DataFrame({"doc_id": range(len(train)), "text": train})
+    ev = pd.DataFrame({"doc_id": range(len(evals)), "text": evals})
+    got = sorted(
+        r.doc_id for r in
+        DC.decontaminate(spark.createDataFrame(tr),
+                         spark.createDataFrame(ev),
+                         "text", "doc_id", k=k).collect())
+    eval_grams = set().union(*(_shingles_ref(t, k) for t in evals))
+    exp = [i for i, t in enumerate(train)
+           if not (_shingles_ref(t, k) & eval_grams)]
+    assert got == exp
+
+
+_pii_frag = st.sampled_from([
+    "plain", "words", "Bob@Example.COM", "bob@10.0.0.1",
+    "u1@ex.org", "10.0.0.1", "555-123-4567", "987-65-4321",
+    "1.2.3.4.5.6.7.8", "a@b.cd", "x@y", "123-45-678", "<EMAIL>",
+])
+
+
+@given(frags=st.lists(_pii_frag, min_size=0, max_size=6))
+@_settings
+def test_pii_redact_idempotent_and_complete(spark, frags):
+    from pyspark.sql import functions as F
+
+    from mars_spark.llm import pii
+
+    text = " ".join(frags)
+    row = (spark.range(1)
+           .select(F.lit(text).alias("t"))
+           .select(pii.redact(F.col("t")).alias("once"))
+           .select("once",
+                   pii.redact(F.col("once")).alias("twice"),
+                   pii.pii_report(F.col("once"))["total"].alias("left"))
+           .collect()[0])
+    # redaction is idempotent and leaves zero detectable PII behind
+    assert row["twice"] == row["once"]
+    assert row["left"] == 0
+
+
+def test_pii_email_at_ip_host_ordering(spark):
+    # documented ordering case (pii.py module docstring): an email at
+    # a bare-IP host has no alphabetic TLD -> falls through the email
+    # rule to the IP rule; the address is destroyed, local part stays
+    from pyspark.sql import functions as F
+
+    from mars_spark.llm import pii
+
+    out = (spark.range(1)
+           .select(pii.redact(F.lit("mail bob@10.0.0.1 end")).alias("r"))
+           .collect()[0]["r"])
+    assert out == "mail bob@<IP> end"
+    # while a real email consumes the whole address before the
+    # narrower rules see its substrings
+    out2 = (spark.range(1)
+            .select(pii.redact(F.lit("mail Bob@Example.COM end")).alias("r"))
+            .collect()[0]["r"])
+    assert out2 == "mail <EMAIL> end"
+
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(["w0", "w1", "w2", "w3", "w4"]),
+             min_size=1, max_size=8).map(" ".join),
+    min_size=1, max_size=6)
+
+
+@given(docs=_corpus,
+       terms=st.sets(st.sampled_from(["w0", "w1", "w2"]),
+                     min_size=1, max_size=3))
+@_settings
+def test_bm25_matches_pure_python(spark, docs, terms):
+    from mars_spark.llm import retrieval as RT
+
+    k1, b = 1.2, 0.75
+    toks = [_norm_ref(d).split(" ") for d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {t: sum(1 for tk in toks if t in tk) for t in terms}
+    exp = {}
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = np.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0.0:
+            exp[i] = s
+    pdf = pd.DataFrame({"doc_id": range(n), "text": docs})
+    got = {r["doc_id"]: r["score"] for r in
+           RT.bm25_scores(spark.createDataFrame(pdf), sorted(terms),
+                          "text", k1=k1, b=b).collect()}
+    assert set(got) == set(exp)
+    for i in exp:
+        np.testing.assert_allclose(got[i], exp[i], rtol=1e-9)
