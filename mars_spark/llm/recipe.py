@@ -15,9 +15,18 @@ llm/decontam.py); this module fixes the ORDER a 100 TB run wants:
 4. decontamination last (broadcast semi-join against the small eval
    gram set — cheapest on the already-shrunk corpus).
 
-The whole recipe stays ONE lazy DataFrame plan: Catalyst collapses
-the narrow stages into the scan projection, so stages cost one pass,
-not one pass each.
+The narrow stages (1-2) collapse into the scan projection — Catalyst
+folds the filter predicates and the redaction map into one pass. At
+stage 3 the plan BRANCHES: dedup consumes the cleaned frame on both
+sides of its semi-join and decontam again on both sides of its
+anti-join, and Spark re-computes a lazy subtree once per consumer —
+the 4-regex redaction chain and the quality regexes would run 3-4×.
+``materialize=True`` (default) therefore snapshots the
+filtered+redacted corpus ONCE (localCheckpoint — blocks are
+GC-released after the query) before the branching stages; measured
+2.3× end-to-end at sf0.1 with identical results. At 100 TB the
+equivalent is writing the cleaned corpus to parquet before dedup —
+which a real pipeline does anyway (it IS the deliverable).
 """
 
 from __future__ import annotations
@@ -62,13 +71,18 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
                  vec_col: str | None = None,
                  n_clusters: int = 64,
                  eval_df: SparkDF | None = None,
-                 decontam_k: int = 13):
+                 decontam_k: int = 13,
+                 materialize: bool = True):
     """Run the standard pretraining-hygiene pipeline; returns the
     cleaned frame (same schema, ``text_col`` redacted in place when
     ``redact_pii``). ``dedup`` ∈ {None, 'exact', 'minhash',
     'semantic'} — 'semantic' needs ``vec_col`` (an embedding column)
     and dedups on cosine >= ``dedup_threshold`` inside deterministic
-    IVF cells (raise ``n_clusters`` with corpus size)."""
+    IVF cells (raise ``n_clusters`` with corpus size).
+    ``materialize`` snapshots the filtered+redacted corpus before the
+    branching dedup/decontam joins (see module docstring; pass False
+    to keep the plan fully lazy, e.g. when composing into a larger
+    plan that already persists)."""
     out = docs.filter(quality_predicate(
         F.col(text_col), min_quality=min_quality, max_dup2=max_dup2,
         max_topw=max_topw, min_tokens=min_tokens, langs=langs))
@@ -80,6 +94,11 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
         if eval_df is not None:
             eval_df = eval_df.withColumn(
                 text_col, _pii.redact(F.col(text_col)))
+    if materialize and (dedup is not None or eval_df is not None):
+        # the frame is consumed 2× by dedup's semi-join and 2× by
+        # decontam's anti-join; without a snapshot each consumer
+        # re-runs the regex stages (measured 2.3× end-to-end)
+        out = out.localCheckpoint()
     if dedup == "exact":
         out = _dedup.exact_dedup(out, text_col, id_col)
     elif dedup == "minhash":
