@@ -416,3 +416,61 @@ def simhash_near_pairs(sdf: SparkDF, text_col: str, id_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# -------------------------------------------------------- curation (r8)
+def best_in_cluster_dedup(sdf: SparkDF, text_col: str, id_col: str,
+                          score_col: str) -> SparkDF:
+    """Exact-duplicate clusters keep their BEST row — max ``score_col``,
+    min-id tie-break — instead of exact_dedup's min-id rule. This is
+    what a curation pipeline actually wants: when a doc appears on
+    three domains, keep the copy with the highest quality score (least
+    boilerplate damage), not an arbitrary one. ONE shuffle on the
+    md5 fingerprint (row_number window), same cost shape as
+    exact_dedup; deterministic and SQL-oracle-replayable as long as
+    ``score_col`` is (round scores before passing them in)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(fingerprint(F.col(text_col)))
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    return (sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def cross_doc_gram_stats(sdf: SparkDF, text_col: str, id_col: str,
+                         k: int = 8) -> SparkDF:
+    """Per-doc cross-document repeated-substring stats: for every doc,
+    the count and fraction of its word k-gram POSITIONS whose gram
+    also occurs in at least one OTHER document — the relational form
+    of the "duplicate spans" signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated ≥k-token
+    substrings across a corpus are memorization fuel even when whole
+    docs aren't duplicates). Returns (id, n_grams, n_dup, dup_frac).
+
+    Scale shape: grams shuffle TWICE (distinct-doc count per gram,
+    then the dup-gram semi-join back to positions) — both keyed on
+    md5(gram), a fixed 32-byte key regardless of k, so shuffle bytes
+    are bounded by position count, not substring length. This is the
+    honest Θ(total tokens) cost of the signal; the suffix-array
+    formulation reads fewer bytes but has no distributed relational
+    equivalent. Docs shorter than k tokens contribute their single
+    whole-doc gram (word_ngrams truncation rule)."""
+    from mars_spark.llm.text import word_ngrams
+
+    grams = sdf.select(
+        F.col(id_col),
+        F.explode(F.transform(word_ngrams(F.col(text_col), k),
+                              lambda g: F.md5(g))).alias("gh"))
+    per_gram = (grams.groupBy("gh")
+                .agg(F.count_distinct(F.col(id_col)).alias("nd")))
+    dup = per_gram.filter(F.col("nd") >= 2).select("gh")
+    n_all = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    n_dup = (grams.join(dup, "gh", "left_semi")
+             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup")))
+    return (n_all.join(n_dup, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup")
+                                / F.greatest(F.col("n_grams"), F.lit(1)),
+                                4)))

@@ -73,3 +73,22 @@ def sample_mixture(sources, id_col: str, seed="0") -> SparkDF:
         out = s if out is None else out.unionByName(
             s, allowMissingColumns=True)
     return out
+
+
+def cap_per_key(sdf: SparkDF, key_cols, n: int, order_by) -> SparkDF:
+    """Keep at most ``n`` rows per key, best-first — the per-domain /
+    per-source cap every crawl-curation pipeline applies so one
+    mega-domain can't dominate the mixture (the C4/RefinedWeb
+    "top-N per host" rule). ``order_by`` is a Column or list of
+    Columns ranking rows within a key (pass rounded scores +  an id
+    tie-break for a deterministic, oracle-replayable keep set).
+    ONE shuffle on the keys (row_number window); at 100 TB this is
+    the same partitioning the per-domain rollups already use, so the
+    exchange is typically reused."""
+    from pyspark.sql import Window
+
+    keys = key_cols if isinstance(key_cols, (list, tuple)) else [key_cols]
+    order = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))

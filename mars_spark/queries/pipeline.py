@@ -318,6 +318,63 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> SparkDF:
                  F.max("doc_id").alias("max_id")))
 
 
+def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
+    """Corpus-curation quartet (r8), four strata under (grp, k, n, v):
+
+    - ``best``: best_in_cluster_dedup (llm/dedup.py) — exact-dup
+      clusters keep the max-quality copy (min-id tie) instead of the
+      min id; per-source kept count + Σ kept doc_ids (the id sum
+      pins WHICH docs survive, not just how many).
+    - ``cap``: cap_per_key (llm/mixture.py) — at most 10 docs per
+      source, best-quality-first; count + Σ kept ids verify the
+      ranking.
+    - ``lm``: unigram_logprob (llm/lm.py) — per-doc NLL under the
+      corpus' own top-1024 unigram LM (add-1 smoothing), the
+      CCNet-style no-artifact quality signal; per-source doc count +
+      4-dp avg NLL.
+    - ``span``: cross_doc_gram_stats (llm/dedup.py) — fraction of
+      each doc's word-8-gram positions occurring in ≥2 docs (the
+      Lee-et-al duplicate-substring signal); per-source count +
+      4-dp avg fraction.
+
+    All four replay relationally in the DuckDB oracle (windows /
+    unnest + group / ln arithmetic)."""
+    from mars_spark.llm import lm as LM
+    from mars_spark.llm.mixture import cap_per_key
+
+    d = load(sf_dir, "documents").to_spark()
+    dq = d.withColumn("__q", T.quality_score(F.col("text")))
+
+    best = (D.best_in_cluster_dedup(dq, "text", "doc_id", "__q")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").cast("double").alias("v"))
+            .select(F.lit("best").alias("grp"),
+                    F.col("source").alias("k"), "n", "v"))
+    cap = (cap_per_key(dq, "source", 10,
+                       [F.desc("__q"), F.asc("doc_id")])
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").cast("double").alias("v"))
+           .select(F.lit("cap").alias("grp"),
+                   F.col("source").alias("k"), "n", "v"))
+    lm = (LM.unigram_logprob(d, "text", "doc_id", vocab_size=1024)
+          .join(d.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.round(F.avg("nll"), 4).alias("v"))
+          .select(F.lit("lm").alias("grp"),
+                  F.col("source").alias("k"), "n", "v"))
+    span = (D.cross_doc_gram_stats(d, "text", "doc_id", k=8)
+            .join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("dup_frac"), 4).alias("v"))
+            .select(F.lit("span").alias("grp"),
+                    F.col("source").alias("k"), "n", "v"))
+    return best.unionByName(cap).unionByName(lm).unionByName(span)
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
     """16-bit SimHash signatures (llm.dedup.simhash)."""
     d = load(sf_dir, "documents").to_spark()
@@ -994,6 +1051,7 @@ PIPELINE_QUERIES = {
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_clean_corpus": docs_clean_corpus,
+    "docs_curation_ops": docs_curation_ops,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_ann_recall": emb_ann_recall,
 }

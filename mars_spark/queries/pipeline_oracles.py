@@ -704,6 +704,88 @@ PIPELINE_ORACLES: dict[str, str] = {
         WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         GROUP BY source
     """,
+    # curation quartet (r8): best-of-cluster dedup, per-source cap,
+    # corpus unigram NLL, cross-doc duplicate-gram fraction
+    "docs_curation_ops": f"""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   CAST(length(text) AS DOUBLE) AS n, {_TOKS} AS l,
+                   (CAST(length(text) AS DOUBLE)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS n_alpha,
+                   ' ' || {_NORM} || ' ' AS padded
+            FROM documents
+        ), q AS (
+            SELECT doc_id, source, text,
+                   round(0.3 * (CASE WHEN n < 20 THEN n / 20.0
+                                     WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+                         + 0.3 * least(alpha * 1.5, 1.0)
+                         + 0.2 * (CASE WHEN mean_word >= 3 AND mean_word <= 12
+                                       THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * least(stop_ratio * 5.0, 1.0), 4) AS quality
+            FROM (SELECT doc_id, source, text, n,
+                         n_alpha / greatest(n, 1.0) AS alpha,
+                         n / greatest(len(l), 1.0) AS mean_word,
+                         ({" + ".join(_occ("padded", f" {w} ") for w in _STOP5)})
+                             / greatest(len(l), 1.0) AS stop_ratio
+                  FROM t)
+        ), best AS (
+            SELECT source, count(*) AS n, CAST(sum(doc_id) AS DOUBLE) AS v
+            FROM (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY md5({_NORM})
+                                            ORDER BY quality DESC, doc_id) AS rn
+                  FROM q)
+            WHERE rn = 1 GROUP BY source
+        ), cap AS (
+            SELECT source, count(*) AS n, CAST(sum(doc_id) AS DOUBLE) AS v
+            FROM (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY quality DESC, doc_id) AS rn
+                  FROM q)
+            WHERE rn <= 10 GROUP BY source
+        ), toks AS (
+            SELECT doc_id, source, w AS word FROM t, UNNEST(l) AS u(w)
+        ), cnt AS (
+            SELECT word, count(*) AS c FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT sum(c) AS tt FROM cnt
+        ), vocab AS (
+            SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 1024
+        ), lp AS (
+            SELECT toks.doc_id, toks.source,
+                   ln((coalesce(v.c, 0) + 1.0) / (tt + 1025.0)) AS lp
+            FROM toks LEFT JOIN vocab v USING (word) CROSS JOIN tot
+        ), docnll AS (
+            SELECT doc_id, any_value(source) AS source,
+                   round(-avg(lp), 4) AS nll
+            FROM lp GROUP BY doc_id
+        ), lmrow AS (
+            SELECT source, count(*) AS n, round(avg(nll), 4) AS v
+            FROM docnll GROUP BY source
+        ), g8 AS (
+            SELECT doc_id, source,
+                   list_transform(range(1, greatest(len(l) - 7, 1) + 1),
+                                  i -> array_to_string(l[i:i+7], ' ')) AS g
+            FROM t
+        ), ge AS (
+            SELECT doc_id, source, md5(gr) AS gh FROM g8, UNNEST(g) AS u(gr)
+        ), nd AS (
+            SELECT gh, count(DISTINCT doc_id) AS nd FROM ge GROUP BY 1
+        ), per AS (
+            SELECT ge.doc_id, any_value(ge.source) AS source,
+                   count(*) AS ng,
+                   sum(CASE WHEN nd.nd >= 2 THEN 1 ELSE 0 END) AS ndup
+            FROM ge JOIN nd USING (gh) GROUP BY ge.doc_id
+        ), spanrow AS (
+            SELECT source, count(*) AS n,
+                   round(avg(round(CAST(ndup AS DOUBLE)
+                                   / greatest(ng, 1), 4)), 4) AS v
+            FROM per GROUP BY source
+        )
+        SELECT 'best' AS grp, source AS k, n, v FROM best
+        UNION ALL SELECT 'cap' AS grp, source AS k, n, v FROM cap
+        UNION ALL SELECT 'lm' AS grp, source AS k, n, v FROM lmrow
+        UNION ALL SELECT 'span' AS grp, source AS k, n, v FROM spanrow
+    """,
     "docs_minhash_dedup": f"""
         WITH base AS (
             SELECT doc_id, source, {_SHINGLES} AS sh

@@ -744,3 +744,69 @@ def test_clean_corpus_semantic_dedup(spark):
     kept = sorted(r.doc_id for r in out.select("doc_id").collect())
     assert 10 not in kept and 11 not in kept
     assert {0, 3} <= set(kept)
+
+
+# ------------------------------------------------------ curation ops (r8)
+def test_best_in_cluster_dedup(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        # 0,1,2 are one exact cluster (same normalized text); 3,4 unique
+        "text": ["The  cat sat", "the cat  sat", "THE CAT SAT",
+                 "a different doc", "another one"],
+        "score": [0.2, 0.9, 0.9, 0.5, 0.1],
+    })
+    kept = D.best_in_cluster_dedup(
+        spark.createDataFrame(pdf), "text", "doc_id", "score")
+    # cluster {0,1,2}: max score 0.9 held by 1 and 2 -> min id 1 wins
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4]
+
+
+def test_cap_per_key(spark):
+    from mars_spark.llm.mixture import cap_per_key
+    pdf = pd.DataFrame({
+        "doc_id": range(10),
+        "src": ["a"] * 6 + ["b"] * 4,
+        "q": [0.1, 0.9, 0.5, 0.9, 0.3, 0.7, 0.2, 0.2, 0.8, 0.4],
+    })
+    kept = cap_per_key(spark.createDataFrame(pdf), "src", 3,
+                       [F.desc("q"), F.asc("doc_id")])
+    got = sorted(r.doc_id for r in kept.collect())
+    # a: top-3 by (q desc, id asc) = ids 1 (0.9), 3 (0.9), 5 (0.7)
+    # b: ids 8 (0.8), 9 (0.4), then tie 0.2 -> min id 6
+    assert got == [1, 3, 5, 6, 8, 9]
+
+
+def test_unigram_logprob_matches_numpy(spark):
+    from collections import Counter
+
+    from mars_spark.llm import lm as LM
+    docs = ["the cat sat", "the the the", "dog", "zz yy xx"]
+    pdf = pd.DataFrame({"doc_id": range(4), "text": docs})
+    V, alpha = 3, 1.0  # tiny vocab -> real OOV coverage
+    got = {r.doc_id: (r.n_tokens, r.nll) for r in
+           LM.unigram_logprob(spark.createDataFrame(pdf), "text",
+                              "doc_id", vocab_size=V).collect()}
+    toks = [d.split() for d in docs]
+    cnt = Counter(w for t in toks for w in t)
+    total = sum(cnt.values())
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    for i, t in enumerate(toks):
+        nll = -np.mean([np.log((vocab.get(w, 0) + alpha)
+                               / (total + alpha * (V + 1))) for w in t])
+        assert got[i][0] == len(t)
+        np.testing.assert_allclose(got[i][1], round(nll, 4), atol=1e-4)
+
+
+def test_cross_doc_gram_stats(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d", "b c d e", "x y"],
+    })
+    # k=2 grams: doc0 {ab,bc,cd} doc1 {bc,cd,de} doc2 {xy}
+    # shared: bc, cd -> doc0 2/3, doc1 2/3, doc2 0/1
+    st = {r.doc_id: (r.n_grams, r.n_dup, r.dup_frac) for r in
+          D.cross_doc_gram_stats(spark.createDataFrame(pdf), "text",
+                                 "doc_id", k=2).collect()}
+    assert st[0] == (3, 2, 0.6667)
+    assert st[1] == (3, 2, 0.6667)
+    assert st[2] == (1, 0, 0.0)
