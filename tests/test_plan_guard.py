@@ -43,6 +43,7 @@ BNLJ_OK = {
     "docs_dedup_simhash": "corpus-wide distinct-fp scalar",
     "emb_ann_recall": "1-row recall + semantic-dedup count blocks",
     "docs_jaccard_pairs": "1-row BM25 corpus stats (N, avgdl) block",
+    "docs_curation_ops": "1-row unigram-LM total-token scalar",
 }
 
 # Rows whose plans must show non-empty parquet PushedFilters (every
