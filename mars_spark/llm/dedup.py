@@ -474,3 +474,41 @@ def cross_doc_gram_stats(sdf: SparkDF, text_col: str, id_col: str,
                         F.round(F.col("n_dup")
                                 / F.greatest(F.col("n_grams"), F.lit(1)),
                                 4)))
+
+
+def line_dedup(sdf: SparkDF, text_col: str, id_col: str,
+               sep: str = "\n") -> SparkDF:
+    """C4-style GLOBAL line deduplication (Raffel et al. 2020, §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once" — here at line granularity, the form most
+    curation stacks run): every distinct line keeps only its FIRST
+    occurrence in the corpus (min (doc_id, position)), each doc is
+    reassembled from its surviving lines in original order, and docs
+    whose every line was seen earlier drop out entirely. Returns the
+    input schema with ``text_col`` rewritten.
+
+    Scale shape: two word-count-shaped shuffles — one keyed on
+    md5(line) (32-byte key regardless of line length) for the global
+    first-occurrence window, one on the doc id for reassembly. Line
+    text rides the shuffle once each way; no O(n²) stage, no
+    driver-side state. Deterministic (min-(id,pos) winner) and
+    SQL-oracle-replayable."""
+    from pyspark.sql import Window
+
+    lines = sdf.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1))
+        .alias("__pos", "__line"))
+    w = (Window.partitionBy(F.md5(F.col("__line")))
+         .orderBy(F.col(id_col).asc(), F.col("__pos").asc()))
+    kept = (lines.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"]),
+            sep).alias("__newtext")))
+    return (sdf.join(reassembled, id_col, "inner")
+            .withColumn(text_col, F.col("__newtext")).drop("__newtext"))

@@ -337,8 +337,16 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
       Lee-et-al duplicate-substring signal); per-source count +
       4-dp avg fraction.
 
-    All four replay relationally in the DuckDB oracle (windows /
-    unnest + group / ln arithmetic)."""
+    - ``line`` / ``linelen``: line_dedup (llm/dedup.py) — C4-style
+      GLOBAL line dedup over a deterministically line-broken copy of
+      the corpus (``replace('table ', 'table\\n')`` — the testdata
+      has no newlines; same synthetic-augmentation precedent as the
+      PII stratum): per-source surviving-doc count + Σ kept lines,
+      and Σ reassembled-text length (pins the kept-line CONTENT;
+      exact reassembly order is pytest-verified).
+
+    All strata replay relationally in the DuckDB oracle (windows /
+    unnest + group / ln arithmetic / string_agg)."""
     from mars_spark.llm import lm as LM
     from mars_spark.llm.mixture import cap_per_key
 
@@ -372,7 +380,27 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                  F.round(F.avg("dup_frac"), 4).alias("v"))
             .select(F.lit("span").alias("grp"),
                     F.col("source").alias("k"), "n", "v"))
-    return best.unionByName(cap).unionByName(lm).unionByName(span)
+    lined = d.select(
+        "doc_id", "source",
+        F.replace(F.col("text"), F.lit("table "),
+                  F.lit("table\n")).alias("text"))
+    ld = (D.line_dedup(lined, "text", "doc_id")
+          .select("doc_id", "source",
+                  F.size(F.split(F.col("text"), F.lit("\n"), -1))
+                  .alias("nl"),
+                  F.length("text").alias("len"))
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("nl").cast("double").alias("v_nl"),
+               F.sum("len").cast("double").alias("v_len")))
+    line = ld.select(F.lit("line").alias("grp"),
+                     F.col("source").alias("k"), "n",
+                     F.col("v_nl").alias("v"))
+    linelen = ld.select(F.lit("linelen").alias("grp"),
+                        F.col("source").alias("k"), "n",
+                        F.col("v_len").alias("v"))
+    return (best.unionByName(cap).unionByName(lm).unionByName(span)
+            .unionByName(line).unionByName(linelen))
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:

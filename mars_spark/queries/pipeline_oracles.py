@@ -785,6 +785,41 @@ PIPELINE_ORACLES: dict[str, str] = {
         UNION ALL SELECT 'cap' AS grp, source AS k, n, v FROM cap
         UNION ALL SELECT 'lm' AS grp, source AS k, n, v FROM lmrow
         UNION ALL SELECT 'span' AS grp, source AS k, n, v FROM spanrow
+        UNION ALL
+        -- C4 global line dedup over the synthetic line-broken corpus
+        SELECT * FROM (
+            WITH aug2 AS (
+                SELECT doc_id, source,
+                       replace(text, 'table ', 'table' || chr(10)) AS a
+                FROM documents
+            ), le AS (
+                SELECT doc_id, source, s.pos, s.line
+                FROM (SELECT doc_id, source,
+                             UNNEST(list_transform(
+                                 range(1, len(string_split(a, chr(10))) + 1),
+                                 i -> {{'pos': i - 1,
+                                       'line': string_split(a, chr(10))[i]}}))
+                             AS s
+                      FROM aug2)
+            ), fk AS (
+                SELECT doc_id, source, pos, line,
+                       row_number() OVER (PARTITION BY md5(line)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM le
+            ), keptl AS (
+                SELECT doc_id, any_value(source) AS source,
+                       count(*) AS nl,
+                       string_agg(line, chr(10) ORDER BY pos) AS newtext
+                FROM fk WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT 'line' AS grp, source AS k, count(*) AS n,
+                   CAST(sum(nl) AS DOUBLE) AS v
+            FROM keptl GROUP BY source
+            UNION ALL
+            SELECT 'linelen' AS grp, source AS k, count(*) AS n,
+                   CAST(sum(length(newtext)) AS DOUBLE) AS v
+            FROM keptl GROUP BY source
+        )
     """,
     "docs_minhash_dedup": f"""
         WITH base AS (

@@ -810,3 +810,31 @@ def test_cross_doc_gram_stats(spark):
     assert st[0] == (3, 2, 0.6667)
     assert st[1] == (3, 2, 0.6667)
     assert st[2] == (1, 0, 0.0)
+
+
+def test_line_dedup(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha\nbeta\ngamma",
+                 "beta\ndelta\nalpha",   # beta+alpha seen in doc 0
+                 "alpha\nbeta"],         # fully deduped away
+        "src": ["a", "a", "b"],
+    })
+    out = {r.doc_id: (r.text, r.src) for r in
+           D.line_dedup(spark.createDataFrame(pdf), "text",
+                        "doc_id").collect()}
+    # doc 0 keeps everything (first occurrences), doc 1 keeps only
+    # delta (order preserved), doc 2 vanishes
+    assert out[0] == ("alpha\nbeta\ngamma", "a")
+    assert out[1] == ("delta", "a")
+    assert 2 not in out
+    # order preservation with an interior dup: 'x' then dup then 'z'
+    pdf2 = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["common", "x\ncommon\nz"],
+        "src": ["a", "a"],
+    })
+    out2 = {r.doc_id: r.text for r in
+            D.line_dedup(spark.createDataFrame(pdf2), "text",
+                         "doc_id").collect()}
+    assert out2[1] == "x\nz"
