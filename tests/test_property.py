@@ -491,3 +491,31 @@ def test_bm25_matches_pure_python(spark, docs, terms):
     assert set(got) == set(exp)
     for i in exp:
         np.testing.assert_allclose(got[i], exp[i], rtol=1e-9)
+
+
+_line_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", ""]),
+             min_size=1, max_size=5).map("\n".join),
+    min_size=1, max_size=6)
+
+
+@given(docs=_line_docs)
+@_settings
+def test_line_dedup_matches_pure_python(spark, docs):
+    from mars_spark.llm import dedup as D
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = {r.doc_id: r.text for r in
+           D.line_dedup(spark.createDataFrame(pdf), "text",
+                        "doc_id").collect()}
+    seen = set()
+    exp = {}
+    for i, t in enumerate(docs):
+        kept = []
+        for line in t.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            exp[i] = "\n".join(kept)
+    assert got == exp
