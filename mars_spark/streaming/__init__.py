@@ -4,6 +4,7 @@ from mars_spark.streaming.core import (
     sliding_agg,
     session_agg,
     stream_dedup,
+    stream_incremental_dedup,
     stream_static_join,
     stream_stream_join,
     write_stream,
@@ -16,6 +17,7 @@ from mars_spark.streaming.stateful import (
 )
 
 __all__ = ["read_stream", "tumbling_agg", "sliding_agg", "session_agg",
-           "stream_dedup", "stream_static_join", "stream_stream_join",
+           "stream_dedup", "stream_incremental_dedup",
+           "stream_static_join", "stream_stream_join",
            "write_stream", "running_totals", "emit_on_close_totals",
            "heavy_hitters", "streaming_quantile"]

@@ -165,3 +165,36 @@ def stream_stream_join(left: SparkDF, right: SparkDF, on: str,
     # or the emitted row's key would be unrecoverable
     return (out.withColumn(on, F.coalesce(F.col(on), F.col(f"__r_{on}")))
             .drop(f"__r_{on}"))
+
+
+def stream_incremental_dedup(stream: SparkDF, seen_fps: SparkDF,
+                             text_col: str, ts_col: str = "ts",
+                             watermark: str = "10 minutes") -> SparkDF:
+    """STREAMING incremental corpus dedup — the daily-delivery shape of
+    llm.dedup.incremental_dedup run continuously: arriving documents
+    are dropped when their content fingerprint is already in the
+    persisted corpus store OR has been seen earlier in the stream.
+
+    Two stages, both bounded-state:
+    1. corpus check — a stream-static join against ``seen_fps`` (one
+       ``fp`` column, e.g. exact_dedup_keys(...).select('fp') written
+       to parquet). Spark's stream-static support matrix has no
+       left_anti, so this is the documented equivalent: LEFT OUTER
+       against the store + filter the store side null. The static
+       side broadcasts when small; re-read per micro-batch, so a
+       store appended between batches is picked up.
+    2. in-stream check — dropDuplicatesWithinWatermark on the
+       fingerprint: state holds fps only within the watermark bound
+       (two deliveries of the same doc inside one watermark dedup;
+       across waterlines the corpus store, refreshed by the batch
+       appender, takes over — that division of labor is what keeps
+       stream state from growing with corpus size).
+    """
+    from mars_spark.llm.text import fingerprint
+
+    fp = stream.withColumn("__fp", fingerprint(F.col(text_col)))
+    store = seen_fps.select(F.col("fp").alias("__seen_fp"))
+    fresh = (fp.join(store, fp["__fp"] == store["__seen_fp"], "left")
+             .filter(F.col("__seen_fp").isNull()).drop("__seen_fp"))
+    return (fresh.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__fp"]).drop("__fp"))

@@ -843,3 +843,41 @@ def test_streaming_heavy_hitters_string_key(spark):
     crawl = out[out.src == "crawl"].set_index("item")["count"].to_dict()
     assert crawl == {"x": 3, "y": 1}
     assert out[out.src == "wiki"].set_index("item")["count"].to_dict() == {"z": 2}
+
+
+def test_stream_incremental_dedup(spark, tmp_path):
+    import pandas as pd
+
+    from mars_spark.llm.dedup import exact_dedup_keys
+
+    src = str(tmp_path / "inc_src")
+    # corpus store from a prior batch: docs "alpha" and "beta"
+    prior = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["alpha doc", "beta doc"]}))
+    store = exact_dedup_keys(prior, "text", "doc_id").select("fp")
+
+    # arriving stream: a store dup (alpha), an in-stream dup pair
+    # (gamma twice), and a fresh doc (delta)
+    pdf = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["alpha  DOC",      # normalizes to the stored alpha fp
+                 "gamma doc", "gamma doc", "delta doc"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:10",
+            "2024-01-01 00:00:20", "2024-01-01 00:00:30"]),
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = St.read_stream(spark, "parquet", src, schema=schema)
+    fresh = St.stream_incremental_dedup(stream, store, "text")
+    q = St.write_stream(fresh, "memory", query_name="inc_dedup",
+                        output_mode="append")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from inc_dedup").toPandas()
+    finally:
+        q.stop()
+    # alpha dropped (store hit), one gamma survives, delta survives
+    assert sorted(out.doc_id) in ([11, 13], [12, 13])
+    assert set(out.columns) == {"doc_id", "text", "ts"}
