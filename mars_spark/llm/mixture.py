@@ -92,3 +92,48 @@ def cap_per_key(sdf: SparkDF, key_cols, n: int, order_by) -> SparkDF:
     w = Window.partitionBy(*keys).orderBy(*order)
     return (sdf.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+def temperature_weights(counts: dict[str, int],
+                        alpha: float = 0.7) -> dict[str, float]:
+    """Source-temperature mixing weights (the multilingual-LM rule,
+    e.g. XLM-R / Llama data recipes): resampling probability
+    q_s ∝ p_s^alpha with p_s = n_s / Σn — alpha < 1 upsamples small
+    sources relative to their natural share, alpha = 1 is natural
+    sampling. Returns per-source KEEP FRACTIONS normalized so the
+    largest is 1.0 (sample DOWN toward the temperature profile; no
+    source is oversampled, which a Bernoulli filter cannot do).
+    Driver-side arithmetic over the (tiny) per-source count dict —
+    get it from one groupBy(source).count()."""
+    if not counts:
+        return {}
+    total = float(sum(counts.values()))
+    q = {s: (n / total) ** alpha for s, n in counts.items()}
+    # keep_s ∝ q_s / p_s = p_s^(alpha-1); normalize max to 1.0
+    keep = {s: q[s] / (counts[s] / total) for s in counts}
+    mx = max(keep.values())
+    return {s: k / mx for s, k in keep.items()}
+
+
+def temperature_mixture(sdf: SparkDF, source_col: str, id_col: str,
+                        alpha: float = 0.7, seed="0") -> SparkDF:
+    """Resample a multi-source corpus toward the temperature-alpha
+    profile: per-source deterministic Bernoulli keeps with
+    temperature_weights fractions (md5-rule, so the kept set is
+    partition-independent and SQL-oracle-replayable). ONE count
+    aggregate (collects |sources| rows) + one narrow filter — the
+    corpus never shuffles."""
+    counts = {r[source_col]: r["n"] for r in
+              sdf.groupBy(source_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    keep = temperature_weights(counts, alpha)
+    key = hash_key(id_col, seed)
+    pred = F.lit(False)
+    for s, frac in sorted(keep.items()):
+        t = max(0, min(_HEX_SPAN, int(round(frac * _HEX_SPAN))))
+        cond = (F.col(source_col) == s)
+        if t >= _HEX_SPAN:
+            pred = pred | cond
+        elif t > 0:
+            pred = pred | (cond & (key < F.lit(format(t, "06x"))))
+    return sdf.filter(pred)

@@ -109,3 +109,33 @@ def chunk_documents(sdf: SparkDF, text_col: str, id_col: str = "doc_id",
         .withColumn("n_tokens",
                     F.size(F.split(F.col("chunk_text"), " ")))
     )
+
+
+def take_token_budget(sdf: SparkDF, text_col: str, budget: int,
+                      order_col: str, ascending: bool = True,
+                      token_col: str | None = None) -> SparkDF:
+    """Deterministic token-budget cut: keep the maximal PREFIX of the
+    corpus, in ``order_col`` order, whose cumulative token total fits
+    ``budget`` ("take the first N tokens" — how a training run pins
+    its data size). The running sum is monotone, so the kept set is
+    exactly the docs with cumulative count ≤ budget; the first doc
+    that would cross the line, and everything after it, is cut.
+
+    NOT a global-order window (a partitionless window funnels the
+    whole corpus through one task): the cumulative count comes from
+    operators.rank.prefix_stats — range partition on the order key,
+    per-partition running sums, driver-side offsets of the
+    (num-partitions-sized) subtotal list. ``order_col`` values must
+    be UNIQUE (a total order — use an id or a precomputed composite
+    sort key) for the kept set to be deterministic and
+    oracle-replayable. Pass ``token_col`` to reuse a precomputed
+    token count."""
+    from mars_spark.llm import text as T
+    from mars_spark.operators.rank import prefix_stats
+
+    nt = (F.col(token_col) if token_col
+          else T.token_count(F.col(text_col)))
+    base = sdf.withColumn("__nt", nt)
+    stats = prefix_stats(base, order_col, "__nt", ascending=ascending)
+    return (stats.filter(F.col("__before") + F.col("__nt") <= budget)
+            .drop("__nt", "__before", "__didx"))

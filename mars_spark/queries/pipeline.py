@@ -345,6 +345,16 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
       and Σ reassembled-text length (pins the kept-line CONTENT;
       exact reassembly order is pytest-verified).
 
+    - ``temp``: temperature_mixture (llm/mixture.py) — resample the
+      corpus toward the alpha=0.5 source-temperature profile via
+      per-source md5-rule Bernoulli keeps; the oracle recomputes the
+      keep fractions (pow(p,0.5)/p, max-normalized — the same float
+      expression sequence) and replays the hex-threshold rule.
+    - ``tok``: take_token_budget (llm/packing.py) — maximal doc_id-
+      ordered prefix fitting a 20 000-token budget, computed with the
+      range-partitioned prefix-sum (no single-reducer window); the
+      oracle states it as a running-sum window over the same order.
+
     All strata replay relationally in the DuckDB oracle (windows /
     unnest + group / ln arithmetic / string_agg)."""
     from mars_spark.llm import lm as LM
@@ -399,8 +409,24 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     linelen = ld.select(F.lit("linelen").alias("grp"),
                         F.col("source").alias("k"), "n",
                         F.col("v_len").alias("v"))
+    from mars_spark.llm.mixture import temperature_mixture
+    from mars_spark.llm.packing import take_token_budget
+
+    temp = (temperature_mixture(d, "source", "doc_id", alpha=0.5)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").cast("double").alias("v"))
+            .select(F.lit("temp").alias("grp"),
+                    F.col("source").alias("k"), "n", "v"))
+    tok = (take_token_budget(d, "text", budget=20000, order_col="doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").cast("double").alias("v"))
+           .select(F.lit("tok").alias("grp"),
+                   F.col("source").alias("k"), "n", "v"))
     return (best.unionByName(cap).unionByName(lm).unionByName(span)
-            .unionByName(line).unionByName(linelen))
+            .unionByName(line).unionByName(linelen)
+            .unionByName(temp).unionByName(tok))
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:

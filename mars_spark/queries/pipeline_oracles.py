@@ -820,6 +820,52 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(sum(length(newtext)) AS DOUBLE) AS v
             FROM keptl GROUP BY source
         )
+        UNION ALL
+        -- temperature mixture alpha=0.5: keep_s = pow(p,0.5)/p,
+        -- max-normalized, md5-rule membership (same float op order
+        -- as llm/mixture.temperature_weights)
+        SELECT * FROM (
+            WITH cnts AS (
+                SELECT source, CAST(count(*) AS DOUBLE) AS cn
+                FROM documents GROUP BY source
+            ), tt AS (SELECT sum(cn) AS t FROM cnts),
+            kw AS (
+                SELECT source, pow(cn / t, 0.5) / (cn / t) AS raw
+                FROM cnts, tt
+            ), mx AS (SELECT max(raw) AS m FROM kw),
+            th AS (
+                SELECT source,
+                       CAST(round((raw / m) * 16777216) AS BIGINT) AS ti
+                FROM kw, mx
+            ), keep AS (
+                SELECT d.doc_id, d.source
+                FROM documents d JOIN th USING (source)
+                WHERE th.ti >= 16777216
+                   OR (th.ti > 0 AND
+                       substr(md5('0' || '|' || d.doc_id), 1, 6)
+                       < lpad(lower(hex(th.ti)), 6, '0'))
+            )
+            SELECT 'temp' AS grp, source AS k, count(*) AS n,
+                   CAST(sum(doc_id) AS DOUBLE) AS v
+            FROM keep GROUP BY source
+        )
+        UNION ALL
+        -- token-budget prefix cut: first docs (by doc_id) whose
+        -- running token total fits 20000
+        SELECT * FROM (
+            WITH tk AS (
+                SELECT doc_id, source, len({_TOKS}) AS nt
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, source,
+                       sum(nt) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS c
+                FROM tk
+            )
+            SELECT 'tok' AS grp, source AS k, count(*) AS n,
+                   CAST(sum(doc_id) AS DOUBLE) AS v
+            FROM cum WHERE c <= 20000 GROUP BY source
+        )
     """,
     "docs_minhash_dedup": f"""
         WITH base AS (

@@ -838,3 +838,50 @@ def test_line_dedup(spark):
             D.line_dedup(spark.createDataFrame(pdf2), "text",
                          "doc_id").collect()}
     assert out2[1] == "x\nz"
+
+
+def test_temperature_mixture(spark):
+    from mars_spark.llm.mixture import (temperature_mixture,
+                                        temperature_weights)
+    # weights math: alpha=0.5 upsamples the small source's SHARE;
+    # keep fractions normalize the largest source to 1.0... of the
+    # SMALL one (keep ∝ p^(alpha-1) is larger for smaller p)
+    w = temperature_weights({"big": 900, "small": 100}, alpha=0.5)
+    assert w["small"] == 1.0
+    np.testing.assert_allclose(w["big"], (0.9 ** -0.5) / (0.1 ** -0.5))
+    # engine path: deterministic, keeps ~keep_frac of each source
+    pdf = pd.DataFrame({"doc_id": range(1000),
+                        "src": ["big"] * 900 + ["small"] * 100})
+    out = temperature_mixture(spark.createDataFrame(pdf), "src",
+                              "doc_id", alpha=0.5).toPandas()
+    kept = out.src.value_counts()
+    assert kept["small"] == 100                    # frac 1.0 keeps all
+    assert abs(kept["big"] / 900 - w["big"]) < 0.06
+    # determinism: same call, same kept set
+    out2 = temperature_mixture(spark.createDataFrame(pdf), "src",
+                               "doc_id", alpha=0.5).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_take_token_budget(spark):
+    from mars_spark.llm.packing import take_token_budget
+    pdf = pd.DataFrame({
+        "doc_id": range(5),
+        "text": ["a b c",         # 3 tokens, cum 3
+                 "d e",           # 2, cum 5
+                 "f g h i",       # 4, cum 9
+                 "j",             # 1, cum 10
+                 "k l"],          # 2, cum 12
+    })
+    out = take_token_budget(spark.createDataFrame(pdf), "text",
+                            budget=9, order_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+    # budget 8: doc 2 crosses (cum 9 > 8) and everything after is cut
+    out8 = take_token_budget(spark.createDataFrame(pdf), "text",
+                             budget=8, order_col="doc_id")
+    assert sorted(r.doc_id for r in out8.collect()) == [0, 1]
+    # descending order: 4(2) 3(1) 2(4) -> cum 2,3,7; budget 7 keeps them
+    outd = take_token_budget(spark.createDataFrame(pdf), "text",
+                             budget=7, order_col="doc_id",
+                             ascending=False)
+    assert sorted(r.doc_id for r in outd.collect()) == [2, 3, 4]
