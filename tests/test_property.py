@@ -519,3 +519,52 @@ def test_line_dedup_matches_pure_python(spark, docs):
         if kept:
             exp[i] = "\n".join(kept)
     assert got == exp
+
+
+@given(counts=st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(min_value=1, max_value=10 ** 6),
+    min_size=1, max_size=4),
+    alpha=st.floats(min_value=0.1, max_value=1.0, allow_nan=False))
+@_settings
+def test_temperature_weights_properties(spark, counts, alpha):
+    from mars_spark.llm.mixture import temperature_weights
+
+    w = temperature_weights(counts, alpha)
+    assert set(w) == set(counts)
+    # fractions are valid and the max normalizes to exactly 1.0
+    assert all(0 < v <= 1.0 for v in w.values())
+    assert max(w.values()) == 1.0
+    # alpha < 1 favors smaller sources: keep fraction is
+    # non-increasing in source size
+    by_size = sorted(counts, key=counts.__getitem__)
+    for s_small, s_big in zip(by_size, by_size[1:]):
+        assert w[s_small] >= w[s_big] - 1e-12
+    # alpha = 1 is natural sampling: every fraction 1.0
+    w1 = temperature_weights(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w1.values())
+
+
+@given(toks=st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=12),
+       budget=st.integers(min_value=0, max_value=40))
+@_settings
+def test_take_token_budget_matches_pure_python(spark, toks, budget):
+    from mars_spark.llm.packing import take_token_budget
+
+    docs = [" ".join(["w"] * n) for n in toks]  # n tokens each (0 -> 1)
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = sorted(r.doc_id for r in
+                 take_token_budget(spark.createDataFrame(pdf), "text",
+                                   budget=budget,
+                                   order_col="doc_id").collect())
+    # engine token_count counts [''] as 1 token for an empty doc
+    per = [max(n, 1) for n in toks]
+    cum, exp = 0, []
+    for i, n in enumerate(per):
+        cum += n
+        if cum <= budget:
+            exp.append(i)
+        else:
+            break
+    assert got == exp
