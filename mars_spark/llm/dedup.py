@@ -492,12 +492,15 @@ def line_dedup(sdf: SparkDF, text_col: str, id_col: str,
     first-occurrence window, one on the doc id for reassembly. Line
     text rides the shuffle once each way; no O(n²) stage, no
     driver-side state. Deterministic (min-(id,pos) winner) and
-    SQL-oracle-replayable."""
+    SQL-oracle-replayable. ``sep`` is a LITERAL separator (escaped
+    before it reaches Spark's regex-based split)."""
+    import re as _re
+
     from pyspark.sql import Window
 
     lines = sdf.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1))
+        F.posexplode(F.split(F.col(text_col), F.lit(_re.escape(sep)), -1))
         .alias("__pos", "__line"))
     w = (Window.partitionBy(F.md5(F.col("__line")))
          .orderBy(F.col(id_col).asc(), F.col("__pos").asc()))
