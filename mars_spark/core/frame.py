@@ -999,6 +999,87 @@ class DataFrame:
             sdf = sdf.withColumn(c, col)
         return DataFrame(sdf, self._index)
 
+    _DTYPE_FAMILIES = {
+        "number": {"tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal"},
+        "integer": {"tinyint", "smallint", "int", "bigint"},
+        "int": {"tinyint", "smallint", "int", "bigint"},
+        "floating": {"float", "double"},
+        "float": {"float", "double"},
+        "object": {"string"},
+        "string": {"string"},
+        "str": {"string"},
+        "bool": {"boolean"},
+        "boolean": {"boolean"},
+        "datetime": {"timestamp", "timestamp_ntz", "date"},
+        "datetime64": {"timestamp", "timestamp_ntz", "date"},
+    }
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        """mars/dataframe/base/select_dtypes.py (pandas parity) —
+        subset columns by dtype family. Accepts pandas-style family
+        names ('number', 'integer', 'floating', 'object', 'bool',
+        'datetime') or exact Spark type names ('bigint', 'double',
+        ...). Index columns always survive. Pure projection — column
+        pruning reaches the scan."""
+        def _norm(spec):
+            if spec is None:
+                return None
+            items = [spec] if isinstance(spec, str) else list(spec)
+            out: set[str] = set()
+            for it in items:
+                out |= self._DTYPE_FAMILIES.get(it, {it})
+            return out
+
+        inc, exc = _norm(include), _norm(exclude)
+        if inc is None and exc is None:
+            raise ValueError("at least one of include/exclude required")
+        if inc is not None and exc is not None and inc & exc:
+            raise ValueError("include and exclude overlap")
+
+        def _base(t: str) -> str:
+            return t.split("(")[0]  # decimal(10,2) -> decimal
+
+        keep = []
+        for c, t in self._sdf.dtypes:
+            if c not in self.columns:
+                continue
+            b = _base(t)
+            if inc is not None and b not in inc:
+                continue
+            if exc is not None and b in exc:
+                continue
+            keep.append(c)
+        return DataFrame(self._sdf.select(*self._index, *keep),
+                         self._index)
+
+    def transpose(self, limit: int = 10_000) -> "DataFrame":
+        """mars/dataframe/base/transpose.py (pandas ``df.T``) — via
+        unpivot + pivot on the index labels. Only sensible when the
+        frame has FEW rows (each input row becomes an output COLUMN):
+        guarded by ``limit`` — a transpose of a billion-row frame is a
+        billion-column schema and no engine's answer is 'yes'. Mixed
+        dtypes surface as string columns (pandas produces object).
+        The pivot receives the explicit label list (no extra distinct
+        scan); labels keep input-row order."""
+        idx = self._require_index("transpose")
+        labels = [r[idx] for r in
+                  self._sdf.select(idx).limit(limit + 1).collect()]
+        if len(labels) > limit:
+            raise ValueError(
+                f"transpose: more than {limit} rows; each row becomes "
+                "a column — raise `limit` only if you mean it")
+        cols = [c for c in self.columns]
+        melted = self._sdf.select(
+            F.col(idx).cast("string").alias("__lbl"),
+            *[F.col(c).cast("string").alias(c) for c in cols],
+        ).melt(ids=["__lbl"], values=cols,
+               variableColumnName="column", valueColumnName="__val")
+        out = (melted.groupBy("column")
+               .pivot("__lbl", [str(x) for x in labels])
+               .agg(F.first("__val")))
+        return DataFrame(out, ["column"])
+
     def round(self, decimals: int = 0) -> "DataFrame":
         sdf = self._sdf
         for c, t in self._sdf.dtypes:

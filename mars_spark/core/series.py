@@ -356,6 +356,62 @@ class Series:
     def abs(self) -> "Series":
         return Series(self._frame, F.abs(self._col), self.name)
 
+    def check_monotonic(self, decreasing: bool = False,
+                        strict: bool = False) -> bool:
+        """mars/dataframe/base/check_monotonic.py:27 (chunk-level
+        results combined on the driver) → distributed monotonicity in
+        index order WITHOUT a global-order window: range-partition on
+        the index, per-partition lag comparison, then a
+        (num-partitions)-row driver check of the partition boundary
+        values. Any null value makes the result False (pandas: NaN
+        breaks monotonicity); an empty series is monotonic."""
+        idx = self._frame._require_index("check_monotonic")
+        name = self.name or "value"
+        base = self._frame._sdf.select(
+            F.col(idx).alias("__o"), self._col.alias(name))
+        d = (base.repartitionByRange(F.col("__o").asc())
+             .sortWithinPartitions(F.col("__o").asc())
+             .withColumn("__pid", F.spark_partition_id()))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__pid").orderBy("__o")
+        prev = F.lag(name).over(w)
+        v = F.col(name)
+        if decreasing:
+            cond = (v < prev) if strict else (v <= prev)
+        else:
+            cond = (v > prev) if strict else (v >= prev)
+        ok = F.when(prev.isNull(), F.lit(True)).otherwise(
+            F.coalesce(cond, F.lit(False)))
+        rows = (d.withColumn("__ok", ok)
+                .groupBy("__pid")
+                .agg(F.min("__ok").alias("__all"),
+                     F.max(v.isNull().cast("int")).alias("__has_null"),
+                     F.min_by(name, F.col("__o")).alias("__first"),
+                     F.max_by(name, F.col("__o")).alias("__last"))
+                .orderBy("__pid").collect())
+        if not rows:
+            return True
+        if any((not r["__all"]) or r["__has_null"] for r in rows):
+            return False
+        # range partitions carry ascending index ranges in pid order —
+        # only the per-boundary pair remains to check
+        for a, b in zip(rows, rows[1:]):
+            x, y = a["__last"], b["__first"]
+            good = ((y < x if strict else y <= x) if decreasing
+                    else (y > x if strict else y >= x))
+            if not good:
+                return False
+        return True
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self.check_monotonic(decreasing=False)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self.check_monotonic(decreasing=True)
+
     def _unary(self, fn) -> "Series":
         return Series(self._frame, fn(self._col), self.name)
 

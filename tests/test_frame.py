@@ -778,3 +778,52 @@ def test_sql_passthrough(spark):
     # result is an engine frame — pandas-style ops compose on it
     got = out[out.r <= 1].to_pandas()
     assert got.k.tolist() == ["b"] and got.sv.tolist() == [4.0]
+
+
+def test_select_dtypes(spark):
+    pdf = pd.DataFrame({"i": [1, 2], "f": [1.5, 2.5],
+                        "s": ["a", "b"], "b": [True, False]})
+    f = ms.from_pandas(pdf)
+    assert sorted(f.select_dtypes(include="number").columns) == ["f", "i"]
+    assert f.select_dtypes(include=["integer"]).columns == ["i"]
+    assert sorted(f.select_dtypes(exclude="object").columns) == ["b", "f", "i"]
+    assert f.select_dtypes(include="bool").columns == ["b"]
+    with pytest.raises(ValueError):
+        f.select_dtypes()
+    with pytest.raises(ValueError):
+        f.select_dtypes(include="number", exclude="float")
+
+
+def test_check_monotonic(spark):
+    def series(vals):
+        pdf = pd.DataFrame({"idx": range(len(vals)),
+                            "v": pd.array(vals, dtype="float64")})
+        return ms.from_pandas(pdf).set_index("idx").v
+
+    s = series([1.0, 2.0, 2.0, 5.0])
+    assert s.is_monotonic_increasing
+    assert not s.check_monotonic(strict=True)     # the 2.0 tie
+    assert not s.is_monotonic_decreasing
+    assert series([5.0, 3.0, 1.0]).check_monotonic(decreasing=True,
+                                                   strict=True)
+    assert not series([1.0, None, 3.0]).is_monotonic_increasing  # NaN
+    assert series([7.0]).is_monotonic_increasing
+    assert series([2.0, 1.0, 3.0]).is_monotonic_increasing is False
+    # pandas parity spot checks
+    for vals in ([1.0, 2.0, 2.0, 5.0], [5.0, 3.0, 1.0], [2.0, 1.0, 3.0]):
+        ps = pd.Series(vals)
+        assert series(vals).is_monotonic_increasing == ps.is_monotonic_increasing
+        assert series(vals).is_monotonic_decreasing == ps.is_monotonic_decreasing
+
+
+def test_transpose(spark):
+    pdf = pd.DataFrame({"idx": ["r0", "r1"], "a": [1, 2], "b": [3, 4]})
+    f = ms.from_pandas(pdf).set_index("idx")
+    t = f.transpose().to_pandas().sort_values("column").reset_index(drop=True)
+    assert list(t.columns) == ["column", "r0", "r1"]
+    assert list(t["column"]) == ["a", "b"]
+    assert list(t.r0) == ["1", "3"] and list(t.r1) == ["2", "4"]
+    big = ms.from_pandas(pd.DataFrame({"idx": range(20), "v": range(20)})
+                         ).set_index("idx")
+    with pytest.raises(ValueError):
+        big.transpose(limit=10)
