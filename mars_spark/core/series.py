@@ -547,6 +547,55 @@ class Series:
         is exact; ``percentile_approx`` is the scale path."""
         return self._agg_scalar(F.percentile(self._col, F.lit(q)))
 
+    def prod(self):
+        """mars/dataframe/reduction/prod.py → one product aggregate."""
+        return self._agg_scalar(F.product(self._col))
+
+    def sem(self, ddof: int = 1):
+        """mars/dataframe/reduction/sem.py — standard error of the
+        mean, std(ddof)/sqrt(count) (pandas semantics)."""
+        f = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._agg_scalar(f(self._col) / F.sqrt(F.count(self._col)))
+
+    def skew(self, bias: bool = False):
+        """mars/dataframe/reduction/skew.py — pandas-parity SAMPLE
+        skewness by default: Spark's ``skewness`` is the population
+        moment g1, corrected here to the adjusted Fisher-Pearson G1 =
+        g1·√(n(n−1))/(n−2) that pandas reports; ``bias=True`` returns
+        raw g1. One aggregate pass either way."""
+        g1 = F.skewness(self._col)
+        if bias:
+            return self._agg_scalar(g1)
+        n = F.count(self._col).cast("double")
+        return self._agg_scalar(
+            g1 * F.sqrt(n * (n - 1)) / (n - 2))
+
+    def kurt(self, bias: bool = False):
+        """mars/dataframe/reduction/kurtosis.py — pandas-parity sample
+        excess kurtosis by default: Spark's ``kurtosis`` is population
+        excess g2, corrected to G2 = ((n−1)/((n−2)(n−3)))·((n+1)·g2+6);
+        ``bias=True`` returns raw g2."""
+        g2 = F.kurtosis(self._col)
+        if bias:
+            return self._agg_scalar(g2)
+        n = F.count(self._col).cast("double")
+        return self._agg_scalar(
+            (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6))
+
+    kurtosis = kurt
+
+    def all(self):
+        """mars/dataframe/reduction/all.py — TRUE iff every non-null
+        value is truthy (pandas skipna semantics)."""
+        v = self._agg_scalar(F.min(self._col.cast("boolean")))
+        return True if v is None else bool(v)
+
+    def any(self):
+        """mars/dataframe/reduction/any.py — TRUE iff any non-null
+        value is truthy."""
+        v = self._agg_scalar(F.max(self._col.cast("boolean")))
+        return False if v is None else bool(v)
+
     def median(self):
         return self.quantile(0.5)
 

@@ -827,3 +827,17 @@ def test_transpose(spark):
                          ).set_index("idx")
     with pytest.raises(ValueError):
         big.transpose(limit=10)
+
+
+def test_series_reductions_pandas_parity(spark):
+    vals = [1.0, 2.5, 3.5, 10.0, -4.0, 7.5]
+    pdf = pd.DataFrame({"v": vals})
+    s = ms.from_pandas(pdf).v
+    ps = pdf.v
+    np.testing.assert_allclose(s.prod(), ps.prod(), rtol=1e-12)
+    np.testing.assert_allclose(s.sem(), ps.sem(), rtol=1e-12)
+    np.testing.assert_allclose(s.skew(), ps.skew(), rtol=1e-12)
+    np.testing.assert_allclose(s.kurt(), ps.kurt(), rtol=1e-12)
+    assert s.all() == bool(ps.all()) and s.any() == bool(ps.any())
+    z = ms.from_pandas(pd.DataFrame({"v": [0.0, 1.0]})).v
+    assert z.any() is True and z.all() is False
