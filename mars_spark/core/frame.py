@@ -95,6 +95,38 @@ class _LocIndexer:
         return out
 
 
+class _AtIndexer:
+    """Single-cell access: ``df.at[label, col]`` / ``df.iat[pos,
+    col_offset]`` — one filtered single-row job, the eager-scalar
+    companion of loc/iloc (reference: mars/dataframe/indexing/at.py,
+    iat.py, which restrict loc/iloc to integer scalars)."""
+
+    def __init__(self, frame: "DataFrame", positional: bool):
+        self._frame = frame
+        self._positional = positional
+
+    def __getitem__(self, key):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise KeyError("at/iat take a (row, column) pair")
+        row, col = key
+        f = self._frame
+        if self._positional:
+            if not isinstance(col, int):
+                raise KeyError("iat column must be an integer offset")
+            col = f.columns[col]
+            sub = f.iloc[row if isinstance(row, slice)
+                         else slice(row, row + 1 if row != -1 else None)]
+            rows = sub._sdf.select(col).collect()
+        else:
+            idx = f._require_index("at")
+            rows = (f._sdf.filter(F.col(idx) == F.lit(row))
+                    .select(col).collect())
+        if len(rows) != 1:
+            raise KeyError(f"at/iat: expected exactly one row, "
+                           f"got {len(rows)}")
+        return rows[0][col]
+
+
 class _ILocIndexer:
     """df.iloc[a:b] / df.iloc[i] / df.iloc[[i, j]] positional selection.
 
@@ -194,6 +226,33 @@ class DataFrame:
     @property
     def iloc(self) -> _ILocIndexer:
         return _ILocIndexer(self)
+
+    @property
+    def at(self) -> "_AtIndexer":
+        """mars/dataframe/indexing/at.py — single cell by (label,
+        column); returns the scalar (eager single-row job)."""
+        return _AtIndexer(self, positional=False)
+
+    @property
+    def iat(self) -> "_AtIndexer":
+        """mars/dataframe/indexing/iat.py — single cell by (position,
+        column offset)."""
+        return _AtIndexer(self, positional=True)
+
+    def set_axis(self, labels, axis: int | str = 1) -> "DataFrame":
+        """mars/dataframe/indexing/set_axis.py — replace the column
+        labels (axis=1; the only distributed-cheap form — row-axis
+        relabeling requires a full index rewrite, use set_index)."""
+        if axis in (0, "index"):
+            raise NotImplementedError(
+                "set_axis(axis=0): relabel rows via set_index / "
+                "set_sequence_index")
+        cols = self.columns
+        labels = list(labels)
+        if len(labels) != len(cols):
+            raise ValueError(
+                f"set_axis: {len(labels)} labels for {len(cols)} columns")
+        return self.rename(columns=dict(zip(cols, labels)))
 
     def _require_index(self, what: str) -> str:
         if len(self._index) != 1:

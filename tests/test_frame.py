@@ -841,3 +841,20 @@ def test_series_reductions_pandas_parity(spark):
     assert s.all() == bool(ps.all()) and s.any() == bool(ps.any())
     z = ms.from_pandas(pd.DataFrame({"v": [0.0, 1.0]})).v
     assert z.any() is True and z.all() is False
+
+
+def test_at_iat_set_axis(spark):
+    pdf = pd.DataFrame({"idx": ["x", "y", "z"],
+                        "a": [1, 2, 3], "b": [4.0, 5.0, 6.0]})
+    f = ms.from_pandas(pdf).set_index("idx")
+    assert f.at["y", "b"] == 5.0
+    assert f.at["x", "a"] == 1
+    with pytest.raises(KeyError):
+        f.at["missing", "a"]
+    g = ms.from_pandas(pdf).set_sequence_index("sq")
+    assert g.iat[1, 1] == 2          # row 1, col offset 1 ('a')
+    assert g.iat[-1, 2] == 6.0
+    h = f.set_axis(["A", "B"])
+    assert h.columns == ["A", "B"]
+    with pytest.raises(ValueError):
+        f.set_axis(["only-one"])
