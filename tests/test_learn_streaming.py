@@ -881,3 +881,107 @@ def test_stream_incremental_dedup(spark, tmp_path):
     # alpha dropped (store hit), one gamma survives, delta survives
     assert sorted(out.doc_id) in ([11, 13], [12, 13])
     assert set(out.columns) == {"doc_id", "text", "ts"}
+
+
+def test_pairwise_distances_metrics(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mars_spark.learn import pairwise as PW
+
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((40, 6))
+    Y = rng.standard_normal((5, 6))
+    pdf = pd.DataFrame({"vec_id": range(40),
+                        "v": [list(map(float, r)) for r in X]})
+    sdf = spark.createDataFrame(pdf)
+    for metric, ref in [
+        ("euclidean", lambda x, y: np.sqrt(((x - y) ** 2).sum())),
+        ("sqeuclidean", lambda x, y: ((x - y) ** 2).sum()),
+        ("manhattan", lambda x, y: np.abs(x - y).sum()),
+        ("cosine", lambda x, y: 1 - x @ y
+         / (np.linalg.norm(x) * np.linalg.norm(y))),
+        ("rbf", lambda x, y: np.exp(-0.3 * ((x - y) ** 2).sum())),
+    ]:
+        got = (PW.pairwise_distances(sdf, [list(map(float, r)) for r in Y],
+                                     "v", "vec_id", metric=metric,
+                                     gamma=0.3).toPandas()
+               .set_index(["vec_id", "y_idx"]).dist)
+        assert len(got) == 40 * 5
+        for i in (0, 7, 39):
+            for j in range(5):
+                np.testing.assert_allclose(got[(i, j)], ref(X[i], Y[j]),
+                                           rtol=1e-9, atol=1e-12)
+
+    # top-k keeps each row's k nearest with deterministic tie-break
+    top = PW.pairwise_distances_topk(sdf, [list(map(float, r)) for r in Y],
+                                     "v", "vec_id", k=2).toPandas()
+    assert len(top) == 40 * 2
+    full = (PW.pairwise_distances(sdf, [list(map(float, r)) for r in Y],
+                                  "v", "vec_id").toPandas())
+    for i in (0, 17, 39):
+        exp = (full[full.vec_id == i]
+               .sort_values(["dist", "y_idx"]).y_idx.iloc[:2].tolist())
+        got_i = (top[top.vec_id == i].sort_values("rank").y_idx.tolist())
+        assert got_i == exp
+
+
+def test_haversine_distance(spark):
+    import math
+
+    import pandas as pd
+
+    from mars_spark.learn import pairwise as PW
+
+    # London -> Paris is ~344 km great-circle
+    lon = [math.radians(51.5074), math.radians(-0.1278)]
+    par = [math.radians(48.8566), math.radians(2.3522)]
+    sdf = spark.createDataFrame(pd.DataFrame({"vec_id": [0],
+                                              "v": [lon]}))
+    d = PW.haversine_distances(sdf, [par], "v", "vec_id").collect()[0]["dist"]
+    assert abs(d / 1000 - 344) < 5
+
+
+def test_make_blobs_deterministic_and_separable(spark):
+    import numpy as np
+
+    from mars_spark.learn import datasets as DS
+    from mars_spark.learn.facade import KMeans
+
+    df, centers = DS.make_blobs(spark, 300, n_features=4, centers=3,
+                                cluster_std=0.5, seed=7)
+    pdf = df.toPandas().sort_values("sample_id").reset_index(drop=True)
+    assert len(pdf) == 300 and set(pdf.label) == {0, 1, 2}
+    # partition-independence: a different layout generates identical bytes
+    pdf2 = (df._sdf.repartition(13).toPandas()
+            if hasattr(df, "_sdf") else
+            df.repartition(13).toPandas()
+            ).sort_values("sample_id").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        np.vstack(pdf.features.to_numpy()),
+        np.vstack(pdf2.features.to_numpy()))
+    # points sit near their centers (std 0.5, 4 dims -> E||x-c|| ~ 1)
+    X = np.vstack(pdf.features.to_numpy())
+    C = np.asarray(centers)
+    d_own = np.linalg.norm(X - C[pdf.label.to_numpy()], axis=1)
+    assert np.mean(d_own) < 2.0
+    # normals look standard: mean ~0, std ~cluster_std per coordinate
+    resid = (X - C[pdf.label.to_numpy()]).ravel()
+    assert abs(resid.mean()) < 0.1 and abs(resid.std() - 0.5) < 0.1
+
+
+def test_make_regression_recoverable(spark):
+    import numpy as np
+
+    from mars_spark.learn import datasets as DS
+
+    df, coef = DS.make_regression(spark, 500, n_features=3, noise=0.0,
+                                  bias=2.0, seed=3)
+    pdf = df.toPandas()
+    X = np.vstack(pdf.features.to_numpy())
+    y = pdf.target.to_numpy()
+    # noiseless: least squares recovers coef and bias exactly
+    sol, *_ = np.linalg.lstsq(np.hstack([X, np.ones((len(X), 1))]),
+                              y, rcond=None)
+    np.testing.assert_allclose(sol[:3], coef, rtol=1e-8)
+    np.testing.assert_allclose(sol[3], 2.0, rtol=1e-8)
