@@ -18,20 +18,6 @@ import mars_spark as ms
 from mars_spark.queries.tpch import load
 
 
-def op_conditional(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """§2.2/§2.7/§2.8 conditional row logic in one projection (absorbs
-    r01's op_isin + op_where_mask): where/mask
-    (mars/dataframe/indexing/where.py:28) and isin
-    (mars/dataframe/base/isin.py:31) as sibling columns."""
-    li = load(sf_dir, "lineitem")
-    f = li[li.l_orderkey < 100][["l_orderkey", "l_linenumber", "l_quantity",
-                                 "l_returnflag"]]
-    f["qty_masked"] = f.l_quantity.where(f.l_quantity > 25, other=-1.0)
-    f["in_ar"] = f.l_returnflag.isin(["A", "R"])
-    return f[["l_orderkey", "l_linenumber", "l_quantity", "qty_masked",
-              "in_ar"]].to_spark()
-
-
 def op_accessors(spark: SparkSession, sf_dir: str) -> SparkDF:
     """§2.8 str + dt accessors in one groupby (absorbs r01's
     op_string_funcs + op_dt_funcs): upper/len/extract
@@ -109,14 +95,36 @@ def op_set_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def op_window_rank(spark: SparkSession, sf_dir: str) -> SparkDF:
     """§2.6 ranking / groupby-head (mars/dataframe/groupby/head.py:30):
-    top-2 orders per customer by total price."""
+    top-2 orders per customer by total price, plus (r8 slot merge, the
+    ≤50-row corpus contract) the former op_conditional row as 'cond'
+    strata — where/mask (mars/dataframe/indexing/where.py:28) and isin
+    (mars/dataframe/base/isin.py:31) sibling columns over lineitem —
+    under a harmonized (tag, a, b, v1, v2, flag) schema."""
     o = load(sf_dir, "orders")[["o_custkey", "o_orderkey", "o_totalprice"]]
     o = o[o.o_custkey < 200]
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     sdf = o.to_spark().withColumn("rn", F.row_number().over(w))
-    return sdf.filter(F.col("rn") <= 2).withColumn(
-        "o_totalprice", F.round("o_totalprice", 2))
+    rank = (sdf.filter(F.col("rn") <= 2)
+            .select(F.lit("rank").alias("tag"),
+                    F.col("o_custkey").alias("a"),
+                    F.col("o_orderkey").alias("b"),
+                    F.round("o_totalprice", 2).alias("v1"),
+                    F.col("rn").cast("double").alias("v2"),
+                    F.lit(False).alias("flag")))
+    li = load(sf_dir, "lineitem")
+    f = li[li.l_orderkey < 100][["l_orderkey", "l_linenumber",
+                                 "l_quantity", "l_returnflag"]]
+    f["qty_masked"] = f.l_quantity.where(f.l_quantity > 25, other=-1.0)
+    f["in_ar"] = f.l_returnflag.isin(["A", "R"])
+    cond = f.to_spark().select(
+        F.lit("cond").alias("tag"),
+        F.col("l_orderkey").alias("a"),
+        F.col("l_linenumber").cast("long").alias("b"),
+        F.col("l_quantity").cast("double").alias("v1"),
+        F.col("qty_masked").cast("double").alias("v2"),
+        F.col("in_ar").alias("flag"))
+    return rank.unionByName(cond)
 
 
 def op_pivot(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -912,12 +920,63 @@ def op_knn_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
                   for i in range(dim))
         km_rows.append(("km", int(r["cluster"]), n,
                         math.floor(msd * 1e4 + 0.5) / 1e4))
-    return spark.createDataFrame(
+    head = spark.createDataFrame(
         knn_rows + km_rows, "tag string, id long, val long, score double")
+
+    # r8 strata — the pairwise-distance family (learn/pairwise.py:
+    # mars/learn/metrics/pairwise/) against the 4 lowest-id embedding
+    # vectors as the broadcast Y side, plus the deterministic dataset
+    # generators (learn/datasets.py: mars/learn/datasets/
+    # samples_generator.py) whose md5-derived Box-Muller draws the
+    # oracle regenerates bit-identically in SQL:
+    #   eu/cos  — full |X|x4 euclidean / cosine blocks, 4-dp
+    #   tk1/tk2 — per-row 2 nearest (selection inside the batch kernel)
+    #   blob    — make_blobs(400x3, 3 centers, std .5): per-label
+    #             feature-count + Σ of 4-dp-rounded features
+    #   reg     — make_regression(300x3, noise 0, bias 2): per-id%5
+    #             count + Σ of 4-dp-rounded targets
+    from mars_spark.learn import datasets as DSX
+    from mars_spark.learn import pairwise as PW
+
+    base = e.select("vec_id", feats.alias("v"))
+    yv = [list(r["v"]) for r in
+          base.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    eu = PW.pairwise_distances(base, yv, "v", "vec_id",
+                               metric="euclidean").select(
+        F.lit("eu").alias("tag"), F.col("vec_id").alias("id"),
+        F.col("y_idx").cast("long").alias("val"),
+        F.round("dist", 4).alias("score"))
+    cs = PW.pairwise_distances(base, yv, "v", "vec_id",
+                               metric="cosine").select(
+        F.lit("cos").alias("tag"), F.col("vec_id").alias("id"),
+        F.col("y_idx").cast("long").alias("val"),
+        F.round("dist", 4).alias("score"))
+    tk = PW.pairwise_distances_topk(base, yv, "v", "vec_id", k=2).select(
+        F.concat(F.lit("tk"), F.col("rank").cast("string")).alias("tag"),
+        F.col("vec_id").alias("id"),
+        F.col("y_idx").cast("long").alias("val"),
+        F.round("dist", 4).alias("score"))
+    blobs, _ = DSX.make_blobs(spark, 400, 3, centers=3,
+                              cluster_std=0.5, seed=7)
+    bl = (blobs.select("label", F.explode("features").alias("f"))
+          .groupBy("label")
+          .agg(F.count(F.lit(1)).alias("val"),
+               F.round(F.sum(F.round("f", 4)), 4).alias("score"))
+          .select(F.lit("blob").alias("tag"),
+                  F.col("label").cast("long").alias("id"),
+                  F.col("val").cast("long"), "score"))
+    reg, _ = DSX.make_regression(spark, 300, 3, noise=0.0, bias=2.0,
+                                 seed=3)
+    rg = (reg.groupBy((F.col("sample_id") % 5).alias("id"))
+          .agg(F.count(F.lit(1)).alias("val"),
+               F.round(F.sum(F.round("target", 4)), 4).alias("score"))
+          .select(F.lit("reg").alias("tag"), F.col("id").cast("long"),
+                  F.col("val").cast("long"), "score"))
+    return (head.unionByName(eu).unionByName(cs).unionByName(tk)
+            .unionByName(bl).unionByName(rg))
 
 
 OPS_QUERIES = {
-    "op_conditional": op_conditional,
     "op_accessors": op_accessors,
     "op_stats": op_stats,
     "op_set_ops": op_set_ops,

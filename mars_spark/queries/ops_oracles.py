@@ -1,13 +1,6 @@
 """DuckDB oracle SQL for the operator-level corpus (ops.py)."""
 
 OPS_ORACLES: dict[str, str] = {
-    "op_conditional": """
-        SELECT l_orderkey, l_linenumber, l_quantity,
-               CASE WHEN l_quantity > 25 THEN l_quantity ELSE -1.0 END
-                   AS qty_masked,
-               l_returnflag IN ('A', 'R') AS in_ar
-        FROM lineitem WHERE l_orderkey < 100
-    """,
     "op_accessors": """
         SELECT CAST(year(o_orderdate) AS INT) AS y,
                CAST(quarter(o_orderdate) AS INT) AS q,
@@ -54,13 +47,23 @@ OPS_ORACLES: dict[str, str] = {
         GROUP BY nationkey
     """,
     "op_window_rank": """
-        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        SELECT 'rank' AS tag, o_custkey AS a, o_orderkey AS b,
+               round(o_totalprice, 2) AS v1, rn::DOUBLE AS v2,
+               FALSE AS flag
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    row_number() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
             FROM orders WHERE o_custkey < 200
         ) WHERE rn <= 2
+        UNION ALL
+        SELECT 'cond' AS tag, l_orderkey AS a,
+               l_linenumber::BIGINT AS b,
+               CAST(l_quantity AS DOUBLE) AS v1,
+               CAST(CASE WHEN l_quantity > 25 THEN l_quantity
+                         ELSE -1.0 END AS DOUBLE) AS v2,
+               l_returnflag IN ('A', 'R') AS flag
+        FROM lineitem WHERE l_orderkey < 100
     """,
     "op_pivot": """
         SELECT user_id,
@@ -603,5 +606,93 @@ OPS_ORACLES: dict[str, str] = {
         SELECT 'km' AS tag, cl::BIGINT AS id, n::BIGINT AS val,
                msd AS score
         FROM km
+        UNION ALL
+        -- pairwise-distance family (learn/pairwise.py): the gemm
+        -- kernel's ||x||^2+||y||^2-2x.y expansion restated with list
+        -- ops; Y = the 4 lowest-id vectors
+        SELECT * FROM (
+            WITH ev AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), yv AS (
+                SELECT vec_id AS yid, v AS yvec FROM ev WHERE vec_id < 4
+            ), pw AS (
+                SELECT ev.vec_id AS a, yid AS b,
+                       list_sum(list_transform(ev.v, x -> x*x)) AS x2,
+                       list_sum(list_transform(yvec, x -> x*x)) AS y2,
+                       list_sum([ev.v[i] * yvec[i]
+                                 for i in range(1, len(ev.v) + 1)]) AS xy
+                FROM ev CROSS JOIN yv
+            )
+            SELECT 'eu' AS tag, a AS id, b AS val,
+                   round(sqrt(greatest(x2 + y2 - 2*xy, 0)), 4) AS score
+            FROM pw
+            UNION ALL
+            SELECT 'cos' AS tag, a AS id, b AS val,
+                   round(1 - xy / (sqrt(x2) * sqrt(y2)), 4) AS score
+            FROM pw
+            UNION ALL
+            SELECT 'tk' || rn AS tag, a AS id, b AS val,
+                   round(sqrt(greatest(x2 + y2 - 2*xy, 0)), 4) AS score
+            FROM (SELECT a, b, x2, y2, xy,
+                         row_number() OVER (
+                             PARTITION BY a
+                             ORDER BY sqrt(greatest(x2 + y2 - 2*xy, 0)), b)
+                             AS rn
+                  FROM pw)
+            WHERE rn <= 2
+        )
+        UNION ALL
+        -- make_blobs(400x3, 3 centers, std .5, seed 7): regenerate the
+        -- md5-derived Box-Muller draws (learn/datasets.py) in SQL
+        SELECT * FROM (
+            WITH cent AS (
+                SELECT c, j,
+                       (2 * ((CAST(concat('0x', substr(md5(
+                            '7|c|' || c || '|' || j), 1, 15)) AS BIGINT)
+                            + 1.0) / (16.0^15 + 1.0)) - 1) * 10.0 AS cv
+                FROM range(3) tc(c), range(3) tj(j)
+            ), bf AS (
+                SELECT s.range AS sid, s.range % 3 AS label,
+                       cent.cv + 0.5
+                       * sqrt(-2 * ln((CAST(concat('0x', substr(md5(
+                             '7|' || s.range || '|' || cent.j || '|u1'),
+                             1, 15)) AS BIGINT) + 1.0) / (16.0^15 + 1.0)))
+                       * cos(2 * pi() * ((CAST(concat('0x', substr(md5(
+                             '7|' || s.range || '|' || cent.j || '|u2'),
+                             1, 15)) AS BIGINT) + 1.0) / (16.0^15 + 1.0)))
+                       AS f
+                FROM range(400) s, cent
+                WHERE cent.c = s.range % 3
+            )
+            SELECT 'blob' AS tag, label::BIGINT AS id,
+                   count(*)::BIGINT AS val,
+                   round(sum(round(f, 4)), 4) AS score
+            FROM bf GROUP BY label
+        )
+        UNION ALL
+        -- make_regression(300x3, noise 0, bias 2, seed 3): target =
+        -- 2 + sum_j w_j x_j with w_j = 100*u('3|w|j'), x_j Box-Muller
+        SELECT * FROM (
+            WITH xs AS (
+                SELECT s.range AS sid, tj.j,
+                       sqrt(-2 * ln((CAST(concat('0x', substr(md5(
+                            '3|' || s.range || '|' || tj.j || '|u1'),
+                            1, 15)) AS BIGINT) + 1.0) / (16.0^15 + 1.0)))
+                       * cos(2 * pi() * ((CAST(concat('0x', substr(md5(
+                            '3|' || s.range || '|' || tj.j || '|u2'),
+                            1, 15)) AS BIGINT) + 1.0) / (16.0^15 + 1.0)))
+                       AS x,
+                       100.0 * ((CAST(concat('0x', substr(md5('3|w|' || tj.j),
+                            1, 15)) AS BIGINT) + 1.0) / (16.0^15 + 1.0)) AS w
+                FROM range(300) s, range(3) tj(j)
+            ), tgt AS (
+                SELECT sid, 2.0 + sum(w * x) AS t
+                FROM xs GROUP BY sid
+            )
+            SELECT 'reg' AS tag, (sid % 5)::BIGINT AS id,
+                   count(*)::BIGINT AS val,
+                   round(sum(round(t, 4)), 4) AS score
+            FROM tgt GROUP BY sid % 5
+        )
     """,
 }

@@ -293,7 +293,7 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> SparkDF:
+def _clean_corpus_rollup(spark: SparkSession, sf_dir: str) -> SparkDF:
     """End-to-end clean_corpus contract (llm/recipe.py, r8): the full
     pretraining-hygiene pipeline in ONE lazy plan — quality /
     repetition / length filters (narrow predicates that fold into the
@@ -345,6 +345,15 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
       and Σ reassembled-text length (pins the kept-line CONTENT;
       exact reassembly order is pytest-verified).
 
+    - ``cchyg`` / ``ccid``: the END-TO-END clean_corpus contract
+      (llm/recipe.py; folded from the short-lived standalone
+      docs_clean_corpus row to honor the ≤50-row corpus contract):
+      quality/repetition/length filters → PII redaction → exact
+      dedup → 13-gram decontamination vs the identically-redacted
+      doc_id % 97 eval slice, composed as one plan; per-source
+      survivor counts + post-redaction char totals (cchyg) and id
+      extremes (ccid) value-check the stage COMPOSITION, the oracle
+      replaying and composing each stage's SQL form.
     - ``temp``: temperature_mixture (llm/mixture.py) — resample the
       corpus toward the alpha=0.5 source-temperature profile via
       per-source md5-rule Bernoulli keeps; the oracle recomputes the
@@ -424,9 +433,19 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                 F.sum("doc_id").cast("double").alias("v"))
            .select(F.lit("tok").alias("grp"),
                    F.col("source").alias("k"), "n", "v"))
+    cc = _clean_corpus_rollup(spark, sf_dir)
+    cchyg = cc.select(F.lit("cchyg").alias("grp"),
+                      F.col("source").alias("k"),
+                      F.col("n_kept").alias("n"),
+                      F.col("chars_red").cast("double").alias("v"))
+    ccid = cc.select(F.lit("ccid").alias("grp"),
+                     F.col("source").alias("k"),
+                     F.col("min_id").alias("n"),
+                     F.col("max_id").cast("double").alias("v"))
     return (best.unionByName(cap).unionByName(lm).unionByName(span)
             .unionByName(line).unionByName(linelen)
-            .unionByName(temp).unionByName(tok))
+            .unionByName(temp).unionByName(tok)
+            .unionByName(cchyg).unionByName(ccid))
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -1104,7 +1123,6 @@ PIPELINE_QUERIES = {
     "docs_cc_clusters": docs_cc_clusters,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_minhash_dedup": docs_minhash_dedup,
-    "docs_clean_corpus": docs_clean_corpus,
     "docs_curation_ops": docs_curation_ops,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_ann_recall": emb_ann_recall,

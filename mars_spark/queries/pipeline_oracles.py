@@ -640,70 +640,6 @@ PIPELINE_ORACLES: dict[str, str] = {
             FROM sc2 ORDER BY round(s, 4) DESC, doc_id LIMIT 10
         )
     """,
-    # end-to-end clean_corpus (llm/recipe.py): quality/repetition/
-    # length filters -> PII redaction -> exact dedup (min-id per md5
-    # of normalized redacted text) -> 13-gram decontamination vs the
-    # identically-redacted doc_id % 97 eval slice
-    "docs_clean_corpus": f"""
-        WITH t AS (
-            SELECT doc_id, source, text,
-                   CAST(length(text) AS DOUBLE) AS n, {_TOKS} AS l,
-                   (CAST(length(text) AS DOUBLE)
-                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS n_alpha,
-                   ' ' || {_NORM} || ' ' AS padded
-            FROM documents
-        ), s AS (
-            SELECT doc_id, source, text, n, len(l) AS n_tok,
-                   n_alpha / greatest(n, 1.0) AS alpha,
-                   n / greatest(len(l), 1.0) AS mean_word,
-                   ({" + ".join(_occ("padded", f" {w} ") for w in _STOP5)})
-                       / greatest(len(l), 1.0) AS stop_ratio,
-                   list_transform(range(1, greatest(len(l) - 1, 1) + 1),
-                                  i -> array_to_string(l[i:i+1], ' ')) AS g2
-            FROM t
-        ), q AS (
-            SELECT doc_id, source, text,
-                   round(0.3 * (CASE WHEN n < 20 THEN n / 20.0
-                                     WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
-                         + 0.3 * least(alpha * 1.5, 1.0)
-                         + 0.2 * (CASE WHEN mean_word >= 3 AND mean_word <= 12
-                                       THEN 1.0 ELSE 0.5 END)
-                         + 0.2 * least(stop_ratio * 5.0, 1.0), 4) AS quality,
-                   n_tok,
-                   round((len(g2) - len(list_distinct(g2)))
-                         / greatest(len(g2), 1)::DOUBLE, 4) AS dup2
-            FROM s
-        ), filt AS (
-            SELECT doc_id, source, {_REDACT_TXT} AS rtext
-            FROM q WHERE quality >= 0.85 AND n_tok >= 5 AND dup2 <= 0.15
-        ), dd AS (
-            SELECT doc_id, source, rtext,
-                   min(doc_id) OVER (PARTITION BY md5({_RNORM})) AS keep_id
-            FROM filt
-        ), surv AS (
-            SELECT doc_id, source, rtext, {_RL} AS rl
-            FROM dd WHERE doc_id = keep_id
-        ), shing AS (
-            SELECT doc_id, source, rtext, {_SHINGLES13} AS sh FROM surv
-        ), evr AS (
-            SELECT {_REDACT_TXT} AS rtext
-            FROM documents WHERE doc_id % 97 = 0
-        ), evl AS (
-            SELECT {_RL} AS rl FROM evr
-        ), evg AS (
-            SELECT DISTINCT g FROM evl, UNNEST({_SHINGLES13}) AS u(g)
-        ), cont AS (
-            SELECT DISTINCT sh2.doc_id
-            FROM shing sh2, UNNEST(sh2.sh) AS u(g)
-            WHERE g IN (SELECT g FROM evg)
-        )
-        SELECT source, count(*) AS n_kept,
-               CAST(sum(length(rtext)) AS BIGINT) AS chars_red,
-               min(doc_id) AS min_id, max(doc_id) AS max_id
-        FROM shing
-        WHERE doc_id NOT IN (SELECT doc_id FROM cont)
-        GROUP BY source
-    """,
     # curation quartet (r8): best-of-cluster dedup, per-source cap,
     # corpus unigram NLL, cross-doc duplicate-gram fraction
     "docs_curation_ops": f"""
@@ -865,6 +801,76 @@ PIPELINE_ORACLES: dict[str, str] = {
             SELECT 'tok' AS grp, source AS k, count(*) AS n,
                    CAST(sum(doc_id) AS DOUBLE) AS v
             FROM cum WHERE c <= 20000 GROUP BY source
+        )
+        UNION ALL
+        -- end-to-end clean_corpus contract (llm/recipe.py),
+        -- folded from the standalone docs_clean_corpus row
+        SELECT * FROM (
+
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   CAST(length(text) AS DOUBLE) AS n, {_TOKS} AS l,
+                   (CAST(length(text) AS DOUBLE)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS n_alpha,
+                   ' ' || {_NORM} || ' ' AS padded
+            FROM documents
+        ), s AS (
+            SELECT doc_id, source, text, n, len(l) AS n_tok,
+                   n_alpha / greatest(n, 1.0) AS alpha,
+                   n / greatest(len(l), 1.0) AS mean_word,
+                   ({" + ".join(_occ("padded", f" {w} ") for w in _STOP5)})
+                       / greatest(len(l), 1.0) AS stop_ratio,
+                   list_transform(range(1, greatest(len(l) - 1, 1) + 1),
+                                  i -> array_to_string(l[i:i+1], ' ')) AS g2
+            FROM t
+        ), q AS (
+            SELECT doc_id, source, text,
+                   round(0.3 * (CASE WHEN n < 20 THEN n / 20.0
+                                     WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+                         + 0.3 * least(alpha * 1.5, 1.0)
+                         + 0.2 * (CASE WHEN mean_word >= 3 AND mean_word <= 12
+                                       THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * least(stop_ratio * 5.0, 1.0), 4) AS quality,
+                   n_tok,
+                   round((len(g2) - len(list_distinct(g2)))
+                         / greatest(len(g2), 1)::DOUBLE, 4) AS dup2
+            FROM s
+        ), filt AS (
+            SELECT doc_id, source, {_REDACT_TXT} AS rtext
+            FROM q WHERE quality >= 0.85 AND n_tok >= 5 AND dup2 <= 0.15
+        ), dd AS (
+            SELECT doc_id, source, rtext,
+                   min(doc_id) OVER (PARTITION BY md5({_RNORM})) AS keep_id
+            FROM filt
+        ), surv AS (
+            SELECT doc_id, source, rtext, {_RL} AS rl
+            FROM dd WHERE doc_id = keep_id
+        ), shing AS (
+            SELECT doc_id, source, rtext, {_SHINGLES13} AS sh FROM surv
+        ), evr AS (
+            SELECT {_REDACT_TXT} AS rtext
+            FROM documents WHERE doc_id % 97 = 0
+        ), evl AS (
+            SELECT {_RL} AS rl FROM evr
+        ), evg AS (
+            SELECT DISTINCT g FROM evl, UNNEST({_SHINGLES13}) AS u(g)
+        ), cont AS (
+            SELECT DISTINCT sh2.doc_id
+            FROM shing sh2, UNNEST(sh2.sh) AS u(g)
+            WHERE g IN (SELECT g FROM evg)
+        ), ccroll AS (
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(length(rtext)) AS BIGINT) AS chars_red,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM shing
+            WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+            GROUP BY source
+        )
+        SELECT 'cchyg' AS grp, source AS k, n_kept AS n,
+               CAST(chars_red AS DOUBLE) AS v FROM ccroll
+        UNION ALL
+        SELECT 'ccid' AS grp, source AS k, min_id AS n,
+               CAST(max_id AS DOUBLE) AS v FROM ccroll
         )
     """,
     "docs_minhash_dedup": f"""

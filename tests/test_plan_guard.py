@@ -57,7 +57,7 @@ PUSHDOWN = [
     "tpch_q16_adapted", "tpch_q20_adapted", "tpch_q01", "tpch_q05_07",
     "tpch_q08_09", "tpch_q13", "tpch_q15", "tpch_q18", "tpch_q03_10",
     "op_multimodal", "docs_text_metrics", "docs_dedup_simhash",
-    "emb_neardup_pairs", "op_conditional", "op_window_rank",
+    "emb_neardup_pairs", "op_window_rank",
     "op_melt_explode", "op_skew_salted", "op_asof_join", "op_align",
     "op_groupby_custom",
 ]
