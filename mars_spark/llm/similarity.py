@@ -608,3 +608,94 @@ def ivf_search(assigned: SparkDF, centroids: list[list[float]],
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------- PQ
+def pq_codebook(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
+                m: int = 8, nbits: int = 4) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook (Jégou, Douze &
+    Schmid, TPAMI 2011 — the public PQ formulation): the d dims split
+    into ``m`` subspaces; each subspace's 2^nbits centroids are the
+    corresponding subvectors of the 2^nbits smallest-id rows (the same
+    fixed-'random' seeding ivf_index_deterministic uses, so the whole
+    index — and therefore search results — is bit-reproducible across
+    partitionings and replayable by the SQL oracle). Returns
+    m × 2^nbits × (d/m). A production variant adds per-subspace Lloyd
+    steps exactly like the IVF refine path."""
+    k = 1 << nbits
+    rows = (sdf.filter(F.col(id_col) < k).orderBy(id_col)
+            .select(to_double(F.col(vec_col)).alias("e")).collect())
+    vecs = [list(r["e"]) for r in rows]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    return [[v[s * ds:(s + 1) * ds] for v in vecs] for s in range(m)]
+
+
+def pq_encode(sdf: SparkDF, vec_col: str,
+              codebook: list[list[list[float]]],
+              id_col: str = "vec_id") -> SparkDF:
+    """(id, codes: array<int>) — each row compressed to ``m`` small
+    codes (argmin subspace centroid; first-min tie-break matches the
+    SQL replay's (dist, c) ordering). One Arrow batch → m small
+    distance blocks via numpy broadcasting; at 100 TB this pass is
+    the index build, and the 8-byte code row is the ~64× memory
+    shrink that lets the search-side table scan stay in RAM."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+    m = len(cents)
+    ds = cents[0].shape[1]
+    id_type = dict(sdf.dtypes)[id_col]
+    base = sdf.select(F.col(id_col), to_double(F.col(vec_col)).alias("__e"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__e"]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * ds:(s + 1) * ds]
+                # direct (x-c)^2 block; len-ds inner sums are
+                # sequential in numpy, matching the SQL fold order
+                dist = ((xs[:, None, :] - cents[s][None, :, :]) ** 2
+                        ).sum(axis=2)
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "codes": list(codes)})
+
+    return base.mapInPandas(
+        gen, schema=f"{id_col} {id_type}, codes array<int>")
+
+
+def pq_search(codes_df: SparkDF, codebook: list[list[list[float]]],
+              query: list[float], k: int = 10,
+              id_col: str = "vec_id") -> SparkDF:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the m × 2^nbits
+    query-to-centroid table is computed ONCE on the driver and inlined
+    as literal arrays, so the scan is pure JVM arithmetic —
+    ``Σ_s table[s][code_s]`` via element_at — with NO Python, no
+    vector column read, and TakeOrderedAndProject for the top-k. The
+    distances are approximations of ‖q−x‖²; ties break on the id."""
+    m = len(codebook)
+    ds = len(codebook[0][0])
+    q = [float(v) for v in query]
+    tables = []
+    for s in range(m):
+        qs = q[s * ds:(s + 1) * ds]
+        tables.append([
+            sum((qs[i] - c[i]) ** 2 for i in range(ds))
+            for c in codebook[s]])
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in tables[s]]),
+            F.element_at(F.col("codes"), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    out = codes_df.select(F.col(id_col),
+                          F.round(dist, 6).alias("adc_dist"))
+    return out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)

@@ -587,10 +587,28 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
     kept = S.semantic_dedup(e, "embedding", threshold=0.95, n_clusters=64)
     sem = (kept.agg(F.count(F.lit(1)).alias("sem_kept"))
            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_vec"))))
+    # r8: product-quantization block (similarity.pq_*) — deterministic
+    # codebook (subvectors of the 16 smallest-id rows, m=8 subspaces),
+    # Arrow-batched encode, pure-JVM ADC search. The oracle replays
+    # the ENTIRE pipeline in SQL (subspace argmin codes, query table,
+    # ADC top-10), so pq_idsum pins the exact result set and
+    # pq_recall10 its overlap with the exact cosine top-10.
+    cb = S.pq_codebook(e, "embedding", m=8, nbits=4)
+    codes = S.pq_encode(e, "embedding", cb)
+    q_raw = [float(v) for v in
+             e.filter(F.col("vec_id") == 0)
+             .select(S.to_double(F.col("embedding")).alias("q"))
+             .collect()[0]["q"]]
+    pq_top = S.pq_search(codes, cb, q_raw, k=10).localCheckpoint()
+    pq = (pq_top.agg(F.sum("vec_id").cast("long").alias("pq_idsum"))
+          .crossJoin(
+              pq_top.select("vec_id")
+              .join(exact.select("vec_id"), "vec_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("pq_recall10"))))
     return hits.agg(
         F.lit(10).alias("k"),
         (F.count(F.lit(1)) >= 9).alias("recall_pass"),
-    ).crossJoin(F.broadcast(sem))
+    ).crossJoin(F.broadcast(sem)).crossJoin(F.broadcast(pq))
 
 
 def events_hourly_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:

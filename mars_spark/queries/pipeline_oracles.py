@@ -951,11 +951,52 @@ PIPELINE_ORACLES: dict[str, str] = {
             FROM asg a JOIN asg b
               ON a.cluster = b.cluster AND b.vec_id < a.vec_id
             WHERE list_dot_product(a.e, b.e) >= 0.95
+        ), raw AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sub AS (
+            -- m=8 subspaces of 8 dims (1-based inclusive slices)
+            SELECT vec_id, ss.s AS s, v[ss.s*8+1 : ss.s*8+8] AS sv
+            FROM raw, range(8) ss(s)
+        ), pqcb AS (
+            SELECT vec_id AS c, s, sv AS cent FROM sub WHERE vec_id < 16
+        ), cdist AS (
+            SELECT sub.vec_id, sub.s, pqcb.c,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (sub.sv[i] - pqcb.cent[i])^2)) AS d
+            FROM sub JOIN pqcb USING (s)
+        ), codes AS (
+            SELECT vec_id, s, c FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, c) AS rn
+                FROM cdist) WHERE rn = 1
+        ), tbl AS (
+            SELECT cdist.s, cdist.c, cdist.d AS t
+            FROM cdist WHERE cdist.vec_id = 0
+        ), adc AS (
+            SELECT codes.vec_id, round(sum(tbl.t), 6) AS ad
+            FROM codes JOIN tbl USING (s, c)
+            GROUP BY codes.vec_id
+        ), pqtop AS (
+            SELECT vec_id FROM adc ORDER BY ad, vec_id LIMIT 10
+        ), extop AS (
+            SELECT e2.vec_id
+            FROM embeddings e2
+            CROSS JOIN (SELECT embedding FROM embeddings
+                        WHERE vec_id = 0) q
+            ORDER BY round(list_cosine_similarity(
+                         e2.embedding::DOUBLE[],
+                         q.embedding::DOUBLE[]), 6) DESC, e2.vec_id
+            LIMIT 10
         )
         SELECT 10 AS k, true AS recall_pass,
                (SELECT count(*) FROM u)
                    - (SELECT count(*) FROM drops) AS sem_kept,
-               (SELECT count(*) FROM u) AS n_vec
+               (SELECT count(*) FROM u) AS n_vec,
+               (SELECT CAST(sum(vec_id) AS BIGINT) FROM pqtop)
+                   AS pq_idsum,
+               (SELECT count(*) FROM pqtop JOIN extop USING (vec_id))
+                   AS pq_recall10
     """,
     "events_hourly_funnel": """
         WITH hourly AS (

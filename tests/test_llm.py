@@ -885,3 +885,48 @@ def test_take_token_budget(spark):
                              budget=7, order_col="doc_id",
                              ascending=False)
     assert sorted(r.doc_id for r in outd.collect()) == [2, 3, 4]
+
+
+def test_pq_encode_search_matches_numpy(spark):
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((120, 16))
+    # planted: 100..104 are tiny perturbations of 5..9 — PQ must rank
+    # them nearest to their originals' query
+    for i in range(5):
+        vecs[100 + i] = vecs[5 + i] + rng.standard_normal(16) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(120),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf)
+    cb = S.pq_codebook(sdf, "embedding", m=4, nbits=4)
+    assert len(cb) == 4 and len(cb[0]) == 16 and len(cb[0][0]) == 4
+    codes = S.pq_encode(sdf, "embedding", cb)
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+
+    # numpy replay of the whole encode
+    C = [np.asarray(c) for c in cb]
+    for i in (0, 7, 63, 100):
+        x = vecs[i]
+        exp = [int(np.argmin(((x[s * 4:(s + 1) * 4] - C[s]) ** 2)
+                             .sum(axis=1))) for s in range(4)]
+        assert got[i] == exp
+
+    # ADC search replay for the vec_id=5 query
+    q = list(map(float, vecs[5]))
+    top = S.pq_search(codes, cb, q, k=5).collect()
+    tables = [((np.asarray(q[s * 4:(s + 1) * 4]) - C[s]) ** 2).sum(axis=1)
+              for s in range(4)]
+    adc = {i: sum(tables[s][got[i][s]] for s in range(4)) for i in got}
+    exp_order = sorted(adc, key=lambda i: (round(adc[i], 6), i))[:5]
+    assert [r.vec_id for r in top] == exp_order
+    # the planted near-copy of vec 5 (id 100) must land in the top-5
+    assert 100 in {r.vec_id for r in top}
+
+    # ADC search over MATERIALIZED codes (the production shape: codes
+    # written once, searched many times) is pure JVM arithmetic — no
+    # Python stage anywhere in the search plan
+    mat = codes.localCheckpoint()
+    plan = S.pq_search(mat, cb, q, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert [r.vec_id for r in S.pq_search(mat, cb, q, k=5).collect()] \
+        == exp_order
