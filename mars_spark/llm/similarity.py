@@ -699,3 +699,43 @@ def pq_search(codes_df: SparkDF, codebook: list[list[list[float]]],
     out = codes_df.select(F.col(id_col),
                           F.round(dist, 6).alias("adc_dist"))
     return out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
+                m: int = 8, nbits: int = 4, id_col: str = "vec_id"):
+    """The production ANN index shape (FAISS-style IVF+PQ, both from
+    the public formulations): coarse IVF cells for probe pruning plus
+    PQ codes for in-cell scanning. Returns (index_df, centroids,
+    codebook) where index_df = (id, cluster, codes) — at 100 TB this
+    is the table you write partitioned by cluster: a query touches
+    n_probe/k of the data AND reads m-byte codes instead of d-double
+    vectors, multiplicative savings. Both components keep their
+    deterministic seeding, so the whole index is bit-reproducible."""
+    assigned, centroids = ivf_index_deterministic(
+        sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+    codebook = pq_codebook(sdf, vec_col, id_col=id_col, m=m, nbits=nbits)
+    codes = pq_encode(sdf, vec_col, codebook, id_col=id_col)
+    index = assigned.select(id_col, "cluster").join(codes, id_col)
+    return index, centroids, codebook
+
+
+def ivfpq_search(index: SparkDF, centroids: list[list[float]],
+                 codebook: list[list[list[float]]], query: list[float],
+                 k: int = 10, n_probe: int = 4,
+                 id_col: str = "vec_id") -> SparkDF:
+    """Probe the n_probe nearest IVF cells, then ADC top-k over the
+    codes — the cluster filter prunes at the scan (write the index
+    partitioned by cluster) and the ADC scan is pure JVM arithmetic
+    over m-byte codes (see pq_search). No vector column is read at
+    query time at all."""
+    import math
+
+    def cos(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        return sum(x * y for x, y in zip(u, v)) / (du * dv or 1.0)
+
+    probes = sorted(range(len(centroids)),
+                    key=lambda i: -cos(centroids[i], query))[:n_probe]
+    return pq_search(index.filter(F.col("cluster").isin(probes)),
+                     codebook, query, k=k, id_col=id_col)
