@@ -582,8 +582,9 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
     # value-replayable: the oracle re-derives cluster assignment
     # (argmax of the 64 seed dots) and the min-id drop rule in SQL and
     # must land on the same kept/total counts.
-    # n_clusters scales with n (cell size ~n/k drives the pair count:
-    # k=16 cost 7.6s at sf0.1 vs 2.0s at k=64 — same verdicts)
+    # n_clusters scales with n (cell size ~n/k drives the pair count;
+    # since the r8 gemm pair pass the k-sensitivity is mild — k=16 ≈
+    # k=64 at sf1, SCALE.md — but the knob still governs 100 TB cost)
     kept = S.semantic_dedup(e, "embedding", threshold=0.95, n_clusters=64)
     sem = (kept.agg(F.count(F.lit(1)).alias("sem_kept"))
            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_vec"))))
