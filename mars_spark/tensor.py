@@ -125,3 +125,59 @@ def svd(sdf: SparkDF, vec_col: str, k: int):
     order = np.argsort(vals)[::-1][:k]
     s = np.sqrt(np.maximum(vals[order], 0.0))
     return s, vecs[:, order]  # singular values, right singular vectors
+
+
+def matmul(sdf: SparkDF, vec_col: str, b, out_col: str = "y") -> SparkDF:
+    """Tall-skinny matrix times a small driver-side matrix: each row's
+    d-vector maps to ``v @ B`` (d×m) — ONE gemm per Arrow batch
+    (mars/tensor/linalg tiles A@B into chunk block-products; with a
+    broadcastable right side the whole product is a narrow map, the
+    only matmul shape a 100 TB pipeline runs row-wise). For big×big
+    use MLlib BlockMatrix — deliberately not wrapped here
+    (SURVEY §2.9 scope)."""
+    import numpy as np
+    import pandas as pd
+
+    bm = np.asarray(b, dtype=np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__v"]])
+            out = x @ bm
+            pdf = pdf.drop(columns="__v")
+            pdf[out_col] = list(out)
+            yield pdf
+
+    cols = [c for c in sdf.columns if c != vec_col]
+    base = sdf.select(*cols, F.col(vec_col).alias("__v"))
+    schema = ", ".join(f"{c} {t}" for c, t in base.dtypes
+                       if c != "__v") + f", {out_col} array<double>"
+    return base.mapInPandas(gen, schema=schema)
+
+
+def cholesky(g) -> "object":
+    """Driver-side lower Cholesky of a (small, d×d) Gramian —
+    mars/tensor/linalg/cholesky.py tiles this over chunked matrices;
+    at tall-skinny shapes d is small and the factor is a driver
+    computation over the tree-aggregated Gramian."""
+    import numpy as np
+
+    return np.linalg.cholesky(np.asarray(g, dtype=np.float64))
+
+
+def qr(sdf: SparkDF, vec_col: str, q_col: str = "q"):
+    """Tall-skinny QR by the indirect (Cholesky-QR) method — the
+    distributed formulation mars/tensor/linalg/qr.py tiles: R comes
+    from the Cholesky factor of the tree-aggregated Gramian
+    (R = Lᵀ where AᵀA = L·Lᵀ), and Q = A·R⁻¹ is one narrow gemm map.
+    One data pass for the Gramian + one for Q; the d×d work is
+    driver-side. Returns (frame with ``q_col``, R)."""
+    import numpy as np
+
+    g = gramian(sdf, vec_col)
+    r = cholesky(g).T
+    rinv = np.linalg.inv(r)
+    return matmul(sdf, vec_col, rinv, out_col=q_col), r

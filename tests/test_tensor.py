@@ -43,3 +43,29 @@ def test_svd_recovers_rank(spark, rng):
     s, _ = mt.svd(sdf, "v", k=4)
     assert s[0] > 0 and s[1] > 0
     assert s[2] / s[0] < 1e-6  # rank 2 → 3rd singular value ~0
+
+
+def test_matmul_cholesky_qr(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(9)
+    A = rng.standard_normal((60, 5))
+    pdf = pd.DataFrame({"rid": range(60),
+                        "v": [list(map(float, r)) for r in A]})
+    sdf = spark.createDataFrame(pdf)
+
+    B = rng.standard_normal((5, 3))
+    got = (Tn.matmul(sdf, "v", B, out_col="y").toPandas()
+           .sort_values("rid").reset_index(drop=True))
+    np.testing.assert_allclose(np.vstack(got.y.to_numpy()), A @ B,
+                               rtol=1e-12)
+
+    qdf, R = Tn.qr(sdf, "v")
+    Q = np.vstack(qdf.toPandas().sort_values("rid").q.to_numpy())
+    # R upper-triangular, A = QR, Q orthonormal
+    assert np.allclose(R, np.triu(R))
+    np.testing.assert_allclose(Q @ R, A, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(Q.T @ Q, np.eye(5), atol=1e-9)
