@@ -568,3 +568,55 @@ def test_take_token_budget_matches_pure_python(spark, toks, budget):
         else:
             break
     assert got == exp
+
+
+@given(n=st.integers(min_value=17, max_value=40),
+       m=st.sampled_from([2, 4]),
+       seed=st.integers(min_value=0, max_value=99))
+@_settings
+def test_pq_pipeline_matches_numpy(spark, n, m, seed):
+    from mars_spark.llm import similarity as S
+
+    rng = np.random.default_rng(seed)
+    d = 8
+    vecs = rng.standard_normal((n, d))
+    pdf = pd.DataFrame({"vec_id": range(n),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf)
+    cb = S.pq_codebook(sdf, "embedding", m=m, nbits=4)
+    codes = {r.vec_id: list(r.codes) for r in
+             S.pq_encode(sdf, "embedding", cb).collect()}
+    ds = d // m
+    C = [np.asarray(c) for c in cb]
+    for i in range(n):
+        exp = [int(np.argmin(((vecs[i, s * ds:(s + 1) * ds] - C[s]) ** 2)
+                             .sum(axis=1))) for s in range(m)]
+        assert codes[i] == exp
+
+
+@given(seed=st.integers(min_value=0, max_value=99),
+       k=st.integers(min_value=1, max_value=4),
+       metric=st.sampled_from(["euclidean", "cosine", "manhattan"]))
+@_settings
+def test_pairwise_topk_matches_numpy(spark, seed, k, metric):
+    from mars_spark.learn import pairwise as PW
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((15, 5))
+    Y = rng.standard_normal((6, 5))
+    pdf = pd.DataFrame({"vec_id": range(15),
+                        "v": [list(map(float, r)) for r in X]})
+    top = PW.pairwise_distances_topk(
+        spark.createDataFrame(pdf), [list(map(float, r)) for r in Y],
+        "v", "vec_id", k=k, metric=metric).toPandas()
+    if metric == "euclidean":
+        D = np.sqrt(((X[:, None, :] - Y[None, :, :]) ** 2).sum(-1))
+    elif metric == "manhattan":
+        D = np.abs(X[:, None, :] - Y[None, :, :]).sum(-1)
+    else:
+        D = 1 - (X @ Y.T) / (np.linalg.norm(X, axis=1)[:, None]
+                             * np.linalg.norm(Y, axis=1)[None, :])
+    for i in range(15):
+        exp = sorted(range(6), key=lambda j: (D[i, j], j))[:k]
+        got = (top[top.vec_id == i].sort_values("rank").y_idx.tolist())
+        assert got == exp
