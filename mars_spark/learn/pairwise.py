@@ -56,7 +56,13 @@ def _block(metric: str, xs, ym, gamma: float):
         denom[denom == 0.0] = 1.0
         return 1.0 - (xs @ ym.T) / denom
     if metric == "manhattan":
-        return np.abs(xs[:, None, :] - ym[None, :, :]).sum(axis=2)
+        # the broadcasted |x-y| intermediate is b×m×d doubles — bound
+        # it to ~32 MB by row-chunking the batch (gemm metrics never
+        # materialize the 3-d block, so only L1 needs this)
+        step = max(1, (4 << 20) // max(ym.shape[0] * ym.shape[1], 1))
+        return np.concatenate([
+            np.abs(xs[i:i + step, None, :] - ym[None, :, :]).sum(axis=2)
+            for i in range(0, len(xs), step)])
     if metric == "haversine":
         # rows are (lat, lon) in RADIANS; great-circle distance on the
         # unit sphere (multiply by the radius for meters)
