@@ -425,16 +425,22 @@ def best_in_cluster_dedup(sdf: SparkDF, text_col: str, id_col: str,
     min-id tie-break — instead of exact_dedup's min-id rule. This is
     what a curation pipeline actually wants: when a doc appears on
     three domains, keep the copy with the highest quality score (least
-    boilerplate damage), not an arbitrary one. ONE shuffle on the
-    md5 fingerprint (row_number window), same cost shape as
-    exact_dedup; deterministic and SQL-oracle-replayable as long as
-    ``score_col`` is (round scores before passing them in)."""
+    boilerplate damage), not an arbitrary one. The winner set is
+    computed on a SKINNY (fp, id, score) projection — only
+    fingerprint-sized rows shuffle through the window, never the
+    documents — then kept via a semi-join on the id (the exact_dedup
+    shape; the r8 first cut windowed the full rows and paid a
+    text-sized shuffle). Deterministic and SQL-oracle-replayable as
+    long as ``score_col`` is (round scores before passing them in)."""
     from pyspark.sql import Window
 
-    w = (Window.partitionBy(fingerprint(F.col(text_col)))
-         .orderBy(F.desc(score_col), F.asc(id_col)))
-    return (sdf.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    w = Window.partitionBy("__fp").orderBy(F.desc(score_col),
+                                           F.asc(id_col))
+    keys = (sdf.select(fingerprint(F.col(text_col)).alias("__fp"),
+                       F.col(id_col), F.col(score_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).select(id_col))
+    return sdf.join(keys, id_col, "leftsemi")
 
 
 def cross_doc_gram_stats(sdf: SparkDF, text_col: str, id_col: str,
