@@ -80,11 +80,16 @@ def cap_per_key(sdf: SparkDF, key_cols, n: int, order_by) -> SparkDF:
     per-source cap every crawl-curation pipeline applies so one
     mega-domain can't dominate the mixture (the C4/RefinedWeb
     "top-N per host" rule). ``order_by`` is a Column or list of
-    Columns ranking rows within a key (pass rounded scores +  an id
+    Columns ranking rows within a key (pass rounded scores + an id
     tie-break for a deterministic, oracle-replayable keep set).
-    ONE shuffle on the keys (row_number window); at 100 TB this is
-    the same partitioning the per-domain rollups already use, so the
-    exchange is typically reused."""
+
+    One shuffle on the keys (row_number window) over the full rows.
+    When rows are HEAVY (document text) and the cap drops most of a
+    mega-domain, rank a skinny projection yourself and semi-join the
+    surviving ids back (the best_in_cluster_dedup shape):
+    ``cap_per_key(df.select(key, score, id), ...).select(id)`` then
+    ``df.join(ids, id, "leftsemi")`` — the corpus bytes never ride
+    the ranking shuffle."""
     from pyspark.sql import Window
 
     keys = key_cols if isinstance(key_cols, (list, tuple)) else [key_cols]
