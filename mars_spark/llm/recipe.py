@@ -72,6 +72,10 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
                  n_clusters: int = 64,
                  eval_df: SparkDF | None = None,
                  decontam_k: int = 13,
+                 line_dedup_sep: str | None = None,
+                 source_col: str | None = None,
+                 max_per_source: int | None = None,
+                 temperature_alpha: float | None = None,
                  materialize: bool = True):
     """Run the standard pretraining-hygiene pipeline; returns the
     cleaned frame (same schema, ``text_col`` redacted in place when
@@ -79,6 +83,17 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
     'semantic'} — 'semantic' needs ``vec_col`` (an embedding column)
     and dedups on cosine >= ``dedup_threshold`` inside deterministic
     IVF cells (raise ``n_clusters`` with corpus size).
+
+    Optional curation stages, applied in pipeline order:
+    - ``line_dedup_sep`` (e.g. ``"\\n"``): C4-style GLOBAL line dedup
+      after doc-level dedup — first corpus occurrence of every line
+      wins, docs reassemble in order, fully-deduped docs drop.
+    - ``source_col`` + ``max_per_source``: per-domain cap, best
+      quality first (quality_score ranking, id tie-break).
+    - ``source_col`` + ``temperature_alpha``: md5-rule resampling
+      toward the p^alpha source profile (XLM-R/Llama rule), applied
+      LAST so mixing weights see the post-hygiene counts.
+
     ``materialize`` snapshots the filtered+redacted corpus before the
     branching dedup/decontam joins (see module docstring; pass False
     to keep the plan fully lazy, e.g. when composing into a larger
@@ -114,7 +129,28 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
                                   n_clusters=n_clusters, id_col=id_col)
     elif dedup is not None:
         raise ValueError(f"unknown dedup mode {dedup!r}")
+    if line_dedup_sep is not None:
+        out = _dedup.line_dedup(out, text_col, id_col,
+                                sep=line_dedup_sep)
     if eval_df is not None:
         out = _decontam.decontaminate(out, eval_df, text_col, id_col,
                                       k=decontam_k)
+    if max_per_source is not None:
+        if source_col is None:
+            raise ValueError("max_per_source needs source_col")
+        from mars_spark.llm.mixture import cap_per_key
+
+        ids = cap_per_key(
+            out.select(source_col, id_col,
+                       _text.quality_score(F.col(text_col)).alias("__q")),
+            source_col, max_per_source,
+            [F.desc("__q"), F.asc(id_col)]).select(id_col)
+        out = out.join(ids, id_col, "leftsemi")
+    if temperature_alpha is not None:
+        if source_col is None:
+            raise ValueError("temperature_alpha needs source_col")
+        from mars_spark.llm.mixture import temperature_mixture
+
+        out = temperature_mixture(out, source_col, id_col,
+                                  alpha=temperature_alpha)
     return out

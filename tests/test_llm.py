@@ -960,3 +960,40 @@ def test_ivfpq_search_recall(spark):
     plan = (S.ivfpq_search(mat, cents, cb, q, k=6, n_probe=4)
             ._jdf.queryExecution().executedPlan().toString())
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_clean_corpus_full_curation(spark):
+    from mars_spark.llm import recipe as R
+
+    pdf = pd.DataFrame({
+        "doc_id": range(8),
+        "src": ["a"] * 5 + ["b"] * 3,
+        "text": [
+            "shared line\nunique one about the weather",
+            "shared line\nanother unique about the sea",   # line-dups doc 0's first line
+            "totally fresh content about the mountains",
+            "totally fresh content about the mountains",   # exact dup of 2
+            "short",                                       # fails min_tokens
+            "b text about the rivers and the lakes",
+            "b text about the woods and the hills",
+            "b text about the plains and the winds",
+        ],
+    })
+    out = R.clean_corpus(
+        spark.createDataFrame(pdf), id_col="doc_id", min_tokens=3,
+        redact_pii=False, dedup="exact", line_dedup_sep="\n",
+        source_col="src", max_per_source=2).toPandas()
+    got = {r.doc_id: r.text for r in out.itertuples()}
+    # doc 3 exact-deduped, doc 4 too short; doc 1 lost its shared line
+    assert 3 not in got and 4 not in got
+    assert got[1] == "another unique about the sea"
+    # per-source cap keeps at most 2 of b's three docs
+    assert sum(1 for r in out.itertuples() if r.src == "b") == 2
+    # temperature resampling composes (alpha=1 keeps everything)
+    out2 = R.clean_corpus(
+        spark.createDataFrame(pdf), id_col="doc_id", min_tokens=3,
+        redact_pii=False, dedup="exact", line_dedup_sep="\n",
+        source_col="src", temperature_alpha=1.0).toPandas()
+    assert len(out2) == 6  # 8 - exact dup - short doc
+    with pytest.raises(ValueError):
+        R.clean_corpus(spark.createDataFrame(pdf), max_per_source=2)
