@@ -620,3 +620,59 @@ def test_pairwise_topk_matches_numpy(spark, seed, k, metric):
         exp = sorted(range(6), key=lambda j: (D[i, j], j))[:k]
         got = (top[top.vec_id == i].sort_values("rank").y_idx.tolist())
         assert got == exp
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["w0", "w1", "w2", "w3"]),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=6),
+    v=st.integers(min_value=1, max_value=4))
+@_settings
+def test_unigram_logprob_matches_pure_python(spark, docs, v):
+    from collections import Counter
+
+    from mars_spark.llm import lm as LM
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = {r.doc_id: (r.n_tokens, r.nll) for r in
+           LM.unigram_logprob(spark.createDataFrame(pdf), "text",
+                              "doc_id", vocab_size=v).collect()}
+    toks = [d.split(" ") for d in docs]
+    cnt = Counter(w for t in toks for w in t)
+    total = sum(cnt.values())
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:v])
+    for i, t in enumerate(toks):
+        nll = -np.mean([np.log((vocab.get(w, 0) + 1.0)
+                               / (total + (v + 1.0))) for w in t])
+        assert got[i][0] == len(t)
+        np.testing.assert_allclose(got[i][1], round(nll, 4), atol=2e-4)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]),
+             min_size=1, max_size=5).map(" ".join),
+    min_size=1, max_size=5),
+    k=st.integers(min_value=1, max_value=3))
+@_settings
+def test_cross_doc_gram_stats_matches_pure_python(spark, docs, k):
+    from mars_spark.llm import dedup as D
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = {r.doc_id: (r.n_grams, r.n_dup) for r in
+           D.cross_doc_gram_stats(spark.createDataFrame(pdf), "text",
+                                  "doc_id", k=k).collect()}
+
+    def grams(t):
+        toks = t.split(" ")
+        if len(toks) < k:
+            return [t]
+        return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+    owner = {}
+    for i, t in enumerate(docs):
+        for g in set(grams(t)):
+            owner.setdefault(g, set()).add(i)
+    for i, t in enumerate(docs):
+        gs = grams(t)
+        nd = sum(1 for g in gs if len(owner[g]) >= 2)
+        assert got[i] == (len(gs), nd)
