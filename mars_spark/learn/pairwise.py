@@ -54,7 +54,11 @@ def _block(metric: str, xs, ym, gamma: float):
         yn = np.linalg.norm(ym, axis=1)[None, :]
         denom = xn * yn
         denom[denom == 0.0] = 1.0
-        return 1.0 - (xs @ ym.T) / denom
+        # clamp: for a vector against itself 1 - x.y/(|x||y|) is ±ε
+        # depending on summation order, and a -0.0 survives rounding
+        # (the value hash distinguishes signed zeros); cosine distance
+        # is mathematically >= 0, so the clamp only touches the -ε case
+        return np.maximum(1.0 - (xs @ ym.T) / denom, 0.0)
     if metric == "manhattan":
         # the broadcasted |x-y| intermediate is b×m×d doubles — bound
         # it to ~32 MB by row-chunking the batch (gemm metrics never

@@ -628,7 +628,8 @@ OPS_ORACLES: dict[str, str] = {
             FROM pw
             UNION ALL
             SELECT 'cos' AS tag, a AS id, b AS val,
-                   round(1 - xy / (sqrt(x2) * sqrt(y2)), 4) AS score
+                   round(greatest(1 - xy / (sqrt(x2) * sqrt(y2)), 0), 4)
+                       AS score
             FROM pw
             UNION ALL
             SELECT 'tk' || rn AS tag, a AS id, b AS val,
