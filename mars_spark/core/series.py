@@ -567,8 +567,9 @@ class Series:
         if bias:
             return self._agg_scalar(g1)
         n = F.count(self._col).cast("double")
+        # n <= 2 → pandas NaN (the (n-2) correction is undefined)
         return self._agg_scalar(
-            g1 * F.sqrt(n * (n - 1)) / (n - 2))
+            F.when(n > 2, g1 * F.sqrt(n * (n - 1)) / (n - 2)))
 
     def kurt(self, bias: bool = False):
         """mars/dataframe/reduction/kurtosis.py — pandas-parity sample
@@ -579,8 +580,10 @@ class Series:
         if bias:
             return self._agg_scalar(g2)
         n = F.count(self._col).cast("double")
+        # n <= 3 → pandas NaN (the (n-2)(n-3) correction is undefined)
         return self._agg_scalar(
-            (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6))
+            F.when(n > 3,
+                   (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)))
 
     kurtosis = kurt
 

@@ -127,10 +127,13 @@ def temperature_mixture(sdf: SparkDF, source_col: str, id_col: str,
     temperature_weights fractions (md5-rule, so the kept set is
     partition-independent and SQL-oracle-replayable). ONE count
     aggregate (collects |sources| rows) + one narrow filter — the
-    corpus never shuffles."""
+    corpus never shuffles. Rows with a NULL source are EXCLUDED (the
+    temperature profile is defined over named sources; a null key
+    would also never match the equality predicate below)."""
     counts = {r[source_col]: r["n"] for r in
               sdf.groupBy(source_col)
-              .agg(F.count(F.lit(1)).alias("n")).collect()}
+              .agg(F.count(F.lit(1)).alias("n")).collect()
+              if r[source_col] is not None}
     keep = temperature_weights(counts, alpha)
     key = hash_key(id_col, seed)
     pred = F.lit(False)

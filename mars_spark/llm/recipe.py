@@ -109,10 +109,14 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
         if eval_df is not None:
             eval_df = eval_df.withColumn(
                 text_col, _pii.redact(F.col(text_col)))
-    if materialize and (dedup is not None or eval_df is not None):
-        # the frame is consumed 2× by dedup's semi-join and 2× by
-        # decontam's anti-join; without a snapshot each consumer
-        # re-runs the regex stages (measured 2.3× end-to-end)
+    if materialize and (dedup is not None or eval_df is not None
+                        or line_dedup_sep is not None
+                        or max_per_source is not None):
+        # the frame is consumed 2× by dedup's semi-join, 2× by
+        # decontam's anti-join, and again by line_dedup's reassembly
+        # self-join and the per-source-cap semi-join; without a
+        # snapshot each consumer re-runs the regex stages (measured
+        # 2.3× end-to-end)
         out = out.localCheckpoint()
     if dedup == "exact":
         out = _dedup.exact_dedup(out, text_col, id_col)

@@ -623,8 +623,14 @@ def pq_codebook(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
     m × 2^nbits × (d/m). A production variant adds per-subspace Lloyd
     steps exactly like the IVF refine path."""
     k = 1 << nbits
-    rows = (sdf.filter(F.col(id_col) < k).orderBy(id_col)
-            .select(to_double(F.col(vec_col)).alias("e")).collect())
+    # k SMALLEST ids, not ids < k: sparse/offset id spaces would
+    # silently undersize the codebook under the filter form
+    rows = (sdf.select(F.col(id_col).alias("i"),
+                       to_double(F.col(vec_col)).alias("e"))
+            .orderBy("i").limit(k).collect())
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_codebook needs >= {k} rows (2^nbits); got {len(rows)}")
     vecs = [list(r["e"]) for r in rows]
     d = len(vecs[0])
     if d % m:

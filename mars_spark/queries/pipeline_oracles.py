@@ -957,8 +957,15 @@ PIPELINE_ORACLES: dict[str, str] = {
             -- m=8 subspaces of 8 dims (1-based inclusive slices)
             SELECT vec_id, ss.s AS s, v[ss.s*8+1 : ss.s*8+8] AS sv
             FROM raw, range(8) ss(s)
+        ), pqids AS (
+            -- 16 SMALLEST ids, codebook index = rank (mirrors
+            -- pq_codebook's orderBy(id).limit(2^nbits))
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+            FROM (SELECT DISTINCT vec_id FROM raw
+                  ORDER BY vec_id LIMIT 16)
         ), pqcb AS (
-            SELECT vec_id AS c, s, sv AS cent FROM sub WHERE vec_id < 16
+            SELECT pqids.c, sub.s, sub.sv AS cent
+            FROM sub JOIN pqids USING (vec_id)
         ), cdist AS (
             SELECT sub.vec_id, sub.s, pqcb.c,
                    list_sum(list_transform(range(1, 9),
