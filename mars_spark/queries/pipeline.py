@@ -992,11 +992,13 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
 def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     """§2.9 tensor facade, driver-verified: exact percentile (one
     multi-quantile agg), fixed-width histogram (min/max pass + bucket
-    agg), and the Gramian AᵀA of the 64-dim embedding matrix
-    (map-side outer products + treeAggregate; 4×4 corner emitted,
-    rounded — the float64 tree-sum is order-stable to well inside
-    1e-4). Long-form (grp, v1, v2, n) rows built on the driver from
-    the facade's returns — each facade call is itself distributed."""
+    agg), the Gramian AᵀA of the 64-dim embedding matrix (per-batch
+    gemm partials; 4×4 corner emitted, rounded — the float64 sum is
+    order-stable to well inside 1e-4), and the linalg trio (r9):
+    Cholesky-QR's R corner, matmul column checksums, and the QᵀQ = I
+    orthonormality contract. Long-form (grp, v1, v2, n) rows built on
+    the driver from the facade's returns — each facade call is itself
+    distributed."""
     import math
 
     from mars_spark import tensor as MT
@@ -1021,6 +1023,34 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     for i in range(4):
         for j in range(4):
             rows.append((f"gram:{i}:{j}", r4(float(g[i, j])), None, None))
+    # linalg trio strata (r9). R from Cholesky-QR: the leading 4×4 of
+    # the Cholesky factor depends ONLY on the Gramian's leading 4×4
+    # (leading-principal-submatrix property), so the oracle can
+    # restate it as the unrolled 4×4 factorization over the same
+    # list-arithmetic Gramian the gram:* strata verify.
+    qdf, R = MT.qr(emb, "embedding")
+    for i in range(4):
+        for j in range(i, 4):
+            rows.append((f"r:{i}:{j}", r4(float(R[i, j])), None, None))
+    # matmul: y = V·B with B[i][j] = ((i·4+j) mod 7 − 3)/3 (exact in
+    # both engines); per-column sums over the whole table fold the
+    # gemm map into 4 scalars the oracle restates with list
+    # arithmetic.
+    B = [[((i * 4 + j) % 7 - 3) / 3.0 for j in range(4)]
+         for i in range(64)]
+    mm = MT.matmul(emb.select("vec_id", "embedding"), "embedding", B)
+    mrow = mm.agg(*[F.sum(F.element_at("y", j + 1)).alias(f"s{j}")
+                    for j in range(4)]).collect()[0]
+    for j in range(4):
+        rows.append((f"mm:{j}", r4(float(mrow[f"s{j}"])), None, None))
+    # orthonormality contract: QᵀQ = I exactly in math; the engine's
+    # Cholesky-QR satisfies it to ~κ(A)²·eps ≪ the 1e-4 rounding, so
+    # the oracle states the identity values — a property oracle over
+    # the full gramian→cholesky→inverse→matmul pipeline.
+    gq = MT.gramian(qdf, "q")
+    for i in range(4):
+        for j in range(4):
+            rows.append((f"qtq:{i}:{j}", r4(float(gq[i, j])), None, None))
     return spark.createDataFrame(
         rows, "grp string, v1 double, v2 double, n long")
 

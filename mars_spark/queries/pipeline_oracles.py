@@ -324,6 +324,47 @@ PIPELINE_ORACLES: dict[str, str] = {
                               AS DOUBLE)) AS v
             FROM embeddings, range(4) r1(i), range(4) r2(j)
             GROUP BY 1, 2
+        ), gp AS (
+            -- the leading 4x4 of the Cholesky factor depends only on
+            -- the leading 4x4 of the Gramian; unroll the
+            -- factorization column by column (chained CTEs)
+            SELECT max(CASE WHEN i=0 AND j=0 THEN v END) AS g00,
+                   max(CASE WHEN i=1 AND j=0 THEN v END) AS g10,
+                   max(CASE WHEN i=1 AND j=1 THEN v END) AS g11,
+                   max(CASE WHEN i=2 AND j=0 THEN v END) AS g20,
+                   max(CASE WHEN i=2 AND j=1 THEN v END) AS g21,
+                   max(CASE WHEN i=2 AND j=2 THEN v END) AS g22,
+                   max(CASE WHEN i=3 AND j=0 THEN v END) AS g30,
+                   max(CASE WHEN i=3 AND j=1 THEN v END) AS g31,
+                   max(CASE WHEN i=3 AND j=2 THEN v END) AS g32,
+                   max(CASE WHEN i=3 AND j=3 THEN v END) AS g33
+            FROM gram
+        ), c1 AS (
+            SELECT *, sqrt(g00) AS l00 FROM gp
+        ), c2 AS (
+            SELECT *, g10/l00 AS l10, g20/l00 AS l20, g30/l00 AS l30
+            FROM c1
+        ), c3 AS (
+            SELECT *, sqrt(g11 - l10*l10) AS l11 FROM c2
+        ), c4 AS (
+            SELECT *, (g21 - l20*l10)/l11 AS l21,
+                      (g31 - l30*l10)/l11 AS l31 FROM c3
+        ), c5 AS (
+            SELECT *, sqrt(g22 - l20*l20 - l21*l21) AS l22 FROM c4
+        ), c6 AS (
+            SELECT *, (g32 - l30*l20 - l31*l21)/l22 AS l32 FROM c5
+        ), chol AS (
+            SELECT *, sqrt(g33 - l30*l30 - l31*l31 - l32*l32) AS l33
+            FROM c6
+        ), mmv AS (
+            -- column sums of V . B, B[i][j] = ((i*4+j) % 7 - 3)/3
+            SELECT r2.j AS j,
+                   sum(list_sum(list_transform(range(0, 64),
+                       i -> CAST(list_extract(embedding,
+                                CAST(i + 1 AS INT)) AS DOUBLE)
+                            * (((i * 4 + r2.j) % 7 - 3) / 3.0)))) AS s
+            FROM embeddings, range(4) r2(j)
+            GROUP BY 1
         )
         SELECT 'hist:' || x.i AS grp,
                floor((x.lo + CAST(x.i AS DOUBLE) * x.w) * 1e6 + 0.5) / 1e6 AS v1,
@@ -343,6 +384,28 @@ PIPELINE_ORACLES: dict[str, str] = {
                floor(v * 1e4 + 0.5) / 1e4 AS v1,
                CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
         FROM gram
+        UNION ALL
+        -- R = L^T upper triangle (Cholesky-QR leading corner)
+        SELECT 'r:' || t.i || ':' || t.j AS grp,
+               floor(t.v * 1e4 + 0.5) / 1e4 AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+        FROM chol, LATERAL (VALUES
+            (0, 0, l00), (0, 1, l10), (0, 2, l20), (0, 3, l30),
+            (1, 1, l11), (1, 2, l21), (1, 3, l31),
+            (2, 2, l22), (2, 3, l32), (3, 3, l33)) t(i, j, v)
+        UNION ALL
+        SELECT 'mm:' || j AS grp,
+               floor(s * 1e4 + 0.5) / 1e4 AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+        FROM mmv
+        UNION ALL
+        -- orthonormality contract: Q^T.Q is the identity in exact
+        -- arithmetic; Cholesky-QR satisfies it to ~cond(A)^2*eps,
+        -- far inside the 1e-4 rounding
+        SELECT 'qtq:' || r1.i || ':' || r2.j AS grp,
+               CASE WHEN r1.i = r2.j THEN 1.0 ELSE 0.0 END AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+        FROM range(4) r1(i), range(4) r2(j)
     """,
     "events_window_funcs": """
         SELECT event_id, user_id,
