@@ -45,8 +45,14 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     the 100 TB path, exact keeps the oracle), corr/cov
     (statistics/corr.py:29), nullif/coalesce missing-data ops
     (missing/fillna.py:36), and sqrt/log/cos Series ufuncs
-    (arithmetic/*.py) aggregated. The global 1-row block broadcasts
-    onto the 3 per-flag quantile rows."""
+    (arithmetic/*.py) aggregated. r9 parity fill-ins: Series-level
+    sem/skew/kurt (reduction/{sem,skew,kurtosis}.py — Spark's
+    population moments bias-corrected to the pandas estimators DuckDB
+    states directly), check_monotonic strict/non-strict
+    (base/check_monotonic.py — range-partition + boundary check, the
+    oracle replays with one lag window), and the select_dtypes schema
+    contract (base/select_dtypes.py). The global 1-row block
+    broadcasts onto the 3 per-flag quantile rows."""
     li = load(sf_dir, "lineitem")
     li["sqrt_qty"] = li.l_quantity.sqrt()
     li["log_price"] = li.l_extendedprice.log()
@@ -67,6 +73,30 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round(F.avg("sqrt_qty"), 6).alias("avg_sqrt_qty"),
         F.round(F.avg("log_price"), 6).alias("avg_log_price"),
         F.round(F.avg("cos_disc"), 6).alias("avg_cos_disc"),
+    )
+    import math
+
+    def r6f(x):
+        return None if x is None else math.floor(float(x) * 1e6 + 0.5) / 1e6
+
+    qty = li.l_quantity
+    o = load(sf_dir, "orders")[["o_orderkey", "o_custkey",
+                                "o_totalprice", "o_orderpriority",
+                                "o_orderdate"]]
+    o["okey2"] = o.o_orderkey
+    oi = o.set_index("o_orderkey")
+    num_cols = ",".join(sorted(
+        o.select_dtypes(include="number").columns))
+    glob = glob.select(
+        "*",
+        F.lit(r6f(qty.sem())).alias("sem_qty"),
+        F.lit(r6f(qty.skew())).alias("skew_qty"),
+        F.lit(r6f(qty.kurt())).alias("kurt_qty"),
+        F.lit(bool(oi.okey2.check_monotonic(strict=True)))
+        .alias("mono_okey"),
+        F.lit(bool(oi.o_totalprice.is_monotonic_increasing))
+        .alias("mono_price"),
+        F.lit(num_cols).alias("num_cols"),
     )
     return per_flag.join(F.broadcast(glob))
 

@@ -29,10 +29,29 @@ OPS_ORACLES: dict[str, str] = {
                    round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
                    round(avg(sqrt(l_quantity)), 6) AS avg_sqrt_qty,
                    round(avg(ln(l_extendedprice)), 6) AS avg_log_price,
-                   round(avg(cos(l_discount)), 6) AS avg_cos_disc
+                   round(avg(cos(l_discount)), 6) AS avg_cos_disc,
+                   floor(stddev_samp(l_quantity)
+                         / sqrt(count(l_quantity)) * 1e6 + 0.5) / 1e6
+                       AS sem_qty,
+                   floor(skewness(l_quantity) * 1e6 + 0.5) / 1e6
+                       AS skew_qty,
+                   floor(kurtosis(l_quantity) * 1e6 + 0.5) / 1e6
+                       AS kurt_qty
             FROM lineitem
+        ), mono AS (
+            -- check_monotonic replay: strict on the (unique) orderkey
+            -- copy, non-strict on totalprice, both in orderkey order
+            SELECT coalesce(bool_and(ok_key), TRUE) AS mono_okey,
+                   coalesce(bool_and(ok_tp), TRUE) AS mono_price,
+                   'o_custkey,o_orderkey,o_totalprice,okey2'
+                       AS num_cols
+            FROM (
+                SELECT o_orderkey > lag(o_orderkey) OVER w AS ok_key,
+                       o_totalprice >= lag(o_totalprice) OVER w AS ok_tp
+                FROM orders WINDOW w AS (ORDER BY o_orderkey)
+            )
         )
-        SELECT * FROM per_flag CROSS JOIN tot
+        SELECT * FROM per_flag CROSS JOIN tot CROSS JOIN mono
     """,
     "op_set_ops": """
         SELECT 'both' AS op, nationkey, CAST(1 AS BIGINT) AS n
