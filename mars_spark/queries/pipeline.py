@@ -462,7 +462,9 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
     (odd doc_ids) deduped against batch 1's persisted fingerprint
     store (llm/dedup.py incremental_dedup: anti-join on fp + in-batch
     min-id winner), the daily-delivery shape of a 100 TB corpus —
-    under a harmonized (grp, k, v) schema."""
+    under a harmonized (grp, k, v) schema. r9 adds a REAL streaming
+    lifecycle for streaming/core.py stream_incremental_dedup (see the
+    stream: strata comment below)."""
     a = docs_exact_dedup(spark, sf_dir).select(
         F.concat(F.lit("src:"), F.col("source")).alias("grp"),
         F.col("n_kept").cast("long").alias("k"),
@@ -497,8 +499,57 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
          .select(F.concat(F.lit("dsir:"),
                           F.col("doc_id").cast("string")).alias("grp"),
                  F.col("doc_id").cast("long").alias("k"), "v"))
+    # r9: STREAMING incremental dedup (streaming/core.py
+    # stream_incremental_dedup) as a REAL stream lifecycle: odd docs
+    # (< 200) plus within-watermark duplicate copies arrive as a
+    # bounded parquet stream, deduping against the even-batch fp
+    # store (stream-static left join + null filter) and in-stream
+    # (dropDuplicatesWithinWatermark). WHICH row of a duplicate set
+    # survives a micro-batch is not contractual; the surviving
+    # FINGERPRINT set is — strata emit the distinct surviving fps
+    # plus the surviving ROW count, which equals |fps| exactly
+    # because every same-fp pair sits inside the 10-minute watermark
+    # (ts = epoch + (doc_id mod 7) minutes), proving the copies were
+    # dropped in-stream.
+    import tempfile
+
+    from mars_spark.llm.text import fingerprint
+    from mars_spark.streaming.core import (read_stream,
+                                           stream_incremental_dedup)
+
+    _STREAM_SEQ[0] += 1
+    seq = _STREAM_SEQ[0]
+    odd = (d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 200))
+           .select("doc_id", "text",
+                   F.timestamp_seconds(
+                       F.lit(1600000000) + (F.col("doc_id") % 7) * 60)
+                   .alias("ts")))
+    copies = (odd.filter(F.col("doc_id") < 80)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text",
+                      (F.col("ts") + F.expr("INTERVAL 2 MINUTES"))
+                      .alias("ts")))
+    stage = tempfile.mkdtemp(prefix="ms_incdedup_")
+    odd.unionByName(copies).coalesce(1).write.mode("overwrite") \
+        .parquet(stage)
+    src = read_stream(spark, "parquet", stage,
+                      schema=spark.read.parquet(stage).schema)
+    surv_stream = stream_incremental_dedup(src, store, "text",
+                                           ts_col="ts",
+                                           watermark="10 minutes")
+    qname = f"ms_inc_dedup_{seq}"
+    (surv_stream.writeStream.format("memory").queryName(qname)
+     .outputMode("append").trigger(availableNow=True).start()
+     .awaitTermination())
+    res = spark.table(qname)
+    sfp = (res.select(fingerprint(F.col("text")).alias("fp")).distinct()
+           .select(F.concat(F.lit("stream:"), F.col("fp")).alias("grp"),
+                   F.lit(None).cast("long").alias("k"),
+                   F.lit(None).cast("long").alias("v")))
+    stot = res.agg(F.count(F.lit(1)).alias("k")).select(
+        F.lit("stream:total").alias("grp"), F.col("k").cast("long"),
+        F.lit(None).cast("long").alias("v"))
     return (a.unionByName(b).unionByName(c).unionByName(tot)
-            .unionByName(e))
+            .unionByName(e).unionByName(sfp).unionByName(stot))
 
 
 def docs_cc_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:

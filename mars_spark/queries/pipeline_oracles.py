@@ -567,6 +567,22 @@ PIPELINE_ORACLES: dict[str, str] = {
                CAST(NULL AS BIGINT) AS v
         FROM winners
         UNION ALL
+        -- streaming incremental dedup: the surviving-fp set of the
+        -- odd (<200) stream batch after the store anti-join; the
+        -- in-stream duplicate copies add no fps and the row total
+        -- equals the fp count (within-watermark dedup contract)
+        SELECT 'stream:' || fp AS grp, CAST(NULL AS BIGINT) AS k,
+               CAST(NULL AS BIGINT) AS v
+        FROM (SELECT DISTINCT fp FROM f
+              WHERE doc_id % 2 = 1 AND doc_id < 200
+                AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0))
+        UNION ALL
+        SELECT 'stream:total' AS grp, count(DISTINCT fp) AS k,
+               CAST(NULL AS BIGINT) AS v
+        FROM f
+        WHERE doc_id % 2 = 1 AND doc_id < 200
+          AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
+        UNION ALL
         -- DSIR importance weights (llm/dsir.py): hashed-bigram
         -- log-likelihood ratio vs the id%7 target slice, add-1
         -- smoothed over 1024 md5 buckets, top-10 by 4-dp weight
