@@ -594,6 +594,54 @@ def test_pq_pipeline_matches_numpy(spark, n, m, seed):
         assert codes[i] == exp
 
 
+@given(seed=st.integers(min_value=0, max_value=9999),
+       metric=st.sampled_from(["euclidean", "sqeuclidean", "manhattan",
+                               "cosine", "rbf"]),
+       dim=st.integers(min_value=1, max_value=4))
+@_settings
+def test_pairwise_adversarial_shapes_match_numpy(spark, seed, metric, dim):
+    """Adversarial shapes for the pairwise block kernel: a zero
+    vector, an identical X pair, a Y row equal to an X row (the
+    self-pair regime), and 1-dim vectors — checked against the
+    sklearn-formula numpy reference. Also asserts the r8
+    driver-caught regression stays fixed: distances are >= 0 and no
+    cell is a NEGATIVE zero (the value hash distinguishes signed
+    zeros, so a -0.0 self-distance broke op_knn_kmeans)."""
+    from mars_spark.learn import pairwise as PW
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((8, dim))
+    X[0] = 0.0            # zero vector
+    X[1] = X[2]           # identical pair
+    Y = np.vstack([X[2], np.zeros((1, dim)),
+                   rng.standard_normal((2, dim))])
+    pdf = pd.DataFrame({"vec_id": range(8),
+                        "v": [list(map(float, r)) for r in X]})
+    out = PW.pairwise_distances(
+        spark.createDataFrame(pdf), [list(map(float, r)) for r in Y],
+        "v", "vec_id", metric=metric).toPandas()
+    d2 = ((X[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+    if metric == "euclidean":
+        D = np.sqrt(d2)
+    elif metric == "sqeuclidean":
+        D = d2
+    elif metric == "rbf":
+        D = np.exp(-1.0 * d2)
+    elif metric == "manhattan":
+        D = np.abs(X[:, None, :] - Y[None, :, :]).sum(-1)
+    else:
+        xn = np.linalg.norm(X, axis=1)[:, None]
+        yn = np.linalg.norm(Y, axis=1)[None, :]
+        den = xn * yn
+        den[den == 0.0] = 1.0
+        D = np.clip(1.0 - (X @ Y.T) / den, 0.0, None)
+    got = (out.pivot(index="vec_id", columns="y_idx", values="dist")
+           .to_numpy())
+    np.testing.assert_allclose(got, D, rtol=1e-9, atol=1e-9)
+    assert (got >= 0).all()
+    assert not np.any((got == 0.0) & np.signbit(got))
+
+
 @given(seed=st.integers(min_value=0, max_value=99),
        k=st.integers(min_value=1, max_value=4),
        metric=st.sampled_from(["euclidean", "cosine", "manhattan"]))
