@@ -87,17 +87,25 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     oi = o.set_index("o_orderkey")
     num_cols = ",".join(sorted(
         o.select_dtypes(include="number").columns))
-    glob = glob.select(
-        "*",
-        F.lit(r6f(qty.sem())).alias("sem_qty"),
-        F.lit(r6f(qty.skew())).alias("skew_qty"),
-        F.lit(r6f(qty.kurt())).alias("kurt_qty"),
-        F.lit(bool(oi.okey2.check_monotonic(strict=True)))
-        .alias("mono_okey"),
-        F.lit(bool(oi.o_totalprice.is_monotonic_increasing))
-        .alias("mono_price"),
-        F.lit(num_cols).alias("num_cols"),
-    )
+    # five independent driver-side actions — submit from a thread
+    # pool so they serialize scheduling latency once, not 5×
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_sem = ex.submit(qty.sem)
+        f_skew = ex.submit(qty.skew)
+        f_kurt = ex.submit(qty.kurt)
+        f_mt = ex.submit(lambda: oi.okey2.check_monotonic(strict=True))
+        f_mf = ex.submit(lambda: oi.o_totalprice.is_monotonic_increasing)
+        glob = glob.select(
+            "*",
+            F.lit(r6f(f_sem.result())).alias("sem_qty"),
+            F.lit(r6f(f_skew.result())).alias("skew_qty"),
+            F.lit(r6f(f_kurt.result())).alias("kurt_qty"),
+            F.lit(bool(f_mt.result())).alias("mono_okey"),
+            F.lit(bool(f_mf.result())).alias("mono_price"),
+            F.lit(num_cols).alias("num_cols"),
+        )
     return per_flag.join(F.broadcast(glob))
 
 

@@ -1070,7 +1070,22 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     for i, v in enumerate(
             MT.percentile(li, "l_quantity", [0.25, 0.5, 0.75])):
         rows.append((f"pct:{i}", r6(float(v)), None, None))
-    g = MT.gramian(emb, "embedding")
+    # the Gramian feeds both the gram:* strata and the Cholesky-QR
+    # below (qr takes it precomputed — one pass, not two); the matmul
+    # checksum pass is independent, so it runs concurrently from a
+    # thread pool (driver-action threading, see BENCH_BUDGET.md)
+    from concurrent.futures import ThreadPoolExecutor
+
+    B = [[((i * 4 + j) % 7 - 3) / 3.0 for j in range(4)]
+         for i in range(64)]
+    mm = MT.matmul(emb.select("vec_id", "embedding"), "embedding", B)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_g = ex.submit(MT.gramian, emb, "embedding")
+        f_mm = ex.submit(
+            mm.agg(*[F.sum(F.element_at("y", j + 1)).alias(f"s{j}")
+                     for j in range(4)]).collect)
+        g = f_g.result()
+        mrow = f_mm.result()[0]
     for i in range(4):
         for j in range(4):
             rows.append((f"gram:{i}:{j}", r4(float(g[i, j])), None, None))
@@ -1079,7 +1094,7 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     # (leading-principal-submatrix property), so the oracle can
     # restate it as the unrolled 4×4 factorization over the same
     # list-arithmetic Gramian the gram:* strata verify.
-    qdf, R = MT.qr(emb, "embedding")
+    qdf, R = MT.qr(emb, "embedding", gram=g)
     for i in range(4):
         for j in range(i, 4):
             rows.append((f"r:{i}:{j}", r4(float(R[i, j])), None, None))
@@ -1087,11 +1102,6 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     # both engines); per-column sums over the whole table fold the
     # gemm map into 4 scalars the oracle restates with list
     # arithmetic.
-    B = [[((i * 4 + j) % 7 - 3) / 3.0 for j in range(4)]
-         for i in range(64)]
-    mm = MT.matmul(emb.select("vec_id", "embedding"), "embedding", B)
-    mrow = mm.agg(*[F.sum(F.element_at("y", j + 1)).alias(f"s{j}")
-                    for j in range(4)]).collect()[0]
     for j in range(4):
         rows.append((f"mm:{j}", r4(float(mrow[f"s{j}"])), None, None))
     # orthonormality contract: QᵀQ = I exactly in math; the engine's

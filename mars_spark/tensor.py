@@ -185,16 +185,19 @@ def cholesky(g) -> "object":
     return np.linalg.cholesky(np.asarray(g, dtype=np.float64))
 
 
-def qr(sdf: SparkDF, vec_col: str, q_col: str = "q"):
+def qr(sdf: SparkDF, vec_col: str, q_col: str = "q", gram=None):
     """Tall-skinny QR by the indirect (Cholesky-QR) method — the
     distributed formulation mars/tensor/linalg/qr.py tiles: R comes
-    from the Cholesky factor of the tree-aggregated Gramian
-    (R = Lᵀ where AᵀA = L·Lᵀ), and Q = A·R⁻¹ is one narrow gemm map.
-    One data pass for the Gramian + one for Q; the d×d work is
-    driver-side. Returns (frame with ``q_col``, R)."""
+    from the Cholesky factor of the Gramian (R = Lᵀ where
+    AᵀA = L·Lᵀ), and Q = A·R⁻¹ is one narrow gemm map. One data pass
+    for the Gramian + one for Q; the d×d work is driver-side. Pass a
+    precomputed ``gram`` (d×d, e.g. from an earlier ``gramian`` call
+    on the same frame) to skip the first pass. Returns (frame with
+    ``q_col``, R)."""
     import numpy as np
 
-    g = gramian(sdf, vec_col)
+    g = (gramian(sdf, vec_col) if gram is None
+         else np.asarray(gram, dtype=np.float64))
     r = cholesky(g).T
     rinv = np.linalg.inv(r)
     return matmul(sdf, vec_col, rinv, out_col=q_col), r
