@@ -401,14 +401,38 @@ def op_iloc_tail(spark: SparkSession, sf_dir: str) -> SparkDF:
     events sorted on the total-order key event_id, sequence index
     attached (per-partition prefix sums — no global sort beyond the
     orderBy, no zipWithIndex), then iloc[100:110] ∪ tail(5). The
-    DuckDB oracle is the row_number()-1 equivalent."""
+    DuckDB oracle is the row_number()-1 equivalent. r9 parity
+    strata, tagged by negative seq values: seq=-1 carries at[label]
+    (indexing/at.py) and iat[107, 1] (iat.py) scalar lookups;
+    seq=-2 rows carry the guarded transpose (base/transpose.py —
+    unpivot+pivot, string cells) of the 3 lowest-id events; and a
+    set_axis round-trip (indexing/set_axis.py) relabels every column
+    the whole row consumes, so a set_axis break fails the row."""
+    import math
+
     e = load(sf_dir, "events")[["event_id", "user_id", "value"]]
+    e = e.set_axis(["eid", "uid", "val"], axis=1).set_axis(
+        ["event_id", "user_id", "value"], axis=1)
     s = e.sort_values("event_id").set_sequence_index("seq")
     part = s.iloc[100:110]
     last = s.tail(5)
     out = part.union(last)
-    return out.to_spark().select(
+    base = out.to_spark().select(
         "seq", "event_id", "user_id", F.round("value", 4).alias("value"))
+    labs = [int(r[0]) for r in
+            e.to_spark().orderBy("event_id").limit(3).collect()]
+    ei = e.set_index("event_id")
+    extra = [(-1, labs[0], int(ei.at[labs[0], "user_id"]),
+              float(s.iat[107, 1]))]
+    small = e[e.event_id.isin(labs)].set_index("event_id")
+    tpp = small.transpose().to_pandas().set_index("column")
+    for k in labs:
+        extra.append((-2, k, int(tpp.loc["user_id", str(k)]),
+                      math.floor(float(tpp.loc["value", str(k)])
+                                 * 1e4 + 0.5) / 1e4))
+    ex = spark.createDataFrame(
+        extra, "seq bigint, event_id bigint, user_id bigint, value double")
+    return base.unionByName(ex)
 
 
 def op_align(spark: SparkSession, sf_dir: str) -> SparkDF:

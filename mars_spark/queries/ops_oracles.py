@@ -202,6 +202,22 @@ OPS_ORACLES: dict[str, str] = {
         SELECT * FROM s
         WHERE (seq >= 100 AND seq < 110)
            OR seq >= (SELECT count(*) FROM events) - 5
+        UNION ALL
+        -- at[min label, user_id] + iat[107, col 1] scalar lookups
+        SELECT -1 AS seq,
+               (SELECT min(event_id) FROM events) AS event_id,
+               (SELECT user_id FROM events
+                WHERE event_id = (SELECT min(event_id) FROM events))
+                   AS user_id,
+               CAST((SELECT user_id FROM s WHERE seq = 107) AS DOUBLE)
+                   AS value
+        UNION ALL
+        -- guarded transpose of the 3 lowest-id events: cells survive
+        -- the string round-trip of the unpivot+pivot exactly
+        SELECT -2 AS seq, event_id, user_id,
+               floor(value * 1e4 + 0.5) / 1e4 AS value
+        FROM (SELECT event_id, user_id, value FROM events
+              ORDER BY event_id LIMIT 3)
     """,
     "op_align": """
         WITH a AS (
