@@ -69,3 +69,21 @@ def test_matmul_cholesky_qr(spark):
     assert np.allclose(R, np.triu(R))
     np.testing.assert_allclose(Q @ R, A, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(Q.T @ Q, np.eye(5), atol=1e-9)
+
+    # precomputed-gram path produces the identical factorization
+    g = Tn.gramian(sdf, "v")
+    np.testing.assert_allclose(g, A.T @ A, rtol=1e-9, atol=1e-9)
+    qdf2, R2 = Tn.qr(sdf, "v", gram=g)
+    np.testing.assert_allclose(R2, R, rtol=1e-12)
+    Q2 = np.vstack(qdf2.toPandas().sort_values("rid").q.to_numpy())
+    np.testing.assert_allclose(Q2, Q, rtol=1e-12)
+
+
+def test_gramian_empty_frame(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    pdf = pd.DataFrame({"rid": [1], "v": [[1.0, 2.0]]})
+    sdf = spark.createDataFrame(pdf).filter("rid < 0")
+    assert Tn.gramian(sdf, "v") is None
