@@ -537,9 +537,12 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
                                            ts_col="ts",
                                            watermark="10 minutes")
     qname = f"ms_inc_dedup_{seq}"
-    (surv_stream.writeStream.format("memory").queryName(qname)
-     .outputMode("append").trigger(availableNow=True).start()
-     .awaitTermination())
+    # ~100 in-stream keys: 4 state stores, not 32 (see
+    # _state_partitions — measured 2.1 → 1.2 s on this lifecycle)
+    with _state_partitions(spark, 4):
+        (surv_stream.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start()
+         .awaitTermination())
     res = spark.table(qname)
     sfp = (res.select(fingerprint(F.col("text")).alias("fp")).distinct()
            .select(F.concat(F.lit("stream:"), F.col("fp")).alias("grp"),
