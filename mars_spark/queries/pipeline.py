@@ -859,8 +859,15 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
     (_append_watermark_run) verifies the production semantics those
     three don't: append mode with real watermark eviction across two
     micro-batches — late rows dropped, only closed windows emitted —
-    against an oracle that replays the watermark rules in SQL."""
+    against an oracle that replays the watermark rules in SQL. A
+    FIFTH run (r9) drives streaming.core.stream_stream_join — the
+    watermarked interval join (attribution shape): purchases join
+    prior views of the same user (user_id < 20) within 1 hour,
+    append-mode sink; the matched SET is deterministic on the
+    bounded single-batch source and the oracle restates it as a
+    batch interval join, aggregated per (user, purchase hour)."""
     from mars_spark.streaming.core import (session_agg, sliding_agg,
+                                           stream_stream_join,
                                            tumbling_agg)
 
     src = _stream_source(spark, sf_dir)
@@ -886,6 +893,22 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
                             watermark="30 minutes"),
                 f"ms_stream_ses_{seq}"),
         ]
+        src2 = src.filter(F.col("user_id") < 20)
+        views = (src2.filter(F.col("event_type") == "view")
+                 .select(F.col("user_id").alias("user"),
+                         F.col("ts").alias("vts"),
+                         F.col("value").alias("vval")))
+        purch = (src2.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("user"),
+                         F.col("ts").alias("pts"),
+                         F.col("event_id").alias("pid")))
+        queries.append(
+            stream_stream_join(purch, views, on="user", left_ts="pts",
+                               right_ts="vts", within="1 HOUR",
+                               watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName(f"ms_stream_ssj_{seq}")
+            .outputMode("append").trigger(availableNow=True).start())
         # the append-mode eviction run drives its own 2-batch lifecycle
         # (processAllAvailable between file arrivals) while the three
         # availableNow queries drain concurrently
@@ -908,7 +931,16 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("session_start").alias("wstart"),
         F.col("event_id_count").alias("n"),
         F.round(F.col("value_sum"), 2).alias("sum_value"))
-    return tum.unionByName(sli).unionByName(ses).unionByName(apw)
+    ssj = (spark.table(f"ms_stream_ssj_{seq}")
+           .groupBy("user", F.date_trunc("hour", F.col("pts"))
+                    .alias("wstart"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("vval"), 2).alias("sum_value"))
+           .select(F.concat(F.lit("ssj:"),
+                            F.col("user").cast("string")).alias("grp"),
+                   "wstart", "n", "sum_value"))
+    return (tum.unionByName(sli).unionByName(ses).unionByName(apw)
+            .unionByName(ssj))
 
 
 def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -230,6 +230,18 @@ PIPELINE_ORACLES: dict[str, str] = {
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY grp, wstart
         UNION ALL
+        -- stream-stream interval join (attribution): purchases join
+        -- prior views of the same user within 1 hour, inclusive ends
+        SELECT 'ssj:' || p.user_id AS grp,
+               date_trunc('hour', p.ts) AS wstart,
+               count(*) AS n, round(sum(v.value), 2) AS sum_value
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+          AND p.user_id < 20
+        GROUP BY 1, 2
+        UNION ALL
         SELECT 'sli:' || event_type AS grp, wstart,
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM (
