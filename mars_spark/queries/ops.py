@@ -742,7 +742,13 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
     melt), Series.dot (arithmetic/dot.py — one distributed agg),
     to_numeric (base/to_numeric.py — try_cast), dict map (base/map.py
     — literal create_map lookup, JVM-side). Scalars ride every row as
-    broadcast literals."""
+    broadcast literals. r9: the pandas escape hatches join as scalar
+    strata — map_chunk (base/map_chunk.py — mapInPandas) and
+    transform_batch (base/transform.py — same-schema apply_batch)
+    run ROW-WISE funcs, so the results are partition-independent and
+    the oracle states them as plain aggregates."""
+    import pandas as pd
+
     p = load(sf_dir, "part")
     f = p[p.p_partkey < 80]
     f["size_d"] = f.p_size.astype("float64")
@@ -753,13 +759,32 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
     dot = f.p_retailprice.dot(f.size_d)
     brand_sum = f.brand_num.sum()
     type_sum = f.type_code.sum()
+
+    def _mc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"z": pdf["size_d"] * 2.0 + pdf["p_retailprice"]})
+
+    mc_sum = (f[["size_d", "p_retailprice"]]
+              .map_chunk(_mc, schema="z double")
+              .to_spark().agg(F.sum("z")).collect()[0][0])
+
+    def _tb(pdf):
+        pdf = pdf.copy()
+        pdf["p_retailprice"] = pdf["p_retailprice"] + 1.0
+        return pdf
+
+    tb_sum = (f[["p_partkey", "p_retailprice"]].transform_batch(_tb)
+              .to_spark().agg(F.sum("p_retailprice")).collect()[0][0])
     stacked = f.set_index("p_partkey")[["size_d", "p_retailprice"]].stack()
     return stacked.to_spark().select(
         "p_partkey", "variable",
         F.round("value", 2).alias("value"),
         F.round(F.lit(float(dot)), 2).alias("dot"),
         F.lit(float(brand_sum)).alias("brand_sum"),
-        F.lit(float(type_sum)).alias("type_sum"))
+        F.lit(float(type_sum)).alias("type_sum"),
+        F.round(F.lit(float(mc_sum)), 2).alias("mc_sum"),
+        F.round(F.lit(float(tb_sum)), 2).alias("tb_sum"))
 
 
 def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -482,16 +482,20 @@ OPS_ORACLES: dict[str, str] = {
                    sum(CASE p_type WHEN 'ECONOMY' THEN 1.0
                         WHEN 'SMALL' THEN 2.0 WHEN 'STANDARD' THEN 3.0
                         WHEN 'LARGE' THEN 4.0 WHEN 'PROMO' THEN 5.0
-                        WHEN 'MEDIUM' THEN 6.0 END) AS type_sum
+                        WHEN 'MEDIUM' THEN 6.0 END) AS type_sum,
+                   -- map_chunk / transform_batch row-wise funcs
+                   round(sum(CAST(p_size AS DOUBLE) * 2.0
+                             + p_retailprice), 2) AS mc_sum,
+                   round(sum(p_retailprice + 1.0), 2) AS tb_sum
             FROM f
         )
         SELECT p_partkey, 'size_d' AS variable,
                round(CAST(p_size AS DOUBLE), 2) AS value,
-               dot, brand_sum, type_sum
+               dot, brand_sum, type_sum, mc_sum, tb_sum
         FROM f CROSS JOIN sc
         UNION ALL
         SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2),
-               dot, brand_sum, type_sum
+               dot, brand_sum, type_sum, mc_sum, tb_sum
         FROM f CROSS JOIN sc
     """,
     "op_rank_cumprod": """
