@@ -746,7 +746,9 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
     strata — map_chunk (base/map_chunk.py — mapInPandas) and
     transform_batch (base/transform.py — same-schema apply_batch)
     run ROW-WISE funcs, so the results are partition-independent and
-    the oracle states them as plain aggregates."""
+    the oracle states them as plain aggregates; cartesian_chunk
+    (base/cartesian_chunk.py — crossJoin + mapInPandas) pairs the
+    part slice with region the same way."""
     import pandas as pd
 
     p = load(sf_dir, "part")
@@ -756,26 +758,46 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
     f["type_code"] = f.p_type.map(
         {"ECONOMY": 1.0, "SMALL": 2.0, "STANDARD": 3.0,
          "LARGE": 4.0, "PROMO": 5.0, "MEDIUM": 6.0})
-    dot = f.p_retailprice.dot(f.size_d)
-    brand_sum = f.brand_num.sum()
-    type_sum = f.type_code.sum()
-
     def _mc(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {"z": pdf["size_d"] * 2.0 + pdf["p_retailprice"]})
-
-    mc_sum = (f[["size_d", "p_retailprice"]]
-              .map_chunk(_mc, schema="z double")
-              .to_spark().agg(F.sum("z")).collect()[0][0])
 
     def _tb(pdf):
         pdf = pdf.copy()
         pdf["p_retailprice"] = pdf["p_retailprice"] + 1.0
         return pdf
 
-    tb_sum = (f[["p_partkey", "p_retailprice"]].transform_batch(_tb)
-              .to_spark().agg(F.sum("p_retailprice")).collect()[0][0])
+    def _cc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"w": pdf["p_retailprice"] * (pdf["r_regionkey"] + 1.0)})
+
+    r = load(sf_dir, "region")[["r_regionkey"]]
+    # six independent scalar actions — one thread pool, one round of
+    # scheduling latency
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        f_dot = ex.submit(f.p_retailprice.dot, f.size_d)
+        f_brand = ex.submit(f.brand_num.sum)
+        f_type = ex.submit(f.type_code.sum)
+        f_mc = ex.submit(
+            f[["size_d", "p_retailprice"]]
+            .map_chunk(_mc, schema="z double")
+            .to_spark().agg(F.sum("z")).collect)
+        f_tb = ex.submit(
+            f[["p_partkey", "p_retailprice"]].transform_batch(_tb)
+            .to_spark().agg(F.sum("p_retailprice")).collect)
+        f_cc = ex.submit(
+            f[["p_partkey", "p_retailprice"]]
+            .cartesian_chunk(r, _cc, schema="w double")
+            .to_spark().agg(F.sum("w")).collect)
+        dot, brand_sum, type_sum = (f_dot.result(), f_brand.result(),
+                                    f_type.result())
+        mc_sum = f_mc.result()[0][0]
+        tb_sum = f_tb.result()[0][0]
+        cc_sum = f_cc.result()[0][0]
     stacked = f.set_index("p_partkey")[["size_d", "p_retailprice"]].stack()
     return stacked.to_spark().select(
         "p_partkey", "variable",
@@ -784,7 +806,8 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.lit(float(brand_sum)).alias("brand_sum"),
         F.lit(float(type_sum)).alias("type_sum"),
         F.round(F.lit(float(mc_sum)), 2).alias("mc_sum"),
-        F.round(F.lit(float(tb_sum)), 2).alias("tb_sum"))
+        F.round(F.lit(float(tb_sum)), 2).alias("tb_sum"),
+        F.round(F.lit(float(cc_sum)), 2).alias("cc_sum"))
 
 
 def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -488,15 +488,20 @@ OPS_ORACLES: dict[str, str] = {
                              + p_retailprice), 2) AS mc_sum,
                    round(sum(p_retailprice + 1.0), 2) AS tb_sum
             FROM f
+        ), cc AS (
+            -- cartesian_chunk: part slice x region, row-wise func
+            SELECT round(sum(f.p_retailprice
+                             * (r.r_regionkey + 1.0)), 2) AS cc_sum
+            FROM f CROSS JOIN region r
         )
         SELECT p_partkey, 'size_d' AS variable,
                round(CAST(p_size AS DOUBLE), 2) AS value,
-               dot, brand_sum, type_sum, mc_sum, tb_sum
-        FROM f CROSS JOIN sc
+               dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum
+        FROM f CROSS JOIN sc CROSS JOIN cc
         UNION ALL
         SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2),
-               dot, brand_sum, type_sum, mc_sum, tb_sum
-        FROM f CROSS JOIN sc
+               dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum
+        FROM f CROSS JOIN sc CROSS JOIN cc
     """,
     "op_rank_cumprod": """
         WITH f AS (
