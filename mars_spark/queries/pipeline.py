@@ -1098,29 +1098,32 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     def r4(x: float) -> float:
         return math.floor(x * 1e4 + 0.5) / 1e4
 
-    rows = []
-    for i, (lo, hi, n) in enumerate(
-            MT.histogram(li, "l_extendedprice", bins=10)):
-        rows.append((f"hist:{i}", r6(lo), r6(hi), int(n)))
-    for i, v in enumerate(
-            MT.percentile(li, "l_quantity", [0.25, 0.5, 0.75])):
-        rows.append((f"pct:{i}", r6(float(v)), None, None))
-    # the Gramian feeds both the gram:* strata and the Cholesky-QR
-    # below (qr takes it precomputed — one pass, not two); the matmul
-    # checksum pass is independent, so it runs concurrently from a
-    # thread pool (driver-action threading, see BENCH_BUDGET.md)
+    # four independent driver actions (histogram, percentile, the
+    # Gramian, the matmul checksum agg) — one thread pool, one round
+    # of scheduling latency; the Gramian feeds both the gram:* strata
+    # and the Cholesky-QR below (qr takes it precomputed — one pass,
+    # not two)
     from concurrent.futures import ThreadPoolExecutor
 
     B = [[((i * 4 + j) % 7 - 3) / 3.0 for j in range(4)]
          for i in range(64)]
     mm = MT.matmul(emb.select("vec_id", "embedding"), "embedding", B)
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_hist = ex.submit(MT.histogram, li, "l_extendedprice", 10)
+        f_pct = ex.submit(MT.percentile, li, "l_quantity",
+                          [0.25, 0.5, 0.75])
         f_g = ex.submit(MT.gramian, emb, "embedding")
         f_mm = ex.submit(
             mm.agg(*[F.sum(F.element_at("y", j + 1)).alias(f"s{j}")
                      for j in range(4)]).collect)
+        hist, pct = f_hist.result(), f_pct.result()
         g = f_g.result()
         mrow = f_mm.result()[0]
+    rows = []
+    for i, (lo, hi, n) in enumerate(hist):
+        rows.append((f"hist:{i}", r6(lo), r6(hi), int(n)))
+    for i, v in enumerate(pct):
+        rows.append((f"pct:{i}", r6(float(v)), None, None))
     for i in range(4):
         for j in range(4):
             rows.append((f"gram:{i}:{j}", r4(float(g[i, j])), None, None))
