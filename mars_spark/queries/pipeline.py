@@ -624,10 +624,32 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
     expected constant row — an index/search regression flips
     recall_pass and fails the hash compare."""
     e = load(sf_dir, "embeddings").to_spark()
-    assigned, centroids = S.ivf_index_deterministic(
-        e, "embedding", n_clusters=16)
-    query = [r.e for r in
-             assigned.filter(F.col("vec_id") == 0).select("e").collect()][0]
+    # the IVF branch (index build + query-vector collect) and the PQ
+    # branch (codebook/query collects + encode + ADC search snapshot)
+    # are independent eager pipelines — run them concurrently
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ivf_branch():
+        assigned, centroids = S.ivf_index_deterministic(
+            e, "embedding", n_clusters=16)
+        query = [r.e for r in assigned.filter(F.col("vec_id") == 0)
+                 .select("e").collect()][0]
+        return assigned, centroids, query
+
+    def _pq_branch():
+        cb = S.pq_codebook(e, "embedding", m=8, nbits=4)
+        codes = S.pq_encode(e, "embedding", cb)
+        q_raw = [float(v) for v in
+                 e.filter(F.col("vec_id") == 0)
+                 .select(S.to_double(F.col("embedding")).alias("q"))
+                 .collect()[0]["q"]]
+        return S.pq_search(codes, cb, q_raw, k=10).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_ivf = ex.submit(_ivf_branch)
+        f_pq = ex.submit(_pq_branch)
+        assigned, centroids, query = f_ivf.result()
+        pq_top = f_pq.result()
     approx = S.ivf_search(assigned, centroids, list(query), k=10, n_probe=8)
     exact = S.topk_bruteforce(e, "embedding", list(query), k=10)
     hits = approx.select("vec_id").join(exact.select("vec_id"), on="vec_id")
@@ -648,13 +670,6 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
     # the ENTIRE pipeline in SQL (subspace argmin codes, query table,
     # ADC top-10), so pq_idsum pins the exact result set and
     # pq_recall10 its overlap with the exact cosine top-10.
-    cb = S.pq_codebook(e, "embedding", m=8, nbits=4)
-    codes = S.pq_encode(e, "embedding", cb)
-    q_raw = [float(v) for v in
-             e.filter(F.col("vec_id") == 0)
-             .select(S.to_double(F.col("embedding")).alias("q"))
-             .collect()[0]["q"]]
-    pq_top = S.pq_search(codes, cb, q_raw, k=10).localCheckpoint()
     pq = (pq_top.agg(F.sum("vec_id").cast("long").alias("pq_idsum"))
           .crossJoin(
               pq_top.select("vec_id")
