@@ -801,7 +801,8 @@ class IsolationForest(_Wrapper):
 
 
 def label_propagation(df, features: str, label: str, id_col: str,
-                      n_neighbors: int = 5, max_iter: int = 10):
+                      n_neighbors: int = 5, max_iter: int = 10,
+                      check_convergence: bool = True):
     """Semi-supervised label propagation (reference:
     mars/learn/semi_supervised/_label_propagation.py — Mars builds the
     rbf/knn kernel as a tensor and iterates the propagation matrix).
@@ -813,6 +814,13 @@ def label_propagation(df, features: str, label: str, id_col: str,
     truncated per round (localCheckpoint, same pattern as
     llm.dedup.dedup_clusters); unlabeled rows carry label NULL.
     Returns (id_col, label) with propagated labels.
+
+    ``check_convergence=False`` skips the per-round changed-row count
+    (one extra join+count job per iteration) and always runs
+    ``max_iter`` rounds — the right trade for a small fixed iteration
+    budget; identical output either way because each round is a
+    deterministic fixed-point map (a converged labeling reproduces
+    itself).
     """
     from pyspark.sql import Window
 
@@ -848,11 +856,14 @@ def label_propagation(df, features: str, label: str, id_col: str,
                       .select("id", F.coalesce(seeds.y, F.col("py"))
                               .alias("y"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.y").eqNullSafe(F.col("o.y")) == False)  # noqa: E712
-                   .count())
-        labels = new_labels
-        if changed == 0:
-            break
+        if check_convergence:
+            changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                       .filter(F.col("n.y").eqNullSafe(F.col("o.y")) == False)  # noqa: E712
+                       .count())
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.withColumnRenamed("id", id_col) \
         .withColumnRenamed("y", label)

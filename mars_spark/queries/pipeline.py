@@ -692,7 +692,15 @@ def events_hourly_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 def emb_topk_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Composite (r4 slot merge): cosine top-10 rows and per-label
-    norm stats unioned under a harmonized (key, m1, m2) schema."""
+    norm stats unioned under a harmonized (key, m1, m2) schema. r9:
+    label_propagation joins as lp: strata — the kNN-graph
+    semi-supervised propagation (learn/facade.py, reference
+    mars/learn/semi_supervised/_label_propagation.py) is fully
+    deterministic (distance ties break on the neighbor id, vote ties
+    on the smaller label, seeds clamp each round), so the oracle
+    unrolls the 2 iterations as SQL CTEs over the same kNN edge
+    list; an engine early-stop is equivalent because the step is a
+    deterministic fixed-point map."""
     topk = emb_topk(spark, sf_dir).select(
         F.concat(F.lit("top:"), F.col("vec_id").cast("string")).alias("key"),
         F.col("cos_sim").alias("m1"),
@@ -701,7 +709,20 @@ def emb_topk_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.concat(F.lit("lbl:"), F.col("label").cast("string")).alias("key"),
         F.col("n").cast("double").alias("m1"),
         F.col("avg_norm").alias("m2"))
-    return topk.unionByName(stats)
+    from mars_spark.learn.facade import label_propagation
+
+    e = load(sf_dir, "embeddings").to_spark()
+    semi = e.filter(F.col("vec_id") < 60).select(
+        "vec_id", "embedding",
+        F.when(F.col("vec_id") % 3 == 0, F.col("label")).alias("y"))
+    lp = label_propagation(semi, "embedding", "y", "vec_id",
+                           n_neighbors=3, max_iter=2,
+                           check_convergence=False)
+    lpr = lp.select(
+        F.concat(F.lit("lp:"), F.col("vec_id").cast("string")).alias("key"),
+        F.col("y").cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"))
+    return topk.unionByName(stats).unionByName(lpr)
 
 
 _STREAM_SEQ = [0]

@@ -1143,5 +1143,56 @@ PIPELINE_ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'lbl:' || CAST(label AS VARCHAR), CAST(n AS DOUBLE), avg_norm
         FROM lbl
+        UNION ALL
+        -- label_propagation: 2 unrolled iterations over the kNN(3)
+        -- edge list; seeds (vec_id % 3 = 0) clamp each round, vote
+        -- ties break on the smaller label, edge ties on neighbor id
+        SELECT * FROM (
+            WITH b AS (
+                SELECT vec_id AS id, embedding::DOUBLE[] AS f,
+                       CASE WHEN vec_id % 3 = 0 THEN label END AS y
+                FROM embeddings WHERE vec_id < 60
+            ), e0 AS (
+                SELECT a.id AS src, c.id AS dst,
+                       sqrt(list_sum(list_transform(
+                           range(1, len(a.f) + 1),
+                           i -> (a.f[i] - c.f[i])
+                                * (a.f[i] - c.f[i])))) AS d
+                FROM b a JOIN b c ON a.id != c.id
+            ), edges AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst,
+                           row_number() OVER (PARTITION BY src
+                                              ORDER BY d, dst) AS rn
+                    FROM e0) WHERE rn <= 3
+            ), p1 AS (
+                SELECT src AS id, y FROM (
+                    SELECT src, y,
+                           row_number() OVER (PARTITION BY src
+                                              ORDER BY n DESC, y) AS rv
+                    FROM (SELECT e.src, l.y, count(*) AS n
+                          FROM edges e JOIN b l ON l.id = e.dst
+                          WHERE l.y IS NOT NULL GROUP BY e.src, l.y))
+                WHERE rv = 1
+            ), l1 AS (
+                SELECT b.id, coalesce(b.y, p1.y) AS y
+                FROM b LEFT JOIN p1 USING (id)
+            ), p2 AS (
+                SELECT src AS id, y FROM (
+                    SELECT src, y,
+                           row_number() OVER (PARTITION BY src
+                                              ORDER BY n DESC, y) AS rv
+                    FROM (SELECT e.src, l.y, count(*) AS n
+                          FROM edges e JOIN l1 l ON l.id = e.dst
+                          WHERE l.y IS NOT NULL GROUP BY e.src, l.y))
+                WHERE rv = 1
+            ), l2 AS (
+                SELECT b.id, coalesce(b.y, p2.y) AS y
+                FROM b LEFT JOIN p2 USING (id)
+            )
+            SELECT 'lp:' || CAST(id AS VARCHAR) AS key,
+                   CAST(y AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2
+            FROM l2
+        )
     """,
 }
