@@ -422,10 +422,18 @@ def op_iloc_tail(spark: SparkSession, sf_dir: str) -> SparkDF:
     labs = [int(r[0]) for r in
             e.to_spark().orderBy("event_id").limit(3).collect()]
     ei = e.set_index("event_id")
-    extra = [(-1, labs[0], int(ei.at[labs[0], "user_id"]),
-              float(s.iat[107, 1]))]
     small = e[e.event_id.isin(labs)].set_index("event_id")
-    tpp = small.transpose().to_pandas().set_index("column")
+    # three independent scalar actions — thread pool, one round of
+    # scheduling latency
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_at = ex.submit(lambda: int(ei.at[labs[0], "user_id"]))
+        f_iat = ex.submit(lambda: float(s.iat[107, 1]))
+        f_tp = ex.submit(
+            lambda: small.transpose().to_pandas().set_index("column"))
+        extra = [(-1, labs[0], f_at.result(), f_iat.result())]
+        tpp = f_tp.result()
     for k in labs:
         extra.append((-2, k, int(tpp.loc["user_id", str(k)]),
                       math.floor(float(tpp.loc["value", str(k)])
