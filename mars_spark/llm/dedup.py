@@ -521,3 +521,44 @@ def line_dedup(sdf: SparkDF, text_col: str, id_col: str,
             sep).alias("__newtext")))
     return (sdf.join(reassembled, id_col, "inner")
             .withColumn(text_col, F.col("__newtext")).drop("__newtext"))
+
+
+def winnow_fingerprints(sdf: SparkDF, text_col: str, id_col: str,
+                        k: int = 5, w: int = 4) -> SparkDF:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the rolling-hash fingerprint scheme; reference has
+    no equivalent, ADDITIVE like the rest of llm/): hash every word
+    k-gram, slide a window over each ``w`` consecutive hashes, and
+    select each window's MINIMUM; a document's fingerprint is the
+    DISTINCT selected set. The winnowing guarantee: any token run of
+    length >= w + k - 1 shared by two documents contributes at least
+    one common selected hash, at ~2/(w+1) the density of the full
+    gram set — so an fp-keyed join finds copied spans the way the
+    full-gram join (cross_doc_gram_stats) would, at a fraction of the
+    shuffle volume. Only hash VALUES are kept (the SET is invariant
+    to the positional tie-break rules the paper discusses). Documents
+    with fewer than ``w`` grams contribute their single minimum;
+    empty texts contribute nothing.
+
+    100 TB shape: ONE narrow map — the codegen'd overlapping-
+    lookahead regex gram pass plus array hash/window expressions —
+    then explode; the only shuffle is whatever the caller joins on
+    (fp). Returns (id_col, fp) long-form."""
+    from mars_spark.llm.text import _gram_extract
+
+    # _gram_extract yields a single empty capture on empty/whitespace
+    # text — drop it (an empty doc has no fingerprints)
+    grams = F.filter(_gram_extract(F.col(text_col), k),
+                     lambda g: g != F.lit(""))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("bigint"))
+    n = F.size(hashes)
+    sel = (F.when(n <= 0, F.array().cast("array<bigint>"))
+           .when(n < w, F.array(F.array_min(hashes)))
+           .otherwise(F.array_distinct(F.transform(
+               F.sequence(F.lit(1), n - w + 1),
+               lambda i: F.array_min(F.slice(hashes, i, w))))))
+    return sdf.select(F.col(id_col), F.explode(sel).alias("fp"))

@@ -282,7 +282,24 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
                   F.col("doc_id").alias("b"),
                   F.round("tfidf", 4).alias("jaccard"))
           .orderBy(F.desc("jaccard"), F.asc("b")).limit(10))
-    return pairs.unionByName(bm).unionByName(ti)
+    # r9: winnowing fingerprints (llm/dedup.py winnow_fingerprints,
+    # Schleimer et al. SIGMOD'03) — per-doc selected-set size (a=-3)
+    # and Σ of the selected hash values (a=-4; < 2^38, double-exact)
+    # for doc_id < 40; the oracle replays grams → hashes → window
+    # minima → distinct with list arithmetic.
+    per = (D.winnow_fingerprints(d.filter(F.col("doc_id") < 40),
+                                 "text", "doc_id", k=5, w=4)
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("nfp"),
+                F.sum("fp").alias("cks")))
+    wn = per.select(F.lit(-3).cast("long").alias("a"),
+                    F.col("doc_id").alias("b"),
+                    F.col("nfp").cast("double").alias("jaccard"))
+    wc = per.select(F.lit(-4).cast("long").alias("a"),
+                    F.col("doc_id").alias("b"),
+                    F.col("cks").cast("double").alias("jaccard"))
+    return (pairs.unionByName(bm).unionByName(ti)
+            .unionByName(wn).unionByName(wc))
 
 
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:

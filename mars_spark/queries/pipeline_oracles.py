@@ -730,6 +730,47 @@ PIPELINE_ORACLES: dict[str, str] = {
                    round(s, 4) AS jaccard
             FROM sc2 ORDER BY round(s, 4) DESC, doc_id LIMIT 10
         )
+        UNION ALL
+        -- winnowing fingerprints (Schleimer et al. SIGMOD'03):
+        -- word-5-gram hashes, min per 4-hash window, distinct set;
+        -- a=-3 set size, a=-4 checksum (sum of selected hashes)
+        SELECT * FROM (
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS l FROM documents
+                WHERE doc_id < 40
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(l) >= 5
+                            THEN [array_to_string(l[i:i+4], ' ')
+                                  for i in range(1, len(l) - 3)]
+                            WHEN array_to_string(l, ' ') != ''
+                            THEN [array_to_string(l, ' ')]
+                            ELSE []::VARCHAR[] END AS grams
+                FROM toks
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(grams,
+                           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+                           AS hs
+                FROM g
+            ), sel AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+                            WHEN len(hs) < 4 THEN [list_min(hs)]
+                            ELSE list_distinct(
+                                [list_min(hs[i:i+3])
+                                 for i in range(1, len(hs) - 2)])
+                       END AS fps
+                FROM h
+            )
+            SELECT CAST(-3 AS BIGINT) AS a, doc_id AS b,
+                   CAST(len(fps) AS DOUBLE) AS jaccard
+            FROM sel WHERE len(fps) > 0
+            UNION ALL
+            SELECT CAST(-4 AS BIGINT), doc_id,
+                   CAST(list_sum(fps) AS DOUBLE)
+            FROM sel WHERE len(fps) > 0
+        )
     """,
     # curation quartet (r8): best-of-cluster dedup, per-source cap,
     # corpus unigram NLL, cross-doc duplicate-gram fraction

@@ -724,3 +724,46 @@ def test_cross_doc_gram_stats_matches_pure_python(spark, docs, k):
         gs = grams(t)
         nd = sum(1 for g in gs if len(owner[g]) >= 2)
         assert got[i] == (len(gs), nd)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["w0", "w1", "w2", "w3", "w4"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=6),
+    k=st.integers(min_value=1, max_value=3),
+    w=st.integers(min_value=2, max_value=4))
+@_settings
+def test_winnow_fingerprints_match_pure_python(spark, docs, k, w):
+    """Winnowing (Schleimer et al. SIGMOD'03) vs a direct pure-python
+    reference: same md5 k-gram hashes, same window-min selection, same
+    short-doc (single min) and empty-doc (no rows) edges."""
+    import hashlib
+
+    from mars_spark.llm import dedup as D
+
+    def gh(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    exp = {}
+    for i, t in enumerate(docs):
+        toks = " ".join(t.lower().split()).split()
+        # _gram_extract contract: docs shorter than k tokens yield
+        # their single partial gram (the whole normalized doc)
+        if len(toks) < k:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[j:j + k])
+                     for j in range(len(toks) - k + 1)]
+        hs = [gh(g) for g in grams]
+        if not hs:
+            continue
+        if len(hs) < w:
+            exp[i] = {min(hs)}
+        else:
+            exp[i] = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = D.winnow_fingerprints(
+        spark.createDataFrame(pdf), "text", "doc_id", k=k, w=w).toPandas()
+    got = {int(d): set(g.fp) for d, g in out.groupby("doc_id")}
+    assert got == exp
