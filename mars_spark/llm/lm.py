@@ -46,7 +46,11 @@ def unigram_logprob(docs: SparkDF, text_col: str, id_col: str,
     tie-break — bit-stable across partitionings, so the score is
     SQL-oracle-replayable)."""
     counts = unigram_counts(docs, text_col)
-    total = counts.agg(F.sum("c").alias("__tot"))
+    # the scalar total equals Σ token_count — a narrow no-shuffle scan;
+    # deriving it from `counts` instead re-ran the whole word-count
+    # shuffle (no exchange reuse across the two plan branches)
+    total = docs.agg(
+        F.sum(T.token_count(F.col(text_col))).alias("__tot"))
     vocab = (counts.orderBy(F.desc("c"), F.asc("word"))
              .limit(vocab_size))
     toks = docs.select(
