@@ -54,8 +54,19 @@ def dsir_weights(raw: SparkDF, target: SparkDF, text_col: str,
         .withColumnRenamed("cnt", "tcnt")
     rc = bucket_counts(raw, text_col, n_buckets, k) \
         .withColumnRenamed("cnt", "rcnt")
-    t_tot = tc.agg(F.sum("tcnt").alias("tt"))
-    r_tot = rc.agg(F.sum("rcnt").alias("rt"))
+
+    # scalar gram totals via the word_ngrams closed form (docs with
+    # >= k tokens contribute tokens-k+1 grams, shorter docs their one
+    # partial gram) — a narrow no-shuffle scan; deriving them from the
+    # bucket tables re-ran each corpus' explode+shuffle as a second
+    # plan branch (no exchange reuse)
+    def _gram_total(alias):
+        n = T.token_count(F.col(text_col))
+        return F.sum(F.when(n >= k, n - k + 1)
+                     .otherwise(F.lit(1))).alias(alias)
+
+    t_tot = target.agg(_gram_total("tt"))
+    r_tot = raw.agg(_gram_total("rt"))
     lw = (tc.join(rc, "b", "outer")
           .crossJoin(F.broadcast(t_tot)).crossJoin(F.broadcast(r_tot))
           .select("b", (
