@@ -43,14 +43,19 @@ def tf_idf(docs: SparkDF, text_col: str,
            id_col: str = "doc_id") -> SparkDF:
     """(id, term, tfidf) with smooth idf ``ln((N+1)/(df+1)) + 1`` —
     the sklearn-style form, deterministic and engine-portable."""
+    from pyspark.sql import Window
+
     tc = term_counts(docs, text_col, id_col)
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
-    df = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return (tc.join(df, "term")
+    # postings are unique per (id, term), so df = row count per term —
+    # ONE term-keyed window over the posting build instead of a second
+    # posting build + df self-join (no exchange reuse across branches)
+    df = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    return (tc.withColumn("__df", df)
             .crossJoin(F.broadcast(n_docs))
             .select(id_col, "term",
                     (F.col("tf")
-                     * (F.log((F.col("__n") + 1) / (F.col("df") + 1))
+                     * (F.log((F.col("__n") + 1) / (F.col("__df") + 1))
                         + 1)).alias("tfidf")))
 
 
@@ -60,15 +65,20 @@ def bm25_scores(docs: SparkDF, query_terms: list[str], text_col: str,
     """(id, score) BM25 of every matching doc for a bag of query
     terms. df/idf exist only for the (few) query terms and broadcast;
     non-matching docs don't appear (score 0)."""
+    from pyspark.sql import Window
+
     tc = term_counts(docs, text_col, id_col)
     hits = tc.filter(F.col("term").isin(list(query_terms)))
     stats = docs.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg(F.size(T.tokens(F.col(text_col)))).alias("__avgdl"))
-    qdf = (hits.groupBy("term")
-           .agg(F.countDistinct(id_col).alias("df")))
+    # postings are unique per (id, term): query-term df = row count
+    # per term, computed as a window over the (tiny, filtered) hits
+    # instead of a second full posting build feeding a df self-join
     scored = (
-        hits.join(F.broadcast(qdf), "term")
+        hits.withColumn("df",
+                        F.count(F.lit(1))
+                        .over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
