@@ -363,8 +363,11 @@ def q15(spark: SparkSession, sf_dir: str) -> SparkDF:
     l["rev"] = l.l_extendedprice * (1 - l.l_discount)
     revenue = l.groupby("l_suppkey", as_index=False).agg(
         total_revenue=("rev", "sum"))
+    # supplier-sized aggregate consumed by BOTH the max branch and the
+    # equality join — snapshot it, or the lineitem scan+shuffle runs
+    # twice (Spark does not reuse exchanges across plan branches)
     sdf = revenue.to_spark().withColumn(
-        "total_revenue", F.round("total_revenue", 2))
+        "total_revenue", F.round("total_revenue", 2)).localCheckpoint()
     max_rev = sdf.agg(F.max("total_revenue").alias("m"))
     out = sdf.join(F.broadcast(max_rev),
                    sdf.total_revenue == max_rev.m).drop("m")
@@ -485,7 +488,12 @@ def q2_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     j["unit_price"] = j.l_extendedprice / j.l_quantity
     per_sup = j.groupby(["p_type", "s_suppkey", "s_name", "n_name"],
                         as_index=False).agg(min_price=("unit_price", "min"))
-    sdf = per_sup.to_spark().withColumn("min_price", F.round("min_price", 2))
+    # (type, supplier)-sized aggregate consumed by BOTH the per-type
+    # min branch and the equality join — snapshot it, or the lineitem
+    # join+shuffle runs twice (no exchange reuse across branches)
+    sdf = (per_sup.to_spark()
+           .withColumn("min_price", F.round("min_price", 2))
+           .localCheckpoint())
     best = sdf.groupBy("p_type").agg(F.min("min_price").alias("best"))
     out = sdf.join(F.broadcast(best), on="p_type").filter(
         F.col("min_price") == F.col("best")).drop("best")
@@ -510,7 +518,10 @@ def q11_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     j["value"] = (j.l_extendedprice * (1 - j.l_discount)).astype("decimal(30,6)")
     per_part = j.groupby("l_partkey", as_index=False).agg(
         value=("value", "sum"))
-    sdf = per_part.to_spark()
+    # part-sized aggregate consumed by BOTH the threshold branch and
+    # the filter — snapshot it, or the lineitem scan+shuffle runs
+    # twice (no exchange reuse across plan branches)
+    sdf = per_part.to_spark().localCheckpoint()
     total = sdf.agg((F.sum("value") * 0.0001).alias("thresh"))
     out = sdf.join(F.broadcast(total)).filter(
         F.col("value") > F.col("thresh")).select(
@@ -547,7 +558,10 @@ def q20_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
     lw = l.merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
     per_sup = lw.groupby("l_suppkey", as_index=False).agg(
         qty=("l_quantity", "sum"))
-    sdf = per_sup.to_spark()
+    # supplier-sized aggregate consumed by BOTH the avg branch and the
+    # filter — snapshot it, or the widget-lineitem join+shuffle runs
+    # twice (no exchange reuse across branches)
+    sdf = per_sup.to_spark().localCheckpoint()
     avg_qty = sdf.agg((F.avg("qty") * 0.5).alias("half_avg"))
     keep = sdf.join(F.broadcast(avg_qty)).filter(
         F.col("qty") > F.col("half_avg")).select("l_suppkey")
