@@ -556,10 +556,7 @@ def winnow_fingerprints(sdf: SparkDF, text_col: str, id_col: str,
     # text — drop it (an empty doc has no fingerprints)
     grams = F.filter(_gram_extract(F.col(text_col), k),
                      lambda g: g != F.lit(""))
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
-        .cast("bigint"))
+    hashes = F.transform(grams, hash32)
     n = F.size(hashes)
     sel = (F.when(n <= 0, F.array().cast("array<bigint>"))
            .when(n < w, F.array(F.array_min(hashes)))

@@ -61,9 +61,18 @@ def dsir_weights(raw: SparkDF, target: SparkDF, text_col: str,
     # bucket tables re-ran each corpus' explode+shuffle as a second
     # plan branch (no exchange reuse)
     def _gram_total(alias):
-        n = T.token_count(F.col(text_col))
-        return F.sum(F.when(n >= k, n - k + 1)
-                     .otherwise(F.lit(1))).alias(alias)
+        s = F.col(text_col)
+        n = T.token_count(s)
+        per = F.when(n >= k, n - k + 1).otherwise(F.lit(1))
+        if k == 1:
+            # k=1 on empty-normalized text: _gram_extract's regexp
+            # path emits 0 grams (no token to match), not the one
+            # partial gram the short-doc branch emits for k>=2
+            per = F.when(T.normalize(s) == "", F.lit(0)).otherwise(per)
+        # NULL docs explode to 0 grams; without the guard the
+        # otherwise(1) branch would count them (n is NULL/-1 there)
+        per = F.when(s.isNull(), F.lit(0)).otherwise(per)
+        return F.sum(per).alias(alias)
 
     t_tot = target.agg(_gram_total("tt"))
     r_tot = raw.agg(_gram_total("rt"))

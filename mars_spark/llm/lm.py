@@ -49,8 +49,13 @@ def unigram_logprob(docs: SparkDF, text_col: str, id_col: str,
     # the scalar total equals Σ token_count — a narrow no-shuffle scan;
     # deriving it from `counts` instead re-ran the whole word-count
     # shuffle (no exchange reuse across the two plan branches)
+    # NULL-text guard: explode emits 0 rows for a NULL doc, but
+    # size(split(NULL)) is -1 under legacy sizeOfNull (and NULL under
+    # ANSI) — pin those rows to 0 so the closed form matches the
+    # exploded count in both conf regimes
     total = docs.agg(
-        F.sum(T.token_count(F.col(text_col))).alias("__tot"))
+        F.sum(F.when(F.col(text_col).isNull(), F.lit(0))
+              .otherwise(T.token_count(F.col(text_col)))).alias("__tot"))
     vocab = (counts.orderBy(F.desc("c"), F.asc("word"))
              .limit(vocab_size))
     toks = docs.select(

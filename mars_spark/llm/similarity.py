@@ -385,9 +385,18 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
     centroid-sized data (n_clusters × dim)."""
     base = sdf.select(
         F.col(id_col), unit(to_double(F.col(vec_col))).alias("e"))
+    # n_clusters SMALLEST ids, not ids < n_clusters: sparse/offset id
+    # spaces would silently undersize the centroid list under the
+    # filter form (same fix as pq_codebook); cluster label = rank of
+    # the seed id, 0-based
+    seed_rows = (base.orderBy(id_col).limit(n_clusters)
+                 .select(id_col, "e").collect())
+    if len(seed_rows) < n_clusters:
+        raise ValueError(
+            f"ivf_index_deterministic needs >= {n_clusters} rows; "
+            f"got {len(seed_rows)}")
     seeds = [list(r["e"]) for r in
-             base.filter(F.col(id_col) < n_clusters)
-             .orderBy(id_col).select("e").collect()]
+             sorted(seed_rows, key=lambda r: r[id_col])]
 
     def _assign(df, cents):
         import numpy as np

@@ -438,9 +438,9 @@ def op_iloc_tail(spark: SparkSession, sf_dir: str) -> SparkDF:
         extra.append((-2, k, int(tpp.loc["user_id", str(k)]),
                       math.floor(float(tpp.loc["value", str(k)])
                                  * 1e4 + 0.5) / 1e4))
-    ex = spark.createDataFrame(
+    extra_df = spark.createDataFrame(
         extra, "seq bigint, event_id bigint, user_id bigint, value double")
-    return base.unionByName(ex)
+    return base.unionByName(extra_df)
 
 
 def op_align(spark: SparkSession, sf_dir: str) -> SparkDF:

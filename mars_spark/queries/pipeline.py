@@ -287,11 +287,15 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> SparkDF:
     # and Σ of the selected hash values (a=-4; < 2^38, double-exact)
     # for doc_id < 40; the oracle replays grams → hashes → window
     # minima → distinct with list arithmetic.
+    # snapshot: the <=40-row aggregate feeds BOTH the nfp and cks
+    # branches — without it the regex gram pass + explode + shuffle
+    # over documents runs twice (no exchange reuse across branches)
     per = (D.winnow_fingerprints(d.filter(F.col("doc_id") < 40),
                                  "text", "doc_id", k=5, w=4)
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("nfp"),
-                F.sum("fp").alias("cks")))
+                F.sum("fp").alias("cks"))
+           .localCheckpoint())
     wn = per.select(F.lit(-3).cast("long").alias("a"),
                     F.col("doc_id").alias("b"),
                     F.col("nfp").cast("double").alias("jaccard"))
@@ -528,8 +532,6 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
     # because every same-fp pair sits inside the 10-minute watermark
     # (ts = epoch + (doc_id mod 7) minutes), proving the copies were
     # dropped in-stream.
-    import tempfile
-
     from mars_spark.llm.text import fingerprint
     from mars_spark.streaming.core import (read_stream,
                                            stream_incremental_dedup)
@@ -545,7 +547,11 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text",
                       (F.col("ts") + F.expr("INTERVAL 2 MINUTES"))
                       .alias("ts")))
-    stage = tempfile.mkdtemp(prefix="ms_incdedup_")
+    # fixed staging path per sf_dir (same convention as
+    # _stream_source): mkdtemp leaked a staged corpus copy per
+    # invocation across bench reps; overwrite mode makes reuse safe
+    stage = ("/tmp/ms_incdedup_"
+             + sf_dir.strip("/").replace("/", "_"))
     odd.unionByName(copies).coalesce(1).write.mode("overwrite") \
         .parquet(stage)
     src = read_stream(spark, "parquet", stage,

@@ -1068,7 +1068,11 @@ PIPELINE_ORACLES: dict[str, str] = {
                            embedding::DOUBLE[], embedding::DOUBLE[]))) AS e
             FROM embeddings
         ), seeds AS (
-            SELECT vec_id AS sid, e AS se FROM u WHERE vec_id < 64
+            -- 64 SMALLEST ids, cluster label = 0-based rank (mirrors
+            -- ivf_index_deterministic's orderBy(id).limit(k) seeding)
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+                   e AS se
+            FROM (SELECT vec_id, e FROM u ORDER BY vec_id LIMIT 64)
         ), asg AS (
             SELECT vec_id, e, sid AS cluster FROM (
                 SELECT u.vec_id, u.e, s.sid,

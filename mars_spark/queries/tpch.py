@@ -365,9 +365,13 @@ def q15(spark: SparkSession, sf_dir: str) -> SparkDF:
         total_revenue=("rev", "sum"))
     # supplier-sized aggregate consumed by BOTH the max branch and the
     # equality join — snapshot it, or the lineitem scan+shuffle runs
-    # twice (Spark does not reuse exchanges across plan branches)
+    # twice (Spark does not reuse exchanges across plan branches).
+    # persist, not localCheckpoint: the broadcast branch materializes
+    # the cache before the probe branch reads it, lineage survives
+    # executor loss, and the parquet scan (with PushedFilters) stays
+    # visible to plan audits.
     sdf = revenue.to_spark().withColumn(
-        "total_revenue", F.round("total_revenue", 2)).localCheckpoint()
+        "total_revenue", F.round("total_revenue", 2)).persist()
     max_rev = sdf.agg(F.max("total_revenue").alias("m"))
     out = sdf.join(F.broadcast(max_rev),
                    sdf.total_revenue == max_rev.m).drop("m")
@@ -490,10 +494,11 @@ def q2_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
                         as_index=False).agg(min_price=("unit_price", "min"))
     # (type, supplier)-sized aggregate consumed by BOTH the per-type
     # min branch and the equality join — snapshot it, or the lineitem
-    # join+shuffle runs twice (no exchange reuse across branches)
+    # join+shuffle runs twice (no exchange reuse across branches).
+    # persist (not localCheckpoint) keeps lineage + scan visibility.
     sdf = (per_sup.to_spark()
            .withColumn("min_price", F.round("min_price", 2))
-           .localCheckpoint())
+           .persist())
     best = sdf.groupBy("p_type").agg(F.min("min_price").alias("best"))
     out = sdf.join(F.broadcast(best), on="p_type").filter(
         F.col("min_price") == F.col("best")).drop("best")
@@ -520,8 +525,9 @@ def q11_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
         value=("value", "sum"))
     # part-sized aggregate consumed by BOTH the threshold branch and
     # the filter — snapshot it, or the lineitem scan+shuffle runs
-    # twice (no exchange reuse across plan branches)
-    sdf = per_part.to_spark().localCheckpoint()
+    # twice (no exchange reuse across plan branches).
+    # persist (not localCheckpoint) keeps lineage + scan visibility.
+    sdf = per_part.to_spark().persist()
     total = sdf.agg((F.sum("value") * 0.0001).alias("thresh"))
     out = sdf.join(F.broadcast(total)).filter(
         F.col("value") > F.col("thresh")).select(
@@ -560,8 +566,9 @@ def q20_adapted(spark: SparkSession, sf_dir: str) -> SparkDF:
         qty=("l_quantity", "sum"))
     # supplier-sized aggregate consumed by BOTH the avg branch and the
     # filter — snapshot it, or the widget-lineitem join+shuffle runs
-    # twice (no exchange reuse across branches)
-    sdf = per_sup.to_spark().localCheckpoint()
+    # twice (no exchange reuse across branches).
+    # persist (not localCheckpoint) keeps lineage + scan visibility.
+    sdf = per_sup.to_spark().persist()
     avg_qty = sdf.agg((F.avg("qty") * 0.5).alias("half_avg"))
     keep = sdf.join(F.broadcast(avg_qty)).filter(
         F.col("qty") > F.col("half_avg")).select("l_suppkey")

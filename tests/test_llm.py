@@ -727,6 +727,76 @@ def test_hygiene_null_text_behavior(spark):
     assert [r.doc_id for r in kept.collect()] == [0]
 
 
+def test_lm_dsir_closed_form_totals_null_empty(spark):
+    """The scalar totals lm/dsir derive in closed form (instead of
+    re-running the explode shuffle) must match the exploded gram/token
+    mass on NULL-text and empty-text docs: NULL explodes to 0 rows,
+    '' yields one ''-token (and, for k=1 grams, zero grams via the
+    regexp path)."""
+    import math
+    from collections import Counter
+
+    from mars_spark.llm import dsir as DS
+    from mars_spark.llm import lm as LM
+    sdf = spark.createDataFrame(
+        [(0, "the cat sat"), (1, None), (2, ""), (3, "dog ran far")],
+        "doc_id long, text string")
+    V = 3
+    got = {r.doc_id: (r.n_tokens, r.nll) for r in
+           LM.unigram_logprob(sdf, "text", "doc_id",
+                              vocab_size=V).collect()}
+    # exploded token mass: 3 + 0 + 1 ('' token) + 3
+    toks = [["the", "cat", "sat"], [], [""], ["dog", "ran", "far"]]
+    cnt = Counter(w for t in toks for w in t)
+    total = sum(cnt.values())
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V])
+    assert 1 not in got  # NULL doc explodes to no rows
+    for i in (0, 2, 3):
+        nll = -np.mean([np.log((vocab.get(w, 0) + 1.0)
+                               / (total + (V + 1.0))) for w in toks[i]])
+        assert got[i][0] == len(toks[i])
+        np.testing.assert_allclose(got[i][1], round(nll, 4), atol=1e-4)
+
+    # dsir: k=1 ('' doc emits 0 grams) and k=2 ('' doc emits 1 gram)
+    import hashlib
+    nb = 16
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % nb
+
+    target = spark.createDataFrame(
+        [(0, "the cat"), (1, "dog ran")], "doc_id long, text string")
+    for k in (1, 2):
+        def grams(t):
+            if t is None:
+                return []
+            w = t.split(" ") if t else [""]
+            if len(w) < k:
+                return [t]
+            if k == 1 and t == "":
+                return []
+            return [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+
+        raw_texts = {0: "the cat sat", 1: None, 2: "", 3: "dog ran far"}
+        tgt_texts = ["the cat", "dog ran"]
+        tcnt = Counter(bucket(g) for t in tgt_texts for g in grams(t))
+        rcnt = Counter(bucket(g) for t in raw_texts.values()
+                       for g in grams(t))
+        tt, rt = sum(tcnt.values()), sum(rcnt.values())
+        got_w = {r.doc_id: r.weight for r in
+                 DS.dsir_weights(sdf, target, "text",
+                                 n_buckets=nb, k=k).collect()}
+        for i, t in raw_texts.items():
+            gs = grams(t)
+            if not gs:
+                assert i not in got_w
+                continue
+            exp = sum(math.log((tcnt.get(bucket(g), 0) + 1) / (tt + nb))
+                      - math.log((rcnt.get(bucket(g), 0) + 1) / (rt + nb))
+                      for g in gs)
+            assert abs(got_w[i] - exp) < 1e-9, (k, i)
+
+
 def test_clean_corpus_semantic_dedup(spark):
     from mars_spark.llm import recipe as R
     rng = np.random.default_rng(8)
