@@ -564,3 +564,68 @@ def winnow_fingerprints(sdf: SparkDF, text_col: str, id_col: str,
                F.sequence(F.lit(1), n - w + 1),
                lambda i: F.array_min(F.slice(hashes, i, w))))))
     return sdf.select(F.col(id_col), F.explode(sel).alias("fp"))
+
+
+def remove_duplicate_spans(sdf: SparkDF, text_col: str, id_col: str,
+                           k: int = 8) -> SparkDF:
+    """Duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): every
+    duplicated word k-gram keeps its tokens only at its corpus-FIRST
+    occurrence (smallest (doc_id, position)); each LATER occurrence
+    has its k covered tokens removed, and docs are reassembled from
+    the surviving tokens in original order. Completes the span story:
+    ``cross_doc_gram_stats`` measures the signal, this op acts on it.
+    A run of L >= k duplicated tokens is covered end-to-end by its
+    duplicated grams, so the whole repeated span vanishes from every
+    copy but the first — including repeats WITHIN one document
+    (occurrences rank by position). Returns the input schema with
+    ``text_col`` rewritten as the space-joined surviving tokens of
+    the NORMALIZED text (same normalization note as chunk_documents);
+    a fully-duplicated doc keeps its row with '' text (filter with
+    min_tokens downstream); NULL text stays NULL. Docs shorter than
+    k tokens participate via their single whole-doc partial gram
+    (word_ngrams truncation rule), i.e. short-doc exact duplicates
+    lose their text too.
+
+    100 TB shape: four word-count-shaped shuffles, no O(n^2) stage —
+    (1) gram positions keyed on md5(gram) (fixed 32-byte key; a
+    SINGLE ordered window — rn >= 2 alone identifies a duplicated
+    later occurrence, no separate count pass); (2/3) the marked
+    occurrences explode to their k covered positions, distinct +
+    anti-join both keyed on (doc, position); (4) doc-keyed
+    reassembly. Θ(total tokens) rows ride each shuffle — the honest
+    relational cost; the suffix-array formulation reads fewer bytes
+    but has no distributed relational equivalent."""
+    from pyspark.sql import Window
+
+    from mars_spark.llm.text import tokens, word_ngrams
+
+    toks = sdf.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__tpos", "__w"))
+    grams = sdf.select(
+        F.col(id_col),
+        F.posexplode(F.transform(word_ngrams(F.col(text_col), k),
+                                 lambda g: F.md5(g)))
+        .alias("__gpos", "__gh"))
+    wo = (Window.partitionBy("__gh")
+          .orderBy(F.col(id_col).asc(), F.col("__gpos").asc()))
+    marks = (grams.withColumn("__rn", F.row_number().over(wo))
+             .filter(F.col("__rn") >= 2))
+    covered = (marks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("__gpos"),
+                             F.col("__gpos") + (k - 1))).alias("__tpos"))
+        .distinct())
+    kept = toks.join(covered, [id_col, "__tpos"], "left_anti")
+    reassembled = (kept.groupBy(id_col)
+                   .agg(F.array_join(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__tpos", "__w"))),
+                       lambda s: s["__w"]), " ").alias("__newtext")))
+    return (sdf.join(reassembled, id_col, "left")
+            .withColumn(text_col,
+                        F.when(F.col(text_col).isNotNull(),
+                               F.coalesce(F.col("__newtext"), F.lit("")))
+                        .otherwise(F.lit(None).cast("string")))
+            .drop("__newtext"))

@@ -384,6 +384,12 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
       ordered prefix fitting a 20 000-token budget, computed with the
       range-partitioned prefix-sum (no single-reducer window); the
       oracle states it as a running-sum window over the same order.
+    - ``sprm``: remove_duplicate_spans (llm/dedup.py, r9) — Lee'22
+      keep-first duplicate-span removal (word 5-grams, doc_id < 120
+      slice); per-source changed-doc count + Σ 32-bit hash of each
+      rewritten text (pins the exact surviving content); the oracle
+      replays grams → ranks → covered positions → reassembly with
+      list arithmetic.
 
     All strata replay relationally in the DuckDB oracle (windows /
     unnest + group / ln arithmetic / string_agg)."""
@@ -454,6 +460,21 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                 F.sum("doc_id").cast("double").alias("v"))
            .select(F.lit("tok").alias("grp"),
                    F.col("source").alias("k"), "n", "v"))
+    # r9: remove_duplicate_spans (llm/dedup.py — Lee'22 ExactSubstr
+    # keep-first span removal) over the doc_id < 120 slice, word
+    # 5-grams: per-source changed-doc count + Σ hash32(rewritten
+    # text) — the hash sum pins the exact surviving CONTENT, not
+    # just how much survived
+    sp_orig = d.filter(F.col("doc_id") < 120)
+    sp = D.remove_duplicate_spans(sp_orig, "text", "doc_id", k=5)
+    sprm = (sp.join(sp_orig.select("doc_id",
+                                   F.col("text").alias("__ot")), "doc_id")
+            .groupBy("source")
+            .agg(F.sum((F.col("text") != T.normalize(F.col("__ot")))
+                       .cast("long")).alias("n"),
+                 F.sum(D.hash32(F.col("text"))).cast("double").alias("v"))
+            .select(F.lit("sprm").alias("grp"),
+                    F.col("source").alias("k"), "n", "v"))
     cc = _clean_corpus_rollup(spark, sf_dir)
     cchyg = cc.select(F.lit("cchyg").alias("grp"),
                       F.col("source").alias("k"),
@@ -465,7 +486,7 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                      F.col("max_id").cast("double").alias("v"))
     return (best.unionByName(cap).unionByName(lm).unionByName(span)
             .unionByName(line).unionByName(linelen)
-            .unionByName(temp).unionByName(tok)
+            .unionByName(temp).unionByName(tok).unionByName(sprm)
             .unionByName(cchyg).unionByName(ccid))
 
 

@@ -935,6 +935,64 @@ PIPELINE_ORACLES: dict[str, str] = {
             FROM cum WHERE c <= 20000 GROUP BY source
         )
         UNION ALL
+        -- duplicate-span removal (Lee'22 keep-first, word 5-grams,
+        -- doc_id < 120): later occurrences of a duplicated gram drop
+        -- their 5 covered tokens, docs reassemble from survivors;
+        -- n = changed docs, v = Σ 32-bit md5-prefix of rewritten text
+        SELECT * FROM (
+            WITH st AS (
+                SELECT doc_id, source, {_TOKS} AS l, {_NORM} AS nm
+                FROM documents WHERE doc_id < 120
+            ), sg0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(l) >= 5
+                            THEN [{{'gpos': i - 1,
+                                  'gram': array_to_string(l[i:i+4], ' ')}}
+                                  for i in range(1, len(l) - 3)]
+                            ELSE [{{'gpos': 0, 'gram': nm}}] END AS gs
+                FROM st
+            ), sg AS (
+                SELECT doc_id, s.gpos AS gpos, s.gram AS gram
+                FROM sg0, UNNEST(gs) AS u(s)
+            ), srk AS (
+                SELECT doc_id, gpos,
+                       row_number() OVER (PARTITION BY gram
+                                          ORDER BY doc_id, gpos) AS rn
+                FROM sg
+            ), scov AS (
+                SELECT DISTINCT doc_id, gpos + q AS tpos
+                FROM srk, UNNEST([0, 1, 2, 3, 4]) AS o(q)
+                WHERE rn >= 2
+            ), stok0 AS (
+                SELECT doc_id,
+                       [{{'tpos': i - 1, 'w': l[i]}}
+                        for i in range(1, len(l) + 1)] AS ts
+                FROM st
+            ), stok AS (
+                SELECT doc_id, s.tpos AS tpos, s.w AS w
+                FROM stok0, UNNEST(ts) AS u(s)
+            ), sk AS (
+                SELECT stok.doc_id, stok.tpos, stok.w
+                FROM stok LEFT JOIN scov
+                  ON stok.doc_id = scov.doc_id
+                 AND stok.tpos = scov.tpos
+                WHERE scov.doc_id IS NULL
+            ), snew AS (
+                SELECT st.doc_id, st.source, st.nm,
+                       coalesce(sa.newt, '') AS newt
+                FROM st LEFT JOIN (
+                    SELECT doc_id,
+                           string_agg(w, ' ' ORDER BY tpos) AS newt
+                    FROM sk GROUP BY doc_id) sa USING (doc_id)
+            )
+            SELECT 'sprm' AS grp, source AS k,
+                   CAST(sum(CASE WHEN newt != nm
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+                   CAST(sum(('0x' || substr(md5(newt), 1, 8))::BIGINT)
+                        AS DOUBLE) AS v
+            FROM snew GROUP BY source
+        )
+        UNION ALL
         -- end-to-end clean_corpus contract (llm/recipe.py),
         -- folded from the standalone docs_clean_corpus row
         SELECT * FROM (

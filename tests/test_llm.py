@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 import mars_spark as ms
@@ -725,6 +726,79 @@ def test_hygiene_null_text_behavior(spark):
     # any filter -> null predicate -> null row dropped
     kept = R.clean_corpus(sdf, min_tokens=1, redact_pii=False, dedup=None)
     assert [r.doc_id for r in kept.collect()] == [0]
+
+
+def _ref_remove_duplicate_spans(docs, k):
+    """Pure-python keep-first duplicate-span removal on normalized
+    text (mirrors llm/dedup.py remove_duplicate_spans semantics)."""
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    toks = {i: (norm(t).split(" ") if t is not None else None)
+            for i, t in docs.items()}
+    grams = {}
+    for i in sorted(docs):
+        tt = toks[i]
+        if tt is None:
+            continue
+        n = len(tt)
+        gs = ([" ".join(tt)] if n < k
+              else [" ".join(tt[p:p + k]) for p in range(n - k + 1)])
+        for p, g in enumerate(gs):
+            grams.setdefault(g, []).append((i, p))
+    removed = {i: set() for i in docs}
+    for g, occ in grams.items():
+        for (i, p) in sorted(occ)[1:]:
+            removed[i].update(range(p, p + k))
+    return {i: (None if toks[i] is None else
+                " ".join(w for p, w in enumerate(toks[i])
+                         if p not in removed[i]))
+            for i in docs}
+
+
+def test_remove_duplicate_spans(spark):
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta common tail here",
+        1: "one two alpha beta gamma delta epsilon zeta nine ten",
+        2: "rep rep rep rep rep rep rep rep",   # within-doc repeat
+        3: "tiny doc",                          # short: partial gram
+        4: "tiny doc",                          # short exact dup
+        5: None,
+        6: "completely unique text with no shared spans at all",
+    }
+    exp = _ref_remove_duplicate_spans(docs, k=4)
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           D.remove_duplicate_spans(sdf, "text", "doc_id", k=4).collect()}
+    assert got == exp
+    # sanity on the reference itself: doc1's shared 6-token run loses
+    # its later copy, doc4 empties, doc6 untouched
+    assert "alpha" not in exp[1] and "one two" in exp[1]
+    assert exp[4] == "" and exp[3] == "tiny doc"
+    assert exp[6] == docs[6]
+
+
+_hyp_settings = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow])
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]),
+             min_size=1, max_size=9).map(" ".join),
+    min_size=1, max_size=7),
+    k=st.integers(min_value=2, max_value=4))
+@_hyp_settings
+def test_remove_duplicate_spans_matches_pure_python(spark, docs, k):
+    dd = dict(enumerate(docs))
+    exp = _ref_remove_duplicate_spans(dd, k=k)
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in dd.items()], "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           D.remove_duplicate_spans(sdf, "text", "doc_id", k=k).collect()}
+    assert got == exp
 
 
 def test_lm_dsir_closed_form_totals_null_empty(spark):
