@@ -390,6 +390,11 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
       rewritten text (pins the exact surviving content); the oracle
       replays grams → ranks → covered positions → reassembly with
       list arithmetic.
+    - ``bpe`` / ``bpet``: corpus BPE learning + encoding (llm/bpe.py,
+      r9, Sennrich'16) — the 8-merge trajectory on the doc_id < 120
+      slice's word histogram and the resulting per-source subword
+      token mass; the oracle unrolls every round (pair counts →
+      argmax → list_reduce merge fold) as chained CTEs.
 
     All strata replay relationally in the DuckDB oracle (windows /
     unnest + group / ln arithmetic / string_agg)."""
@@ -475,6 +480,30 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                  F.sum(D.hash32(F.col("text"))).cast("double").alias("v"))
             .select(F.lit("sprm").alias("grp"),
                     F.col("source").alias("k"), "n", "v"))
+    # r9: corpus BPE (llm/bpe.py, Sennrich'16) on the same slice:
+    # 'bpe' emits the 8 learned merges in order (k = 'a|b' pair,
+    # n = rank, v = weighted pair count at merge time — the full
+    # trainer trajectory, not just the end state); 'bpet' the
+    # per-source encoded subword token mass under those merges. The
+    # oracle unrolls all 8 rounds as chained list_reduce folds over
+    # the word histogram and joins doc tokens to the final word
+    # segmentation (word-level determinism makes the join exact).
+    from mars_spark.llm import bpe as B
+
+    bm = B.learn_bpe(sp_orig, "text", num_merges=8, with_counts=True,
+                     num_partitions=1)
+    bpe_rows = spark.createDataFrame(
+        [("bpe", f"{a}|{b}", i + 1, float(c))
+         for i, (a, b, c) in enumerate(bm)],
+        "grp string, k string, n bigint, v double")
+    enc = B.bpe_tokenize(sp_orig, "text", [(a, b) for a, b, _ in bm])
+    bpet = (enc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("bpe_tokens").isNull(), F.lit(0))
+                       .otherwise(F.size("bpe_tokens")))
+                 .cast("double").alias("v"))
+            .select(F.lit("bpet").alias("grp"),
+                    F.col("source").alias("k"), "n", "v"))
     cc = _clean_corpus_rollup(spark, sf_dir)
     cchyg = cc.select(F.lit("cchyg").alias("grp"),
                       F.col("source").alias("k"),
@@ -487,6 +516,7 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     return (best.unionByName(cap).unionByName(lm).unionByName(span)
             .unionByName(line).unionByName(linelen)
             .unionByName(temp).unionByName(tok).unionByName(sprm)
+            .unionByName(bpe_rows).unionByName(bpet)
             .unionByName(cchyg).unionByName(ccid))
 
 

@@ -183,6 +183,76 @@ _HYGIENE_SQL = """
         UNION ALL SELECT * FROM dec
     """
 
+def _bpe_rounds_sql(n_rounds: int) -> str:
+    """Unrolled BPE trainer rounds (llm/bpe.py learn_bpe): each round
+    counts adjacent symbol pairs over the word histogram (weighted by
+    word count), picks the (count desc, pair asc) argmax, and applies
+    it leftmost-first via a list_reduce fold — the same
+    non-overlapping left-to-right merge the engine's pandas UDF
+    performs. Generated, not hand-written: one CTE triple per round."""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        prev = f"w{r - 1}"
+        rounds.append(f"""
+            , pc{r} AS (
+                SELECT p.a AS a, p.b AS b, sum(wc) AS pc FROM (
+                    SELECT c AS wc,
+                           UNNEST([{{'a': s[i], 'b': s[i+1]}}
+                                   for i in range(1, len(s))]) AS p
+                    FROM {prev}) GROUP BY 1, 2
+            ), bp{r} AS (
+                SELECT a, b, pc FROM pc{r} WHERE pc >= 2
+                ORDER BY pc DESC, a, b LIMIT 1
+            ), w{r} AS (
+                SELECT w, c,
+                       list_reduce(list_transform(s, x -> [x]),
+                           (acc, x) -> CASE WHEN acc[-1] = bp{r}.a
+                                             AND x[1] = bp{r}.b
+                                        THEN acc[:-2]
+                                             || [bp{r}.a || bp{r}.b]
+                                        ELSE acc || x END) AS s
+                FROM {prev}, bp{r}
+            )""")
+    merge_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT 'bpe' AS grp, a || '|' || b AS k, "
+        f"CAST({r} AS BIGINT) AS n, CAST(pc AS DOUBLE) AS v FROM bp{r}"
+        for r in range(1, n_rounds + 1))
+    return "".join(rounds), merge_rows
+
+
+_BPE_ROUNDS, _BPE_MERGE_ROWS = _bpe_rounds_sql(8)
+
+# corpus BPE strata of docs_curation_ops: 8-merge trainer trajectory
+# + per-source encoded token mass (join doc tokens to the final word
+# segmentation — word-level determinism makes the join exact)
+_BPE_BLOCK = f"""
+        UNION ALL
+        SELECT * FROM (
+            WITH bst AS (
+                SELECT doc_id, source, {_TOKS} AS l
+                FROM documents WHERE doc_id < 120
+            ), wh AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT UNNEST(l) AS w FROM bst)
+                WHERE w != '' GROUP BY w
+            ), w0 AS (
+                SELECT w, c, string_split(w, '') || ['</w>'] AS s
+                FROM wh
+            ){_BPE_ROUNDS}
+            {_BPE_MERGE_ROWS}
+            UNION ALL
+            SELECT 'bpet' AS grp, nd.source AS k, nd.n,
+                   CAST(coalesce(tv.v, 0) AS DOUBLE) AS v
+            FROM (SELECT source, count(*) AS n
+                  FROM bst GROUP BY source) nd
+            LEFT JOIN (
+                SELECT t2.source, sum(len(w8.s)) AS v
+                FROM (SELECT source, UNNEST(l) AS w FROM bst) t2
+                JOIN w8 ON t2.w = w8.w
+                GROUP BY t2.source) tv USING (source)
+        )
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
     # ------------------------------------------------------------- events
     # oracle for the REAL Structured Streaming run: bounded stream +
@@ -992,6 +1062,7 @@ PIPELINE_ORACLES: dict[str, str] = {
                         AS DOUBLE) AS v
             FROM snew GROUP BY source
         )
+        {_BPE_BLOCK}
         UNION ALL
         -- end-to-end clean_corpus contract (llm/recipe.py),
         -- folded from the standalone docs_clean_corpus row

@@ -1141,3 +1141,98 @@ def test_clean_corpus_full_curation(spark):
     assert len(out2) == 6  # 8 - exact dup - short doc
     with pytest.raises(ValueError):
         R.clean_corpus(spark.createDataFrame(pdf), max_per_source=2)
+
+
+# ------------------------------------------------------------------ BPE
+def _ref_bpe(texts, num_merges, min_freq=2):
+    """Pure-python Sennrich'16 BPE trainer (count-desc, pair-asc
+    tie-break; chars + '</w>' init; leftmost-first merge)."""
+    from collections import Counter
+    hist = Counter(w for t in texts if t is not None
+                   for w in t.lower().split() if w)
+    words = {w: list(w) + ["</w>"] for w in hist}
+
+    def apply(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += hist[w]
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if c < min_freq:
+            break
+        merges.append((a, b))
+        words = {w: apply(s, a, b) for w, s in words.items()}
+    return merges, words
+
+
+def test_learn_bpe_matches_pure_python(spark):
+    from mars_spark.llm import bpe as B
+    texts = [
+        "the theme of the thesis is the theory",
+        "then the weather thawed the frozen theater",
+        "these themes recur in the thesis text",
+        None,
+        "",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    exp_merges, exp_words = _ref_bpe(texts, num_merges=10)
+    got = B.learn_bpe(sdf, "text", num_merges=10)
+    assert got == exp_merges
+    # final segmentation table matches the reference's word states
+    seg = {r.word: list(r.syms) for r in
+           B.bpe_segment_words(sdf, "text", got).collect()}
+    assert seg == exp_words
+    # encoder: per-doc concatenation of per-word segmentations
+    enc = {r.doc_id: r.bpe_tokens for r in
+           B.bpe_tokenize(sdf, "text", got).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert enc[i] is None
+        else:
+            exp = [s for w in t.lower().split() if w
+                   for s in exp_words[w]]
+            assert list(enc[i]) == exp, i
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["ab", "aab", "abc", "ba", "b"]),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=5),
+    nm=st.integers(min_value=1, max_value=5))
+@_hyp_settings
+def test_learn_bpe_property(spark, docs, nm):
+    from mars_spark.llm import bpe as B
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    exp_merges, _ = _ref_bpe(docs, num_merges=nm)
+    assert B.learn_bpe(sdf, "text", num_merges=nm) == exp_merges
+
+
+def test_learn_bpe_local_matches_distributed(spark):
+    from mars_spark.llm import bpe as B
+    texts = [
+        "the theme of the thesis is the theory",
+        "then the weather thawed the frozen theater",
+        "these themes recur in the thesis text",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    loc = B.learn_bpe(sdf, "text", num_merges=6, with_counts=True)
+    dist = B.learn_bpe(sdf, "text", num_merges=6, with_counts=True,
+                       local_vocab_threshold=0, num_partitions=1)
+    assert loc == dist and len(loc) == 6
