@@ -751,10 +751,19 @@ class IsolationForest(_Wrapper):
         self.psi_ = min(psi, total)
         depth = int(np.ceil(np.log2(max(self.psi_, 2))))
         for i in range(self.params["n_estimators"]):
+            # NOTE: .limit(psi) here was ORDER-BIASED — it kept the
+            # first psi sampled rows, i.e. whatever partitions the
+            # scheduler read first, so late-partition rows (e.g. a
+            # unioned tail) were systematically excluded from every
+            # tree. Downsample to psi driver-side with the forest rng
+            # instead: uniform over the Bernoulli sample, as the
+            # iForest paper's psi-subsample requires.
             pdf = (sdf.select(F.col(features).alias("x"))
                    .sample(fraction=frac, seed=self.params["seed"] + i)
-                   .limit(psi).toPandas())
+                   .toPandas())
             X = np.vstack(pdf["x"].to_numpy()).astype("float64")
+            if len(X) > psi:
+                X = X[rng.choice(len(X), psi, replace=False)]
             self.trees_.append(self._build_tree(X, rng, depth))
         self._features = features
         return self

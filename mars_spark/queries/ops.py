@@ -541,7 +541,10 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     (mars/learn/metrics/_classification.py, _ranking.py) on a
     deterministic prediction table derived from events. Every metric
     is a bounded distributed agg; the AUC rides the range-partitioned
-    prefix-sum rank machinery (operators/rank.py) — no global window."""
+    prefix-sum rank machinery (operators/rank.py) — no global window.
+    r9: ensemble contract strata (ifor_top / bag_exact) graduate
+    IsolationForest and BaggingRegressor from pytest-only to
+    driver-verified expected constants (see _ens)."""
     import math
 
     from mars_spark.learn import facade as L
@@ -624,15 +627,60 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         b = te.agg(F.count(F.lit(1)), F.sum("value")).collect()[0]
         return int(a[0]), float(a[1]), int(b[0]), float(b[1])
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp = (
+    def _ens():
+        # r9: ensemble contracts (mars/learn/ensemble/_bagging.py,
+        # _iforest.py) — the only layout-robust oracle-able facts,
+        # since both estimators subsample with partition-layout-
+        # dependent sample(): the 3 planted ~100-sigma outliers land
+        # in the iForest's top-5 anomaly scores under ANY subsample
+        # (path length ~1-2 vs ~6 for the [0,1]^2 inliers), and
+        # bagged OLS on an exactly linear label recovers it exactly
+        # from ANY subsample (mse ~ 1e-12 << the 1e-6 gate). The
+        # oracle states both as expected constants — the
+        # emb_ann_recall recall_pass precedent. Pool of 100 inliers
+        # vs psi=64 keeps each outlier in most subsamples (verified
+        # 3/3 at 1/7/32 partitions); adding this stratum also
+        # surfaced and fixed an order-bias in IsolationForest.fit
+        # (sample().limit() kept only early-partition rows).
+        base = f[f.event_id < 100][["event_id", "s"]].to_spark()
+        pts = base.select(
+            "event_id",
+            F.array(F.col("s"),
+                    (F.col("event_id") % 50).cast("double") / 50)
+            .alias("x"))
+        planted = spark.createDataFrame(
+            [(1000001, [100.0, 120.0]), (1000002, [-90.0, 80.0]),
+             (1000003, [150.0, -110.0])],
+            "event_id long, x array<double>")
+        # persist the 103-row pool: fit() runs count + one sample
+        # job per tree against it (9 scans of a cached single batch
+        # beat 9 re-derivations from parquet)
+        allp = pts.unionByName(planted).persist()
+        ifor = L.IsolationForest(n_estimators=8, max_samples=64,
+                                 seed=7).fit(allp, "x")
+        top = (ifor.scores(allp)
+               .orderBy(F.desc("anomaly_score"), F.asc("event_id"))
+               .limit(5).select("event_id").collect())
+        allp.unpersist()
+        n_top = sum(1 for r in top if r["event_id"] > 1000000)
+        lin = base.select("event_id", "s",
+                          (F.col("s") * 2.0 + 1.0).alias("yl")).persist()
+        br = L.BaggingRegressor(n_estimators=2).fit(lin, ["s"], "yl")
+        bmse = L.mean_squared_error(br.predict(lin), "yl", "prediction")
+        lin.unpersist()
+        return int(n_top), int(bmse < 1e-6)
+
+    with ThreadPoolExecutor(max_workers=9) as ex:
+        f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en = (
             ex.submit(fn)
-            for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le, _split))
+            for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le, _split,
+                       _ens))
         (acc, prf, ll), auc = f_cls.result(), f_auc.result()
         lr, r2, mse = f_reg.result()
         glm_slope, ev1 = f_glm.result(), f_pca.result()
         mm_mean, le_sum = f_mm.result(), f_le.result()
         tr_n, tr_vs, te_n, te_vs = f_sp.result()
+        ifor_top, bag_exact = f_en.result()
     f._sdf.unpersist()
 
     def r6(x: float) -> float:
@@ -647,12 +695,14 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         [(r6(acc), r6(prf["precision"]), r6(prf["recall"]), r6(prf["f1"]),
           r6(ll), r6(auc), r4(lr.coef_[0]), r4(lr.intercept_),
           r6(r2), r4(mse), r6(ev1), r6(mm_mean), int(le_sum),
-          r4(glm_slope), tr_n, r4(tr_vs), te_n, r4(te_vs))],
+          r4(glm_slope), tr_n, r4(tr_vs), te_n, r4(te_vs),
+          ifor_top, bag_exact)],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
         "r2 double, mse double, pca_ev1 double, mm_mean double, "
         "le_sum long, glm_slope double, split_tr_n long, "
-        "split_tr_vsum double, split_te_n long, split_te_vsum double")
+        "split_tr_vsum double, split_te_n long, split_te_vsum double, "
+        "ifor_top long, bag_exact long")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

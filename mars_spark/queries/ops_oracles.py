@@ -345,7 +345,12 @@ OPS_ORACLES: dict[str, str] = {
                le.le_sum,
                floor(slope * 1e4 + 0.5) / 1e4 AS glm_slope,
                sp.split_tr_n, sp.split_tr_vsum,
-               sp.split_te_n, sp.split_te_vsum
+               sp.split_te_n, sp.split_te_vsum,
+               -- ensemble contracts (expected constants — see
+               -- op_learn_metrics._ens: subsamples are layout-
+               -- dependent, the contracts are not)
+               CAST(3 AS BIGINT) AS ifor_top,
+               CAST(1 AS BIGINT) AS bag_exact
         FROM base CROSS JOIN a CROSS JOIN reg
         CROSS JOIN (
             SELECT var_samp(CAST((event_id * 37) % 1000 AS DOUBLE)
