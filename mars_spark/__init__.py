@@ -82,7 +82,66 @@ def to_numeric(series, errors="coerce"):
     return series.to_numeric(errors=errors)
 
 
-__all__.append("to_numeric")
+def to_datetime(series, format=None):
+    """pandas.to_datetime (reference: mars/dataframe/tseries/
+    to_datetime.py:37 — module-level form)."""
+    from mars_spark.functions.datetimes import to_datetime as _td
+
+    return _td(series, format=format)
+
+
+def isna(obj):
+    """reference: mars/dataframe/missing/checkna.py — module form of
+    DataFrame/Series.isna."""
+    return obj.isna()
+
+
+def notna(obj):
+    return obj.notna()
+
+
+# the reference exports both spellings (pandas parity)
+isnull = isna
+notnull = notna
+
+
+def melt(frame, id_vars=None, value_vars=None, var_name="variable",
+         value_name="value"):
+    """reference: mars/dataframe/base/melt.py — module form."""
+    return frame.melt(id_vars=id_vars, value_vars=value_vars,
+                      var_name=var_name, value_name=value_name)
+
+
+def unique(series):
+    """reference: mars/dataframe/base/unique.py — module form of
+    Series.unique (distinct collect)."""
+    return series.unique()
+
+
+def from_records(records, columns=None):
+    """reference: mars/dataframe/datasource/from_records.py —
+    list-of-tuples/dicts → distributed frame via the Arrow path."""
+    import pandas as pd
+
+    return from_pandas(pd.DataFrame.from_records(records,
+                                                 columns=columns))
+
+
+def read_sql_query(sql_query: str, url: str, **kwargs):
+    """reference: mars/dataframe/datasource/read_sql.py read_sql_query
+    — a query pushes down as a JDBC dbtable subquery."""
+    return read_sql(f"({sql_query}) AS q", url, **kwargs)
+
+
+def read_sql_table(table: str, url: str, **kwargs):
+    """reference: mars/dataframe/datasource/read_sql.py
+    read_sql_table — same as read_sql on a bare table name."""
+    return read_sql(table, url, **kwargs)
+
+
+__all__ += ["to_numeric", "to_datetime", "isna", "isnull", "notna",
+            "notnull", "melt", "unique", "from_records",
+            "read_sql_query", "read_sql_table"]
 
 
 def _module_ufunc(name):

@@ -821,6 +821,31 @@ class DataFrame:
 
         return diff(self, periods, order_by=order_by, partition_by=partition_by)
 
+    def pct_change(self, periods: int = 1, order_by=None,
+                   partition_by=None, cols=None) -> "DataFrame":
+        """reference: mars/dataframe/base/pct_change.py — method form
+        over operators/window.pct_change (col/lag(col) − 1).
+        ``cols`` defaults to every numeric column."""
+        from mars_spark.operators.window import pct_change
+
+        if cols is None:
+            num = ("int", "bigint", "smallint", "tinyint", "double",
+                   "float", "decimal")
+            cols = [c for c, t in self._sdf.dtypes
+                    if t.startswith(num)]
+        return pct_change(self, periods, order_by=order_by,
+                          partition_by=partition_by, cols=cols)
+
+    def ewm(self, alpha: float, order_by=None, partition_by=None,
+            adjust: bool = True, bias: bool = False):
+        """reference: mars/dataframe/window/ewm/core.py — method form
+        returning an EWM window object (``.mean(col)`` / ``.var`` /
+        ``.std`` / ``.agg``) over operators/window.ewm_agg."""
+        from mars_spark.operators.window import EWM
+
+        return EWM(self, alpha, order_by=order_by,
+                   partition_by=partition_by, adjust=adjust, bias=bias)
+
     # --------------------------------------------------------- reshaping
     def melt(self, id_vars=None, value_vars=None, var_name="variable",
              value_name="value") -> "DataFrame":
@@ -1222,6 +1247,64 @@ class DataFrame:
     # ----------------------------------------------------------- actions
     def to_pandas(self):
         return self._sdf.toPandas()
+
+    def _iter_pandas_batches(self, batch_size: int):
+        """pandas frames of ``batch_size`` rows, streamed — one
+        partition at a time reaches the driver (toLocalIterator), so
+        iteration over a 100 TB frame holds one batch in RAM, the
+        same contract as the reference's batched fetch. Index columns
+        (when set) become the pandas index; otherwise a running
+        RangeIndex keeps positions globally consistent."""
+        import pandas as pd
+
+        cols = self._sdf.columns
+        pos = 0
+
+        def _mk(buf):
+            nonlocal pos
+            pdf = pd.DataFrame([r.asDict(recursive=True) for r in buf],
+                               columns=cols)
+            if self._index:
+                pdf = pdf.set_index(
+                    self._index[0] if len(self._index) == 1
+                    else list(self._index))
+            else:
+                pdf.index = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            return pdf
+
+        buf: list = []
+        for row in self._sdf.toLocalIterator(prefetchPartitions=True):
+            buf.append(row)
+            if len(buf) >= batch_size:
+                yield _mk(buf)
+                buf = []
+        if buf:
+            yield _mk(buf)
+
+    def iterrows(self, batch_size: int = 1000):
+        """reference: mars/dataframe/core.py:2229 — batched driver
+        row iteration, yielding (label, pandas Series)."""
+        for pdf in self._iter_pandas_batches(batch_size):
+            yield from pdf.iterrows()
+
+    def itertuples(self, index: bool = True, name: str = "Pandas",
+                   batch_size: int = 1000):
+        """reference: mars/dataframe/core.py:2233 — batched driver
+        namedtuple iteration."""
+        for pdf in self._iter_pandas_batches(batch_size):
+            yield from pdf.itertuples(index=index, name=name)
+
+    def to_dict(self, into=dict):
+        """reference: mars/dataframe/core.py:1443 — the result is a
+        fully-materialized dict either way, so this collects once
+        (Arrow path) rather than batching the fetch."""
+        pdf = self.to_pandas()
+        if self._index:
+            pdf = pdf.set_index(
+                self._index[0] if len(self._index) == 1
+                else list(self._index))
+        return pdf.to_dict(into=into)
 
     def collect(self):
         return self._sdf.collect()

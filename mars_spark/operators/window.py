@@ -318,6 +318,40 @@ def ewm_mean(frame: DataFrame, col: str, alpha: float, order_by,
     return DataFrame(sdf, frame._index)
 
 
+class EWM:
+    """``df.ewm(alpha=..., order_by=...)`` — the reference's method
+    form (mars/dataframe/window/ewm/core.py builds an EWM window
+    object with .agg/.mean/.var/.std) over :func:`ewm_agg`. Column
+    goes to the stat call: ``df.ewm(alpha=0.2,
+    order_by="ts").mean("value")``."""
+
+    def __init__(self, frame: DataFrame, alpha: float, order_by=None,
+                 partition_by=None, adjust: bool = True,
+                 bias: bool = False):
+        self._frame = frame
+        self._alpha = alpha
+        self._order_by = order_by
+        self._partition_by = partition_by
+        self._adjust = adjust
+        self._bias = bias
+
+    def agg(self, col: str, stats=("mean",),
+            prefix: str | None = None) -> DataFrame:
+        return ewm_agg(self._frame, col, self._alpha, self._order_by,
+                       partition_by=self._partition_by, stats=stats,
+                       adjust=self._adjust, bias=self._bias,
+                       prefix=prefix)
+
+    def mean(self, col: str) -> DataFrame:
+        return self.agg(col, stats=("mean",))
+
+    def var(self, col: str) -> DataFrame:
+        return self.agg(col, stats=("var",))
+
+    def std(self, col: str) -> DataFrame:
+        return self.agg(col, stats=("std",))
+
+
 class Resampler:
     """``df.resample(rule, on).agg({...})`` — pandas-style time
     resampling as a tumbling-window groupBy (additive; the reference

@@ -858,3 +858,69 @@ def test_at_iat_set_axis(spark):
     assert h.columns == ["A", "B"]
     with pytest.raises(ValueError):
         f.set_axis(["only-one"])
+
+
+def test_pct_change_and_ewm_method_forms(spark):
+    pdf = pd.DataFrame({"g": [0, 0, 0, 1, 1, 1],
+                        "t": [0, 1, 2, 0, 1, 2],
+                        "v": [2.0, 4.0, 3.0, 10.0, 5.0, 20.0]})
+    f = ms.from_pandas(pdf)
+    got = (f.pct_change(order_by="t", partition_by=["g"], cols=["v"])
+           .to_pandas().sort_values(["g", "t"]).reset_index(drop=True))
+    exp = pdf.sort_values(["g", "t"]).groupby("g").v.pct_change()
+    import numpy as np
+    np.testing.assert_allclose(got.v_pct.values,
+                               exp.values, equal_nan=True)
+    # cols default: numeric columns all get _pct outputs
+    auto = f.pct_change(order_by="t", partition_by=["g"])
+    assert {"g_pct", "t_pct", "v_pct"} <= set(auto.to_spark().columns)
+    ew = (f.ewm(alpha=0.3, order_by="t", partition_by=["g"]).mean("v")
+          .to_pandas().sort_values(["g", "t"]).reset_index(drop=True))
+    expe = (pdf.sort_values(["g", "t"]).groupby("g").v
+            .transform(lambda s: s.ewm(alpha=0.3).mean()))
+    np.testing.assert_allclose(ew.v_ewm_mean.values, expe.values)
+
+
+def test_driver_iteration_parity(spark):
+    pdf = pd.DataFrame({"k": ["x", "y", "z", "w"],
+                        "a": [1, 2, 3, 4], "b": [1.5, 2.5, 3.5, 4.5]})
+    f = ms.from_pandas(pdf)
+    # batch_size smaller than the frame exercises batch stitching
+    rows = list(f.iterrows(batch_size=3))
+    assert [i for i, _ in rows] == [0, 1, 2, 3]
+    assert [r.a for _, r in rows] == [1, 2, 3, 4]
+    tups = list(f.itertuples(batch_size=3))
+    assert [t.Index for t in tups] == [0, 1, 2, 3]
+    assert [t.b for t in tups] == [1.5, 2.5, 3.5, 4.5]
+    # index columns become labels
+    fi = ms.from_pandas(pdf).set_index("k")
+    assert [i for i, _ in fi.iterrows()] == ["x", "y", "z", "w"]
+    d = fi.to_dict()
+    assert d["a"]["z"] == 3 and d["b"]["w"] == 4.5
+    s = fi.b
+    assert s.to_dict() == {"x": 1.5, "y": 2.5, "z": 3.5, "w": 4.5}
+    assert list(s.items(batch_size=2)) == [("x", 1.5), ("y", 2.5),
+                                           ("z", 3.5), ("w", 4.5)]
+
+
+def test_module_level_parity_aliases(spark, tmpdir):
+    pdf = pd.DataFrame({"k": ["a", "b", "a"], "v": [1.0, None, 3.0],
+                        "d": ["2024-01-02", "2024-06-07", "2024-12-31"]})
+    f = ms.from_pandas(pdf)
+    assert list(ms.isna(f.v).to_pandas()) == [False, True, False]
+    assert list(ms.notnull(f.v).to_pandas()) == [True, False, True]
+    assert sorted(ms.unique(f.k)) == ["a", "b"]
+    m = ms.melt(f[["k", "v"]], id_vars=["k"]).to_pandas()
+    assert set(m.columns) == {"k", "variable", "value"}
+    dt = ms.to_datetime(f.d).to_pandas()
+    assert str(dt.iloc[0])[:10] == "2024-01-02"
+    fr = ms.from_records([(1, "p"), (2, "q")], columns=["n", "s"])
+    assert fr.count() == 2 and sorted(fr.to_pandas().n) == [1, 2]
+    url = f"jdbc:derby:{tmpdir}/aliasdb;create=true"
+    ms.from_pandas(pd.DataFrame({"id": [1, 2, 3]})).to_sql(
+        "t_alias", url, mode="overwrite")
+    assert ms.read_sql_table("t_alias", url).count() == 3
+    # Derby uppercases unquoted identifiers; Spark's to_sql writes
+    # quoted lowercase columns — quote them in raw query text
+    q = ms.read_sql_query('SELECT "id" FROM t_alias WHERE "id" > 1', url)
+    assert sorted(q.to_pandas().id) == [2, 3]
