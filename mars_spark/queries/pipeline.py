@@ -238,7 +238,50 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("n").alias("n_docs"), F.col("v1").alias("avg_tokens"),
         F.col("v2").alias("avg_chars"),
         F.lit(None).cast("double").alias("avg_quality"))
-    return conf.unionByName(mrows).unionByName(prow).unionByName(hyg)
+    # r9: discriminative quality classifier (llm/quality.py — the
+    # CCNet/LLaMA wiki-vs-crawl shape: HashingTF hashing trick +
+    # MLlib LogisticRegression). Murmur hashing has no SQL replay,
+    # so the stratum is a layout-robust CONSTANT contract (ensemble
+    # precedent): disjoint-vocabulary pools, label alternating in
+    # pairs against the parity train/holdout split, holdout accuracy
+    # must be exactly 1.0 (every holdout doc sits far from the
+    # boundary, so LBFGS float jitter cannot flip one).
+    from mars_spark.llm.quality import train_score_split
+
+    _ham = ["clean prose with careful structure and citations",
+            "a thoughtful essay discussing methods and results",
+            "structured documentation describing the interface",
+            "careful analysis with methods results citations"]
+    _spam = ["buy cheap pills now click winner jackpot",
+             "click here winner free casino jackpot bonus",
+             "cheap bonus casino pills free click now",
+             "jackpot winner casino cheap free pills"]
+    qrows = [(i,
+              (_ham if (i // 2) % 2 == 0 else _spam)[i % 4]
+              + f" filler{i % 3}",
+              1.0 if (i // 2) % 2 == 0 else 0.0)
+             for i in range(120)]
+    # max_iter=8 saturates holdout accuracy at 1.0 on this corpus
+    # and bounds the per-iteration treeAggregate jobs. Do NOT
+    # coalesce(1) the frame: measured 10.6 s vs 2.0 s for the
+    # identical fit — single-partition MLlib vector aggregation is
+    # pathological here, the default layout is the fast one.
+    qdf = spark.createDataFrame(
+        qrows, "doc_id long, text string, label double")
+    _, holdout = train_score_split(qdf, "text", "label", "doc_id",
+                                   n_features=1024, max_iter=8)
+    qc = (holdout.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("quality_pred") == F.col("label"))
+              .cast("double")).alias("acc"))
+        .select(F.lit("qcls").alias("lang"),
+                F.lit("holdout").alias("pred_lang"),
+                F.col("n").alias("n_docs"),
+                F.round("acc", 2).alias("avg_tokens"),
+                F.lit(None).cast("double").alias("avg_chars"),
+                F.lit(None).cast("double").alias("avg_quality")))
+    return (conf.unionByName(mrows).unionByName(prow)
+            .unionByName(hyg).unionByName(qc))
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:

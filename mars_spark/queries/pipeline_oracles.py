@@ -611,6 +611,14 @@ PIPELINE_ORACLES: dict[str, str] = {
                v1 AS avg_tokens, v2 AS avg_chars,
                CAST(NULL AS DOUBLE) AS avg_quality
         FROM ({_HYGIENE_SQL}) hyg
+        UNION ALL
+        -- quality-classifier contract (expected constant — murmur
+        -- hashing has no SQL replay; see docs_text_metrics' qc
+        -- stratum: 60 holdout docs, accuracy exactly 1.0)
+        SELECT 'qcls' AS lang, 'holdout' AS pred_lang,
+               CAST(60 AS BIGINT) AS n_docs, 1.0 AS avg_tokens,
+               CAST(NULL AS DOUBLE) AS avg_chars,
+               CAST(NULL AS DOUBLE) AS avg_quality
     """,
     "docs_dedup_simhash": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),

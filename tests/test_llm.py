@@ -1236,3 +1236,42 @@ def test_learn_bpe_local_matches_distributed(spark):
     dist = B.learn_bpe(sdf, "text", num_merges=6, with_counts=True,
                        local_vocab_threshold=0, num_partitions=1)
     assert loc == dist and len(loc) == 6
+
+
+def test_quality_classifier_separable(spark):
+    """Disjoint-vocabulary corpora: the hashed-BoW logistic
+    classifier must separate perfectly on holdout, and score the
+    target-like side with uniformly higher probability."""
+    from mars_spark.llm.quality import QualityClassifier, train_score_split
+    ham = ["clean prose with careful structure and citations",
+           "a thoughtful essay discussing methods and results",
+           "structured documentation describing the interface",
+           "careful analysis with methods results citations"]
+    spam = ["buy cheap pills now click winner jackpot",
+            "click here winner free casino jackpot bonus",
+            "cheap bonus casino pills free click now",
+            "jackpot winner casino cheap free pills"]
+    rows = []
+    for i in range(120):
+        # label alternates in PAIRS so the parity train/test split
+        # sees both classes on both sides
+        is_ham = (i // 2) % 2 == 0
+        pool = ham if is_ham else spam
+        rows.append((i, pool[i % 4] + f" filler{i % 3}", is_ham))
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, is_ham boolean")
+    sdf = sdf.withColumn("label", F.col("is_ham").cast("double"))
+    clf, holdout = train_score_split(sdf, "text", "label", "doc_id",
+                                     n_features=1024)
+    got = holdout.select("label", "quality_pred", "quality_prob").collect()
+    assert all(r.quality_pred == r.label for r in got)
+    hp = [r.quality_prob for r in got if r.label == 1.0]
+    sp = [r.quality_prob for r in got if r.label == 0.0]
+    assert min(hp) > 0.5 > max(sp)
+    # scoring keeps input schema + the two new columns
+    cols = set(holdout.columns)
+    assert {"doc_id", "text", "quality_prob", "quality_pred"} <= cols
+    # unfitted classifier refuses to score
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        QualityClassifier().score(sdf, "text")
