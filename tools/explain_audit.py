@@ -23,8 +23,14 @@ def audit_plan(plan: str) -> dict:
         "shj": len(re.findall(r"ShuffledHashJoin", plan)),
         "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "exchanges": len(re.findall(r"Exchange (hash|range)partitioning", plan)),
-        "pushed_filters": "PushedFilters: [" in plan
-        and not re.search(r"PushedFilters: \[\]", plan),
+        # "pushed/total" scan counts: multi-strata rows legitimately
+        # mix filtered slices (pushed) with full-corpus scans (no
+        # predicate to push) — a bare boolean misread those as 'n'
+        "pushed_filters": (
+            sum(1 for m in re.findall(r"PushedFilters: \[([^\]]*)\]",
+                                      plan) if m.strip()),
+            len(re.findall(r"PushedFilters: \[", plan)),
+        ),
         # codegen stages show as "*(N) Operator" in simpleString
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
@@ -52,9 +58,10 @@ def main():
                 flags.append(f"shuffle-joins={a['smj'] + a['shj']}")
             if a["python"]:
                 flags.append(f"python-stages={a['python']}")
+            np_, nt = a["pushed_filters"]
             print(f"{name:24s} bcast={a['broadcast_joins']} "
                   f"exch={a['exchanges']} codegen={a['codegen_spans']} "
-                  f"pushed={'Y' if a['pushed_filters'] else 'n'} "
+                  f"pushed={np_}/{nt} "
                   f"{' '.join(flags)}")
         except Exception as ex:
             print(f"{name:24s} ERROR {str(ex).splitlines()[0][:100]}")
