@@ -139,3 +139,55 @@ def take_token_budget(sdf: SparkDF, text_col: str, budget: int,
     stats = prefix_stats(base, order_col, "__nt", ascending=ascending)
     return (stats.filter(F.col("__before") + F.col("__nt") <= budget)
             .drop("__nt", "__before", "__didx"))
+
+
+def write_shards(sdf: SparkDF, path: str, order_col: str,
+                 docs_per_shard: int | None = None,
+                 token_budget: int | None = None,
+                 token_col: str | None = None,
+                 text_col: str | None = None,
+                 fmt: str = "parquet", mode: str = "overwrite") -> int:
+    """Materialize the corpus as size-bounded SHARDS — the export
+    step a pretraining pipeline ends with (training loaders stream
+    shard files independently, so shard size bounds loader memory
+    and restart granularity). Exactly one sizing rule:
+
+    - ``docs_per_shard``: fixed row count per shard, globally exact,
+      in ``order_col`` order (shard 0 holds the first N docs, ...);
+    - ``token_budget`` (+ ``token_col`` or ``text_col``): contiguous
+      token fill — shard = floor(exclusive-prefix-tokens / budget),
+      the pack_documents rule applied globally, so a shard overflows
+      by at most its straddling document.
+
+    Both ride operators.rank.prefix_stats (range partition +
+    driver-side offsets of the per-partition subtotals — no global
+    window, no single-reducer stage). ``order_col`` values must be
+    unique. Rows are re-shuffled BY SHARD before the write so each
+    shard directory is written by one task (without it every task
+    appends a file fragment to every shard — the small-files
+    explosion). Output: ``{path}/shard=N/...`` in ``fmt``; returns
+    the shard count."""
+    from mars_spark.llm import text as T
+    from mars_spark.operators.rank import prefix_stats
+
+    if (docs_per_shard is None) == (token_budget is None):
+        raise ValueError(
+            "exactly one of docs_per_shard / token_budget required")
+    if token_budget is not None:
+        if token_col is None and text_col is None:
+            raise ValueError("token_budget needs token_col or text_col")
+        nt = (F.col(token_col) if token_col
+              else T.token_count(F.col(text_col)))
+        stats = prefix_stats(sdf.withColumn("__nt", nt),
+                             order_col, "__nt")
+        shard = F.floor(F.col("__before") / F.lit(token_budget))
+    else:
+        stats = prefix_stats(sdf.withColumn("__nt", F.lit(1)),
+                             order_col, "__nt")
+        shard = F.floor(F.col("__didx") / F.lit(docs_per_shard))
+    out = (stats.withColumn("shard", shard.cast("bigint"))
+           .drop("__nt", "__before", "__didx"))
+    (out.repartition("shard").write.mode(mode)
+     .partitionBy("shard").format(fmt).save(path))
+    n = out.agg(F.max("shard")).collect()[0][0]
+    return int(n) + 1 if n is not None else 0

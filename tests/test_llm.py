@@ -1275,3 +1275,48 @@ def test_quality_classifier_separable(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         QualityClassifier().score(sdf, "text")
+
+
+def test_write_shards(spark, tmpdir):
+    import os
+
+    from mars_spark.llm.packing import write_shards
+    pdf = pd.DataFrame({
+        "doc_id": range(25),
+        "text": [("word " * ((i % 4) + 2)).strip() for i in range(25)],
+    })
+    sdf = spark.createDataFrame(pdf)
+    # fixed-count rule: 25 docs / 10 per shard -> 3 shards, in order
+    p1 = str(tmpdir.join("bycount"))
+    n = write_shards(sdf, p1, "doc_id", docs_per_shard=10)
+    assert n == 3
+    assert sorted(d for d in os.listdir(p1) if d.startswith("shard=")) \
+        == ["shard=0", "shard=1", "shard=2"]
+    back = spark.read.parquet(p1)
+    per = {r.shard: sorted(r.ids) for r in
+           back.groupBy("shard")
+           .agg(F.collect_list("doc_id").alias("ids")).collect()}
+    assert per[0] == list(range(10)) and per[2] == list(range(20, 25))
+    # token-budget rule: shard token sums respect the straddler bound
+    p2 = str(tmpdir.join("bytokens"))
+    n2 = write_shards(sdf, p2, "doc_id", token_budget=20,
+                      text_col="text")
+    back2 = spark.read.parquet(p2)
+    toks = {r.doc_id: len(r.text.split()) for r in sdf.collect()}
+    shards = {r.shard: list(r.ids) for r in
+              back2.groupBy("shard")
+              .agg(F.collect_list("doc_id").alias("ids")).collect()}
+    assert n2 == len(shards)
+    # replay the rule: shard of a doc = floor(prefix_before/budget)
+    order = sorted(toks)
+    pre, exp = 0, {}
+    for i in order:
+        exp[i] = pre // 20
+        pre += toks[i]
+    for sh, ids in shards.items():
+        for i in ids:
+            assert exp[i] == sh, (i, sh)
+    with pytest.raises(ValueError):
+        write_shards(sdf, p1, "doc_id")
+    with pytest.raises(ValueError):
+        write_shards(sdf, p1, "doc_id", token_budget=5)
