@@ -146,12 +146,14 @@ def learn_bpe(docs: SparkDF, text_col: str, num_merges: int = 32,
     distributed path."""
     hist = word_histogram(docs, text_col)
     if local_vocab_threshold:
-        small = (hist.limit(local_vocab_threshold + 1).count()
-                 <= local_vocab_threshold)
-        if small:
-            rows = [(r["word"], int(r["c"])) for r in hist.collect()]
-            return _learn_bpe_local(rows, num_merges, min_freq,
-                                    with_counts)
+        # ONE job probes and fetches: collect up to threshold+1 rows;
+        # a full result means the vocab exceeds the threshold (the
+        # earlier count-then-collect form paid two jobs)
+        rows = hist.limit(local_vocab_threshold + 1).collect()
+        if len(rows) <= local_vocab_threshold:
+            return _learn_bpe_local(
+                [(r["word"], int(r["c"])) for r in rows],
+                num_merges, min_freq, with_counts)
     if num_partitions:
         hist = hist.coalesce(num_partitions)
     words = (hist.select("c", F.concat(F.split(F.col("word"), ""),
