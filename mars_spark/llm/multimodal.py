@@ -4,10 +4,11 @@ The Spark-side machinery is real and tested: schema conventions, Arrow
 batch shape, mapInPandas signatures, partition sizing. DECODERS
 dispatch on content magic bytes: self-describing uncompressed formats
 decode FOR REAL with the stdlib (PCM WAV via ``wave``; 24-bit BMP and
-binary PPM via struct parsing); compressed formats (JPEG/PNG/MP3/MP4)
-still fall back to a deterministic fake because their codec libs
-(PIL/ffmpeg/torchaudio) aren't in this container — swap those in
-without touching any Spark code.
+binary PPM via struct parsing; non-interlaced 8-bit PNG via zlib +
+per-spec scanline unfiltering — see ``_png_pixels``); the remaining
+compressed formats (JPEG/MP3/MP4) still fall back to a deterministic
+fake because their codec libs (PIL/ffmpeg/torchaudio) aren't in this
+container — swap those in without touching any Spark code.
 
 Schema convention for a multimodal table::
 
@@ -158,14 +159,111 @@ def _decode_audio(payload: bytes, modality: str) -> np.ndarray:
     return _fake_decode(payload, modality)  # compressed: needs ffmpeg
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_pixels(payload: bytes):
+    """REAL PNG decode with the stdlib alone (zlib inflate + per-spec
+    scanline unfiltering — RFC 2083 §6): non-interlaced 8-bit
+    gray / gray+alpha / RGB / RGBA. Returns (w, h, channels, HxWxC
+    uint8 array), or None for variants out of scope (16-bit,
+    palette, Adam7), which fall back to the deterministic stub.
+    Filters Up/None vectorize; Sub/Average/Paeth recurrences run as
+    per-pixel loops — this decodes THUMBNAIL-scale payloads inside a
+    UDF, not a media farm."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        return None
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            if len(data) != 13:
+                return None
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            meta = (w, h, depth, ctype, interlace)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        return None
+    w, h, depth, ctype, interlace = meta
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0 or w * h == 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — uint8 addition wraps mod 256 natively
+            rec = line + prev
+        elif f in (1, 3, 4):
+            rec = line
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(pv[x])) >> 1
+                else:  # Paeth
+                    b = int(pv[x])
+                    c = int(pv[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                rec[x] = (int(rec[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+    return w, h, channels, out.reshape(h, w, channels)
+
+
+def _png_features(payload: bytes) -> np.ndarray:
+    dec = _png_pixels(payload)
+    if dec is None:
+        return _fake_decode(payload, "image")
+    w, h, c, px = dec
+    px = px.astype(np.float64)
+    if c <= 2:  # gray (+alpha): replicate luma into the rgb slots
+        r = g = b = px[..., 0]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return _pad([w, h, c, float(r.mean()), float(g.mean()),
+                 float(b.mean()), float(gray.std())])
+
+
 def _decode_image(payload: bytes, modality: str) -> np.ndarray:
     if payload[:2] in (b"BM", b"P6"):
         return _image_features(payload)
-    return _fake_decode(payload, modality)  # JPEG/PNG: needs PIL
+    if payload[:8] == _PNG_MAGIC:
+        return _png_features(payload)
+    return _fake_decode(payload, modality)  # JPEG: needs PIL
 
 
 DECODERS = {
-    "image": _decode_image,  # REAL for BMP/PPM; stub for JPEG/PNG (PIL absent)
+    "image": _decode_image,  # REAL for BMP/PPM/PNG-8bit; stub for JPEG (PIL absent)
     "audio": _decode_audio,  # REAL for PCM WAV; stub for MP3/OGG (ffmpeg absent)
     "video": _fake_decode,   # stub: containers need ffmpeg — frame fan-out
                              # shape is real (frame_sample_plan)
