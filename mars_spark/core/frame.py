@@ -829,10 +829,12 @@ class DataFrame:
         from mars_spark.operators.window import pct_change
 
         if cols is None:
-            num = ("int", "bigint", "smallint", "tinyint", "double",
-                   "float", "decimal")
+            # exact names + decimal(p,s): a prefix match on 'int'
+            # would false-positive interval dtypes
+            num = {"int", "bigint", "smallint", "tinyint", "double",
+                   "float"}
             cols = [c for c, t in self._sdf.dtypes
-                    if t.startswith(num)]
+                    if t in num or t.startswith("decimal")]
         return pct_change(self, periods, order_by=order_by,
                           partition_by=partition_by, cols=cols)
 

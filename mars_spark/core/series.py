@@ -647,29 +647,31 @@ class Series:
 
     def to_dict(self, into=dict):
         """reference: mars/dataframe/core.py:1605 — {index: value};
-        positions when the parent frame has no index columns."""
-        name = self.name or "0"
-        cols = [self._col.alias(name)]
+        positions when the parent frame has no index columns. The
+        value column projects under a reserved alias so a series
+        NAMED like an index column (f.set_index('k').k) doesn't
+        create a duplicate-name projection."""
         idx = getattr(self._frame, "_index", None)
+        cols = [self._col.alias("__sval")]
         if idx:
             pdf = (self._frame._sdf
                    .select(*[F.col(c) for c in idx], *cols).toPandas()
                    .set_index(idx[0] if len(idx) == 1 else list(idx)))
         else:
             pdf = self._frame._sdf.select(*cols).toPandas()
-        return pdf[name].to_dict(into=into)
+        return pdf["__sval"].to_dict(into=into)
 
     def items(self, batch_size: int = 1000):
         """pandas Series.items parity — batched (label, value)
-        iteration via the parent frame's streamed fetch."""
-        name = self.name or "0"
+        iteration via the parent frame's streamed fetch (reserved
+        value alias: see to_dict)."""
         from mars_spark.core.frame import DataFrame as _DF
 
         proj = _DF(self._frame._sdf.select(
             *[F.col(c) for c in (self._frame._index or [])],
-            self._col.alias(name)), self._frame._index)
+            self._col.alias("__sval")), self._frame._index)
         for pdf in proj._iter_pandas_batches(batch_size):
-            yield from pdf[name].items()
+            yield from pdf["__sval"].items()
 
     def execute(self):
         return self

@@ -47,30 +47,34 @@ def word_histogram(docs: SparkDF, text_col: str) -> SparkDF:
             .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
 
 
+def _apply_merge(syms, a, b):
+    """ONE merge (a, b) applied leftmost-first, non-overlapping — the
+    fold the BPE paper specifies ('a a a' under (a,a) -> ['aa','a']).
+    The single source of truth: the trainer UDF, the local trainer,
+    and both encoder forms all call this, so their pytest-pinned
+    bit-equivalences cannot silently drift apart."""
+    merged = a + b
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _merge_pair_udf(a: str, b: str):
-    """pandas UDF applying ONE merge (a,b) leftmost-first to each
-    symbol array (the non-overlapping left-to-right fold the BPE
-    paper specifies: 'a a a' under (a,a) -> ['aa','a'])."""
+    """pandas UDF applying ONE merge (a,b) to each symbol array."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-
-    merged = a + b
 
     # no type hints: module has postponed annotations (PEP 563),
     # which pandas_udf signature inspection rejects
     def _apply(col):
-        def one(syms):
-            out = []
-            i, n = 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
-        return pd.Series([one(list(s)) for s in col])
+        return pd.Series([_apply_merge(list(s), a, b) for s in col])
 
     return pandas_udf(_apply, "array<string>")
 
@@ -97,17 +101,8 @@ def _learn_bpe_local(hist: list, num_merges: int, min_freq: int,
         if c < min_freq:
             break
         merges.append((a, b, int(c)) if with_counts else (a, b))
-        merged = a + b
         for w, syms in words.items():
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            words[w] = out
+            words[w] = _apply_merge(syms, a, b)
     return merges
 
 
@@ -183,6 +178,12 @@ def learn_bpe(docs: SparkDF, text_col: str, num_merges: int = 32,
         new = (words.select("c", _merge_pair_udf(a, b)(F.col("s"))
                             .alias("s")).persist())
         prev, words = words, new
+    # release BOTH live tables: `words` (final, possibly never
+    # materialized) and `prev` (materialized by the last argmax
+    # collect — leaked a vocab-sized cache per training when the
+    # loop ran all rounds without an early break)
+    if prev is not None:
+        prev.unpersist()
     words.unpersist()
     return merges
 
@@ -213,17 +214,7 @@ def _fold_merges_udf(merges: list[tuple[str, str]]):
         def one(syms):
             syms = list(syms)
             for a, b in ms:
-                merged = a + b
-                out = []
-                i, n = 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
+                syms = _apply_merge(syms, a, b)
             return syms
         return pd.Series([one(list(s)) for s in col])
 
@@ -234,41 +225,38 @@ def bpe_tokenize(sdf: SparkDF, text_col: str,
                  merges: list[tuple[str, str]],
                  out_col: str = "bpe_tokens") -> SparkDF:
     """Adds ``out_col`` (array<string>): the document's subword
-    tokens — each whitespace word char-split + ``</w>`` and folded
-    through the merge list, concatenated in order. One Arrow-batched
-    pass; NULL text yields NULL, empty text an empty array. At 100 TB
-    prefer the join form (``bpe_segment_words`` broadcast against
-    exploded tokens) so the fold runs once per DISTINCT word — this
-    per-document form is the convenience/streaming path."""
+    tokens — each word char-split + ``</w>`` and folded through the
+    merge list, concatenated in order. One Arrow-batched pass; NULL
+    text yields NULL, empty text an empty array. Word segmentation
+    comes from the ENGINE's ``tokens()`` expression (Java ``\\s+``
+    split of the lowered text), applied BEFORE the UDF — a
+    python-side ``str.split()`` here diverged from the histogram /
+    ``bpe_segment_words`` join path on unicode whitespace and
+    locale-sensitive case, breaking the two encoders' documented
+    equivalence. At 100 TB prefer the join form (broadcast
+    ``bpe_segment_words`` against exploded tokens) so the fold runs
+    once per DISTINCT word — this per-document form is the
+    convenience/streaming path."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     ms = list(merges)
 
     def _apply(col):
-        def one(text):
-            if text is None:
+        def one(words):
+            if words is None:
                 return None
             toks = []
-            for w in " ".join(text.lower().split()).split(" "):
+            for w in words:
                 if not w:
                     continue
                 syms = list(w) + [EOW]
                 for a, b in ms:
-                    merged = a + b
-                    out = []
-                    i, n = 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                            out.append(merged)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
+                    syms = _apply_merge(syms, a, b)
                 toks.extend(syms)
             return toks
-        return pd.Series([one(t) for t in col])
+        return pd.Series([one(w if w is None else list(w))
+                          for w in col])
 
     fn = pandas_udf(_apply, "array<string>")
-    return sdf.withColumn(out_col, fn(F.col(text_col)))
+    return sdf.withColumn(out_col, fn(T.tokens(F.col(text_col))))

@@ -166,7 +166,10 @@ def write_shards(sdf: SparkDF, path: str, order_col: str,
     shard directory is written by one task (without it every task
     appends a file fragment to every shard — the small-files
     explosion). Output: ``{path}/shard=N/...`` in ``fmt``; returns
-    the shard count."""
+    the number of shard directories written. Under the token rule
+    shard ids may be NON-CONTIGUOUS (a document larger than the
+    budget advances the prefix past whole shard numbers) — enumerate
+    shards by listing ``shard=*``, not ``range(n)``."""
     from mars_spark.llm import text as T
     from mars_spark.operators.rank import prefix_stats
 
@@ -189,5 +192,7 @@ def write_shards(sdf: SparkDF, path: str, order_col: str,
            .drop("__nt", "__before", "__didx"))
     (out.repartition("shard").write.mode(mode)
      .partitionBy("shard").format(fmt).save(path))
-    n = out.agg(F.max("shard")).collect()[0][0]
-    return int(n) + 1 if n is not None else 0
+    # distinct count, not max+1: gapped ids would overcount. Cheap —
+    # prefix_stats localCheckpoints its frame, so this re-runs only
+    # a projection + small agg over the snapshot, not the pipeline.
+    return out.select("shard").distinct().count()

@@ -391,10 +391,13 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
     # the seed id, 0-based
     seed_rows = (base.orderBy(id_col).limit(n_clusters)
                  .select(id_col, "e").collect())
-    if len(seed_rows) < n_clusters:
-        raise ValueError(
-            f"ivf_index_deterministic needs >= {n_clusters} rows; "
-            f"got {len(seed_rows)}")
+    if not seed_rows:
+        raise ValueError("ivf_index_deterministic: empty input")
+    # fewer rows than n_clusters: degrade to one cluster per row
+    # (fewer clusters is semantically fine for IVF — unlike
+    # pq_codebook, whose 2^nbits code domain is fixed — and
+    # small-corpus callers like clean_corpus(dedup='semantic')
+    # cannot know the post-filter count to clamp themselves)
     seeds = [list(r["e"]) for r in
              sorted(seed_rows, key=lambda r: r[id_col])]
 
@@ -435,7 +438,7 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
         .collect()
     )
     import math
-    cent = {c: list(seeds[c]) for c in range(n_clusters)}
+    cent = {c: list(seeds[c]) for c in range(len(seeds))}
     acc: dict[int, dict[int, float]] = {}
     for r in means:
         acc.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
@@ -443,7 +446,7 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
         vec = [dims[i] for i in range(len(seeds[0]))]
         nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
         cent[c] = [x / nrm for x in vec]
-    centroids = [cent[c] for c in range(n_clusters)]
+    centroids = [cent[c] for c in range(len(seeds))]
     assigned = _assign(base, centroids)
     return assigned, centroids
 

@@ -641,10 +641,15 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text",
                       (F.col("ts") + F.expr("INTERVAL 2 MINUTES"))
                       .alias("ts")))
-    # fixed staging path per sf_dir (same convention as
-    # _stream_source): mkdtemp leaked a staged corpus copy per
-    # invocation across bench reps; overwrite mode makes reuse safe
-    stage = ("/tmp/ms_incdedup_"
+    # fixed staging path per (process, sf_dir): mkdtemp leaked a
+    # staged corpus copy per invocation across bench reps; a purely
+    # sf_dir-keyed path let a CONCURRENT process overwrite the
+    # parquet mid-read. The pid keeps intra-process reuse (overwrite
+    # mode) while isolating concurrent runs; at most one staged copy
+    # per process lifetime.
+    import os as _os
+
+    stage = (f"/tmp/ms_incdedup_{_os.getpid()}_"
              + sf_dir.strip("/").replace("/", "_"))
     odd.unionByName(copies).coalesce(1).write.mode("overwrite") \
         .parquet(stage)

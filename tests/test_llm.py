@@ -1402,3 +1402,58 @@ def test_png_decode_real(spark):
     interlaced = bytearray(png)
     interlaced[8 + 8 + 12] = 1  # IHDR interlace flag
     assert MM._png_pixels(bytes(interlaced)) is None
+
+
+def test_review_fix_regressions(spark, tmpdir):
+    """Pins the r9 second-review fixes: small-corpus IVF degrades to
+    one cluster per row (no ValueError), write_shards counts actual
+    shard dirs under gapped token-rule ids, and bpe_tokenize uses the
+    ENGINE's word segmentation (unicode whitespace stays one word,
+    matching the bpe_segment_words join path)."""
+    import os
+
+    # ivf: 5 rows < n_clusters=16 must degrade, not raise
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.5, 0.5], [0.1, 0.9]]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    assigned, seeds = S.ivf_index_deterministic(sdf, "embedding",
+                                                n_clusters=16)
+    assert len(seeds) == 5 and assigned.count() == 5
+    with pytest.raises(ValueError):
+        S.ivf_index_deterministic(sdf.filter("vec_id < 0"), "embedding")
+
+    # write_shards: doc 0 overshoots the budget -> gapped shard ids;
+    # return value must equal the number of directories written
+    from mars_spark.llm.packing import write_shards
+    docs = spark.createDataFrame(
+        [(0, "w " * 100), (1, "w w w")], "doc_id long, text string")
+    p = str(tmpdir.join("gapped"))
+    n = write_shards(docs, p, "doc_id", token_budget=20,
+                     text_col="text")
+    dirs = [d for d in os.listdir(p) if d.startswith("shard=")]
+    assert n == len(dirs) == 2
+    assert sorted(dirs) == ["shard=0", "shard=5"]
+
+    # bpe_tokenize: NBSP is NOT a separator for the engine tokenizer;
+    # the convenience path must agree with the segment-join path
+    from mars_spark.llm import bpe as B
+    weird = spark.createDataFrame(
+        [(0, "foo bar foo bar baz baz")],
+        "doc_id long, text string")
+    merges = B.learn_bpe(weird, "text", num_merges=3)
+    seg = {r.word: list(r.syms) for r in
+           B.bpe_segment_words(weird, "text", merges).collect()}
+    enc = B.bpe_tokenize(weird, "text", merges).collect()[0].bpe_tokens
+    exp = seg["foo bar"] * 2 + seg["baz"] * 2
+    assert list(enc) == exp
+
+    # Series NAMED like its index column: the reserved __sval alias
+    # keeps the projection unambiguous (previously a duplicate-name
+    # projection broke set_index/to_dict)
+    from mars_spark.core.series import Series as MSeries
+    pdf = pd.DataFrame({"k": ["x", "y"], "v": [1.0, 2.0]})
+    fi = ms.from_pandas(pdf).set_index("k")
+    clash = MSeries(fi, F.col("v"), name="k")
+    assert clash.to_dict() == {"x": 1.0, "y": 2.0}
+    assert list(clash.items()) == [("x", 1.0), ("y", 2.0)]
