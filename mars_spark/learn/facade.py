@@ -572,6 +572,118 @@ class KNeighborsClassifier:
                 .select(id_col, F.col("__tl").alias("prediction")))
 
 
+class NearestNeighbors:
+    """Unsupervised kNN queries (reference: mars/learn/neighbors/
+    unsupervised.py — NearestNeighbors.fit / kneighbors; Mars selects
+    kd-tree / ball-tree / faiss / proxima backends per chunk).
+    Spark-first: the FITTED table stays distributed; queries are a
+    driver-side list (the broadcast direction, like
+    learn/pairwise). kneighbors computes one BLAS block per Arrow
+    batch, keeps each query's k nearest WITHIN the batch (so only
+    ~n_batches × m × k candidate rows shuffle, never the b × m
+    block), and a per-query window takes the global top-k with a
+    deterministic (dist, id) tie-break. For table-vs-table neighbor
+    joins use kneighbors_graph below or llm.similarity's IVF/PQ."""
+
+    def __init__(self, n_neighbors: int = 5,
+                 metric: str = "euclidean"):
+        self.n_neighbors = n_neighbors
+        self.metric = metric
+
+    def fit(self, df, features: str, id_col: str = "vec_id"):
+        self._fit_sdf = _sdf(df)
+        self._features = features
+        self._id = id_col
+        return self
+
+    def kneighbors(self, queries, n_neighbors: int | None = None):
+        """(query_idx, rank, <id_col>, dist) for each query vector —
+        rank 1 = nearest."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import Window
+
+        from mars_spark.learn.pairwise import _METRICS, _block
+
+        if not hasattr(self, "_fit_sdf"):
+            raise ValueError("fit() before kneighbors()")
+        if self.metric not in _METRICS:
+            raise ValueError(f"unknown metric {self.metric!r}")
+        k = n_neighbors or self.n_neighbors
+        ym = np.asarray(queries, dtype=np.float64)
+        m = len(queries)
+        metric = self.metric
+        id_col = self._id
+        id_type = dict(self._fit_sdf.dtypes)[id_col]
+        base = self._fit_sdf.select(F.col(id_col),
+                                    F.col(self._features).alias("__e"))
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                xs = np.vstack([np.asarray(v, dtype=np.float64)
+                                for v in pdf["__e"]])
+                d = _block(metric, xs, ym, 1.0)      # b × m
+                ids = pdf[id_col].to_numpy()
+                kk = min(k, len(pdf))
+                # per query: kk smallest with (dist, id) lexsort so
+                # boundary ties never drop the smaller id — the
+                # global window re-ranks by the same key, keeping
+                # the result deterministic across partitionings
+                sel_ids, sel_d, sel_q = [], [], []
+                for j in range(m):
+                    order = np.lexsort((ids, d[:, j]))[:kk]
+                    sel_ids.append(ids[order])
+                    sel_d.append(d[order, j])
+                    sel_q.append(np.full(kk, j, dtype=np.int32))
+                yield pd.DataFrame({
+                    "query_idx": np.concatenate(sel_q),
+                    id_col: np.concatenate(sel_ids),
+                    "dist": np.concatenate(sel_d),
+                })
+
+        part = base.mapInPandas(
+            gen, schema=f"query_idx int, {id_col} {id_type}, dist double")
+        w = Window.partitionBy("query_idx").orderBy(
+            F.col("dist").asc(), F.col(id_col).asc())
+        return (part.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_idx", "rank", id_col,
+                        F.round("dist", 6).alias("dist")))
+
+
+def kneighbors_graph(df, features: str, id_col: str,
+                     n_neighbors: int = 5,
+                     include_self: bool = False):
+    """kNN edge list of a table against ITSELF (reference:
+    mars/learn/neighbors/_kneighbors_graph.py — Mars materializes the
+    sparse connectivity matrix; the relational form is the edge
+    list). Broadcast self-join + per-source window, the same scale
+    envelope (and edge shape) as label_propagation's internal graph
+    builder; beyond broadcast size, llm.similarity's IVF/LSH paths
+    produce the same (src, dst) edges approximately. Returns
+    (src, dst, dist) with rank-(dist, dst) determinism."""
+    from pyspark.sql import Window
+
+    sdf = _sdf(df)
+    arr = F.transform(F.col(features), lambda x: x.cast("double"))
+    base = sdf.select(F.col(id_col).alias("src"), arr.alias("fs"))
+    rhs = sdf.select(F.col(id_col).alias("dst"), arr.alias("fd"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("fs"), F.col("fd"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("src").orderBy(F.asc("__d"), F.asc("dst"))
+    out = base.join(F.broadcast(rhs))
+    if not include_self:
+        out = out.filter(F.col("src") != F.col("dst"))
+    return (out.withColumn("__d", dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_neighbors)
+            .select("src", "dst", F.round("__d", 6).alias("dist")))
+
+
 class GeneralizedLinearModel(_Wrapper):
     """GLM (reference: mars/learn/glm/ — Mars implements multinomial
     logistic by hand over tensors) → MLlib GeneralizedLinearRegression:

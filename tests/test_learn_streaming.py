@@ -985,3 +985,55 @@ def test_make_regression_recoverable(spark):
                               y, rcond=None)
     np.testing.assert_allclose(sol[:3], coef, rtol=1e-8)
     np.testing.assert_allclose(sol[3], 2.0, rtol=1e-8)
+
+
+def test_nearest_neighbors_and_graph(spark):
+    import numpy as np
+
+    from mars_spark.learn.facade import NearestNeighbors, kneighbors_graph
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((60, 8))
+    sdf = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    Q = rng.standard_normal((4, 8))
+    nn = NearestNeighbors(n_neighbors=5).fit(sdf, "embedding")
+    got = nn.kneighbors([[float(v) for v in q] for q in Q]).collect()
+    for j in range(4):
+        d = np.sqrt(((X - Q[j]) ** 2).sum(axis=1))
+        exp = sorted(range(60), key=lambda i: (d[i], i))[:5]
+        rows = sorted([r for r in got if r.query_idx == j],
+                      key=lambda r: r.rank)
+        assert [r.vec_id for r in rows] == exp
+        np.testing.assert_allclose([r.dist for r in rows],
+                                   np.round(sorted(d)[:5], 6), atol=1e-6)
+    # repartitioned input produces the identical result (the
+    # per-batch lexsort boundary rule is layout-invariant)
+    nn2 = NearestNeighbors(n_neighbors=5).fit(sdf.repartition(13),
+                                              "embedding")
+    got2 = nn2.kneighbors([[float(v) for v in q] for q in Q]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+    # cosine metric path
+    nc = NearestNeighbors(n_neighbors=3, metric="cosine").fit(
+        sdf, "embedding")
+    gc = nc.kneighbors([[float(v) for v in Q[0]]]).collect()
+    dc = 1 - (X @ Q[0]) / (np.linalg.norm(X, axis=1)
+                           * np.linalg.norm(Q[0]))
+    expc = sorted(range(60), key=lambda i: (dc[i], i))[:3]
+    assert [r.vec_id for r in sorted(gc, key=lambda r: r.rank)] == expc
+    # unfitted refuses
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        NearestNeighbors().kneighbors([[0.0] * 8])
+
+    # self-graph: each node's 3 nearest others, vs numpy
+    g = kneighbors_graph(sdf, "embedding", "vec_id", n_neighbors=3)
+    by_src = {}
+    for r in g.collect():
+        by_src.setdefault(r.src, []).append((r.dist, r.dst))
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    for i in range(60):
+        exp = sorted((j for j in range(60) if j != i),
+                     key=lambda j: (D[i, j], j))[:3]
+        gotn = [d for _, d in sorted(by_src[i])]
+        assert gotn == exp, i
