@@ -1140,8 +1140,23 @@ def op_knn_kmeans(spark: SparkSession, sf_dir: str) -> SparkDF:
                F.round(F.sum(F.round("target", 4)), 4).alias("score"))
           .select(F.lit("reg").alias("tag"), F.col("id").cast("long"),
                   F.col("val").cast("long"), "score"))
+    # r9: NearestNeighbors facade (mars/learn/neighbors/
+    # unsupervised.py) — each of the same 4 queries' 3 nearest TABLE
+    # rows, the reverse reduction of tk's per-row top-k; the oracle
+    # ranks the shared pw block per query with the same
+    # (raw distance, id) tie-break, mirroring the engine's 6-then-4
+    # dp rounding
+    from mars_spark.learn.facade import NearestNeighbors
+
+    nn = (NearestNeighbors(n_neighbors=3).fit(base, "v", "vec_id")
+          .kneighbors(yv)
+          .select(F.concat(F.lit("nn"),
+                           F.col("rank").cast("string")).alias("tag"),
+                  F.col("vec_id").alias("id"),
+                  F.col("query_idx").cast("long").alias("val"),
+                  F.round("dist", 4).alias("score")))
     return (head.unionByName(eu).unionByName(cs).unionByName(tk)
-            .unionByName(bl).unionByName(rg))
+            .unionByName(bl).unionByName(rg).unionByName(nn))
 
 
 OPS_QUERIES = {

@@ -690,6 +690,19 @@ OPS_ORACLES: dict[str, str] = {
                              AS rn
                   FROM pw)
             WHERE rn <= 2
+            UNION ALL
+            -- NearestNeighbors: per-QUERY 3 nearest table rows
+            -- (engine rounds dist to 6 dp then the stratum to 4)
+            SELECT 'nn' || rq AS tag, a AS id, b AS val,
+                   round(round(sqrt(greatest(x2 + y2 - 2*xy, 0)), 6), 4)
+                       AS score
+            FROM (SELECT a, b, x2, y2, xy,
+                         row_number() OVER (
+                             PARTITION BY b
+                             ORDER BY sqrt(greatest(x2 + y2 - 2*xy, 0)), a)
+                             AS rq
+                  FROM pw)
+            WHERE rq <= 3
         )
         UNION ALL
         -- make_blobs(400x3, 3 centers, std .5, seed 7): regenerate the
