@@ -1250,6 +1250,22 @@ class DataFrame:
     def to_pandas(self):
         return self._sdf.toPandas()
 
+    @property
+    def plot(self):
+        """mars/dataframe/plotting/core.py:23 — bounded collect +
+        ``pandas.DataFrame.plot`` delegate (see core/plotting.py for
+        the explicit driver-side row bound)."""
+        from mars_spark.core.plotting import PlotAccessor
+
+        return PlotAccessor(self)
+
+    def _plot_pandas(self, limit: int):
+        pdf = self._sdf.limit(limit).toPandas()
+        if self._index:
+            pdf = pdf.set_index(self._index[0] if len(self._index) == 1
+                                else list(self._index))
+        return pdf
+
     def _iter_pandas_batches(self, batch_size: int):
         """pandas frames of ``batch_size`` rows, streamed — one
         partition at a time reaches the driver (toLocalIterator), so

@@ -673,6 +673,25 @@ class Series:
         for pdf in proj._iter_pandas_batches(batch_size):
             yield from pdf["__sval"].items()
 
+    @property
+    def plot(self):
+        """mars/dataframe/plotting/core.py:23 (Series form) — bounded
+        collect + ``pandas.Series.plot`` delegate."""
+        from mars_spark.core.plotting import PlotAccessor
+
+        return PlotAccessor(self)
+
+    def _plot_pandas(self, limit: int):
+        idx = getattr(self._frame, "_index", None) or []
+        name = self.name or "0"
+        pdf = (self._frame._sdf
+               .select(*[F.col(c) for c in idx],
+                       self._col.alias("__sval"))
+               .limit(limit).toPandas())
+        if idx:
+            pdf = pdf.set_index(idx[0] if len(idx) == 1 else list(idx))
+        return pdf["__sval"].rename(name)
+
     def execute(self):
         return self
 

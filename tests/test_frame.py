@@ -924,3 +924,36 @@ def test_module_level_parity_aliases(spark, tmpdir):
     # quoted lowercase columns — quote them in raw query text
     q = ms.read_sql_query('SELECT "id" FROM t_alias WHERE "id" > 1', url)
     assert sorted(q.to_pandas().id) == [2, 3]
+
+
+def test_plot_accessor(spark):
+    """mars/dataframe/plotting/core.py parity: df.plot / series.plot
+    collect a BOUNDED pandas object then delegate to pandas.plot.
+    The collect contract (bound, index handling, kind surface) is
+    what the engine owns; rendering needs matplotlib and is exercised
+    only when the library exists."""
+    import importlib.util
+
+    pdf = pd.DataFrame({"k": ["a", "b", "c", "d", "e"],
+                        "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    f = ms.from_pandas(pdf)
+    acc = f.plot
+    for kind in ("line", "bar", "hist", "scatter", "kde", "pie"):
+        assert callable(getattr(acc, kind))
+    # the bounded-collect contract, tested without matplotlib
+    got = acc._collect(max_rows=10)
+    assert len(got) == 5 and set(got.columns) == {"k", "v"}
+    with pytest.raises(ValueError, match="max_rows"):
+        acc._collect(max_rows=3)
+    with pytest.raises(ValueError, match="unknown plot kind"):
+        f.plot(kind="sunburst")
+    # index columns become the pandas index of the collected frame
+    gi = f.set_index("k").plot._collect(max_rows=10)
+    assert gi.index.name == "k" and list(gi.columns) == ["v"]
+    sv = f.set_index("k").v.plot._collect(max_rows=10)
+    assert sv.name == "v" and sv.index.name == "k" and len(sv) == 5
+    if importlib.util.find_spec("matplotlib") is None:
+        with pytest.raises(ImportError):
+            f.plot(y="v")
+    else:
+        assert f.plot(x="k", y="v") is not None
