@@ -218,8 +218,13 @@ def minhash_candidate_pairs(sdf: SparkDF, text_col: str, id_col: str,
                           postings=postings)
     left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
+    # sort-merge pinned for the same reason as jaccard_pairs' posting
+    # self-join: the band table is corpus-sized, so a misestimated
+    # broadcast (or an under-partitioned hash build) of it is fatal at
+    # scale; bucket-partitioned shuffle is the LSH design point and
+    # SMJ spills gracefully within it.
     return (
-        left.join(right, on=["band", "band_hash"])
+        left.join(right.hint("merge"), on=["band", "band_hash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -247,18 +252,40 @@ def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")
+    # The inverted-index self-join MUST be a shuffle join partitioned
+    # by shingle — that is the whole point of the posting-list form.
+    # Unpinned, Catalyst's size estimate for the un-materialized
+    # window+explode+distinct cache plan undershoots and elects to
+    # BROADCAST the full posting list (seen at 100x scale, SCALE.md
+    # sf10: a corpus-sized HashedRelation build that dies in the
+    # driver); at cluster scale that broadcast can never be right.
+    # Sort-merge (not shuffle-hash): per-task hash maps over a
+    # corpus-sized posting list also OOM when the partition count
+    # lags the data (same sf10 sweep), while SMJ sorts spill to disk
+    # and AQE splits the zipfian-shingle skew.
     inter = (
-        a.join(b, on="sh")
+        a.join(b.hint("merge"), on="sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # The per-doc size table and the LSH candidate list GROW WITH THE
+    # CORPUS — pin their joins to shuffle-hash instead of letting
+    # compile-time stats elect a broadcast: a 100x local sweep
+    # (SCALE.md sf10) saw the sizes broadcast build die in the driver
+    # ("Not enough memory to build and broadcast") once the cached
+    # posting list saturated the unified pool, and a compile-time
+    # broadcast has no graceful fallback under memory pressure. The
+    # join inputs here are all narrow (id, count) / (a, b) rows, so
+    # the extra shuffle is small change next to the posting self-join.
     if candidates is not None:
-        inter = inter.join(candidates, on=["a", "b"], how="leftsemi")
+        inter = inter.join(candidates.hint("shuffle_hash"),
+                           on=["a", "b"], how="leftsemi")
     sza = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     szb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
     out = (
-        inter.join(sza, "a").join(szb, "b")
+        inter.join(sza.hint("shuffle_hash"), "a")
+        .join(szb.hint("shuffle_hash"), "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -311,22 +338,38 @@ def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
     run-to-run band on this row is scheduler/GC noise, confirmed by a
     10-rep isolation bench (see SCALE.md); don't chase it.
     """
-    edges = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-             .unionByName(pairs.select(F.col("b").alias("x"),
-                                       F.col("a").alias("y"))))
+    # Snapshot the PAIRS before fanning out into the two edge
+    # directions: Spark does not reuse identical exchanges across
+    # separate branches of one plan (the r9 plan-dedup sweep's
+    # recurring finding), so union-then-materialize would run the
+    # whole upstream pair computation twice. The union over the
+    # checkpointed blocks is then just a double block-read.
+    #
     # localCheckpoint each round: iterative plans otherwise nest the
     # whole history (planning cost doubles per iteration — measured
     # minutes by round 10 even on toy data). Checkpointing truncates
     # lineage to the materialized result; on a real cluster with
     # unreliable executors use checkpoint() to HDFS instead.
-    edges = edges.localCheckpoint()
+    p = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+         .localCheckpoint())
+    edges = p.unionByName(
+        p.select(F.col("y").alias("x"), F.col("x").alias("y")))
     labels = (edges.select(F.col("x").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id"))
               .localCheckpoint())
+    # Both in-loop joins are data-sized × data-sized (labels grows
+    # with the corpus), so they are pinned to shuffle-hash joins: a
+    # 100x-scale sweep (SCALE.md sf10) showed Spark electing to
+    # broadcast the checkpointed label table and dying in the driver-
+    # side build ("Not enough memory to build and broadcast") once
+    # round-over-round checkpoint blocks filled the unified pool —
+    # and at cluster scale a billion-row label broadcast is never
+    # right. Shuffle-hash (not sort-merge) because each round's join
+    # is a few heavy keys joined once — no sort amortization.
     for _ in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges.y == labels.id)
+            edges.join(labels.hint("shuffle_hash"), edges.y == labels.id)
             .groupBy("x").agg(F.min("cluster").alias("nbr_min"))
         )
         # Carry a per-row changed flag through the SAME plan so the
@@ -336,7 +379,8 @@ def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
         new_min = F.least(F.col("cluster"),
                           F.coalesce(F.col("nbr_min"), F.col("cluster")))
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            labels.join(neighbor_min.hint("shuffle_hash"),
+                        labels.id == neighbor_min.x, "left")
             .select(
                 "id",
                 new_min.alias("cluster"),
@@ -524,7 +568,16 @@ def line_dedup(sdf: SparkDF, text_col: str, id_col: str,
                 F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
                 lambda s: s["__line"]),
             sep).alias("__newtext")))
-    return (sdf.join(reassembled, id_col, "inner")
+    # sort-merge-pinned: the reassembled side carries the full
+    # rewritten TEXT per doc, but Catalyst's estimate for the
+    # collect_list aggregate undershoots badly and elects to
+    # broadcast it (seen in the sf10 plan audit, SCALE.md) — a
+    # corpus-text broadcast can never be right, and SMJ spills
+    # gracefully where a per-task hash build of text rows would not.
+    # Narrow id-list sides elsewhere (exact_dedup's kept ids) stay
+    # adaptive: their estimates track input and flip to shuffle on
+    # their own as they grow.
+    return (sdf.join(reassembled.hint("merge"), id_col, "inner")
             .withColumn(text_col, F.col("__newtext")).drop("__newtext"))
 
 
@@ -617,13 +670,20 @@ def remove_duplicate_spans(sdf: SparkDF, text_col: str, id_col: str,
         F.explode(F.sequence(F.col("__gpos"),
                              F.col("__gpos") + (k - 1))).alias("__tpos"))
         .distinct())
-    kept = toks.join(covered, [id_col, "__tpos"], "left_anti")
+    # Both pinned joins below guard the same sf10 plan-audit finding
+    # (SCALE.md): Catalyst undershoots aggregate-output estimates and
+    # elects to broadcast sides that grow with the corpus — the
+    # covered-position table here, and the reassembled side which
+    # carries the full rewritten TEXT per doc. Sort-merge spills
+    # gracefully when the partition count lags the data.
+    kept = toks.join(covered.hint("merge"), [id_col, "__tpos"],
+                     "left_anti")
     reassembled = (kept.groupBy(id_col)
                    .agg(F.array_join(F.transform(
                        F.array_sort(F.collect_list(
                            F.struct("__tpos", "__w"))),
                        lambda s: s["__w"]), " ").alias("__newtext")))
-    return (sdf.join(reassembled, id_col, "left")
+    return (sdf.join(reassembled.hint("merge"), id_col, "left")
             .withColumn(text_col,
                         F.when(F.col(text_col).isNotNull(),
                                F.coalesce(F.col("__newtext"), F.lit("")))
