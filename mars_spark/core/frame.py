@@ -1260,10 +1260,22 @@ class DataFrame:
         return PlotAccessor(self)
 
     def _plot_pandas(self, limit: int):
-        pdf = self._sdf.limit(limit).toPandas()
+        # Order-sensitive plot kinds (line/area) render rows in
+        # collected order, which Spark does not define — sort by the
+        # engine's own order carrier (sequence index, else the label
+        # index) before collecting, matching the reference's
+        # order-preserving fetch.
+        sdf = self._sdf
+        if self._seq and not self._seq_dirty:
+            sdf = sdf.orderBy(self._seq)
+        elif self._index:
+            sdf = sdf.orderBy(*self._index)
+        pdf = sdf.limit(limit).toPandas()
         if self._index:
             pdf = pdf.set_index(self._index[0] if len(self._index) == 1
                                 else list(self._index))
+        if self._seq and self._seq in pdf.columns:
+            pdf = pdf.drop(columns=[self._seq])
         return pdf
 
     def _iter_pandas_batches(self, batch_size: int):

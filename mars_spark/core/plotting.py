@@ -39,13 +39,15 @@ class PlotAccessor:
                 f"or filter first, or raise max_rows explicitly.")
         return pdf
 
-    def __call__(self, kind: str = "line", *,
+    def __call__(self, kind: str = "line", *args,
                  max_rows: int = DEFAULT_MAX_ROWS, **kwargs):
         if kind not in _KINDS:
             raise ValueError(f"unknown plot kind {kind!r}; "
                              f"one of {_KINDS}")
         data = self._collect(max_rows)
-        return data.plot(kind=kind, **kwargs)
+        # positional args forward to pandas' plot (x, y, ... — the
+        # pandas-standard df.plot.scatter("x", "y") form)
+        return data.plot(*args, kind=kind, **kwargs)
 
 
 def _gen(kind: str):

@@ -645,21 +645,29 @@ class Series:
         pdf = self._frame._sdf.select(self._col.alias(name)).toPandas()
         return pdf[name]
 
-    def to_dict(self, into=dict):
-        """reference: mars/dataframe/core.py:1605 — {index: value};
-        positions when the parent frame has no index columns. The
+    def _indexed_pandas(self, limit: int | None = None,
+                        ordered: bool = False):
+        """Collect this series as an index-labeled pandas Series. The
         value column projects under a reserved alias so a series
         NAMED like an index column (f.set_index('k').k) doesn't
-        create a duplicate-name projection."""
-        idx = getattr(self._frame, "_index", None)
-        cols = [self._col.alias("__sval")]
+        create a duplicate-name projection — the one place that
+        invariant lives (to_dict and plot both route here)."""
+        idx = getattr(self._frame, "_index", None) or []
+        sdf = self._frame._sdf.select(
+            *[F.col(c) for c in idx], self._col.alias("__sval"))
+        if ordered and idx:
+            sdf = sdf.orderBy(*idx)
+        if limit is not None:
+            sdf = sdf.limit(limit)
+        pdf = sdf.toPandas()
         if idx:
-            pdf = (self._frame._sdf
-                   .select(*[F.col(c) for c in idx], *cols).toPandas()
-                   .set_index(idx[0] if len(idx) == 1 else list(idx)))
-        else:
-            pdf = self._frame._sdf.select(*cols).toPandas()
-        return pdf["__sval"].to_dict(into=into)
+            pdf = pdf.set_index(idx[0] if len(idx) == 1 else list(idx))
+        return pdf["__sval"]
+
+    def to_dict(self, into=dict):
+        """reference: mars/dataframe/core.py:1605 — {index: value};
+        positions when the parent frame has no index columns."""
+        return self._indexed_pandas().to_dict(into=into)
 
     def items(self, batch_size: int = 1000):
         """pandas Series.items parity — batched (label, value)
@@ -682,15 +690,10 @@ class Series:
         return PlotAccessor(self)
 
     def _plot_pandas(self, limit: int):
-        idx = getattr(self._frame, "_index", None) or []
-        name = self.name or "0"
-        pdf = (self._frame._sdf
-               .select(*[F.col(c) for c in idx],
-                       self._col.alias("__sval"))
-               .limit(limit).toPandas())
-        if idx:
-            pdf = pdf.set_index(idx[0] if len(idx) == 1 else list(idx))
-        return pdf["__sval"].rename(name)
+        # ordered: line/area plots render rows in collected order —
+        # sort by the label index (Spark defines no row order)
+        return self._indexed_pandas(limit, ordered=True).rename(
+            self.name or "0")
 
     def execute(self):
         return self

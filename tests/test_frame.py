@@ -952,8 +952,19 @@ def test_plot_accessor(spark):
     assert gi.index.name == "k" and list(gi.columns) == ["v"]
     sv = f.set_index("k").v.plot._collect(max_rows=10)
     assert sv.name == "v" and sv.index.name == "k" and len(sv) == 5
+    # order-sensitive kinds need a defined row order: the collect
+    # sorts by the label index regardless of partition layout
+    shuffled = ms.from_pandas(
+        pdf.sample(frac=1.0, random_state=7), num_partitions=5)
+    so = shuffled.set_index("k").v.plot._collect(max_rows=10)
+    assert list(so.index) == ["a", "b", "c", "d", "e"]
     if importlib.util.find_spec("matplotlib") is None:
         with pytest.raises(ImportError):
             f.plot(y="v")
+        # pandas-standard positional form reaches pandas (not a
+        # TypeError in the accessor's own forwarding)
+        with pytest.raises(ImportError):
+            f.plot.scatter("k", "v")
     else:
         assert f.plot(x="k", y="v") is not None
+        assert f.plot.scatter("k", "v") is not None
