@@ -45,8 +45,16 @@ def qcut(series: Series, q: int, labels: list[str] | None = None,
     sdf = series._frame._sdf
     name = "__qcut_in"
     probe = sdf.select(series._col.alias(name))
-    edges = probe.approxQuantile(name, [i / q for i in range(q + 1)],
-                                 relative_error)
+    ps = [i / q for i in range(q + 1)]
+    if relative_error == 0.0:
+        # route through the distributed exact path (frame.quantile):
+        # approxQuantile(err=0) degenerates at scale — see
+        # DataFrame.quantile's docstring
+        from mars_spark.core.frame import DataFrame as _DF
+
+        edges = _DF(probe).quantile(name, ps, 0.0)[0]
+    else:
+        edges = probe.approxQuantile(name, ps, relative_error)
     edges[0] = edges[0] - 1e-9  # pandas includes the minimum
     uniq = sorted(set(edges))
     return cut(series, uniq, labels=labels)

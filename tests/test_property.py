@@ -767,3 +767,26 @@ def test_winnow_fingerprints_match_pure_python(spark, docs, k, w):
         spark.createDataFrame(pdf), "text", "doc_id", k=k, w=w).toPandas()
     got = {int(d): set(g.fp) for d, g in out.groupby("doc_id")}
     assert got == exp
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=-5, max_value=5), min_size=1,
+                  max_size=120),
+    ps=st.lists(st.floats(min_value=0.0, max_value=1.0,
+                          allow_nan=False), min_size=1, max_size=5),
+)
+def test_exact_quantile_matches_gk_zero_error(spark, vals, ps):
+    """DataFrame.quantile(relative_error=0) no longer routes through
+    approxQuantile's degenerate err=0 sketch — pin that the
+    distributed value-count + prefix-sum replacement returns the SAME
+    element GK returns, on tie-heavy integer data across arbitrary
+    probabilities (including 0 and 1)."""
+    import mars_spark as ms
+
+    pdf = pd.DataFrame({"x": [float(v) for v in vals]})
+    f = ms.from_pandas(pdf, num_partitions=4)
+    got = f.quantile("x", list(ps), 0.0)[0]
+    exp = f.to_spark().approxQuantile("x", list(ps), 0.0)
+    assert got == exp, (vals, ps, got, exp)
