@@ -856,24 +856,38 @@ class IsolationForest(_Wrapper):
 
         sdf = _sdf(df)
         psi = self.params["max_samples"]
+        n_est = self.params["n_estimators"]
         total = sdf.count()
         frac = min(1.0, (psi * 1.3) / max(total, 1))
         rng = np.random.default_rng(self.params["seed"])
-        self.trees_ = []
         self.psi_ = min(psi, total)
         depth = int(np.ceil(np.log2(max(self.psi_, 2))))
-        for i in range(self.params["n_estimators"]):
-            # NOTE: .limit(psi) here was ORDER-BIASED — it kept the
-            # first psi sampled rows, i.e. whatever partitions the
-            # scheduler read first, so late-partition rows (e.g. a
-            # unioned tail) were systematically excluded from every
-            # tree. Downsample to psi driver-side with the forest rng
-            # instead: uniform over the Bernoulli sample, as the
-            # iForest paper's psi-subsample requires.
-            pdf = (sdf.select(F.col(features).alias("x"))
-                   .sample(fraction=frac, seed=self.params["seed"] + i)
-                   .toPandas())
-            X = np.vstack(pdf["x"].to_numpy()).astype("float64")
+        # ONE scan for all trees: per tree i an independent per-row
+        # uniform draw (rand(seed+i)); a row ships to the driver iff
+        # it enters at least one tree's Bernoulli pre-sample, carrying
+        # its draw vector so the driver can split it back per tree.
+        # Replaces n_estimators sequential sample() jobs — at cluster
+        # scale one read of the table instead of n, with the shipped
+        # volume still bounded at ~1.3·ψ·n rows in expectation.
+        # (The earlier per-tree form also had an ORDER-BIAS bug:
+        # .limit(psi) kept only whatever partitions were read first.
+        # The Bernoulli-then-driver-rng-downsample here keeps every
+        # row equally likely, as the iForest paper's ψ-subsample
+        # requires.)
+        draws = F.array(*[F.rand(self.params["seed"] + i)
+                          for i in range(n_est)])
+        pdf = (sdf.select(F.col(features).alias("x"), draws.alias("u"))
+               .where(F.array_min("u") < F.lit(frac))
+               .toPandas())
+        if len(pdf):
+            X_all = np.vstack(pdf["x"].to_numpy()).astype("float64")
+            U = np.vstack(pdf["u"].to_numpy())
+        else:
+            X_all = np.empty((0, 1))
+            U = np.empty((0, n_est))
+        self.trees_ = []
+        for i in range(n_est):
+            X = X_all[U[:, i] < frac]
             if len(X) > psi:
                 X = X[rng.choice(len(X), psi, replace=False)]
             self.trees_.append(self._build_tree(X, rng, depth))

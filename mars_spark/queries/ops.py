@@ -652,9 +652,10 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
             [(1000001, [100.0, 120.0]), (1000002, [-90.0, 80.0]),
              (1000003, [150.0, -110.0])],
             "event_id long, x array<double>")
-        # persist the 103-row pool: fit() runs count + one sample
-        # job per tree against it (9 scans of a cached single batch
-        # beat 9 re-derivations from parquet)
+        # persist the 103-row pool: fit() runs count + ONE
+        # all-trees Bernoulli-draw collect against it, and scores()
+        # scans it again (3 scans of a cached single batch beat 3
+        # re-derivations from parquet)
         allp = pts.unionByName(planted).persist()
         ifor = L.IsolationForest(n_estimators=8, max_samples=64,
                                  seed=7).fit(allp, "x")

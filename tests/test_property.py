@@ -637,7 +637,12 @@ def test_pairwise_adversarial_shapes_match_numpy(spark, seed, metric, dim):
         D = np.clip(1.0 - (X @ Y.T) / den, 0.0, None)
     got = (out.pivot(index="vec_id", columns="y_idx", values="dist")
            .to_numpy())
-    np.testing.assert_allclose(got, D, rtol=1e-9, atol=1e-9)
+    # euclidean uses the BLAS dot-trick (x²+y²−2xy, the sklearn
+    # trade): cancellation leaves ~‖x‖²·ε which sqrt amplifies to
+    # ~1e-8 absolute on (near-)self pairs, so its atol is √ε-scale;
+    # the un-sqrt'd metrics stay at 1e-9.
+    atol = 5e-8 if metric == "euclidean" else 1e-9
+    np.testing.assert_allclose(got, D, rtol=1e-9, atol=atol)
     assert (got >= 0).all()
     assert not np.any((got == 0.0) & np.signbit(got))
 
