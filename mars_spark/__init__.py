@@ -143,6 +143,13 @@ __all__ += ["to_numeric", "to_datetime", "isna", "isnull", "notna",
             "notnull", "melt", "unique", "from_records",
             "read_sql_query", "read_sql_table"]
 
+# module-level eval + CustomReduction (reference exports both from
+# mars.dataframe: base/eval.py:417, reduction/core.py:652)
+from mars_spark.core.eval import mars_eval as eval  # noqa: E402,A001
+from mars_spark.core.reduction import CustomReduction  # noqa: E402
+
+__all__ += ["eval", "CustomReduction"]
+
 
 def _module_ufunc(name):
     def fn(series):

@@ -508,6 +508,30 @@ class Series:
         row = self._frame._sdf.select(col.alias("v")).collect()[0]
         return row["v"]
 
+    def agg(self, func):
+        """Series aggregation (mars/dataframe/reduction/aggregation.py
+        Series form). Accepts the named reductions (str or list of
+        str — a list returns a pandas Series of results, one job per
+        name) or a ``CustomReduction`` instance, which runs the
+        distributed pre/agg/post contract (core/reduction.py)."""
+        from mars_spark.core.reduction import (CustomReduction,
+                                               run_custom_reduction)
+
+        if isinstance(func, CustomReduction):
+            return run_custom_reduction(self, func)
+        if isinstance(func, str):
+            return getattr(self, func)()
+        if isinstance(func, (list, tuple)):
+            import pandas as pd
+
+            return pd.Series({f: self.agg(f) for f in func})
+        raise TypeError(
+            "Series.agg takes a reduction name, a list of names, or a "
+            "CustomReduction (callables compile via CustomReduction — "
+            "the reference's lambda mock-tracing path is out of scope)")
+
+    aggregate = agg
+
     def sum(self):
         return self._agg_scalar(F.sum(self._col))
 

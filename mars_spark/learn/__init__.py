@@ -14,19 +14,48 @@ the reference's API.
 from mars_spark.learn.facade import (
     KMeans,
     PCA,
+    TruncatedSVD,
     LinearRegression,
     LogisticRegression,
+    GeneralizedLinearModel,
     MinMaxScaler,
     StandardScaler,
+    LabelEncoder,
+    normalize,
     train_test_split,
     hash_split,
+    shuffle,
     accuracy_score,
     mean_squared_error,
     r2_score,
+    precision_recall_f1,
+    log_loss,
+    roc_auc_score,
+    KNeighborsClassifier,
+    NearestNeighbors,
+    kneighbors_graph,
+    BaggingRegressor,
+    IsolationForest,
+    label_propagation,
+)
+from mars_spark.learn.pairwise import (
+    pairwise_distances,
+    pairwise_distances_topk,
+)
+from mars_spark.learn.datasets import (
+    make_blobs,
+    make_classification,
+    make_regression,
 )
 
 __all__ = [
-    "KMeans", "PCA", "LinearRegression", "LogisticRegression",
-    "MinMaxScaler", "StandardScaler", "train_test_split", "hash_split",
-    "accuracy_score", "mean_squared_error", "r2_score",
+    "KMeans", "PCA", "TruncatedSVD", "LinearRegression",
+    "LogisticRegression", "GeneralizedLinearModel", "MinMaxScaler",
+    "StandardScaler", "LabelEncoder", "normalize", "train_test_split",
+    "hash_split", "shuffle", "accuracy_score", "mean_squared_error",
+    "r2_score", "precision_recall_f1", "log_loss", "roc_auc_score",
+    "KNeighborsClassifier", "NearestNeighbors", "kneighbors_graph",
+    "BaggingRegressor", "IsolationForest", "label_propagation",
+    "pairwise_distances", "pairwise_distances_topk", "make_blobs",
+    "make_classification", "make_regression",
 ]

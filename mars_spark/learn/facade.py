@@ -362,6 +362,36 @@ def normalize(df, col: str, norm: str = "l2"):
         col, F.transform(arr, lambda x: F.try_divide(x, mag)))
 
 
+def shuffle(*dfs, random_state: int = 0):
+    """Shuffle aligned collections with ONE shared permutation
+    (reference: mars/learn/utils/shuffle.py:464 — Mars draws one
+    permutation and reindexes every input with it).
+
+    Spark-first: the permutation IS the sort order of
+    ``md5(seed ‖ index)`` — a deterministic keyed range-partition
+    sort, no RNG state, so (a) every input carrying the same index
+    values reorders identically (the alignment Mars gets from the
+    shared permutation), and (b) the result is reproducible across
+    partition layouts and cluster sizes. Engine frames keep their
+    index; bare Spark DataFrames are keyed on all columns."""
+    from mars_spark.core.frame import DataFrame as _EngineDF
+
+    outs = []
+    for df in dfs:
+        if isinstance(df, _EngineDF) and df._index:
+            key_cols = [F.col(c).cast("string") for c in df._index]
+            key = F.md5(F.concat_ws(
+                "\x1f", F.lit(str(random_state)), *key_cols))
+            outs.append(_EngineDF(df._sdf.orderBy(key), df._index))
+        else:
+            sdf = _sdf(df)
+            key = F.md5(F.concat_ws(
+                "\x1f", F.lit(str(random_state)),
+                *[F.col(c).cast("string") for c in sdf.columns]))
+            outs.append(sdf.orderBy(key))
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
 def train_test_split(df, test_size: float = 0.25, seed: int = 42):
     """reference: mars/learn/model_selection/_split.py:29 →
     randomSplit (per-partition Bernoulli — no global shuffle).
