@@ -807,7 +807,14 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
     run ROW-WISE funcs, so the results are partition-independent and
     the oracle states them as plain aggregates; cartesian_chunk
     (base/cartesian_chunk.py — crossJoin + mapInPandas) pairs the
-    part slice with region the same way."""
+    part slice with region the same way. Late-r9 module-parity
+    strata: CustomReduction (core/reduction.py — distributed
+    pre/agg/post mean, mergeable (sum, count) partials; oracle
+    restates sum/count), module-level eval (core/eval.py AST visitor
+    → one projection; oracle restates the expression), and
+    learn.shuffle (md5(seed‖index) permutation; the first-5 weighted
+    checksum pins the exact order and the oracle replays the md5
+    sort with row_number)."""
     import pandas as pd
 
     p = load(sf_dir, "part")
@@ -833,11 +840,34 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
                 {"w": pdf["p_retailprice"] * (pdf["r_regionkey"] + 1.0)})
 
     r = load(sf_dir, "region")[["r_regionkey"]]
-    # six independent scalar actions — one thread pool, one round of
+
+    import mars_spark as _ms
+    from mars_spark import learn as _L
+
+    class _MeanRed(_ms.CustomReduction):
+        # mergeable (sum, count) partials — the canonical shape the
+        # contract requires (agg re-applies across batches)
+        def pre(self, v):
+            return v, v.notna()
+
+        def agg(self, s, n):
+            return s.sum(), n.sum()
+
+        def post(self, s, n):
+            return float(s) / float(n)
+
+    def _shuf():
+        shuffled = _L.shuffle(f[["p_partkey"]].set_index("p_partkey"),
+                              random_state=1)
+        rows = shuffled._sdf.select("p_partkey").limit(5).collect()
+        return float(sum((i + 1) * row["p_partkey"]
+                         for i, row in enumerate(rows)))
+
+    # nine independent scalar actions — one thread pool, one round of
     # scheduling latency
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    with ThreadPoolExecutor(max_workers=9) as ex:
         f_dot = ex.submit(f.p_retailprice.dot, f.size_d)
         f_brand = ex.submit(f.brand_num.sum)
         f_type = ex.submit(f.type_code.sum)
@@ -852,11 +882,19 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
             f[["p_partkey", "p_retailprice"]]
             .cartesian_chunk(r, _cc, schema="w double")
             .to_spark().agg(F.sum("w")).collect)
+        f_cred = ex.submit(f.p_retailprice.agg, _MeanRed())
+        f_meval = ex.submit(
+            lambda: _ms.eval("f.p_retailprice * 2 + f.size_d / 4",
+                             local_dict={"f": f}).sum())
+        f_shuf = ex.submit(_shuf)
         dot, brand_sum, type_sum = (f_dot.result(), f_brand.result(),
                                     f_type.result())
         mc_sum = f_mc.result()[0][0]
         tb_sum = f_tb.result()[0][0]
         cc_sum = f_cc.result()[0][0]
+        cred_mean = f_cred.result()
+        meval_sum = f_meval.result()
+        shuf_ck = f_shuf.result()
     stacked = f.set_index("p_partkey")[["size_d", "p_retailprice"]].stack()
     return stacked.to_spark().select(
         "p_partkey", "variable",
@@ -866,7 +904,10 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.lit(float(type_sum)).alias("type_sum"),
         F.round(F.lit(float(mc_sum)), 2).alias("mc_sum"),
         F.round(F.lit(float(tb_sum)), 2).alias("tb_sum"),
-        F.round(F.lit(float(cc_sum)), 2).alias("cc_sum"))
+        F.round(F.lit(float(cc_sum)), 2).alias("cc_sum"),
+        F.round(F.lit(float(cred_mean)), 2).alias("cred_mean"),
+        F.round(F.lit(float(meval_sum)), 2).alias("meval_sum"),
+        F.lit(float(shuf_ck)).alias("shuf_ck"))
 
 
 def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -491,22 +491,42 @@ OPS_ORACLES: dict[str, str] = {
                    -- map_chunk / transform_batch row-wise funcs
                    round(sum(CAST(p_size AS DOUBLE) * 2.0
                              + p_retailprice), 2) AS mc_sum,
-                   round(sum(p_retailprice + 1.0), 2) AS tb_sum
+                   round(sum(p_retailprice + 1.0), 2) AS tb_sum,
+                   -- CustomReduction mergeable mean (sum/count
+                   -- partials) and module-level eval expression
+                   round(sum(p_retailprice) / count(p_retailprice), 2)
+                       AS cred_mean,
+                   round(sum(p_retailprice * 2
+                             + CAST(p_size AS DOUBLE) / 4), 2)
+                       AS meval_sum
             FROM f
         ), cc AS (
             -- cartesian_chunk: part slice x region, row-wise func
             SELECT round(sum(f.p_retailprice
                              * (r.r_regionkey + 1.0)), 2) AS cc_sum
             FROM f CROSS JOIN region r
+        ), sh AS (
+            -- learn.shuffle: the permutation IS the md5(seed||key)
+            -- sort order; weight the first five keys by position
+            SELECT CAST(sum(rn * p_partkey) AS DOUBLE) AS shuf_ck
+            FROM (
+                SELECT p_partkey, row_number() OVER (
+                    ORDER BY md5(concat('1', chr(31),
+                                        CAST(p_partkey AS VARCHAR))))
+                    AS rn
+                FROM f)
+            WHERE rn <= 5
         )
         SELECT p_partkey, 'size_d' AS variable,
                round(CAST(p_size AS DOUBLE), 2) AS value,
-               dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum
-        FROM f CROSS JOIN sc CROSS JOIN cc
+               dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
+               cred_mean, meval_sum, shuf_ck
+        FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
         UNION ALL
         SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2),
-               dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum
-        FROM f CROSS JOIN sc CROSS JOIN cc
+               dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
+               cred_mean, meval_sum, shuf_ck
+        FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
     """,
     "op_rank_cumprod": """
         WITH f AS (
