@@ -144,11 +144,15 @@ __all__ += ["to_numeric", "to_datetime", "isna", "isnull", "notna",
             "read_sql_query", "read_sql_table"]
 
 # module-level eval + CustomReduction (reference exports both from
-# mars.dataframe: base/eval.py:417, reduction/core.py:652)
+# mars.dataframe: base/eval.py:417, reduction/core.py:652), the Index
+# initializer (mars/dataframe/initializer.py), and ExecutableTuple
+# (mars/core) — see each module's docstring for the Spark-first shape
 from mars_spark.core.eval import mars_eval as eval  # noqa: E402,A001
+from mars_spark.core.executable import ExecutableTuple  # noqa: E402
+from mars_spark.core.index import Index  # noqa: E402
 from mars_spark.core.reduction import CustomReduction  # noqa: E402
 
-__all__ += ["eval", "CustomReduction"]
+__all__ += ["eval", "CustomReduction", "Index", "ExecutableTuple"]
 
 
 def _module_ufunc(name):

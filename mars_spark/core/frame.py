@@ -220,6 +220,46 @@ class DataFrame:
         return dict(self._sdf.dtypes)
 
     @property
+    def index(self):
+        """Lazy Index facade over the index column(s) (reference:
+        mars/dataframe/core.py:958) — plans nothing until
+        materialized."""
+        from mars_spark.core.index import Index
+
+        return Index(_frame=self)
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def shape(self) -> tuple:
+        """(rows, cols). The row count is an eager job — Mars keeps a
+        lazy nan-shaped tileable; an eager count is the Spark-honest
+        form (one codegen'd count aggregate)."""
+        return (self._sdf.count(), len(self.columns))
+
+    @property
+    def T(self) -> "DataFrame":
+        """transpose() with its explicit driver-side row guard."""
+        return self.transpose()
+
+    def copy(self, deep: bool = True) -> "DataFrame":
+        """Plans are immutable — a copy is a new handle on the same
+        plan, insulating the original from in-place ``__setitem__``
+        (Mars copies the tileable node the same way; no data moves)."""
+        return DataFrame(self._sdf, self._index, seq=self._seq,
+                         seq_dirty=self._seq_dirty)
+
+    def pop(self, column: str) -> "Series":
+        """pandas df.pop: return the column bound to a snapshot of the
+        current plan, then drop it from this frame in place."""
+        snapshot = self.copy()
+        out = Series(snapshot, F.col(column), column)
+        self._sdf = self._sdf.drop(column)
+        return out
+
+    @property
     def loc(self) -> _LocIndexer:
         return _LocIndexer(self)
 
@@ -1218,6 +1258,424 @@ class DataFrame:
 
     def var(self) -> dict:
         return self._reduce_all(F.var_samp)
+
+    def prod(self) -> dict:
+        """mars/dataframe/reduction/prod.py frame form — one agg."""
+        return self._reduce_all(F.product)
+
+    product = prod
+
+    def sem(self, ddof: int = 1) -> dict:
+        f = F.stddev_samp if ddof == 1 else F.stddev_pop
+        return self._reduce_all(lambda c: f(c) / F.sqrt(F.count(c)))
+
+    def skew(self, bias: bool = False) -> dict:
+        """Frame form of Series.skew (pandas G1 correction) — one agg
+        across every numeric column."""
+        if bias:
+            return self._reduce_all(F.skewness)
+
+        def e(c):
+            n = F.count(c).cast("double")
+            return F.when(n > 2,
+                          F.skewness(c) * F.sqrt(n * (n - 1)) / (n - 2))
+
+        return self._reduce_all(e)
+
+    def kurt(self, bias: bool = False) -> dict:
+        if bias:
+            return self._reduce_all(F.kurtosis)
+
+        def e(c):
+            n = F.count(c).cast("double")
+            return F.when(n > 3, (n - 1) / ((n - 2) * (n - 3))
+                          * ((n + 1) * F.kurtosis(c) + 6))
+
+        return self._reduce_all(e)
+
+    kurtosis = kurt
+
+    def all(self) -> dict:
+        """mars/dataframe/reduction/all.py frame form (pandas skipna:
+        empty/all-null column → True)."""
+        raw = self._reduce_all(lambda c: F.min(c.cast("boolean")),
+                               numeric_only=False)
+        return {c: (True if v is None else bool(v))
+                for c, v in raw.items()}
+
+    def any(self) -> dict:
+        raw = self._reduce_all(lambda c: F.max(c.cast("boolean")),
+                               numeric_only=False)
+        return {c: (False if v is None else bool(v))
+                for c, v in raw.items()}
+
+    def corrwith(self, other: "DataFrame", method: str = "pearson"):
+        """pandas df.corrwith: per-common-column correlation after
+        index alignment — ONE join + ONE agg for all columns."""
+        if method != "pearson":
+            raise NotImplementedError("corrwith: pearson only")
+        import pandas as pd
+
+        j, common = self._aligned_join(other)
+        num = ("double", "float", "int", "bigint", "smallint",
+               "tinyint", "decimal")
+        dt = dict(self._sdf.dtypes)
+        cols = [c for c in common if dt[c].startswith(num)]
+        row = j.agg(*[F.corr(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
+                      .alias(c) for c in cols]).collect()[0]
+        return pd.Series({c: row[c] for c in cols})
+
+    # ------------------------------------------------ frame arithmetic
+    def _aligned_join(self, other: "DataFrame"):
+        """Outer-join two frames on their index (the alignment every
+        frame-level binop rides — reference mars/dataframe/align.py:48);
+        returns (joined sdf with __l_/__r_ prefixed value columns,
+        common column names)."""
+        from mars_spark.operators.align import _index_of
+
+        li = _index_of(self, "frame arithmetic")
+        ri = _index_of(other, "frame arithmetic")
+        if len(li) != len(ri):
+            raise ValueError(f"index arity mismatch: {li} vs {ri}")
+        lsel = self._sdf.select(
+            *li, *[F.col(c).alias(f"__l_{c}") for c in self.columns])
+        rsel = other._sdf.select(
+            *[F.col(a).alias(b) for a, b in zip(ri, li)],
+            *[F.col(c).alias(f"__r_{c}") for c in other.columns])
+        common = [c for c in self.columns if c in set(other.columns)]
+        return lsel.join(rsel, on=li, how="outer"), common
+
+    def _frame_binop(self, other, op, fill_value=None, reverse=False):
+        """pandas df.add/sub/…: scalars broadcast; engine frames align
+        on the index (outer) and on the sorted union of columns, with
+        the fill_value contract of Series._fill_binop (a cell missing
+        from BOTH sides stays missing)."""
+        if not isinstance(other, DataFrame):
+            lit = F.lit(other)
+
+            def one(c):
+                left, right = F.col(c), lit
+                if reverse:
+                    left, right = right, left
+                return op(left, right).alias(c)
+
+            return DataFrame(
+                self._sdf.select(*self._index,
+                                 *[one(c) for c in self.columns]),
+                self._index)
+        from mars_spark.operators.align import _index_of
+
+        li = _index_of(self, "frame arithmetic")
+        j, _ = self._aligned_join(other)
+        mine, theirs = set(self.columns), set(other.columns)
+        out_cols = []
+        for c in sorted(mine | theirs):
+            left = F.col(f"__l_{c}") if c in mine else F.lit(None)
+            right = F.col(f"__r_{c}") if c in theirs else F.lit(None)
+            if reverse:
+                left, right = right, left
+            if fill_value is not None:
+                lit = F.lit(fill_value)
+                e = F.when(left.isNull() & right.isNull(), F.lit(None)) \
+                    .otherwise(op(F.coalesce(left, lit),
+                                  F.coalesce(right, lit)))
+            else:
+                e = op(left, right)
+            out_cols.append(e.alias(c))
+        return DataFrame(j.select(*li, *out_cols), list(li))
+
+    def add(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.add, fill_value)
+
+    def sub(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.sub, fill_value)
+
+    def mul(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.mul, fill_value)
+
+    def div(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.truediv, fill_value)
+
+    truediv = div
+
+    def floordiv(self, other, fill_value=None) -> "DataFrame":
+        from mars_spark.core.series import _floordiv_cols
+
+        return self._frame_binop(other, _floordiv_cols, fill_value)
+
+    def mod(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.mod, fill_value)
+
+    def pow(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.pow, fill_value)
+
+    def radd(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.add, fill_value, reverse=True)
+
+    def rsub(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.sub, fill_value, reverse=True)
+
+    def rmul(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.mul, fill_value, reverse=True)
+
+    def rdiv(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.truediv, fill_value,
+                                 reverse=True)
+
+    rtruediv = rdiv
+
+    def rfloordiv(self, other, fill_value=None) -> "DataFrame":
+        from mars_spark.core.series import _floordiv_cols
+
+        return self._frame_binop(other, _floordiv_cols, fill_value,
+                                 reverse=True)
+
+    def rmod(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.mod, fill_value, reverse=True)
+
+    def rpow(self, other, fill_value=None) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.pow, fill_value, reverse=True)
+
+    def lt(self, other) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.lt)
+
+    def gt(self, other) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.gt)
+
+    def le(self, other) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.le)
+
+    def ge(self, other) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.ge)
+
+    def eq(self, other) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.eq)
+
+    def ne(self, other) -> "DataFrame":
+        import operator as _op
+
+        return self._frame_binop(other, _op.ne)
+
+    def dot(self, other) -> "Series":
+        """mars/dataframe/arithmetic/dot.py frame form: frame · weight
+        vector keyed by column name → per-row weighted sum. Weights
+        (dict / pandas Series / single-index engine Series) are
+        column-count-sized by contract, so they inline as literals —
+        one narrow projection, no join."""
+        import pandas as pd
+
+        if isinstance(other, Series):
+            idx = other._frame._index
+            if len(idx) != 1:
+                raise ValueError("dot: weight Series needs a single "
+                                 "index of column labels")
+            pdf = other._frame._sdf.select(
+                F.col(idx[0]).alias("k"),
+                other._col.alias("v")).toPandas()
+            weights = dict(zip(pdf["k"], pdf["v"]))
+        elif isinstance(other, pd.Series):
+            weights = other.to_dict()
+        elif isinstance(other, dict):
+            weights = other
+        else:
+            raise TypeError("dot: expected dict / pandas Series / "
+                            "engine Series of column weights")
+        missing = [c for c in weights if c not in self.columns]
+        if missing:
+            raise ValueError(f"dot: unknown columns {missing}")
+        if not weights:
+            raise ValueError("dot: empty weight vector")
+        expr = None
+        for c, w in weights.items():
+            term = F.col(c) * F.lit(float(w))
+            expr = term if expr is None else expr + term
+        out = DataFrame(self._sdf.withColumn("__dot", expr), self._index)
+        out._origin_sdf = self._sdf
+        return Series(out, F.col("__dot"), None)
+
+    # ----------------------------------------------- fills / cum / apply
+    def ffill(self, order_by=None, partition_by=None,
+              cols=None) -> "DataFrame":
+        """mars/dataframe/missing/fillna.py (method='ffill'):
+        last(ignorenulls) over the running window. Order defaults to
+        the engine's order carrier; without partition_by this is a
+        global-order window — partition at scale (groupby.ffill is the
+        partitioned form)."""
+        from pyspark.sql import Window
+
+        from mars_spark.operators.window import _order_cols
+
+        order = _order_cols(self, order_by)
+        w = (Window.partitionBy(*(partition_by or []))
+             .orderBy(*[F.col(c) for c in order])
+             .rowsBetween(Window.unboundedPreceding, 0))
+        sdf = self._sdf
+        for c in cols or [x for x in self.columns if x not in order]:
+            sdf = sdf.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w))
+        return DataFrame(sdf, self._index)
+
+    def bfill(self, order_by=None, partition_by=None,
+              cols=None) -> "DataFrame":
+        from pyspark.sql import Window
+
+        from mars_spark.operators.window import _order_cols
+
+        order = _order_cols(self, order_by)
+        w = (Window.partitionBy(*(partition_by or []))
+             .orderBy(*[F.col(c) for c in order])
+             .rowsBetween(0, Window.unboundedFollowing))
+        sdf = self._sdf
+        for c in cols or [x for x in self.columns if x not in order]:
+            sdf = sdf.withColumn(
+                c, F.first(F.col(c), ignorenulls=True).over(w))
+        return DataFrame(sdf, self._index)
+
+    pad = ffill
+    backfill = bfill
+
+    def isnull(self) -> "DataFrame":
+        return self.isna()
+
+    def notnull(self) -> "DataFrame":
+        return self.notna()
+
+    def _cum_all(self, kind: str, order_by=None,
+                 partition_by=None) -> "DataFrame":
+        """Frame-wide running aggregates replacing each numeric column
+        in place (pandas df.cumsum() semantics; the suffixing
+        primitives live in operators/window.py). NaN rows stay NaN
+        (pandas passthrough) while the running state skips them."""
+        from pyspark.sql import Window
+
+        from mars_spark.operators.window import _numeric_cols, _order_cols
+
+        order = _order_cols(self, order_by)
+        w = (Window.partitionBy(*(partition_by or []))
+             .orderBy(*[F.col(c) for c in order])
+             .rowsBetween(Window.unboundedPreceding, 0))
+        fn = {"cumsum": F.sum, "cumprod": F.product,
+              "cummin": F.min, "cummax": F.max}[kind]
+        sdf = self._sdf
+        for c in _numeric_cols(self):
+            if c in order:
+                continue
+            sdf = sdf.withColumn(
+                c, F.when(F.col(c).isNotNull(), fn(F.col(c)).over(w)))
+        return DataFrame(sdf, self._index)
+
+    def cumsum(self, order_by=None, partition_by=None) -> "DataFrame":
+        return self._cum_all("cumsum", order_by, partition_by)
+
+    def cumprod(self, order_by=None, partition_by=None) -> "DataFrame":
+        return self._cum_all("cumprod", order_by, partition_by)
+
+    def cummin(self, order_by=None, partition_by=None) -> "DataFrame":
+        return self._cum_all("cummin", order_by, partition_by)
+
+    def cummax(self, order_by=None, partition_by=None) -> "DataFrame":
+        return self._cum_all("cummax", order_by, partition_by)
+
+    def apply(self, func, axis=1, dtype: str | None = None, args=(),
+              **kwds) -> "Series":
+        """mars/dataframe/base/apply.py:69, the row-wise (axis=1) form:
+        Arrow-batched mapInPandas running pandas' own row apply per
+        batch. The result dtype is inferred by running ``func`` on a
+        driver-side head sample (the reference infers by executing on
+        mock data — base/apply.py) unless passed. axis=0 would need
+        whole columns in one place — use agg / transform_batch.
+        UDF-cost caveat (SURVEY §2.8): per-row Python; prefer Column
+        expressions when the function is expressible."""
+        if axis not in (1, "columns"):
+            raise NotImplementedError("apply: axis=1 only")
+        import pandas as pd
+
+        cols = self.columns
+        if dtype is None:
+            head = self._sdf.select(*cols).limit(5).toPandas()
+            if len(head):
+                probe = head.apply(lambda r: func(r, *args, **kwds),
+                                   axis=1)
+                dtype = {"int64": "bigint", "int32": "int",
+                         "float64": "double", "float32": "float",
+                         "bool": "boolean", "object": "string"}.get(
+                    str(probe.dtype), "double")
+            else:
+                dtype = "double"
+        idx = list(self._index)
+        dt = dict(self._sdf.dtypes)
+        schema = ", ".join([f"`{c}` {dt[c]}" for c in idx]
+                           + [f"`__apply` {dtype}"])
+
+        def _run(batches):
+            for pdf in batches:
+                res = pdf[cols].apply(
+                    lambda row: func(row, *args, **kwds), axis=1)
+                out = pdf[idx].copy() if idx else pd.DataFrame(
+                    index=pdf.index)
+                out["__apply"] = res
+                yield out
+
+        nf = DataFrame(self._sdf.mapInPandas(_run, schema), self._index)
+        return Series(nf, F.col("__apply"), None)
+
+    def aggregate(self, arg=None, **named) -> "DataFrame":
+        return self.agg(arg, **named)
+
+    def transform(self, func) -> "DataFrame":
+        """mars/dataframe/base/transform.py:39 — same-shape transform;
+        rides transform_batch (Arrow-batched, schema-preserving)."""
+        return self.transform_batch(func)
+
+    def reindex_like(self, other: "DataFrame",
+                     fill_value=None) -> "DataFrame":
+        """Conform this frame's rows to ``other``'s index (the
+        join='right' align)."""
+        from mars_spark.operators.align import align_frames
+
+        return align_frames(self, other, join="right",
+                            fill_value=fill_value)[0]
+
+    def hist(self, *args, **kwargs):
+        """plot-accessor delegate (bounded collect — core/plotting.py)."""
+        return self.plot(kind="hist", *args, **kwargs)
+
+    def boxplot(self, *args, **kwargs):
+        return self.plot(kind="box", *args, **kwargs)
 
     # ------------------------------------------------------- aggregates
     def describe(self, percentiles=(0.25, 0.5, 0.75)) -> "DataFrame":

@@ -30,6 +30,13 @@ def _lit(value):
     return F.lit(value)
 
 
+
+def _floordiv_cols(a, b):
+    # Column has no __floordiv__; floor-divide is floor(a/b) (Spark
+    # floor() returns LONG for double input - integer-valued result)
+    return F.floor(a / b)
+
+
 def _extension_frame(a, b):
     """If frame ``b`` is a row-preserving extension of ``a`` (tagged
     via ``_origin_sdf``, e.g. by Series.rank) return ``b``; if ``a``
@@ -575,6 +582,8 @@ class Series:
         """mars/dataframe/reduction/prod.py → one product aggregate."""
         return self._agg_scalar(F.product(self._col))
 
+    product = prod
+
     def sem(self, ddof: int = 1):
         """mars/dataframe/reduction/sem.py — standard error of the
         mean, std(ddof)/sqrt(count) (pandas semantics)."""
@@ -662,6 +671,470 @@ class Series:
 
         return DataFrame(out, index=[name])
 
+    # ------------------------------------------- parity surface (r9)
+    # Method forms the reference documents on Series (docs/source/
+    # reference/dataframe/series.rst) that route through machinery the
+    # engine already has: most delegate through to_frame() to the
+    # DataFrame op, window forms extend the owning frame in place
+    # (the Series.rank extension pattern), scalars are one agg.
+
+    @property
+    def index(self):
+        """Lazy Index facade over the owning frame's index."""
+        from mars_spark.core.index import Index
+
+        return Index(_frame=self._frame)
+
+    @property
+    def dtype(self) -> str:
+        """Spark SQL type of the column expression (plan analysis
+        only — no job)."""
+        return (self._frame._sdf.select(self._col.alias("__t"))
+                .schema[0].dataType.simpleString())
+
+    @property
+    def shape(self) -> tuple:
+        return (self._frame._sdf.count(),)
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def T(self) -> "Series":
+        return self
+
+    @property
+    def is_monotonic(self) -> bool:
+        return self.is_monotonic_increasing
+
+    def copy(self, deep: bool = True) -> "Series":
+        return Series(self._frame, self._col, self.name)
+
+    def to_frame(self, name: str | None = None):
+        """Series → one-column frame carrying the index (and the
+        sequence column when it is part of the index)."""
+        from mars_spark.core.frame import DataFrame
+
+        fr = self._frame
+        nm = name or self.name or "0"
+        if nm in fr._index:
+            raise ValueError(
+                f"to_frame: name {nm!r} collides with an index column "
+                f"— pass name=")
+        sdf = fr._sdf.select(*[F.col(c) for c in fr._index],
+                             self._col.alias(nm))
+        seq = fr._seq if fr._seq in fr._index else None
+        return DataFrame(sdf, fr._index, seq=seq,
+                         seq_dirty=fr._seq_dirty)
+
+    def to_spark(self):
+        """One-column Spark DataFrame (index columns + values) — the
+        Series form of DataFrame.to_spark."""
+        return self.to_frame(self.name or "0")._sdf
+
+    def to_tensor(self):
+        """reference: mars/dataframe exposes Series.to_tensor as a
+        lazy tensor; the facade materializes to a numpy array (the
+        tensor layer here is the thin facade of SURVEY §2.9) —
+        driver-sized by the same contract as to_pandas."""
+        return self.to_pandas().to_numpy()
+
+    def memory_usage(self, deep: bool = False):
+        nm = self.name or "0"
+        return self.to_frame(nm).memory_usage(deep=deep).get(nm)
+
+    # ------------------------------------------------ frame delegates
+    def _via_frame(self, method: str, *args, **kwargs):
+        from mars_spark.core.frame import DataFrame
+
+        nm = self.name or "0"
+        res = getattr(self.to_frame(nm), method)(*args, **kwargs)
+        if isinstance(res, DataFrame) and nm in res.columns:
+            return Series(res, F.col(nm), self.name)
+        return res
+
+    def head(self, n: int = 5) -> "Series":
+        return self._via_frame("head", n)
+
+    def tail(self, n: int = 5) -> "Series":
+        return self._via_frame("tail", n)
+
+    def sample(self, frac=None, n=None, replace=False, weights=None,
+               seed=None) -> "Series":
+        return self._via_frame("sample", frac=frac, n=n,
+                               replace=replace, weights=weights,
+                               seed=seed)
+
+    def drop(self, labels) -> "Series":
+        return self._via_frame("drop", labels=labels, axis=0)
+
+    def dropna(self) -> "Series":
+        nm = self.name or "0"
+        return self._via_frame("dropna", subset=[nm])
+
+    def drop_duplicates(self, keep: str = "first") -> "Series":
+        nm = self.name or "0"
+        return self._via_frame("drop_duplicates", subset=[nm],
+                               keep=keep)
+
+    def duplicated(self) -> "Series":
+        nm = self.name or "0"
+        res = self.to_frame(nm).duplicated(subset=[nm])
+        return Series(res, F.col("duplicated"), self.name)
+
+    def explode(self) -> "Series":
+        nm = self.name or "0"
+        return self._via_frame("explode", nm)
+
+    def sort_values(self, ascending: bool = True,
+                    na_position: str = "last") -> "Series":
+        nm = self.name or "0"
+        return self._via_frame("sort_values", nm, ascending=ascending,
+                               na_position=na_position)
+
+    def sort_index(self, ascending: bool = True) -> "Series":
+        return self._via_frame("sort_index", ascending=ascending)
+
+    def reset_index(self, drop: bool = False):
+        """pandas parity: drop=True → Series without the old index;
+        drop=False → the index-promoted DataFrame."""
+        nm = self.name or "0"
+        res = self.to_frame(nm).reset_index(drop=drop)
+        if drop:
+            return Series(res, F.col(nm), self.name)
+        return res
+
+    def rename_axis(self, mapper) -> "Series":
+        return self._via_frame("rename_axis", mapper)
+
+    def set_axis(self, labels) -> "Series":
+        return self._via_frame("set_axis", labels, axis=0)
+
+    def reindex(self, index, fill_value=None) -> "Series":
+        return self._via_frame("reindex", index=index,
+                               fill_value=fill_value)
+
+    def reindex_like(self, other: "Series", fill_value=None) -> "Series":
+        """Conform to ``other``'s index (the join='right' align)."""
+        from mars_spark.operators.align import align_frames
+
+        nm = self.name or "0"
+        lf, _ = align_frames(self.to_frame(nm),
+                             other.to_frame("__other"),
+                             join="right", fill_value=fill_value)
+        return Series(lf, F.col(nm), self.name)
+
+    def add_prefix(self, prefix: str) -> "Series":
+        """pandas Series.add_prefix prefixes the INDEX labels (cast to
+        string) — one narrow map on the index column."""
+        return self._relabel(lambda c: F.concat(F.lit(prefix),
+                                                c.cast("string")))
+
+    def add_suffix(self, suffix: str) -> "Series":
+        return self._relabel(lambda c: F.concat(c.cast("string"),
+                                                F.lit(suffix)))
+
+    def _relabel(self, fn) -> "Series":
+        from mars_spark.core.frame import DataFrame
+
+        fr = self._frame
+        if len(fr._index) != 1:
+            raise ValueError("add_prefix/add_suffix need a single "
+                             "index column")
+        idx = fr._index[0]
+        nm = self.name or "0"
+        sdf = fr._sdf.select(fn(F.col(idx)).alias(idx),
+                             self._col.alias(nm))
+        return Series(DataFrame(sdf, [idx]), F.col(nm), self.name)
+
+    def align(self, other: "Series", join: str = "outer",
+              fill_value=None):
+        """pandas Series.align → the two series conformed to the
+        union/intersection of their indexes (operators/align.py)."""
+        from mars_spark.operators.align import align_frames
+
+        lnm = self.name or "0"
+        rnm = other.name or "0"
+        lf, rf = align_frames(self.to_frame(lnm), other.to_frame(rnm),
+                              join=join, fill_value=fill_value)
+        return (Series(lf, F.col(lnm), self.name),
+                Series(rf, F.col(rnm), other.name))
+
+    def append(self, other: "Series") -> "Series":
+        """row-append (reference: mars/dataframe/merge/append.py
+        Series form) — unionByName on the aligned one-column frames."""
+        from mars_spark.core.frame import DataFrame
+
+        nm = self.name or "0"
+        lf = self.to_frame(nm)
+        rf = other.to_frame(nm)
+        if len(lf._index) != len(rf._index):
+            raise ValueError("append: index arity mismatch")
+        rsdf = rf._sdf.select(
+            *[F.col(a).alias(b) for a, b in zip(rf._index, lf._index)],
+            F.col(nm))
+        out = DataFrame(lf._sdf.unionByName(rsdf), lf._index)
+        return Series(out, F.col(nm), self.name)
+
+    def to_csv(self, path: str, **kwargs):
+        return self.to_frame(self.name or "0").to_csv(path, **kwargs)
+
+    def to_sql(self, table: str, url: str, **kwargs):
+        return self.to_frame(self.name or "0").to_sql(table, url,
+                                                      **kwargs)
+
+    def map_chunk(self, func, schema: str):
+        return self.to_frame(self.name or "0").map_chunk(func, schema)
+
+    def hist(self, *args, **kwargs):
+        return self.plot(kind="hist", *args, **kwargs)
+
+    # ------------------------------------------------- indexer parity
+    @property
+    def at(self):
+        return _SeriesAt(self, positional=False)
+
+    @property
+    def iat(self):
+        return _SeriesAt(self, positional=True)
+
+    @property
+    def loc(self):
+        return _SeriesLoc(self, positional=False)
+
+    @property
+    def iloc(self):
+        return _SeriesLoc(self, positional=True)
+
+    # ---------------------------------------------- binop method forms
+    def truediv(self, other, fill_value=None) -> "Series":
+        return self._fill_binop(other, operator.truediv, fill_value)
+
+    def floordiv(self, other, fill_value=None) -> "Series":
+        return self._fill_binop(other, _floordiv_cols, fill_value)
+
+    def mod(self, other, fill_value=None) -> "Series":
+        return self._fill_binop(other, operator.mod, fill_value)
+
+    def pow(self, other, fill_value=None) -> "Series":
+        return self._fill_binop(other, operator.pow, fill_value)
+
+    def _rev_binop(self, other, op, fill_value):
+        if isinstance(other, Series):
+            return other._fill_binop(self, op, fill_value)
+        lit = Series(self._frame, _lit(other), None)
+        return lit._fill_binop(self, op, fill_value)
+
+    def radd(self, other, fill_value=None) -> "Series":
+        return self._rev_binop(other, operator.add, fill_value)
+
+    def rsub(self, other, fill_value=None) -> "Series":
+        return self._rev_binop(other, operator.sub, fill_value)
+
+    def rmul(self, other, fill_value=None) -> "Series":
+        return self._rev_binop(other, operator.mul, fill_value)
+
+    def rdiv(self, other, fill_value=None) -> "Series":
+        return self._rev_binop(other, operator.truediv, fill_value)
+
+    rtruediv = rdiv
+
+    def rfloordiv(self, other, fill_value=None) -> "Series":
+        return self._rev_binop(other, _floordiv_cols, fill_value)
+
+    def rmod(self, other, fill_value=None) -> "Series":
+        return self._rev_binop(other, operator.mod, fill_value)
+
+    def rpow(self, other, fill_value=None) -> "Series":
+        return self._rev_binop(other, operator.pow, fill_value)
+
+    def lt(self, other) -> "Series":
+        return self._binop(other, operator.lt)
+
+    def gt(self, other) -> "Series":
+        return self._binop(other, operator.gt)
+
+    def le(self, other) -> "Series":
+        return self._binop(other, operator.le)
+
+    def ge(self, other) -> "Series":
+        return self._binop(other, operator.ge)
+
+    def eq(self, other) -> "Series":
+        return self._binop(other, operator.eq)
+
+    def ne(self, other) -> "Series":
+        return self._binop(other, operator.ne)
+
+    # ------------------------------------------- apply / group / window
+    def apply(self, func, return_type: str = "double") -> "Series":
+        """mars/dataframe/base/apply.py Series form — element-wise, the
+        same Arrow-batched UDF path as map(callable)."""
+        return self.map(func, return_type=return_type)
+
+    def transform(self, func, return_type: str = "double") -> "Series":
+        return self.map(func, return_type=return_type)
+
+    def groupby(self, by=None, level=None):
+        """Series groupby (reference: mars/dataframe/core.py:2798
+        SeriesGroupBy) — group the one-column frame by external keys
+        (engine Series on the same frame) or index level(s), selected
+        down to this series' column."""
+        nm = self.name or "0"
+        if by is not None and isinstance(by, Series):
+            from mars_spark.core.frame import DataFrame
+
+            fr = self._frame
+            base = fr
+            if by._frame is not fr:
+                # a row-preserving extension of either frame carries
+                # both columns (the _binop adoption rule); anything
+                # else needs an explicit align first
+                base = _extension_frame(fr, by._frame)
+                if base is None:
+                    raise ValueError(
+                        "Series.groupby: the key Series must live on "
+                        "the same frame (align the frames first)")
+            key = by.name or "__key"
+            sdf = base._sdf.select(*[F.col(c) for c in base._index],
+                                   by._col.alias(key),
+                                   self._col.alias(nm))
+            return DataFrame(sdf, base._index).groupby(key)[nm]
+        return self.to_frame(nm).groupby(by=by, level=level)[nm]
+
+    def rolling(self, window, min_periods=None, order_by=None,
+                partition_by=None):
+        nm = self.name or "0"
+        return _SeriesWindowAgg(
+            self.to_frame(nm).rolling(window, min_periods)
+            .over(order_by=order_by, partition_by=partition_by),
+            nm, self.name)
+
+    def expanding(self, min_periods: int = 1, order_by=None,
+                  partition_by=None):
+        nm = self.name or "0"
+        return _SeriesWindowAgg(
+            self.to_frame(nm).expanding(min_periods)
+            .over(order_by=order_by, partition_by=partition_by),
+            nm, self.name)
+
+    def ewm(self, alpha: float, order_by=None, partition_by=None,
+            adjust: bool = True, bias: bool = False):
+        nm = self.name or "0"
+        return _SeriesEWM(
+            self.to_frame(nm).ewm(alpha, order_by=order_by,
+                                  partition_by=partition_by,
+                                  adjust=adjust, bias=bias),
+            nm, self.name)
+
+    # ------------------------------------------------ window-form stats
+    def _order_window(self, partition_by=None):
+        from pyspark.sql import Window
+
+        from mars_spark.operators.window import _order_cols
+
+        order = _order_cols(self._frame, None)
+        return (Window.partitionBy(*(partition_by or []))
+                .orderBy(*[F.col(c) for c in order]))
+
+    def _extend(self, expr, out: str) -> "Series":
+        """Attach a derived column to the owning frame (the rank
+        extension pattern — binops against the original frame's
+        series need no align join)."""
+        from mars_spark.core.frame import DataFrame
+
+        nf = DataFrame(self._frame._sdf.withColumn(out, expr),
+                       self._frame._index, seq=self._frame._seq,
+                       seq_dirty=self._frame._seq_dirty)
+        nf._origin_sdf = self._frame._sdf
+        return Series(nf, F.col(out), self.name)
+
+    def shift(self, periods: int = 1, partition_by=None) -> "Series":
+        w = self._order_window(partition_by)
+        fn = (F.lag(self._col, periods) if periods >= 0
+              else F.lead(self._col, -periods))
+        return self._extend(fn.over(w), "__shift")
+
+    def diff(self, periods: int = 1, partition_by=None) -> "Series":
+        w = self._order_window(partition_by)
+        return self._extend(
+            self._col - F.lag(self._col, periods).over(w), "__diff")
+
+    def pct_change(self, periods: int = 1, partition_by=None) -> "Series":
+        w = self._order_window(partition_by)
+        return self._extend(
+            F.try_divide(self._col,
+                         F.lag(self._col, periods).over(w)) - 1,
+            "__pct")
+
+    def _cum(self, fn, out: str, partition_by=None) -> "Series":
+        from pyspark.sql import Window
+
+        w = self._order_window(partition_by).rowsBetween(
+            Window.unboundedPreceding, 0)
+        return self._extend(
+            F.when(self._col.isNotNull(), fn(self._col).over(w)), out)
+
+    def cumsum(self, partition_by=None) -> "Series":
+        return self._cum(F.sum, "__cumsum", partition_by)
+
+    def cumprod(self, partition_by=None) -> "Series":
+        return self._cum(F.product, "__cumprod", partition_by)
+
+    def cummin(self, partition_by=None) -> "Series":
+        return self._cum(F.min, "__cummin", partition_by)
+
+    def cummax(self, partition_by=None) -> "Series":
+        return self._cum(F.max, "__cummax", partition_by)
+
+    def autocorr(self, lag: int = 1):
+        """pandas Series.autocorr — Pearson corr of the series with its
+        lagged self: one window + one corr aggregate."""
+        w = self._order_window()
+        lagged = F.lag(self._col, lag).over(w)
+        sdf = self._frame._sdf.select(self._col.alias("__a"),
+                                      lagged.alias("__b"))
+        return sdf.agg(F.corr("__a", "__b")).collect()[0][0]
+
+    def corr(self, other: "Series", method: str = "pearson"):
+        """Pearson correlation with another series — same-frame pairs
+        are one aggregate; cross-frame pairs align on the index
+        first."""
+        if method != "pearson":
+            raise NotImplementedError("corr: pearson only")
+        if isinstance(other, Series) and other._frame is self._frame:
+            return self._agg_scalar(F.corr(self._col, other._col))
+        from mars_spark.operators.align import align_series
+
+        pair = align_series(self, other, lambda a, b: F.struct(
+            a.alias("a"), b.alias("b")), name="__pair")
+        sdf = pair._frame._sdf.select(pair._col.alias("__p"))
+        return sdf.agg(
+            F.corr(F.col("__p.a"), F.col("__p.b"))).collect()[0][0]
+
+    def describe(self, percentiles=(0.25, 0.5, 0.75)):
+        """mars/dataframe/base/describe.py Series form — ONE aggregate
+        (count/mean/std/min/exact percentiles/max), returned as the
+        pandas-shaped Series."""
+        import pandas as pd
+
+        qs = list(percentiles)
+        row = self._frame._sdf.agg(
+            F.count(self._col).alias("count"),
+            F.avg(self._col).alias("mean"),
+            F.stddev_samp(self._col).alias("std"),
+            F.min(self._col).alias("min"),
+            *[F.percentile(self._col, F.lit(q)).alias(f"q{i}")
+              for i, q in enumerate(qs)],
+            F.max(self._col).alias("max")).collect()[0]
+        out = {"count": float(row["count"]), "mean": row["mean"],
+               "std": row["std"], "min": row["min"]}
+        for i, q in enumerate(qs):
+            out[f"{int(q * 100)}%"] = row[f"q{i}"]
+        out["max"] = row["max"]
+        return pd.Series(out)
+
     def to_pandas(self):
         import pandas as pd
 
@@ -705,6 +1178,8 @@ class Series:
         for pdf in proj._iter_pandas_batches(batch_size):
             yield from pdf["__sval"].items()
 
+    iteritems = items
+
     @property
     def plot(self):
         """mars/dataframe/plotting/core.py:23 (Series form) — bounded
@@ -721,6 +1196,107 @@ class Series:
 
     def execute(self):
         return self
+
+
+class _SeriesWindowAgg:
+    """Series rolling/expanding facade: runs the frame-level window op
+    on the one-column frame and hands back the single derived column
+    as a Series (new column located by set difference — the window
+    ops suffix their outputs)."""
+
+    def __init__(self, win, col: str, name):
+        self._win = win
+        self._colname = col
+        self._name = name
+
+    def agg(self, fn: str) -> "Series":
+        before = set(self._win._frame._sdf.columns)
+        res = self._win.agg({self._colname: fn})
+        new = [c for c in res._sdf.columns if c not in before]
+        return Series(res, F.col(new[-1]), self._name)
+
+    def sum(self) -> "Series":
+        return self.agg("sum")
+
+    def mean(self) -> "Series":
+        return self.agg("mean")
+
+    def min(self) -> "Series":
+        return self.agg("min")
+
+    def max(self) -> "Series":
+        return self.agg("max")
+
+    def count(self) -> "Series":
+        return self.agg("count")
+
+    def std(self) -> "Series":
+        return self.agg("std")
+
+    def var(self) -> "Series":
+        return self.agg("var")
+
+
+class _SeriesEWM:
+    """Series EWM facade over operators/window.EWM."""
+
+    def __init__(self, ewm, col: str, name):
+        self._ewm = ewm
+        self._colname = col
+        self._name = name
+
+    def _stat(self, stat: str) -> "Series":
+        before = set(self._ewm._frame._sdf.columns)
+        res = self._ewm.agg(self._colname, stats=(stat,))
+        new = [c for c in res._sdf.columns if c not in before]
+        return Series(res, F.col(new[-1]), self._name)
+
+    def mean(self) -> "Series":
+        return self._stat("mean")
+
+    def var(self) -> "Series":
+        return self._stat("var")
+
+    def std(self) -> "Series":
+        return self._stat("std")
+
+
+class _SeriesAt:
+    """s.at[label] / s.iat[pos] → scalar via the frame indexers."""
+
+    def __init__(self, series: Series, positional: bool):
+        self._s = series
+        self._positional = positional
+
+    def __getitem__(self, key):
+        nm = self._s.name or "0"
+        fr = self._s.to_frame(nm)
+        if self._positional:
+            return fr.iat[key, 0]
+        return fr.at[key, nm]
+
+
+class _SeriesLoc:
+    """s.loc[...] / s.iloc[...] — frame indexer, projected back to the
+    value column (label-scalar lookups collapse to Python scalars via
+    at/iat, pandas-style)."""
+
+    def __init__(self, series: Series, positional: bool):
+        self._s = series
+        self._positional = positional
+
+    def __getitem__(self, key):
+        from mars_spark.core.frame import DataFrame
+
+        s = self._s
+        nm = s.name or "0"
+        if self._positional and isinstance(key, int):
+            return s.iat[key]
+        fr = s.to_frame(nm)
+        res = fr.iloc[key] if self._positional else fr.loc[key]
+        if isinstance(res, DataFrame) and nm in res.columns:
+            return Series(res, F.col(nm), s.name)
+        return res
 
 
 # Unary ufunc surface (reference: mars/dataframe/arithmetic/{sqrt,exp,

@@ -378,17 +378,19 @@ def shuffle(*dfs, random_state: int = 0):
 
     outs = []
     for df in dfs:
-        if isinstance(df, _EngineDF) and df._index:
-            key_cols = [F.col(c).cast("string") for c in df._index]
-            key = F.md5(F.concat_ws(
-                "\x1f", F.lit(str(random_state)), *key_cols))
-            outs.append(_EngineDF(df._sdf.orderBy(key), df._index))
+        sdf = _sdf(df)
+        # key on the index when the frame carries one (that is what
+        # aligns multi-input shuffles); otherwise on all columns
+        key_src = (df._index if isinstance(df, _EngineDF) and df._index
+                   else sdf.columns)
+        key = F.md5(F.concat_ws(
+            "\x1f", F.lit(str(random_state)),
+            *[F.col(c).cast("string") for c in key_src]))
+        shuffled = sdf.orderBy(key)
+        if isinstance(df, _EngineDF):
+            outs.append(_EngineDF(shuffled, df._index))
         else:
-            sdf = _sdf(df)
-            key = F.md5(F.concat_ws(
-                "\x1f", F.lit(str(random_state)),
-                *[F.col(c).cast("string") for c in sdf.columns]))
-            outs.append(sdf.orderBy(key))
+            outs.append(shuffled)
     return outs[0] if len(outs) == 1 else tuple(outs)
 
 
