@@ -175,6 +175,60 @@ class GroupBy:
     def nunique(self):
         return self.agg({c: "nunique" for c in self._value_cols})
 
+    def prod(self):
+        return self.agg({c: "prod" for c in self._value_cols})
+
+    product = prod
+
+    def std(self):
+        return self.agg({c: "std" for c in self._value_cols})
+
+    def var(self):
+        return self.agg({c: "var" for c in self._value_cols})
+
+    def sem(self):
+        return self.agg({c: "sem" for c in self._value_cols})
+
+    def skew(self):
+        return self.agg({c: "skew" for c in self._value_cols})
+
+    def kurt(self):
+        return self.agg({c: "kurt" for c in self._value_cols})
+
+    kurtosis = kurt
+
+    def all(self):
+        return self.agg({c: "all" for c in self._value_cols})
+
+    def any(self):
+        return self.agg({c: "any" for c in self._value_cols})
+
+    def first(self):
+        return self.agg({c: "first" for c in self._value_cols})
+
+    def last(self):
+        return self.agg({c: "last" for c in self._value_cols})
+
+    def median(self):
+        return self.agg({c: "median" for c in self._value_cols})
+
+    def fillna(self, value=None, method: str | None = None,
+               order_by=None):
+        """pandas DataFrameGroupBy.fillna: method='ffill'/'bfill' runs
+        the per-group window fill; a scalar/dict value fills
+        group-independently (same as frame fillna, kept here for API
+        parity)."""
+        if method in ("ffill", "pad"):
+            return self.ffill(order_by)
+        if method in ("bfill", "backfill"):
+            return self.bfill(order_by)
+        if value is None:
+            raise ValueError("fillna needs value or method")
+        from mars_spark.core.frame import DataFrame
+
+        return DataFrame(self._frame._sdf.fillna(value),
+                         self._frame._index)
+
     def size(self):
         grouped = {
             "groupby": self._frame._sdf.groupBy,
@@ -279,6 +333,8 @@ class GroupBy:
             sdf = sdf.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
         return DataFrame(sdf, self._frame._index)
 
+    pad = ffill
+
     def bfill(self, order_by):
         self._require_plain_groupby("bfill")
         from mars_spark.core.frame import DataFrame
@@ -292,6 +348,8 @@ class GroupBy:
         for c in self._value_cols:
             sdf = sdf.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
         return DataFrame(sdf, self._frame._index)
+
+    backfill = bfill
 
     def interpolate(self, order_by):
         """Per-group LINEAR interpolation of nulls (additive — the

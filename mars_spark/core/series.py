@@ -364,15 +364,19 @@ class Series:
         return Series(self._frame, F.abs(self._col), self.name)
 
     def check_monotonic(self, decreasing: bool = False,
-                        strict: bool = False) -> bool:
+                        strict: bool = False,
+                        order_by: str | None = None) -> bool:
         """mars/dataframe/base/check_monotonic.py:27 (chunk-level
         results combined on the driver) → distributed monotonicity in
         index order WITHOUT a global-order window: range-partition on
         the index, per-partition lag comparison, then a
         (num-partitions)-row driver check of the partition boundary
         values. Any null value makes the result False (pandas: NaN
-        breaks monotonicity); an empty series is monotonic."""
-        idx = self._frame._require_index("check_monotonic")
+        breaks monotonicity); an empty series is monotonic.
+        ``order_by`` overrides the ordering column (Index monotonicity
+        orders by the sequence carrier — in index order the index is
+        trivially monotonic)."""
+        idx = order_by or self._frame._require_index("check_monotonic")
         name = self.name or "value"
         base = self._frame._sdf.select(
             F.col(idx).alias("__o"), self._col.alias(name))

