@@ -671,17 +671,47 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         lin.unpersist()
         return int(n_top), int(bmse < 1e-6)
 
-    with ThreadPoolExecutor(max_workers=9) as ex:
-        f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en = (
+    def _extra():
+        # late-r9 learn-page strata (learn/extras.py):
+        # - fbeta (β=2) restates from the same tp/fp/fn sums;
+        # - the TRAPEZOID auc over the distinct-score roc_curve equals
+        #   the rank-based estimator exactly (ties contribute the
+        #   diagonal segment either way) — a cross-estimator identity
+        #   the oracle states by reusing the rank formula;
+        # - KFold's md5 hash folds are fully SQL-replayable (fold =
+        #   hex-prefix of md5('seed|id') mod k) — the four fold sizes
+        #   pin the assignment;
+        # - BlockwiseVotingRegressor recovers an exactly linear label
+        #   from EVERY partition's closed-form OLS → constant contract
+        #   (subsample layout varies, the recovery does not).
+        from mars_spark.learn import extras as X
+
+        fb2 = X.fbeta_score(f, "y", "pred", beta=2.0, positive=1)
+        fpr, tpr, _ = X.roc_curve(f, "y", "s")
+        auc_trap = X.auc(fpr, tpr)
+        sizes = [te.count()
+                 for _, te in X.KFold(4, seed=5).split(f, "event_id")]
+        lin = (f.to_spark().select(
+            "event_id", "s", (F.col("s") * 3.0 - 1.0).alias("yl"))
+            .repartition(4))
+        bv = X.BlockwiseVotingRegressor().fit(lin, ["s"], "yl")
+        bmse = L.mean_squared_error(
+            MDF(bv.predict(lin)), "yl", "prediction")
+        return fb2, auc_trap, sizes, int(bmse < 1e-12)
+
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        (f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en,
+         f_ex) = (
             ex.submit(fn)
             for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le, _split,
-                       _ens))
+                       _ens, _extra))
         (acc, prf, ll), auc = f_cls.result(), f_auc.result()
         lr, r2, mse = f_reg.result()
         glm_slope, ev1 = f_glm.result(), f_pca.result()
         mm_mean, le_sum = f_mm.result(), f_le.result()
         tr_n, tr_vs, te_n, te_vs = f_sp.result()
         ifor_top, bag_exact = f_en.result()
+        fb2, auc_trap, kf_sizes, bv_exact = f_ex.result()
     f._sdf.unpersist()
 
     def r6(x: float) -> float:
@@ -697,13 +727,17 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
           r6(ll), r6(auc), r4(lr.coef_[0]), r4(lr.intercept_),
           r6(r2), r4(mse), r6(ev1), r6(mm_mean), int(le_sum),
           r4(glm_slope), tr_n, r4(tr_vs), te_n, r4(te_vs),
-          ifor_top, bag_exact)],
+          ifor_top, bag_exact, r6(fb2), r6(auc_trap),
+          kf_sizes[0], kf_sizes[1], kf_sizes[2], kf_sizes[3],
+          bv_exact)],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
         "r2 double, mse double, pca_ev1 double, mm_mean double, "
         "le_sum long, glm_slope double, split_tr_n long, "
         "split_tr_vsum double, split_te_n long, split_te_vsum double, "
-        "ifor_top long, bag_exact long")
+        "ifor_top long, bag_exact long, fbeta2 double, "
+        "auc_trap double, kf0 long, kf1 long, kf2 long, kf3 long, "
+        "bv_exact long")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -350,8 +350,36 @@ OPS_ORACLES: dict[str, str] = {
                -- op_learn_metrics._ens: subsamples are layout-
                -- dependent, the contracts are not)
                CAST(3 AS BIGINT) AS ifor_top,
-               CAST(1 AS BIGINT) AS bag_exact
+               CAST(1 AS BIGINT) AS bag_exact,
+               -- fbeta (β=2) from the same confusion sums
+               floor(5 * (tp / (tp + fp)) * (tp / (tp + fn))
+                     / (4 * (tp / (tp + fp)) + (tp / (tp + fn)))
+                     * 1e6 + 0.5) / 1e6 AS fbeta2,
+               -- trapezoid auc over the distinct-score roc curve ==
+               -- the rank-based estimator (ties are the diagonal
+               -- segment in both)
+               floor((rpos - npos * (npos + 1) / 2) / (npos * nneg)
+                     * 1e6 + 0.5) / 1e6 AS auc_trap,
+               kfold.kf0, kfold.kf1, kfold.kf2, kfold.kf3,
+               -- blockwise per-partition OLS recovers an exact linear
+               -- label from any block (constant contract)
+               CAST(1 AS BIGINT) AS bv_exact
         FROM base CROSS JOIN a CROSS JOIN reg
+        CROSS JOIN (
+            -- KFold md5 hash folds (learn/extras.py): fold =
+            -- hex-prefix of md5('seed|id') mod 4, seed 5
+            SELECT sum(CASE WHEN fold = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS kf0,
+                   sum(CASE WHEN fold = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS kf1,
+                   sum(CASE WHEN fold = 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS kf2,
+                   sum(CASE WHEN fold = 3 THEN 1 ELSE 0 END)::BIGINT
+                       AS kf3
+            FROM (SELECT ('0x' || substr(md5('5|' ||
+                              CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 4 AS fold
+                  FROM events)) kfold
         CROSS JOIN (
             SELECT var_samp(CAST((event_id * 37) % 1000 AS DOUBLE)
                             / 1000.0) AS vx,
