@@ -795,3 +795,55 @@ def test_exact_quantile_matches_gk_zero_error(spark, vals, ps):
     got = f.quantile("x", list(ps), 0.0)[0]
     exp = f.to_spark().approxQuantile("x", list(ps), 0.0)
     assert got == exp, (vals, ps, got, exp)
+
+
+@given(lk=st.lists(st.integers(0, 9), min_size=1, max_size=8,
+                   unique=True),
+       rk=st.lists(st.integers(0, 9), min_size=1, max_size=8,
+                   unique=True),
+       fill=st.sampled_from([None, 0.0, 7.5]),
+       op=st.sampled_from(["add", "sub", "mul"]))
+@_settings
+def test_frame_binop_alignment_matches_pandas(spark, lk, rk, fill, op):
+    """Frame-level binop family vs pandas on adversarial index
+    overlaps (disjoint / partial / identical) and fill_value — the
+    r9 parity surface (frame.add/sub/mul with the Series fill
+    contract: both-missing stays missing)."""
+    p1 = pd.DataFrame({"k": lk,
+                       "a": [float(k) * 2 for k in lk],
+                       "b": [float(k) - 3 for k in lk]}).set_index("k")
+    p2 = pd.DataFrame({"k": rk,
+                       "a": [float(k) * -1 for k in rk]}).set_index("k")
+    f1 = ms.from_spark(spark.createDataFrame(p1.reset_index())) \
+        .set_index("k")
+    f2 = ms.from_spark(spark.createDataFrame(p2.reset_index())) \
+        .set_index("k")
+    got = getattr(f1, op)(f2, fill_value=fill).to_spark() \
+        .orderBy("k").toPandas().set_index("k")
+    exp = getattr(p1, op)(p2, fill_value=fill)
+    assert sorted(got.columns) == sorted(exp.columns)
+    for c in exp.columns:
+        for k in exp.index:
+            e, g = exp.loc[k, c], got.loc[k, c]
+            assert (pd.isna(e) and pd.isna(g)) or e == g, (c, k, e, g)
+
+
+@given(vals=st.lists(
+    st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                   allow_nan=False)),
+    min_size=1, max_size=20),
+    kind=st.sampled_from(["cumsum", "cummax", "shift", "diff"]))
+@_settings
+def test_series_window_forms_match_pandas(spark, vals, kind):
+    """Series cum*/shift/diff (the r9 frame-extension window forms)
+    vs pandas over nullable values in index order."""
+    pdf = pd.DataFrame({"k": range(len(vals)), "v": vals})
+    pdf["v"] = pdf["v"].astype("float64")
+    s = ms.from_spark(spark.createDataFrame(pdf)).set_index("k").v
+    got = getattr(s, kind)().to_pandas()
+    exp = getattr(pdf.set_index("k").v, kind)()
+    # window output is ordered by the index (the ordering column)
+    assert len(got) == len(exp)
+    gl, el = got.tolist(), exp.tolist()
+    for g, e in zip(gl, el):
+        assert (pd.isna(e) and (g is None or pd.isna(g))) or g == e
