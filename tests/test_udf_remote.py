@@ -91,3 +91,43 @@ def test_run_script():
     out = remote.run_script(
         "z = x + y\nw = z * 2", data={"x": 2, "y": 3}, retrieve=["z", "w"])
     assert out == {"z": 5, "w": 10}
+
+
+def test_dask_scheduler_executes_spec_graphs(spark):
+    """contrib.dask.mars_scheduler (reference: mars/contrib/dask/)
+    runs plain dask-spec graphs — tuples with callable heads, key
+    references, nested key lists — without dask installed; engine
+    frames flow through tasks like any value."""
+    import pytest
+
+    from mars_spark.contrib import convert_dask_collection, mars_scheduler
+
+    def inc(x):
+        return x + 1
+
+    def add(a, b):
+        return a + b
+
+    dsk = {"a": 1,
+           "b": (inc, "a"),
+           "c": (inc, "b"),
+           "d": (add, "b", "c"),
+           "e": (sum, ["a", "b", "c", "d"])}
+    assert mars_scheduler(dsk, "d") == 5
+    assert mars_scheduler(dsk, ["a", ["b", "c"], "e"]) == [1, [2, 3], 11]
+    with pytest.raises(ValueError, match="cycle"):
+        mars_scheduler({"x": (inc, "y"), "y": (inc, "x")}, "x")
+    # engine work inside a task: the callable drives a Spark action
+    import mars_spark as ms
+
+    def count_rows(n):
+        import pandas as pd
+
+        return ms.from_pandas(pd.DataFrame({"v": range(n)})) \
+            .to_spark().count()
+
+    assert mars_scheduler({"n": 7, "cnt": (count_rows, "n")},
+                          "cnt") == 7
+    # the converter needs dask itself (absent here — honest signal)
+    with pytest.raises(ImportError, match="dask"):
+        convert_dask_collection(object())
