@@ -42,7 +42,7 @@ EOW = "</w>"
 def word_histogram(docs: SparkDF, text_col: str) -> SparkDF:
     """(word, c) corpus word counts — one explode + combine-heavy
     shuffle; empty-string words (empty/whitespace docs) excluded."""
-    return (docs.select(F.explode(T.tokens(F.col(text_col))).alias("word"))
+    return (docs.select(F.explode(T.tokens(text_col)).alias("word"))
             .filter(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
 
@@ -259,4 +259,4 @@ def bpe_tokenize(sdf: SparkDF, text_col: str,
                           for w in col])
 
     fn = pandas_udf(_apply, "array<string>")
-    return sdf.withColumn(out_col, fn(T.tokens(F.col(text_col))))
+    return sdf.withColumn(out_col, fn(T.tokens(text_col)))

@@ -30,7 +30,7 @@ def eval_ngrams(eval_df: SparkDF, text_col: str, k: int = 13) -> SparkDF:
     ``gram``. Cache/persist this when decontaminating many shards."""
     return (
         eval_df.select(
-            F.explode(T.word_shingles(F.col(text_col), k)).alias("gram"))
+            F.explode(T.word_shingles(text_col, k)).alias("gram"))
         .distinct()
     )
 
@@ -49,7 +49,7 @@ def contaminated_ids(train_df: SparkDF, eval_df: SparkDF, text_col: str,
         grams = F.broadcast(grams)
     tr = train_df.select(
         F.col(id_col),
-        F.explode(T.word_shingles(F.col(text_col), k)).alias("gram"))
+        F.explode(T.word_shingles(text_col, k)).alias("gram"))
     return tr.join(grams, "gram", "left_semi").select(id_col).distinct()
 
 

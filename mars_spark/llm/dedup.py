@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame as SparkDF
 from pyspark.sql import functions as F
 
-from mars_spark.llm.text import fingerprint, word_shingles, tokens
+from mars_spark.llm.text import (_memo_builder, fingerprint,
+                                 word_shingles, tokens)
 
 
 # ------------------------------------------------------------------ exact
@@ -31,7 +32,7 @@ def exact_dedup_keys(sdf: SparkDF, text_col: str, id_col: str) -> SparkDF:
     """One surviving id per normalized-content fingerprint (min id wins —
     deterministic). Returns (fingerprint, keep_id, dup_count)."""
     return (
-        sdf.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        sdf.select(fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -60,7 +61,7 @@ def incremental_dedup(new: SparkDF, seen_fps: SparkDF, text_col: str,
     when the seen set is small) and the batch itself (min-id winner).
     Append ``exact_dedup_keys`` of the survivors to the store for the
     next increment."""
-    batch = new.withColumn("__fp", fingerprint(F.col(text_col)))
+    batch = new.withColumn("__fp", fingerprint(text_col))
     fresh = batch.join(seen_fps.withColumnRenamed("fp", "__fp"),
                        on="__fp", how="left_anti")
     w = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
@@ -127,7 +128,7 @@ def shingle_postings(sdf: SparkDF, text_col: str, id_col: str,
 
     toks = _fan_out(sdf).select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
@@ -398,7 +399,8 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def simhash(col: Column, bits: int = 32) -> Column:
+@_memo_builder
+def simhash(col: Column | str, bits: int = 32) -> Column:
     """SimHash signature of the token set, computed as 'bits' parallel
     aggregates over the token array — all higher-order expressions.
 
@@ -429,7 +431,7 @@ def simhash_near_pairs(sdf: SparkDF, text_col: str, id_col: str,
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    sig = sdf.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sig"))
+    sig = sdf.select(F.col(id_col), simhash(text_col, bits).alias("sig"))
     bands = []
     for b in range(n_bands):
         shifted = F.shiftright(F.col("sig"), b * band_bits)
@@ -477,7 +479,7 @@ def best_in_cluster_dedup(sdf: SparkDF, text_col: str, id_col: str,
 
     w = Window.partitionBy("__fp").orderBy(F.desc(score_col),
                                            F.asc(id_col))
-    keys = (sdf.select(fingerprint(F.col(text_col)).alias("__fp"),
+    keys = (sdf.select(fingerprint(text_col).alias("__fp"),
                        F.col(id_col), F.col(score_col))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).select(id_col))
@@ -513,7 +515,7 @@ def cross_doc_gram_stats(sdf: SparkDF, text_col: str, id_col: str,
 
     grams = sdf.select(
         F.col(id_col),
-        F.explode(F.transform(word_ngrams(F.col(text_col), k),
+        F.explode(F.transform(word_ngrams(text_col, k),
                               lambda g: F.md5(g))).alias("gh"))
     pair = grams.groupBy("gh", id_col).agg(F.count(F.lit(1)).alias("c"))
     nd = F.count(F.lit(1)).over(Window.partitionBy("gh"))
@@ -604,7 +606,7 @@ def winnow_fingerprints(sdf: SparkDF, text_col: str, id_col: str,
 
     # _gram_extract yields a single empty capture on empty/whitespace
     # text — drop it (an empty doc has no fingerprints)
-    grams = F.filter(_gram_extract(F.col(text_col), k),
+    grams = F.filter(_gram_extract(text_col, k),
                      lambda g: g != F.lit(""))
     hashes = F.transform(grams, hash32)
     n = F.size(hashes)
@@ -652,10 +654,10 @@ def remove_duplicate_spans(sdf: SparkDF, text_col: str, id_col: str,
 
     toks = sdf.select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("__tpos", "__w"))
+        F.posexplode(tokens(text_col)).alias("__tpos", "__w"))
     grams = sdf.select(
         F.col(id_col),
-        F.posexplode(F.transform(word_ngrams(F.col(text_col), k),
+        F.posexplode(F.transform(word_ngrams(text_col, k),
                                  lambda g: F.md5(g)))
         .alias("__gpos", "__gh"))
     wo = (Window.partitionBy("__gh")

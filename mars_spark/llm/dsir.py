@@ -32,7 +32,7 @@ from mars_spark.llm.dedup import hash32
 def _exploded_buckets(docs: SparkDF, text_col: str, n_buckets: int,
                       k: int, extra: list[str] = ()) -> SparkDF:
     g = docs.select(*extra,
-                    F.explode(T.word_ngrams(F.col(text_col), k)).alias("g"))
+                    F.explode(T.word_ngrams(text_col, k)).alias("g"))
     return g.withColumn("b", F.pmod(hash32(F.col("g")),
                                     F.lit(n_buckets)))
 

@@ -33,7 +33,7 @@ from mars_spark.llm import text as T
 def unigram_counts(docs: SparkDF, text_col: str) -> SparkDF:
     """(word, c) corpus unigram counts — one explode + combine-heavy
     shuffle."""
-    return (docs.select(F.explode(T.tokens(F.col(text_col))).alias("word"))
+    return (docs.select(F.explode(T.tokens(text_col)).alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
 
 
@@ -55,11 +55,11 @@ def unigram_logprob(docs: SparkDF, text_col: str, id_col: str,
     # exploded count in both conf regimes
     total = docs.agg(
         F.sum(F.when(F.col(text_col).isNull(), F.lit(0))
-              .otherwise(T.token_count(F.col(text_col)))).alias("__tot"))
+              .otherwise(T.token_count(text_col))).alias("__tot"))
     vocab = (counts.orderBy(F.desc("c"), F.asc("word"))
              .limit(vocab_size))
     toks = docs.select(
-        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("word"))
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("word"))
     denom = F.col("__tot") + alpha * (vocab_size + 1)
     scored = (
         toks.join(F.broadcast(vocab), "word", "left")

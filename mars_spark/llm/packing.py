@@ -89,7 +89,7 @@ def chunk_documents(sdf: SparkDF, text_col: str, id_col: str = "doc_id",
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
-    s = T.normalize(F.col(text_col))
+    s = T.normalize(text_col)
     n = F.size(F.split(s, " "))
     # capture: up to `size` tokens with no trailing space; branch:
     # while > `size` tokens remain, consume `stride` tokens (another
@@ -134,7 +134,7 @@ def take_token_budget(sdf: SparkDF, text_col: str, budget: int,
     from mars_spark.operators.rank import prefix_stats
 
     nt = (F.col(token_col) if token_col
-          else T.token_count(F.col(text_col)))
+          else T.token_count(text_col))
     base = sdf.withColumn("__nt", nt)
     stats = prefix_stats(base, order_col, "__nt", ascending=ascending)
     return (stats.filter(F.col("__before") + F.col("__nt") <= budget)
@@ -180,7 +180,7 @@ def write_shards(sdf: SparkDF, path: str, order_col: str,
         if token_col is None and text_col is None:
             raise ValueError("token_budget needs token_col or text_col")
         nt = (F.col(token_col) if token_col
-              else T.token_count(F.col(text_col)))
+              else T.token_count(text_col))
         stats = prefix_stats(sdf.withColumn("__nt", nt),
                              order_col, "__nt")
         shard = F.floor(F.col("__before") / F.lit(token_budget))

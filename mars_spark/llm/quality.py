@@ -50,7 +50,7 @@ class QualityClassifier:
         from pyspark.ml.feature import HashingTF
 
         toks = sdf.withColumn("__toks", F.filter(
-            T.tokens(F.col(text_col)), lambda w: w != F.lit("")))
+            T.tokens(text_col), lambda w: w != F.lit("")))
         tf = HashingTF(inputCol="__toks", outputCol="__features",
                        numFeatures=self.n_features)
         return tf.transform(toks).drop("__toks")

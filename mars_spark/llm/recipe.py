@@ -40,7 +40,7 @@ from mars_spark.llm import pii as _pii
 from mars_spark.llm import text as _text
 
 
-def quality_predicate(col: Column, *, min_quality: float = 0.0,
+def quality_predicate(col: Column | str, *, min_quality: float = 0.0,
                       max_dup2: float = 1.0, max_topw: float = 1.0,
                       min_tokens: int = 0,
                       langs: list[str] | None = None) -> Column:
@@ -99,7 +99,7 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
     to keep the plan fully lazy, e.g. when composing into a larger
     plan that already persists)."""
     out = docs.filter(quality_predicate(
-        F.col(text_col), min_quality=min_quality, max_dup2=max_dup2,
+        text_col, min_quality=min_quality, max_dup2=max_dup2,
         max_topw=max_topw, min_tokens=min_tokens, langs=langs))
     if redact_pii:
         out = out.withColumn(text_col, _pii.redact(F.col(text_col)))
@@ -146,7 +146,7 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
 
         ids = cap_per_key(
             out.select(source_col, id_col,
-                       _text.quality_score(F.col(text_col)).alias("__q")),
+                       _text.quality_score(text_col).alias("__q")),
             source_col, max_per_source,
             [F.desc("__q"), F.asc(id_col)]).select(id_col)
         out = out.join(ids, id_col, "leftsemi")

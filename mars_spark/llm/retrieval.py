@@ -32,7 +32,7 @@ def term_counts(docs: SparkDF, text_col: str,
     combine-heavy shuffle. Doc length ``dl`` is computed BEFORE the
     explode (size of the token array) and rides each posting row, so
     no second pass or per-doc window is needed."""
-    base = docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__t"))
+    base = docs.select(F.col(id_col), T.tokens(text_col).alias("__t"))
     return (base.select(F.col(id_col), F.size("__t").alias("dl"),
                         F.explode("__t").alias("term"))
             .groupBy(id_col, "dl", "term")
@@ -71,7 +71,7 @@ def bm25_scores(docs: SparkDF, query_terms: list[str], text_col: str,
     hits = tc.filter(F.col("term").isin(list(query_terms)))
     stats = docs.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.avg(F.size(T.tokens(F.col(text_col)))).alias("__avgdl"))
+        F.avg(F.size(T.tokens(text_col))).alias("__avgdl"))
     # postings are unique per (id, term): query-term df = row count
     # per term, computed as a window over the (tiny, filtered) hits
     # instead of a second full posting build feeding a df self-join

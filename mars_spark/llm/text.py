@@ -8,8 +8,52 @@ regex whitespace split, hashes are md5.
 
 from __future__ import annotations
 
+import functools
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Column-builder memoization.
+#
+# Building these expression trees is py4j-chatty — quality_score() alone
+# issues ~1000 JVM calls (~0.8 s measured), and the corpus query rows use
+# the same trees over and over. A Column built from an UNRESOLVED name
+# (F.col("text")) is an immutable tree that re-binds per consuming
+# DataFrame, so one instance can serve every plan in the session.
+#
+# The cache therefore only engages when the caller passes the column BY
+# NAME (a str): a Column-typed argument may already be resolved against
+# one specific frame (df["text"]) and must never be shared across frames
+# (its string form is indistinguishable from the unresolved one — see
+# tests/test_llm.py::test_text_builder_memo). Keyed per live
+# SparkContext via weakref so a stopped session cannot leak stale JVM
+# handles into the next one.
+# ---------------------------------------------------------------------------
+_MEMO: "WeakKeyDictionary" = WeakKeyDictionary()
+
+
+def _memo_builder(fn):
+    @functools.wraps(fn)
+    def wrap(col, *args, **kwargs):
+        if not isinstance(col, str):
+            return fn(col, *args, **kwargs)
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is None or kwargs:
+            return fn(F.col(col), *args, **kwargs)
+        try:
+            cache = _MEMO.setdefault(sc, {})
+        except TypeError:  # SparkContext not weakref-able on this build
+            return fn(F.col(col), *args, **kwargs)
+        key = (fn.__name__, col, args)
+        if key not in cache:
+            cache[key] = fn(F.col(col), *args)
+        return cache[key]
+
+    return wrap
 
 # language-marker stopwords for the n-gram language-ID heuristic.
 # Counting is done with a length-difference trick (portable SQL, no
@@ -24,22 +68,26 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
 
 
-def normalize(col: Column) -> Column:
+@_memo_builder
+def normalize(col: Column | str) -> Column:
     """lower + collapse whitespace — the canonical form every other
     text op keys on."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def tokens(col: Column) -> Column:
+@_memo_builder
+def tokens(col: Column | str) -> Column:
     return F.split(normalize(col), " ")
 
 
-def token_count(col: Column) -> Column:
+@_memo_builder
+def token_count(col: Column | str) -> Column:
     """Whitespace token count (the cheap path; BPE-ish estimate below)."""
     return F.size(tokens(col))
 
 
-def bpe_token_estimate(col: Column) -> Column:
+@_memo_builder
+def bpe_token_estimate(col: Column | str) -> Column:
     """BPE-ish token-count estimate without a vocab: splits on
     word/number/punctuation boundaries the way byte-level BPE tends
     to, ~chars/4 floor for CJK-free text."""
@@ -58,7 +106,8 @@ def occurrences(col: Column, word: str) -> Column:
     ).cast("int")
 
 
-def lang_score(col: Column, lang: str) -> Column:
+@_memo_builder
+def lang_score(col: Column | str, lang: str) -> Column:
     """Marker-word hit count for one language over padded text."""
     padded = F.concat(F.lit(" "), normalize(col), F.lit(" "))
     score = F.lit(0)
@@ -67,7 +116,8 @@ def lang_score(col: Column, lang: str) -> Column:
     return score
 
 
-def language_id(col: Column) -> Column:
+@_memo_builder
+def language_id(col: Column | str) -> Column:
     """Heuristic language ID over the marker-word profile; returns the
     argmax language or 'und' when nothing matches (CJK etc. — a real
     pipeline plugs fasttext via mapInPandas; this is the JVM-side
@@ -83,12 +133,14 @@ def language_id(col: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
-def alpha_ratio(col: Column) -> Column:
+@_memo_builder
+def alpha_ratio(col: Column | str) -> Column:
     no_alpha = F.regexp_replace(col, r"[A-Za-z]", "")
     return F.length(col).cast("double") - F.length(no_alpha)
 
 
-def quality_score(col: Column) -> Column:
+@_memo_builder
+def quality_score(col: Column | str) -> Column:
     """Document quality heuristic in [0,1]: combines length band,
     alphabetic ratio, mean word length sanity, and stopword presence.
     Deterministic closed form — reproducible in the SQL oracle."""
@@ -113,13 +165,15 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def fingerprint(col: Column) -> Column:
+@_memo_builder
+def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text. The exact-dedup
     key — portable, stable across engines."""
     return F.md5(normalize(col))
 
 
-def _gram_extract(col: Column, k: int) -> Column:
+@_memo_builder
+def _gram_extract(col: Column | str, k: int) -> Column:
     """ALL word k-grams of the normalized text, in order, via ONE
     native regex pass: the pattern captures the k-word window in a
     lookahead (so matches overlap), then consumes one token to
@@ -139,20 +193,23 @@ def _gram_extract(col: Column, k: int) -> Column:
     ).otherwise(F.regexp_extract_all(s, F.lit(pat), 1))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
+@_memo_builder
+def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles — input to minhash/jaccard dedup.
     One narrow regex scan per row (see _gram_extract), no shuffle."""
     return F.array_distinct(_gram_extract(col, k))
 
 
-def word_ngrams(col: Column, k: int = 2) -> Column:
+@_memo_builder
+def word_ngrams(col: Column | str, k: int = 2) -> Column:
     """ALL word k-grams in order (duplicates kept — the repetition
     metrics below need multiplicity; ``word_shingles`` is the distinct
     variant)."""
     return _gram_extract(col, k)
 
 
-def dup_ngram_fraction(col: Column, k: int = 2) -> Column:
+@_memo_builder
+def dup_ngram_fraction(col: Column | str, k: int = 2) -> Column:
     """Gopher-style repetition signal: fraction of word k-grams that
     are repeats of an earlier occurrence — ``(n - n_distinct) / n``.
     0 for repetition-free text, → 1 for a looping generator. Stays
@@ -162,7 +219,8 @@ def dup_ngram_fraction(col: Column, k: int = 2) -> Column:
     return F.round((n - F.size(F.array_distinct(g))) / F.greatest(n, F.lit(1.0)), 4)
 
 
-def top_word_fraction(col: Column) -> Column:
+@_memo_builder
+def top_word_fraction(col: Column | str) -> Column:
     """Fraction of tokens taken by the single most frequent word (the
     C4/Gopher "most common word covers too much of the doc" filter).
 
@@ -186,7 +244,8 @@ def top_word_fraction(col: Column) -> Column:
     return F.round(best / F.greatest(F.size(t).cast("double"), F.lit(1.0)), 4)
 
 
-def char_ngrams(col: Column, n: int = 5) -> Column:
+@_memo_builder
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text."""
     s = normalize(col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))

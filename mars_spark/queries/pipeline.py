@@ -183,10 +183,10 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     d = load(sf_dir, "documents").to_spark()
     per_doc = d.select(
         "lang",
-        T.language_id(F.col("text")).alias("pred_lang"),
-        T.token_count(F.col("text")).alias("n_tok"),
+        T.language_id("text").alias("pred_lang"),
+        T.token_count("text").alias("n_tok"),
         F.length("text").alias("n_char"),
-        T.quality_score(F.col("text")).alias("quality"),
+        T.quality_score("text").alias("quality"),
     )
     conf = (
         per_doc.groupBy("lang", "pred_lang")
@@ -216,7 +216,7 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     # as per-stream pack count / mean / max fill
     from mars_spark.llm import packing as P
 
-    tk = d.select("doc_id", T.token_count(F.col("text")).alias("n_tok"))
+    tk = d.select("doc_id", T.token_count("text").alias("n_tok"))
     packed = P.pack_documents(
         tk, "n_tok", budget=2048, id_col="doc_id", n_buckets=8,
         bucket=F.pmod(F.col("doc_id"), F.lit(8)))
@@ -293,7 +293,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
     d = load(sf_dir, "documents").to_spark()
     kept = D.exact_dedup(d, "text", "doc_id")
     per_source = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
-    uniq = d.select(T.fingerprint(F.col("text")).alias("fp")) \
+    uniq = d.select(T.fingerprint("text").alias("fp")) \
         .agg(F.countDistinct("fp").alias("n_unique_fp"))
     return per_source.join(F.broadcast(uniq))
 
@@ -445,7 +445,7 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     from mars_spark.llm.mixture import cap_per_key
 
     d = load(sf_dir, "documents").to_spark()
-    dq = d.withColumn("__q", T.quality_score(F.col("text")))
+    dq = d.withColumn("__q", T.quality_score("text"))
 
     best = (D.best_in_cluster_dedup(dq, "text", "doc_id", "__q")
             .groupBy("source")
@@ -1343,8 +1343,8 @@ def docs_decontam_pii(spark: SparkSession, sf_dir: str) -> SparkDF:
 
     rep = (
         d.select("source",
-                 T.dup_ngram_fraction(F.col("text"), 2).alias("dup2"),
-                 T.top_word_fraction(F.col("text")).alias("topw"))
+                 T.dup_ngram_fraction("text", 2).alias("dup2"),
+                 T.top_word_fraction("text").alias("topw"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.avg("dup2"), 4).alias("v1"),

@@ -1457,3 +1457,33 @@ def test_review_fix_regressions(spark, tmpdir):
     clash = MSeries(fi, F.col("v"), name="k")
     assert clash.to_dict() == {"x": 1.0, "y": 2.0}
     assert list(clash.items()) == [("x", 1.0), ("y", 2.0)]
+
+
+def test_text_builder_memo(spark, docs):
+    """String-named builder calls memoize (same immutable Column reused)
+    and agree exactly with the Column-typed form; Column inputs bypass
+    the cache (a resolved df["text"] must never be shared across
+    frames — its string form is indistinguishable from unresolved)."""
+    sdf, _ = docs
+    a = sdf.select(T.quality_score("text").alias("q"),
+                   T.language_id("text").alias("l"),
+                   T.dup_ngram_fraction("text", 2).alias("d")).collect()
+    b = sdf.select(T.quality_score(F.col("text")).alias("q"),
+                   T.language_id(F.col("text")).alias("l"),
+                   T.dup_ngram_fraction(F.col("text"), 2).alias("d")).collect()
+    assert a == b
+    # identity: the str form returns the cached instance
+    assert T.quality_score("text") is T.quality_score("text")
+    assert T.word_shingles("text", 3) is T.word_shingles("text", 3)
+    # distinct keys stay distinct
+    assert T.word_shingles("text", 3) is not T.word_shingles("text", 4)
+    # Column inputs bypass (fresh object every call)
+    c1, c2 = T.quality_score(F.col("text")), T.quality_score(F.col("text"))
+    assert c1 is not c2
+    # a cached unresolved Column re-binds per frame: two different
+    # frames with a 'text' column both resolve it correctly
+    import pandas as pd
+    other = ms.from_pandas(pd.DataFrame({"text": ["zz"]})).to_spark()
+    n1 = sdf.select(T.token_count("text").alias("n")).count()
+    n2 = other.select(T.token_count("text").alias("n")).collect()[0]["n"]
+    assert n1 == 6 and n2 == 1
