@@ -18,14 +18,49 @@ what AQE is expected to do at 100 TB.
 
 from __future__ import annotations
 
+import os
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame as SparkDF, SparkSession
 from pyspark.sql import functions as F
 
 import mars_spark as ms
 
 
+_LOAD_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+
+
 def load(sf_dir: str, name: str) -> ms.DataFrame:
-    return ms.read_parquet(f"{sf_dir}/{name}.parquet")
+    """Corpus-table scan, memoized per live SparkContext.
+
+    Opening a parquet source costs ~0.1 s of fixed work (pyarrow
+    footer read for the nanos-timestamp probe + Spark schema
+    inference) and the 50-row corpus re-opens the same handful of
+    tables hundreds of times per bench run. The underlying Spark
+    DataFrame is an immutable plan, so one instance serves every
+    query; each call re-wraps it in a FRESH engine frame because the
+    wrapper itself is mutable (in-place ``df[col] = ...``). Keyed on
+    file mtime so a regenerated testdata dir is re-opened, and
+    weakref-keyed on the SparkContext so a stopped session cannot
+    leak JVM handles."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    path = f"{sf_dir}/{name}.parquet"
+    if sc is None:
+        return ms.read_parquet(path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    try:
+        cache = _LOAD_CACHE.setdefault(sc, {})
+    except TypeError:
+        return ms.read_parquet(path)
+    key = (path, mtime)
+    if key not in cache:
+        cache[key] = ms.read_parquet(path).to_spark()
+    return ms.DataFrame(cache[key])
 
 
 def q1(spark: SparkSession, sf_dir: str) -> SparkDF:
