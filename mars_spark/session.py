@@ -38,6 +38,12 @@ _DEFAULTS = {
     # broadcast threshold: dimension tables (region/nation/supplier/part
     # at small SF) should broadcast; AQE can also convert at runtime.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # generated-class cache: the default 100-entry LRU thrashes on a
+    # many-query session (a 50-row analytics corpus compiles hundreds
+    # of distinct wholestage classes; evicted entries recompile at
+    # ~0.1-0.5 s each on every subsequent pass). Static conf, read
+    # once at codegen-cache construction.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
