@@ -83,3 +83,22 @@ def test_sql_roundtrip_embedded_derby(spark, tmpdir):
     # unpartitioned read path
     one = ms.read_sql("t_rt", url)
     assert one.count() == 200
+
+
+def test_load_cache_isolation(spark):
+    """queries.load memoizes the immutable scan per SparkContext but
+    must hand each caller an independent mutable wrapper: in-place
+    df[col]= on one loaded frame cannot leak into another."""
+    from mars_spark.queries.tpch import load
+
+    sf = "/root/testdata/sf0.001"
+    a = load(sf, "orders")
+    b = load(sf, "orders")
+    # shared immutable plan (the cache hit), independent wrappers
+    assert a.to_spark() is b.to_spark()
+    a["y"] = a.o_orderdate.dt.year
+    assert "y" in a.columns
+    assert "y" not in b.columns
+    # values still come through the cached plan
+    n = b.to_spark().count()
+    assert n > 0 and load(sf, "orders").to_spark().count() == n
