@@ -654,7 +654,7 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
     # the staged corpus is a deterministic function of sf_dir — write
     # once per process (same discipline as _APW_STAGED); later
     # invocations (bench pass 2, solo reps) skip the write job
-    if stage not in _INC_STAGED:
+    if stage not in _INC_STAGED or not _os.path.exists(stage):
         odd.unionByName(copies).coalesce(1).write.mode("overwrite") \
             .parquet(stage)
         _INC_STAGED.add(stage)
