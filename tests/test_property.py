@@ -847,3 +847,62 @@ def test_series_window_forms_match_pandas(spark, vals, kind):
     gl, el = got.tolist(), exp.tolist()
     for g, e in zip(gl, el):
         assert (pd.isna(e) and (g is None or pd.isna(g))) or g == e
+
+
+# --- text metrics vs pure python (Java-regex \s semantics) ----------
+# fragments include ASCII whitespace runs, NBSP (NOT \s in Java regex,
+# unlike Python's unicode-aware \s — the oracle pins re.ASCII), case,
+# digits, punctuation, and empties. quality_score/token_count/
+# normalize are the memoized builders every hygiene stratum keys on.
+_text_frag = st.sampled_from([
+    "", " ", "  ", "\t", "\n", " ", "the", "The", "AND", "of",
+    "fox", "FOX.", "a1b2", "...", "x" * 30, "is", "to", "9-9",
+])
+_texts = st.lists(
+    st.lists(_text_frag, min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=8)
+
+
+def _py_normalize(s: str) -> str:
+    import re
+    # strip(" ") not strip(): Spark's trim removes the SPACE char
+    # only, while Python's bare strip() eats unicode whitespace
+    # (NBSP) that Java-regex \s never matched in the first place
+    return re.sub(r"\s+", " ", s.lower(), flags=re.ASCII).strip(" ")
+
+
+def _py_quality(s: str) -> float:
+    import re
+    n = float(len(s))
+    norm = _py_normalize(s)
+    toks = norm.split(" ")
+    n_tok = float(len(toks))
+    alpha = len(re.findall(r"[A-Za-z]", s)) / max(n, 1.0)
+    mean_word = n / max(n_tok, 1.0)
+    padded = f" {norm} "
+    stop_hits = sum(padded.count(f" {w} ") for w in
+                    ["the", "and", "of", "to", "a"])
+    stop_ratio = stop_hits / max(n_tok, 1.0)
+    len_score = n / 20.0 if n < 20 else (0.5 if n > 5000 else 1.0)
+    word_score = 1.0 if 3 <= mean_word <= 12 else 0.5
+    stop_score = min(stop_ratio * 5.0, 1.0)
+    return round(0.3 * len_score + 0.3 * min(alpha * 1.5, 1.0)
+                 + 0.2 * word_score + 0.2 * stop_score, 4)
+
+
+@given(texts=_texts)
+@_settings
+def test_text_metrics_match_pure_python(spark, texts):
+    from mars_spark.llm import text as T
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    out = (ms.from_pandas(pdf).to_spark()
+           .select("i", T.normalize("text").alias("nrm"),
+                   T.token_count("text").alias("ntok"),
+                   T.quality_score("text").alias("q"))
+           .toPandas().sort_values("i").reset_index(drop=True))
+    for i, s in enumerate(texts):
+        nrm = _py_normalize(s)
+        assert out.nrm[i] == nrm, (s, out.nrm[i], nrm)
+        assert out.ntok[i] == len(nrm.split(" ")), s
+        assert abs(out.q[i] - _py_quality(s)) < 1e-9, (s, out.q[i])
