@@ -82,6 +82,14 @@ from mars_spark.learn.extras import (
     roc_curve,
     type_of_target,
 )
+from mars_spark.learn.gbm import (
+    DecisionTreeClassifier,
+    DecisionTreeRegressor,
+    GBTClassifier,
+    GBTRegressor,
+    RandomForestClassifier,
+    RandomForestRegressor,
+)
 from mars_spark.learn import contrib  # noqa: F401
 
 __all__ = [
@@ -105,5 +113,7 @@ __all__ = [
     "check_is_fitted", "type_of_target", "is_multilabel",
     "ParallelPostFit", "BaggingClassifier",
     "BlockwiseVotingClassifier", "BlockwiseVotingRegressor",
-    "contrib",
+    "GBTClassifier", "GBTRegressor", "RandomForestClassifier",
+    "RandomForestRegressor", "DecisionTreeClassifier",
+    "DecisionTreeRegressor", "contrib",
 ]

@@ -35,7 +35,10 @@ def prepare_dataset(sdf, features: str, label: str, num_workers: int = 8):
 
 class _MissingLibEstimator:
     _lib = "xgboost"
-    _hint = "pip install xgboost  # provides xgboost.spark.SparkXGBClassifier"
+    _hint = ("pip install xgboost  # provides "
+             "xgboost.spark.SparkXGBClassifier; or use the in-repo "
+             "Spark-native trainer mars_spark.learn.gbm.GBTClassifier "
+             "(MLlib histogram-based boosting, no extra install)")
 
     def __init__(self, **params):
         self.params = params

@@ -699,12 +699,52 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
             MDF(bv.predict(lin)), "yl", "prediction")
         return fb2, auc_trap, sizes, int(bmse < 1e-12)
 
-    with ThreadPoolExecutor(max_workers=10) as ex:
+    def _gbm():
+        # r9: tree-ensemble contracts (learn/gbm.py — the Spark-native
+        # trainer standing in for mars/learn/contrib/{xgboost,
+        # lightgbm}, which delegate to libraries absent here). Same
+        # expected-constant discipline as _ens: the fitted trees'
+        # structure can vary with binning, the contracts cannot —
+        # (a) GBTClassifier reaches training accuracy 1.0 on a
+        #     margin-separated problem whose 60 distinct feature
+        #     values all become candidate splits (max_bins=64 >
+        #     distinct count, so every inter-value midpoint is
+        #     available under ANY partition layout),
+        # (b) its impurity importances put the informative dim first,
+        # (c) a depth-3 single regression tree reproduces a step
+        #     function of a 4-valued feature exactly (depth 3 covers
+        #     every greedy split order; verified mse < 1e-18).
+        from mars_spark.learn import gbm as G
+
+        rows = []
+        for i in range(120):
+            x0 = (i % 60) / 60.0
+            if 0.45 < x0 < 0.55:
+                x0 += 0.12
+            x1 = ((i * 37) % 100) / 100.0
+            rows.append((float(x0), float(x1),
+                         1.0 if x0 >= 0.55 else 0.0))
+        sep = spark.createDataFrame(
+            rows, "x0 double, x1 double, y double").persist()
+        m = G.GBTClassifier(n_estimators=5, max_depth=3, max_bins=64,
+                            seed=7).fit(sep, ["x0", "x1"], "y")
+        acc = L.accuracy_score(MDF(m.predict(sep)), "y", "prediction")
+        sep.unpersist()
+        imp = m.feature_importances_
+        step = spark.createDataFrame(
+            [(float(i % 4), float([10, 20, 40, 80][i % 4]))
+             for i in range(80)], "x double, y double")
+        dtr = G.DecisionTreeRegressor(max_depth=3).fit(step, ["x"], "y")
+        dmse = L.mean_squared_error(MDF(dtr.predict(step)), "y",
+                                    "prediction")
+        return int(acc == 1.0), int(imp[0] > imp[1]), int(dmse < 1e-18)
+
+    with ThreadPoolExecutor(max_workers=11) as ex:
         (f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en,
-         f_ex) = (
+         f_ex, f_gb) = (
             ex.submit(fn)
             for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le, _split,
-                       _ens, _extra))
+                       _ens, _extra, _gbm))
         (acc, prf, ll), auc = f_cls.result(), f_auc.result()
         lr, r2, mse = f_reg.result()
         glm_slope, ev1 = f_glm.result(), f_pca.result()
@@ -712,6 +752,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         tr_n, tr_vs, te_n, te_vs = f_sp.result()
         ifor_top, bag_exact = f_en.result()
         fb2, auc_trap, kf_sizes, bv_exact = f_ex.result()
+        gbt_sep, gbt_imp, dtr_exact = f_gb.result()
     f._sdf.unpersist()
 
     def r6(x: float) -> float:
@@ -729,7 +770,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
           r4(glm_slope), tr_n, r4(tr_vs), te_n, r4(te_vs),
           ifor_top, bag_exact, r6(fb2), r6(auc_trap),
           kf_sizes[0], kf_sizes[1], kf_sizes[2], kf_sizes[3],
-          bv_exact)],
+          bv_exact, gbt_sep, gbt_imp, dtr_exact)],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
         "r2 double, mse double, pca_ev1 double, mm_mean double, "
@@ -737,7 +778,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         "split_tr_vsum double, split_te_n long, split_te_vsum double, "
         "ifor_top long, bag_exact long, fbeta2 double, "
         "auc_trap double, kf0 long, kf1 long, kf2 long, kf3 long, "
-        "bv_exact long")
+        "bv_exact long, gbt_sep long, gbt_imp long, dtr_exact long")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -363,7 +363,15 @@ OPS_ORACLES: dict[str, str] = {
                kfold.kf0, kfold.kf1, kfold.kf2, kfold.kf3,
                -- blockwise per-partition OLS recovers an exact linear
                -- label from any block (constant contract)
-               CAST(1 AS BIGINT) AS bv_exact
+               CAST(1 AS BIGINT) AS bv_exact,
+               -- tree-ensemble contracts (learn/gbm.py _gbm: GBT
+               -- training accuracy 1.0 on a margin-separated problem
+               -- with every inter-value split available; informative
+               -- dim leads the importances; depth-3 tree exact on a
+               -- 4-valued step — constants under any layout)
+               CAST(1 AS BIGINT) AS gbt_sep,
+               CAST(1 AS BIGINT) AS gbt_imp,
+               CAST(1 AS BIGINT) AS dtr_exact
         FROM base CROSS JOIN a CROSS JOIN reg
         CROSS JOIN (
             -- KFold md5 hash folds (learn/extras.py): fold =

@@ -218,3 +218,81 @@ def test_contrib_names_and_docs_sweep():
                if not (hasattr(L, e.split(".")[-1])
                        or hasattr(C, e.split(".")[-1]))]
     assert missing == []
+
+
+# ------------------------------------------------------------- gbm ----
+@pytest.fixture(scope="module")
+def sep_df(spark):
+    """Deterministic, margin-separated binary problem: y = 1 iff
+    x0 >= 0.55, no points in (0.45, 0.55) — separable by any
+    reasonable split, so training accuracy 1.0 is a layout-robust
+    contract."""
+    rows = []
+    for i in range(120):
+        x0 = (i % 60) / 60.0          # 0.00 .. 0.983
+        if 0.45 < x0 < 0.55:
+            x0 += 0.12                # clear the margin band
+        x1 = ((i * 37) % 100) / 100.0  # decorrelated noise dim
+        rows.append((float(x0), float(x1), 1.0 if x0 >= 0.55 else 0.0))
+    return spark.createDataFrame(rows, "x0 double, x1 double, y double")
+
+
+def test_gbt_classifier_separable(sep_df):
+    m = L.GBTClassifier(n_estimators=5, max_depth=3, seed=7).fit(
+        sep_df, ["x0", "x1"], "y")
+    acc = L.accuracy_score(m.predict(sep_df), "y", "prediction")
+    assert acc == 1.0
+    imp = m.feature_importances_
+    assert len(imp) == 2 and sum(imp) == pytest.approx(1.0)
+    # the informative dim dominates the importances
+    assert imp[0] > imp[1]
+
+
+def test_gbt_regressor_exact_step(spark):
+    # label is a step function of a 4-valued feature: a depth-3 tree
+    # represents it exactly WHATEVER greedy split order the trainer
+    # picks (depth 2 is enough leaves but greedy can isolate the 80
+    # first and strand {10,20,40} at depth 1), so GBT with one tree +
+    # stepSize 1.0 reproduces it bitwise
+    rows = [(float(i % 4), float([10, 20, 40, 80][i % 4]))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    m = L.GBTRegressor(n_estimators=1, max_depth=3,
+                       learning_rate=1.0).fit(df, ["x"], "y")
+    mse = L.mean_squared_error(m.predict(df), "y", "prediction")
+    assert mse < 1e-18
+
+
+def test_random_forest_and_tree(sep_df, spark):
+    rf = L.RandomForestClassifier(n_estimators=10, seed=3).fit(
+        sep_df, ["x0", "x1"], "y")
+    assert L.accuracy_score(rf.predict(sep_df), "y", "prediction") >= 0.95
+    # bootstrap=False + all features + 1 tree == a plain CART tree:
+    # deterministic, exact on separable data
+    dt1 = L.RandomForestClassifier(n_estimators=1, bootstrap=False,
+                                   feature_subset="all").fit(
+        sep_df, ["x0", "x1"], "y")
+    assert L.accuracy_score(dt1.predict(sep_df), "y", "prediction") == 1.0
+    dt = L.DecisionTreeClassifier(max_depth=4).fit(
+        sep_df, ["x0", "x1"], "y")
+    assert L.accuracy_score(dt.predict(sep_df), "y", "prediction") == 1.0
+
+    rows = [(float(i % 4), float(i % 4) * 3 - 1) for i in range(40)]
+    rdf = spark.createDataFrame(rows, "x double, y double")
+    dtr = L.DecisionTreeRegressor(max_depth=2).fit(rdf, ["x"], "y")
+    assert L.mean_squared_error(dtr.predict(rdf), "y", "prediction") < 1e-18
+    rfr = L.RandomForestRegressor(n_estimators=1, bootstrap=False,
+                                  feature_subset="all").fit(
+        rdf, ["x"], "y")
+    assert L.mean_squared_error(rfr.predict(rdf), "y", "prediction") < 1e-18
+
+
+def test_gbm_array_column_input(spark):
+    # array<double> feature-column form (the repo's embedding shape)
+    rows = [([float(i % 2), float(i % 5)], float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "v array<double>, y double")
+    m = L.GBTClassifier(n_estimators=3, max_depth=2, seed=1).fit(
+        df, "v", "y")
+    out = m.predict(df)
+    assert L.accuracy_score(out, "y", "prediction") == 1.0
+    assert "__features" not in out.columns
