@@ -90,6 +90,7 @@ from mars_spark.learn.gbm import (
     RandomForestClassifier,
     RandomForestRegressor,
 )
+from mars_spark.learn.tsfeatures import extract_features
 from mars_spark.learn import contrib  # noqa: F401
 
 __all__ = [
@@ -115,5 +116,5 @@ __all__ = [
     "BlockwiseVotingClassifier", "BlockwiseVotingRegressor",
     "GBTClassifier", "GBTRegressor", "RandomForestClassifier",
     "RandomForestRegressor", "DecisionTreeClassifier",
-    "DecisionTreeRegressor", "contrib",
+    "DecisionTreeRegressor", "extract_features", "contrib",
 ]

@@ -219,3 +219,53 @@ def gen_tensorflow_dataset(*a, **kw):
     raise ImportError(
         "gen_tensorflow_dataset requires tensorflow, which is not "
         "installed in this environment.")
+
+
+class MarsDistributor:
+    """tsfresh distribution bridge — plugs into
+    ``tsfresh.extract_features(distributor=...)`` so tsfresh's own
+    per-entity chunk computations fan out through the engine.
+
+    reference: mars/learn/contrib/tsfresh/core.py:34 (MarsDistributor)
+    — same two-method contract (``calculate_best_chunk_size`` /
+    ``distribute``); the reference routes chunks through
+    ``mars.remote.spawn``, this one through the engine's
+    ``remote.parallel_map`` (Spark tasks) with a thread-pool
+    ``remote.spawn`` fallback when no SparkSession is active. Works
+    with or without tsfresh installed (it only maps a function over
+    chunks), so the plumbing is testable in this environment; the
+    Spark-NATIVE feature extractor (``learn.tsfeatures``) is what a
+    100 TB corpus should use — it never ships rows through Python.
+    """
+
+    def __init__(self, spark=None, n_workers: int = 32):
+        self._spark = spark
+        self.n_workers = n_workers
+        # tsfresh>=0.17 IterableDistributorBaseClass protocol fields
+        self.disable_progressbar = True
+        self.progressbar_title = ""
+
+    def calculate_best_chunk_size(self, data_length: int) -> int:
+        return max(1, -(-data_length // self.n_workers))
+
+    def distribute(self, func, partitioned_chunks, kwargs) -> list:
+        from mars_spark import remote as mr
+
+        chunks = list(partitioned_chunks)
+        if not chunks:
+            return []
+        spark = self._spark
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is not None:
+            results = mr.parallel_map(lambda c: func(c, **kwargs), chunks,
+                                      spark=spark)
+        else:
+            results = mr.execute(
+                *[mr.spawn(func, (c,), kwargs) for c in chunks])
+        return [item for res in results for item in res]
+
+    def close(self):
+        """tsfresh calls close() when done; nothing to release."""

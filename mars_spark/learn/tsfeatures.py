@@ -1,0 +1,166 @@
+"""Distributed time-series feature extraction (the tsfresh surface).
+
+reference: mars/learn/contrib/tsfresh/core.py hands tsfresh's
+per-entity chunks to a ``MarsDistributor`` and lets the *local*
+tsfresh library compute every feature inside ``mr.spawn`` tasks; when
+tsfresh is absent the reference has no feature extractor at all. This
+module is the Spark-first answer for the canonical feature set: each
+feature is a closed-form aggregate over an ordered per-entity window,
+so the whole extraction compiles to ONE hash exchange on the entity
+key + an in-partition sort feeding (a) lag/row-number window columns
+and (b) a map-side-combined groupBy — no Python in the hot path.
+Formulas follow the published tsfresh definitions
+(tsfresh.feature_extraction.feature_calculators; Christ et al.,
+Neurocomputing 307 (2018) — "tsfresh" paper).
+
+100 TB design notes: the non-strike features compile to ONE
+Exchange(hashpartitioning(id)) feeding the sort-window, the
+whole-partition mean window, and the final map-side-combined
+aggregate. Per-entity series are streamed through lag-1 frames; the
+only buffered frame is the whole-partition mean (one entity's rows),
+which is the same bound any per-entity extractor has. Each
+``longest_strike_*`` feature is the classic gaps-and-islands shape
+(two row_numbers, run-key = difference); it is a second consumer of
+the windowed frame, so it costs one more skinny (id, sort, value)
+scan + exchange per strike feature, and its one-row-per-entity
+result joins back onto the aggregate, which AQE broadcasts. At
+corpus scale, request strike features only when needed.
+
+Feature semantics (x = value series ordered by ``column_sort``,
+mu/sigma^2 = population mean/variance, per tsfresh):
+
+- ``length``, ``sum_values``, ``mean``, ``standard_deviation``
+  (population, ddof=0), ``minimum``, ``maximum``, ``median``
+- ``abs_energy``            sum(x_t^2)
+- ``mean_abs_change``       mean(|x_{t+1} - x_t|)         (null if n<2)
+- ``mean_change``           (x_n - x_1) / (n - 1)          (null if n<2)
+- ``cid_ce``                sqrt(sum((x_{t+1} - x_t)^2))   (0 if n<2)
+- ``autocorrelation``(lag=1)  sum((x_t-mu)(x_{t+1}-mu)) /
+                              ((n-1) * sigma^2)   (null if n<2 or
+                              sigma^2 == 0)
+- ``linear_trend_slope``    least-squares slope over t = 0..n-1
+                            (null if n<2)
+- ``count_above_mean``, ``count_below_mean``   strict comparisons
+- ``number_crossing_mean``  count of t with (x_t-mu)(x_{t+1}-mu) < 0
+- ``longest_strike_above_mean`` / ``longest_strike_below_mean``
+                            longest run of consecutive strict
+                            above/below-mean points (0 if none)
+
+``median`` uses an exact distributed median (percentile on the
+grouped values — exact, not approx, matching the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, Window
+from pyspark.sql import functions as F
+
+from mars_spark.learn.facade import _sdf
+
+#: canonical feature order (column order of the wide output)
+ALL_FEATURES = (
+    "length", "sum_values", "mean", "standard_deviation", "minimum",
+    "maximum", "median", "abs_energy", "mean_abs_change", "mean_change",
+    "cid_ce", "autocorrelation", "linear_trend_slope",
+    "count_above_mean", "count_below_mean", "number_crossing_mean",
+    "longest_strike_above_mean", "longest_strike_below_mean",
+)
+
+_STRIKE = ("longest_strike_above_mean", "longest_strike_below_mean")
+
+
+def extract_features(df, column_id: str, column_sort,
+                     column_value: str,
+                     features=None) -> SparkDF:
+    """One row per ``column_id`` entity; one ``<value>__<feature>``
+    double column per requested feature (tsfresh's flat output
+    naming). ``column_sort`` may be a single name or a list (ties in
+    the primary sort key need a deterministic tiebreaker for
+    order-dependent features)."""
+    sdf = _sdf(df)
+    feats = list(features) if features is not None else list(ALL_FEATURES)
+    unknown = sorted(set(feats) - set(ALL_FEATURES))
+    if unknown:
+        raise ValueError(f"unknown features: {unknown}; "
+                         f"choose from {sorted(ALL_FEATURES)}")
+    sort_cols = ([column_sort] if isinstance(column_sort, str)
+                 else list(column_sort))
+
+    x = F.col("__x")
+    wo = Window.partitionBy("__id").orderBy(*sort_cols)
+    base = (sdf.select(
+        F.col(column_id).alias("__id"),
+        *[F.col(c) for c in sort_cols],
+        F.col(column_value).cast("double").alias("__x"))
+        .withColumn("__xl", F.lag("__x").over(wo))
+        .withColumn("__t", (F.row_number().over(wo) - 1).cast("double"))
+        .withColumn("__mu", F.avg("__x").over(
+            Window.partitionBy("__id"))))
+
+    n = F.count("__x")
+    npairs = F.count("__xl")
+    s1, s2 = F.sum("__x"), F.sum(x * x)
+    mu = s1 / n
+    varp = F.greatest(s2 / n - mu * mu, F.lit(0.0))
+    d = x - F.col("__xl")
+    dmu, lmu = x - F.col("__mu"), F.col("__xl") - F.col("__mu")
+    t = F.col("__t")
+    slope_den = n * F.sum(t * t) - F.sum(t) * F.sum(t)
+
+    aggs = {
+        "length": n.cast("double"),
+        "sum_values": s1,
+        "mean": mu,
+        "standard_deviation": F.sqrt(varp),
+        "minimum": F.min(x),
+        "maximum": F.max(x),
+        "median": F.expr("percentile(__x, 0.5)"),
+        "abs_energy": s2,
+        "mean_abs_change": F.avg(F.abs(d)),
+        "mean_change": F.when(
+            npairs > 0,
+            (F.max_by("__x", "__t") - F.min_by("__x", "__t")) / npairs),
+        "cid_ce": F.sqrt(F.coalesce(F.sum(d * d), F.lit(0.0))),
+        "autocorrelation": F.when(
+            (npairs > 0) & (varp > 0),
+            F.sum(dmu * lmu) / (npairs * varp)),
+        "linear_trend_slope": F.when(
+            slope_den > 0,
+            (n * F.sum(t * x) - F.sum(t) * s1) / slope_den),
+        "count_above_mean": F.sum(
+            (x > F.col("__mu")).cast("long")).cast("double"),
+        "count_below_mean": F.sum(
+            (x < F.col("__mu")).cast("long")).cast("double"),
+        "number_crossing_mean": F.coalesce(
+            F.sum((dmu * lmu < 0).cast("long")), F.lit(0)).cast("double"),
+    }
+    plain = [f for f in feats if f not in _STRIKE]
+    out = base.groupBy(F.col("__id").alias(column_id)).agg(
+        *[aggs[f].alias(f"{column_value}__{f}") for f in plain])
+
+    for feat, above in (("longest_strike_above_mean", True),
+                        ("longest_strike_below_mean", False)):
+        if feat not in feats:
+            continue
+        cond = (x > F.col("__mu")) if above else (x < F.col("__mu"))
+        flagged = base.withColumn("__f", cond)
+        # gaps-and-islands: within an entity, consecutive rows with the
+        # same flag share (global row_number - per-flag row_number)
+        runs = flagged.withColumn(
+            "__run",
+            F.row_number().over(wo)
+            - F.row_number().over(
+                Window.partitionBy("__id", "__f").orderBy(*sort_cols)))
+        strike = (runs.filter(F.col("__f"))
+                  .groupBy("__id", "__run")
+                  .agg(F.count(F.lit(1)).alias("__len"))
+                  .groupBy(F.col("__id").alias(column_id))
+                  .agg(F.max("__len").cast("double")
+                       .alias(f"{column_value}__{feat}")))
+        out = (out.join(strike, on=column_id, how="left")
+               .withColumn(f"{column_value}__{feat}",
+                           F.coalesce(F.col(f"{column_value}__{feat}"),
+                                      F.lit(0.0))))
+
+    ordered = [f"{column_value}__{f}" for f in feats]
+    return out.select(column_id, *ordered)

@@ -155,14 +155,56 @@ def events_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
 def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
     """Composite (r4 slot merge, both sub-plans run in full): the
     30-min-gap batch sessionization rows joined into events_activity's
-    long form as a fourth 'sess' dimension."""
+    long form as a fourth 'sess' dimension. r9 adds the tsfresh
+    surface (learn/tsfeatures.py extract_features — reference:
+    mars/learn/contrib/tsfresh/core.py routes tsfresh chunks through
+    mr.spawn; this engine computes the canonical features natively as
+    one id-keyed window+agg pass): per-user features over `value`
+    ordered by (ts, event_id), emitted as four paired dims —
+    'tsf:energy' (abs_energy / mean_abs_change), 'tsf:auto'
+    (autocorrelation lag-1 / cid_ce), 'tsf:trend' (linear-trend
+    slope / count_above_mean), 'tsf:cross' (number_crossing_mean /
+    longest_strike_above_mean); n = series length. The oracle replays
+    every formula with SQL windows over the same ordering."""
     sess = events_sessions(spark, sf_dir).select(
         F.lit("sess").alias("dim"),
         F.col("user_id").cast("string").alias("key"),
         F.col("n_events").alias("n"),
         F.col("n_sessions").cast("double").alias("metric"),
         F.lit(None).cast("double").alias("metric2"))
-    return events_activity(spark, sf_dir).unionByName(sess)
+
+    from mars_spark.learn.tsfeatures import extract_features
+
+    tsf = extract_features(
+        load(sf_dir, "events").to_spark(), "user_id",
+        ["ts", "event_id"], "value",
+        features=["length", "abs_energy", "mean_abs_change",
+                  "autocorrelation", "cid_ce", "linear_trend_slope",
+                  "count_above_mean", "number_crossing_mean",
+                  "longest_strike_above_mean"])
+
+    def _r4(c):  # floor-based half-up round: bit-identical in DuckDB
+        return F.floor(F.col(c) * 1e4 + F.lit(0.5)) / 1e4
+
+    key = F.col("user_id").cast("string")
+    n = F.col("value__length").cast("long")
+    pairs = [("tsf:energy", _r4("value__abs_energy"),
+              _r4("value__mean_abs_change")),
+             ("tsf:auto", _r4("value__autocorrelation"),
+              _r4("value__cid_ce")),
+             ("tsf:trend", _r4("value__linear_trend_slope"),
+              F.col("value__count_above_mean")),
+             ("tsf:cross", F.col("value__number_crossing_mean"),
+              F.col("value__longest_strike_above_mean"))]
+    # one struct-array explode so the feature plan executes ONCE for
+    # all four dims (four union branches would re-run the windows)
+    tsf_long = tsf.select(F.explode(F.array(*[
+        F.struct(F.lit(dim).alias("dim"), key.alias("key"),
+                 n.alias("n"), m1.cast("double").alias("metric"),
+                 m2.cast("double").alias("metric2"))
+        for dim, m1, m2 in pairs])).alias("r")).select("r.*")
+    return (events_activity(spark, sf_dir).unionByName(sess)
+            .unionByName(tsf_long))
 
 
 # -------------------------------------------------------------- documents

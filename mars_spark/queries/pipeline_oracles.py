@@ -507,6 +507,44 @@ PIPELINE_ORACLES: dict[str, str] = {
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     "events_sessions_activity": """
+        -- tsfresh strata (learn/tsfeatures.py): one ordered window
+        -- pass + per-user aggregate, formulas restated verbatim
+        WITH ts0 AS (
+            SELECT user_id, value AS x,
+                   lag(value) OVER w AS xl,
+                   CAST(row_number() OVER w AS DOUBLE) - 1 AS t,
+                   row_number() OVER w AS rn,
+                   avg(value) OVER (PARTITION BY user_id) AS mu
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), tsagg AS (
+            SELECT user_id,
+                   count(x) AS n,
+                   count(xl) AS npairs,
+                   sum(x * x) AS abs_energy,
+                   avg(abs(x - xl)) AS mac,
+                   sqrt(coalesce(sum((x - xl) * (x - xl)), 0)) AS cid,
+                   greatest(sum(x * x) / count(x) - avg(x) * avg(x), 0)
+                       AS varp,
+                   sum((x - mu) * (xl - mu)) AS accov,
+                   count(x) * sum(t * x) - sum(t) * sum(x) AS slope_num,
+                   count(x) * sum(t * t) - sum(t) * sum(t) AS slope_den,
+                   sum(CASE WHEN x > mu THEN 1 ELSE 0 END) AS cam,
+                   coalesce(sum(CASE WHEN (x - mu) * (xl - mu) < 0
+                                     THEN 1 ELSE 0 END), 0) AS ncross
+            FROM ts0 GROUP BY user_id
+        ), tsrun AS (
+            -- gaps-and-islands: longest strike strictly above mean
+            SELECT user_id, max(cnt) AS strike
+            FROM (SELECT user_id, runkey, count(*) AS cnt
+                  FROM (SELECT user_id,
+                               rn - row_number() OVER (
+                                   PARTITION BY user_id ORDER BY rn)
+                                   AS runkey
+                        FROM ts0 WHERE x > mu)
+                  GROUP BY user_id, runkey)
+            GROUP BY user_id
+        )
         SELECT 'day' AS dim, strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
                count(*) AS n, CAST(count(DISTINCT user_id) AS DOUBLE) AS metric,
                CAST(NULL AS DOUBLE) AS metric2
@@ -532,6 +570,30 @@ PIPELINE_ORACLES: dict[str, str] = {
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
                   FROM events)
         ) GROUP BY user_id
+        UNION ALL
+        SELECT 'tsf:energy', CAST(user_id AS VARCHAR), n,
+               floor(abs_energy * 1e4 + 0.5) / 1e4,
+               floor(mac * 1e4 + 0.5) / 1e4
+        FROM tsagg
+        UNION ALL
+        SELECT 'tsf:auto', CAST(user_id AS VARCHAR), n,
+               floor(CASE WHEN npairs > 0 AND varp > 0
+                          THEN accov / (npairs * varp) END
+                     * 1e4 + 0.5) / 1e4,
+               floor(cid * 1e4 + 0.5) / 1e4
+        FROM tsagg
+        UNION ALL
+        SELECT 'tsf:trend', CAST(user_id AS VARCHAR), n,
+               floor(CASE WHEN slope_den > 0
+                          THEN slope_num / slope_den END
+                     * 1e4 + 0.5) / 1e4,
+               CAST(cam AS DOUBLE)
+        FROM tsagg
+        UNION ALL
+        SELECT 'tsf:cross', CAST(a.user_id AS VARCHAR), a.n,
+               CAST(a.ncross AS DOUBLE),
+               CAST(coalesce(r.strike, 0) AS DOUBLE)
+        FROM tsagg a LEFT JOIN tsrun r USING (user_id)
     """,
     # ---------------------------------------------------------- documents
     "docs_text_metrics": f"""

@@ -1,0 +1,152 @@
+"""learn.tsfeatures (the tsfresh surface) vs a pure-numpy oracle
+implementing the published tsfresh formulas, plus the
+contrib.MarsDistributor chunk-fanout contract (reference:
+mars/learn/contrib/tsfresh/core.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mars_spark.learn.contrib import MarsDistributor
+from mars_spark.learn.tsfeatures import ALL_FEATURES, extract_features
+
+
+def _oracle(x: np.ndarray) -> dict:
+    x = np.asarray(x, float)
+    n = len(x)
+    mu = x.mean()
+    varp = ((x - mu) ** 2).mean()
+    d = np.diff(x)
+
+    def strike(mask):
+        best = cur = 0
+        for m in mask:
+            cur = cur + 1 if m else 0
+            best = max(best, cur)
+        return float(best)
+
+    return {
+        "length": float(n),
+        "sum_values": x.sum(),
+        "mean": mu,
+        "standard_deviation": np.sqrt(varp),
+        "minimum": x.min(),
+        "maximum": x.max(),
+        "median": float(np.median(x)),
+        "abs_energy": float((x ** 2).sum()),
+        "mean_abs_change": float(np.abs(d).mean()) if n > 1 else None,
+        "mean_change": float((x[-1] - x[0]) / (n - 1)) if n > 1 else None,
+        "cid_ce": float(np.sqrt((d ** 2).sum())),
+        "autocorrelation": (
+            float(((x[1:] - mu) * (x[:-1] - mu)).sum() / ((n - 1) * varp))
+            if n > 1 and varp > 0 else None),
+        "linear_trend_slope": (
+            float(np.polyfit(np.arange(n), x, 1)[0]) if n > 1 else None),
+        "count_above_mean": float((x > mu).sum()),
+        "count_below_mean": float((x < mu).sum()),
+        "number_crossing_mean": float(
+            np.sum((x[1:] - mu) * (x[:-1] - mu) < 0)),
+        "longest_strike_above_mean": strike(x > mu),
+        "longest_strike_below_mean": strike(x < mu),
+    }
+
+
+@pytest.fixture(scope="module")
+def series_pdf(rng):
+    rows = []
+    # n=1 (degenerate), n=2, a long one, a constant one (varp == 0),
+    # and a few mid-size — shuffled input order so the sort matters
+    specs = [(0, 1), (1, 2), (2, 200), (3, 8), (4, 33), (5, 5)]
+    for gid, n in specs:
+        xs = (np.full(n, 3.25) if gid == 3
+              else rng.normal(10, 5, n).round(3))
+        for t, v in enumerate(xs):
+            rows.append((gid, t, float(v)))
+    pdf = pd.DataFrame(rows, columns=["id", "t", "x"])
+    return pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+
+def test_extract_features_vs_numpy(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf).repartition(4)
+    out = (extract_features(sdf, "id", "t", "x")
+           .toPandas().set_index("id").sort_index())
+    assert len(out) == series_pdf["id"].nunique()
+    for gid, grp in series_pdf.groupby("id"):
+        exp = _oracle(grp.sort_values("t")["x"].values)
+        for f in ALL_FEATURES:
+            got = out.loc[gid, f"x__{f}"]
+            if exp[f] is None:
+                assert pd.isna(got), (gid, f, got)
+            else:
+                assert np.isclose(got, exp[f], rtol=1e-9, atol=1e-12), (
+                    gid, f, got, exp[f])
+
+
+def test_constant_series_null_autocorr(spark, series_pdf):
+    # gid=3 is constant: sigma^2 == 0 -> autocorrelation null (tsfresh
+    # returns nan), strikes/counts 0, crossing 0
+    sdf = spark.createDataFrame(series_pdf)
+    row = (extract_features(sdf, "id", "t", "x",
+                            features=["autocorrelation",
+                                      "count_above_mean",
+                                      "number_crossing_mean",
+                                      "longest_strike_above_mean"])
+           .filter("id = 3").toPandas().iloc[0])
+    assert pd.isna(row["x__autocorrelation"])
+    assert row["x__count_above_mean"] == 0
+    assert row["x__number_crossing_mean"] == 0
+    assert row["x__longest_strike_above_mean"] == 0
+
+
+def test_feature_subset_and_unknown(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    out = extract_features(sdf, "id", "t", "x",
+                           features=["mean", "abs_energy"])
+    assert out.columns == ["id", "x__mean", "x__abs_energy"]
+    with pytest.raises(ValueError, match="unknown features"):
+        extract_features(sdf, "id", "t", "x", features=["nope"])
+
+
+def test_sort_tiebreaker_list(spark):
+    # duplicate primary sort key: the tiebreaker column decides the
+    # order, so mean_change flips sign between the two orderings
+    pdf = pd.DataFrame({"id": [0, 0], "ts": [1, 1],
+                        "k": [0, 1], "x": [1.0, 5.0]})
+    sdf = spark.createDataFrame(pdf)
+    fwd = (extract_features(sdf, "id", ["ts", "k"], "x",
+                            features=["mean_change"])
+           .toPandas().iloc[0]["x__mean_change"])
+    assert fwd == 4.0
+
+
+def test_mars_distributor_threadpool_and_spark(spark):
+    dist = MarsDistributor(spark=spark, n_workers=4)
+    assert dist.calculate_best_chunk_size(10) == 3
+    # tsfresh contract: func(chunk, **kwargs) returns a LIST of
+    # results; distribute flattens across chunks
+    chunks = [list(range(i)) for i in (1, 2, 3)]
+    got = dist.distribute(lambda c, add=0: [sum(c) + add], chunks,
+                          {"add": 10})
+    assert got == [10, 11, 13]
+    assert dist.distribute(lambda c: [len(c)], [], {}) == []
+    # no-session fallback goes through remote.spawn's thread pool
+    nospark = MarsDistributor(spark=None)
+    nospark._spark = None
+    # force the fallback path regardless of the active test session
+    import pyspark.sql as _s
+
+    class _NoSess:
+        @staticmethod
+        def getActiveSession():
+            return None
+
+    real = _s.SparkSession
+    _s.SparkSession = _NoSess
+    try:
+        got = nospark.distribute(lambda c: [max(c)], [[1, 2], [9]], {})
+    finally:
+        _s.SparkSession = real
+    assert got == [2, 9]
+    nospark.close()
