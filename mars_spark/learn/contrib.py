@@ -269,3 +269,100 @@ class MarsDistributor:
 
     def close(self):
         """tsfresh calls close() when done; nothing to release."""
+
+
+try:
+    from joblib.parallel import (  # noqa: F401
+        AutoBatchingMixin as _JLAutoBatch,
+        ParallelBackendBase as _JLBase,
+        register_parallel_backend as _jl_register,
+    )
+except ImportError:  # joblib absent: class still importable/testable
+    class _JLBase:  # stand-in bases so the class stays importable
+        pass
+
+    class _JLAutoBatch:
+        pass
+
+    _jl_register = None
+
+
+class MarsDistributedBackend(_JLAutoBatch, _JLBase):
+    """joblib parallel backend — `with joblib.parallel_backend('mars')`
+    routes sklearn/joblib task batches through the engine.
+
+    reference: mars/learn/contrib/joblib/backend.py:72
+    (MarsDistributedBackend) — same contract: ``configure`` sizes a
+    thread pool, ``apply_async`` runs one joblib BatchedCalls (an
+    object with ``.items`` of (func, args, kwargs)) by spawning each
+    call through the engine's remote layer and resolving the batch in
+    a pool thread; the returned future grows a ``.get`` alias because
+    joblib expects one. Degrades to plain-object bases when joblib is
+    absent (as the reference does), so the batch-execution path stays
+    testable here; ``register_mars_backend`` needs the real joblib.
+    """
+
+    MIN_IDEAL_BATCH_DURATION = 0.2
+    MAX_IDEAL_BATCH_DURATION = 1.0
+    supports_timeout = True
+
+    def __init__(self, spark=None, n_parallel: int | None = None):
+        if _jl_register is not None:
+            super().__init__()
+        self._spark = spark
+        self.n_parallel = n_parallel or 1
+        self.executor = None
+        self.parallel = None
+
+    def get_nested_backend(self):
+        return MarsDistributedBackend(spark=self._spark), -1
+
+    def configure(self, n_jobs: int = 1, parallel=None, **backend_args):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.parallel = parallel
+        n = self.effective_n_jobs(n_jobs)
+        self.executor = ThreadPoolExecutor(n)
+        return n
+
+    def effective_n_jobs(self, n_jobs):
+        if _jl_register is not None:
+            eff = super().effective_n_jobs(n_jobs)
+            if n_jobs == -1 or not eff:
+                eff = self.n_parallel
+            return eff
+        return self.n_parallel if n_jobs in (-1, None, 0) else n_jobs
+
+    def apply_async(self, func, callback=None):
+        from mars_spark import remote as mr
+
+        def _run_batch():
+            spawned = [mr.spawn(f, args, kwargs)
+                       for f, args, kwargs in func.items]
+            ret = mr.execute(*spawned)
+            if callback is not None:
+                callback(ret)
+            return ret
+
+        future = self.executor.submit(_run_batch)
+        future.get = future.result
+        return future
+
+    def abort_everything(self, ensure_ready=True):
+        if self.executor is not None:
+            self.executor.shutdown(wait=False, cancel_futures=True)
+            self.executor = None
+        if ensure_ready:
+            self.configure(n_jobs=self.parallel.n_jobs
+                           if self.parallel is not None else 1,
+                           parallel=self.parallel)
+
+
+def register_mars_backend():
+    """reference: mars/learn/contrib/joblib/backend.py:86."""
+    if _jl_register is None:
+        raise ImportError(
+            "register_mars_backend requires joblib, which is not "
+            "installed in this environment; MarsDistributedBackend's "
+            "batch execution path is importable and tested without it.")
+    _jl_register("mars", MarsDistributedBackend)

@@ -150,3 +150,33 @@ def test_mars_distributor_threadpool_and_spark(spark):
         _s.SparkSession = real
     assert got == [2, 9]
     nospark.close()
+
+
+def test_joblib_backend_batch_path():
+    import pytest as _pt
+
+    from mars_spark.learn.contrib import (MarsDistributedBackend,
+                                          register_mars_backend)
+
+    be = MarsDistributedBackend(n_parallel=4)
+    assert be.configure(n_jobs=-1) == 4
+
+    class _Batch:  # joblib BatchedCalls contract: .items + callable
+        def __init__(self, items):
+            self.items = items
+
+    got, seen = [], []
+    fut = be.apply_async(
+        _Batch([(lambda a, b=0: a + b, (2,), {"b": 3}),
+                (len, ("abcd",), {})]),
+        callback=seen.append)
+    got = fut.get()
+    assert got == [5, 4] and seen == [[5, 4]]
+    nested, _ = be.get_nested_backend()
+    assert isinstance(nested, MarsDistributedBackend)
+    be.abort_everything(ensure_ready=True)
+    assert be.executor is not None
+    # joblib itself is absent in this environment: registering the
+    # backend must say so honestly
+    with _pt.raises(ImportError, match="joblib"):
+        register_mars_backend()
