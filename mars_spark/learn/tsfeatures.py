@@ -45,6 +45,24 @@ mu/sigma^2 = population mean/variance, per tsfresh):
 - ``longest_strike_above_mean`` / ``longest_strike_below_mean``
                             longest run of consecutive strict
                             above/below-mean points (0 if none)
+- ``absolute_sum_of_changes``  sum(|x_{t+1} - x_t|)       (0 if n<2)
+- ``mean_second_derivative_central``
+                            mean((x_{t+2} - 2x_{t+1} + x_t)/2)
+                            (null if n<3)
+- ``c3`` (lag=1)            mean(x_{t+2} x_{t+1} x_t)     (null if n<3)
+- ``time_reversal_asymmetry_statistic`` (lag=1)
+                            mean(x_{t+2}^2 x_{t+1} - x_{t+1} x_t^2)
+                            (null if n<3)
+- ``number_peaks`` (n=1)    count of points strictly above both
+                            neighbors (edges excluded)
+- ``first/last_location_of_maximum/minimum``
+                            argmax/argmin position over n — first is
+                            argmax/n, last is (argmax+1)/n, ties
+                            resolved first/last occurrence (tsfresh)
+- ``variance_larger_than_standard_deviation``  1.0 iff sigma^2 > sigma
+- ``ratio_beyond_r_sigma`` (r=1)  mean(|x_t - mu| > sigma)
+- ``root_mean_square``      sqrt(mean(x_t^2))
+- ``absolute_maximum``      max(|x_t|)
 
 ``median`` uses an exact distributed median (percentile on the
 grouped values — exact, not approx, matching the DuckDB oracle).
@@ -64,6 +82,14 @@ ALL_FEATURES = (
     "cid_ce", "autocorrelation", "linear_trend_slope",
     "count_above_mean", "count_below_mean", "number_crossing_mean",
     "longest_strike_above_mean", "longest_strike_below_mean",
+    # lag-2 / neighborhood / location family (parameterized tsfresh
+    # features fixed at their canonical defaults: lag=1, r=1, n=1)
+    "absolute_sum_of_changes", "mean_second_derivative_central",
+    "c3", "time_reversal_asymmetry_statistic", "number_peaks",
+    "first_location_of_maximum", "last_location_of_maximum",
+    "first_location_of_minimum", "last_location_of_minimum",
+    "variance_larger_than_standard_deviation", "ratio_beyond_r_sigma",
+    "root_mean_square", "absolute_maximum",
 )
 
 _STRIKE = ("longest_strike_above_mean", "longest_strike_below_mean")
@@ -93,8 +119,16 @@ def extract_features(df, column_id: str, column_sort,
         *[F.col(c) for c in sort_cols],
         F.col(column_value).cast("double").alias("__x"))
         .withColumn("__xl", F.lag("__x").over(wo))
+        .withColumn("__xl2", F.lag("__x", 2).over(wo))
+        .withColumn("__xn", F.lead("__x").over(wo))
         .withColumn("__t", (F.row_number().over(wo) - 1).cast("double"))
         .withColumn("__mu", F.avg("__x").over(
+            Window.partitionBy("__id")))
+        .withColumn("__sg", F.stddev_pop("__x").over(
+            Window.partitionBy("__id")))
+        .withColumn("__mx", F.max("__x").over(
+            Window.partitionBy("__id")))
+        .withColumn("__mn", F.min("__x").over(
             Window.partitionBy("__id"))))
 
     n = F.count("__x")
@@ -133,6 +167,33 @@ def extract_features(df, column_id: str, column_sort,
             (x < F.col("__mu")).cast("long")).cast("double"),
         "number_crossing_mean": F.coalesce(
             F.sum((dmu * lmu < 0).cast("long")), F.lit(0)).cast("double"),
+        "absolute_sum_of_changes": F.coalesce(
+            F.sum(F.abs(d)), F.lit(0.0)),
+        # avg() skips the null-lag edge rows, matching tsfresh's
+        # (n-2)-term means for the three lag-2 statistics below
+        "mean_second_derivative_central": F.avg(
+            (x - 2 * F.col("__xl") + F.col("__xl2")) / 2),
+        "c3": F.avg(x * F.col("__xl") * F.col("__xl2")),
+        "time_reversal_asymmetry_statistic": F.avg(
+            x * x * F.col("__xl")
+            - F.col("__xl") * F.col("__xl2") * F.col("__xl2")),
+        "number_peaks": F.coalesce(
+            F.sum(((x > F.col("__xl")) & (x > F.col("__xn")))
+                  .cast("long")), F.lit(0)).cast("double"),
+        "first_location_of_maximum": F.min(
+            F.when(x == F.col("__mx"), t)) / n,
+        "last_location_of_maximum": (F.max(
+            F.when(x == F.col("__mx"), t)) + 1) / n,
+        "first_location_of_minimum": F.min(
+            F.when(x == F.col("__mn"), t)) / n,
+        "last_location_of_minimum": (F.max(
+            F.when(x == F.col("__mn"), t)) + 1) / n,
+        "variance_larger_than_standard_deviation": (
+            varp > F.sqrt(varp)).cast("double"),
+        "ratio_beyond_r_sigma": F.avg(
+            (F.abs(x - F.col("__mu")) > F.col("__sg")).cast("double")),
+        "root_mean_square": F.sqrt(s2 / n),
+        "absolute_maximum": F.max(F.abs(x)),
     }
     plain = [f for f in feats if f not in _STRIKE]
     out = base.groupBy(F.col("__id").alias(column_id)).agg(

@@ -160,12 +160,15 @@ def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
     mars/learn/contrib/tsfresh/core.py routes tsfresh chunks through
     mr.spawn; this engine computes the canonical features natively as
     one id-keyed window+agg pass): per-user features over `value`
-    ordered by (ts, event_id), emitted as four paired dims —
+    ordered by (ts, event_id), emitted as six paired dims —
     'tsf:energy' (abs_energy / mean_abs_change), 'tsf:auto'
     (autocorrelation lag-1 / cid_ce), 'tsf:trend' (linear-trend
     slope / count_above_mean), 'tsf:cross' (number_crossing_mean /
-    longest_strike_above_mean); n = series length. The oracle replays
-    every formula with SQL windows over the same ordering."""
+    longest_strike_above_mean), 'tsf:shape' (c3 /
+    time_reversal_asymmetry_statistic, both lag=1), 'tsf:loc'
+    (first_location_of_maximum / ratio_beyond_r_sigma r=1);
+    n = series length. The oracle replays every formula with SQL
+    windows over the same ordering."""
     sess = events_sessions(spark, sf_dir).select(
         F.lit("sess").alias("dim"),
         F.col("user_id").cast("string").alias("key"),
@@ -181,7 +184,9 @@ def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
         features=["length", "abs_energy", "mean_abs_change",
                   "autocorrelation", "cid_ce", "linear_trend_slope",
                   "count_above_mean", "number_crossing_mean",
-                  "longest_strike_above_mean"])
+                  "longest_strike_above_mean", "c3",
+                  "time_reversal_asymmetry_statistic",
+                  "first_location_of_maximum", "ratio_beyond_r_sigma"])
 
     def _r4(c):  # floor-based half-up round: bit-identical in DuckDB
         return F.floor(F.col(c) * 1e4 + F.lit(0.5)) / 1e4
@@ -195,7 +200,11 @@ def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
              ("tsf:trend", _r4("value__linear_trend_slope"),
               F.col("value__count_above_mean")),
              ("tsf:cross", F.col("value__number_crossing_mean"),
-              F.col("value__longest_strike_above_mean"))]
+              F.col("value__longest_strike_above_mean")),
+             ("tsf:shape", _r4("value__c3"),
+              _r4("value__time_reversal_asymmetry_statistic")),
+             ("tsf:loc", _r4("value__first_location_of_maximum"),
+              _r4("value__ratio_beyond_r_sigma"))]
     # one struct-array explode so the feature plan executes ONCE for
     # all four dims (four union branches would re-run the windows)
     tsf_long = tsf.select(F.explode(F.array(*[

@@ -512,9 +512,12 @@ PIPELINE_ORACLES: dict[str, str] = {
         WITH ts0 AS (
             SELECT user_id, value AS x,
                    lag(value) OVER w AS xl,
+                   lag(value, 2) OVER w AS xl2,
                    CAST(row_number() OVER w AS DOUBLE) - 1 AS t,
                    row_number() OVER w AS rn,
-                   avg(value) OVER (PARTITION BY user_id) AS mu
+                   avg(value) OVER (PARTITION BY user_id) AS mu,
+                   stddev_pop(value) OVER (PARTITION BY user_id) AS sg,
+                   max(value) OVER (PARTITION BY user_id) AS mx
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), tsagg AS (
@@ -531,7 +534,12 @@ PIPELINE_ORACLES: dict[str, str] = {
                    count(x) * sum(t * t) - sum(t) * sum(t) AS slope_den,
                    sum(CASE WHEN x > mu THEN 1 ELSE 0 END) AS cam,
                    coalesce(sum(CASE WHEN (x - mu) * (xl - mu) < 0
-                                     THEN 1 ELSE 0 END), 0) AS ncross
+                                     THEN 1 ELSE 0 END), 0) AS ncross,
+                   avg(x * xl * xl2) AS c3,
+                   avg(x * x * xl - xl * xl2 * xl2) AS tras,
+                   min(CASE WHEN x = mx THEN t END) / count(x) AS flmax,
+                   avg(CASE WHEN abs(x - mu) > sg
+                            THEN 1.0 ELSE 0.0 END) AS rbs
             FROM ts0 GROUP BY user_id
         ), tsrun AS (
             -- gaps-and-islands: longest strike strictly above mean
@@ -594,6 +602,16 @@ PIPELINE_ORACLES: dict[str, str] = {
                CAST(a.ncross AS DOUBLE),
                CAST(coalesce(r.strike, 0) AS DOUBLE)
         FROM tsagg a LEFT JOIN tsrun r USING (user_id)
+        UNION ALL
+        SELECT 'tsf:shape', CAST(user_id AS VARCHAR), n,
+               floor(c3 * 1e4 + 0.5) / 1e4,
+               floor(tras * 1e4 + 0.5) / 1e4
+        FROM tsagg
+        UNION ALL
+        SELECT 'tsf:loc', CAST(user_id AS VARCHAR), n,
+               floor(flmax * 1e4 + 0.5) / 1e4,
+               floor(rbs * 1e4 + 0.5) / 1e4
+        FROM tsagg
     """,
     # ---------------------------------------------------------- documents
     "docs_text_metrics": f"""

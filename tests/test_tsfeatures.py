@@ -50,6 +50,30 @@ def _oracle(x: np.ndarray) -> dict:
             np.sum((x[1:] - mu) * (x[:-1] - mu) < 0)),
         "longest_strike_above_mean": strike(x > mu),
         "longest_strike_below_mean": strike(x < mu),
+        "absolute_sum_of_changes": float(np.abs(d).sum()),
+        "mean_second_derivative_central": (
+            float(((x[2:] - 2 * x[1:-1] + x[:-2]) / 2).mean())
+            if n > 2 else None),
+        "c3": (float((x[2:] * x[1:-1] * x[:-2]).mean())
+               if n > 2 else None),
+        "time_reversal_asymmetry_statistic": (
+            float((x[2:] ** 2 * x[1:-1] - x[1:-1] * x[:-2] ** 2).mean())
+            if n > 2 else None),
+        "number_peaks": (
+            float(np.sum((x[1:-1] > x[:-2]) & (x[1:-1] > x[2:])))
+            if n > 2 else 0.0),
+        "first_location_of_maximum": float(np.argmax(x)) / n,
+        "last_location_of_maximum": (
+            float(n - np.argmax(x[::-1])) / n),
+        "first_location_of_minimum": float(np.argmin(x)) / n,
+        "last_location_of_minimum": (
+            float(n - np.argmin(x[::-1])) / n),
+        "variance_larger_than_standard_deviation": float(
+            varp > np.sqrt(varp)),
+        "ratio_beyond_r_sigma": float(
+            np.mean(np.abs(x - mu) > np.sqrt(varp))),
+        "root_mean_square": float(np.sqrt((x ** 2).mean())),
+        "absolute_maximum": float(np.abs(x).max()),
     }
 
 
