@@ -102,7 +102,12 @@ def extract_features(df, column_id: str, column_sort,
     double column per requested feature (tsfresh's flat output
     naming). ``column_sort`` may be a single name or a list (ties in
     the primary sort key need a deterministic tiebreaker for
-    order-dependent features)."""
+    order-dependent features).
+
+    NOTE: like tsfresh, the series is assumed null-free — a null
+    ``column_value`` row would still occupy a position (row_number)
+    while being skipped by the aggregates, silently shifting the
+    location/trend features; drop or impute nulls first."""
     sdf = _sdf(df)
     feats = list(features) if features is not None else list(ALL_FEATURES)
     unknown = sorted(set(feats) - set(ALL_FEATURES))
@@ -196,8 +201,13 @@ def extract_features(df, column_id: str, column_sort,
         "absolute_maximum": F.max(F.abs(x)),
     }
     plain = [f for f in feats if f not in _STRIKE]
+    # agg() needs >=1 expression; a strike-only request aggregates a
+    # dropped placeholder so the per-entity row set still materializes
     out = base.groupBy(F.col("__id").alias(column_id)).agg(
-        *[aggs[f].alias(f"{column_value}__{f}") for f in plain])
+        *([aggs[f].alias(f"{column_value}__{f}") for f in plain]
+          or [F.count(F.lit(1)).alias("__n_placeholder")]))
+    if not plain:
+        out = out.drop("__n_placeholder")
 
     for feat, above in (("longest_strike_above_mean", True),
                         ("longest_strike_below_mean", False)):

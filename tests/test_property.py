@@ -886,8 +886,17 @@ def _py_quality(s: str) -> float:
     len_score = n / 20.0 if n < 20 else (0.5 if n > 5000 else 1.0)
     word_score = 1.0 if 3 <= mean_word <= 12 else 0.5
     stop_score = min(stop_ratio * 5.0, 1.0)
-    return round(0.3 * len_score + 0.3 * min(alpha * 1.5, 1.0)
-                 + 0.2 * word_score + 0.2 * stop_score, 4)
+    q = (0.3 * len_score + 0.3 * min(alpha * 1.5, 1.0)
+         + 0.2 * word_score + 0.2 * stop_score)
+    # Spark's round() (and DuckDB's) round the double's SHORTEST
+    # DECIMAL REPR half-up; Python's round() rounds the exact binary
+    # value half-even. They diverge when q's shortest repr is an
+    # exact 4-digit half (hypothesis found q=0.79375: Spark/DuckDB
+    # 0.7938, python round 0.7937). Replicate the engines' semantics.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(q)).quantize(Decimal("0.0001"),
+                                           rounding=ROUND_HALF_UP))
 
 
 @given(texts=_texts)

@@ -133,6 +133,19 @@ def test_feature_subset_and_unknown(spark, series_pdf):
         extract_features(sdf, "id", "t", "x", features=["nope"])
 
 
+def test_strike_only_request(spark, series_pdf):
+    # zero non-strike features: the agg placeholder path
+    sdf = spark.createDataFrame(series_pdf)
+    out = (extract_features(sdf, "id", "t", "x",
+                            features=["longest_strike_below_mean"])
+           .toPandas().set_index("id").sort_index())
+    assert list(out.columns) == ["x__longest_strike_below_mean"]
+    for gid, grp in series_pdf.groupby("id"):
+        exp = _oracle(grp.sort_values("t")["x"].values)
+        assert (out.loc[gid, "x__longest_strike_below_mean"]
+                == exp["longest_strike_below_mean"])
+
+
 def test_sort_tiebreaker_list(spark):
     # duplicate primary sort key: the tiebreaker column decides the
     # order, so mean_change flips sign between the two orderings
