@@ -221,21 +221,43 @@ def gen_tensorflow_dataset(*a, **kw):
         "installed in this environment.")
 
 
-class MarsDistributor:
+try:
+    try:
+        # tsfresh>=0.17: the iterable-distribute protocol
+        from tsfresh.utilities.distribution import (
+            IterableDistributorBaseClass as _TSFBase,
+        )
+    except ImportError:
+        from tsfresh.utilities.distribution import (
+            DistributorBaseClass as _TSFBase,
+        )
+except ImportError:  # tsfresh absent: stand-in keeps class importable
+    class _TSFBase:
+        pass
+
+
+class MarsDistributor(_TSFBase):
     """tsfresh distribution bridge — plugs into
     ``tsfresh.extract_features(distributor=...)`` so tsfresh's own
     per-entity chunk computations fan out through the engine.
 
     reference: mars/learn/contrib/tsfresh/core.py:34 (MarsDistributor)
-    — same two-method contract (``calculate_best_chunk_size`` /
-    ``distribute``); the reference routes chunks through
-    ``mars.remote.spawn``, this one through the engine's
+    — same base-class/`distribute` shape; the reference routes chunks
+    through ``mars.remote.spawn``, this one through the engine's
     ``remote.parallel_map`` (Spark tasks) with a thread-pool
-    ``remote.spawn`` fallback when no SparkSession is active. Works
-    with or without tsfresh installed (it only maps a function over
-    chunks), so the plumbing is testable in this environment; the
-    Spark-NATIVE feature extractor (``learn.tsfeatures``) is what a
-    100 TB corpus should use — it never ships rows through Python.
+    ``remote.spawn`` fallback when no SparkSession is active. One
+    DELIBERATE contract deviation: tsfresh's ``map_reduce`` flattens
+    ``distribute()``'s output exactly once
+    (``chain.from_iterable``), i.e. distribute must yield one result
+    LIST per chunk — tsfresh's own MultiprocessingDistributor does —
+    so this class returns the per-chunk lists unflattened, where the
+    reference pre-flattens (and would hand tsfresh bare tuples).
+    Subclasses the real tsfresh base when the lib exists (tsfresh
+    isinstance-checks its distributor and supplies
+    ``map_reduce``/``partition``); degrades to a plain object here,
+    keeping the distribute plumbing testable. The Spark-NATIVE
+    extractor (``learn.tsfeatures``) is what a 100 TB corpus should
+    use — it never ships rows through Python.
     """
 
     def __init__(self, spark=None, n_workers: int = 32):
@@ -249,6 +271,7 @@ class MarsDistributor:
         return max(1, -(-data_length // self.n_workers))
 
     def distribute(self, func, partitioned_chunks, kwargs) -> list:
+        """One result list per chunk (tsfresh flattens once)."""
         from mars_spark import remote as mr
 
         chunks = list(partitioned_chunks)
@@ -260,12 +283,9 @@ class MarsDistributor:
 
             spark = SparkSession.getActiveSession()
         if spark is not None:
-            results = mr.parallel_map(lambda c: func(c, **kwargs), chunks,
-                                      spark=spark)
-        else:
-            results = mr.execute(
-                *[mr.spawn(func, (c,), kwargs) for c in chunks])
-        return [item for res in results for item in res]
+            return mr.parallel_map(lambda c: func(c, **kwargs), chunks,
+                                   spark=spark)
+        return mr.execute(*[mr.spawn(func, (c,), kwargs) for c in chunks])
 
     def close(self):
         """tsfresh calls close() when done; nothing to release."""
@@ -320,10 +340,18 @@ class MarsDistributedBackend(_JLAutoBatch, _JLBase):
     def configure(self, n_jobs: int = 1, parallel=None, **backend_args):
         from concurrent.futures import ThreadPoolExecutor
 
+        if self.executor is not None:  # joblib re-configures per run
+            self.executor.shutdown(wait=False)
         self.parallel = parallel
         n = self.effective_n_jobs(n_jobs)
         self.executor = ThreadPoolExecutor(n)
         return n
+
+    def terminate(self):
+        """joblib's normal end-of-run hook: release the pool."""
+        if self.executor is not None:
+            self.executor.shutdown(wait=True)
+            self.executor = None
 
     def effective_n_jobs(self, n_jobs):
         if _jl_register is not None:

@@ -41,7 +41,9 @@ mu/sigma^2 = population mean/variance, per tsfresh):
 - ``linear_trend_slope``    least-squares slope over t = 0..n-1
                             (null if n<2)
 - ``count_above_mean``, ``count_below_mean``   strict comparisons
-- ``number_crossing_mean``  count of t with (x_t-mu)(x_{t+1}-mu) < 0
+- ``number_crossing_mean``  count of transitions of the boolean
+                            (x_t > mu), i.e. crossings through a
+                            point exactly on the mean count too
 - ``longest_strike_above_mean`` / ``longest_strike_below_mean``
                             longest run of consecutive strict
                             above/below-mean points (0 if none)
@@ -140,7 +142,10 @@ def extract_features(df, column_id: str, column_sort,
     npairs = F.count("__xl")
     s1, s2 = F.sum("__x"), F.sum(x * x)
     mu = s1 / n
-    varp = F.greatest(s2 / n - mu * mu, F.lit(0.0))
+    # var_pop's central-moment merge, NOT E[x^2]-E[x]^2: the latter
+    # cancels catastrophically for large-mean series (mean ~1e8,
+    # std ~1 loses every significant digit in double)
+    varp = F.var_pop("__x")
     d = x - F.col("__xl")
     dmu, lmu = x - F.col("__mu"), F.col("__xl") - F.col("__mu")
     t = F.col("__t")
@@ -150,7 +155,7 @@ def extract_features(df, column_id: str, column_sort,
         "length": n.cast("double"),
         "sum_values": s1,
         "mean": mu,
-        "standard_deviation": F.sqrt(varp),
+        "standard_deviation": F.stddev_pop("__x"),
         "minimum": F.min(x),
         "maximum": F.max(x),
         "median": F.expr("percentile(__x, 0.5)"),
@@ -170,8 +175,12 @@ def extract_features(df, column_id: str, column_sort,
             (x > F.col("__mu")).cast("long")).cast("double"),
         "count_below_mean": F.sum(
             (x < F.col("__mu")).cast("long")).cast("double"),
+        # tsfresh counts TRANSITIONS of the boolean (x > m), which
+        # also catches crossings through a point exactly ON the mean
+        # (the product-sign form (x_t-mu)(x_{t+1}-mu) < 0 misses them)
         "number_crossing_mean": F.coalesce(
-            F.sum((dmu * lmu < 0).cast("long")), F.lit(0)).cast("double"),
+            F.sum(((x > F.col("__mu")) != (F.col("__xl") > F.col("__mu")))
+                  .cast("long")), F.lit(0)).cast("double"),
         "absolute_sum_of_changes": F.coalesce(
             F.sum(F.abs(d)), F.lit(0.0)),
         # avg() skips the null-lag edge rows, matching tsfresh's

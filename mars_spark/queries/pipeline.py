@@ -206,7 +206,7 @@ def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
              ("tsf:loc", _r4("value__first_location_of_maximum"),
               _r4("value__ratio_beyond_r_sigma"))]
     # one struct-array explode so the feature plan executes ONCE for
-    # all four dims (four union branches would re-run the windows)
+    # all six dims (per-dim union branches would re-run the windows)
     tsf_long = tsf.select(F.explode(F.array(*[
         F.struct(F.lit(dim).alias("dim"), key.alias("key"),
                  n.alias("n"), m1.cast("double").alias("metric"),

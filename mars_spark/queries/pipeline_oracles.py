@@ -527,13 +527,12 @@ PIPELINE_ORACLES: dict[str, str] = {
                    sum(x * x) AS abs_energy,
                    avg(abs(x - xl)) AS mac,
                    sqrt(coalesce(sum((x - xl) * (x - xl)), 0)) AS cid,
-                   greatest(sum(x * x) / count(x) - avg(x) * avg(x), 0)
-                       AS varp,
+                   var_pop(x) AS varp,
                    sum((x - mu) * (xl - mu)) AS accov,
                    count(x) * sum(t * x) - sum(t) * sum(x) AS slope_num,
                    count(x) * sum(t * t) - sum(t) * sum(t) AS slope_den,
                    sum(CASE WHEN x > mu THEN 1 ELSE 0 END) AS cam,
-                   coalesce(sum(CASE WHEN (x - mu) * (xl - mu) < 0
+                   coalesce(sum(CASE WHEN (x > mu) <> (xl > mu)
                                      THEN 1 ELSE 0 END), 0) AS ncross,
                    avg(x * xl * xl2) AS c3,
                    avg(x * x * xl - xl * xl2 * xl2) AS tras,

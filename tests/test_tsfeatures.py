@@ -46,8 +46,7 @@ def _oracle(x: np.ndarray) -> dict:
             float(np.polyfit(np.arange(n), x, 1)[0]) if n > 1 else None),
         "count_above_mean": float((x > mu).sum()),
         "count_below_mean": float((x < mu).sum()),
-        "number_crossing_mean": float(
-            np.sum((x[1:] - mu) * (x[:-1] - mu) < 0)),
+        "number_crossing_mean": float(np.sum(np.diff(x > mu))),
         "longest_strike_above_mean": strike(x > mu),
         "longest_strike_below_mean": strike(x < mu),
         "absolute_sum_of_changes": float(np.abs(d).sum()),
@@ -163,10 +162,14 @@ def test_mars_distributor_threadpool_and_spark(spark):
     assert dist.calculate_best_chunk_size(10) == 3
     # tsfresh contract: func(chunk, **kwargs) returns a LIST of
     # results; distribute flattens across chunks
+    # tsfresh contract: distribute returns ONE RESULT LIST PER CHUNK
+    # (map_reduce flattens exactly once with chain.from_iterable)
     chunks = [list(range(i)) for i in (1, 2, 3)]
     got = dist.distribute(lambda c, add=0: [sum(c) + add], chunks,
                           {"add": 10})
-    assert got == [10, 11, 13]
+    assert got == [[10], [11], [13]]
+    import itertools
+    assert list(itertools.chain.from_iterable(got)) == [10, 11, 13]
     assert dist.distribute(lambda c: [len(c)], [], {}) == []
     # no-session fallback goes through remote.spawn's thread pool
     nospark = MarsDistributor(spark=None)
@@ -185,8 +188,40 @@ def test_mars_distributor_threadpool_and_spark(spark):
         got = nospark.distribute(lambda c: [max(c)], [[1, 2], [9]], {})
     finally:
         _s.SparkSession = real
-    assert got == [2, 9]
+    assert got == [[2], [9]]
     nospark.close()
+
+
+def test_extract_features_large_mean_stability(spark):
+    # timestamp-like magnitudes: mean ~1e8, std ~1 — the naive
+    # E[x^2]-E[x]^2 variance cancels to garbage; var_pop must not
+    base = 1.234e8
+    xs = [base + v for v in (-1.5, -0.5, 0.0, 0.5, 1.5, 0.25)]
+    pdf = pd.DataFrame({"id": [0] * len(xs), "t": range(len(xs)),
+                        "x": xs})
+    row = (extract_features(spark.createDataFrame(pdf), "id", "t", "x",
+                            features=["standard_deviation",
+                                      "autocorrelation",
+                                      "ratio_beyond_r_sigma"])
+           .toPandas().iloc[0])
+    x = np.asarray(xs)
+    mu, sg = x.mean(), x.std()
+    assert np.isclose(row["x__standard_deviation"], sg, rtol=1e-6)
+    exp_ac = ((x[1:] - mu) * (x[:-1] - mu)).sum() / ((len(x) - 1) * sg**2)
+    assert np.isclose(row["x__autocorrelation"], exp_ac, rtol=1e-3)
+    assert row["x__ratio_beyond_r_sigma"] == float(
+        np.mean(np.abs(x - mu) > sg))
+
+
+def test_crossing_through_exact_mean_point(spark):
+    # x = [0,1,2], mu = 1: the boolean (x>mu) transitions once
+    # ([F,F,T]); the product-sign form would report 0
+    pdf = pd.DataFrame({"id": [0, 0, 0], "t": [0, 1, 2],
+                        "x": [0.0, 1.0, 2.0]})
+    row = (extract_features(spark.createDataFrame(pdf), "id", "t", "x",
+                            features=["number_crossing_mean"])
+           .toPandas().iloc[0])
+    assert row["x__number_crossing_mean"] == 1.0
 
 
 def test_joblib_backend_batch_path():
