@@ -160,8 +160,6 @@ def test_sort_tiebreaker_list(spark):
 def test_mars_distributor_threadpool_and_spark(spark):
     dist = MarsDistributor(spark=spark, n_workers=4)
     assert dist.calculate_best_chunk_size(10) == 3
-    # tsfresh contract: func(chunk, **kwargs) returns a LIST of
-    # results; distribute flattens across chunks
     # tsfresh contract: distribute returns ONE RESULT LIST PER CHUNK
     # (map_reduce flattens exactly once with chain.from_iterable)
     chunks = [list(range(i)) for i in (1, 2, 3)]
@@ -252,3 +250,36 @@ def test_joblib_backend_batch_path():
     # backend must say so honestly
     with _pt.raises(ImportError, match="joblib"):
         register_mars_backend()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# adversarial shapes the fixed fixtures can't reach: repeated values
+# (argmax/argmin ties, zero diffs), exact-mean points, negatives,
+# single-element and constant series — values kept on a small integer
+# lattice so every aggregate is exact in double and the comparison
+# can be tight
+_series = st.lists(
+    st.integers(min_value=-8, max_value=8).map(lambda v: v / 4.0),
+    min_size=1, max_size=40)
+
+
+@given(xs=_series)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_extract_features_property(spark, xs):
+    pdf = pd.DataFrame({"id": [0] * len(xs), "t": range(len(xs)),
+                        "x": xs})
+    out = (extract_features(spark.createDataFrame(pdf), "id", "t", "x")
+           .toPandas().iloc[0])
+    exp = _oracle(np.asarray(xs))
+    for f in ALL_FEATURES:
+        got = out[f"x__{f}"]
+        if exp[f] is None:
+            assert pd.isna(got), (f, got, xs)
+        else:
+            # sqrt/division features tolerate one ulp of accumulation
+            assert np.isclose(got, exp[f], rtol=1e-9, atol=1e-12), (
+                f, got, exp[f], xs)
