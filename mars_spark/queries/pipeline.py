@@ -188,8 +188,15 @@ def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
                   "time_reversal_asymmetry_statistic",
                   "first_location_of_maximum", "ratio_beyond_r_sigma"])
 
-    def _r4(c):  # floor-based half-up round: bit-identical in DuckDB
-        return F.floor(F.col(c) * 1e4 + F.lit(0.5)) / 1e4
+    def _r4(c):
+        # floor-based half-up round, with the boundary nudged 1e-9
+        # OFF the decimal grid: accumulated doubles (cid_ce, energy
+        # sums) concentrate on exact 1e-4 halves, where the engines'
+        # different summation orders land ±1ulp on opposite sides of
+        # floor(v*1e4 + 0.5) (observed once at sf1: 37.88125); both
+        # engines sit within 1e-9 of the half, so a shared nudge
+        # rounds them identically. Bit-identical in DuckDB.
+        return F.floor(F.col(c) * 1e4 + F.lit(0.5000000001)) / 1e4
 
     key = F.col("user_id").cast("string")
     n = F.col("value__length").cast("long")
