@@ -99,12 +99,21 @@ _STRIKE = ("longest_strike_above_mean", "longest_strike_below_mean")
 
 def extract_features(df, column_id: str, column_sort,
                      column_value: str,
-                     features=None) -> SparkDF:
+                     features=None, column_kind: str | None = None,
+                     kinds=None) -> SparkDF:
     """One row per ``column_id`` entity; one ``<value>__<feature>``
     double column per requested feature (tsfresh's flat output
     naming). ``column_sort`` may be a single name or a list (ties in
     the primary sort key need a deterministic tiebreaker for
     order-dependent features).
+
+    ``column_kind`` enables tsfresh's long-format input: each
+    (entity, kind) series is featurized independently and the kinds
+    pivot into ``<kind>__<feature>`` columns. The pivot needs the
+    distinct kind values — pass ``kinds`` explicitly to skip the
+    discovery job (kinds are a handful of sensor names, never
+    data-scale; the per-(id, kind) plan is the same single
+    exchange, now keyed on both columns).
 
     NOTE: like tsfresh, the series is assumed null-free — a null
     ``column_value`` row would still occupy a position (row_number)
@@ -118,25 +127,25 @@ def extract_features(df, column_id: str, column_sort,
                          f"choose from {sorted(ALL_FEATURES)}")
     sort_cols = ([column_sort] if isinstance(column_sort, str)
                  else list(column_sort))
+    pk = ["__id"] + (["__kind"] if column_kind is not None else [])
 
     x = F.col("__x")
-    wo = Window.partitionBy("__id").orderBy(*sort_cols)
+    wo = Window.partitionBy(*pk).orderBy(*sort_cols)
+    wp = Window.partitionBy(*pk)
     base = (sdf.select(
         F.col(column_id).alias("__id"),
+        *([F.col(column_kind).cast("string").alias("__kind")]
+          if column_kind is not None else []),
         *[F.col(c) for c in sort_cols],
         F.col(column_value).cast("double").alias("__x"))
         .withColumn("__xl", F.lag("__x").over(wo))
         .withColumn("__xl2", F.lag("__x", 2).over(wo))
         .withColumn("__xn", F.lead("__x").over(wo))
         .withColumn("__t", (F.row_number().over(wo) - 1).cast("double"))
-        .withColumn("__mu", F.avg("__x").over(
-            Window.partitionBy("__id")))
-        .withColumn("__sg", F.stddev_pop("__x").over(
-            Window.partitionBy("__id")))
-        .withColumn("__mx", F.max("__x").over(
-            Window.partitionBy("__id")))
-        .withColumn("__mn", F.min("__x").over(
-            Window.partitionBy("__id"))))
+        .withColumn("__mu", F.avg("__x").over(wp))
+        .withColumn("__sg", F.stddev_pop("__x").over(wp))
+        .withColumn("__mx", F.max("__x").over(wp))
+        .withColumn("__mn", F.min("__x").over(wp)))
 
     n = F.count("__x")
     npairs = F.count("__xl")
@@ -209,11 +218,17 @@ def extract_features(df, column_id: str, column_sort,
         "root_mean_square": F.sqrt(s2 / n),
         "absolute_maximum": F.max(F.abs(x)),
     }
+    # in kind mode the per-(id, kind) frame carries plain feature
+    # names; the pivot below prefixes them with the kind value
+    prefix = "" if column_kind is not None else f"{column_value}__"
+    keys = ([column_id] if column_kind is None
+            else [column_id, column_kind])
+    key_cols = [F.col(p).alias(k) for p, k in zip(pk, keys)]
     plain = [f for f in feats if f not in _STRIKE]
     # agg() needs >=1 expression; a strike-only request aggregates a
     # dropped placeholder so the per-entity row set still materializes
-    out = base.groupBy(F.col("__id").alias(column_id)).agg(
-        *([aggs[f].alias(f"{column_value}__{f}") for f in plain]
+    out = base.groupBy(*key_cols).agg(
+        *([aggs[f].alias(f"{prefix}{f}") for f in plain]
           or [F.count(F.lit(1)).alias("__n_placeholder")]))
     if not plain:
         out = out.drop("__n_placeholder")
@@ -230,17 +245,32 @@ def extract_features(df, column_id: str, column_sort,
             "__run",
             F.row_number().over(wo)
             - F.row_number().over(
-                Window.partitionBy("__id", "__f").orderBy(*sort_cols)))
+                Window.partitionBy(*pk, "__f").orderBy(*sort_cols)))
         strike = (runs.filter(F.col("__f"))
-                  .groupBy("__id", "__run")
+                  .groupBy(*pk, "__run")
                   .agg(F.count(F.lit(1)).alias("__len"))
-                  .groupBy(F.col("__id").alias(column_id))
+                  .groupBy(*key_cols)
                   .agg(F.max("__len").cast("double")
-                       .alias(f"{column_value}__{feat}")))
-        out = (out.join(strike, on=column_id, how="left")
-               .withColumn(f"{column_value}__{feat}",
-                           F.coalesce(F.col(f"{column_value}__{feat}"),
+                       .alias(f"{prefix}{feat}")))
+        out = (out.join(strike, on=keys, how="left")
+               .withColumn(f"{prefix}{feat}",
+                           F.coalesce(F.col(f"{prefix}{feat}"),
                                       F.lit(0.0))))
 
-    ordered = [f"{column_value}__{f}" for f in feats]
-    return out.select(column_id, *ordered)
+    if column_kind is None:
+        return out.select(column_id,
+                          *[f"{prefix}{f}" for f in feats])
+
+    vals = (sorted(str(k) for k in kinds) if kinds is not None
+            else sorted(r[column_kind] for r in
+                        out.select(column_kind).distinct().collect()))
+    aggs_p = [F.first(f).alias(f) for f in feats]
+    piv = out.groupBy(column_id).pivot(column_kind, vals).agg(*aggs_p)
+    # Spark names pivoted columns "<val>_<alias>" for multi-agg and
+    # bare "<val>" for single-agg; normalize to tsfresh's <kind>__<f>
+    for v in vals:
+        for f in feats:
+            src = f"{v}_{f}" if len(feats) > 1 else str(v)
+            piv = piv.withColumnRenamed(src, f"{v}__{f}")
+    return piv.select(column_id,
+                      *[f"{v}__{f}" for v in vals for f in feats])

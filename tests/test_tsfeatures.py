@@ -283,3 +283,32 @@ def test_extract_features_property(spark, xs):
             # sqrt/division features tolerate one ulp of accumulation
             assert np.isclose(got, exp[f], rtol=1e-9, atol=1e-12), (
                 f, got, exp[f], xs)
+
+
+def test_long_format_kind_pivot(spark, series_pdf):
+    # tsfresh long format: two kinds per id, featurized independently
+    # and pivoted to <kind>__<feature>; values must equal two separate
+    # single-kind runs
+    a = series_pdf.assign(kind="temp")
+    b = series_pdf.assign(kind="hum", x=series_pdf["x"] * 2 + 1)
+    long = pd.concat([a, b], ignore_index=True)
+    sdf = spark.createDataFrame(long)
+    feats = ["mean", "abs_energy", "longest_strike_above_mean"]
+    piv = (extract_features(sdf, "id", "t", "x", features=feats,
+                            column_kind="kind")
+           .toPandas().set_index("id").sort_index())
+    assert list(piv.columns) == [f"{k}__{f}" for k in ("hum", "temp")
+                                 for f in feats]
+    for kname, kdf in (("temp", a), ("hum", b)):
+        solo = (extract_features(spark.createDataFrame(kdf),
+                                 "id", "t", "x", features=feats)
+                .toPandas().set_index("id").sort_index())
+        for f in feats:
+            assert np.allclose(piv[f"{kname}__{f}"], solo[f"x__{f}"],
+                               rtol=1e-12, equal_nan=True), (kname, f)
+    # explicit kinds list skips discovery and honors single-feature
+    # pivot naming
+    one = (extract_features(sdf, "id", "t", "x", features=["mean"],
+                            column_kind="kind", kinds=["temp", "hum"])
+           .toPandas())
+    assert list(one.columns) == ["id", "hum__mean", "temp__mean"]
