@@ -90,7 +90,7 @@ from mars_spark.learn.gbm import (
     RandomForestClassifier,
     RandomForestRegressor,
 )
-from mars_spark.learn.tsfeatures import extract_features
+from mars_spark.learn.tsfeatures import extract_features, roll_time_series
 from mars_spark.learn import contrib  # noqa: F401
 
 __all__ = [
@@ -116,5 +116,6 @@ __all__ = [
     "BlockwiseVotingClassifier", "BlockwiseVotingRegressor",
     "GBTClassifier", "GBTRegressor", "RandomForestClassifier",
     "RandomForestRegressor", "DecisionTreeClassifier",
-    "DecisionTreeRegressor", "extract_features", "contrib",
+    "DecisionTreeRegressor", "extract_features", "roll_time_series",
+    "contrib",
 ]

@@ -274,3 +274,55 @@ def extract_features(df, column_id: str, column_sort,
             piv = piv.withColumnRenamed(src, f"{v}__{f}")
     return piv.select(column_id,
                       *[f"{v}__{f}" for v in vals for f in feats])
+
+
+def roll_time_series(df, column_id: str, column_sort: str,
+                     max_timeshift: int, min_timeshift: int = 0,
+                     id_out: str = "rolled_id") -> SparkDF:
+    """tsfresh's forecasting-window expansion
+    (tsfresh.utilities.dataframe_functions.roll_time_series): every
+    observed row of an entity becomes a window END carrying the last
+    ``max_timeshift + 1`` OBSERVED points up to and including it
+    (positional, like tsfresh — gaps in the sort values do not shrink
+    windows); windows with fewer than ``min_timeshift + 1`` rows are
+    dropped. The output carries ``id_out`` — a struct<id, t> column
+    naming the (entity, window-end-sort-value) pair — ready to be
+    passed as ``column_id`` to :func:`extract_features` (grouping by
+    a struct column works). Duplicate sort values within an entity
+    are rejected nowhere but make window identity ambiguous — give
+    ties a tiebreaker upstream, as tsfresh requires unique
+    timestamps.
+
+    Spark shape: one row_number window pass, then an equi-join on the
+    entity key with a row-number range predicate — per-entity groups
+    stay together through one hash exchange and the blowup factor is
+    bounded by the window length (max_timeshift + 1), exactly
+    tsfresh's own memory model. At corpus scale size max_timeshift
+    to the forecasting horizon, never to the series length."""
+    if max_timeshift < 0 or min_timeshift < 0:
+        raise ValueError("timeshifts must be non-negative")
+    sdf = _sdf(df)
+    wo = Window.partitionBy(column_id).orderBy(column_sort)
+    withrn = sdf.withColumn("__rn", F.row_number().over(wo))
+    rows = withrn.alias("__r")
+    ends = (withrn.select(F.col(column_id).alias("__eid"),
+                          F.col(column_sort).alias("__t"),
+                          F.col("__rn").alias("__ern"))
+            .alias("__e"))
+    rrn = F.col("__r.__rn")
+    joined = rows.join(
+        ends,
+        (F.col(f"__r.{column_id}") == F.col("__eid"))
+        & (rrn <= F.col("__ern"))
+        & (rrn >= F.col("__ern") - F.lit(max_timeshift)),
+        "inner")
+    out = joined.select(
+        F.struct(F.col(f"__r.{column_id}").alias("id"),
+                 F.col("__t").alias("t")).alias(id_out),
+        *[F.col(f"__r.{c}") for c in sdf.columns])
+    if min_timeshift > 0:
+        big = (out.groupBy(id_out)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > min_timeshift).drop("__n"))
+        out = out.join(big, on=id_out, how="left_semi")
+    return out

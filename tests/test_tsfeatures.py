@@ -312,3 +312,39 @@ def test_long_format_kind_pivot(spark, series_pdf):
                             column_kind="kind", kinds=["temp", "hum"])
            .toPandas())
     assert list(one.columns) == ["id", "hum__mean", "temp__mean"]
+
+
+def test_roll_time_series(spark):
+    from mars_spark.learn.tsfeatures import roll_time_series
+
+    # positional windows (gap between t=2 and t=4 does NOT shrink the
+    # window, matching tsfresh's observed-point semantics)
+    pdf = pd.DataFrame({"id": [0] * 4 + [1] * 2,
+                        "t": [1, 2, 4, 5, 10, 11],
+                        "x": [1.0, 2.0, 3.0, 4.0, 7.0, 8.0]})
+    r = roll_time_series(spark.createDataFrame(pdf), "id", "t",
+                         max_timeshift=2)
+    got = r.toPandas()
+    got["key"] = got["rolled_id"].map(lambda s: (s["id"], s["t"]))
+    windows = {k: tuple(sorted(v)) for k, v in
+               got.groupby("key")["x"].apply(list).items()}
+    assert windows == {
+        (0, 1): (1.0,), (0, 2): (1.0, 2.0), (0, 4): (1.0, 2.0, 3.0),
+        (0, 5): (2.0, 3.0, 4.0), (1, 10): (7.0,), (1, 11): (7.0, 8.0)}
+    # min_timeshift drops windows with <= min_timeshift rows
+    r2 = roll_time_series(spark.createDataFrame(pdf), "id", "t",
+                          max_timeshift=2, min_timeshift=1)
+    keys2 = {(s["id"], s["t"]) for s in
+             r2.select("rolled_id").toPandas()["rolled_id"]}
+    assert keys2 == {(0, 2), (0, 4), (0, 5), (1, 11)}
+    # composes with extract_features via the struct id
+    f = (extract_features(r, "rolled_id", "t", "x",
+                          features=["length", "mean", "mean_change"])
+         .toPandas())
+    f["key"] = f["rolled_id"].map(lambda s: (s["id"], s["t"]))
+    f = f.set_index("key").sort_index()
+    assert f.loc[[(0, 5)], "x__mean"].iloc[0] == 3.0
+    assert f.loc[[(0, 4)], "x__length"].iloc[0] == 3.0
+    assert f.loc[[(0, 4)], "x__mean_change"].iloc[0] == 1.0
+    with pytest.raises(ValueError, match="non-negative"):
+        roll_time_series(spark.createDataFrame(pdf), "id", "t", -1)
