@@ -261,9 +261,17 @@ def extract_features(df, column_id: str, column_sort,
         return out.select(column_id,
                           *[f"{prefix}{f}" for f in feats])
 
+    # discover kinds from a plain scan+distinct of the INPUT (hanging
+    # the discovery job off `out` would execute the whole feature
+    # plan just to list a handful of strings); null kinds are
+    # excluded — their rows group under a null key that the explicit
+    # pivot list drops. `kinds` must be given as the STRING form of
+    # the cast column (e.g. '1.0' for a double kind column).
     vals = (sorted(str(k) for k in kinds) if kinds is not None
-            else sorted(r[column_kind] for r in
-                        out.select(column_kind).distinct().collect()))
+            else sorted(r[0] for r in
+                        sdf.select(F.col(column_kind).cast("string"))
+                        .filter(F.col(column_kind).isNotNull())
+                        .distinct().collect()))
     aggs_p = [F.first(f).alias(f) for f in feats]
     piv = out.groupBy(column_id).pivot(column_kind, vals).agg(*aggs_p)
     # Spark names pivoted columns "<val>_<alias>" for multi-agg and
@@ -301,6 +309,12 @@ def roll_time_series(df, column_id: str, column_sort: str,
     to the forecasting horizon, never to the series length."""
     if max_timeshift < 0 or min_timeshift < 0:
         raise ValueError("timeshifts must be non-negative")
+    if min_timeshift > max_timeshift:
+        # tsfresh raises too: every window holds at most
+        # max_timeshift + 1 rows, so nothing could ever survive
+        raise ValueError(
+            f"min_timeshift ({min_timeshift}) > max_timeshift "
+            f"({max_timeshift}) would drop every window")
     sdf = _sdf(df)
     wo = Window.partitionBy(column_id).orderBy(column_sort)
     withrn = sdf.withColumn("__rn", F.row_number().over(wo))
@@ -309,6 +323,14 @@ def roll_time_series(df, column_id: str, column_sort: str,
                           F.col(column_sort).alias("__t"),
                           F.col("__rn").alias("__ern"))
             .alias("__e"))
+    if min_timeshift > 0:
+        # per-entity row_numbers are contiguous, so the window ending
+        # at __ern holds exactly min(__ern, max_timeshift + 1) rows —
+        # filter the (skinny) ends side BEFORE the expansion instead
+        # of aggregating + semi-joining the exploded output
+        ends = ends.filter(
+            F.least(F.col("__ern"), F.lit(max_timeshift + 1))
+            > min_timeshift)
     rrn = F.col("__r.__rn")
     joined = rows.join(
         ends,
@@ -316,13 +338,7 @@ def roll_time_series(df, column_id: str, column_sort: str,
         & (rrn <= F.col("__ern"))
         & (rrn >= F.col("__ern") - F.lit(max_timeshift)),
         "inner")
-    out = joined.select(
+    return joined.select(
         F.struct(F.col(f"__r.{column_id}").alias("id"),
                  F.col("__t").alias("t")).alias(id_out),
         *[F.col(f"__r.{c}") for c in sdf.columns])
-    if min_timeshift > 0:
-        big = (out.groupBy(id_out)
-               .agg(F.count(F.lit(1)).alias("__n"))
-               .filter(F.col("__n") > min_timeshift).drop("__n"))
-        out = out.join(big, on=id_out, how="left_semi")
-    return out

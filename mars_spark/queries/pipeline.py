@@ -189,14 +189,17 @@ def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
                   "first_location_of_maximum", "ratio_beyond_r_sigma"])
 
     def _r4(c):
-        # floor-based half-up round, with the boundary nudged 1e-9
-        # OFF the decimal grid: accumulated doubles (cid_ce, energy
-        # sums) concentrate on exact 1e-4 halves, where the engines'
-        # different summation orders land ±1ulp on opposite sides of
-        # floor(v*1e4 + 0.5) (observed once at sf1: 37.88125); both
-        # engines sit within 1e-9 of the half, so a shared nudge
-        # rounds them identically. Bit-identical in DuckDB.
-        return F.floor(F.col(c) * 1e4 + F.lit(0.5000000001)) / 1e4
+        # floor-based half-up round with the boundary nudged OFF the
+        # decimal grid by a RELATIVE 1e-12 of the scaled value:
+        # accumulated doubles (cid_ce, energy sums) concentrate on
+        # exact 1e-4 halves, where the engines' different summation
+        # orders land ±1ulp on opposite sides of floor(v*1e4 + 0.5)
+        # (observed once at sf1: 37.88125). The nudge must dominate
+        # ulp(v*1e4) at every magnitude — a fixed additive epsilon is
+        # silently absorbed once v*1e4 exceeds ~eps/ulp — while
+        # staying << 0.5 (holds for |v| < 1e7, far above any stratum
+        # here). Bit-identical formula on the DuckDB side.
+        return F.floor(F.col(c) * 1e4 * (1 + 1e-12) + F.lit(0.5)) / 1e4
 
     key = F.col("user_id").cast("string")
     n = F.col("value__length").cast("long")

@@ -579,21 +579,21 @@ PIPELINE_ORACLES: dict[str, str] = {
         ) GROUP BY user_id
         UNION ALL
         SELECT 'tsf:energy', CAST(user_id AS VARCHAR), n,
-               floor(abs_energy * 1e4 + 0.5000000001) / 1e4,
-               floor(mac * 1e4 + 0.5000000001) / 1e4
+               floor(abs_energy * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
+               floor(mac * 1e4 * (1 + 1e-12) + 0.5) / 1e4
         FROM tsagg
         UNION ALL
         SELECT 'tsf:auto', CAST(user_id AS VARCHAR), n,
                floor(CASE WHEN npairs > 0 AND varp > 0
                           THEN accov / (npairs * varp) END
-                     * 1e4 + 0.5000000001) / 1e4,
-               floor(cid * 1e4 + 0.5000000001) / 1e4
+                     * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
+               floor(cid * 1e4 * (1 + 1e-12) + 0.5) / 1e4
         FROM tsagg
         UNION ALL
         SELECT 'tsf:trend', CAST(user_id AS VARCHAR), n,
                floor(CASE WHEN slope_den > 0
                           THEN slope_num / slope_den END
-                     * 1e4 + 0.5000000001) / 1e4,
+                     * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
                CAST(cam AS DOUBLE)
         FROM tsagg
         UNION ALL
@@ -603,13 +603,13 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM tsagg a LEFT JOIN tsrun r USING (user_id)
         UNION ALL
         SELECT 'tsf:shape', CAST(user_id AS VARCHAR), n,
-               floor(c3 * 1e4 + 0.5000000001) / 1e4,
-               floor(tras * 1e4 + 0.5000000001) / 1e4
+               floor(c3 * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
+               floor(tras * 1e4 * (1 + 1e-12) + 0.5) / 1e4
         FROM tsagg
         UNION ALL
         SELECT 'tsf:loc', CAST(user_id AS VARCHAR), n,
-               floor(flmax * 1e4 + 0.5000000001) / 1e4,
-               floor(rbs * 1e4 + 0.5000000001) / 1e4
+               floor(flmax * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
+               floor(rbs * 1e4 * (1 + 1e-12) + 0.5) / 1e4
         FROM tsagg
     """,
     # ---------------------------------------------------------- documents

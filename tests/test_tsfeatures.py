@@ -348,3 +348,21 @@ def test_roll_time_series(spark):
     assert f.loc[[(0, 4)], "x__mean_change"].iloc[0] == 1.0
     with pytest.raises(ValueError, match="non-negative"):
         roll_time_series(spark.createDataFrame(pdf), "id", "t", -1)
+
+
+def test_roll_min_gt_max_raises_and_kind_nulls(spark):
+    from mars_spark.learn.tsfeatures import roll_time_series
+
+    pdf = pd.DataFrame({"id": [0, 0], "t": [1, 2], "x": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="would drop every window"):
+        roll_time_series(spark.createDataFrame(pdf), "id", "t",
+                         max_timeshift=2, min_timeshift=5)
+    # null kind values: excluded from discovery, pivot drops them
+    kpdf = pd.DataFrame({"id": [0, 0, 0], "t": [0, 1, 2],
+                         "kind": ["a", None, "a"],
+                         "x": [1.0, 9.0, 3.0]})
+    out = (extract_features(spark.createDataFrame(kpdf), "id", "t",
+                            "x", features=["mean", "length"],
+                            column_kind="kind").toPandas())
+    assert list(out.columns) == ["id", "a__mean", "a__length"]
+    assert out["a__mean"].iloc[0] == 2.0 and out["a__length"].iloc[0] == 2.0
