@@ -366,3 +366,19 @@ def test_roll_min_gt_max_raises_and_kind_nulls(spark):
                             column_kind="kind").toPandas())
     assert list(out.columns) == ["id", "a__mean", "a__length"]
     assert out["a__mean"].iloc[0] == 2.0 and out["a__length"].iloc[0] == 2.0
+
+
+def test_roll_plan_is_equi_join(spark):
+    # the window expansion must stay an entity-keyed equi-join (range
+    # predicate as a join filter) — a BNLJ/cartesian here would be a
+    # scale killer at corpus size
+    from mars_spark.learn.tsfeatures import roll_time_series
+
+    pdf = pd.DataFrame({"id": [0] * 5, "t": range(5),
+                        "x": np.arange(5.0)})
+    r = roll_time_series(spark.createDataFrame(pdf), "id", "t",
+                         max_timeshift=2, min_timeshift=1)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
