@@ -90,7 +90,8 @@ from mars_spark.learn.gbm import (
     RandomForestClassifier,
     RandomForestRegressor,
 )
-from mars_spark.learn.tsfeatures import extract_features, roll_time_series
+from mars_spark.learn.tsfeatures import (extract_features, impute,
+                                          roll_time_series)
 from mars_spark.learn import contrib  # noqa: F401
 
 __all__ = [
@@ -117,5 +118,6 @@ __all__ = [
     "GBTClassifier", "GBTRegressor", "RandomForestClassifier",
     "RandomForestRegressor", "DecisionTreeClassifier",
     "DecisionTreeRegressor", "extract_features", "roll_time_series",
+    "impute",
     "contrib",
 ]

@@ -342,3 +342,51 @@ def roll_time_series(df, column_id: str, column_sort: str,
         F.struct(F.col(f"__r.{column_id}").alias("id"),
                  F.col("__t").alias("t")).alias(id_out),
         *[F.col(f"__r.{c}") for c in sdf.columns])
+
+
+def impute(df, columns=None) -> SparkDF:
+    """tsfresh's feature-matrix imputation
+    (tsfresh.utilities.dataframe_functions.impute): column-wise,
+    NaN/null -> median of the column's finite values, +inf -> max,
+    -inf -> min; a column with no finite values at all becomes 0
+    (tsfresh's rule). One aggregate pass computes the three finite
+    statistics for every column (driver receives 3 x n_features
+    scalars), then one projection rewrites the matrix — two jobs
+    total, no per-column scans.
+
+    ``columns`` defaults to every float/double column."""
+    sdf = _sdf(df)
+    if columns is None:
+        columns = [f.name for f in sdf.schema.fields
+                   if f.dataType.typeName() in ("double", "float")]
+    if not columns:
+        return sdf
+
+    def finite(c):
+        col = F.col(c)
+        return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)
+
+    def finite_sql(c):
+        return (f"CASE WHEN NOT isnan(`{c}`) AND abs(`{c}`) != "
+                f"double('inf') THEN `{c}` END")
+
+    stats = sdf.agg(*[e for c in columns for e in (
+        F.min(finite(c)).alias(f"__mn_{c}"),
+        F.max(finite(c)).alias(f"__mx_{c}"),
+        F.expr(f"percentile({finite_sql(c)}, 0.5)")
+         .alias(f"__md_{c}"))]).collect()[0]
+
+    out = sdf
+    for c in columns:
+        mn = stats[f"__mn_{c}"]
+        mx = stats[f"__mx_{c}"]
+        md = stats[f"__md_{c}"]
+        mn = 0.0 if mn is None else float(mn)
+        mx = 0.0 if mx is None else float(mx)
+        md = 0.0 if md is None else float(md)
+        col = F.col(c)
+        out = out.withColumn(c, F.when(col == float("inf"), mx)
+                             .when(col == float("-inf"), mn)
+                             .when(F.isnan(col) | col.isNull(), md)
+                             .otherwise(col))
+    return out

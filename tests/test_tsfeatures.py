@@ -382,3 +382,30 @@ def test_roll_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_impute_tsfresh_semantics(spark):
+    from mars_spark.learn.tsfeatures import impute
+
+    inf = float("inf")
+    pdf = pd.DataFrame({
+        "a": [1.0, 2.0, 10.0, np.nan, inf, -inf],   # finite med 2.0
+        "b": [np.nan] * 6,                           # all-NaN -> 0
+        "c": [5.0] * 6,                              # untouched
+        "k": ["x"] * 6,                              # non-numeric
+    })
+    out = (impute(spark.createDataFrame(pdf))
+           .toPandas().sort_values("c").reset_index(drop=True))
+    a = sorted(out["a"])
+    assert a == [1.0, 1.0, 2.0, 2.0, 10.0, 10.0]  # nan->med(2), inf->10, -inf->1
+    assert (out["b"] == 0.0).all()
+    assert (out["c"] == 5.0).all() and (out["k"] == "x").all()
+    # column_kind-free feature matrix path: nulls from n<2 features
+    sdf = spark.createDataFrame(pd.DataFrame(
+        {"id": [0, 1, 1], "t": [0, 0, 1], "x": [1.0, 2.0, 4.0]}))
+    f = extract_features(sdf, "id", "t", "x",
+                         features=["mean", "mean_change"])
+    imp = impute(f).toPandas().set_index("id").sort_index()
+    # id=0 has n=1 -> mean_change null -> imputed with the column's
+    # finite median (id=1's 2.0)
+    assert imp.loc[0, "x__mean_change"] == 2.0
