@@ -43,7 +43,14 @@ mu/sigma^2 = population mean/variance, per tsfresh):
 - ``count_above_mean``, ``count_below_mean``   strict comparisons
 - ``number_crossing_mean``  count of transitions of the boolean
                             (x_t > mu), i.e. crossings through a
-                            point exactly on the mean count too
+                            point exactly on the mean count too.
+                            NOTE: this is a mean-anchored VARIANT of
+                            tsfresh's ``number_crossing_m`` (which
+                            counts crossings of a fixed constant m,
+                            default m in {0, -1, 1}) — it is not
+                            itself a tsfresh feature; values differ
+                            from tsfresh's unless m happens to equal
+                            the series mean
 - ``longest_strike_above_mean`` / ``longest_strike_below_mean``
                             longest run of consecutive strict
                             above/below-mean points (0 if none)
@@ -97,6 +104,24 @@ ALL_FEATURES = (
 _STRIKE = ("longest_strike_above_mean", "longest_strike_below_mean")
 
 
+def _check_user_cols(fn: str, cols) -> None:
+    """The builders reserve ``__``-prefixed internal names and
+    reference user columns by bare string (where a dotted name would
+    resolve as a struct field); fail fast with a clear message
+    instead of silently mis-resolving."""
+    for c in cols:
+        if c is None:
+            continue
+        if c.startswith("__"):
+            raise ValueError(
+                f"{fn}: column name {c!r} collides with reserved "
+                "internal '__'-prefixed names; rename it first")
+        if "." in c:
+            raise ValueError(
+                f"{fn}: column name {c!r} contains '.', which Spark "
+                "resolves as a struct field; rename it first")
+
+
 def extract_features(df, column_id: str, column_sort,
                      column_value: str,
                      features=None, column_kind: str | None = None,
@@ -127,6 +152,8 @@ def extract_features(df, column_id: str, column_sort,
                          f"choose from {sorted(ALL_FEATURES)}")
     sort_cols = ([column_sort] if isinstance(column_sort, str)
                  else list(column_sort))
+    _check_user_cols("extract_features",
+                     [column_id, column_value, column_kind, *sort_cols])
     pk = ["__id"] + (["__kind"] if column_kind is not None else [])
 
     x = F.col("__x")
@@ -274,14 +301,14 @@ def extract_features(df, column_id: str, column_sort,
                         .distinct().collect()))
     aggs_p = [F.first(f).alias(f) for f in feats]
     piv = out.groupBy(column_id).pivot(column_kind, vals).agg(*aggs_p)
-    # Spark names pivoted columns "<val>_<alias>" for multi-agg and
-    # bare "<val>" for single-agg; normalize to tsfresh's <kind>__<f>
-    for v in vals:
-        for f in feats:
-            src = f"{v}_{f}" if len(feats) > 1 else str(v)
-            piv = piv.withColumnRenamed(src, f"{v}__{f}")
-    return piv.select(column_id,
-                      *[f"{v}__{f}" for v in vals for f in feats])
+    # Spark's pivot names ("<val>_<alias>" multi-agg, bare "<val>"
+    # single-agg) are ambiguous when kind values contain underscores
+    # (kinds 'k'/'k_absolute' with features 'absolute_maximum' /
+    # 'maximum' both yield 'k_absolute_maximum'); the column ORDER is
+    # deterministic — groupBy key first, then vals x feats — so
+    # rename positionally to tsfresh's <kind>__<feature>
+    return piv.toDF(column_id,
+                    *[f"{v}__{f}" for v in vals for f in feats])
 
 
 def roll_time_series(df, column_id: str, column_sort: str,
@@ -315,6 +342,7 @@ def roll_time_series(df, column_id: str, column_sort: str,
         raise ValueError(
             f"min_timeshift ({min_timeshift}) > max_timeshift "
             f"({max_timeshift}) would drop every window")
+    _check_user_cols("roll_time_series", [column_id, column_sort])
     sdf = _sdf(df)
     wo = Window.partitionBy(column_id).orderBy(column_sort)
     withrn = sdf.withColumn("__rn", F.row_number().over(wo))

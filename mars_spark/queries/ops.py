@@ -657,18 +657,23 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         # scans it again (3 scans of a cached single batch beat 3
         # re-derivations from parquet)
         allp = pts.unionByName(planted).persist()
-        ifor = L.IsolationForest(n_estimators=8, max_samples=64,
-                                 seed=7).fit(allp, "x")
-        top = (ifor.scores(allp)
-               .orderBy(F.desc("anomaly_score"), F.asc("event_id"))
-               .limit(5).select("event_id").collect())
-        allp.unpersist()
+        try:
+            ifor = L.IsolationForest(n_estimators=8, max_samples=64,
+                                     seed=7).fit(allp, "x")
+            top = (ifor.scores(allp)
+                   .orderBy(F.desc("anomaly_score"), F.asc("event_id"))
+                   .limit(5).select("event_id").collect())
+        finally:
+            allp.unpersist()
         n_top = sum(1 for r in top if r["event_id"] > 1000000)
         lin = base.select("event_id", "s",
                           (F.col("s") * 2.0 + 1.0).alias("yl")).persist()
-        br = L.BaggingRegressor(n_estimators=2).fit(lin, ["s"], "yl")
-        bmse = L.mean_squared_error(br.predict(lin), "yl", "prediction")
-        lin.unpersist()
+        try:
+            br = L.BaggingRegressor(n_estimators=2).fit(lin, ["s"], "yl")
+            bmse = L.mean_squared_error(br.predict(lin), "yl",
+                                        "prediction")
+        finally:
+            lin.unpersist()
         return int(n_top), int(bmse < 1e-6)
 
     def _extra():
@@ -726,10 +731,14 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
                          1.0 if x0 >= 0.55 else 0.0))
         sep = spark.createDataFrame(
             rows, "x0 double, x1 double, y double").persist()
-        m = G.GBTClassifier(n_estimators=5, max_depth=3, max_bins=64,
-                            seed=7).fit(sep, ["x0", "x1"], "y")
-        acc = L.accuracy_score(MDF(m.predict(sep)), "y", "prediction")
-        sep.unpersist()
+        try:
+            m = G.GBTClassifier(n_estimators=5, max_depth=3,
+                                max_bins=64, seed=7
+                                ).fit(sep, ["x0", "x1"], "y")
+            acc = L.accuracy_score(MDF(m.predict(sep)), "y",
+                                   "prediction")
+        finally:
+            sep.unpersist()
         imp = m.feature_importances_
         step = spark.createDataFrame(
             [(float(i % 4), float([10, 20, 40, 80][i % 4]))
@@ -739,21 +748,23 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
                                     "prediction")
         return int(acc == 1.0), int(imp[0] > imp[1]), int(dmse < 1e-18)
 
-    with ThreadPoolExecutor(max_workers=11) as ex:
-        (f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en,
-         f_ex, f_gb) = (
-            ex.submit(fn)
-            for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le, _split,
-                       _ens, _extra, _gbm))
-        (acc, prf, ll), auc = f_cls.result(), f_auc.result()
-        lr, r2, mse = f_reg.result()
-        glm_slope, ev1 = f_glm.result(), f_pca.result()
-        mm_mean, le_sum = f_mm.result(), f_le.result()
-        tr_n, tr_vs, te_n, te_vs = f_sp.result()
-        ifor_top, bag_exact = f_en.result()
-        fb2, auc_trap, kf_sizes, bv_exact = f_ex.result()
-        gbt_sep, gbt_imp, dtr_exact = f_gb.result()
-    f._sdf.unpersist()
+    try:
+        with ThreadPoolExecutor(max_workers=11) as ex:
+            (f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en,
+             f_ex, f_gb) = (
+                ex.submit(fn)
+                for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le,
+                           _split, _ens, _extra, _gbm))
+            (acc, prf, ll), auc = f_cls.result(), f_auc.result()
+            lr, r2, mse = f_reg.result()
+            glm_slope, ev1 = f_glm.result(), f_pca.result()
+            mm_mean, le_sum = f_mm.result(), f_le.result()
+            tr_n, tr_vs, te_n, te_vs = f_sp.result()
+            ifor_top, bag_exact = f_en.result()
+            fb2, auc_trap, kf_sizes, bv_exact = f_ex.result()
+            gbt_sep, gbt_imp, dtr_exact = f_gb.result()
+    finally:
+        f._sdf.unpersist()
 
     def r6(x: float) -> float:
         # floor(x·1e6 + .5)/1e6 on BOTH engine and oracle sides —
