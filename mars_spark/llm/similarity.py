@@ -500,32 +500,27 @@ def _dropped_in_cells(assigned: SparkDF, threshold: float, id_col: str,
     1-bucket-theta-join decomposition all_pairs_blocked uses), so no
     task ever holds more than ~2·cell_cap vectors regardless of skew;
     pair coverage is exact — every in-cell pair meets in exactly the
-    (min-block, max-block) group. Cell sizes come from one
-    k-row groupBy-count; block routing never changes WHICH pairs are
-    compared, so the drop verdict is unchanged and stays
-    oracle-replayable."""
-    import math
-
+    (min-block, max-block) group. The (cluster, n_blocks) routing
+    table is computed distributed and BROADCAST-JOINED back on the
+    cluster key (r10; it was a collect + create_map literal — at
+    10^5-10^6 IVF cells the literal itself becomes a plan-size /
+    driver problem, while the broadcast side stays two ints per
+    cell). Block routing never changes WHICH pairs are compared, so
+    the drop verdict is unchanged and stays oracle-replayable."""
     import numpy as np
     import pandas as pd
 
-    sizes = {r["cluster"]: r["n"] for r in
-             assigned.groupBy("cluster")
-             .agg(F.count(F.lit(1)).alias("n")).collect()}
-    nb = {c: max(1, math.ceil(n / cell_cap)) for c, n in sizes.items()}
-    if max(nb.values(), default=1) == 1:
-        blk = F.lit(0).cast("int")
-        nb_col = F.lit(1)
-    else:
-        nb_col = F.coalesce(
-            F.element_at(
-                F.create_map(*[F.lit(x) for kv in nb.items() for x in kv]),
-                F.col("cluster")),
-            F.lit(1))
-        blk = F.pmod(F.hash(F.col(id_col)), nb_col).cast("int")
+    nb_df = (assigned.groupBy("cluster")
+             .agg(F.count(F.lit(1)).alias("__n"))
+             .select("cluster",
+                     F.greatest(
+                         F.lit(1),
+                         F.ceil(F.col("__n") / F.lit(cell_cap)))
+                     .cast("int").alias("__nb")))
+    blk = F.pmod(F.hash(F.col(id_col)), F.col("__nb")).cast("int")
     keyed = (
-        assigned.withColumn("__blk", blk)
-        .withColumn("__nb", nb_col)
+        assigned.join(F.broadcast(nb_df), "cluster")
+        .withColumn("__blk", blk)
         .select(
             id_col, "e", "cluster", "__blk",
             F.explode(F.expr(
