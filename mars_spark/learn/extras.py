@@ -119,19 +119,50 @@ def multilabel_confusion_matrix(df, label: str,
     return np.asarray(out), classes
 
 
-def roc_curve(df, label: str, score: str, positive=1.0):
+def roc_curve(df, label: str, score: str, positive=1.0,
+              thresholds: int | None = None):
     """(fpr, tpr, thresholds), sklearn semantics (reference:
     mars/learn/metrics/_ranking.py). Distributed shape: ONE groupBy
     on the score (distinct-score-sized result — the same bounded
     contract sklearn's thresholds array has), cumulative sums on the
-    driver over the sorted distinct scores."""
+    driver over the sorted distinct scores.
+
+    CONTRACT of the exact form: the driver holds one row per DISTINCT
+    score, so it is sized for calibrated / rounded / grid-valued
+    scores (the common case). For continuous scores over very large
+    row counts the distinct set approaches the row count — pass
+    ``thresholds=n`` to bin scores into n equal-width buckets first
+    (driver result bounded at n+1 points; each bucket's threshold is
+    the MAX observed score inside it, so on scores already on a grid
+    no coarser than the bins the binned curve is IDENTICAL to the
+    exact one — each grid value occupies its own bucket)."""
     import numpy as np
 
-    rows = (_sdf(df).groupBy(F.col(score).alias("s")).agg(
-        F.sum((F.col(label) == F.lit(positive)).cast("long"))
-        .alias("pos"),
-        F.sum((F.col(label) != F.lit(positive)).cast("long"))
-        .alias("neg")).orderBy(F.desc("s")).collect())
+    scol = F.col(score)
+    grp = scol.alias("s")
+    aggs = [F.sum((F.col(label) == F.lit(positive)).cast("long"))
+            .alias("pos"),
+            F.sum((F.col(label) != F.lit(positive)).cast("long"))
+            .alias("neg")]
+    if thresholds is not None:
+        if thresholds < 1:
+            raise ValueError("thresholds must be >= 1")
+        ext = _sdf(df).agg(F.min(scol).alias("mn"),
+                           F.max(scol).alias("mx")).collect()[0]
+        mn, mx = ext["mn"], ext["mx"]
+        span = (float(mx) - float(mn)) if mn is not None else 0.0
+        if span > 0:
+            b = F.least(F.lit(thresholds - 1),
+                        F.floor((scol - float(mn)) / span * thresholds))
+            rows = (_sdf(df).groupBy(b.alias("b"))
+                    .agg(F.max(scol).alias("s"), *aggs)
+                    .orderBy(F.desc("s")).drop("b").collect())
+        else:
+            rows = (_sdf(df).groupBy(grp).agg(*aggs)
+                    .orderBy(F.desc("s")).collect())
+    else:
+        rows = (_sdf(df).groupBy(grp).agg(*aggs)
+                .orderBy(F.desc("s")).collect())
     pos_total = sum(r["pos"] for r in rows) or 1
     neg_total = sum(r["neg"] for r in rows) or 1
     tps = np.cumsum([r["pos"] for r in rows])

@@ -694,6 +694,15 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         fb2 = X.fbeta_score(f, "y", "pred", beta=2.0, positive=1)
         fpr, tpr, _ = X.roc_curve(f, "y", "s")
         auc_trap = X.auc(fpr, tpr)
+        # r10: the BOUNDED roc variant (thresholds=n equal-width
+        # bins, bucket threshold = max in-bucket score) must be
+        # IDENTICAL to the exact curve when scores sit on a grid no
+        # coarser than the bins — s is k/1000, so 1000 bins resolve
+        # every distinct score (driver holds n+1 points instead of
+        # the distinct-score set; the 100 TB contract)
+        bf, bt, _ = X.roc_curve(f, "y", "s", thresholds=1000)
+        roc_binned_eq = int(bf.tolist() == fpr.tolist()
+                            and bt.tolist() == tpr.tolist())
         sizes = [te.count()
                  for _, te in X.KFold(4, seed=5).split(f, "event_id")]
         lin = (f.to_spark().select(
@@ -702,7 +711,8 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         bv = X.BlockwiseVotingRegressor().fit(lin, ["s"], "yl")
         bmse = L.mean_squared_error(
             MDF(bv.predict(lin)), "yl", "prediction")
-        return fb2, auc_trap, sizes, int(bmse < 1e-12)
+        return (fb2, auc_trap, sizes, int(bmse < 1e-12),
+                roc_binned_eq)
 
     def _gbm():
         # r9: tree-ensemble contracts (learn/gbm.py — the Spark-native
@@ -761,7 +771,8 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
             mm_mean, le_sum = f_mm.result(), f_le.result()
             tr_n, tr_vs, te_n, te_vs = f_sp.result()
             ifor_top, bag_exact = f_en.result()
-            fb2, auc_trap, kf_sizes, bv_exact = f_ex.result()
+            (fb2, auc_trap, kf_sizes, bv_exact,
+             roc_binned_eq) = f_ex.result()
             gbt_sep, gbt_imp, dtr_exact = f_gb.result()
     finally:
         f._sdf.unpersist()
@@ -781,7 +792,8 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
           r4(glm_slope), tr_n, r4(tr_vs), te_n, r4(te_vs),
           ifor_top, bag_exact, r6(fb2), r6(auc_trap),
           kf_sizes[0], kf_sizes[1], kf_sizes[2], kf_sizes[3],
-          bv_exact, gbt_sep, gbt_imp, dtr_exact)],
+          bv_exact, gbt_sep, gbt_imp, dtr_exact,
+          roc_binned_eq)],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
         "r2 double, mse double, pca_ev1 double, mm_mean double, "
@@ -789,7 +801,8 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         "split_tr_vsum double, split_te_n long, split_te_vsum double, "
         "ifor_top long, bag_exact long, fbeta2 double, "
         "auc_trap double, kf0 long, kf1 long, kf2 long, kf3 long, "
-        "bv_exact long, gbt_sep long, gbt_imp long, dtr_exact long")
+        "bv_exact long, gbt_sep long, gbt_imp long, dtr_exact long, "
+        "roc_binned_eq long")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -371,7 +371,14 @@ OPS_ORACLES: dict[str, str] = {
                -- 4-valued step — constants under any layout)
                CAST(1 AS BIGINT) AS gbt_sep,
                CAST(1 AS BIGINT) AS gbt_imp,
-               CAST(1 AS BIGINT) AS dtr_exact
+               CAST(1 AS BIGINT) AS dtr_exact,
+               -- bounded roc_curve (1000 equal-width bins, bucket
+               -- threshold = max in-bucket score) is IDENTICAL to
+               -- the exact distinct-score curve on the k/1000 score
+               -- grid: every distinct score owns its own bucket
+               -- (floor((k/1000)/0.999*1000) = k for k<999), so the
+               -- parity is an expected constant
+               CAST(1 AS BIGINT) AS roc_binned_eq
         FROM base CROSS JOIN a CROSS JOIN reg
         CROSS JOIN (
             -- KFold md5 hash folds (learn/extras.py): fold =

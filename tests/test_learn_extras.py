@@ -64,6 +64,30 @@ def test_roc_curve_and_auc(mdf):
         L.roc_auc_score(mdf, "y", "s"))
 
 
+def test_roc_curve_binned_parity(mdf, spark):
+    # scores on a 0.05 grid with 100 bins: each distinct score owns
+    # its bucket, so the bounded variant is IDENTICAL to exact
+    fpr, tpr, thr = L.roc_curve(mdf, "y", "s")
+    bf, bt, bthr = L.roc_curve(mdf, "y", "s", thresholds=100)
+    assert bf.tolist() == fpr.tolist()
+    assert bt.tolist() == tpr.tolist()
+    assert bthr.tolist() == thr.tolist()
+    # coarse bins: still a valid monotone curve ending at (1,1),
+    # with at most thresholds+1 points, and trapezoid auc within
+    # one-bin resolution of the exact curve
+    cf, ct, cthr = L.roc_curve(mdf, "y", "s", thresholds=3)
+    assert len(cthr) <= 4
+    assert cf[0] == 0.0 and ct[0] == 0.0
+    assert cf[-1] == 1.0 and ct[-1] == 1.0
+    assert (np.diff(cf) >= 0).all() and (np.diff(ct) >= 0).all()
+    assert abs(L.auc(cf, ct) - L.auc(fpr, tpr)) < 0.5
+    # degenerate constant-score column falls back to one point
+    const = spark.createDataFrame(pd.DataFrame(
+        {"y": [1.0, 0.0], "s": [0.5, 0.5]}))
+    df2, dt2, _ = L.roc_curve(const, "y", "s", thresholds=8)
+    assert df2[-1] == 1.0 and dt2[-1] == 1.0
+
+
 def test_pairwise_named_forms(spark):
     e = spark.createDataFrame(pd.DataFrame(
         {"vec_id": [0, 1], "v": [[1.0, 0], [0.0, 1]]}))
