@@ -222,8 +222,49 @@ def events_sessions_activity(spark: SparkSession, sf_dir: str) -> SparkDF:
                  n.alias("n"), m1.cast("double").alias("metric"),
                  m2.cast("double").alias("metric2"))
         for dim, m1, m2 in pairs])).alias("r")).select("r.*")
+
+    # r10: roll_time_series → extract_features → impute graduate to
+    # driver strata (learn/tsfeatures.py roll/impute; reference
+    # mars/learn/contrib/tsfresh/). A user subset (user_id % 29 == 1)
+    # bounds the expansion join; each surviving event row becomes a
+    # window END holding the last 4 observed points (min 2 rows =
+    # min_timeshift 1). 'tsfr:roll' pins the rolled feature matrix
+    # (sum / mean_abs_change per window); 'tsfr:imp' corrupts
+    # sum_values by t%7 (null / +inf / -inf) and pins impute's
+    # median/max/min repair. The oracle replays the windows as SQL
+    # frame aggregates and the repair rules in closed form.
+    from mars_spark.learn.tsfeatures import impute, roll_time_series
+
+    sub = (load(sf_dir, "events").to_spark()
+           .filter(F.col("user_id") % 29 == 1)
+           .select("user_id", "event_id", "value"))
+    rolled = roll_time_series(sub, "user_id", "event_id",
+                              max_timeshift=3, min_timeshift=1)
+    rf = extract_features(
+        rolled, "rolled_id", "event_id", "value",
+        features=["length", "sum_values", "maximum",
+                  "mean_abs_change"])
+    t = F.col("rolled_id.t")
+    eng = (F.when(t % 7 == 0, F.lit(None).cast("double"))
+           .when(t % 7 == 1, F.lit(float("inf")))
+           .when(t % 7 == 2, F.lit(float("-inf")))
+           .otherwise(F.col("value__sum_values")))
+    imp = impute(rf.withColumn("eng", eng), columns=["eng"])
+    rkey = F.concat(F.col("rolled_id.id").cast("string"), F.lit(":"),
+                    t.cast("string"))
+    rn_ = F.col("value__length").cast("long")
+    tsfr_long = imp.select(F.explode(F.array(
+        F.struct(F.lit("tsfr:roll").alias("dim"), rkey.alias("key"),
+                 rn_.alias("n"),
+                 _r4("value__sum_values").alias("metric"),
+                 _r4("value__mean_abs_change").alias("metric2")),
+        F.struct(F.lit("tsfr:imp").alias("dim"), rkey.alias("key"),
+                 rn_.alias("n"),
+                 _r4("eng").alias("metric"),
+                 _r4("value__maximum").alias("metric2")))).alias("r")
+    ).select("r.*")
     return (events_activity(spark, sf_dir).unionByName(sess)
-            .unionByName(tsf_long))
+            .unionByName(tsf_long).unionByName(tsfr_long))
 
 
 # -------------------------------------------------------------- documents

@@ -551,6 +551,39 @@ PIPELINE_ORACLES: dict[str, str] = {
                         FROM ts0 WHERE x > mu)
                   GROUP BY user_id, runkey)
             GROUP BY user_id
+        ), rsub AS (
+            -- roll_time_series replay (learn/tsfeatures.py): the
+            -- user subset, per-user diff column for the in-window
+            -- mean_abs_change pairs
+            SELECT user_id, event_id, value,
+                   value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS d
+            FROM events WHERE user_id % 29 = 1
+        ), rwin AS (
+            -- every row is a window END over the last 4 observed
+            -- points; the dw frame holds exactly the in-window
+            -- adjacent-pair diffs (d of the window's first row
+            -- falls outside and is lag-null / frame-excluded)
+            SELECT user_id, event_id,
+                   row_number() OVER w AS rn,
+                   count(value) OVER fw AS wn,
+                   sum(value) OVER fw AS wsum,
+                   max(value) OVER fw AS wmax,
+                   avg(abs(d)) OVER dw AS wmac
+            FROM rsub
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+                   fw AS (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                   dw AS (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ), rkeep AS (
+            SELECT * FROM rwin WHERE rn >= 2
+        ), istat AS (
+            -- impute's column stats over the FINITE values of the
+            -- corrupted column (t%7 in 0/1/2 are null/+inf/-inf)
+            SELECT median(wsum) AS med, max(wsum) AS mx,
+                   min(wsum) AS mn
+            FROM rkeep WHERE event_id % 7 > 2
         )
         SELECT 'day' AS dim, strftime(date_trunc('day', ts), '%Y-%m-%d') AS key,
                count(*) AS n, CAST(count(DISTINCT user_id) AS DOUBLE) AS metric,
@@ -611,6 +644,24 @@ PIPELINE_ORACLES: dict[str, str] = {
                floor(flmax * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
                floor(rbs * 1e4 * (1 + 1e-12) + 0.5) / 1e4
         FROM tsagg
+        UNION ALL
+        SELECT 'tsfr:roll',
+               CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR),
+               wn,
+               floor(wsum * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
+               floor(wmac * 1e4 * (1 + 1e-12) + 0.5) / 1e4
+        FROM rkeep
+        UNION ALL
+        SELECT 'tsfr:imp',
+               CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR),
+               wn,
+               floor((CASE WHEN event_id % 7 = 0 THEN istat.med
+                           WHEN event_id % 7 = 1 THEN istat.mx
+                           WHEN event_id % 7 = 2 THEN istat.mn
+                           ELSE wsum END)
+                     * 1e4 * (1 + 1e-12) + 0.5) / 1e4,
+               floor(wmax * 1e4 * (1 + 1e-12) + 0.5) / 1e4
+        FROM rkeep CROSS JOIN istat
     """,
     # ---------------------------------------------------------- documents
     "docs_text_metrics": f"""
