@@ -649,6 +649,40 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                  .cast("double").alias("v"))
             .select(F.lit("bpet").alias("grp"),
                     F.col("source").alias("k"), "n", "v"))
+    # r10: write_shards (llm/packing.py) graduates to a driver
+    # stratum: the doc_id % 7 == 3 slice is EXPORTED twice to local
+    # parquet shards (docs_per_shard=29 and token_budget=1500) and
+    # the physically written files are READ BACK — per-shard doc
+    # count + Σ doc_id pin both sizing rules end-to-end through the
+    # disk round-trip; 'shard'/'nd' pins the returned shard-dir
+    # counts. The oracle states both assignments in closed form
+    # (0-based rank // 29; exclusive running token sum // 1500).
+    import tempfile
+
+    from mars_spark.llm.packing import write_shards
+
+    slc = d.filter(F.col("doc_id") % 7 == 3)
+    shard_dir = tempfile.mkdtemp(prefix="mars_shards_")
+    n_d = write_shards(slc, f"{shard_dir}/docs", "doc_id",
+                       docs_per_shard=29)
+    n_t = write_shards(slc, f"{shard_dir}/tok", "doc_id",
+                       token_budget=1500, text_col="text")
+
+    def _shard_rows(tag: str, path: str) -> SparkDF:
+        return (spark.read.parquet(path)
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("doc_id").cast("double").alias("v"))
+                .select(F.lit("shard").alias("grp"),
+                        F.concat(F.lit(tag), F.col("shard")
+                                 .cast("string")).alias("k"),
+                        "n", "v"))
+
+    shard = (_shard_rows("d", f"{shard_dir}/docs")
+             .unionByName(_shard_rows("t", f"{shard_dir}/tok"))
+             .unionByName(spark.createDataFrame(
+                 [("shard", "nd", n_d, float(n_t))],
+                 "grp string, k string, n long, v double")))
     cc = _clean_corpus_rollup(spark, sf_dir)
     cchyg = cc.select(F.lit("cchyg").alias("grp"),
                       F.col("source").alias("k"),
@@ -662,6 +696,7 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
             .unionByName(line).unionByName(linelen)
             .unionByName(temp).unionByName(tok).unionByName(sprm)
             .unionByName(bpe_rows).unionByName(bpet)
+            .unionByName(shard)
             .unionByName(cchyg).unionByName(ccid))
 
 

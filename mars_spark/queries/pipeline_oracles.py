@@ -1143,6 +1143,38 @@ PIPELINE_ORACLES: dict[str, str] = {
             FROM cum WHERE c <= 20000 GROUP BY source
         )
         UNION ALL
+        -- write_shards (llm/packing.py): both sizing rules in
+        -- closed form over the doc_id % 7 = 3 slice — docs rule
+        -- shard = 0-based rank // 29, token rule shard =
+        -- exclusive-prefix-token-sum // 1500 (a doc longer than the
+        -- budget may skip whole shard ids — same non-contiguity the
+        -- engine documents); 'nd' pins the shard-directory counts
+        SELECT * FROM (
+            WITH ss AS (
+                SELECT doc_id, len({_TOKS}) AS ntk,
+                       row_number() OVER (ORDER BY doc_id) - 1 AS idx
+                FROM documents WHERE doc_id % 7 = 3
+            ), asg AS (
+                SELECT doc_id, idx // 29 AS dshard,
+                       coalesce(sum(ntk) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) // 1500 AS tshard
+                FROM ss
+            )
+            SELECT 'shard' AS grp,
+                   'd' || CAST(dshard AS VARCHAR) AS k,
+                   count(*) AS n, CAST(sum(doc_id) AS DOUBLE) AS v
+            FROM asg GROUP BY dshard
+            UNION ALL
+            SELECT 'shard', 't' || CAST(tshard AS VARCHAR),
+                   count(*), CAST(sum(doc_id) AS DOUBLE)
+            FROM asg GROUP BY tshard
+            UNION ALL
+            SELECT 'shard', 'nd', count(DISTINCT dshard),
+                   CAST(count(DISTINCT tshard) AS DOUBLE)
+            FROM asg
+        )
+        UNION ALL
         -- duplicate-span removal (Lee'22 keep-first, word 5-grams,
         -- doc_id < 120): later occurrences of a duplicated gram drop
         -- their 5 covered tokens, docs reassemble from survivors;
