@@ -1369,11 +1369,84 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
                      (F.col("doc_id") % 90 + 1).cast("string")).alias("meta"))
     fs = frame_sample_plan(resize_meta(decode_features(mm), 64, 64),
                            every_n=30)
-    return fs.groupBy("id", "modality").agg(
+    roll = fs.groupBy("id", "modality").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.max(F.octet_length("content")).cast("long").alias("n_bytes"),
         F.max(F.size("features")).cast("long").alias("feat_dim"),
         F.max(F.element_at("meta", "resize")).alias("resize"))
+    # r10: the REAL PNG decoder (llm/multimodal.py _png_pixels —
+    # stdlib zlib inflate + RFC 2083 unfiltering) gets its own
+    # driver stratum: a fixture PNG whose pixel channels follow a
+    # closed-form grid and whose 7 scanlines cycle through ALL five
+    # filter types is decoded through the SAME Arrow decode path;
+    # the first 7 feature slots (w, h, c, r/g/b means, gray std) pin
+    # the recovered pixels exactly, and the oracle restates them
+    # with range() arithmetic (float32 round-trip on both sides).
+    png = _fixture_png(9, 7)
+    pngdf = spark.createDataFrame(
+        [(0, "image", bytearray(png), {"n_frames": "1"})],
+        "id long, modality string, content binary, "
+        "meta map<string,string>")
+    png_rows = (decode_features(pngdf)
+                .select(F.posexplode(F.slice("features", 1, 7))
+                        .alias("pos", "val"))
+                .select(
+                    (F.lit(1000000) + F.col("pos")).cast("long")
+                    .alias("id"),
+                    F.lit("png").alias("modality"),
+                    F.col("pos").cast("long").alias("n_frames"),
+                    F.lit(63).cast("long").alias("n_bytes"),
+                    F.floor(F.col("val").cast("double") * 1e4
+                            * (1 + 1e-12) + F.lit(0.5)).cast("long")
+                    .alias("feat_dim"),
+                    F.lit(None).cast("string").alias("resize")))
+    return roll.unionByName(png_rows)
+
+
+def _fixture_png(w: int, h: int) -> bytes:
+    """Deterministic 8-bit RGB PNG exercising ALL five scanline
+    filters (row y encodes with filter y % 5); pixel channels are
+    the closed-form grid ((29x+31y) / (17x+5y+100) / (3x+23y+200)
+    mod 256) the op_multimodal oracle restates in SQL."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    raw = bytearray()
+    prev = [0] * (w * 3)
+    for y in range(h):
+        row = [v for x in range(w) for v in (
+            (x * 29 + y * 31) % 256,
+            (x * 17 + y * 5 + 100) % 256,
+            (x * 3 + y * 23 + 200) % 256)]
+        f = y % 5
+        raw.append(f)
+        for i in range(w * 3):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            raw.append((row[i] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
 
 
 def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:

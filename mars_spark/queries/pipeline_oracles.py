@@ -380,6 +380,41 @@ PIPELINE_ORACLES: dict[str, str] = {
                CAST(32 AS BIGINT) AS feat_dim,
                '64x64' AS resize
         FROM documents WHERE doc_id < 200
+        UNION ALL
+        -- real-PNG decode stratum: the fixture's pixel grid restated
+        -- with range() arithmetic; feature slots are float32 on the
+        -- engine side, so the oracle round-trips through REAL before
+        -- the 4-dp floor (identical IEEE rounding both engines)
+        SELECT * FROM (
+            WITH px AS (
+                SELECT CAST((x * 29 + y * 31) % 256 AS DOUBLE) AS r,
+                       CAST((x * 17 + y * 5 + 100) % 256 AS DOUBLE) AS g,
+                       CAST((x * 3 + y * 23 + 200) % 256 AS DOUBLE) AS b
+                FROM range(9) t1(x), range(7) t2(y)
+            ), st AS (
+                SELECT avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+                       stddev_pop(0.299 * r + 0.587 * g + 0.114 * b)
+                           AS gs
+                FROM px
+            ), vals AS (
+                SELECT 0 AS pos, 9.0 AS val
+                UNION ALL SELECT 1, 7.0
+                UNION ALL SELECT 2, 3.0
+                UNION ALL SELECT 3, mr FROM st
+                UNION ALL SELECT 4, mg FROM st
+                UNION ALL SELECT 5, mb FROM st
+                UNION ALL SELECT 6, gs FROM st
+            )
+            SELECT CAST(1000000 + pos AS BIGINT) AS id,
+                   'png' AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(63 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM vals
+        )
     """,
     "op_tensor": """
         WITH mm AS (
