@@ -962,11 +962,41 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         return float(sum((i + 1) * row["p_partkey"]
                          for i, row in enumerate(rows)))
 
+    def _dask():
+        # r10: contrib/dask.py mars_scheduler graduates to a driver
+        # stratum — a dask-spec graph whose leaf tasks run ENGINE
+        # aggregates and whose dependent task combines them; the
+        # oracle restates the arithmetic over the same slice
+        from mars_spark.contrib.dask import mars_scheduler
+
+        dsk = {"rp": (lambda: float(f.p_retailprice.sum()),),
+               "sz": (lambda: float(f.size_d.sum()),),
+               "mix": (lambda x, y: x + 2.0 * y, "rp", "sz")}
+        return float(mars_scheduler(dsk, ["mix"])[0])
+
+    def _jl():
+        # r10: the joblib batch path (learn/contrib.py apply_async —
+        # one BatchedCalls through remote.spawn/execute) pinned by a
+        # closed-form batch: 3*4 + (1.5+2.5) = 16
+        from mars_spark.learn.contrib import MarsDistributedBackend
+
+        class _Batch:
+            items = [(lambda a, b: a * b, (3.0,), {"b": 4.0}),
+                     (lambda a, **kw: a + kw["c"], (1.5,), {"c": 2.5})]
+
+        be = MarsDistributedBackend()
+        be.configure(n_jobs=2)
+        try:
+            ret = be.apply_async(_Batch()).get()
+        finally:
+            be.terminate()
+        return float(ret[0] + ret[1])
+
     # nine independent scalar actions — one thread pool, one round of
     # scheduling latency
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=9) as ex:
+    with ThreadPoolExecutor(max_workers=11) as ex:
         f_dot = ex.submit(f.p_retailprice.dot, f.size_d)
         f_brand = ex.submit(f.brand_num.sum)
         f_type = ex.submit(f.type_code.sum)
@@ -986,6 +1016,8 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
             lambda: _ms.eval("f.p_retailprice * 2 + f.size_d / 4",
                              local_dict={"f": f}).sum())
         f_shuf = ex.submit(_shuf)
+        f_dask = ex.submit(_dask)
+        f_jl = ex.submit(_jl)
         dot, brand_sum, type_sum = (f_dot.result(), f_brand.result(),
                                     f_type.result())
         mc_sum = f_mc.result()[0][0]
@@ -994,6 +1026,7 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         cred_mean = f_cred.result()
         meval_sum = f_meval.result()
         shuf_ck = f_shuf.result()
+        dask_ck, jl_ck = f_dask.result(), f_jl.result()
     stacked = f.set_index("p_partkey")[["size_d", "p_retailprice"]].stack()
     return stacked.to_spark().select(
         "p_partkey", "variable",
@@ -1006,7 +1039,9 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round(F.lit(float(cc_sum)), 2).alias("cc_sum"),
         F.round(F.lit(float(cred_mean)), 2).alias("cred_mean"),
         F.round(F.lit(float(meval_sum)), 2).alias("meval_sum"),
-        F.lit(float(shuf_ck)).alias("shuf_ck"))
+        F.lit(float(shuf_ck)).alias("shuf_ck"),
+        F.round(F.lit(float(dask_ck)), 2).alias("dask_ck"),
+        F.lit(float(jl_ck)).alias("jl_ck"))
 
 
 def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -541,7 +541,15 @@ OPS_ORACLES: dict[str, str] = {
                        AS cred_mean,
                    round(sum(p_retailprice * 2
                              + CAST(p_size AS DOUBLE) / 4), 2)
-                       AS meval_sum
+                       AS meval_sum,
+                   -- mars_scheduler dask-spec graph: leaf engine
+                   -- aggregates combined by the dependent task
+                   round(sum(p_retailprice)
+                         + 2.0 * sum(CAST(p_size AS DOUBLE)), 2)
+                       AS dask_ck,
+                   -- joblib batch path: 3*4 + (1.5+2.5), a closed
+                   -- form the batched spawn/execute must reproduce
+                   CAST(16.0 AS DOUBLE) AS jl_ck
             FROM f
         ), cc AS (
             -- cartesian_chunk: part slice x region, row-wise func
@@ -563,12 +571,12 @@ OPS_ORACLES: dict[str, str] = {
         SELECT p_partkey, 'size_d' AS variable,
                round(CAST(p_size AS DOUBLE), 2) AS value,
                dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
-               cred_mean, meval_sum, shuf_ck
+               cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck
         FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
         UNION ALL
         SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2),
                dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
-               cred_mean, meval_sum, shuf_ck
+               cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck
         FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
     """,
     "op_rank_cumprod": """
