@@ -759,7 +759,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         return int(acc == 1.0), int(imp[0] > imp[1]), int(dmse < 1e-18)
 
     try:
-        with ThreadPoolExecutor(max_workers=11) as ex:
+        with ThreadPoolExecutor(max_workers=12) as ex:
             (f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en,
              f_ex, f_gb) = (
                 ex.submit(fn)
@@ -962,6 +962,22 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         return float(sum((i + 1) * row["p_partkey"]
                          for i, row in enumerate(rows)))
 
+    def _plot():
+        # r10: plot accessor (core/plotting.py — reference
+        # mars/dataframe/plotting/core.py:23): the engine-owned part
+        # is the BOUNDED collect (limit(max_rows+1) probe) and the
+        # explicit over-bound error; rendering delegates to pandas
+        # (matplotlib absent here). plot_ck pins the collected
+        # content iff the guard fires correctly.
+        acc = f[["p_partkey", "p_retailprice"]].plot
+        pdf = acc._collect(1000)
+        try:
+            acc._collect(10)
+            return -1.0  # guard failed to fire
+        except ValueError:
+            pass
+        return float(round(float(pdf["p_retailprice"].sum()), 2))
+
     def _dask():
         # r10: contrib/dask.py mars_scheduler graduates to a driver
         # stratum — a dask-spec graph whose leaf tasks run ENGINE
@@ -1017,6 +1033,7 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
                              local_dict={"f": f}).sum())
         f_shuf = ex.submit(_shuf)
         f_dask = ex.submit(_dask)
+        f_plot = ex.submit(_plot)
         f_jl = ex.submit(_jl)
         dot, brand_sum, type_sum = (f_dot.result(), f_brand.result(),
                                     f_type.result())
@@ -1027,6 +1044,7 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         meval_sum = f_meval.result()
         shuf_ck = f_shuf.result()
         dask_ck, jl_ck = f_dask.result(), f_jl.result()
+        plot_ck = f_plot.result()
     stacked = f.set_index("p_partkey")[["size_d", "p_retailprice"]].stack()
     return stacked.to_spark().select(
         "p_partkey", "variable",
@@ -1041,7 +1059,8 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round(F.lit(float(meval_sum)), 2).alias("meval_sum"),
         F.lit(float(shuf_ck)).alias("shuf_ck"),
         F.round(F.lit(float(dask_ck)), 2).alias("dask_ck"),
-        F.lit(float(jl_ck)).alias("jl_ck"))
+        F.lit(float(jl_ck)).alias("jl_ck"),
+        F.lit(float(plot_ck)).alias("plot_ck"))
 
 
 def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:

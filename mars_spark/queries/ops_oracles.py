@@ -549,7 +549,11 @@ OPS_ORACLES: dict[str, str] = {
                        AS dask_ck,
                    -- joblib batch path: 3*4 + (1.5+2.5), a closed
                    -- form the batched spawn/execute must reproduce
-                   CAST(16.0 AS DOUBLE) AS jl_ck
+                   CAST(16.0 AS DOUBLE) AS jl_ck,
+                   -- plot accessor: the bounded collect returns the
+                   -- full slice (79 rows < max_rows); content pinned
+                   -- by the retailprice sum, guard fired (else -1)
+                   round(sum(p_retailprice), 2) AS plot_ck
             FROM f
         ), cc AS (
             -- cartesian_chunk: part slice x region, row-wise func
@@ -571,12 +575,14 @@ OPS_ORACLES: dict[str, str] = {
         SELECT p_partkey, 'size_d' AS variable,
                round(CAST(p_size AS DOUBLE), 2) AS value,
                dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
-               cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck
+               cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck,
+               plot_ck
         FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
         UNION ALL
         SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2),
                dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
-               cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck
+               cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck,
+               plot_ck
         FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
     """,
     "op_rank_cumprod": """
