@@ -109,6 +109,52 @@ def _fan_out(sdf: SparkDF) -> SparkDF:
     return sdf
 
 
+def materialize_spill_aware(df: SparkDF) -> SparkDF:
+    """Persist + materialize a SHARED cache with a spill-aware
+    storage policy (r10; SCALE.md sf30: minhash's 4.5 GB posting
+    cache outgrew the JVM heap — MEMORY_AND_DISK then pins its
+    memory-resident share in the unified pool, evicting the very
+    execution memory the downstream self-joins need, and the row
+    went super-linear / OOM-prone).
+
+    Policy: materialize under MEMORY_AND_DISK (the right level while
+    the cache fits — stats-first planning and zero re-derivation),
+    measure THIS cache's blocks via an RDD-storage-info diff, and if
+    the majority of its bytes already spilled, demote it wholly to
+    DISK_ONLY (one recompute). A mostly-spilled cache gains nothing
+    from its memory slice; releasing it hands the unified pool back
+    to the shuffles, which is what keeps the profile linear once
+    data outgrows RAM. On a real cluster the same policy holds
+    per-executor; the storage-info probe is the same API the Spark
+    UI reads. Returns the (materialized) frame; callers still own
+    unpersist."""
+    from pyspark.storagelevel import StorageLevel
+
+    sc = df.sparkSession.sparkContext
+
+    def _blocks():
+        try:
+            return {i.id(): (i.memSize(), i.diskSize())
+                    for i in sc._jsc.sc().getRDDStorageInfo()}
+        except Exception:  # storage probe is best-effort only
+            return None
+
+    before = _blocks()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    after = _blocks()
+    if before is None or after is None:
+        return df
+    new = [v for k, v in after.items() if k not in before]
+    mem = sum(m for m, _ in new)
+    disk = sum(d for _, d in new)
+    if disk > max(mem, 1):
+        df.unpersist(blocking=True)
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+    return df
+
+
 def shingle_postings(sdf: SparkDF, text_col: str, id_col: str,
                      k: int = 3) -> SparkDF:
     """(id, sh) posting rows of word-k-gram shingles — the scalable
@@ -243,8 +289,10 @@ def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
         postings = shingle_postings(sdf, text_col, id_col, k)
     # cache the distinct posting list: it feeds BOTH self-join sides
     # and the size agg — uncached, the scan-side shingle work would
-    # re-run once per consumer (3×)
-    sh = postings.distinct().cache()
+    # re-run once per consumer (3×). materialize_spill_aware demotes
+    # the cache to DISK_ONLY when it mostly spills anyway (sf30: a
+    # corpus-sized cache pinning the unified pool starves the
+    # self-join's execution memory).
     # Materialize the shared cache BEFORE the join plans against it:
     # un-materialized, Catalyst's size estimate for the window+explode
     # +distinct subtree undershoots structurally and elects to
@@ -258,7 +306,7 @@ def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
     # strategy at every scale, chosen from real stats instead of a
     # pinned hint. The count() costs nothing extra: the cache feeds
     # 3+ consumers and would materialize on the first one anyway.
-    sh.count()
+    sh = materialize_spill_aware(postings.distinct())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "sh")
     b = sh.select(F.col(id_col).alias("b"), "sh")
@@ -306,9 +354,12 @@ def minhash_dedup(sdf: SparkDF, text_col: str, id_col: str,
 
     The (id, shingle) posting list is computed once and cached — it
     feeds the signature stage AND the verify stage; at 100 TB this is
-    the frame you would checkpoint rather than recompute from raw text.
+    the frame you would checkpoint rather than recompute from raw text
+    (the spill-aware policy demotes it to DISK_ONLY once it outgrows
+    memory — see materialize_spill_aware).
     """
-    postings = shingle_postings(sdf, text_col, id_col, k).cache()
+    postings = materialize_spill_aware(
+        shingle_postings(sdf, text_col, id_col, k))
     cands = minhash_candidate_pairs(sdf, text_col, id_col, num_hashes,
                                     band_size, k, postings=postings)
     verified = jaccard_pairs(sdf, text_col, id_col, threshold, k,
