@@ -443,6 +443,74 @@ def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
     return labels
 
 
+def dedup_clusters_star(pairs: SparkDF, max_iter: int = 25) -> SparkDF:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the same (id, cluster = min reachable id)
+    contract as :func:`dedup_clusters`, evaluated head-to-head for
+    diameter-heavy graphs (SCALE.md r10).
+
+    Each round rewrites the EDGE set twice:
+
+    - large-star: for every node u, attach every LARGER neighbor v
+      directly to m(u) = min(Γ(u) ∪ {u}) — one symmetric groupBy-min
+      + one join; output edges always point larger → smaller;
+    - small-star: for every node u of the directed set, re-point its
+      (all smaller) neighbors and u itself at m(u).
+
+    The star steps provably converge to per-component stars rooted
+    at the component minimum in O(log² n) rounds INDEPENDENT of
+    graph diameter — the regime where min-label propagation's
+    O(diameter) rounds lose (long chains). The trade: each round
+    shuffles the edge table twice plus two node-keyed aggregates,
+    vs min-label's single label join — so on the shallow, tiny
+    clusters near-dup dedup actually produces, min-label does less
+    work per round and stays the default. In-loop joins are
+    shuffle-hash-pinned for the same reason as dedup_clusters
+    (checkpointed sides mis-estimate toward broadcast).
+    """
+    p = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+         .filter(F.col("x") != F.col("y")).distinct()
+         .localCheckpoint())
+    nodes = (p.select(F.col("x").alias("id"))
+             .unionByName(p.select(F.col("y").alias("id")))
+             .distinct().localCheckpoint())
+    edges, prev = p, None
+    for _ in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        lmin = (sym.groupBy("x")
+                .agg(F.least(F.min("y"), F.first("x")).alias("m")))
+        large = (sym.filter(F.col("y") > F.col("x"))
+                 .join(lmin.hint("shuffle_hash"), "x")
+                 .select(F.col("y").alias("x"), F.col("m").alias("y"))
+                 .distinct())
+        smin = (large.groupBy("x")
+                .agg(F.least(F.min("y"), F.first("x")).alias("m")))
+        small = (large.join(smin.hint("shuffle_hash"), "x")
+                 .select(F.col("y").alias("x"), F.col("m").alias("y"))
+                 .unionByName(smin.select("x", F.col("m").alias("y")))
+                 .filter(F.col("x") != F.col("y"))
+                 .distinct())
+        edges = small.localCheckpoint()
+        lbl = edges.groupBy("x").agg(F.min("y").alias("c"))
+        if prev is not None:
+            diff = (lbl.withColumnRenamed("c", "cn")
+                    .join(prev.hint("shuffle_hash"), "x", "full_outer")
+                    .filter(~F.col("cn").eqNullSafe(F.col("c")))
+                    .limit(1).count())
+            if diff == 0:
+                break
+        prev = lbl.localCheckpoint()
+    final = prev if prev is not None else (
+        edges.groupBy("x").agg(F.min("y").alias("c")))
+    return (nodes.join(
+        final.withColumnRenamed("x", "id").hint("shuffle_hash"),
+        "id", "left")
+        .select("id", F.coalesce(F.col("c"), F.col("id"))
+                .alias("cluster")))
+
+
 # ---------------------------------------------------------------- simhash
 def hash32(col: Column) -> Column:
     """Portable 32-bit token hash: first 8 hex chars of md5 → bigint.

@@ -33,6 +33,35 @@ def test_dedup_clusters_long_chain(spark):
     assert set(out.cluster) == {0}
 
 
+def test_dedup_clusters_star_matches_min_label(spark):
+    # the Kiveris'14 alternating-star variant must produce the exact
+    # label set of min-label propagation on every topology: chains
+    # (diameter-heavy — the star algorithm's home turf), stars,
+    # random unions, singleton pairs
+    import random
+
+    from mars_spark.llm.dedup import dedup_clusters_star
+
+    rng = random.Random(7)
+    edges = (
+        [(i, i + 1) for i in range(20)]                 # 21-node chain
+        + [(100, 100 + i) for i in range(1, 6)]         # star at 100
+        + [(200, 201), (300, 301)]                      # pairs
+        + [(rng.randrange(400, 430), rng.randrange(400, 430))
+           for _ in range(25)])                         # random blob
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"a": [a for a, _ in edges], "b": [b for _, b in edges]}))
+    want = {r["id"]: r["cluster"]
+            for r in dedup_clusters(pairs, max_iter=30).collect()}
+    got = {r["id"]: r["cluster"]
+           for r in dedup_clusters_star(pairs).collect()}
+    assert got == want
+    # chain roots at the minimum — diameter 20 handled well inside
+    # the O(log^2 n) round bound
+    assert got[20] == 0
+
+
 def test_running_totals_stateful_stream(spark):
     pdf = pd.DataFrame({
         "ts": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02",
