@@ -661,7 +661,12 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
 
     from mars_spark.llm.packing import write_shards
 
-    slc = d.filter(F.col("doc_id") % 7 == 3)
+    # fixed-size slice (id < 3500 caps it at 500 docs from sf0.1 up):
+    # the stratum pins the sizing-rule CORRECTNESS; its cost must not
+    # grow with sf or the row would write thousands of shard dirs at
+    # sf30 (the 100 TB scale path for the underlying prefix-sum is
+    # covered by the tok stratum and SCALE.md)
+    slc = d.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") < 3500))
     shard_dir = tempfile.mkdtemp(prefix="mars_shards_")
     n_d = write_shards(slc, f"{shard_dir}/docs", "doc_id",
                        docs_per_shard=29)

@@ -1188,7 +1188,7 @@ PIPELINE_ORACLES: dict[str, str] = {
             WITH ss AS (
                 SELECT doc_id, len({_TOKS}) AS ntk,
                        row_number() OVER (ORDER BY doc_id) - 1 AS idx
-                FROM documents WHERE doc_id % 7 = 3
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id < 3500
             ), asg AS (
                 SELECT doc_id, idx // 29 AS dshard,
                        coalesce(sum(ntk) OVER (ORDER BY doc_id
