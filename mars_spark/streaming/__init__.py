@@ -5,6 +5,7 @@ from mars_spark.streaming.core import (
     session_agg,
     stream_dedup,
     stream_incremental_dedup,
+    stream_minhash_dedup,
     stream_static_join,
     stream_stream_join,
     write_stream,
@@ -18,6 +19,7 @@ from mars_spark.streaming.stateful import (
 
 __all__ = ["read_stream", "tumbling_agg", "sliding_agg", "session_agg",
            "stream_dedup", "stream_incremental_dedup",
+           "stream_minhash_dedup",
            "stream_static_join", "stream_stream_join",
            "write_stream", "running_totals", "emit_on_close_totals",
            "heavy_hitters", "streaming_quantile"]

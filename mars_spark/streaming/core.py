@@ -198,3 +198,75 @@ def stream_incremental_dedup(stream: SparkDF, seen_fps: SparkDF,
              .filter(F.col("__seen_fp").isNull()).drop("__seen_fp"))
     return (fresh.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__fp"]).drop("__fp"))
+
+
+def stream_minhash_dedup(stream: SparkDF, seen_bands: SparkDF,
+                         text_col: str, ts_col: str = "ts",
+                         watermark: str = "10 minutes",
+                         num_hashes: int = 8, band_size: int = 2,
+                         k: int = 3) -> SparkDF:
+    """STREAMING NEAR-dup dedup (r10) — the minhash/LSH pipeline's
+    daily-delivery shape: an arriving document is dropped when ANY of
+    its LSH band hashes already exists in the persisted corpus band
+    store (``seen_bands`` = the (band, band_hash) table
+    ``llm.dedup.minhash_bands`` emits for the accepted corpus — same
+    salts, bit-identical hashes), so near-duplicates of ANYTHING in
+    the corpus never make it in.
+
+    Spark shape, all bounded-state:
+
+    - signatures ride ``llm.dedup.minhash_signature`` — pure Column
+      expressions (array_min over salted md5), a stateless per-row
+      map that streaming supports natively (the posting-agg form the
+      batch path uses needs a shuffle, which a stream map must not);
+    - the corpus check is ONE stream-static LEFT join PER BAND
+      against the store filtered to that band index (n_bands small,
+      fixed); survivors are the rows where every band probe missed.
+      Join-per-band instead of explode+groupBy keeps the stream
+      side aggregation-free (append semantics, no extra watermark
+      state). Duplicate rows in the store cannot duplicate output:
+      only NON-matching rows survive — but matched (dropped) rows
+      multiply against duplicate store entries before the filter, so
+      pass the DISTINCT (band, band_hash) projection for efficiency.
+      The static side re-reads per micro-batch, so a store appended
+      between deliveries is picked up.
+    - in-stream, documents with an IDENTICAL full signature inside
+      the watermark dedup via dropDuplicatesWithinWatermark (state =
+      one md5 per distinct signature within the watermark). Two
+      DIFFERENT-signature near-dups arriving in the same delivery
+      are accepted — by design: the nightly batch pass that appends
+      the delivery's bands to the store (minhash_dedup +
+      minhash_bands) owns intra-delivery near-dup resolution, the
+      stream owns the corpus boundary. That division of labor is
+      what keeps stream state O(delivery), never O(corpus).
+    """
+    from mars_spark.llm.dedup import minhash_signature
+
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    n_bands = num_hashes // band_size
+    out = stream
+    for b in range(n_bands):
+        out = out.withColumn(
+            f"__b{b}",
+            F.md5(F.concat_ws(
+                "|", *sig[b * band_size:(b + 1) * band_size])))
+    out = out.withColumn(
+        "__sigfp",
+        F.md5(F.concat_ws("|", *[F.col(f"__b{b}")
+                                 for b in range(n_bands)])))
+    for b in range(n_bands):
+        sb = seen_bands.select(
+            F.col("band").alias(f"__sband{b}"),
+            F.col("band_hash").alias(f"__shit{b}"))
+        out = out.join(
+            sb, (F.col(f"__b{b}") == F.col(f"__shit{b}"))
+            & (F.col(f"__sband{b}") == F.lit(b)), "left")
+    miss = F.lit(True)
+    for b in range(n_bands):
+        miss = miss & F.col(f"__shit{b}").isNull()
+    fresh = out.filter(miss).drop(
+        *[f"__b{b}" for b in range(n_bands)],
+        *[f"__shit{b}" for b in range(n_bands)],
+        *[f"__sband{b}" for b in range(n_bands)])
+    return (fresh.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__sigfp"]).drop("__sigfp"))

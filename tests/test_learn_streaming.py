@@ -883,6 +883,67 @@ def test_stream_incremental_dedup(spark, tmp_path):
     assert set(out.columns) == {"doc_id", "text", "ts"}
 
 
+def test_stream_minhash_dedup(spark, tmp_path):
+    """Streaming near-dup dedup vs a persisted band store: expected
+    survivors are computed from the BATCH band path (any-band hit
+    against the store — the exact semantics the stream implements),
+    so the test pins stream/batch signature compatibility too."""
+    import pandas as pd
+
+    from mars_spark.llm.dedup import minhash_bands
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["the quick brown fox jumps over the lazy dog today",
+                 "completely different corpus content about spark engines"],
+    }))
+    store = minhash_bands(corpus, "text", "doc_id").select(
+        "band", "band_hash")
+
+    arrive = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [
+            # exact text of doc 0 → every band hits → dropped
+            "the quick brown fox jumps over the lazy dog today",
+            # near-dup of doc 0 (one word changed) → expected from batch
+            "the quick brown fox jumps over the lazy dog tonight",
+            # fresh doc, repeated → one survives (in-stream signature dup)
+            "a genuinely fresh document with novel words entirely",
+            "a genuinely fresh document with novel words entirely",
+        ],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:05",
+            "2024-01-01 00:00:10", "2024-01-01 00:00:15"]),
+    })
+    src = str(tmp_path / "mh_src")
+    spark.createDataFrame(arrive).write.parquet(src)
+
+    # expected: arriving docs whose bands (batch path) all miss the
+    # store, then signature-distinct
+    ab = minhash_bands(spark.createDataFrame(arrive), "text", "doc_id")
+    hits = set(r["doc_id"] for r in ab.join(
+        store, on=["band", "band_hash"], how="leftsemi")
+        .select("doc_id").distinct().collect())
+    assert 10 in hits  # exact copy must band-hit
+    expected_ids = {i for i in arrive.doc_id if i not in hits}
+
+    stream = St.read_stream(spark, "parquet", src,
+                            schema=spark.read.parquet(src).schema)
+    fresh = St.stream_minhash_dedup(stream, store, "text")
+    q = St.write_stream(fresh, "memory", query_name="mh_dedup",
+                        output_mode="append")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from mh_dedup").toPandas()
+    finally:
+        q.stop()
+    got = set(out.doc_id)
+    # the 12/13 signature-dup pair: exactly one survives, either id
+    assert len(got & {12, 13}) == (1 if not ({12, 13} & hits) else 0)
+    assert got - {12, 13} == expected_ids - {12, 13}
+    assert set(out.columns) == {"doc_id", "text", "ts"}
+
+
 def test_pairwise_distances_metrics(spark):
     import numpy as np
     import pandas as pd
