@@ -820,8 +820,61 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
     stot = res.agg(F.count(F.lit(1)).alias("k")).select(
         F.lit("stream:total").alias("grp"), F.col("k").cast("long"),
         F.lit(None).cast("long").alias("v"))
+    # r10: STREAMING NEAR-dup dedup (streaming/core.py
+    # stream_minhash_dedup) as a sixth lifecycle: odd docs < 200
+    # (exact-pre-deduped so the staged delivery holds no same-text
+    # pairs) stream against the even-docs-<200 LSH band store; a doc
+    # is dropped when ANY of its 4 band hashes matches the store's
+    # SAME-index band. WHICH row of a same-signature pair survives
+    # is not contractual; the surviving SIGNATURE set is — strata
+    # emit the distinct surviving signature md5s + their count (all
+    # staged ts sit inside one watermark, so same-signature rows
+    # always collapse). The oracle replays signatures and the
+    # any-band-miss rule with the same salted-md5 arithmetic.
+    from mars_spark.llm.dedup import (exact_dedup, minhash_bands,
+                                      minhash_signature)
+    from mars_spark.streaming.core import stream_minhash_dedup
+
+    ebands = (minhash_bands(
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 200)),
+        "text", "doc_id").select("band", "band_hash").distinct())
+    modd = exact_dedup(
+        d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 200)),
+        "text", "doc_id").select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(1600000000)
+                            + (F.col("doc_id") % 5)).alias("ts"))
+    stage2 = (f"/tmp/ms_mhdedup_{_os.getpid()}_"
+              + sf_dir.strip("/").replace("/", "_"))
+    if stage2 not in _INC_STAGED or not _os.path.exists(stage2):
+        modd.coalesce(1).write.mode("overwrite").parquet(stage2)
+        _INC_STAGED.add(stage2)
+    src2 = read_stream(spark, "parquet", stage2,
+                       schema=spark.read.parquet(stage2).schema)
+    surv2 = stream_minhash_dedup(src2, ebands, "text", ts_col="ts",
+                                 watermark="10 minutes")
+    qname2 = f"ms_mh_dedup_{seq}"
+    with _state_partitions(spark, 4):
+        (surv2.writeStream.format("memory").queryName(qname2)
+         .outputMode("append").trigger(availableNow=True).start()
+         .awaitTermination())
+    res2 = spark.table(qname2)
+    _s = minhash_signature(F.col("text"))
+    sigc = F.md5(F.concat_ws("|", *[
+        F.md5(F.concat_ws("|", *_s[2 * i:2 * i + 2]))
+        for i in range(4)]))
+    smh = (res2.select(sigc.alias("sig")).distinct()
+           .select(F.concat(F.lit("smh:"), F.col("sig")).alias("grp"),
+                   F.lit(None).cast("long").alias("k"),
+                   F.lit(None).cast("long").alias("v")))
+    smht = (res2.select(sigc.alias("sig"))
+            .agg(F.count_distinct(F.col("sig")).alias("k"))
+            .select(F.lit("smh:total").alias("grp"),
+                    F.col("k").cast("long"),
+                    F.lit(None).cast("long").alias("v")))
     return (a.unionByName(b).unionByName(c).unionByName(tot)
-            .unionByName(e).unionByName(sfp).unionByName(stot))
+            .unionByName(e).unionByName(sfp).unionByName(stot)
+            .unionByName(smh).unionByName(smht))
 
 
 def docs_cc_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -838,6 +838,44 @@ PIPELINE_ORACLES: dict[str, str] = {
         WHERE doc_id % 2 = 1 AND doc_id < 200
           AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
         UNION ALL
+        -- streaming NEAR-dup dedup (stream_minhash_dedup): a
+        -- surviving odd (<200) doc's 4 band hashes must ALL miss
+        -- the even store's SAME-index bands; survivors reported as
+        -- their distinct full-signature md5s (which row of a
+        -- same-signature pair survives is not contractual)
+        SELECT * FROM (
+            WITH sbase AS (
+                SELECT doc_id, doc_id % 2 AS par, {_SHINGLES} AS sh
+                FROM (SELECT doc_id, {_TOKS} AS l FROM documents
+                      WHERE doc_id < 200)
+            ), smh AS (
+                SELECT doc_id, par,
+                       {", ".join(f"{_minhash(i)} AS mh{i}"
+                                  for i in range(8))}
+                FROM sbase
+            ), sbands AS (
+                SELECT doc_id, par,
+                       {", ".join(f"md5(mh{2*i} || '|' || mh{2*i+1}) AS b{i}"
+                                  for i in range(4))}
+                FROM smh
+            ), ssurv AS (
+                SELECT DISTINCT
+                       md5(o.b0 || '|' || o.b1 || '|' || o.b2
+                           || '|' || o.b3) AS sig
+                FROM sbands o
+                WHERE o.par = 1 AND NOT EXISTS (
+                    SELECT 1 FROM sbands e
+                    WHERE e.par = 0 AND (e.b0 = o.b0 OR e.b1 = o.b1
+                                         OR e.b2 = o.b2 OR e.b3 = o.b3))
+            )
+            SELECT 'smh:' || sig AS grp, CAST(NULL AS BIGINT) AS k,
+                   CAST(NULL AS BIGINT) AS v
+            FROM ssurv
+            UNION ALL
+            SELECT 'smh:total', count(*), CAST(NULL AS BIGINT)
+            FROM ssurv
+        )
+        UNION ALL
         -- DSIR importance weights (llm/dsir.py): hashed-bigram
         -- log-likelihood ratio vs the id%7 target slice, add-1
         -- smoothed over 1024 md5 buckets, top-10 by 4-dp weight
