@@ -246,6 +246,24 @@ def minhash_bands(sdf: SparkDF, text_col: str, id_col: str,
     )
 
 
+def write_band_store(bands: SparkDF, path: str,
+                     mode: str = "overwrite") -> None:
+    """Persist an LSH band store for ``streaming.stream_minhash_dedup``
+    probes: DISTINCT (band, band_hash), written ``partitionBy("band")``.
+
+    The partition layout is the scale contract: the stream consumer
+    probes one band index per join, and with the store laid out by
+    band each probe is a partition-pruned scan of 1/n_bands of the
+    store — without it, every micro-batch re-scans the FULL store
+    once per band. distinct() on write keeps matched stream rows from
+    multiplying against duplicate store entries before the miss
+    filter. ``mode='append'`` is the nightly-batch shape: append the
+    accepted delivery's bands after the batch dedup pass.
+    """
+    (bands.select("band", "band_hash").distinct()
+     .write.mode(mode).partitionBy("band").parquet(path))
+
+
 def _sig_from_shingles(sh, num_hashes: int):
     def salted(i: int):
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))

@@ -66,19 +66,27 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
                  .withColumn("__didx", F.lit(0).cast("bigint"))
                  .drop("__pid"))
         return (empty, (0, 0)) if with_total else empty
-    cmap = F.create_map(*[F.lit(x) for kv in cum_off.items() for x in kv])
-    imap = F.create_map(*[F.lit(x) for kv in idx_off.items() for x in kv])
+    # Offsets travel as a broadcast side table, NOT a create_map plan
+    # literal: at 100 TB shuffle widths (10^4+ partitions) a map
+    # literal grows the plan with the CLUSTER size; a broadcast join
+    # stays O(1) in the plan and O(#partitions) on the wire.
+    off_tbl = F.broadcast(d.sparkSession.createDataFrame(
+        [(p, cum_off[p], idx_off[p]) for p in cum_off],
+        "__pid int, __coff bigint, __ioff bigint"))
     w = (Window.partitionBy("__pid").orderBy(order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    stats = (d.withColumn(
+    stats = (d.join(off_tbl, "__pid", "left")
+            .withColumn(
                 "__before",
-                (cmap[F.col("__pid")] + F.sum(weight_col).over(w)
+                (F.coalesce(F.col("__coff"), F.lit(0))
+                 + F.sum(weight_col).over(w)
                  - F.col(weight_col)).cast("bigint"))
             .withColumn(
                 "__didx",
-                (imap[F.col("__pid")] + F.count(F.lit(1)).over(w)
+                (F.coalesce(F.col("__ioff"), F.lit(0))
+                 + F.count(F.lit(1)).over(w)
                  - 1).cast("bigint"))
-            .drop("__pid"))
+            .drop("__pid", "__coff", "__ioff"))
     # acc / dacc are the grand total of weight_col and the distinct-
     # value count — already computed for the offsets, free for callers
     # (rank pct denominators: total rows, except dense which pandas

@@ -835,9 +835,20 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
                                       minhash_signature)
     from mars_spark.streaming.core import stream_minhash_dedup
 
-    ebands = (minhash_bands(
-        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 200)),
-        "text", "doc_id").select("band", "band_hash").distinct())
+    from mars_spark.llm.dedup import write_band_store
+
+    # stage the band store PHYSICALLY, partitionBy("band") — the
+    # layout the scale path requires: each of the stream's per-band
+    # probes is then a partition-pruned scan (1/n_bands of the
+    # store), not a full-store scan per micro-batch
+    bstage = (f"/tmp/ms_bandstore_{_os.getpid()}_"
+              + sf_dir.strip("/").replace("/", "_"))
+    if bstage not in _INC_STAGED or not _os.path.exists(bstage):
+        write_band_store(minhash_bands(
+            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 200)),
+            "text", "doc_id"), bstage)
+        _INC_STAGED.add(bstage)
+    ebands = spark.read.parquet(bstage)
     modd = exact_dedup(
         d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 200)),
         "text", "doc_id").select(

@@ -220,16 +220,22 @@ def stream_minhash_dedup(stream: SparkDF, seen_bands: SparkDF,
       map that streaming supports natively (the posting-agg form the
       batch path uses needs a shuffle, which a stream map must not);
     - the corpus check is ONE stream-static LEFT join PER BAND
-      against the store filtered to that band index (n_bands small,
-      fixed); survivors are the rows where every band probe missed.
-      Join-per-band instead of explode+groupBy keeps the stream
-      side aggregation-free (append semantics, no extra watermark
-      state). Duplicate rows in the store cannot duplicate output:
-      only NON-matching rows survive — but matched (dropped) rows
-      multiply against duplicate store entries before the filter, so
-      pass the DISTINCT (band, band_hash) projection for efficiency.
-      The static side re-reads per micro-batch, so a store appended
-      between deliveries is picked up.
+      against the store PRE-FILTERED to that band index (n_bands
+      small, fixed); survivors are the rows where every band probe
+      missed. Join-per-band instead of explode+groupBy keeps the
+      stream side aggregation-free (append semantics, no extra
+      watermark state). The ``band == b`` filter is applied to the
+      static side BEFORE the join (not as a join condition), so when
+      the store is parquet written ``partitionBy("band")`` — the
+      layout ``llm.dedup.write_band_store`` produces — each probe is
+      a PARTITION-PRUNED scan of 1/n_bands of the store rather than
+      n_bands full-store scans per micro-batch. Duplicate rows in
+      the store cannot duplicate output: only NON-matching rows
+      survive — but matched (dropped) rows multiply against
+      duplicate store entries before the filter, so pass the
+      DISTINCT (band, band_hash) projection (write_band_store
+      distincts on write). The static side re-reads per micro-batch,
+      so a store appended between deliveries is picked up.
     - in-stream, documents with an IDENTICAL full signature inside
       the watermark dedup via dropDuplicatesWithinWatermark (state =
       one md5 per distinct signature within the watermark). Two
@@ -241,6 +247,12 @@ def stream_minhash_dedup(stream: SparkDF, seen_bands: SparkDF,
       what keeps stream state O(delivery), never O(corpus).
     """
     from mars_spark.llm.dedup import minhash_signature
+    from mars_spark.learn.tsfeatures import _check_user_cols
+
+    # the builder injects __b{n}/__sigfp working columns; a stream
+    # already carrying a '__'-name would be clobbered or break the
+    # miss-filter — fail fast (mirrors tsfeatures._check_user_cols)
+    _check_user_cols("stream_minhash_dedup", list(stream.columns))
 
     sig = minhash_signature(F.col(text_col), num_hashes, k)
     n_bands = num_hashes // band_size
@@ -255,18 +267,19 @@ def stream_minhash_dedup(stream: SparkDF, seen_bands: SparkDF,
         F.md5(F.concat_ws("|", *[F.col(f"__b{b}")
                                  for b in range(n_bands)])))
     for b in range(n_bands):
-        sb = seen_bands.select(
-            F.col("band").alias(f"__sband{b}"),
-            F.col("band_hash").alias(f"__shit{b}"))
+        # filter BEFORE the join: a static-side filter reaches the
+        # scan (partition pruning on a partitionBy("band") store);
+        # the same predicate as a join condition would probe the
+        # whole store per band
+        sb = (seen_bands.filter(F.col("band") == b)
+              .select(F.col("band_hash").alias(f"__shit{b}")))
         out = out.join(
-            sb, (F.col(f"__b{b}") == F.col(f"__shit{b}"))
-            & (F.col(f"__sband{b}") == F.lit(b)), "left")
+            sb, F.col(f"__b{b}") == F.col(f"__shit{b}"), "left")
     miss = F.lit(True)
     for b in range(n_bands):
         miss = miss & F.col(f"__shit{b}").isNull()
     fresh = out.filter(miss).drop(
         *[f"__b{b}" for b in range(n_bands)],
-        *[f"__shit{b}" for b in range(n_bands)],
-        *[f"__sband{b}" for b in range(n_bands)])
+        *[f"__shit{b}" for b in range(n_bands)])
     return (fresh.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__sigfp"]).drop("__sigfp"))
