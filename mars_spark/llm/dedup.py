@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 from mars_spark.llm.text import (_memo_builder, fingerprint,
                                  word_shingles, tokens)
 
+import threading
+
+# serializes materialize_spill_aware's persist+storage-probe window so
+# concurrent materializations don't cross-attribute each other's blocks
+_SPILL_PROBE_LOCK = threading.Lock()
+
 
 # ------------------------------------------------------------------ exact
 def exact_dedup_keys(sdf: SparkDF, text_col: str, id_col: str) -> SparkDF:
@@ -127,7 +133,14 @@ def materialize_spill_aware(df: SparkDF) -> SparkDF:
     data outgrows RAM. On a real cluster the same policy holds
     per-executor; the storage-info probe is the same API the Spark
     UI reads. Returns the (materialized) frame; callers still own
-    unpersist."""
+    unpersist.
+
+    The before/after storage diff attributes every block persisted in
+    the window to THIS cache, and this repo runs concurrent actions
+    from thread pools — so the persist+probe section holds a module
+    lock: two overlapping materialize calls would otherwise cross-
+    attribute each other's bytes and could flip a demotion decision
+    (perf-only, never correctness)."""
     from pyspark.storagelevel import StorageLevel
 
     sc = df.sparkSession.sparkContext
@@ -139,19 +152,20 @@ def materialize_spill_aware(df: SparkDF) -> SparkDF:
         except Exception:  # storage probe is best-effort only
             return None
 
-    before = _blocks()
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    after = _blocks()
-    if before is None or after is None:
-        return df
-    new = [v for k, v in after.items() if k not in before]
-    mem = sum(m for m, _ in new)
-    disk = sum(d for _, d in new)
-    if disk > max(mem, 1):
-        df.unpersist(blocking=True)
-        df = df.persist(StorageLevel.DISK_ONLY)
+    with _SPILL_PROBE_LOCK:
+        before = _blocks()
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
+        after = _blocks()
+        if before is None or after is None:
+            return df
+        new = [v for k, v in after.items() if k not in before]
+        mem = sum(m for m, _ in new)
+        disk = sum(d for _, d in new)
+        if disk > max(mem, 1):
+            df.unpersist(blocking=True)
+            df = df.persist(StorageLevel.DISK_ONLY)
+            df.count()
     return df
 
 
@@ -359,6 +373,14 @@ def jaccard_pairs(sdf: SparkDF, text_col: str, id_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    # snapshot the (small: threshold-filtered pairs) result and RELEASE
+    # the posting cache — returned lazy, the plan would pin `sh`
+    # persisted for the caller's lifetime, accumulating corpus-sized
+    # cached storage across calls in a long session (memory bounded by
+    # the DISK_ONLY demotion, disk unbounded). The checkpoint costs
+    # one evaluation the consumer would pay anyway.
+    out = out.localCheckpoint()
+    sh.unpersist()
     return out
 
 
@@ -382,6 +404,10 @@ def minhash_dedup(sdf: SparkDF, text_col: str, id_col: str,
                                     band_size, k, postings=postings)
     verified = jaccard_pairs(sdf, text_col, id_col, threshold, k,
                              candidates=cands, postings=postings)
+    # jaccard_pairs checkpointed `verified`, so nothing downstream
+    # references the posting cache anymore — release it here instead
+    # of leaking one corpus-sized cache per call in a long session
+    postings.unpersist()
     # one-hop min-id union: b maps to min(a) over verified pairs.
     # (For chained near-dup clusters run to fixpoint; one hop removes
     # every doc that has ANY smaller near-duplicate, which is the

@@ -518,8 +518,12 @@ def _dropped_in_cells(assigned: SparkDF, threshold: float, id_col: str,
                          F.ceil(F.col("__n") / F.lit(cell_cap)))
                      .cast("int").alias("__nb")))
     blk = F.pmod(F.hash(F.col(id_col)), F.col("__nb")).cast("int")
+    # LEFT join + default 1 block: groupBy emits a NULL-cluster group
+    # but an equi-join can't match it back (NULL != NULL), so an inner
+    # join would silently exempt null-assigned vectors from the split
     keyed = (
-        assigned.join(F.broadcast(nb_df), "cluster")
+        assigned.join(F.broadcast(nb_df), "cluster", "left")
+        .withColumn("__nb", F.coalesce(F.col("__nb"), F.lit(1)))
         .withColumn("__blk", blk)
         .select(
             id_col, "e", "cluster", "__blk",
@@ -752,3 +756,249 @@ def ivfpq_search(index: SparkDF, centroids: list[list[float]],
                     key=lambda i: -cos(centroids[i], query))[:n_probe]
     return pq_search(index.filter(F.col("cluster").isin(probes)),
                      codebook, query, k=k, id_col=id_col)
+
+
+# ------------------------------------------------- batched query tables
+def _collect_queries(queries: SparkDF, query_id_col: str,
+                     query_vec_col: str):
+    """Driver-collect the query table (the BROADCAST side of every
+    batched search — queries ≪ corpus is the contract; a query set
+    too big to broadcast needs block-partitioned all-pairs, which is
+    near_dup_pairs/all_pairs_blocked territory, not top-k search).
+    Returns (qids, Q, Qn) with rows ordered by query id for
+    deterministic iteration."""
+    import numpy as np
+
+    rows = (queries.select(query_id_col, query_vec_col)
+            .orderBy(query_id_col).collect())
+    if not rows:
+        raise ValueError("empty query table")
+    qids = [r[query_id_col] for r in rows]
+    Q = np.vstack([np.asarray(r[query_vec_col], dtype=np.float64)
+                   for r in rows])
+    Qn = np.linalg.norm(Q, axis=1)
+    Qn[Qn == 0.0] = 1.0
+    return qids, Q, Qn
+
+
+def _round_half_away(x, ndigits: int = 4):
+    """Vectorized HALF_UP (away from zero) — the rounding BOTH Spark's
+    round() and DuckDB's round() apply to doubles, so scores rounded
+    here order identically in the engine, the window re-rank, and the
+    SQL oracle (numpy's np.round is banker's and would disagree on
+    exact halves)."""
+    import numpy as np
+
+    p = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def _gemm_partial_topk(base: SparkDF, qids, Q, Qn, k: int, id_col: str,
+                       id_type: str, qid_type: str,
+                       query_id_col: str) -> SparkDF:
+    """ONE corpus pass scores EVERY query (per-Arrow-batch gemm:
+    batch × dim @ dim × q) and keeps only the per-batch top-k per
+    query — so the global re-rank window runs over ≤ batches·q·k
+    candidate rows, never the n·q cross product. This is the batched
+    twin of topk_bruteforce's TakeOrderedAndProject: partial top-k
+    map-side, tiny global merge."""
+    import numpy as np
+    import pandas as pd
+
+    kq = len(qids)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__e"]])
+            Xn = np.linalg.norm(X, axis=1)
+            Xn[Xn == 0.0] = 1.0
+            S = _round_half_away((X @ Q.T) / (Xn[:, None] * Qn[None, :]))
+            ids = pdf["__id"].to_numpy()
+            kk = min(k, len(pdf))
+            out_q, out_i, out_s = [], [], []
+            for j in range(kq):
+                # deterministic per-batch top-k: rounded score desc,
+                # id asc — the exact order the global window re-ranks
+                # by, so the partial top-k never drops a global winner
+                order = np.lexsort((ids, -S[:, j]))[:kk]
+                out_q.extend([qids[j]] * kk)
+                out_i.extend(ids[order])
+                out_s.extend(S[order, j])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_i,
+                                "__s": out_s})
+
+    from pyspark.sql import Window
+
+    part = base.mapInPandas(
+        gen, schema=f"__qid {qid_type}, __cid {id_type}, __s double")
+    w = (Window.partitionBy("__qid")
+         .orderBy(F.col("__s").desc(), F.col("__cid").asc()))
+    return (part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__cid").alias(id_col),
+                    F.col("__s").alias("cos_sim")))
+
+
+def topk_bruteforce_queries(sdf: SparkDF, vec_col: str, queries: SparkDF,
+                            k: int = 10, id_col: str = "vec_id",
+                            query_id_col: str = "query_id",
+                            query_vec_col: str = "q") -> SparkDF:
+    """Batched exact top-k: a (query_id, vector) TABLE scored in ONE
+    corpus pass (the real-user shape — per-query topk_bruteforce
+    loops scan the corpus once per query). Returns (query_id, id,
+    cos_sim) rows, k per query, cosine rounded 4dp with id
+    tie-breaks. Scores ride a per-Arrow-batch gemm — batching over
+    queries exactly as the row dimension batches — with per-batch
+    partial top-k, so the final window re-rank touches only
+    batches·q·k rows."""
+    qids, Q, Qn = _collect_queries(queries, query_id_col, query_vec_col)
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(sdf.dtypes)[id_col]
+    base = sdf.select(F.col(id_col).alias("__id"),
+                      to_double(F.col(vec_col)).alias("__e"))
+    return _gemm_partial_topk(base, qids, Q, Qn, k, id_col, id_type,
+                              qid_type, query_id_col)
+
+
+def ivf_search_queries(assigned: SparkDF, centroids: list[list[float]],
+                       queries: SparkDF, k: int = 10, n_probe: int = 4,
+                       id_col: str = "vec_id",
+                       query_id_col: str = "query_id",
+                       query_vec_col: str = "q") -> SparkDF:
+    """Batched IVF probe: per-query probe lists computed driver-side
+    from the (tiny, literal) centroid table, shipped as a BROADCAST
+    (query_id, cluster) probe table joined against the cell-assigned
+    index — on a cluster-partitioned index the broadcast join enables
+    dynamic partition pruning, the batched twin of the single-query
+    isin() pushdown. Survivor rows (~n·n_probe/n_clusters per query)
+    then score through the same one-pass gemm partial top-k."""
+    import math
+
+    import numpy as np
+
+    qids, Q, Qn = _collect_queries(queries, query_id_col, query_vec_col)
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(assigned.dtypes)[id_col]
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0.0] = 1.0
+    sim = (Q @ C.T) / (Qn[:, None] * Cn[None, :])
+    probe_rows = []
+    for j, qid in enumerate(qids):
+        order = sorted(range(len(centroids)), key=lambda c: -sim[j, c])
+        probe_rows.extend((qid, int(c)) for c in order[:n_probe])
+    spark = assigned.sparkSession
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, f"__pq {qid_type}, cluster int"))
+    # the probe join fans each surviving row out to the queries that
+    # probe its cell; scoring then only needs THAT query's column of
+    # the gemm — slice per batch via the carried query id
+    surv = (assigned.join(probes, "cluster")
+            .select(F.col("__pq"), F.col(id_col).alias("__id"),
+                    F.col("e").alias("__e")))
+
+    import pandas as pd
+
+    qindex = {qid: i for i, qid in enumerate(qids)}
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__e"]])
+            Xn = np.linalg.norm(X, axis=1)
+            Xn[Xn == 0.0] = 1.0
+            qi = np.asarray([qindex[q] for q in pdf["__pq"]])
+            s = _round_half_away(
+                np.einsum("bd,bd->b", X, Q[qi]) / (Xn * Qn[qi]))
+            out = pd.DataFrame({"__qid": pdf["__pq"].to_numpy(),
+                                "__cid": pdf["__id"].to_numpy(),
+                                "__s": s})
+            # per-batch partial top-k per query present in the batch
+            out = (out.sort_values(["__qid", "__s", "__cid"],
+                                   ascending=[True, False, True])
+                   .groupby("__qid", sort=False).head(k))
+            yield out
+
+    from pyspark.sql import Window
+
+    part = surv.mapInPandas(
+        gen, schema=f"__qid {qid_type}, __cid {id_type}, __s double")
+    w = (Window.partitionBy("__qid")
+         .orderBy(F.col("__s").desc(), F.col("__cid").asc()))
+    return (part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__cid").alias(id_col),
+                    F.col("__s").alias("cos_sim")))
+
+
+def pq_search_queries(codes_df: SparkDF, codebook: list[list[list[float]]],
+                      queries: SparkDF, k: int = 10,
+                      id_col: str = "vec_id",
+                      query_id_col: str = "query_id",
+                      query_vec_col: str = "q") -> SparkDF:
+    """Batched ADC top-k: the q × m × 2^nbits query-to-centroid
+    distance tensor is computed once on the driver (exactly the
+    single-query pq_search table, batched over queries) and applied
+    per Arrow batch as a numpy gather over the code rows — ONE pass
+    over the m-byte codes scores every query; per-batch partial
+    top-k keeps the global window tiny. The vector column is never
+    read, same as the single-query path."""
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, _ = _collect_queries(queries, query_id_col, query_vec_col)
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(codes_df.dtypes)[id_col]
+    m = len(codebook)
+    ds = len(codebook[0][0])
+    # T[q, s, c] = ||query_q[s] - centroid_{s,c}||^2
+    C = np.asarray(codebook, dtype=np.float64)        # m x 2^nbits x ds
+    T = np.empty((len(qids), m, C.shape[1]), dtype=np.float64)
+    for s in range(m):
+        qs = Q[:, s * ds:(s + 1) * ds]                # q x ds
+        diff = qs[:, None, :] - C[s][None, :, :]      # q x 2^nbits x ds
+        T[:, s, :] = (diff * diff).sum(axis=2)
+    kq = len(qids)
+
+    base = codes_df.select(F.col(id_col).alias("__id"), "codes")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack([np.asarray(c, dtype=np.int64)
+                               for c in pdf["codes"]])      # b x m
+            ids = pdf["__id"].to_numpy()
+            # gather: d[b, q] = sum_s T[q, s, codes[b, s]]
+            d = np.zeros((len(pdf), kq), dtype=np.float64)
+            for s in range(m):
+                d += T[:, s, :][:, codes[:, s]].T        # b x q
+            d = _round_half_away(d, 6)
+            kk = min(k, len(pdf))
+            out_q, out_i, out_d = [], [], []
+            for j in range(kq):
+                order = np.lexsort((ids, d[:, j]))[:kk]
+                out_q.extend([qids[j]] * kk)
+                out_i.extend(ids[order])
+                out_d.extend(d[order, j])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_i,
+                                "__d": out_d})
+
+    from pyspark.sql import Window
+
+    part = base.mapInPandas(
+        gen, schema=f"__qid {qid_type}, __cid {id_type}, __d double")
+    w = (Window.partitionBy("__qid")
+         .orderBy(F.col("__d").asc(), F.col("__cid").asc()))
+    return (part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__cid").alias(id_col),
+                    F.col("__d").alias("adc_dist")))

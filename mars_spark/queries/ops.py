@@ -91,12 +91,24 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     # pool so they serialize scheduling latency once, not 5×
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as ex:
+    def _mem():
+        # r11: memory_usage graduates (core/frame.py memory_usage;
+        # reference mars/dataframe/base/memory_usage.py:34) — the
+        # distributed serialized-size estimate over a FIXED column
+        # set (two 8-byte fixed-width columns + the deep
+        # octet-length sum of the string column), so the oracle can
+        # restate it closed-form as 16·rows + Σ octet_length
+        mu = o[["o_orderkey", "o_totalprice", "o_orderpriority"]] \
+            .memory_usage(deep=True)
+        return float(sum(v for v in mu.values() if v is not None))
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
         f_sem = ex.submit(qty.sem)
         f_skew = ex.submit(qty.skew)
         f_kurt = ex.submit(qty.kurt)
         f_mt = ex.submit(lambda: oi.okey2.check_monotonic(strict=True))
         f_mf = ex.submit(lambda: oi.o_totalprice.is_monotonic_increasing)
+        f_mem = ex.submit(_mem)
         glob = glob.select(
             "*",
             F.lit(r6f(f_sem.result())).alias("sem_qty"),
@@ -105,6 +117,7 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
             F.lit(bool(f_mt.result())).alias("mono_okey"),
             F.lit(bool(f_mf.result())).alias("mono_price"),
             F.lit(num_cols).alias("num_cols"),
+            F.lit(float(f_mem.result())).alias("mem_ck"),
         )
     return per_flag.join(F.broadcast(glob))
 
@@ -851,14 +864,21 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # per user; the oracle replays the prev/next window formula
     interp = (f.groupby("user_id").interpolate(order_by="event_id")
               .groupby("user_id", as_index=False).agg(vi_sum=("v", "sum")))
+    # r11: a groupby CONVENIENCE method graduates (core/groupby.py
+    # median — the thin per-column delegation family over agg;
+    # reference mars/dataframe/groupby/aggregation.py) — exact
+    # interpolated median of the raw value per user
+    gmed = (f[["user_id", "value"]].groupby("user_id", as_index=False)
+            .median().rename(columns={"value": "g_med"}))
     out = (agg.merge(rng, on="user_id").merge(samp, on="user_id")
-           .merge(interp, on="user_id"))
+           .merge(interp, on="user_id").merge(gmed, on="user_id"))
     return out.to_spark().crossJoin(F.broadcast(desc)).select(
         "user_id", "n",
         F.round("v_sum", 4).alias("v_sum"),
         F.round("v_rng", 4).alias("v_rng"),
         F.round("v_med", 4).alias("v_med"),
         F.round("vi_sum", 4).alias("vi_sum"),
+        F.round("g_med", 4).alias("g_med"),
         "n_samp", "desc_count", "desc_mean", "desc_std",
     )
 
@@ -990,6 +1010,24 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
                "mix": (lambda x, y: x + 2.0 * y, "rp", "sz")}
         return float(mars_scheduler(dsk, ["mix"])[0])
 
+    def _spawn():
+        # r11: remote.spawn/execute + run_script graduate to a driver
+        # stratum (reference mars/remote/core.py:187,
+        # mars/remote/run_script.py) — leaf Spawned nodes run ENGINE
+        # aggregates, a dependent node combines them through the
+        # wave scheduler, and run_script applies a final arithmetic
+        # step with injected globals; the oracle restates the whole
+        # chain as one SQL expression
+        from mars_spark import remote as _R
+
+        lo = _R.spawn(lambda: float(f.p_retailprice.min()))
+        hi = _R.spawn(lambda: float(f.p_retailprice.max()))
+        mix = _R.spawn(lambda a, b: a + 3.0 * b, args=(hi, lo))
+        val = _R.execute(mix)[0]
+        out = _R.run_script("r = v * 2.0 + 1.0", data={"v": val},
+                            retrieve=["r"])
+        return float(out["r"])
+
     def _jl():
         # r10: the joblib batch path (learn/contrib.py apply_async —
         # one BatchedCalls through remote.spawn/execute) pinned by a
@@ -1012,7 +1050,7 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
     # scheduling latency
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=11) as ex:
+    with ThreadPoolExecutor(max_workers=13) as ex:
         f_dot = ex.submit(f.p_retailprice.dot, f.size_d)
         f_brand = ex.submit(f.brand_num.sum)
         f_type = ex.submit(f.type_code.sum)
@@ -1035,6 +1073,7 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         f_dask = ex.submit(_dask)
         f_plot = ex.submit(_plot)
         f_jl = ex.submit(_jl)
+        f_spawn = ex.submit(_spawn)
         dot, brand_sum, type_sum = (f_dot.result(), f_brand.result(),
                                     f_type.result())
         mc_sum = f_mc.result()[0][0]
@@ -1044,7 +1083,7 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         meval_sum = f_meval.result()
         shuf_ck = f_shuf.result()
         dask_ck, jl_ck = f_dask.result(), f_jl.result()
-        plot_ck = f_plot.result()
+        plot_ck, spawn_ck = f_plot.result(), f_spawn.result()
     stacked = f.set_index("p_partkey")[["size_d", "p_retailprice"]].stack()
     return stacked.to_spark().select(
         "p_partkey", "variable",
@@ -1060,7 +1099,8 @@ def op_series_misc(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.lit(float(shuf_ck)).alias("shuf_ck"),
         F.round(F.lit(float(dask_ck)), 2).alias("dask_ck"),
         F.lit(float(jl_ck)).alias("jl_ck"),
-        F.lit(float(plot_ck)).alias("plot_ck"))
+        F.lit(float(plot_ck)).alias("plot_ck"),
+        F.round(F.lit(float(spawn_ck)), 2).alias("spawn_ck"))
 
 
 def op_rank_cumprod(spark: SparkSession, sf_dir: str) -> SparkDF:

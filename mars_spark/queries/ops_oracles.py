@@ -50,8 +50,16 @@ OPS_ORACLES: dict[str, str] = {
                        o_totalprice >= lag(o_totalprice) OVER w AS ok_tp
                 FROM orders WINDOW w AS (ORDER BY o_orderkey)
             )
+        ), mem AS (
+            -- memory_usage closed form: 2 fixed-width 8-byte cols
+            -- + deep octet-length sum of the string col
+            SELECT CAST(16 * count(*)
+                        + sum(strlen(o_orderpriority))
+                        AS DOUBLE) AS mem_ck
+            FROM orders
         )
         SELECT * FROM per_flag CROSS JOIN tot CROSS JOIN mono
+                   CROSS JOIN mem
     """,
     "op_set_ops": """
         SELECT 'both' AS op, nationkey, CAST(1 AS BIGINT) AS n
@@ -450,6 +458,8 @@ OPS_ORACLES: dict[str, str] = {
                    round(sum(v), 4) AS v_sum,
                    round(max(v) - min(v), 4) AS v_rng,
                    round(quantile_cont(v, 0.5), 4) AS v_med,
+                   -- gb.median convenience method on the RAW value
+                   round(quantile_cont(value, 0.5), 4) AS g_med,
                    least(5, count(*)) AS n_samp
             FROM ff GROUP BY user_id
         ), d AS (
@@ -487,8 +497,8 @@ OPS_ORACLES: dict[str, str] = {
                 END), 4) AS vi_sum
             FROM itp_win GROUP BY user_id
         )
-        SELECT user_id, n, v_sum, v_rng, v_med, vi_sum, n_samp,
-               desc_count, desc_mean, desc_std
+        SELECT user_id, n, v_sum, v_rng, v_med, vi_sum, g_med,
+               n_samp, desc_count, desc_mean, desc_std
         FROM ag CROSS JOIN d JOIN itp USING (user_id)
     """,
     "op_ewm_expanding": """
@@ -553,7 +563,13 @@ OPS_ORACLES: dict[str, str] = {
                    -- plot accessor: the bounded collect returns the
                    -- full slice (79 rows < max_rows); content pinned
                    -- by the retailprice sum, guard fired (else -1)
-                   round(sum(p_retailprice), 2) AS plot_ck
+                   round(sum(p_retailprice), 2) AS plot_ck,
+                   -- remote.spawn graph (max + 3*min through the
+                   -- wave scheduler) finished by run_script's
+                   -- injected-globals arithmetic (*2 + 1)
+                   round((max(p_retailprice)
+                          + 3.0 * min(p_retailprice)) * 2.0 + 1.0, 2)
+                       AS spawn_ck
             FROM f
         ), cc AS (
             -- cartesian_chunk: part slice x region, row-wise func
@@ -576,13 +592,13 @@ OPS_ORACLES: dict[str, str] = {
                round(CAST(p_size AS DOUBLE), 2) AS value,
                dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
                cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck,
-               plot_ck
+               plot_ck, spawn_ck
         FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
         UNION ALL
         SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2),
                dot, brand_sum, type_sum, mc_sum, tb_sum, cc_sum,
                cred_mean, meval_sum, shuf_ck, dask_ck, jl_ck,
-               plot_ck
+               plot_ck, spawn_ck
         FROM f CROSS JOIN sc CROSS JOIN cc CROSS JOIN sh
     """,
     "op_rank_cumprod": """

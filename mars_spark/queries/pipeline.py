@@ -657,7 +657,7 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # disk round-trip; 'shard'/'nd' pins the returned shard-dir
     # counts. The oracle states both assignments in closed form
     # (0-based rank // 29; exclusive running token sum // 1500).
-    import tempfile
+    import os as _os
 
     from mars_spark.llm.packing import write_shards
 
@@ -667,7 +667,13 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # sf30 (the 100 TB scale path for the underlying prefix-sum is
     # covered by the tok stratum and SCALE.md)
     slc = d.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") < 3500))
-    shard_dir = tempfile.mkdtemp(prefix="mars_shards_")
+    # deterministic per-(pid, sf_dir) path, NOT mkdtemp: write_shards
+    # overwrites, so repeated bench passes re-exercise the real write
+    # into the SAME directory instead of accumulating a shard copy
+    # per invocation in /tmp (the _INC_STAGED staging discipline,
+    # minus the write-once guard — the write IS the thing under test)
+    shard_dir = (f"/tmp/ms_shards_{_os.getpid()}_"
+                 + sf_dir.strip("/").replace("/", "_"))
     n_d = write_shards(slc, f"{shard_dir}/docs", "doc_id",
                        docs_per_shard=29)
     n_t = write_shards(slc, f"{shard_dir}/tok", "doc_id",
@@ -889,16 +895,27 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
 
 
 def docs_cc_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:
-    """Connected-components dedup clusters (llm.dedup.dedup_clusters),
-    driver-verified: iterative min-label propagation over the n-gram
-    Jaccard near-dup edge list, checked against a DuckDB recursive-CTE
-    transitive closure. The Spark side is the GraphX-style large-graph
-    loop (per-round join + min-agg, localCheckpoint lineage cut); at
-    100 TB rounds are O(cluster diameter) — near-dup clusters are
-    shallow, so 2-3 rounds."""
+    """Connected-components dedup clusters, BOTH algorithms on the
+    same Jaccard near-dup edge list, driver-verified against one
+    DuckDB recursive-CTE transitive closure (r11: the alternating
+    large-star/small-star variant graduates from pytest parity to a
+    driver stratum — 'ml' = iterative min-label propagation
+    (llm.dedup.dedup_clusters, the default: O(diameter) rounds win on
+    shallow near-dup graphs), 'star' = Kiveris'14 alternating stars
+    (dedup_clusters_star: O(log² n) rounds, the tool for
+    diameter-heavy graphs — SCALE.md r10 head-to-head). Identical
+    labels are the contract: both must equal the closure's
+    min-reachable-id."""
     d = load(sf_dir, "documents").to_spark()
-    pairs = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, k=3)
-    return D.dedup_clusters(pairs.select("a", "b"))
+    # jaccard_pairs returns a checkpointed frame, so both algorithms
+    # reuse the one materialized edge list
+    pairs = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, k=3) \
+        .select("a", "b")
+    ml = D.dedup_clusters(pairs)
+    st = D.dedup_clusters_star(pairs)
+    return (ml.select(F.lit("ml").alias("alg"), "id", "cluster")
+            .unionByName(
+                st.select(F.lit("star").alias("alg"), "id", "cluster")))
 
 
 # ------------------------------------------------------------- embeddings
@@ -1008,10 +1025,24 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
               pq_top.select("vec_id")
               .join(exact.select("vec_id"), "vec_id")
               .agg(F.count(F.lit(1)).cast("long").alias("pq_recall10"))))
-    return hits.agg(
+    # r11: batched-query ANN — a (query_id, vector) TABLE (3 queries)
+    # scored in ONE corpus pass (similarity.topk_bruteforce_queries:
+    # per-Arrow-batch gemm over ALL queries + per-batch partial
+    # top-k); the oracle replays every (query, candidate) cosine
+    # with the same away-from-zero 4dp rounding and id tie-break
+    qf = e.filter(F.col("vec_id").isin(0, 7, 19)).select(
+        F.col("vec_id").alias("query_id"),
+        S.to_double(F.col("embedding")).alias("q"))
+    bq = S.topk_bruteforce_queries(e, "embedding", qf, k=5)
+    bqa = bq.agg(
+        F.sum((F.col("query_id") + 1) * F.col("vec_id"))
+        .cast("long").alias("bq_idsum"),
+        F.count(F.lit(1)).cast("long").alias("bq_n"))
+    return (hits.agg(
         F.lit(10).alias("k"),
         (F.count(F.lit(1)) >= 9).alias("recall_pass"),
     ).crossJoin(F.broadcast(sem)).crossJoin(F.broadcast(pq))
+        .crossJoin(F.broadcast(bqa)))
 
 
 def events_hourly_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -943,8 +943,14 @@ PIPELINE_ORACLES: dict[str, str] = {
             SELECT x AS id, y AS r FROM edges
             UNION
             SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        ), clus AS (
+            SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id
         )
-        SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id
+        -- both Spark CC algorithms (min-label + Kiveris'14 stars)
+        -- must produce the SAME closure labels: one closure, two tags
+        SELECT alg, id, cluster
+        FROM clus CROSS JOIN (SELECT 'ml' AS alg
+                              UNION ALL SELECT 'star') algs
     """,
     "docs_jaccard_pairs": f"""
         WITH base AS (
@@ -1503,6 +1509,30 @@ PIPELINE_ORACLES: dict[str, str] = {
                          e2.embedding::DOUBLE[],
                          q.embedding::DOUBLE[]), 6) DESC, e2.vec_id
             LIMIT 10
+        ), bq AS (
+            -- batched-query brute-force top-5 per query: cosine
+            -- rounded away-from-zero to 4dp (the engine's
+            -- _round_half_away), id tie-break
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY (CASE WHEN c >= 0
+                                     THEN floor(c * 1e4 + 0.5)
+                                     ELSE -floor(-c * 1e4 + 0.5)
+                                     END) / 1e4 DESC,
+                                    vec_id ASC) AS rn
+                FROM (
+                    SELECT q0.query_id, e1.vec_id,
+                           list_cosine_similarity(
+                               e1.embedding::DOUBLE[], q0.qv) AS c
+                    FROM embeddings e1
+                    CROSS JOIN (SELECT vec_id AS query_id,
+                                       embedding::DOUBLE[] AS qv
+                                FROM embeddings
+                                WHERE vec_id IN (0, 7, 19)) q0
+                )
+            ) WHERE rn <= 5
         )
         SELECT 10 AS k, true AS recall_pass,
                (SELECT count(*) FROM u)
@@ -1511,7 +1541,10 @@ PIPELINE_ORACLES: dict[str, str] = {
                (SELECT CAST(sum(vec_id) AS BIGINT) FROM pqtop)
                    AS pq_idsum,
                (SELECT count(*) FROM pqtop JOIN extop USING (vec_id))
-                   AS pq_recall10
+                   AS pq_recall10,
+               (SELECT CAST(sum((query_id + 1) * vec_id) AS BIGINT)
+                FROM bq) AS bq_idsum,
+               (SELECT CAST(count(*) AS BIGINT) FROM bq) AS bq_n
     """,
     "events_hourly_funnel": """
         WITH hourly AS (

@@ -1487,3 +1487,73 @@ def test_text_builder_memo(spark, docs):
     n1 = sdf.select(T.token_count("text").alias("n")).count()
     n2 = other.select(T.token_count("text").alias("n")).collect()[0]["n"]
     assert n1 == 6 and n2 == 1
+
+
+# ------------------------------------------------ batched query tables
+def _qframe(spark, vecs, ids):
+    return spark.createDataFrame(pd.DataFrame({
+        "query_id": ids,
+        "q": [list(map(float, v)) for v in vecs]}))
+
+
+def test_topk_bruteforce_queries_matches_per_query_loop(spark):
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((150, 12))
+    pdf = pd.DataFrame({"vec_id": range(150),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    qids = [0, 3, 9]
+    queries = _qframe(spark, [vecs[i] for i in qids], qids)
+    got = S.topk_bruteforce_queries(sdf, "embedding", queries, k=5)
+    got_pdf = got.toPandas()
+    assert set(got_pdf.query_id) == set(qids)
+    for qid in qids:
+        loop = S.topk_bruteforce(
+            sdf, "embedding", list(map(float, vecs[qid])), k=5).toPandas()
+        mine = (got_pdf[got_pdf.query_id == qid]
+                .sort_values("cos_sim", ascending=False))
+        assert list(mine.vec_id) == list(loop.vec_id)
+        # batched rounds 4dp; the per-query loop rounds 6dp
+        assert np.allclose(mine.cos_sim.to_numpy(),
+                           loop.cos_sim.to_numpy(), atol=5e-5)
+
+
+def test_ivf_search_queries_matches_per_query_loop(spark):
+    rng = np.random.default_rng(32)
+    vecs = rng.standard_normal((200, 8))
+    pdf = pd.DataFrame({"vec_id": range(200),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(5)
+    assigned, centroids = S.ivf_index_deterministic(
+        sdf, "embedding", n_clusters=8)
+    qids = [1, 44, 77]
+    queries = _qframe(spark, [vecs[i] for i in qids], qids)
+    got = S.ivf_search_queries(assigned, centroids, queries,
+                               k=4, n_probe=3).toPandas()
+    for qid in qids:
+        loop = S.ivf_search(assigned, centroids,
+                            list(map(float, vecs[qid])),
+                            k=4, n_probe=3).toPandas()
+        mine = (got[got.query_id == qid]
+                .sort_values("cos_sim", ascending=False))
+        assert list(mine.vec_id) == list(loop.vec_id), qid
+
+
+def test_pq_search_queries_matches_per_query_loop(spark):
+    rng = np.random.default_rng(33)
+    vecs = rng.standard_normal((120, 16))
+    pdf = pd.DataFrame({"vec_id": range(120),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(6)
+    cb = S.pq_codebook(sdf, "embedding", m=4, nbits=4)
+    codes = S.pq_encode(sdf, "embedding", cb)
+    qids = [5, 60]
+    queries = _qframe(spark, [vecs[i] for i in qids], qids)
+    got = S.pq_search_queries(codes, cb, queries, k=5).toPandas()
+    for qid in qids:
+        loop = S.pq_search(codes, cb, list(map(float, vecs[qid])),
+                           k=5).toPandas()
+        mine = got[got.query_id == qid].sort_values("adc_dist")
+        assert list(mine.vec_id) == list(loop.vec_id), qid
+        assert np.allclose(mine.adc_dist.to_numpy(),
+                           loop.adc_dist.to_numpy(), atol=1e-5)

@@ -1,0 +1,122 @@
+"""Streaming-at-scale measurement: the two heaviest stream lifecycles
+(the watermarked stream-stream interval join and stream_minhash_dedup
+against a persisted band store) run as REAL availableNow queries over
+the scale-factor parquet, each in its own fresh JVM, recording wall
+clock and the state store's peak (rows, memory bytes) from the
+query's progress events — the numbers that decide whether watermark
+state stays bounded as deliveries grow.
+
+Usage:
+  python tools/stream_scale.py [--sfs dir1,dir2] [--which ssj,smh]
+Prints one JSON line per (lifecycle, sf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+which, sf_dir = sys.argv[1], sys.argv[2]
+import mars_spark as ms
+from pyspark.sql import functions as F
+spark = ms.get_spark("streamscale")
+spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+def peak_state(q):
+    best_rows = best_mem = 0
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        rows = sum(o.get("numRowsTotal", 0) for o in ops)
+        mem = sum(o.get("memoryUsedBytes", 0) for o in ops)
+        best_rows, best_mem = max(best_rows, rows), max(best_mem, mem)
+    return best_rows, best_mem
+
+t0 = time.time()
+if which == "ssj":
+    from mars_spark.queries.pipeline import _stream_source
+    from mars_spark.streaming.core import stream_stream_join
+    src = _stream_source(spark, sf_dir)
+    views = (src.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user"),
+                     F.col("ts").alias("vts"),
+                     F.col("value").alias("vval")))
+    purch = (src.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("user"),
+                     F.col("ts").alias("pts"),
+                     F.col("event_id").alias("pid")))
+    j = stream_stream_join(purch, views, on="user", left_ts="pts",
+                           right_ts="vts", within="1 hour",
+                           watermark="30 minutes")
+    q = (j.writeStream.format("memory").queryName("ss_scale")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n = spark.table("ss_scale").count()
+else:
+    from mars_spark.llm.dedup import exact_dedup, minhash_bands, \
+        write_band_store
+    from mars_spark.streaming.core import read_stream, \
+        stream_minhash_dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_path = f"/tmp/ss_bandstore_{os.getpid()}"
+    write_band_store(
+        minhash_bands(d.filter(F.col("doc_id") % 2 == 0),
+                      "text", "doc_id"), store_path)
+    bands = spark.read.parquet(store_path)
+    delivery = exact_dedup(
+        d.filter(F.col("doc_id") % 2 == 1), "text", "doc_id").select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(1600000000)
+                            + (F.col("doc_id") % 7)).alias("ts"))
+    stage = f"/tmp/ss_smh_delivery_{os.getpid()}"
+    delivery.write.mode("overwrite").parquet(stage)
+    src = read_stream(spark, "parquet", stage,
+                      schema=spark.read.parquet(stage).schema)
+    surv = stream_minhash_dedup(src, bands, "text", ts_col="ts",
+                                watermark="10 minutes")
+    q = (surv.writeStream.format("memory").queryName("smh_scale")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n = spark.table("smh_scale").count()
+rows, mem = peak_state(q)
+print(json.dumps({"t": round(time.time() - t0, 2), "out_rows": n,
+                  "state_rows_peak": rows,
+                  "state_mb_peak": round(mem / 1048576, 1)}))
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sfs", default="/root/testdata/sf0.1,"
+                    "/root/repo/scaledata/sf1,/root/repo/scaledata/sf10")
+    ap.add_argument("--which", default="ssj,smh")
+    args = ap.parse_args()
+    for which in args.which.split(","):
+        for sf_dir in args.sfs.split(","):
+            sf = sf_dir.rstrip("/").split("sf")[-1]
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-c", CHILD, which, sf_dir],
+                    capture_output=True, text=True, timeout=1800)
+                rec = None
+                for line in reversed(p.stdout.strip().splitlines()):
+                    try:
+                        rec = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+                if rec is None:
+                    rec = {"err": (p.stderr or "no output")
+                           .splitlines()[-1][:200]}
+            except subprocess.TimeoutExpired:
+                rec = {"err": "timeout 1800s"}
+            print(json.dumps({"lifecycle": which, "sf": sf, **rec}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
