@@ -37,7 +37,66 @@ def peak_state(q):
     return best_rows, best_mem
 
 t0 = time.time()
-if which == "ssj":
+if which == "ssjc":
+    # CHUNKED delivery: the same interval join, but the delivery is
+    # staged as 8 event-time-ordered files consumed one per
+    # micro-batch (maxFilesPerTrigger=1) — the watermark advances
+    # between batches, so buffered state EVICTS and the peak is
+    # O(watermark + interval window), not O(delivery). This is the
+    # production shape for backfills: never feed a day as one batch.
+    import shutil
+    from mars_spark.streaming.core import read_stream, \
+        stream_stream_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # normalize ts to plain TIMESTAMP whatever the parquet encoding
+    # (nanos-long / NTZ / LTZ — the testdata canary's known drift)
+    ts_t = dict(ev.dtypes)["ts"]
+    if ts_t == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    elif ts_t == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    evs = ev.withColumn("__es", F.col("ts").cast("long"))
+    qs = evs.approxQuantile("__es", [i / 8 for i in range(1, 8)], 0.001)
+    stage = f"/tmp/ssjc_{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    lo = None
+    schema = None
+    for i, hi in enumerate(list(qs) + [None]):
+        c = evs
+        if lo is not None:
+            c = c.filter(F.col("__es") >= lo)
+        if hi is not None:
+            c = c.filter(F.col("__es") < hi)
+        lo = hi
+        tmp = f"{stage}_w{i}"
+        c.drop("__es").coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = f"{stage}/chunk_{i:02d}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (t0 + i, t0 + i))   # strictly increasing mtimes
+        shutil.rmtree(tmp, ignore_errors=True)
+        if schema is None:
+            schema = spark.read.parquet(dst).schema
+    src = read_stream(spark, "parquet", stage, schema=schema,
+                      maxFilesPerTrigger=1)
+    views = (src.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user"),
+                     F.col("ts").alias("vts"),
+                     F.col("value").alias("vval")))
+    purch = (src.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("user"),
+                     F.col("ts").alias("pts"),
+                     F.col("event_id").alias("pid")))
+    j = stream_stream_join(purch, views, on="user", left_ts="pts",
+                           right_ts="vts", within="1 hour",
+                           watermark="30 minutes")
+    q = (j.writeStream.format("memory").queryName("ssjc_scale")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n = spark.table("ssjc_scale").count()
+elif which == "ssj":
     from mars_spark.queries.pipeline import _stream_source
     from mars_spark.streaming.core import stream_stream_join
     src = _stream_source(spark, sf_dir)
