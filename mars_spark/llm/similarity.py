@@ -1024,3 +1024,26 @@ def pq_search_queries(codes_df: SparkDF, codebook: list[list[list[float]]],
             .select(F.col("__qid").alias(query_id_col),
                     F.col("__cid").alias(id_col),
                     F.col("__d").alias("adc_dist")))
+
+
+# --------------------------------------------------- index persistence
+def write_ivf_index(assigned: SparkDF, path: str,
+                    mode: str = "overwrite") -> None:
+    """Persist an IVF(-PQ) index table ``partitionBy("cluster")`` —
+    the layout every probe path here is designed around: ivf_search's
+    ``cluster.isin(probes)`` filter and ivf_search_queries' broadcast
+    probe-table join both prune to n_probe/n_clusters of the data AT
+    THE SCAN when the index is laid out by cluster (static partition
+    pruning for the literal filter, dynamic partition pruning for the
+    join). Works for the plain (id, cluster, e) assignment table and
+    the ivfpq_index (id, cluster, codes) table alike. ``mode='append'``
+    is the incremental-ingest shape: encode + assign the new batch,
+    append its cells."""
+    assigned.write.mode(mode).partitionBy("cluster").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> SparkDF:
+    """Read a write_ivf_index table back. The cluster partition column
+    comes back typed int; every search entry point here accepts the
+    frame as-is."""
+    return spark.read.parquet(path)

