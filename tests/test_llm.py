@@ -1580,3 +1580,25 @@ def test_write_ivf_index_prunes_probe_scans(spark, tmp_path):
     probe = back.filter(F.col("cluster").isin([0, 1]))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_batched_queries_edge_cases(spark):
+    rng = np.random.default_rng(51)
+    vecs = rng.standard_normal((12, 8))
+    pdf = pd.DataFrame({"vec_id": range(12),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    # empty query table fails fast
+    empty = spark.createDataFrame([], "query_id long, q array<double>")
+    with pytest.raises(ValueError):
+        S.topk_bruteforce_queries(sdf, "embedding", empty, k=3)
+    # k > corpus: every query returns the whole corpus, ranked
+    q1 = _qframe(spark, [vecs[2]], [2])
+    got = S.topk_bruteforce_queries(sdf, "embedding", q1, k=50).toPandas()
+    assert len(got) == 12
+    assert got.sort_values("cos_sim", ascending=False).vec_id.iloc[0] == 2
+    # duplicate corpus vectors tie-break on id deterministically
+    dup = pd.concat([pdf, pdf.assign(vec_id=pdf.vec_id + 100)])
+    sdup = spark.createDataFrame(dup).repartition(3)
+    got2 = S.topk_bruteforce_queries(sdup, "embedding", q1, k=2).toPandas()
+    assert sorted(got2.vec_id) == [2, 102]
