@@ -780,6 +780,100 @@ def ivfpq_search(index: SparkDF, centroids: list[list[float]],
                      codebook, query, k=k, id_col=id_col)
 
 
+# ------------------------------------------------------------------ SQ8
+def sq8_train(sdf: SparkDF, vec_col: str, dim: int | None = None
+              ) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) bounds for 8-bit scalar quantization
+    (the FAISS ``ScalarQuantizer QT_8bit`` formulation, from the
+    public FAISS docs/paper — Johnson, Douze & Jégou, IEEE TBD 2019).
+    ONE aggregation pass computes all 2·d bounds as codegen'd JVM
+    min/max aggregates (no Python, no shuffle beyond the final
+    1-row reduce); min/max are order-exact on doubles, so the bounds
+    — and everything derived from them — are partition-layout
+    independent and SQL-replayable. At 100 TB this is a single
+    bandwidth-bound scan. Reference capability analog:
+    mars/learn/neighbors ANN backends (proxima quantizers)."""
+    if dim is None:
+        dim = sdf.select(F.size(F.col(vec_col))).first()[0]
+    v = to_double(F.col(vec_col))
+    aggs = []
+    for i in range(dim):
+        x = F.element_at(v, i + 1)
+        aggs.append(F.min(x).alias(f"mn{i}"))
+        aggs.append(F.max(x).alias(f"mx{i}"))
+    row = sdf.agg(*aggs).collect()[0]
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def sq8_encode(sdf: SparkDF, vec_col: str, mins: list[float],
+               maxs: list[float], id_col: str = "vec_id") -> SparkDF:
+    """(id, codes: array<int>) — each dimension quantized to one byte:
+    ``code_i = clip(floor((x_i − min_i)·(255/(max_i−min_i)) + 0.5))``
+    (the floor(x+0.5) form is the cross-engine deterministic rounding
+    rule — Spark and DuckDB round() disagree on decimal halves).
+    Degenerate dims (max == min) encode as 0. All d expressions are
+    native Column arithmetic inside one projection — pure JVM
+    whole-stage codegen, no Python — and the 1-byte/dim code row is
+    the 4× (vs float32) memory shrink that keeps a 100 TB corpus
+    scannable; unlike PQ there is no codebook lookup at decode time,
+    just an affine map, so recall is higher at lower compression."""
+    d = len(mins)
+    v = to_double(F.col(vec_col))
+    codes = []
+    for i in range(d):
+        if maxs[i] > mins[i]:
+            inv = 255.0 / (maxs[i] - mins[i])
+            c = F.floor((F.element_at(v, i + 1) - F.lit(mins[i]))
+                        * F.lit(inv) + F.lit(0.5))
+            c = F.least(F.lit(255), F.greatest(F.lit(0), c))
+        else:
+            c = F.lit(0)
+        codes.append(c.cast("int"))
+    return sdf.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def sq8_search(codes_df: SparkDF, mins: list[float], maxs: list[float],
+               query: list[float], k: int = 10,
+               id_col: str = "vec_id") -> SparkDF:
+    """Asymmetric-distance top-k over SQ8 codes: each dim reconstructs
+    as ``min_i + code_i·step_i`` (step = (max−min)/255; degenerate
+    dims contribute (q_i − min_i)²) and the squared L2 distance is a
+    left-fold sum of d native terms — pure JVM arithmetic with the
+    query/bounds inlined as literals, NO Python, no vector column
+    read, TakeOrderedAndProject for the top-k. Composes with IVF
+    exactly like pq_search: filter the codes frame on `cluster`
+    first and the scan prunes to the probed cells."""
+    d = len(mins)
+    q = [float(x) for x in query]
+    dist = None
+    for i in range(d):
+        if maxs[i] > mins[i]:
+            step = (maxs[i] - mins[i]) / 255.0
+            recon = (F.lit(mins[i])
+                     + F.element_at(F.col("codes"), i + 1) * F.lit(step))
+        else:
+            recon = F.lit(mins[i])
+        term = (F.lit(q[i]) - recon)
+        term = term * term
+        dist = term if dist is None else dist + term
+    out = codes_df.select(F.col(id_col),
+                          F.round(dist, 6).alias("adc_dist"))
+    return out.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+
+
+def sq8_index(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
+              dim: int | None = None):
+    """Convenience: train bounds + encode in one call. Returns
+    (codes_df, mins, maxs). For the IVF-composed form, join the codes
+    against an ivf_index assignment on the id and write
+    partitionBy(cluster) — queries then prune cells AND read 1-byte
+    codes instead of float vectors."""
+    mins, maxs = sq8_train(sdf, vec_col, dim=dim)
+    return sq8_encode(sdf, vec_col, mins, maxs, id_col=id_col), mins, maxs
+
+
 # ------------------------------------------------- batched query tables
 def _collect_queries(queries: SparkDF, query_id_col: str,
                      query_vec_col: str):
@@ -1010,6 +1104,72 @@ def pq_search_queries(codes_df: SparkDF, codebook: list[list[list[float]]],
                 out_q.extend([qids[j]] * kk)
                 out_i.extend(ids[order])
                 out_d.extend(d[order, j])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_i,
+                                "__d": out_d})
+
+    from pyspark.sql import Window
+
+    part = base.mapInPandas(
+        gen, schema=f"__qid {qid_type}, __cid {id_type}, __d double")
+    w = (Window.partitionBy("__qid")
+         .orderBy(F.col("__d").asc(), F.col("__cid").asc()))
+    return (part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__cid").alias(id_col),
+                    F.col("__d").alias("adc_dist")))
+
+
+def sq8_search_queries(codes_df: SparkDF, mins: list[float],
+                       maxs: list[float], queries: SparkDF, k: int = 10,
+                       id_col: str = "vec_id",
+                       query_id_col: str = "query_id",
+                       query_vec_col: str = "q") -> SparkDF:
+    """Batched SQ8 ADC top-k: one pass over the 1-byte code rows
+    scores every query — per Arrow batch the codes decode through the
+    affine map (mn + code·step, vectorized) and the per-dim squared
+    differences accumulate IN DIMENSION ORDER, matching the
+    single-query plan's left-fold exactly, so results are identical
+    to a per-query sq8_search loop. Per-batch partial top-k keeps the
+    global window over ≤ batches·q·k rows; the vector column is
+    never read."""
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, _ = _collect_queries(queries, query_id_col, query_vec_col)
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(codes_df.dtypes)[id_col]
+    d = len(mins)
+    mn = np.asarray(mins, dtype=np.float64)
+    mx = np.asarray(maxs, dtype=np.float64)
+    live = mx > mn
+    step = np.where(live, (mx - mn) / np.where(live, 255.0, 1.0), 0.0)
+    kq = len(qids)
+
+    base = codes_df.select(F.col(id_col).alias("__id"), "codes")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack([np.asarray(c, dtype=np.float64)
+                               for c in pdf["codes"]])       # b x d
+            recon = mn[None, :] + codes * step[None, :]
+            ids = pdf["__id"].to_numpy()
+            # accumulate per dim, in dim order: the same sequence of
+            # IEEE additions as the single-query JVM left-fold
+            dist = np.zeros((len(pdf), kq), dtype=np.float64)
+            for i in range(d):
+                diff = Q[:, i][None, :] - recon[:, i][:, None]
+                dist += diff * diff
+            dist = _round_half_away(dist, 6)
+            kk = min(k, len(pdf))
+            out_q, out_i, out_d = [], [], []
+            for j in range(kq):
+                order = np.lexsort((ids, dist[:, j]))[:kk]
+                out_q.extend([qids[j]] * kk)
+                out_i.extend(ids[order])
+                out_d.extend(dist[order, j])
             yield pd.DataFrame({"__qid": out_q, "__cid": out_i,
                                 "__d": out_d})
 

@@ -995,11 +995,27 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
                  .collect()[0]["q"]]
         return S.pq_search(codes, cb, q_raw, k=10).localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    def _sq8_branch():
+        # r11: 8-bit scalar quantization (similarity.sq8_*) — one
+        # codegen'd min/max pass trains the per-dim bounds, encode is
+        # a pure-JVM affine projection (no Python anywhere, unlike
+        # PQ's numpy argmin), ADC search reads only the 1-byte codes.
+        # The oracle replays bounds, codes and ADC top-10 in SQL.
+        codes, mins, maxs = S.sq8_index(e, "embedding")
+        q_raw = [float(v) for v in
+                 e.filter(F.col("vec_id") == 0)
+                 .select(S.to_double(F.col("embedding")).alias("q"))
+                 .collect()[0]["q"]]
+        return S.sq8_search(codes, mins, maxs, q_raw,
+                            k=10).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
         f_ivf = ex.submit(_ivf_branch)
         f_pq = ex.submit(_pq_branch)
+        f_sq8 = ex.submit(_sq8_branch)
         assigned, centroids, query = f_ivf.result()
         pq_top = f_pq.result()
+        sq8_top = f_sq8.result()
     approx = S.ivf_search(assigned, centroids, list(query), k=10, n_probe=8)
     exact = S.topk_bruteforce(e, "embedding", list(query), k=10)
     hits = approx.select("vec_id").join(exact.select("vec_id"), on="vec_id")
@@ -1025,6 +1041,11 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
               pq_top.select("vec_id")
               .join(exact.select("vec_id"), "vec_id")
               .agg(F.count(F.lit(1)).cast("long").alias("pq_recall10"))))
+    sq8 = (sq8_top.agg(F.sum("vec_id").cast("long").alias("sq8_idsum"))
+           .crossJoin(
+               sq8_top.select("vec_id")
+               .join(exact.select("vec_id"), "vec_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("sq8_recall10"))))
     # r11: batched-query ANN — a (query_id, vector) TABLE (3 queries)
     # scored in ONE corpus pass (similarity.topk_bruteforce_queries:
     # per-Arrow-batch gemm over ALL queries + per-batch partial
@@ -1042,7 +1063,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.lit(10).alias("k"),
         (F.count(F.lit(1)) >= 9).alias("recall_pass"),
     ).crossJoin(F.broadcast(sem)).crossJoin(F.broadcast(pq))
-        .crossJoin(F.broadcast(bqa)))
+        .crossJoin(F.broadcast(sq8)).crossJoin(F.broadcast(bqa)))
 
 
 def events_hourly_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:

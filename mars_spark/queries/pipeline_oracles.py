@@ -1509,6 +1509,33 @@ PIPELINE_ORACLES: dict[str, str] = {
                          e2.embedding::DOUBLE[],
                          q.embedding::DOUBLE[]), 6) DESC, e2.vec_id
             LIMIT 10
+        ), sqmm AS (
+            -- SQ8 bounds: per-dim min/max (mirrors sq8_train's one
+            -- codegen'd agg pass; min/max are order-exact on doubles)
+            SELECT s.i AS i, min(v[s.i+1]) AS mn, max(v[s.i+1]) AS mx
+            FROM raw, range(64) s(i) GROUP BY s.i
+        ), sqcd AS (
+            -- sq8_encode replay: floor(x+0.5) rounding, [0,255] clip,
+            -- degenerate dims (mx == mn) encode as 0
+            SELECT raw.vec_id, m.i,
+                   CASE WHEN m.mx > m.mn THEN
+                        CAST(least(255, greatest(0,
+                             floor((v[m.i+1] - m.mn)
+                                   * (255.0/(m.mx - m.mn)) + 0.5)))
+                             AS INT)
+                        ELSE 0 END AS code,
+                   m.mn, m.mx
+            FROM raw, sqmm m
+        ), sqadc AS (
+            SELECT sqcd.vec_id,
+                   round(sum((q.v[sqcd.i+1] - (sqcd.mn + sqcd.code *
+                        (CASE WHEN sqcd.mx > sqcd.mn
+                              THEN (sqcd.mx - sqcd.mn)/255.0
+                              ELSE 0.0 END)))^2), 6) AS ad
+            FROM sqcd, (SELECT v FROM raw WHERE vec_id = 0) q
+            GROUP BY sqcd.vec_id
+        ), sqtop AS (
+            SELECT vec_id FROM sqadc ORDER BY ad, vec_id LIMIT 10
         ), bq AS (
             -- batched-query brute-force top-5 per query: cosine
             -- rounded away-from-zero to 4dp (the engine's
@@ -1542,6 +1569,10 @@ PIPELINE_ORACLES: dict[str, str] = {
                    AS pq_idsum,
                (SELECT count(*) FROM pqtop JOIN extop USING (vec_id))
                    AS pq_recall10,
+               (SELECT CAST(sum(vec_id) AS BIGINT) FROM sqtop)
+                   AS sq8_idsum,
+               (SELECT count(*) FROM sqtop JOIN extop USING (vec_id))
+                   AS sq8_recall10,
                (SELECT CAST(sum((query_id + 1) * vec_id) AS BIGINT)
                 FROM bq) AS bq_idsum,
                (SELECT CAST(count(*) AS BIGINT) FROM bq) AS bq_n

@@ -1106,6 +1106,70 @@ def test_ivfpq_search_recall(spark):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_sq8_encode_search_matches_numpy(spark):
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((150, 16))
+    # planted near-copies of the query vector (vec 4) + one constant
+    # dim to exercise the degenerate max==min guard
+    for i in range(4):
+        vecs[120 + i] = vecs[4] + rng.standard_normal(16) * 0.01
+    vecs[:, 11] = 2.5
+    pdf = pd.DataFrame({"vec_id": range(150),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf)
+    mins, maxs = S.sq8_train(sdf, "embedding")
+    assert mins[11] == maxs[11] == 2.5
+    assert np.allclose(mins, vecs.min(axis=0))
+    assert np.allclose(maxs, vecs.max(axis=0))
+    codes = S.sq8_encode(sdf, "embedding", mins, maxs)
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+
+    # numpy replay of the whole encode (same floor(x+0.5) rule)
+    mn, mx = np.asarray(mins), np.asarray(maxs)
+    live = mx > mn
+    inv = np.where(live, 255.0 / np.where(live, mx - mn, 1.0), 0.0)
+    C = np.clip(np.floor((vecs - mn) * inv + 0.5), 0, 255).astype(int)
+    C[:, ~live] = 0
+    for i in (0, 4, 77, 120, 149):
+        assert got[i] == list(C[i])
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+
+    # ADC search replay for the vec_id=4 query
+    q = list(map(float, vecs[4]))
+    step = np.where(live, (mx - mn) / 255.0, 0.0)
+    recon = mn + C * step
+    dist = ((np.asarray(q) - recon) ** 2).sum(axis=1)
+    exp_order = sorted(range(150),
+                       key=lambda i: (round(dist[i], 6), i))[:6]
+    top = S.sq8_search(codes, mins, maxs, q, k=6).collect()
+    assert [r.vec_id for r in top] == exp_order
+    # the planted near-copies of vec 4 dominate the top-6
+    assert 4 in {r.vec_id for r in top}
+    assert len({120, 121, 122, 123} & {r.vec_id for r in top}) >= 3
+
+    # both encode and search over MATERIALIZED codes are pure JVM —
+    # no Python stage anywhere (unlike PQ, even the ENCODE is native)
+    enc_plan = S.sq8_encode(sdf, "embedding", mins, maxs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in enc_plan \
+        and "ArrowEvalPython" not in enc_plan
+    mat = codes.localCheckpoint()
+    plan = S.sq8_search(mat, mins, maxs, q, k=6) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert [r.vec_id for r in S.sq8_search(mat, mins, maxs, q, k=6)
+            .collect()] == exp_order
+    # deterministic across partition layouts
+    assert [r.vec_id for r in
+            S.sq8_search(mat.repartition(7), mins, maxs, q, k=6)
+            .collect()] == exp_order
+
+    # sq8_index convenience returns the same bounds + codes
+    codes2, mn2, mx2 = S.sq8_index(sdf, "embedding")
+    assert mn2 == mins and mx2 == maxs
+    assert {r.vec_id: list(r.codes) for r in codes2.collect()} == got
+
+
 def test_clean_corpus_full_curation(spark):
     from mars_spark.llm import recipe as R
 
@@ -1553,6 +1617,28 @@ def test_pq_search_queries_matches_per_query_loop(spark):
     for qid in qids:
         loop = S.pq_search(codes, cb, list(map(float, vecs[qid])),
                            k=5).toPandas()
+        mine = got[got.query_id == qid].sort_values("adc_dist")
+        assert list(mine.vec_id) == list(loop.vec_id), qid
+        assert np.allclose(mine.adc_dist.to_numpy(),
+                           loop.adc_dist.to_numpy(), atol=1e-5)
+
+
+def test_sq8_search_queries_matches_per_query_loop(spark):
+    rng = np.random.default_rng(34)
+    vecs = rng.standard_normal((130, 16))
+    vecs[:, 5] = -1.25  # degenerate dim through the batched path too
+    pdf = pd.DataFrame({"vec_id": range(130),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(6)
+    codes, mins, maxs = S.sq8_index(sdf, "embedding")
+    codes = codes.localCheckpoint()
+    qids = [4, 88]
+    queries = _qframe(spark, [vecs[i] for i in qids], qids)
+    got = S.sq8_search_queries(codes, mins, maxs, queries, k=5).toPandas()
+    assert set(got.query_id) == set(qids)
+    for qid in qids:
+        loop = S.sq8_search(codes, mins, maxs,
+                            list(map(float, vecs[qid])), k=5).toPandas()
         mine = got[got.query_id == qid].sort_values("adc_dist")
         assert list(mine.vec_id) == list(loop.vec_id), qid
         assert np.allclose(mine.adc_dist.to_numpy(),
