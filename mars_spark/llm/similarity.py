@@ -874,6 +874,43 @@ def sq8_index(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
     return sq8_encode(sdf, vec_col, mins, maxs, id_col=id_col), mins, maxs
 
 
+def ivfsq8_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
+                 id_col: str = "vec_id"):
+    """IVF + SQ8 composition (the ivfpq_index twin at the other point
+    on the compression/recall curve): coarse cells for probe pruning,
+    1-byte-per-dim codes for the in-cell scan. Returns (index_df,
+    centroids, mins, maxs) where index_df = (id, cluster, codes) —
+    write it partitionBy(cluster) (write_ivf_index) and a query
+    touches n_probe/k of the data while reading 4×-compressed codes,
+    at higher recall than PQ's subspace codebooks."""
+    assigned, centroids = ivf_index_deterministic(
+        sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+    codes, mins, maxs = sq8_index(sdf, vec_col, id_col=id_col)
+    index = assigned.select(id_col, "cluster").join(codes, id_col)
+    return index, centroids, mins, maxs
+
+
+def ivfsq8_search(index: SparkDF, centroids: list[list[float]],
+                  mins: list[float], maxs: list[float],
+                  query: list[float], k: int = 10, n_probe: int = 4,
+                  id_col: str = "vec_id") -> SparkDF:
+    """Probe the n_probe nearest IVF cells, ADC top-k over the SQ8
+    codes — the cluster filter prunes at the scan on a
+    cluster-partitioned index, and the ADC scan is pure JVM
+    arithmetic over the codes; the vector column is never read."""
+    import math
+
+    def cos(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        return sum(x * y for x, y in zip(u, v)) / (du * dv or 1.0)
+
+    probes = sorted(range(len(centroids)),
+                    key=lambda i: -cos(centroids[i], query))[:n_probe]
+    return sq8_search(index.filter(F.col("cluster").isin(probes)),
+                      mins, maxs, query, k=k, id_col=id_col)
+
+
 # ------------------------------------------------- batched query tables
 def _collect_queries(queries: SparkDF, query_id_col: str,
                      query_vec_col: str):

@@ -1170,6 +1170,37 @@ def test_sq8_encode_search_matches_numpy(spark):
     assert {r.vec_id: list(r.codes) for r in codes2.collect()} == got
 
 
+def test_ivfsq8_search_recall(spark):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((200, 16))
+    # planted near-copies of the query vector (vec 3)
+    for i in range(4):
+        vecs[150 + i] = vecs[3] + rng.standard_normal(16) * 0.02
+    pdf = pd.DataFrame({"vec_id": range(200),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf)
+    index, cents, mins, maxs = S.ivfsq8_index(sdf, "embedding",
+                                              n_clusters=8)
+    q = list(map(float, vecs[3]))
+    got = [r.vec_id for r in
+           S.ivfsq8_search(index, cents, mins, maxs, q,
+                           k=6, n_probe=4).collect()]
+    # the query itself plus its planted near-copies dominate the top-6
+    assert 3 in got
+    assert len({150, 151, 152, 153} & set(got)) >= 3
+    # deterministic across partition layouts
+    got2 = [r.vec_id for r in
+            S.ivfsq8_search(index.repartition(7), cents, mins, maxs, q,
+                            k=6, n_probe=4).collect()]
+    assert got == got2
+    # query path reads only (cluster, codes): no vector column, no
+    # Python stage once the index is materialized
+    mat = index.localCheckpoint()
+    plan = (S.ivfsq8_search(mat, cents, mins, maxs, q, k=6, n_probe=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_clean_corpus_full_curation(spark):
     from mars_spark.llm import recipe as R
 
