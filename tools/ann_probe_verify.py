@@ -48,6 +48,10 @@ def main():
     bq = sorted((r.query_id, r.vec_id, r.cos_sim) for r in
                 S.topk_bruteforce_queries(e, "embedding", qf, k=5)
                 .collect())
+    sq_codes, mins, maxs = S.sq8_index(e, "embedding")
+    sq_top = [(r.vec_id, r.adc_dist)
+              for r in S.sq8_search(sq_codes, mins, maxs, q0,
+                                    k=10).collect()]
 
     # ---- DuckDB replay ----
     con = duckdb.connect()
@@ -121,8 +125,41 @@ def main():
                        for a, b in zip(bq, oracle_bq)))
     print(f"{'PASS' if bq_pass else 'FAIL'} bq_top5 "
           f"spark={bq[:2]}... oracle={oracle_bq[:2]}...", flush=True)
+
+    oracle_sq = con.execute("""
+        WITH raw AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sqmm AS (
+            SELECT s.i AS i, min(v[s.i+1]) AS mn, max(v[s.i+1]) AS mx
+            FROM raw, range(64) s(i) GROUP BY s.i
+        ), sqcd AS (
+            SELECT raw.vec_id, m.i,
+                   CASE WHEN m.mx > m.mn THEN
+                        CAST(least(255, greatest(0,
+                             floor((v[m.i+1] - m.mn)
+                                   * (255.0/(m.mx - m.mn)) + 0.5)))
+                             AS INT)
+                        ELSE 0 END AS code,
+                   m.mn, m.mx
+            FROM raw, sqmm m
+        ), sqadc AS (
+            SELECT sqcd.vec_id,
+                   round(sum((q.v[sqcd.i+1] - (sqcd.mn + sqcd.code *
+                        (CASE WHEN sqcd.mx > sqcd.mn
+                              THEN (sqcd.mx - sqcd.mn)/255.0
+                              ELSE 0.0 END)))^2), 6) AS ad
+            FROM sqcd, (SELECT v FROM raw WHERE vec_id = 0) q
+            GROUP BY sqcd.vec_id
+        )
+        SELECT vec_id, ad FROM sqadc ORDER BY ad, vec_id LIMIT 10
+    """).fetchall()
+    sq_pass = ([v for v, _ in sq_top] == [v for v, _ in oracle_sq]
+               and all(abs(a - b) < 1e-6 for (_, a), (_, b)
+                       in zip(sq_top, oracle_sq)))
+    print(f"{'PASS' if sq_pass else 'FAIL'} sq8_adc_top10 "
+          f"spark={sq_top[:3]}... oracle={oracle_sq[:3]}...", flush=True)
     print(json.dumps({"sf_dir": sf_dir, "pq_adc_top10": pq_pass,
-                      "bq_top5": bq_pass}))
+                      "bq_top5": bq_pass, "sq8_adc_top10": sq_pass}))
 
 
 if __name__ == "__main__":
