@@ -1009,13 +1009,29 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
         return S.sq8_search(codes, mins, maxs, q_raw,
                             k=10).localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    def _bq1_branch():
+        # r11: 1-bit binary quantization (similarity.bq1_*/
+        # hamming_search) — midpoint thresholds from the same
+        # order-exact min/max pass, 32-dims-per-BIGINT packing, and
+        # Hamming top-10 as pure-JVM bit_count(xor) arithmetic. The
+        # oracle replays thresholds, bits and the Hamming top-10.
+        words, th = S.bq1_index(e, "embedding")
+        q_raw = [float(v) for v in
+                 e.filter(F.col("vec_id") == 0)
+                 .select(S.to_double(F.col("embedding")).alias("q"))
+                 .collect()[0]["q"]]
+        qw = S.bq1_encode_query(q_raw, th)
+        return S.hamming_search(words, qw, k=10).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
         f_ivf = ex.submit(_ivf_branch)
         f_pq = ex.submit(_pq_branch)
         f_sq8 = ex.submit(_sq8_branch)
+        f_bq1 = ex.submit(_bq1_branch)
         assigned, centroids, query = f_ivf.result()
         pq_top = f_pq.result()
         sq8_top = f_sq8.result()
+        bq1_top = f_bq1.result()
     approx = S.ivf_search(assigned, centroids, list(query), k=10, n_probe=8)
     exact = S.topk_bruteforce(e, "embedding", list(query), k=10)
     hits = approx.select("vec_id").join(exact.select("vec_id"), on="vec_id")
@@ -1046,6 +1062,9 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
                sq8_top.select("vec_id")
                .join(exact.select("vec_id"), "vec_id")
                .agg(F.count(F.lit(1)).cast("long").alias("sq8_recall10"))))
+    bq1 = bq1_top.agg(
+        F.sum("vec_id").cast("long").alias("bq1_idsum"),
+        F.sum("hamming").cast("long").alias("bq1_hamsum"))
     # r11: batched-query ANN — a (query_id, vector) TABLE (3 queries)
     # scored in ONE corpus pass (similarity.topk_bruteforce_queries:
     # per-Arrow-batch gemm over ALL queries + per-batch partial
@@ -1063,7 +1082,8 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.lit(10).alias("k"),
         (F.count(F.lit(1)) >= 9).alias("recall_pass"),
     ).crossJoin(F.broadcast(sem)).crossJoin(F.broadcast(pq))
-        .crossJoin(F.broadcast(sq8)).crossJoin(F.broadcast(bqa)))
+        .crossJoin(F.broadcast(sq8)).crossJoin(F.broadcast(bq1))
+        .crossJoin(F.broadcast(bqa)))
 
 
 def events_hourly_funnel(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -1536,6 +1536,26 @@ PIPELINE_ORACLES: dict[str, str] = {
             GROUP BY sqcd.vec_id
         ), sqtop AS (
             SELECT vec_id FROM sqadc ORDER BY ad, vec_id LIMIT 10
+        ), bmm AS (
+            -- 1-bit binarization thresholds: per-dim midpoint
+            -- (min+max)/2 (mirrors bq1_train — order-exact, unlike a
+            -- mean); replay is bit-level, equivalent to the engine's
+            -- 32-bits-per-word packing + bit_count(xor)
+            SELECT s.i AS i,
+                   (min(v[s.i+1]) + max(v[s.i+1])) / 2.0 AS t
+            FROM raw, range(64) s(i) GROUP BY s.i
+        ), bbits AS (
+            SELECT raw.vec_id, m.i,
+                   CASE WHEN v[m.i+1] > m.t THEN 1 ELSE 0 END AS b
+            FROM raw, bmm m
+        ), bham AS (
+            SELECT bbits.vec_id,
+                   sum(CASE WHEN bbits.b <> qb.b THEN 1 ELSE 0 END) AS h
+            FROM bbits
+            JOIN (SELECT i, b FROM bbits WHERE vec_id = 0) qb USING (i)
+            GROUP BY bbits.vec_id
+        ), bqtop AS (
+            SELECT vec_id, h FROM bham ORDER BY h, vec_id LIMIT 10
         ), bq AS (
             -- batched-query brute-force top-5 per query: cosine
             -- rounded away-from-zero to 4dp (the engine's
@@ -1573,6 +1593,10 @@ PIPELINE_ORACLES: dict[str, str] = {
                    AS sq8_idsum,
                (SELECT count(*) FROM sqtop JOIN extop USING (vec_id))
                    AS sq8_recall10,
+               (SELECT CAST(sum(vec_id) AS BIGINT) FROM bqtop)
+                   AS bq1_idsum,
+               (SELECT CAST(sum(h) AS BIGINT) FROM bqtop)
+                   AS bq1_hamsum,
                (SELECT CAST(sum((query_id + 1) * vec_id) AS BIGINT)
                 FROM bq) AS bq_idsum,
                (SELECT CAST(count(*) AS BIGINT) FROM bq) AS bq_n

@@ -1170,6 +1170,61 @@ def test_sq8_encode_search_matches_numpy(spark):
     assert {r.vec_id: list(r.codes) for r in codes2.collect()} == got
 
 
+def test_bq1_hamming_search_matches_numpy(spark):
+    rng = np.random.default_rng(43)
+    vecs = rng.standard_normal((140, 48))  # d=48: partial last word
+    # planted near-copies of the query vector (vec 6)
+    for i in range(3):
+        vecs[110 + i] = vecs[6] + rng.standard_normal(48) * 0.05
+    vecs[:, 7] = 0.75  # degenerate dim: threshold == value -> bit 0
+    pdf = pd.DataFrame({"vec_id": range(140),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(5)
+    words, th = S.bq1_index(sdf, "embedding")
+    assert len(th) == 48
+    assert np.allclose(th, (vecs.min(0) + vecs.max(0)) / 2.0)
+    got = {r.vec_id: list(r.words) for r in words.collect()}
+    assert all(len(w) == 2 for w in got.values())  # ceil(48/32)
+
+    # numpy replay of the packing
+    t = np.asarray(th)
+    B = (vecs > t).astype(np.int64)
+    for i in (0, 6, 59, 110, 139):
+        exp = [int(sum(B[i, 32 * w + j] << j
+                       for j in range(min(32, 48 - 32 * w))))
+               for w in range(2)]
+        assert got[i] == exp, i
+    # degenerate dim binarizes to 0 everywhere (strict >)
+    assert all((g[0] >> 7) & 1 == 0 for g in got.values())
+
+    # Hamming top-k replay for the vec_id=6 query
+    q = list(map(float, vecs[6]))
+    qw = S.bq1_encode_query(q, th)
+    Qb = (np.asarray(q) > t).astype(np.int64)
+    ham = (B != Qb).sum(axis=1)
+    exp_order = sorted(range(140), key=lambda i: (ham[i], i))[:6]
+    top = S.hamming_search(words, qw, k=6).collect()
+    assert [r.vec_id for r in top] == exp_order
+    assert [r.hamming for r in top] == [int(ham[i]) for i in exp_order]
+    # the query itself is Hamming-0 and the planted near-copies rank
+    assert top[0].vec_id == 6 and top[0].hamming == 0
+    assert len({110, 111, 112} & {r.vec_id for r in top}) >= 2
+
+    # pure JVM end to end: no Python stage in encode or search
+    enc_plan = S.bq1_encode(sdf, "embedding", th) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in enc_plan \
+        and "ArrowEvalPython" not in enc_plan
+    mat = words.localCheckpoint()
+    plan = S.hamming_search(mat, qw, k=6) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    # deterministic across partition layouts
+    assert [r.vec_id for r in
+            S.hamming_search(mat.repartition(7), qw, k=6).collect()] \
+        == exp_order
+
+
 def test_ivfsq8_search_recall(spark):
     rng = np.random.default_rng(42)
     vecs = rng.standard_normal((200, 16))
