@@ -358,6 +358,71 @@ def all_pairs_blocked(sdf: SparkDF, vec_col: str, threshold: float = 0.9,
     )
 
 
+def knn_join(left: SparkDF, left_vec: str, right: SparkDF,
+             right_vec: str, k: int = 10,
+             left_id: str = "query_id", right_id: str = "vec_id",
+             n_blocks_left: int = 8,
+             n_blocks_right: int = 8) -> SparkDF:
+    """Exact cosine top-k join of TWO large tables — (left_id, rank,
+    right_id, cos_sim), rank 1 = most similar — with NEITHER side
+    collected to the driver nor broadcast. This fills the scale gap
+    between the batched query forms (topk_bruteforce_queries: the
+    query table must fit on the driver) and learn's kneighbors_graph
+    (broadcast-bound self-join): at 100 TB both sides can be
+    arbitrarily large.
+
+    The mechanics are the two-table generalization of
+    all_pairs_blocked's block-pair theta join (Okcan & Riedewald
+    SIGMOD'11): left rows hash into Bl blocks and emit under every
+    (lb, q) key, right rows into Br blocks emitting under every
+    (p, rb) key, so the shuffle-hash equi-join on (p, q) meets every
+    (left block, right block) pair exactly once in Bl·Br bounded
+    reducers — no CartesianProduct, skew-free. Replication is Br per
+    left row and Bl per right row; the Θ(|L|·|R|) pair scoring is
+    inherent to the EXACT join (use the IVF/LSH paths for the
+    approximate sweep). A per-(left, right-block) partial top-k runs
+    where the join already clusters — Spark reuses the (p, q) hash
+    partitioning for the (q, left) window, no extra shuffle — so the
+    global rank window sees only Br·k rows per left row."""
+    from pyspark.sql import Window
+
+    L = left.select(F.col(left_id).alias("__lq"),
+                    unit(to_double(F.col(left_vec))).alias("__le"))
+    R = right.select(F.col(right_id).alias("__rid"),
+                     unit(to_double(F.col(right_vec))).alias("__re"))
+    lb = F.pmod(F.hash(F.col("__lq")), F.lit(n_blocks_left))
+    rb = F.pmod(F.hash(F.col("__rid")), F.lit(n_blocks_right))
+    a = L.withColumn("_blk", lb).select(
+        "__lq", "__le",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_blocks_right - 1}), q -> "
+            f"struct(_blk as p, q as q))")).alias("kk"),
+    ).select("__lq", "__le",
+             F.col("kk.p").alias("p"), F.col("kk.q").alias("q"))
+    b = R.withColumn("_blk", rb).select(
+        "__rid", "__re",
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_blocks_left - 1}), p -> "
+            f"struct(p as p, _blk as q))")).alias("kk"),
+    ).select("__rid", "__re",
+             F.col("kk.p").alias("p"), F.col("kk.q").alias("q"))
+    pairs = (a.join(b.hint("shuffle_hash"), on=["p", "q"])
+             .select("__lq", "q", "__rid",
+                     F.round(dot(F.col("__le"), F.col("__re")), 4)
+                     .alias("__s")))
+    w_part = (Window.partitionBy("__lq", "q")
+              .orderBy(F.col("__s").desc(), F.col("__rid").asc()))
+    partial = (pairs.withColumn("__rn", F.row_number().over(w_part))
+               .filter(F.col("__rn") <= k).drop("__rn", "q"))
+    w_full = (Window.partitionBy("__lq")
+              .orderBy(F.col("__s").desc(), F.col("__rid").asc()))
+    return (partial.withColumn("rank", F.row_number().over(w_full))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__lq").alias(left_id), "rank",
+                    F.col("__rid").alias(right_id),
+                    F.col("__s").alias("cos_sim")))
+
+
 def similarity_self_join(sdf: SparkDF, vec_col: str, threshold: float,
                          dim: int, id_col: str = "vec_id") -> SparkDF:
     """Cost-based dispatch for the all-pairs cosine sweep.

@@ -1127,7 +1127,21 @@ def emb_topk_label_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.concat(F.lit("lp:"), F.col("vec_id").cast("string")).alias("key"),
         F.col("y").cast("double").alias("m1"),
         F.lit(None).cast("double").alias("m2"))
-    return topk.unionByName(stats).unionByName(lpr)
+    # r11: knn_join — exact two-table top-k with neither side
+    # collected or broadcast (blocked theta-join + staged partial
+    # top-k windows; similarity.knn_join). 5 query vectors vs the
+    # whole corpus, k=3; the oracle replays the full cross join with
+    # the same 4dp rounding and (cos desc, id asc) rank order.
+    kjq = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    kj = S.knn_join(kjq, "embedding", e, "embedding", k=3,
+                    n_blocks_left=2, n_blocks_right=4)
+    kjr = kj.select(
+        F.concat(F.lit("kj:"), F.col("query_id").cast("string"),
+                 F.lit(":"), F.col("rank").cast("string")).alias("key"),
+        F.col("vec_id").cast("double").alias("m1"),
+        F.col("cos_sim").alias("m2"))
+    return topk.unionByName(stats).unionByName(lpr).unionByName(kjr)
 
 
 _STREAM_SEQ = [0]

@@ -1699,5 +1699,27 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(y AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2
             FROM l2
         )
+        UNION ALL
+        -- knn_join: exact two-table top-3, 5 query vectors vs the
+        -- corpus — full cross join replay, 4dp rounding, rank by
+        -- (cos desc, id asc)
+        SELECT 'kj:' || CAST(query_id AS VARCHAR) || ':'
+                     || CAST(rn AS VARCHAR) AS key,
+               CAST(vec_id AS DOUBLE) AS m1, rc AS m2
+        FROM (
+            SELECT query_id, vec_id, rc,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rc DESC, vec_id ASC) AS rn
+            FROM (
+                SELECT q1.vec_id AS query_id, e1.vec_id AS vec_id,
+                       round(list_cosine_similarity(
+                           e1.embedding::DOUBLE[],
+                           q1.embedding::DOUBLE[]), 4) AS rc
+                FROM embeddings e1
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 5) q1
+            )
+        ) WHERE rn <= 3
     """,
 }

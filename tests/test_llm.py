@@ -1170,6 +1170,51 @@ def test_sq8_encode_search_matches_numpy(spark):
     assert {r.vec_id: list(r.codes) for r in codes2.collect()} == got
 
 
+def test_knn_join_two_tables_matches_numpy(spark):
+    rng = np.random.default_rng(44)
+    corpus = rng.standard_normal((160, 12))
+    queries = rng.standard_normal((9, 12))
+    queries[4] = corpus[37] * 1.7  # exact angular match planted
+    cdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(160),
+        "embedding": [list(map(float, v)) for v in corpus]})).repartition(6)
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": range(9),
+        "q": [list(map(float, v)) for v in queries]})).repartition(3)
+    got = S.knn_join(qdf, "q", cdf, "embedding", k=4,
+                     n_blocks_left=3, n_blocks_right=4).toPandas()
+    assert len(got) == 9 * 4
+
+    # numpy replay (unit vectors, 4dp half-away rounding, id ties)
+    Cu = corpus / np.linalg.norm(corpus, axis=1)[:, None]
+    Qu = queries / np.linalg.norm(queries, axis=1)[:, None]
+    s = Qu @ Cu.T
+    s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+    for qi in range(9):
+        order = np.lexsort((np.arange(160), -s[qi]))[:4]
+        mine = got[got.query_id == qi].sort_values("rank")
+        assert list(mine.vec_id) == [int(i) for i in order], qi
+        assert np.allclose(mine.cos_sim.to_numpy(), s[qi][order])
+    # the planted angular duplicate is rank 1 at cos 1.0
+    r1 = got[(got.query_id == 4) & (got["rank"] == 1)].iloc[0]
+    assert r1.vec_id == 37 and r1.cos_sim == 1.0
+
+    # deterministic across partition layouts and block counts
+    got2 = S.knn_join(qdf.repartition(5), "q", cdf.repartition(2),
+                      "embedding", k=4,
+                      n_blocks_left=2, n_blocks_right=7).toPandas()
+    a = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a.vec_id == b.vec_id).all() and (a.cos_sim == b.cos_sim).all()
+
+    # the join is a shuffle join over block-pair keys — never a
+    # cartesian product or broadcast nested loop
+    plan = S.knn_join(qdf, "q", cdf, "embedding", k=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bq1_hamming_search_matches_numpy(spark):
     rng = np.random.default_rng(43)
     vecs = rng.standard_normal((140, 48))  # d=48: partial last word
