@@ -1064,6 +1064,28 @@ def bq1_index(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
     return bq1_encode(sdf, vec_col, thresholds, id_col=id_col), thresholds
 
 
+def bq1_rerank_search(sdf: SparkDF, vec_col: str, words_df: SparkDF,
+                      thresholds: list[float], query: list[float],
+                      k: int = 10, expand: int = 4,
+                      id_col: str = "vec_id") -> SparkDF:
+    """The standard two-stage recipe productized: Hamming top-(expand
+    ·k) over the packed 1-bit codes (the cheap stage — a bandwidth-
+    trivial scan of 8-byte rows, never the vectors), then EXACT
+    cosine re-rank of just those expand·k survivors against the
+    vector table. The survivor id set is k·expand rows, so the
+    rejoin broadcasts; the expensive gemv touches only the
+    candidates. Returns topk_bruteforce's (id, cos_sim) shape —
+    exact scores, binary-scan candidate cost. Recall vs the true
+    top-k is governed by `expand` (the survivors are a superset of
+    the Hamming-nearest, not guaranteed to contain every cosine
+    winner — raise expand where the margin matters)."""
+    qw = bq1_encode_query([float(x) for x in query], thresholds)
+    cand = (hamming_search(words_df, qw, k=expand * k, id_col=id_col)
+            .select(id_col))
+    surv = sdf.join(F.broadcast(cand), id_col)
+    return topk_bruteforce(surv, vec_col, query, k=k, id_col=id_col)
+
+
 # ------------------------------------------------- batched query tables
 def _collect_queries(queries: SparkDF, query_id_col: str,
                      query_vec_col: str):

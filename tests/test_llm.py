@@ -1270,6 +1270,32 @@ def test_bq1_hamming_search_matches_numpy(spark):
         == exp_order
 
 
+def test_bq1_rerank_search_exact_scores(spark):
+    rng = np.random.default_rng(45)
+    vecs = rng.standard_normal((180, 32))
+    # planted near-copies of the query vector (vec 9) — binary codes
+    # agree on almost every bit, so the Hamming stage keeps them
+    for i in range(4):
+        vecs[140 + i] = vecs[9] + rng.standard_normal(32) * 0.02
+    pdf = pd.DataFrame({"vec_id": range(180),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(5)
+    words, th = S.bq1_index(sdf, "embedding")
+    q = list(map(float, vecs[9]))
+    out = S.bq1_rerank_search(sdf, "embedding", words, th, q,
+                              k=5, expand=6).toPandas()
+    assert len(out) == 5
+    # survivors re-rank with EXACT cosine: the query itself is 1.0
+    # and its planted near-copies fill the top-5
+    assert out.vec_id.iloc[0] == 9 and out.cos_sim.iloc[0] == 1.0
+    assert len({140, 141, 142, 143} & set(out.vec_id)) >= 3
+    # scores equal the brute-force scores for the same ids
+    brute = S.topk_bruteforce(sdf, "embedding", q, k=30).toPandas()
+    merged = out.merge(brute, on="vec_id", suffixes=("", "_bf"))
+    assert len(merged) == 5
+    assert (merged.cos_sim == merged.cos_sim_bf).all()
+
+
 def test_ivfsq8_search_recall(spark):
     rng = np.random.default_rng(42)
     vecs = rng.standard_normal((200, 16))
