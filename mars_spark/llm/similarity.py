@@ -1398,6 +1398,68 @@ def sq8_search_queries(codes_df: SparkDF, mins: list[float],
                     F.col("__d").alias("adc_dist")))
 
 
+def hamming_search_queries(words_df: SparkDF, thresholds: list[float],
+                           queries: SparkDF, k: int = 10,
+                           id_col: str = "vec_id",
+                           query_id_col: str = "query_id",
+                           query_vec_col: str = "q") -> SparkDF:
+    """Batched Hamming top-k over packed binary codes: every query of
+    a (query_id, vector) table is binarized driver-side through the
+    same thresholds, and ONE pass over the code rows scores all of
+    them — per Arrow batch the XOR popcount runs as a 16-bit-table
+    lookup over the packed words (integer-exact, so results are
+    identical to a per-query hamming_search loop). Per-batch partial
+    top-k keeps the global window tiny, as in the other *_queries
+    forms."""
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, _ = _collect_queries(queries, query_id_col, query_vec_col)
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(words_df.dtypes)[id_col]
+    qwords = np.asarray(
+        [_bq1_words(list(map(float, Q[j])), thresholds, as_python=True)
+         for j in range(len(qids))], dtype=np.int64)     # q x n_words
+    kq = len(qids)
+    pop16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                     dtype=np.int32)
+
+    base = words_df.select(F.col(id_col).alias("__id"), "words")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            W = np.vstack([np.asarray(w, dtype=np.int64)
+                           for w in pdf["words"]])        # b x n_words
+            ids = pdf["__id"].to_numpy()
+            x = np.bitwise_xor(W[:, None, :], qwords[None, :, :])
+            # words are < 2^32: two 16-bit table lookups per word
+            ham = (pop16[x & 0xFFFF]
+                   + pop16[(x >> 16) & 0xFFFF]).sum(axis=2)  # b x q
+            kk = min(k, len(pdf))
+            out_q, out_i, out_h = [], [], []
+            for j in range(kq):
+                order = np.lexsort((ids, ham[:, j]))[:kk]
+                out_q.extend([qids[j]] * kk)
+                out_i.extend(ids[order])
+                out_h.extend(int(v) for v in ham[order, j])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_i,
+                                "__h": out_h})
+
+    from pyspark.sql import Window
+
+    part = base.mapInPandas(
+        gen, schema=f"__qid {qid_type}, __cid {id_type}, __h int")
+    w = (Window.partitionBy("__qid")
+         .orderBy(F.col("__h").asc(), F.col("__cid").asc()))
+    return (part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__cid").alias(id_col),
+                    F.col("__h").alias("hamming")))
+
+
 # --------------------------------------------------- index persistence
 def write_ivf_index(assigned: SparkDF, path: str,
                     mode: str = "overwrite") -> None:

@@ -1802,6 +1802,27 @@ def test_sq8_search_queries_matches_per_query_loop(spark):
                            loop.adc_dist.to_numpy(), atol=1e-5)
 
 
+def test_hamming_search_queries_matches_per_query_loop(spark):
+    rng = np.random.default_rng(35)
+    vecs = rng.standard_normal((140, 48))
+    pdf = pd.DataFrame({"vec_id": range(140),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = spark.createDataFrame(pdf).repartition(6)
+    words, th = S.bq1_index(sdf, "embedding")
+    words = words.localCheckpoint()
+    qids = [3, 71]
+    queries = _qframe(spark, [vecs[i] for i in qids], qids)
+    got = S.hamming_search_queries(words, th, queries, k=5).toPandas()
+    assert set(got.query_id) == set(qids)
+    for qid in qids:
+        qw = S.bq1_encode_query(list(map(float, vecs[qid])), th)
+        loop = S.hamming_search(words, qw, k=5).toPandas()
+        mine = got[got.query_id == qid].sort_values(
+            ["hamming", "vec_id"])
+        assert list(mine.vec_id) == list(loop.vec_id), qid
+        assert list(mine.hamming) == list(loop.hamming), qid
+
+
 def test_write_ivf_index_prunes_probe_scans(spark, tmp_path):
     rng = np.random.default_rng(41)
     vecs = rng.standard_normal((80, 8))
