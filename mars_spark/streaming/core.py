@@ -285,6 +285,84 @@ def stream_minhash_dedup(stream: SparkDF, seen_bands: SparkDF,
             .dropDuplicatesWithinWatermark(["__sigfp"]).drop("__sigfp"))
 
 
+def stream_semantic_dedup(stream: SparkDF, seen_index: SparkDF,
+                          centroids: list[list[float]], vec_col: str,
+                          ts_col: str = "ts",
+                          watermark: str = "10 minutes",
+                          threshold: float = 0.95) -> SparkDF:
+    """STREAMING semantic (embedding) near-dup dedup — the SemDeDup
+    pipeline's delivery shape, the embedding twin of
+    stream_minhash_dedup: an arriving row is dropped when its nearest
+    IVF cell in the persisted corpus index contains ANY vector with
+    unit-dot >= threshold. ``seen_index`` is the (cluster, e)
+    assignment table ``llm.similarity.ivf_index_deterministic``
+    produces for the accepted corpus (unit vectors; write it with
+    write_ivf_index so it lives partitionBy(cluster));
+    ``centroids`` are the same index's unit seed centroids, so the
+    stream assigns with bit-identical argmax/first-max semantics.
+
+    Spark shape, all bounded-state:
+
+    - unit-normalization and cell assignment are Arrow-batched
+      STATELESS maps (one gemm per batch against the broadcast
+      centroid matrix) — streaming-legal, no shuffle, no state;
+    - the corpus check is ONE stream-static LEFT join on
+      (cluster equality AND dot >= threshold); survivors are the
+      null-extended misses. Matched rows multiply per in-cell
+      neighbor before the filter, which is fine — they are all
+      dropped. Like the batch SemDeDup, the check probes only the
+      NEAREST cell (a boundary near-dup in an adjacent cell is
+      accepted and left to the nightly batch pass, which owns
+      intra-delivery and cross-cell resolution);
+    - in-stream, rows with an identical 6dp-rounded unit vector
+      dedup via dropDuplicatesWithinWatermark (state = one md5 per
+      distinct arrival signature inside the watermark — O(delivery),
+      never O(corpus)).
+
+    At 100 TB the static side re-reads per micro-batch; the join
+    shuffles on `cluster`, so store the index bucketed by cluster
+    (or accept the re-shuffle and keep deliveries chunked —
+    stage_chunked_delivery bounds the per-batch volume)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from mars_spark.learn.tsfeatures import _check_user_cols
+    from mars_spark.llm.similarity import dot, to_double, unit
+
+    _check_user_cols("stream_semantic_dedup", list(stream.columns))
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    # no type hints: PEP 563 postponed annotations break pandas_udf
+    # signature inspection (see similarity._cosine_to_query_udf)
+    def _assign(e):
+        if e.empty:
+            return pd.Series([], dtype="int32")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in e])
+        # first-max tie-break = smallest centroid id (np.argmax),
+        # matching ivf_index_deterministic and the SQL oracle
+        return pd.Series(np.argmax(m @ C.T, axis=1).astype(np.int32))
+
+    out = (stream
+           .withColumn("__se", unit(to_double(F.col(vec_col))))
+           .withColumn("__cl", pandas_udf(_assign, "int")(F.col("__se")))
+           .withColumn("__sigfp", F.md5(F.concat_ws(
+               "|", F.transform(F.col("__se"),
+                                lambda x: F.round(x, 6).cast("string"))))))
+    store = seen_index.select(F.col("cluster").alias("__scl"),
+                              F.col("e").alias("__ce"))
+    joined = out.join(
+        store,
+        (F.col("__cl") == F.col("__scl"))
+        & (dot(F.col("__se"), F.col("__ce")) >= F.lit(threshold)),
+        "left")
+    fresh = (joined.filter(F.col("__scl").isNull())
+             .drop("__scl", "__ce", "__se", "__cl"))
+    return (fresh.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__sigfp"]).drop("__sigfp"))
+
+
 def stage_chunked_delivery(sdf: SparkDF, ts_col: str, path: str,
                            n_chunks: int = 8) -> None:
     """Stage a bounded delivery as ``n_chunks`` event-time-ordered

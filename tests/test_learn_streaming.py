@@ -944,6 +944,76 @@ def test_stream_minhash_dedup(spark, tmp_path):
     assert set(out.columns) == {"doc_id", "text", "ts"}
 
 
+def test_stream_semantic_dedup(spark, tmp_path):
+    """Streaming embedding near-dup dedup vs a persisted IVF index:
+    expected survivors are replayed in numpy with the exact engine
+    semantics (unit vectors, argmax/first-max cell assignment,
+    nearest-cell-only probe, dot >= threshold), so the test pins
+    stream/batch index compatibility too."""
+    import numpy as np
+    import pandas as pd
+
+    from mars_spark.llm import similarity as S
+
+    rng = np.random.default_rng(46)
+    base = rng.standard_normal((8, 16))
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(8),
+        "embedding": [list(map(float, v)) for v in base]}))
+    assigned, cents = S.ivf_index_deterministic(corpus, "embedding",
+                                                n_clusters=4)
+    index = assigned.select("cluster", "e").localCheckpoint()
+
+    novel = rng.standard_normal(16)
+    novel2 = rng.standard_normal(16)
+    arrive_vecs = [
+        base[2] * 1.3,          # same direction as corpus 2 -> dot 1.0
+        novel,                  # fresh
+        novel2 * 2.0, novel2 * 2.0,  # in-stream unit-identical pair
+    ]
+    arrive = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "embedding": [list(map(float, v)) for v in arrive_vecs],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 00:00:05",
+            "2024-01-01 00:00:10", "2024-01-01 00:00:15"]),
+    })
+
+    # numpy replay of the drop rule
+    Cu = base / np.linalg.norm(base, axis=1)[:, None]
+    seeds = np.asarray(cents)
+    cell = {int(r.vec_id): int(r.cluster) for r in
+            assigned.select("vec_id", "cluster").collect()}
+    dropped = set()
+    for did, v in zip(arrive.doc_id, arrive_vecs):
+        u = np.asarray(v) / np.linalg.norm(v)
+        cl = int(np.argmax(seeds @ u))
+        hits = [j for j in range(8)
+                if cell[j] == cl and float(Cu[j] @ u) >= 0.95]
+        if hits:
+            dropped.add(int(did))
+    assert 10 in dropped and 11 not in dropped
+
+    src = str(tmp_path / "sem_src")
+    spark.createDataFrame(arrive).write.parquet(src)
+    stream = St.read_stream(spark, "parquet", src,
+                            schema=spark.read.parquet(src).schema)
+    fresh = St.stream_semantic_dedup(stream, index, cents, "embedding")
+    q = St.write_stream(fresh, "memory", query_name="sem_dedup",
+                        output_mode="append")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from sem_dedup").toPandas()
+    finally:
+        q.stop()
+    got = set(out.doc_id)
+    assert got & dropped == set()
+    assert 11 in got
+    # the unit-identical in-stream pair: exactly one survives
+    assert len(got & {12, 13}) == (1 if not ({12, 13} & dropped) else 0)
+    assert set(out.columns) == {"doc_id", "embedding", "ts"}
+
+
 def test_pairwise_distances_metrics(spark):
     import numpy as np
     import pandas as pd
