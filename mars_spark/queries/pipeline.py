@@ -889,9 +889,63 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
             .select(F.lit("smh:total").alias("grp"),
                     F.col("k").cast("long"),
                     F.lit(None).cast("long").alias("v")))
+    # r11: streaming SEMANTIC dedup (streaming/core.py
+    # stream_semantic_dedup) as a seventh lifecycle — odd embeddings
+    # stream against the even-embedding IVF index, staged PHYSICALLY
+    # partitionBy(cluster) (write_ivf_index, the scale layout); an
+    # arrival drops when its argmax cell holds an even vector at
+    # unit-dot >= 0.4. Arrival unit vectors are pairwise distinct in
+    # the synthetic table, so the in-stream signature dedup never
+    # fires and the surviving vec_id set is fully deterministic; the
+    # oracle replays seeds, argmax assignment (first-max = smallest
+    # seed rank) and the in-cell hit rule in SQL.
+    from mars_spark.llm.similarity import (ivf_index_deterministic,
+                                           write_ivf_index)
+    from mars_spark.streaming.core import stream_semantic_dedup
+
+    emb = load(sf_dir, "embeddings").to_spark()
+    ecorp = emb.filter(F.col("vec_id") % 2 == 0)
+    asg3, cents3 = ivf_index_deterministic(ecorp, "embedding",
+                                           n_clusters=16)
+    istage = (f"/tmp/ms_ivfstore_{_os.getpid()}_"
+              + sf_dir.strip("/").replace("/", "_"))
+    if istage not in _INC_STAGED or not _os.path.exists(istage):
+        write_ivf_index(asg3.select("vec_id", "cluster", "e"), istage)
+        _INC_STAGED.add(istage)
+    idx3 = spark.read.parquet(istage).select("cluster", "e")
+    oddv = (emb.filter(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding",
+                    F.timestamp_seconds(
+                        F.lit(1600000000) + (F.col("vec_id") % 5))
+                    .alias("ts")))
+    stage3 = (f"/tmp/ms_semdedup_{_os.getpid()}_"
+              + sf_dir.strip("/").replace("/", "_"))
+    if stage3 not in _INC_STAGED or not _os.path.exists(stage3):
+        oddv.coalesce(1).write.mode("overwrite").parquet(stage3)
+        _INC_STAGED.add(stage3)
+    src3 = read_stream(spark, "parquet", stage3,
+                       schema=spark.read.parquet(stage3).schema)
+    surv3 = stream_semantic_dedup(src3, idx3, cents3, "embedding",
+                                  ts_col="ts", watermark="10 minutes",
+                                  threshold=0.4)
+    qname3 = f"ms_sem_dedup_{seq}"
+    with _state_partitions(spark, 4):
+        (surv3.writeStream.format("memory").queryName(qname3)
+         .outputMode("append").trigger(availableNow=True).start()
+         .awaitTermination())
+    res3 = spark.table(qname3)
+    smd = res3.select(
+        F.concat(F.lit("smd:"), F.col("vec_id").cast("string"))
+        .alias("grp"),
+        F.lit(None).cast("long").alias("k"),
+        F.lit(None).cast("long").alias("v"))
+    smdt = res3.agg(F.count(F.lit(1)).alias("k")).select(
+        F.lit("smd:total").alias("grp"), F.col("k").cast("long"),
+        F.lit(None).cast("long").alias("v"))
     return (a.unionByName(b).unionByName(c).unionByName(tot)
             .unionByName(e).unionByName(sfp).unionByName(stot)
-            .unionByName(smh).unionByName(smht))
+            .unionByName(smh).unionByName(smht)
+            .unionByName(smd).unionByName(smdt))
 
 
 def docs_cc_clusters(spark: SparkSession, sf_dir: str) -> SparkDF:

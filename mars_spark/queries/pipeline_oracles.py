@@ -914,6 +914,54 @@ PIPELINE_ORACLES: dict[str, str] = {
             FROM wsum
             ORDER BY floor(w * 10000 + 0.5) DESC, doc_id LIMIT 10
         )
+        UNION ALL
+        -- streaming SEMANTIC dedup (stream_semantic_dedup): odd
+        -- embeddings vs the even-embedding IVF index — an arrival
+        -- drops when its argmax cell (16 seeds = the 16 smallest
+        -- even vec_ids' unit vectors, first-max tie = smallest seed
+        -- rank) holds an even vector at unit-dot >= 0.4
+        SELECT * FROM (
+            WITH eu AS (
+                SELECT vec_id, vec_id % 2 AS par,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_dot_product(
+                               embedding::DOUBLE[],
+                               embedding::DOUBLE[]))) AS e
+                FROM embeddings
+            ), eseeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+                       e AS se
+                FROM (SELECT vec_id, e FROM eu WHERE par = 0
+                      ORDER BY vec_id LIMIT 16)
+            ), easg AS (
+                SELECT vec_id, par, e, sid AS cluster FROM (
+                    SELECT u.vec_id, u.par, u.e, s.sid,
+                           row_number() OVER (
+                               PARTITION BY u.vec_id
+                               ORDER BY list_dot_product(u.e, s.se)
+                                            DESC,
+                                        s.sid ASC) AS rn
+                    FROM eu u CROSS JOIN eseeds s
+                ) WHERE rn = 1
+            ), sdrop AS (
+                SELECT DISTINCT o.vec_id
+                FROM easg o JOIN easg c
+                  ON o.cluster = c.cluster AND c.par = 0
+                WHERE o.par = 1
+                  AND list_dot_product(o.e, c.e) >= 0.4
+            ), ssem AS (
+                SELECT vec_id FROM eu
+                WHERE par = 1
+                  AND vec_id NOT IN (SELECT vec_id FROM sdrop)
+            )
+            SELECT 'smd:' || CAST(vec_id AS VARCHAR) AS grp,
+                   CAST(NULL AS BIGINT) AS k,
+                   CAST(NULL AS BIGINT) AS v
+            FROM ssem
+            UNION ALL
+            SELECT 'smd:total', count(*), CAST(NULL AS BIGINT)
+            FROM ssem
+        )
     """,
     # transitive closure of the Jaccard near-dup edge list — the
     # recursive CTE replays what the Spark side computes iteratively
