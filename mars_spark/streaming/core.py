@@ -322,7 +322,13 @@ def stream_semantic_dedup(stream: SparkDF, seen_index: SparkDF,
     At 100 TB the static side re-reads per micro-batch; the join
     shuffles on `cluster`, so store the index bucketed by cluster
     (or accept the re-shuffle and keep deliveries chunked —
-    stage_chunked_delivery bounds the per-batch volume)."""
+    stage_chunked_delivery bounds the per-batch volume). Size the
+    index's n_clusters WITH the corpus (cells of a few hundred
+    vectors, the same rule as batch SemDeDup): the per-arrival probe
+    cost is the cell population, so a fixed cell count makes the
+    join's pair work grow quadratically with scale — measured in
+    SCALE.md r11 (564 s at sf10 with 64 pinned cells vs 120 s with
+    ~256-vector cells)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -115,6 +115,42 @@ elif which == "ssj":
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     n = spark.table("ss_scale").count()
+elif which == "smd":
+    # streaming SEMANTIC dedup at scale: odd embeddings stream
+    # against the even-embedding IVF index staged
+    # partitionBy(cluster). n_clusters MUST scale with the corpus
+    # (same rule as the batch SemDeDup path): the per-arrival probe
+    # cost is the cell population, so a FIXED cell count makes the
+    # join pair work quadratic in sf — measured 564 s at sf10 with
+    # 64 pinned cells vs bounded-cell cost with ~256-vector cells
+    from mars_spark.llm.similarity import ivf_index_deterministic, \
+        write_ivf_index
+    from mars_spark.streaming.core import read_stream, \
+        stream_semantic_dedup
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ecorp = e.filter(F.col("vec_id") % 2 == 0)
+    n_cells = max(16, ecorp.count() // 256)
+    asg, cents = ivf_index_deterministic(
+        ecorp, "embedding", n_clusters=n_cells)
+    store_path = f"/tmp/ss_ivfstore_{os.getpid()}"
+    write_ivf_index(asg.select("vec_id", "cluster", "e"), store_path)
+    idx = spark.read.parquet(store_path).select("cluster", "e")
+    delivery = (e.filter(F.col("vec_id") % 2 == 1)
+                .select("vec_id", "embedding",
+                        F.timestamp_seconds(
+                            F.lit(1600000000) + (F.col("vec_id") % 7))
+                        .alias("ts")))
+    stage = f"/tmp/ss_smd_delivery_{os.getpid()}"
+    delivery.write.mode("overwrite").parquet(stage)
+    src = read_stream(spark, "parquet", stage,
+                      schema=spark.read.parquet(stage).schema)
+    surv = stream_semantic_dedup(src, idx, cents, "embedding",
+                                 ts_col="ts", watermark="10 minutes",
+                                 threshold=0.4)
+    q = (surv.writeStream.format("memory").queryName("smd_scale")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n = spark.table("smd_scale").count()
 else:
     from mars_spark.llm.dedup import exact_dedup, minhash_bands, \
         write_band_store
