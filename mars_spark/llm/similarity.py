@@ -538,6 +538,40 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
     return assigned, centroids
 
 
+def ivf_assign(sdf: SparkDF, vec_col: str,
+               centroids: list[list[float]],
+               id_col: str = "vec_id") -> SparkDF:
+    """Assign NEW vectors to an EXISTING index's centroids — the
+    incremental-ingest primitive behind write_ivf_index's
+    mode='append': encode the arriving batch against the FIXED
+    centroid set (never re-derive seeds from the new data, which
+    would silently build a different index), then append its cells.
+    Returns (id, cluster, e) with unit vectors, exactly the
+    ivf_index_deterministic assignment shape: one gemm per Arrow
+    batch against the broadcast centroid matrix, argmax first-max
+    tie-break — bit-identical to what the original index build would
+    have assigned, so appended and original rows are
+    indistinguishable to every search path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # d × k
+
+    # no type hints: PEP 563 postponed annotations break pandas_udf
+    # signature inspection (see ivf_index_deterministic._assign)
+    def _argmax(e):
+        if e.empty:
+            return pd.Series([], dtype="int32")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in e])
+        return pd.Series(np.argmax(m @ cmat, axis=1).astype("int32"))
+
+    base = sdf.select(
+        F.col(id_col), unit(to_double(F.col(vec_col))).alias("e"))
+    return base.withColumn("cluster",
+                           pandas_udf(_argmax, "int")(F.col("e")))
+
+
 def ivf_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
               id_col: str = "vec_id", seed: int = 42):
     """Coarse IVF: MLlib KMeans centroids + cluster assignment column.

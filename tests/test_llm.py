@@ -1846,6 +1846,44 @@ def test_write_ivf_index_prunes_probe_scans(spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan
 
 
+def test_ivf_assign_matches_index_build(spark, tmp_path):
+    rng = np.random.default_rng(52)
+    vecs = rng.standard_normal((120, 8))
+    pdf = pd.DataFrame({"vec_id": range(120),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    full = spark.createDataFrame(pdf)
+    old = full.filter(F.col("vec_id") < 80)
+    new = full.filter(F.col("vec_id") >= 80)
+    # index built on the old slice; new rows assign against its FIXED
+    # centroids and must land exactly where a full rebuild WITH THE
+    # SAME SEEDS would put them
+    assigned, cents = S.ivf_index_deterministic(old, "embedding",
+                                                n_clusters=8)
+    inc = S.ivf_assign(new, "embedding", cents)
+    ref = {r.vec_id: r.cluster
+           for r in S.ivf_assign(full, "embedding", cents).collect()}
+    got = {r.vec_id: r.cluster for r in inc.collect()}
+    assert got == {i: ref[i] for i in range(80, 120)}
+    assert set(inc.columns) == {"vec_id", "cluster", "e"}
+    # unit vectors, same as the index build
+    r0 = inc.filter(F.col("vec_id") == 80).collect()[0]
+    assert abs(sum(x * x for x in r0.e) - 1.0) < 1e-9
+
+    # the append round-trip: original + appended cells search the same
+    path = str(tmp_path / "ivf_inc")
+    S.write_ivf_index(assigned, path)
+    S.write_ivf_index(inc, path, mode="append")
+    back = S.read_ivf_index(spark, path)
+    assert back.count() == 120
+    q = list(map(float, vecs[85]))
+    a = S.ivf_search(back, cents, q, k=5, n_probe=4).collect()
+    b = S.ivf_search(
+        S.ivf_assign(full, "embedding", cents).localCheckpoint(),
+        cents, q, k=5, n_probe=4).collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
+    assert 85 in {r.vec_id for r in a}
+
+
 def test_batched_queries_edge_cases(spark):
     rng = np.random.default_rng(51)
     vecs = rng.standard_normal((12, 8))
