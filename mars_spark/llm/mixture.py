@@ -61,6 +61,28 @@ def hash_bernoulli(sdf: SparkDF, id_col: str, frac: float,
     return sdf.filter(hash_key(id_col, seed) < F.lit(_hex_threshold(frac)))
 
 
+def weighted_sample(sdf: SparkDF, weight_col: str, id_col: str,
+                    scale: float = 1.0, seed="0") -> SparkDF:
+    """Deterministic PER-ROW importance resampling — the DSIR
+    resample step (Xie et al. 2023) in its distributed-friendly
+    Bernoulli-thinning form: keep each row with probability
+    ``clip(weight·scale, 0, 1)``, decided by the same md5(seed|id)
+    rule as hash_bernoulli, but with a PER-ROW threshold computed
+    from the weight column. The kept set is partition-independent
+    and SQL-replayable: key = the 6-hex md5 prefix as an integer,
+    keep iff ``key < floor(clip(w·scale)·16^6 + 0.5)``. One narrow
+    filter — no shuffle, no aggregate, no sorting by weight (true
+    weighted sampling-without-replacement needs a global sort; the
+    thinning form is what scales to 100 TB and is the published DSIR
+    recipe). Rows with NULL weight are dropped (no defined keep
+    probability)."""
+    key_int = F.conv(hash_key(id_col, seed), 16, 10).cast("long")
+    p = F.least(F.lit(1.0), F.greatest(
+        F.lit(0.0), F.col(weight_col) * F.lit(float(scale))))
+    thresh = F.floor(p * F.lit(float(_HEX_SPAN)) + F.lit(0.5))
+    return sdf.filter(key_int < thresh)
+
+
 def sample_mixture(sources, id_col: str, seed="0") -> SparkDF:
     """Mix corpora: ``sources = [(sdf, frac, tag), ...]`` → one frame
     with a ``_corpus`` provenance column. Each source is sampled under

@@ -604,6 +604,21 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                  F.sum("doc_id").cast("double").alias("v"))
             .select(F.lit("temp").alias("grp"),
                     F.col("source").alias("k"), "n", "v"))
+    # r11: weighted_sample (llm/mixture.py — the DSIR resample step,
+    # Bernoulli thinning with a PER-ROW md5 threshold): keep prob =
+    # the 4dp quality score itself; per-source kept count + Σ kept
+    # ids pin the exact surviving set. The oracle replays the
+    # md5-int-vs-floor(q·16^6+0.5) rule on its own quality CTE.
+    from mars_spark.llm.mixture import weighted_sample
+
+    wres = (weighted_sample(
+                dq.withColumn("__p", F.round(F.col("__q"), 4)),
+                "__p", "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").cast("double").alias("v"))
+            .select(F.lit("wres").alias("grp"),
+                    F.col("source").alias("k"), "n", "v"))
     tok = (take_token_budget(d, "text", budget=20000, order_col="doc_id")
            .groupBy("source")
            .agg(F.count(F.lit(1)).alias("n"),
@@ -705,7 +720,8 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
                      F.col("max_id").cast("double").alias("v"))
     return (best.unionByName(cap).unionByName(lm).unionByName(span)
             .unionByName(line).unionByName(linelen)
-            .unionByName(temp).unionByName(tok).unionByName(sprm)
+            .unionByName(temp).unionByName(wres)
+            .unionByName(tok).unionByName(sprm)
             .unionByName(bpe_rows).unionByName(bpet)
             .unionByName(shard)
             .unionByName(cchyg).unionByName(ccid))

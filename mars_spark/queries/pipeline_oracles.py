@@ -1253,6 +1253,18 @@ PIPELINE_ORACLES: dict[str, str] = {
             FROM keep GROUP BY source
         )
         UNION ALL
+        -- weighted_sample (llm/mixture.py, DSIR resample step):
+        -- per-row keep prob = the 4dp quality score; keep iff the
+        -- md5(0|id) 6-hex prefix as an integer is below
+        -- floor(clip(q)*16^6 + 0.5)
+        SELECT 'wres' AS grp, source AS k, count(*) AS n,
+               CAST(sum(doc_id) AS DOUBLE) AS v
+        FROM q
+        WHERE ('0x' || substr(md5('0' || '|' || doc_id), 1, 6))::BIGINT
+              < floor(least(1.0, greatest(0.0, quality))
+                      * 16777216.0 + 0.5)
+        GROUP BY source
+        UNION ALL
         -- token-budget prefix cut: first docs (by doc_id) whose
         -- running token total fits 20000
         SELECT * FROM (

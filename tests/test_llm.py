@@ -1846,6 +1846,45 @@ def test_write_ivf_index_prunes_probe_scans(spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan
 
 
+def test_weighted_sample_replay(spark):
+    import hashlib
+    import math
+
+    from mars_spark.llm.mixture import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": range(300),
+                        "w": [(i % 13) / 10.0 for i in range(300)]})
+    sdf = spark.createDataFrame(pdf).repartition(6)
+    got = sorted(r.doc_id for r in
+                 weighted_sample(sdf, "w", "doc_id").collect())
+    SPAN = 16 ** 6
+    exp = sorted(
+        int(i) for i, w in zip(pdf.doc_id, pdf.w)
+        if int(hashlib.md5(f"0|{i}".encode()).hexdigest()[:6], 16)
+        < math.floor(min(1.0, max(0.0, w)) * SPAN + 0.5))
+    assert got == exp
+    kept = set(got)
+    # prob 0 rows always dropped, prob >= 1 rows (w in {1.0, 1.2})
+    # always kept
+    assert all(i not in kept for i in pdf.doc_id[pdf.w == 0.0])
+    assert all(i in kept for i in pdf.doc_id[pdf.w >= 1.0])
+    # partition-layout independent
+    got2 = sorted(r.doc_id for r in
+                  weighted_sample(sdf.repartition(2), "w",
+                                  "doc_id").collect())
+    assert got == got2
+    # scale knob thins proportionally and stays a subset
+    half = set(r.doc_id for r in
+               weighted_sample(sdf, "w", "doc_id", scale=0.5).collect())
+    assert half <= kept
+    assert 0 < len(half) < len(kept)
+    # NULL weights drop
+    withnull = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "w": [None, 1.0]}))
+    assert [r.doc_id for r in
+            weighted_sample(withnull, "w", "doc_id").collect()] == [1]
+
+
 def test_ivf_assign_matches_index_build(spark, tmp_path):
     rng = np.random.default_rng(52)
     vecs = rng.standard_normal((120, 8))
