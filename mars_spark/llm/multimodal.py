@@ -4,7 +4,7 @@ The Spark-side machinery is real and tested: schema conventions, Arrow
 batch shape, mapInPandas signatures, partition sizing. DECODERS
 dispatch on content magic bytes: self-describing uncompressed formats
 decode FOR REAL with the stdlib (PCM WAV via ``wave``; 24-bit BMP and
-binary PPM via struct parsing; non-interlaced 8-bit PNG via zlib +
+binary PPM/PGM/PBM via struct parsing; non-interlaced 8-bit PNG via zlib +
 per-spec scanline unfiltering — see ``_png_pixels``); the remaining
 compressed formats (JPEG/MP3/MP4) still fall back to a deterministic
 fake because their codec libs (PIL/ffmpeg/torchaudio) aren't in this
@@ -101,10 +101,36 @@ def _wav_features(payload: bytes) -> np.ndarray:
     return _pad([sr, nch, len(x) / sr, rms, peak, zcr] + bands)
 
 
+def _pnm_header(payload: bytes, n_ints: int):
+    """Parse a binary PNM header ('P4'/'P5'/'P6' magic already
+    checked): ``n_ints`` whitespace-separated integers with
+    '#'-comment support, followed by ONE whitespace byte before the
+    pixel data. Returns (ints, data_offset) or None if malformed."""
+    parts, pos = [], 2
+    while len(parts) < n_ints:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:  # comment runs off the end: malformed
+                return None
+            pos = nl + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end:end + 1].isspace():
+            end += 1
+        if end == pos or end >= len(payload):  # truncated header
+            return None
+        parts.append(int(payload[pos:end]))
+        pos = end
+    return parts, pos + 1  # single whitespace after the last int
+
+
 def _image_features(payload: bytes) -> np.ndarray:
     """REAL image decode for the self-describing uncompressed formats
-    (24-bit BMP, binary PPM 'P6') via struct parsing: width, height,
-    channels, per-channel means, grayscale std."""
+    (24-bit BMP; binary PPM 'P6', PGM 'P5', PBM 'P4') via struct
+    parsing: width, height, channels, per-channel means, grayscale
+    std."""
     import struct
 
     if payload[:2] == b"BM":
@@ -124,28 +150,38 @@ def _image_features(payload: bytes) -> np.ndarray:
         bgr = rows.astype(np.float64)
         r, g, b = bgr[..., 2], bgr[..., 1], bgr[..., 0]
     elif payload[:2] == b"P6":
-        parts, pos = [], 2
-        while len(parts) < 3:
-            while pos < len(payload) and payload[pos:pos + 1].isspace():
-                pos += 1
-            if payload[pos:pos + 1] == b"#":
-                nl = payload.find(b"\n", pos)
-                if nl < 0:  # comment runs off the end: malformed
-                    return _fake_decode(payload, "image")
-                pos = nl + 1
-                continue
-            end = pos
-            while end < len(payload) and not payload[end:end + 1].isspace():
-                end += 1
-            if end == pos or end >= len(payload):  # truncated header
-                return _fake_decode(payload, "image")
-            parts.append(int(payload[pos:end]))
-            pos = end
-        pos += 1  # single whitespace after maxval
-        w, h, _ = parts
+        hdr = _pnm_header(payload, 3)
+        if hdr is None:
+            return _fake_decode(payload, "image")
+        (w, h, _), pos = hdr
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                            offset=pos).reshape(h, w, 3).astype(np.float64)
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    elif payload[:2] == b"P5":
+        # binary PGM: grayscale, one byte per pixel (maxval <= 255)
+        hdr = _pnm_header(payload, 3)
+        if hdr is None:
+            return _fake_decode(payload, "image")
+        (w, h, maxval), pos = hdr
+        if maxval > 255:
+            return _fake_decode(payload, "image")
+        gray = np.frombuffer(payload, dtype=np.uint8, count=w * h,
+                             offset=pos).reshape(h, w).astype(np.float64)
+        return _pad([w, h, 1, float(gray.mean()), float(gray.mean()),
+                     float(gray.mean()), float(gray.std())])
+    elif payload[:2] == b"P4":
+        # binary PBM: 1-bit packed rows, byte-aligned; bit 1 = black
+        hdr = _pnm_header(payload, 2)
+        if hdr is None:
+            return _fake_decode(payload, "image")
+        (w, h), pos = hdr
+        stride = (w + 7) // 8
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                             offset=pos).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        gray = (1.0 - bits.astype(np.float64)) * 255.0
+        return _pad([w, h, 1, float(gray.mean()), float(gray.mean()),
+                     float(gray.mean()), float(gray.std())])
     else:
         return _fake_decode(payload, "image")
     gray = 0.299 * r + 0.587 * g + 0.114 * b
@@ -255,7 +291,7 @@ def _png_features(payload: bytes) -> np.ndarray:
 
 
 def _decode_image(payload: bytes, modality: str) -> np.ndarray:
-    if payload[:2] in (b"BM", b"P6"):
+    if payload[:2] in (b"BM", b"P6", b"P5", b"P4"):
         return _image_features(payload)
     if payload[:8] == _PNG_MAGIC:
         return _png_features(payload)
@@ -263,7 +299,7 @@ def _decode_image(payload: bytes, modality: str) -> np.ndarray:
 
 
 DECODERS = {
-    "image": _decode_image,  # REAL for BMP/PPM/PNG-8bit; stub for JPEG (PIL absent)
+    "image": _decode_image,  # REAL for BMP/PPM/PGM/PBM/PNG-8bit; stub for JPEG (PIL absent)
     "audio": _decode_audio,  # REAL for PCM WAV; stub for MP3/OGG (ffmpeg absent)
     "video": _fake_decode,   # stub: containers need ffmpeg — frame fan-out
                              # shape is real (frame_sample_plan)

@@ -365,6 +365,36 @@ def test_multimodal_real_image_decode(spark):
     assert f1[5] == 0.0
     assert len(out[2]) == 32  # fallback path still shaped right
 
+def test_multimodal_pgm_pbm_decode(spark):
+    """DECODERS['image'] REALLY decodes binary PGM (P5, grayscale
+    byte-per-pixel) and PBM (P4, 1-bit packed rows with byte-aligned
+    stride — bit 1 = black): dims, channel=1, means and std from the
+    actual pixels; truncated headers still fall back."""
+    import numpy as np
+    from mars_spark.llm.multimodal import decode_features
+
+    w, h = 5, 3
+    g = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 10
+    pgm = f"P5\n{w} {h}\n255\n".encode() + g.tobytes()
+    # PBM 5x3: row bits 10110 -> byte 10110000 = 0xB0 per row
+    pbm = f"P4\n{w} {h}\n".encode() + bytes([0xB0] * h)
+    sdf = spark.createDataFrame(
+        [(1, "image", bytearray(pgm), {}),
+         (2, "image", bytearray(pbm), {}),
+         (3, "image", bytearray(b"P5\n5 3"), {})],  # truncated header
+        "id long, modality string, content binary, meta map<string,string>")
+    out = decode_features(sdf).toPandas().set_index("id").features
+    f1 = out[1]
+    assert list(f1[:3]) == [w, h, 1]
+    assert abs(f1[3] - g.mean()) < 1e-4
+    assert abs(f1[6] - g.astype(np.float64).std()) < 1e-4
+    f2 = out[2]
+    assert list(f2[:3]) == [w, h, 1]
+    # bits 1,0,1,1,0 per row: 3 black (0), 2 white (255) -> mean 102
+    assert abs(f2[3] - 255.0 * 2 / 5) < 1e-4
+    assert len(out[3]) == 32  # fallback, no hang
+
+
 def test_mixture_frac_extremes(spark):
     """frac that rounds to >=1.0 keeps EVERY row (regression: the
     7-char hex threshold '1000000' compared below 6-char md5 prefixes
