@@ -1625,7 +1625,58 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
                             * (1 + 1e-12) + F.lit(0.5)).cast("long")
                     .alias("feat_dim"),
                     F.lit(None).cast("string").alias("resize")))
-    return roll.unionByName(png_rows)
+    # r11: the PGM (P5) and PBM (P4) decoders get the same treatment —
+    # closed-form fixtures ((13x+7y) mod 256 grayscale grid; (x+y)
+    # parity checkerboard with byte-aligned 1-bit rows) decoded
+    # through the SAME Arrow path, first 7 feature slots pinned, the
+    # oracle restating pixels with range() arithmetic + float32
+    # round-trip.
+    pnm = spark.createDataFrame(
+        [(10, "image", bytearray(_fixture_pgm(9, 7)), {"n_frames": "1"}),
+         (20, "image", bytearray(_fixture_pbm(9, 7)), {"n_frames": "1"})],
+        "id long, modality string, content binary, "
+        "meta map<string,string>")
+    pnm_rows = (decode_features(pnm)
+                .select("id",
+                        F.posexplode(F.slice("features", 1, 7))
+                        .alias("pos", "val"))
+                .select(
+                    (F.lit(1000000) + F.col("id") * 100 + F.col("pos"))
+                    .cast("long").alias("id"),
+                    F.when(F.col("id") == 10, F.lit("pgm"))
+                    .otherwise(F.lit("pbm")).alias("modality"),
+                    F.col("pos").cast("long").alias("n_frames"),
+                    F.lit(63).cast("long").alias("n_bytes"),
+                    F.floor(F.col("val").cast("double") * 1e4
+                            * (1 + 1e-12) + F.lit(0.5)).cast("long")
+                    .alias("feat_dim"),
+                    F.lit(None).cast("string").alias("resize")))
+    return roll.unionByName(png_rows).unionByName(pnm_rows)
+
+
+def _fixture_pgm(w: int, h: int) -> bytes:
+    """Binary PGM whose gray grid is the closed form (13x+7y) mod 256
+    the op_multimodal oracle restates with range() arithmetic."""
+    g = bytes((x * 13 + y * 7) % 256
+              for y in range(h) for x in range(w))
+    return f"P5\n{w} {h}\n255\n".encode() + g
+
+
+def _fixture_pbm(w: int, h: int) -> bytes:
+    """Binary PBM checkerboard (bit = (x+y) mod 2, 1 = black) with the
+    byte-aligned MSB-first row packing the spec requires."""
+    rows = bytearray()
+    for y in range(h):
+        acc, nbits = 0, 0
+        for x in range(w):
+            acc = (acc << 1) | ((x + y) % 2)
+            nbits += 1
+            if nbits == 8:
+                rows.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            rows.append(acc << (8 - nbits))
+    return f"P4\n{w} {h}\n".encode() + bytes(rows)
 
 
 def _fixture_png(w: int, h: int) -> bytes:

@@ -415,6 +415,47 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(NULL AS VARCHAR) AS resize
             FROM vals
         )
+        UNION ALL
+        -- PGM/PBM decode strata: the same restatement for the
+        -- grayscale grid (13x+7y mod 256) and the (x+y)-parity
+        -- checkerboard (bit 1 = black -> gray 0)
+        SELECT * FROM (
+            WITH gpx AS (
+                SELECT CAST((x * 13 + y * 7) % 256 AS DOUBLE) AS v
+                FROM range(9) t1(x), range(7) t2(y)
+            ), gst AS (
+                SELECT avg(v) AS m, stddev_pop(v) AS s FROM gpx
+            ), bpx AS (
+                SELECT CAST(255 * (1 - (x + y) % 2) AS DOUBLE) AS v
+                FROM range(9) t1(x), range(7) t2(y)
+            ), bst AS (
+                SELECT avg(v) AS m, stddev_pop(v) AS s FROM bpx
+            ), pvals AS (
+                SELECT 10 AS fid, 'pgm' AS md, 0 AS pos, 9.0 AS val
+                UNION ALL SELECT 10, 'pgm', 1, 7.0
+                UNION ALL SELECT 10, 'pgm', 2, 1.0
+                UNION ALL SELECT 10, 'pgm', 3, m FROM gst
+                UNION ALL SELECT 10, 'pgm', 4, m FROM gst
+                UNION ALL SELECT 10, 'pgm', 5, m FROM gst
+                UNION ALL SELECT 10, 'pgm', 6, s FROM gst
+                UNION ALL SELECT 20, 'pbm', 0, 9.0
+                UNION ALL SELECT 20, 'pbm', 1, 7.0
+                UNION ALL SELECT 20, 'pbm', 2, 1.0
+                UNION ALL SELECT 20, 'pbm', 3, m FROM bst
+                UNION ALL SELECT 20, 'pbm', 4, m FROM bst
+                UNION ALL SELECT 20, 'pbm', 5, m FROM bst
+                UNION ALL SELECT 20, 'pbm', 6, s FROM bst
+            )
+            SELECT CAST(1000000 + fid * 100 + pos AS BIGINT) AS id,
+                   md AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(63 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM pvals
+        )
     """,
     "op_tensor": """
         WITH mm AS (
