@@ -3,16 +3,28 @@
 Scale design:
 
 - brute-force top-k against ONE query vector is a single scan + TakeOrdered
-  (no shuffle): cosine is a higher-order-function expression, the top-k
-  is TakeOrderedAndProject. At 100 TB this is bandwidth-bound — correct
-  baseline, linear scale-out.
-- all-pairs near-dup uses block self-join pruned by id ordering, or LSH
-  hyperplane buckets so only same-bucket pairs join (the scale path).
-- IVF: coarse k-means centroids (MLlib, trained on a sample), assign
-  partition = nearest centroid, then search only the probe clusters —
-  turns a full scan into cluster-pruned scans. Plumbing here; training
-  uses MLlib KMeans (reference analog: mars/learn/cluster/_kmeans.py:596,
-  mars/learn/neighbors ANN backends).
+  (no shuffle): scoring is an Arrow-batched gemv, the top-k is
+  TakeOrderedAndProject. At 100 TB this is bandwidth-bound — correct
+  baseline, linear scale-out. Batched `*_queries` forms score a whole
+  (query_id, vector) table in the same single pass.
+- all-pairs near-dup uses the blocked theta-join (all_pairs_blocked) or
+  LSH hyperplane buckets so only same-bucket pairs join; `knn_join` is
+  the two-table top-k generalization — neither side driver-collected
+  nor broadcast.
+- IVF: coarse centroids (deterministic smallest-id seeding for
+  oracle-replayable indexes, or MLlib KMeans), assign = per-batch gemm
+  argmax, search only the probed clusters — cluster-pruned scans when
+  the index is written partitionBy(cluster) (write_ivf_index;
+  ivf_assign appends new batches against the FIXED centroids).
+- compression ladder, all with pure-JVM ADC search over code rows
+  (the vector column is never read at query time):
+  PQ (m-byte codes, ~64x) / SQ8 (1 byte per dim, 4x, higher recall,
+  pure-JVM encode too) / BQ1 (1 BIT per dim, 32x, Hamming
+  bit_count(xor) + the bq1_rerank_search exact re-rank recipe).
+  IVF composes with each (ivfpq_*, ivfsq8_*).
+  Reference capability analog: mars/learn/neighbors ANN backends
+  (faiss/proxima wrappers); public formulations from Jégou et al.
+  TPAMI'11 (PQ) and Johnson, Douze & Jégou 2019 (FAISS SQ8/binary).
 """
 
 from __future__ import annotations
