@@ -921,8 +921,15 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
 
     emb = load(sf_dir, "embeddings").to_spark()
     ecorp = emb.filter(F.col("vec_id") % 2 == 0)
+    # cells scale with the corpus (~256 vectors per cell, floor 16 —
+    # identical to the oracle's LIMIT 16 at the gated sf0.01/sf0.1
+    # sizes): a FIXED cell count makes the stream-static probe join's
+    # pair work quadratic in sf (SCALE.md r11 — 564 s vs 120 s at
+    # sf10 in the isolated lifecycle; this row timed out at sf10
+    # before this knob)
+    n_cells3 = max(16, ecorp.count() // 256)
     asg3, cents3 = ivf_index_deterministic(ecorp, "embedding",
-                                           n_clusters=16)
+                                           n_clusters=n_cells3)
     istage = (f"/tmp/ms_ivfstore_{_os.getpid()}_"
               + sf_dir.strip("/").replace("/", "_"))
     if istage not in _INC_STAGED or not _os.path.exists(istage):
