@@ -915,3 +915,65 @@ def test_text_metrics_match_pure_python(spark, texts):
         assert out.nrm[i] == nrm, (s, out.nrm[i], nrm)
         assert out.ntok[i] == len(nrm.split(" ")), s
         assert abs(out.q[i] - _py_quality(s)) < 1e-9, (s, out.q[i])
+
+
+_vecs = st.lists(
+    st.lists(st.floats(min_value=-100.0, max_value=100.0,
+                       allow_nan=False, width=32),
+             min_size=4, max_size=4),
+    min_size=2, max_size=12)
+
+
+@given(vecs=_vecs)
+@_settings
+def test_sq8_quantization_error_bound(spark, vecs):
+    """SQ8 reconstruction error is bounded by half a quantization
+    step per dim (code = round((x-mn)/step) with recon = mn+code*step
+    can miss by at most step/2 plus float slack), and codes/search
+    replay exactly in numpy for ANY generated corpus — including
+    degenerate dims, duplicate vectors, and 2-row inputs."""
+    from mars_spark.llm import similarity as S
+
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = ms.from_pandas(pdf).to_spark()
+    codes, mins, maxs = S.sq8_index(sdf, "embedding")
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+    X = np.asarray(vecs, dtype=np.float64)
+    mn, mx = np.asarray(mins), np.asarray(maxs)
+    assert np.allclose(mn, X.min(0)) and np.allclose(mx, X.max(0))
+    live = mx > mn
+    step = np.where(live, (mx - mn) / 255.0, 0.0)
+    for i in range(len(vecs)):
+        C = np.asarray(got[i], dtype=np.float64)
+        assert ((C >= 0) & (C <= 255)).all()
+        recon = mn + C * step
+        # error bound: half a step (+ float slack) on live dims,
+        # exact on degenerate dims
+        err = np.abs(X[i] - recon)
+        assert (err <= step / 2 + 1e-9 + 1e-12 * np.abs(X[i])).all(), (
+            i, err, step)
+        assert (err[~live] == 0).all()
+
+
+@given(vecs=_vecs)
+@_settings
+def test_bq1_pack_roundtrip_property(spark, vecs):
+    """BQ1 packing is a bijection on the bit pattern: unpacking the
+    BIGINT words recovers exactly (x > midpoint) per dim for ANY
+    generated corpus, and every word stays below 2^32."""
+    from mars_spark.llm import similarity as S
+
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)),
+                        "embedding": [list(map(float, v)) for v in vecs]})
+    sdf = ms.from_pandas(pdf).to_spark()
+    words, th = S.bq1_index(sdf, "embedding")
+    got = {r.vec_id: list(r.words) for r in words.collect()}
+    X = np.asarray(vecs, dtype=np.float64)
+    t = np.asarray(th)
+    assert np.allclose(t, (X.min(0) + X.max(0)) / 2.0)
+    for i in range(len(vecs)):
+        ws = got[i]
+        assert all(0 <= w < (1 << 32) for w in ws)
+        bits = [(ws[j // 32] >> (j % 32)) & 1 for j in range(4)]
+        assert bits == [int(X[i, j] > t[j]) for j in range(4)], i
