@@ -134,6 +134,8 @@ def _image_features(payload: bytes) -> np.ndarray:
     import struct
 
     if payload[:2] == b"BM":
+        if len(payload) < 34:
+            return _fake_decode(payload, "image")
         off, = struct.unpack_from("<I", payload, 10)
         w, h = struct.unpack_from("<ii", payload, 18)
         bpp, = struct.unpack_from("<H", payload, 28)
@@ -142,6 +144,9 @@ def _image_features(payload: bytes) -> np.ndarray:
             return _fake_decode(payload, "image")
         flipped, h = h > 0, abs(h)
         stride = (w * 3 + 3) & ~3
+        if w <= 0 or h <= 0 or len(payload) - off < h * stride:
+            # valid header but short pixel data: degrade, don't raise
+            return _fake_decode(payload, "image")
         rows = np.frombuffer(
             payload, dtype=np.uint8, count=h * stride, offset=off
         ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
@@ -154,6 +159,8 @@ def _image_features(payload: bytes) -> np.ndarray:
         if hdr is None:
             return _fake_decode(payload, "image")
         (w, h, _), pos = hdr
+        if w <= 0 or h <= 0 or len(payload) - pos < w * h * 3:
+            return _fake_decode(payload, "image")
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                            offset=pos).reshape(h, w, 3).astype(np.float64)
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
@@ -163,7 +170,8 @@ def _image_features(payload: bytes) -> np.ndarray:
         if hdr is None:
             return _fake_decode(payload, "image")
         (w, h, maxval), pos = hdr
-        if maxval > 255:
+        if maxval > 255 or w <= 0 or h <= 0 \
+                or len(payload) - pos < w * h:
             return _fake_decode(payload, "image")
         gray = np.frombuffer(payload, dtype=np.uint8, count=w * h,
                              offset=pos).reshape(h, w).astype(np.float64)
@@ -176,6 +184,8 @@ def _image_features(payload: bytes) -> np.ndarray:
             return _fake_decode(payload, "image")
         (w, h), pos = hdr
         stride = (w + 7) // 8
+        if w <= 0 or h <= 0 or len(payload) - pos < h * stride:
+            return _fake_decode(payload, "image")
         rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
                              offset=pos).reshape(h, stride)
         bits = np.unpackbits(rows, axis=1)[:, :w]

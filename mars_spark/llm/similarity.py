@@ -21,6 +21,9 @@ Scale design:
   PQ (m-byte codes, ~64x) / SQ8 (1 byte per dim, 4x, higher recall,
   pure-JVM encode too) / BQ1 (1 BIT per dim, 32x, Hamming
   bit_count(xor) + the bq1_rerank_search exact re-rank recipe).
+  Compression ratios are the LOGICAL code widths — realized at rest
+  by parquet encodings (codes live as array<int>/array<bigint> in
+  Spark memory; see the per-encoder docstrings).
   IVF composes with each (ivfpq_*, ivfsq8_*).
   Reference capability analog: mars/learn/neighbors ANN backends
   (faiss/proxima wrappers); public formulations from Jégou et al.
@@ -370,11 +373,28 @@ def all_pairs_blocked(sdf: SparkDF, vec_col: str, threshold: float = 0.9,
     )
 
 
+def _knn_blocks(n_left: int, n_right: int,
+                pairs_per_reducer: int = 4_000_000
+                ) -> tuple[int, int]:
+    """Okcan-Riedewald block counts adapted to the two sides' sizes:
+    Bl ≈ |L|/√T, Br ≈ |R|/√T (T = target pairs per reducer) makes
+    every reducer score ~T pairs with replication proportional to
+    the OTHER side's block count — so a tiny side gets Bl=1 and the
+    big side is never replicated. Clamped to [1, 256] per side."""
+    import math
+
+    sqrt_t = math.sqrt(max(pairs_per_reducer, 1))
+    bl = max(1, min(256, round(n_left / sqrt_t)))
+    br = max(1, min(256, round(n_right / sqrt_t)))
+    return bl, br
+
+
 def knn_join(left: SparkDF, left_vec: str, right: SparkDF,
              right_vec: str, k: int = 10,
              left_id: str = "query_id", right_id: str = "vec_id",
-             n_blocks_left: int = 8,
-             n_blocks_right: int = 8) -> SparkDF:
+             n_blocks_left: int | None = None,
+             n_blocks_right: int | None = None,
+             pairs_per_reducer: int = 4_000_000) -> SparkDF:
     """Exact cosine top-k join of TWO large tables — (left_id, rank,
     right_id, cos_sim), rank 1 = most similar — with NEITHER side
     collected to the driver nor broadcast. This fills the scale gap
@@ -392,16 +412,33 @@ def knn_join(left: SparkDF, left_vec: str, right: SparkDF,
     reducers — no CartesianProduct, skew-free. Replication is Br per
     left row and Bl per right row; the Θ(|L|·|R|) pair scoring is
     inherent to the EXACT join (use the IVF/LSH paths for the
-    approximate sweep). A per-(left, right-block) partial top-k runs
-    where the join already clusters — Spark reuses the (p, q) hash
-    partitioning for the (q, left) window, no extra shuffle — so the
-    global rank window sees only Br·k rows per left row."""
+    approximate sweep).
+
+    Blocking adapts to the two sides' sizes: with Bl/Br unset, one
+    cheap count() per side picks Bl ≈ |L|/√T, Br ≈ |R|/√T
+    (T = pairs_per_reducer), so every reducer scores ~T pairs and the
+    replication factor follows the SMALLER side — a 100-row query
+    table against 200k vectors gets Bl=1 (no replication of the big
+    side) instead of a fixed square grid.
+
+    The per-(left row, right block) partial top-k windows on
+    (p, q, __lq) — a superset of the join keys, so the join's own
+    (p, q) hash partitioning satisfies the window's clustering
+    requirement and NO extra shuffle happens before it (p is a
+    function of __lq, so the grouping equals (__lq, q)). Only the
+    final global rank window shuffles, on the already-reduced
+    Br·k-rows-per-left-row partials."""
     from pyspark.sql import Window
 
     L = left.select(F.col(left_id).alias("__lq"),
                     unit(to_double(F.col(left_vec))).alias("__le"))
     R = right.select(F.col(right_id).alias("__rid"),
                      unit(to_double(F.col(right_vec))).alias("__re"))
+    if n_blocks_left is None or n_blocks_right is None:
+        bl, br = _knn_blocks(L.count(), R.count(), pairs_per_reducer)
+        n_blocks_left = bl if n_blocks_left is None else n_blocks_left
+        n_blocks_right = (br if n_blocks_right is None
+                          else n_blocks_right)
     lb = F.pmod(F.hash(F.col("__lq")), F.lit(n_blocks_left))
     rb = F.pmod(F.hash(F.col("__rid")), F.lit(n_blocks_right))
     a = L.withColumn("_blk", lb).select(
@@ -419,13 +456,16 @@ def knn_join(left: SparkDF, left_vec: str, right: SparkDF,
     ).select("__rid", "__re",
              F.col("kk.p").alias("p"), F.col("kk.q").alias("q"))
     pairs = (a.join(b.hint("shuffle_hash"), on=["p", "q"])
-             .select("__lq", "q", "__rid",
+             .select("__lq", "p", "q", "__rid",
                      F.round(dot(F.col("__le"), F.col("__re")), 4)
                      .alias("__s")))
-    w_part = (Window.partitionBy("__lq", "q")
+    # (p, q, __lq) ⊇ join keys (p, q): HashPartitioning(p, q) already
+    # satisfies this window's clustering, so no Exchange is inserted;
+    # p = hash(__lq) % Bl makes the grouping identical to (__lq, q).
+    w_part = (Window.partitionBy("p", "q", "__lq")
               .orderBy(F.col("__s").desc(), F.col("__rid").asc()))
     partial = (pairs.withColumn("__rn", F.row_number().over(w_part))
-               .filter(F.col("__rn") <= k).drop("__rn", "q"))
+               .filter(F.col("__rn") <= k).drop("__rn", "p", "q"))
     w_full = (Window.partitionBy("__lq")
               .orderBy(F.col("__s").desc(), F.col("__rid").asc()))
     return (partial.withColumn("rank", F.row_number().over(w_full))
@@ -790,8 +830,10 @@ def pq_encode(sdf: SparkDF, vec_col: str,
     codes (argmin subspace centroid; first-min tie-break matches the
     SQL replay's (dist, c) ordering). One Arrow batch → m small
     distance blocks via numpy broadcasting; at 100 TB this pass is
-    the index build, and the 8-byte code row is the ~64× memory
-    shrink that lets the search-side table scan stay in RAM."""
+    the index build. The m-byte logical code row (~64× smaller than
+    the float32 vector; stored as array<int>, so realized at rest via
+    parquet dictionary/bit-packing rather than in Spark memory) is
+    what lets the search-side scan stay RAM-resident."""
     import numpy as np
     import pandas as pd
 
@@ -897,24 +939,38 @@ def sq8_train(sdf: SparkDF, vec_col: str, dim: int | None = None
     """Per-dimension (min, max) bounds for 8-bit scalar quantization
     (the FAISS ``ScalarQuantizer QT_8bit`` formulation, from the
     public FAISS docs/paper — Johnson, Douze & Jégou, IEEE TBD 2019).
-    ONE aggregation pass computes all 2·d bounds as codegen'd JVM
-    min/max aggregates (no Python, no shuffle beyond the final
-    1-row reduce); min/max are order-exact on doubles, so the bounds
-    — and everything derived from them — are partition-layout
-    independent and SQL-replayable. At 100 TB this is a single
-    bandwidth-bound scan. Reference capability analog:
+    Min/max are order-independent on doubles, so the bounds — and
+    everything derived from them — are partition-layout independent
+    and SQL-replayable whichever plan computes them. Two plans by
+    width: d ≤ 64 emits all 2·d bounds as codegen'd JVM min/max
+    aggregates in ONE projection (no shuffle beyond the final 1-row
+    reduce); wider vectors (modern embedding widths, d=1024-4096)
+    would make that a 2·d-column aggregate row and a plan-size
+    hazard, so they run ONE posexplode → groupBy(pos) pass instead —
+    still a single bandwidth-bound scan, plus one d-row shuffle.
+    Both are pure JVM. Reference capability analog:
     mars/learn/neighbors ANN backends (proxima quantizers)."""
     if dim is None:
         dim = sdf.select(F.size(F.col(vec_col))).first()[0]
     v = to_double(F.col(vec_col))
-    aggs = []
-    for i in range(dim):
-        x = F.element_at(v, i + 1)
-        aggs.append(F.min(x).alias(f"mn{i}"))
-        aggs.append(F.max(x).alias(f"mx{i}"))
-    row = sdf.agg(*aggs).collect()[0]
-    mins = [float(row[f"mn{i}"]) for i in range(dim)]
-    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    if dim <= 64:
+        aggs = []
+        for i in range(dim):
+            x = F.element_at(v, i + 1)
+            aggs.append(F.min(x).alias(f"mn{i}"))
+            aggs.append(F.max(x).alias(f"mx{i}"))
+        row = sdf.agg(*aggs).collect()[0]
+        mins = [float(row[f"mn{i}"]) for i in range(dim)]
+        maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+        return mins, maxs
+    per_dim = (sdf.select(F.posexplode(v).alias("pos", "x"))
+               .groupBy("pos")
+               .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+               .collect())
+    mins, maxs = [0.0] * dim, [0.0] * dim
+    for r in per_dim:
+        mins[r["pos"]] = float(r["mn"])
+        maxs[r["pos"]] = float(r["mx"])
     return mins, maxs
 
 
@@ -926,10 +982,13 @@ def sq8_encode(sdf: SparkDF, vec_col: str, mins: list[float],
     rule — Spark and DuckDB round() disagree on decimal halves).
     Degenerate dims (max == min) encode as 0. All d expressions are
     native Column arithmetic inside one projection — pure JVM
-    whole-stage codegen, no Python — and the 1-byte/dim code row is
-    the 4× (vs float32) memory shrink that keeps a 100 TB corpus
-    scannable; unlike PQ there is no codebook lookup at decode time,
-    just an affine map, so recall is higher at lower compression."""
+    whole-stage codegen, no Python. The 1-byte/dim compression is
+    LOGICAL: Spark stores the codes as array<int> in memory, and the
+    4× (vs float32) shrink is realized at rest by parquet's
+    dictionary/bit-packed encoding of the 0..255 values, not in the
+    in-memory row. Unlike PQ there is no codebook lookup at decode
+    time, just an affine map, so recall is higher at lower
+    compression."""
     d = len(mins)
     v = to_double(F.col(vec_col))
     codes = []
@@ -1067,10 +1126,13 @@ def bq1_encode(sdf: SparkDF, vec_col: str, thresholds: list[float],
                id_col: str = "vec_id") -> SparkDF:
     """(id, words: array<bigint>) — each vector packed to 1 bit per
     dim (bit j of word w = dim 32·w+j > threshold), ceil(d/32) words.
-    Pure integer Column arithmetic — JVM codegen, no Python — and the
-    32× shrink vs float32 is the layout that makes exhaustive
-    Hamming scans bandwidth-trivial at 100 TB (8 bytes per 64-dim
-    vector; a 1000-executor cluster scans a trillion codes from RAM)."""
+    Pure integer Column arithmetic — JVM codegen, no Python. The 1
+    bit/dim compression is LOGICAL: in Spark memory each word is a
+    full 8-byte long in an array<bigint> (two longs for d=64), so the
+    32× shrink vs float32 is what the BIT layout admits — realized at
+    rest by parquet encodings and by the fact that a Hamming scan
+    touches ceil(d/32) integer words instead of d floats, which is
+    what makes exhaustive scans bandwidth-cheap at 100 TB."""
     v = to_double(F.col(vec_col))
     words = _bq1_words(v, thresholds, as_python=False)
     return sdf.select(F.col(id_col), F.array(*words).alias("words"))

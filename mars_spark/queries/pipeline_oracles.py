@@ -970,10 +970,16 @@ PIPELINE_ORACLES: dict[str, str] = {
                                embedding::DOUBLE[]))) AS e
                 FROM embeddings
             ), eseeds AS (
+                -- seed count replays the Spark side's corpus-scaled
+                -- sizing (pipeline.py n_cells3 = max(16, n_even//256))
+                -- so the oracle stays correct at ANY sf, not just the
+                -- gated sizes where the floor of 16 wins
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
                        e AS se
                 FROM (SELECT vec_id, e FROM eu WHERE par = 0
-                      ORDER BY vec_id LIMIT 16)
+                      ORDER BY vec_id
+                      LIMIT greatest(16, (SELECT count(*) // 256
+                                          FROM eu WHERE par = 0)))
             ), easg AS (
                 SELECT vec_id, par, e, sid AS cluster FROM (
                     SELECT u.vec_id, u.par, u.e, s.sid,

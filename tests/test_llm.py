@@ -1973,3 +1973,87 @@ def test_batched_queries_edge_cases(spark):
     sdup = spark.createDataFrame(dup).repartition(3)
     got2 = S.topk_bruteforce_queries(sdup, "embedding", q1, k=2).toPandas()
     assert sorted(got2.vec_id) == [2, 102]
+
+
+def test_knn_join_adaptive_blocking_skew(spark):
+    """Adaptive blocking follows each side's size: a tiny query table
+    against a big corpus must NOT replicate the big side (Bl=1), and
+    the mirror shape must not replicate the other way. The sizing is
+    pure arithmetic, so assert it directly at skewed shapes, then run
+    one skewed join end-to-end and replay it in numpy."""
+    from mars_spark.llm.similarity import _knn_blocks
+
+    # |L|=100 vs |R|=200k at T=4M pairs/reducer: Bl=1 (no replication
+    # of the 200k side), Br = 200k/2000
+    bl, br = _knn_blocks(100, 200_000)
+    assert bl == 1 and br == 100
+    bl, br = _knn_blocks(200_000, 100)
+    assert bl == 100 and br == 1
+    # square shape stays square; clamp holds at extreme sizes
+    assert _knn_blocks(10_000_000, 10_000_000) == (256, 256)
+    assert _knn_blocks(0, 5) == (1, 1)
+    # per-reducer pair work is ~T at unclamped shapes (the 256 clamp
+    # deliberately trades reducer size for bounded replication beyond)
+    bl, br = _knn_blocks(200_000, 400_000, 4_000_000)
+    per_reducer = (200_000 / bl) * (400_000 / br)
+    assert bl == 100 and br == 200
+    assert per_reducer <= 4_000_000 * 1.1
+
+    # end-to-end at a (small-scale) skewed shape, vs numpy
+    rng = np.random.default_rng(5)
+    corpus = rng.standard_normal((900, 8))
+    queries = rng.standard_normal((4, 8))
+    cdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(900),
+        "embedding": [list(map(float, v)) for v in corpus]}))
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": range(4),
+        "q": [list(map(float, v)) for v in queries]}))
+    got = S.knn_join(qdf, "q", cdf, "embedding", k=3,
+                     pairs_per_reducer=900).toPandas()
+    Cu = corpus / np.linalg.norm(corpus, axis=1)[:, None]
+    Qu = queries / np.linalg.norm(queries, axis=1)[:, None]
+    s = Qu @ Cu.T
+    s = np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5) / 1e4
+    for qi in range(4):
+        order = np.lexsort((np.arange(900), -s[qi]))[:3]
+        mine = got[got.query_id == qi].sort_values("rank")
+        assert list(mine.vec_id) == [int(i) for i in order], qi
+
+
+def test_multimodal_short_pixel_payload_falls_back(spark):
+    """A VALID header with a SHORT pixel payload must degrade to the
+    deterministic fake features, not raise ValueError inside the
+    Arrow UDF and kill the task — for every real image branch (BMP,
+    P6, P5, P4). The distinguishing mark of the fake path is a
+    non-feature-shaped vector (no w/h in slots 0-1)."""
+    import struct
+    from mars_spark.llm.multimodal import decode_features
+
+    # BMP: header says 8x8x24bpp but only 10 pixel bytes follow
+    bmp = bytearray(54 + 10)
+    bmp[0:2] = b"BM"
+    struct.pack_into("<I", bmp, 10, 54)       # data offset
+    struct.pack_into("<ii", bmp, 18, 8, 8)    # w, h
+    struct.pack_into("<H", bmp, 28, 24)       # bpp
+    struct.pack_into("<I", bmp, 30, 0)        # BI_RGB
+    rows = [
+        (1, "image", bytearray(bytes(bmp)), {}),
+        (2, "image", bytearray(b"P6\n8 8\n255\n" + b"\x01" * 10), {}),
+        (3, "image", bytearray(b"P5\n8 8\n255\n" + b"\x01" * 10), {}),
+        (4, "image", bytearray(b"P4\n64 4\n" + b"\xff" * 3), {}),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "id long, modality string, content binary, meta map<string,string>")
+    out = decode_features(sdf).toPandas().set_index("id").features
+    for i in (1, 2, 3, 4):
+        assert len(out[i]) == 32          # task survived; fake features
+        assert not (out[i][0] == 8.0 and out[i][1] == 8.0)
+    # and an intact tiny P6 still decodes for real next to them
+    ok = spark.createDataFrame(
+        [(9, "image", bytearray(b"P6\n2 1\n255\n" + bytes([10, 20, 30,
+                                                           40, 50, 60])), {})],
+        "id long, modality string, content binary, meta map<string,string>")
+    f = decode_features(ok).toPandas().features[0]
+    assert f[0] == 2.0 and f[1] == 1.0 and f[2] == 3.0

@@ -977,3 +977,34 @@ def test_bq1_pack_roundtrip_property(spark, vecs):
         assert all(0 <= w < (1 << 32) for w in ws)
         bits = [(ws[j // 32] >> (j % 32)) & 1 for j in range(4)]
         assert bits == [int(X[i, j] > t[j]) for j in range(4)], i
+
+
+def test_sq8_train_wide_dim_bounded_plan(spark):
+    """Modern embedding widths (d=1024) must not build a 2·d-column
+    aggregate row (plan-size hazard): the wide path runs ONE
+    posexplode → groupBy(pos) pass. Bounds are exactly numpy's
+    per-dim min/max (min/max are order-independent, so the two plans
+    are bit-identical where they overlap), and bq1_train's midpoint
+    thresholds follow."""
+    from mars_spark.llm import similarity as S
+
+    rng = np.random.default_rng(7)
+    d = 1024
+    X = rng.standard_normal((40, d)) * rng.uniform(0.1, 9.0, size=d)
+    X[:, 17] = 3.25  # degenerate dim survives the wide path too
+    pdf = pd.DataFrame({"vec_id": range(40),
+                        "embedding": [list(map(float, v)) for v in X]})
+    sdf = ms.from_pandas(pdf).to_spark().repartition(5)
+    mins, maxs = S.sq8_train(sdf, "embedding")
+    assert len(mins) == d == len(maxs)
+    assert np.array_equal(np.asarray(mins), X.min(0))
+    assert np.array_equal(np.asarray(maxs), X.max(0))
+    th = S.bq1_train(sdf, "embedding", dim=d)
+    assert np.array_equal(np.asarray(th), (X.min(0) + X.max(0)) / 2.0)
+    # the executed plan must stay bounded: no 2048-expression agg
+    from pyspark.sql import functions as F
+    v = F.col("embedding")
+    plan = (sdf.select(F.posexplode(v).alias("pos", "x"))
+            .groupBy("pos").agg(F.min("x"), F.max("x"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len(plan) < 20_000
