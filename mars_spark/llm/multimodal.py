@@ -5,10 +5,12 @@ batch shape, mapInPandas signatures, partition sizing. DECODERS
 dispatch on content magic bytes: self-describing uncompressed formats
 decode FOR REAL with the stdlib (PCM WAV via ``wave``; 24-bit BMP and
 binary PPM/PGM/PBM via struct parsing; non-interlaced 8-bit PNG via zlib +
-per-spec scanline unfiltering — see ``_png_pixels``); the remaining
-compressed formats (JPEG/MP3/MP4) still fall back to a deterministic
-fake because their codec libs (PIL/ffmpeg/torchaudio) aren't in this
-container — swap those in without touching any Spark code.
+per-spec scanline unfiltering — see ``_png_pixels``; baseline-sequential
+JPEG via canonical Huffman + dequant + 8x8 IDCT + YCbCr, see
+``_jpeg_pixels``); the remaining compressed formats (MP3/MP4, progressive
+JPEG) still fall back to a deterministic fake because their codec libs
+(ffmpeg/torchaudio) aren't in this container — swap those in without
+touching any Spark code.
 
 Schema convention for a multimodal table::
 
@@ -300,16 +302,452 @@ def _png_features(payload: bytes) -> np.ndarray:
                  float(b.mean()), float(gray.std())])
 
 
+# --------------------------------------------------------------- JPEG
+# Baseline-sequential JPEG (SOF0/SOF1) decoded for real with
+# stdlib + numpy: marker parse -> canonical Huffman decode ->
+# dequantize -> zigzag -> 8x8 IDCT -> chroma upsample -> YCbCr->RGB.
+# Public formulation throughout (ITU-T T.81 / JFIF). Out-of-scope
+# variants (progressive SOF2, arithmetic coding, 12-bit precision,
+# 16-bit quant tables, sampling factors > 2) return None and fall
+# back to the deterministic stub. Like _png_pixels this decodes
+# THUMBNAIL-scale payloads inside a UDF, not a media farm.
+
+_JPEG_ZIGZAG = []  # k-th entropy coefficient -> (row, col) in the block
+for _s in range(15):
+    _rows = range(max(0, _s - 7), min(_s, 7) + 1)
+    for _r in (_rows if _s % 2 else reversed(_rows)):
+        _JPEG_ZIGZAG.append((_r, _s - _r))
+del _s, _rows, _r
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT basis A[u,x] = 0.5·c(u)·cos((2x+1)uπ/16):
+    spatial = Aᵀ·F·A, and (encoder side) F = A·spatial·Aᵀ."""
+    import math
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+_JPEG_A = _jpeg_dct_basis()
+
+
+def _jpeg_build_huff(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman table per T.81 Annex C: {(length, code): sym}."""
+    lut, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over one unstuffed entropy segment; reads
+    past the end return 0 bits (the tail of a segment is padding)."""
+
+    def __init__(self, data: bytes):
+        self.d, self.pos = data, 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3] if (self.pos >> 3) < len(self.d) \
+                else 0
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def huff(self, lut: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.read(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_entropy_segments(payload: bytes, pos: int) -> list:
+    """Split the post-SOS byte stream into restart segments: FF00
+    unstuffs to FF, RST0-7 delimit segments, any other marker ends
+    the scan."""
+    segs, cur = [], bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = payload[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _jpeg_decode_block(bits: _JpegBits, dc_lut: dict, ac_lut: dict,
+                       pred: int, quant: np.ndarray):
+    """One 8x8 block: DC DPCM + AC run-length Huffman -> dequantized
+    spatial block (float64, pre-level-shift). Returns (block, new DC
+    predictor)."""
+    coef = np.zeros((8, 8), dtype=np.float64)
+    t = bits.huff(dc_lut)
+    pred += bits.extend(t)
+    coef[0, 0] = pred * quant[0]
+    k = 1
+    while k < 64:
+        rs = bits.huff(ac_lut)
+        if rs == 0x00:          # EOB
+            break
+        if rs == 0xF0:          # ZRL: 16 zeros
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("AC run past block end")
+        r, c = _JPEG_ZIGZAG[k]
+        coef[r, c] = bits.extend(rs & 15) * quant[k]
+        k += 1
+    return _JPEG_A.T @ coef @ _JPEG_A, pred
+
+
+def _jpeg_pixels(payload: bytes):
+    """Decode a baseline-sequential JPEG. Returns (w, h, ncomp,
+    HxWxC uint8) or None for out-of-scope variants / malformed
+    streams. Pinned rounding rules (replayed by the op_multimodal
+    oracle): samples = clip(floor(idct + 128.5), 0, 255) per
+    component plane; chroma upsampling is pixel replication
+    (plane[y//sy, x//sx]); RGB = clip(floor(ycbcr_conv + 0.5)) with
+    the JFIF constants (1.402 / 0.344136 / 0.714136 / 1.772)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    dri = 0
+    pos = 2
+    n = len(payload)
+    try:
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            m = payload[pos + 1]
+            pos += 2
+            if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                continue
+            if pos + 2 > n:
+                return None
+            seglen, = struct.unpack_from(">H", payload, pos)
+            data = payload[pos + 2:pos + seglen]
+            if len(data) != seglen - 2:
+                return None
+            body_end = pos + seglen
+            if m == 0xDB:                       # DQT
+                i = 0
+                while i < len(data):
+                    pq, tq = data[i] >> 4, data[i] & 15
+                    i += 1
+                    if pq != 0:                 # 16-bit tables: scope out
+                        return None
+                    qt[tq] = np.frombuffer(
+                        data, np.uint8, 64, i).astype(np.float64)
+                    i += 64
+            elif m in (0xC0, 0xC1):             # SOF0/SOF1: baseline huff
+                prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+                if prec != 8 or nc not in (1, 3) or w * h == 0:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = struct.unpack_from(
+                        ">BBB", data, 6 + 3 * ci)
+                    ch, cv = hv >> 4, hv & 15
+                    if ch not in (1, 2) or cv not in (1, 2):
+                        return None
+                    comps.append([cid, ch, cv, tq])
+                frame = (w, h, comps)
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):       # non-baseline SOF
+                return None
+            elif m == 0xC4:                     # DHT
+                i = 0
+                while i + 17 <= len(data):
+                    tc, th = data[i] >> 4, data[i] & 15
+                    counts = data[i + 1:i + 17]
+                    nsym = sum(counts)
+                    syms = data[i + 17:i + 17 + nsym]
+                    huff[(tc, th)] = _jpeg_build_huff(counts, syms)
+                    i += 17 + nsym
+            elif m == 0xDD:                     # DRI
+                dri, = struct.unpack_from(">H", data, 0)
+            elif m == 0xDA:                     # SOS: decode the scan
+                if frame is None:
+                    return None
+                w, h, comps = frame
+                ns = data[0]
+                if ns != len(comps):            # non-interleaved scan
+                    return None
+                tabs = {}
+                for si in range(ns):
+                    cs, tt = struct.unpack_from(">BB", data, 1 + 2 * si)
+                    tabs[cs] = (tt >> 4, tt & 15)
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = -(-w // (8 * hmax))
+                my = -(-h // (8 * vmax))
+                planes = [np.zeros((my * c[2] * 8, mx * c[1] * 8))
+                          for c in comps]
+                segs = _jpeg_entropy_segments(payload, body_end)
+                bits = _JpegBits(segs[0])
+                seg_i = 0
+                preds = [0] * len(comps)
+                for mcu in range(mx * my):
+                    if dri and mcu and mcu % dri == 0:
+                        seg_i += 1
+                        if seg_i >= len(segs):
+                            return None
+                        bits = _JpegBits(segs[seg_i])
+                        preds = [0] * len(comps)
+                    mr, mc = mcu // mx, mcu % mx
+                    for ci, (cid, ch, cv, tq) in enumerate(comps):
+                        td, ta = tabs[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk, preds[ci] = _jpeg_decode_block(
+                                    bits, huff[(0, td)], huff[(1, ta)],
+                                    preds[ci], qt[tq])
+                                r0 = (mr * cv + by) * 8
+                                c0 = (mc * ch + bx) * 8
+                                planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+                out = []
+                for ci, (cid, ch, cv, tq) in enumerate(comps):
+                    cw = -(-w * ch // hmax)
+                    chh = -(-h * cv // vmax)
+                    p = np.clip(np.floor(
+                        planes[ci][:chh, :cw] + 128.5), 0, 255)
+                    p = np.repeat(np.repeat(p, vmax // cv, axis=0),
+                                  hmax // ch, axis=1)[:h, :w]
+                    out.append(p)
+                if len(out) == 1:
+                    px = out[0][..., None].astype(np.uint8)
+                    return w, h, 1, px
+                y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+                rgb = np.stack([
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+                px = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+                return w, h, 3, px
+            pos = body_end
+    except (ValueError, KeyError, IndexError, struct.error):
+        return None
+    return None
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:        # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def pad(self):
+        """1-fill to a byte boundary (T.81 padding convention)."""
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg_category(v: int) -> tuple:
+    """(size category, appended bits) for a DC diff / AC value."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def jpeg_emit_baseline(w: int, h: int, comps: list, blocks: list,
+                       quant=None, dri: int = 0) -> bytes:
+    """Emit a valid baseline-sequential JPEG from ALREADY-QUANTIZED
+    per-block zigzag coefficients — the test-vector generator that
+    makes the decoder verifiable without PIL (encode support for real
+    corpora is out of scope; this exists so fixtures and property
+    tests control the exact coefficients the decoder must recover).
+
+    comps: [(ch, cv)] sampling factors per component (1 or 3 entries).
+    blocks: per component, the list of 64-length zigzag-order
+    coefficient lists in MCU emission order (for each MCU: cv·ch
+    blocks row-major). quant: 64 zigzag-order ints (default all 1s).
+    dri: restart interval in MCUs (RSTn emitted, DC preds reset).
+    Huffman tables are canonical with every used symbol at one code
+    length — tiny and valid, not Annex K."""
+    import struct
+
+    quant = [1] * 64 if quant is None else list(quant)
+    nc = len(comps)
+
+    # ---- gather the symbol alphabet + the entropy token stream
+    def tokens_for(blk, pred):
+        toks = []
+        diff = blk[0] - pred
+        s, bits = _jpeg_category(diff)
+        toks.append(("dc", s, bits))
+        k, run = 1, 0
+        last = 63
+        while last > 0 and blk[last] == 0:
+            last -= 1
+        while k <= last:
+            if blk[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                toks.append(("ac", 0xF0, None))
+                run -= 16
+            s, bits = _jpeg_category(blk[k])
+            toks.append(("ac", (run << 4) | s, (s, bits)))
+            run, k = 0, k + 1
+        if last < 63:
+            toks.append(("ac", 0x00, None))
+        return toks, blk[0]
+
+    mcu_tokens = []          # per MCU: list of tokens
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    idx = [0] * nc
+    preds = [0] * nc
+    dc_syms, ac_syms = set(), set()
+    for mcu in range(mx * my):
+        if dri and mcu and mcu % dri == 0:
+            preds = [0] * nc
+        toks = []
+        for ci, (ch, cv) in enumerate(comps):
+            for _ in range(ch * cv):
+                t, preds[ci] = tokens_for(blocks[ci][idx[ci]], preds[ci])
+                idx[ci] += 1
+                toks.extend(t)
+        mcu_tokens.append(toks)
+    for toks in mcu_tokens:
+        for kind, sym, _ in toks:
+            (dc_syms if kind == "dc" else ac_syms).add(sym)
+
+    def canonical(symbols):
+        """All symbols at one length L = max(4, bits needed), codes
+        0..n-1 — canonical, prefix-free, never the all-ones code."""
+        syms = sorted(symbols)
+        ln = max(4, (len(syms)).bit_length())
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        table = {s: (ln, i) for i, s in enumerate(syms)}
+        return counts, syms, table
+
+    dc_counts, dc_list, dc_tab = canonical(dc_syms)
+    ac_counts, ac_list, ac_tab = canonical(ac_syms)
+
+    # ---- entropy-coded bytes
+    wtr = _JpegBitWriter()
+    body = bytearray()
+    for mcu, toks in enumerate(mcu_tokens):
+        if dri and mcu and mcu % dri == 0:
+            wtr.pad()
+            body += wtr.out
+            body += bytes([0xFF, 0xD0 + ((mcu // dri - 1) % 8)])
+            wtr = _JpegBitWriter()
+        for kind, sym, extra in toks:
+            ln, code = (dc_tab if kind == "dc" else ac_tab)[sym]
+            wtr.put(code, ln)
+            if kind == "dc":
+                if sym:
+                    wtr.put(extra, sym)
+            elif extra is not None:
+                s, bits = extra
+                wtr.put(bits, s)
+    wtr.pad()
+    body += wtr.out
+
+    # ---- marker segments
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(payload_) + 2) + payload_)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(quant))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(dc_list)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_list)
+    out += seg(0xC4, dht)
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_features(payload: bytes) -> np.ndarray:
+    dec = _jpeg_pixels(payload)
+    if dec is None:
+        return _fake_decode(payload, "image")
+    w, h, c, px = dec
+    px = px.astype(np.float64)
+    if c == 1:
+        r = g = b = px[..., 0]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return _pad([w, h, c, float(r.mean()), float(g.mean()),
+                 float(b.mean()), float(gray.std())])
+
+
 def _decode_image(payload: bytes, modality: str) -> np.ndarray:
     if payload[:2] in (b"BM", b"P6", b"P5", b"P4"):
         return _image_features(payload)
     if payload[:8] == _PNG_MAGIC:
         return _png_features(payload)
-    return _fake_decode(payload, modality)  # JPEG: needs PIL
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_features(payload)  # REAL baseline SOF0/SOF1
+    return _fake_decode(payload, modality)
 
 
 DECODERS = {
-    "image": _decode_image,  # REAL for BMP/PPM/PGM/PBM/PNG-8bit; stub for JPEG (PIL absent)
+    "image": _decode_image,  # REAL for BMP/PPM/PGM/PBM/PNG-8bit/baseline-JPEG
     "audio": _decode_audio,  # REAL for PCM WAV; stub for MP3/OGG (ffmpeg absent)
     "video": _fake_decode,   # stub: containers need ffmpeg — frame fan-out
                              # shape is real (frame_sample_plan)

@@ -382,8 +382,46 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
                 F.round("acc", 2).alias("avg_tokens"),
                 F.lit(None).cast("double").alias("avg_chars"),
                 F.lit(None).cast("double").alias("avg_quality")))
+    # r12: trained language identification (llm/langid.py — the
+    # CCNet/fastText shape: hashed char-trigram counts + multinomial
+    # NaiveBayes, one aggregation pass to fit). Murmur hashing has no
+    # SQL replay, so the stratum is a planted-fixture per-doc
+    # CONTRACT: three synthetic 'languages' built from the documents
+    # table by deterministic character substitution (disjoint
+    # trigram distributions — every holdout doc sits far from the
+    # decision boundary, so aggregation-order float jitter cannot
+    # flip one), parity train/holdout split, and the 60 holdout rows
+    # emit the PREDICTED language index, which the oracle states as
+    # the true doc_id % 3.
+    from mars_spark.llm.langid import NGramLangID
+
+    lbase = d.filter(F.col("doc_id") < 120)
+    llang = F.element_at(
+        F.array(F.lit("la"), F.lit("lb"), F.lit("lc")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    ltxt = (F.when(llang == "la", F.col("text"))
+            .when(llang == "lb",
+                  F.translate(F.col("text"), "aeiou", "äëïöü"))
+            .otherwise(F.translate(F.col("text"), "etaoins",
+                                   "379015$")))
+    lcorp = lbase.select("doc_id", llang.alias("lang"),
+                         ltxt.alias("t"))
+    lid_model = NGramLangID(n=3, n_features=2048).fit(
+        lcorp.filter(F.col("doc_id") % 2 == 0), "t", "lang")
+    lpred = lid_model.predict(
+        lcorp.filter(F.col("doc_id") % 2 == 1), "t")
+    lrows = lpred.select(
+        F.lit("lid").alias("lang"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+        .alias("pred_lang"),
+        F.when(F.col("lang_pred") == "la", F.lit(0))
+        .when(F.col("lang_pred") == "lb", F.lit(1))
+        .otherwise(F.lit(2)).cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("avg_tokens"),
+        F.lit(None).cast("double").alias("avg_chars"),
+        F.lit(None).cast("double").alias("avg_quality"))
     return (conf.unionByName(mrows).unionByName(prow)
-            .unionByName(hyg).unionByName(qc))
+            .unionByName(hyg).unionByName(qc).unionByName(lrows))
 
 
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> SparkDF:
@@ -1658,7 +1696,39 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
                             * (1 + 1e-12) + F.lit(0.5)).cast("long")
                     .alias("feat_dim"),
                     F.lit(None).cast("string").alias("resize")))
-    return roll.unionByName(png_rows).unionByName(pnm_rows)
+    # r12: the REAL baseline-JPEG decoder (llm/multimodal.py
+    # _jpeg_pixels — canonical Huffman + dequant + 8x8 IDCT + YCbCr)
+    # gets two strata: a gray 16x16 whose per-block DC + (4,0)/(0,4)/
+    # (4,4) AC coefficients have the exact ±F/8 sign-pattern IDCT
+    # (all multiples of 8 -> integer pixels, no cos() in the oracle),
+    # and a 32x16 4:2:0 color fixture with a real RST0 restart
+    # between its two MCUs and an AC on the Cb plane (pins chroma
+    # upsampling by replication + the JFIF conversion rounding).
+    # Both decode through the SAME Arrow path; first 7 feature slots
+    # pinned; the oracle restates the pixels with range() arithmetic.
+    jpg = spark.createDataFrame(
+        [(30, "image", bytearray(_fixture_jpg_gray()), {"n_frames": "1"}),
+         (40, "image", bytearray(_fixture_jpg_color()), {"n_frames": "1"})],
+        "id long, modality string, content binary, "
+        "meta map<string,string>")
+    jpg_rows = (decode_features(jpg)
+                .select("id",
+                        F.posexplode(F.slice("features", 1, 7))
+                        .alias("pos", "val"))
+                .select(
+                    (F.lit(1000000) + F.col("id") * 100 + F.col("pos"))
+                    .cast("long").alias("id"),
+                    F.when(F.col("id") == 30, F.lit("jpg"))
+                    .otherwise(F.lit("jpgc")).alias("modality"),
+                    F.col("pos").cast("long").alias("n_frames"),
+                    F.when(F.col("id") == 30, F.lit(256))
+                    .otherwise(F.lit(512)).cast("long").alias("n_bytes"),
+                    F.floor(F.col("val").cast("double") * 1e4
+                            * (1 + 1e-12) + F.lit(0.5)).cast("long")
+                    .alias("feat_dim"),
+                    F.lit(None).cast("string").alias("resize")))
+    return (roll.unionByName(png_rows).unionByName(pnm_rows)
+            .unionByName(jpg_rows))
 
 
 def _fixture_pgm(w: int, h: int) -> bytes:
@@ -1730,6 +1800,51 @@ def _fixture_png(w: int, h: int) -> bytes:
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
+
+
+# the jpg strata's coefficient constants — shared between the fixture
+# builders here and the SQL oracle's VALUES lists (all multiples of 8
+# so every pixel is integer-exact: IDCT of these positions is ±F/8)
+_JPG_GRAY_P = [(80, 24, 16, 8), (-160, -32, 40, 16),
+               (320, 48, -24, -16), (-40, 8, 56, 24)]
+_JPG_YDC = [80, 160, -80, 240, 40, -200, 320, 120]
+_JPG_CB = [(96, 32), (-64, 0)]
+_JPG_CR = [-128, 192]
+
+
+def _fixture_jpg_gray() -> bytes:
+    """Baseline-JPEG gray 16x16: 4 blocks, per-block DC + the
+    (4,0)/(0,4)/(4,4) ACs (zigzag 10/14/39), quant all 1s — pixel
+    (x,y) of block (bx,by) is exactly
+    128 + (dc + s(x)·f40 + s(y)·f04 + s(x)s(y)·f44)/8 with the sign
+    pattern s = [+,-,-,+,+,-,-,+], which the oracle restates."""
+    from mars_spark.llm.multimodal import jpeg_emit_baseline
+
+    blocks = []
+    for dc, f40, f04, f44 in _JPG_GRAY_P:
+        b = [0] * 64
+        b[0], b[10], b[14], b[39] = dc, f40, f04, f44
+        blocks.append(b)
+    return jpeg_emit_baseline(16, 16, [(1, 1)], [blocks])
+
+
+def _fixture_jpg_color() -> bytes:
+    """Baseline-JPEG 32x16 YCbCr 4:2:0 with DRI=1 (one real RST0
+    between the two MCUs — DC predictors reset mid-stream): Y is 8
+    DC-only blocks, Cb carries a (4,0) AC in MCU 0 (pins the
+    replication upsample), Cr is DC-only per MCU."""
+    from mars_spark.llm.multimodal import jpeg_emit_baseline
+
+    def blk(dc, f40=0):
+        b = [0] * 64
+        b[0], b[10] = dc, f40
+        return b
+
+    yb = [blk(d) for d in _JPG_YDC]
+    cbb = [blk(dc, ac) for dc, ac in _JPG_CB]
+    crb = [blk(dc) for dc in _JPG_CR]
+    return jpeg_emit_baseline(32, 16, [(2, 2), (1, 1), (1, 1)],
+                              [yb, cbb, crb], dri=1)
 
 
 def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:

@@ -456,6 +456,116 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(NULL AS VARCHAR) AS resize
             FROM pvals
         )
+        UNION ALL
+        -- baseline-JPEG gray stratum: the fixture's DC + (4,0)/(0,4)/
+        -- (4,4) coefficients (all multiples of 8) have the exact
+        -- closed-form IDCT pixel = 128 + (dc + s(x)f40 + s(y)f04 +
+        -- s(x)s(y)f44)/8 with sign pattern s = [+,-,-,+,+,-,-,+] —
+        -- no cos() needed, integer-exact on both engines
+        SELECT * FROM (
+            WITH jsgn AS (
+                SELECT i, CAST(1 - 2 * (((i + 1) // 2) % 2) AS DOUBLE)
+                           AS s
+                FROM range(8) t(i)
+            ), jgp AS (
+                SELECT * FROM (VALUES (0, 80, 24, 16, 8),
+                                      (1, -160, -32, 40, 16),
+                                      (2, 320, 48, -24, -16),
+                                      (3, -40, 8, 56, 24))
+                    AS t(bi, dc, f40, f04, f44)
+            ), jgpx AS (
+                SELECT least(255.0, greatest(0.0,
+                           128 + (dc + sx.s * f40 + sy.s * f04
+                                  + sx.s * sy.s * f44) / 8.0)) AS v
+                FROM range(16) t1(gx), range(16) t2(gy)
+                JOIN jgp ON jgp.bi = (gx // 8) * 2 + (gy // 8)
+                JOIN jsgn sx ON sx.i = gx % 8
+                JOIN jsgn sy ON sy.i = gy % 8
+            ), jgst AS (
+                SELECT avg(v) AS m, stddev_pop(v) AS sd FROM jgpx
+            ), jvals AS (
+                SELECT 0 AS pos, 16.0 AS val
+                UNION ALL SELECT 1, 16.0
+                UNION ALL SELECT 2, 1.0
+                UNION ALL SELECT 3, m FROM jgst
+                UNION ALL SELECT 4, m FROM jgst
+                UNION ALL SELECT 5, m FROM jgst
+                UNION ALL SELECT 6, sd FROM jgst
+            )
+            SELECT CAST(1003000 + pos AS BIGINT) AS id,
+                   'jpg' AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(256 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM jvals
+        )
+        UNION ALL
+        -- baseline-JPEG 4:2:0 color stratum (32x16, DRI=1): Y from
+        -- the 8 DC-only blocks, Cb with a (4,0) AC in MCU 0 on the
+        -- SUBSAMPLED plane (row gx//2, col gy//2, replication
+        -- upsample), Cr DC-only per MCU; RGB via the pinned JFIF
+        -- floor(x+0.5) rule — expression shapes match the engine's
+        -- numpy ops term for term, so the doubles agree bitwise
+        SELECT * FROM (
+            WITH csgn AS (
+                SELECT i, CAST(1 - 2 * (((i + 1) // 2) % 2) AS DOUBLE)
+                           AS s
+                FROM range(8) t(i)
+            ), cydc AS (
+                SELECT * FROM (VALUES (0, 80.0), (1, 160.0), (2, -80.0),
+                                      (3, 240.0), (4, 40.0), (5, -200.0),
+                                      (6, 320.0), (7, 120.0)) AS t(bi, dc)
+            ), ccb AS (
+                SELECT * FROM (VALUES (0, 96.0, 32.0), (1, -64.0, 0.0))
+                    AS t(m, dc, ac)
+            ), ccr AS (
+                SELECT * FROM (VALUES (0, -128.0), (1, 192.0)) AS t(m, dc)
+            ), cpx AS (
+                SELECT 128 + cydc.dc / 8.0 AS yv,
+                       (ccb.dc + sx.s * ccb.ac) / 8.0 AS cbd,
+                       ccr.dc / 8.0 AS crd
+                FROM range(16) t1(gx), range(32) t2(gy)
+                JOIN cydc ON cydc.bi = (gy // 16) * 4 + (gx // 8) * 2
+                                       + ((gy % 16) // 8)
+                JOIN csgn sx ON sx.i = gx // 2
+                JOIN ccb ON ccb.m = (gy // 2) // 8
+                JOIN ccr ON ccr.m = (gy // 2) // 8
+            ), crgb AS (
+                SELECT least(255.0, greatest(0.0,
+                           floor(yv + 1.402 * crd + 0.5))) AS r,
+                       least(255.0, greatest(0.0,
+                           floor(yv - 0.344136 * cbd
+                                 - 0.714136 * crd + 0.5))) AS g,
+                       least(255.0, greatest(0.0,
+                           floor(yv + 1.772 * cbd + 0.5))) AS b
+                FROM cpx
+            ), cst AS (
+                SELECT avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+                       stddev_pop(0.299 * r + 0.587 * g + 0.114 * b)
+                           AS gs
+                FROM crgb
+            ), cvals AS (
+                SELECT 0 AS pos, 32.0 AS val
+                UNION ALL SELECT 1, 16.0
+                UNION ALL SELECT 2, 3.0
+                UNION ALL SELECT 3, mr FROM cst
+                UNION ALL SELECT 4, mg FROM cst
+                UNION ALL SELECT 5, mb FROM cst
+                UNION ALL SELECT 6, gs FROM cst
+            )
+            SELECT CAST(1004000 + pos AS BIGINT) AS id,
+                   'jpgc' AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(512 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM cvals
+        )
     """,
     "op_tensor": """
         WITH mm AS (
@@ -825,6 +935,18 @@ PIPELINE_ORACLES: dict[str, str] = {
                CAST(60 AS BIGINT) AS n_docs, 1.0 AS avg_tokens,
                CAST(NULL AS DOUBLE) AS avg_chars,
                CAST(NULL AS DOUBLE) AS avg_quality
+        UNION ALL
+        -- trained-langid contract (llm/langid.py NGramLangID): the
+        -- predicted language index of every odd holdout doc equals
+        -- its planted truth doc_id % 3 (three disjoint character
+        -- substitutions -> huge NB margins; murmur hashing itself
+        -- has no SQL replay)
+        SELECT 'lid' AS lang, 'd' || CAST(i AS VARCHAR) AS pred_lang,
+               CAST(i % 3 AS BIGINT) AS n_docs,
+               CAST(NULL AS DOUBLE) AS avg_tokens,
+               CAST(NULL AS DOUBLE) AS avg_chars,
+               CAST(NULL AS DOUBLE) AS avg_quality
+        FROM range(120) t(i) WHERE i % 2 = 1
     """,
     "docs_dedup_simhash": f"""
         WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),

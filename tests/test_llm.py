@@ -2057,3 +2057,269 @@ def test_multimodal_short_pixel_payload_falls_back(spark):
         "id long, modality string, content binary, meta map<string,string>")
     f = decode_features(ok).toPandas().features[0]
     assert f[0] == 2.0 and f[1] == 1.0 and f[2] == 3.0
+
+
+# ------------------------------------------------------------------ JPEG
+def _zz_index(r, c):
+    zz = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for rr in (rows if s % 2 else reversed(rows)):
+            zz.append((rr, s - rr))
+    return zz.index((r, c))
+
+
+def _jpeg_sign_pattern():
+    return [1, -1, -1, 1, 1, -1, -1, 1]
+
+
+def test_jpeg_decode_closed_form_gray(spark):
+    """Hand-built gray 16x16 baseline JPEG (4 blocks; DC + the
+    (4,0)/(0,4)/(4,4) ACs whose IDCT is the exact ±F/8 sign pattern,
+    all multiples of 8, quant 1): decode recovers every pixel of the
+    closed form bit-exactly — Huffman, DPCM, zigzag, IDCT and the
+    floor(x+128.5) rounding rule all pinned at once."""
+    from mars_spark.llm.multimodal import jpeg_emit_baseline, _jpeg_pixels
+
+    k40, k04, k44 = _zz_index(4, 0), _zz_index(0, 4), _zz_index(4, 4)
+
+    def blk(dc, f40, f04, f44):
+        b = [0] * 64
+        b[0], b[k40], b[k04], b[k44] = dc, f40, f04, f44
+        return b
+
+    P = [(80, 24, 16, 8), (-160, -32, 40, 16),
+         (320, 48, -24, -16), (-40, 8, 56, 24)]
+    jpg = jpeg_emit_baseline(16, 16, [(1, 1)], [[blk(*p) for p in P]])
+    w, h, c, px = _jpeg_pixels(jpg)
+    assert (w, h, c) == (16, 16, 1)
+    sgn = _jpeg_sign_pattern()
+    exp = np.zeros((16, 16))
+    for bi, (dc, f40, f04, f44) in enumerate(P):
+        br, bc = divmod(bi, 2)
+        for x in range(8):
+            for y in range(8):
+                v = 128 + (dc + sgn[x] * f40 + sgn[y] * f04
+                           + sgn[x] * sgn[y] * f44) / 8
+                exp[br * 8 + x, bc * 8 + y] = min(255, max(0, np.floor(v + 0.5)))
+    assert np.array_equal(px[..., 0].astype(float), exp)
+
+
+def test_jpeg_decode_420_color_restart(spark):
+    """32x16 4:2:0 YCbCr with DRI=1 (a real RST0 between the two
+    MCUs, DC predictors reset): decoded RGB matches the closed-form
+    replay of subsampled-plane reconstruction, pixel-replication
+    upsampling, and the pinned JFIF conversion rounding."""
+    from mars_spark.llm.multimodal import jpeg_emit_baseline, _jpeg_pixels
+
+    k40 = _zz_index(4, 0)
+
+    def blk(dc, f40=0):
+        b = [0] * 64
+        b[0], b[k40] = dc, f40
+        return b
+
+    ydc = [8 * v for v in (10, 20, -10, 30, 5, -25, 40, 15)]
+    yb = [blk(d) for d in ydc]
+    cbb = [blk(96, 32), blk(-64)]
+    crb = [blk(-128), blk(192)]
+    jpg = jpeg_emit_baseline(32, 16, [(2, 2), (1, 1), (1, 1)],
+                             [yb, cbb, crb], dri=1)
+    assert b"\xff\xd0" in jpg  # the restart marker is really there
+    w, h, c, px = _jpeg_pixels(jpg)
+    assert (w, h, c) == (32, 16, 3)
+
+    sgn = _jpeg_sign_pattern()
+    Y = np.zeros((16, 32))
+    Cb = np.zeros((8, 16))
+    Cr = np.zeros((8, 16))
+    for m in range(2):
+        for bi in range(4):
+            br, bc = divmod(bi, 2)
+            Y[br * 8:(br + 1) * 8,
+              m * 16 + bc * 8:m * 16 + (bc + 1) * 8] = (
+                128 + ydc[m * 4 + bi] / 8)
+        cbdc, cbac = (96, 32) if m == 0 else (-64, 0)
+        for x in range(8):
+            Cb[x, m * 8:(m + 1) * 8] = 128 + (cbdc + sgn[x] * cbac) / 8
+        Cr[:, m * 8:(m + 1) * 8] = 128 + crb[m][0] / 8
+    Yc = np.clip(np.floor(Y + 0.5), 0, 255)
+    cb = np.repeat(np.repeat(np.clip(np.floor(Cb + 0.5), 0, 255), 2, 0),
+                   2, 1) - 128.0
+    cr = np.repeat(np.repeat(np.clip(np.floor(Cr + 0.5), 0, 255), 2, 0),
+                   2, 1) - 128.0
+    rgb = np.stack([Yc + 1.402 * cr,
+                    Yc - 0.344136 * cb - 0.714136 * cr,
+                    Yc + 1.772 * cb], -1)
+    assert np.array_equal(px.astype(float),
+                          np.clip(np.floor(rgb + 0.5), 0, 255))
+
+
+def test_jpeg_quant_dequant_and_odd_dims(spark):
+    """(a) A non-unit quant table really multiplies: DC-only block at
+    q0=16 decodes to floor(dc·16/8 + 128.5). (b) Odd dimensions
+    (11x5, padded to one MCU) crop back to the declared size. (c)
+    4:2:2 sampling (2x1) upsamples horizontally only."""
+    from mars_spark.llm.multimodal import jpeg_emit_baseline, _jpeg_pixels
+
+    q = [16] + [1] * 63
+    dcb = [[[13] + [0] * 63]]
+    w, h, c, px = _jpeg_pixels(
+        jpeg_emit_baseline(8, 8, [(1, 1)], dcb, quant=q))
+    assert px[0, 0, 0] == int(np.floor(13 * 16 / 8 + 128.5))
+    assert (px == px[0, 0, 0]).all()
+
+    w, h, c, px = _jpeg_pixels(
+        jpeg_emit_baseline(11, 5, [(1, 1)], [[[80] + [0] * 63,
+                                              [160] + [0] * 63]]))
+    assert (w, h) == (11, 5) and px.shape == (5, 11, 1)
+    assert (px[:, :8, 0] == 138).all() and (px[:, 8:, 0] == 148).all()
+
+    # 4:2:2: Y two blocks wide, chroma one block -> horizontal repl
+    yb = [[80] + [0] * 63, [160] + [0] * 63]
+    cbb = [[240] + [0] * 63]
+    crb = [[-240] + [0] * 63]
+    w, h, c, px = _jpeg_pixels(
+        jpeg_emit_baseline(16, 8, [(2, 1), (1, 1), (1, 1)],
+                           [yb, cbb, crb]))
+    assert (w, h, c) == (16, 8, 3)
+    Yv = np.where(np.arange(16) < 8, 138.0, 148.0)
+    cbv, crv = 158.0 - 128, 98.0 - 128
+    expr = np.clip(np.floor(Yv + 1.402 * crv + 0.5), 0, 255)
+    expb = np.clip(np.floor(Yv + 1.772 * cbv + 0.5), 0, 255)
+    assert np.array_equal(px[0, :, 0].astype(float), expr)
+    assert np.array_equal(px[0, :, 2].astype(float), expb)
+
+
+def test_jpeg_roundtrip_property(spark):
+    """Forward path written independently of the decoder (numpy DCT +
+    round-half-away quantization at q=1): encode random images, decode
+    them back, and the reconstruction error is bounded by coefficient
+    rounding (±0.5/coef -> a few gray levels), for gray and 4:4:4
+    color at block-aligned AND ragged sizes."""
+    from mars_spark.llm.multimodal import jpeg_emit_baseline, _jpeg_pixels
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    zz = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for rr in (rows if s % 2 else reversed(rows)):
+            zz.append((rr, s - rr))
+
+    def encode_plane(plane):
+        """plane HxW float -> list of zigzag coeff blocks (pad edge)."""
+        h, w = plane.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        out = []
+        for br in range(ph // 8):
+            for bc in range(pw // 8):
+                f = A @ (pad[br * 8:br * 8 + 8,
+                             bc * 8:bc * 8 + 8] - 128.0) @ A.T
+                qf = np.sign(f) * np.floor(np.abs(f) + 0.5)
+                out.append([int(qf[r, c]) for (r, c) in zz])
+        return out
+
+    rng = np.random.default_rng(11)
+    for (w, h) in [(16, 16), (24, 8), (11, 13)]:
+        img = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+        jpg = jpeg_emit_baseline(w, h, [(1, 1)], [encode_plane(img)])
+        dw, dh, dc, px = _jpeg_pixels(jpg)
+        assert (dw, dh, dc) == (w, h, 1)
+        err = np.abs(px[..., 0].astype(np.float64) - img)
+        assert err.max() <= 4.0, (w, h, err.max())
+
+    # 4:4:4 color: RGB -> JFIF YCbCr planes, one block grid each
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.float64)
+    R, G, B = img[..., 0], img[..., 1], img[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = 128 - 0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 128 + 0.5 * R - 0.418688 * G - 0.081312 * B
+    jpg = jpeg_emit_baseline(
+        16, 16, [(1, 1), (1, 1), (1, 1)],
+        [encode_plane(Y), encode_plane(Cb), encode_plane(Cr)])
+    dw, dh, dc, px = _jpeg_pixels(jpg)
+    assert (dw, dh, dc) == (16, 16, 3)
+    err = np.abs(px.astype(np.float64) - img)
+    assert err.max() <= 6.0, err.max()
+
+
+def test_jpeg_out_of_scope_falls_back(spark):
+    """Progressive (SOF2), 16-bit quant tables, truncated streams and
+    mid-stream garbage all route to the deterministic fake features
+    through the SAME Arrow decode path — never a task failure."""
+    from mars_spark.llm.multimodal import (decode_features,
+                                           jpeg_emit_baseline)
+    import struct
+
+    good = jpeg_emit_baseline(8, 8, [(1, 1)], [[[40] + [0] * 63]])
+    # flip SOF0 -> SOF2 (progressive)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # 16-bit quant table precision nibble
+    bad_q = bytearray(good)
+    dqt_at = good.index(b"\xff\xdb") + 4
+    bad_q[dqt_at] = 0x10
+    rows = [
+        (1, "image", bytearray(good), {}),
+        (2, "image", bytearray(prog), {}),
+        (3, "image", bytearray(bytes(bad_q)), {}),
+        (4, "image", bytearray(good[:20]), {}),
+        (5, "image", bytearray(b"\xff\xd8\xff\xee\x00\x04ab"), {}),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "id long, modality string, content binary, meta map<string,string>")
+    out = decode_features(sdf).toPandas().set_index("id").features
+    assert out[1][0] == 8.0 and out[1][1] == 8.0 and out[1][2] == 1.0
+    assert out[1][3] == out[1][4] == out[1][5] == 133.0  # floor(40/8+128.5)
+    for i in (2, 3, 4, 5):
+        assert len(out[i]) == 32
+        assert not (out[i][0] == 8.0 and out[i][1] == 8.0)
+
+
+def test_ngram_langid_classifier(spark):
+    """Trained char-trigram NB langid (llm/langid.py): 100% holdout
+    accuracy on three disjoint-alphabet synthetic languages,
+    deterministic across partition layouts, confident (posterior ~1)
+    far from the boundary, and the gram extractor keeps multiplicity
+    and spans newlines."""
+    from mars_spark.llm.langid import NGramLangID, char_ngram_list
+
+    # gram extraction semantics first
+    g = spark.range(1).select(char_ngram_list(F.lit("aXb\ncd"), 3)
+                              .alias("g")).first().g
+    assert g == ["axb", "xb\n", "b\nc", "\ncd"]  # lowered, (?s) spans \n
+    g2 = spark.range(1).select(char_ngram_list(F.lit("aaaa"), 3)
+                               .alias("g")).first().g
+    assert g2 == ["aaa", "aaa"]                  # multiplicity kept
+
+    words = {"la": ["alpha", "aback", "banana", "cabal"],
+             "lb": ["ferrum", "figgle", "huffed", "jiffy"],
+             "lc": ["kokomo", "lemon", "monsoon", "onkolo"]}
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(150):
+        lang = ["la", "lb", "lc"][i % 3]
+        text = " ".join(rng.choice(words[lang], size=12))
+        rows.append((i, lang, text))
+    sdf = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = sdf.filter(F.col("doc_id") % 2 == 0)
+    test = sdf.filter(F.col("doc_id") % 2 == 1)
+    m = NGramLangID(n=3, n_features=1024).fit(train, "text", "lang")
+    pred = m.predict(test, "text").select("doc_id", "lang", "lang_pred",
+                                          "lang_conf").toPandas()
+    assert (pred.lang == pred.lang_pred).all()
+    assert (pred.lang_conf > 0.99).all()
+    # schema passthrough + layout determinism
+    pred2 = m.predict(test.repartition(7), "text") \
+        .select("doc_id", "lang_pred").toPandas() \
+        .set_index("doc_id").lang_pred
+    assert all(pred2[r.doc_id] == r.lang_pred for r in pred.itertuples())
+    # fit before predict guard
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        NGramLangID().predict(test, "text")
