@@ -796,7 +796,8 @@ def ivf_search(assigned: SparkDF, centroids: list[list[float]],
 
 # ------------------------------------------------------------------- PQ
 def pq_codebook(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
-                m: int = 8, nbits: int = 4) -> list[list[list[float]]]:
+                m: int = 8, nbits: int = 4,
+                refine: int = 0) -> list[list[list[float]]]:
     """Deterministic product-quantization codebook (Jégou, Douze &
     Schmid, TPAMI 2011 — the public PQ formulation): the d dims split
     into ``m`` subspaces; each subspace's 2^nbits centroids are the
@@ -804,8 +805,22 @@ def pq_codebook(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
     fixed-'random' seeding ivf_index_deterministic uses, so the whole
     index — and therefore search results — is bit-reproducible across
     partitionings and replayable by the SQL oracle). Returns
-    m × 2^nbits × (d/m). A production variant adds per-subspace Lloyd
-    steps exactly like the IVF refine path."""
+    m × 2^nbits × (d/m).
+
+    ``refine`` > 0 runs that many per-subspace Lloyd iterations on
+    top of the seeds — the trained-codebook step FAISS does, which
+    buys quantization error (and recall) on real data where the
+    smallest-id rows are a poor net. Each iteration is ONE Arrow
+    pass emitting per-(subspace, code) partial sums/counts at
+    centroid size (m·2^nbits·(d/m) scalars collected — constant,
+    never data-sized) + a tiny groupBy; empty cells keep their
+    previous centroid, so the codebook shape is stable. The gated
+    strata pin refine=0 (the oracle replays smallest-id seeding);
+    refined codebooks are float means, deterministic for a fixed
+    partition layout but — like the IVF refine path — with last-ulp
+    layout sensitivity inherent to distributed averaging."""
+    import numpy as np
+
     k = 1 << nbits
     # k SMALLEST ids, not ids < k: sparse/offset id spaces would
     # silently undersize the codebook under the filter form
@@ -820,7 +835,50 @@ def pq_codebook(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     ds = d // m
-    return [[v[s * ds:(s + 1) * ds] for v in vecs] for s in range(m)]
+    codebook = [[v[s * ds:(s + 1) * ds] for v in vecs]
+                for s in range(m)]
+    if not refine:
+        return codebook
+
+    import pandas as pd
+
+    base = sdf.select(to_double(F.col(vec_col)).alias("__e"))
+    for _ in range(refine):
+        cents = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+
+        def gen(batches, _cents=cents):
+            sums = np.zeros((m, k, ds))
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in pdf["__e"]])
+                for s in range(m):
+                    xs = x[:, s * ds:(s + 1) * ds]
+                    code = ((xs[:, None, :] - _cents[s][None, :, :])
+                            ** 2).sum(axis=2).argmin(axis=1)
+                    np.add.at(sums[s], code, xs)
+                    np.add.at(cnts[s], code, 1)
+            s_idx, c_idx = np.nonzero(cnts)
+            yield pd.DataFrame({
+                "s": np.repeat(s_idx, ds).astype("int32"),
+                "c": np.repeat(c_idx, ds).astype("int32"),
+                "pos": np.tile(np.arange(ds, dtype="int32"),
+                               len(s_idx)),
+                "sm": sums[s_idx, c_idx].ravel(),
+                "n": np.repeat(cnts[s_idx, c_idx], ds),
+            })
+
+        parts = (base.mapInPandas(
+            gen, "s int, c int, pos int, sm double, n long")
+            .groupBy("s", "c", "pos")
+            .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
+            .collect())
+        for r in parts:
+            if r["n"]:
+                codebook[r["s"]][r["c"]][r["pos"]] = r["sm"] / r["n"]
+    return codebook
 
 
 def pq_encode(sdf: SparkDF, vec_col: str,

@@ -1414,6 +1414,84 @@ class _state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
+def _append_session_run(spark: SparkSession, sf_dir: str,
+                        seq: int) -> SparkDF:
+    """APPEND-mode SESSION-WINDOW run — the production sessionization
+    semantics the complete-mode ses:* stratum can't show: session
+    MERGE across micro-batches, late-row drop, and watermark
+    eviction. 48 rows derived from the events table (rank r by
+    event_id; uid = r%4, event-time minute m = 10r + 60·(r//8), value
+    real) give every user 2-row sessions per 8-rank block (in-block
+    same-user spacing 40 min < the 45-min gap; across blocks 100 min
+    > gap). Batch 1 = all but {r=6, r=33, r>=36}; batch 2 = the rest
+    after processAllAvailable. Pinned rules (probed empirically,
+    replayed by the oracle):
+    - a batch-2 row is DROPPED iff its initial window end (ts + gap)
+      <= the batch-1 watermark (max b1 ts − 30 min) — so r=6 (m=60)
+      dies and r=33 (m=570) survives as a late-but-within-watermark
+      arrival that MERGES into the open block-4 session of uid 1;
+    - a session is EMITTED iff its merged end (last ts + gap) <= the
+      final watermark (max ts − 30 min) — block-5 sessions (m >= 700
+      vs final wm 740) stay open and never appear.
+    Emitted as grp='aps:<uid>:<start-minute>' (epoch-minute keys, so
+    the oracle replay is timezone-free)."""
+    import glob
+    import os
+    import shutil
+
+    from mars_spark.streaming.core import read_stream, session_agg
+
+    base_epoch = 1600000000
+    e = (load(sf_dir, "events").to_spark()
+         .select("event_id", "value").orderBy("event_id").limit(48)
+         .collect())
+    rows = []
+    for r, rec in enumerate(e):
+        m = 10 * r + 60 * (r // 8)
+        rows.append((r % 4, base_epoch + m * 60, float(rec["value"]),
+                     r in (6, 33) or r >= 36))
+    df = spark.createDataFrame(
+        rows, "user_id long, epoch long, value double, b2 boolean"
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"),
+             "value", "b2")
+
+    root = "/tmp/ms_aps_run_" + sf_dir.strip("/").replace("/", "_") \
+        + f"_{seq}"
+    shutil.rmtree(root, ignore_errors=True)
+    stage = f"{root}/stage"
+    os.makedirs(stage)
+    for name, cond in (("b1", ~F.col("b2")), ("b2", F.col("b2"))):
+        df.filter(cond).drop("b2").coalesce(1).write.parquet(
+            f"{root}/{name}")
+    shutil.copy(glob.glob(f"{root}/b1/part-*.parquet")[0],
+                f"{stage}/b1.parquet")
+
+    src = read_stream(spark, "parquet", stage,
+                      schema=df.drop("b2").schema)
+    agg = session_agg(src, "ts", "45 minutes", ["user_id"],
+                      {"value": "sum", "ts": "count"},
+                      watermark="30 minutes")
+    qname = f"ms_stream_aps_{seq}"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()   # batch 1 + no-data watermark flush
+        shutil.copy(glob.glob(f"{root}/b2/part-*.parquet")[0],
+                    f"{stage}/b2.parquet")
+        q.processAllAvailable()   # batch 2: drop/merge/evict + flush
+    finally:
+        q.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.table(qname).select(
+        F.concat(
+            F.lit("aps:"), F.col("user_id").cast("string"), F.lit(":"),
+            ((F.unix_timestamp("session_start") - F.lit(base_epoch))
+             / 60).cast("long").cast("string")).alias("grp"),
+        F.lit(None).cast("timestamp").alias("wstart"),
+        F.col("ts_count").alias("n"),
+        F.round(F.col("value_sum"), 2).alias("sum_value"))
+
+
 def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
     """THREE real Structured Streaming runs, driver-verified against
     one batch SQL oracle: readStream over the events parquet
@@ -1484,6 +1562,9 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
         # (processAllAvailable between file arrivals) while the three
         # availableNow queries drain concurrently
         apw = _append_watermark_run(spark, sf_dir, seq)
+        # r12: the session-window twin of the apw lifecycle — append
+        # mode, cross-batch session merge, late drop, eviction
+        aps = _append_session_run(spark, sf_dir, seq)
         for q in queries:
             q.awaitTermination()
 
@@ -1511,7 +1592,7 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
                             F.col("user").cast("string")).alias("grp"),
                    "wstart", "n", "sum_value"))
     return (tum.unionByName(sli).unionByName(ses).unionByName(apw)
-            .unionByName(ssj))
+            .unionByName(ssj).unionByName(aps))
 
 
 def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:

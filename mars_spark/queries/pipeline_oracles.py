@@ -325,6 +325,53 @@ PIPELINE_ORACLES: dict[str, str] = {
                   FROM events)
         ) GROUP BY grp, wstart
         UNION ALL
+        -- aps: append-mode SESSION windows (pipeline.
+        -- _append_session_run): rank-derived rows (uid = r%4,
+        -- minute m = 10r + 60*(r//8)), batch 2 = {6, 33, r>=36};
+        -- a b2 row is dropped iff m + gap(45) <= batch-1 watermark
+        -- (max b1 m - 30); sessions = islands with merge rule
+        -- (ts - prev < 45 min); emitted iff last ts + 45 <= final
+        -- watermark (max m - 30). Epoch-minute keys: tz-free.
+        SELECT * FROM (
+            WITH aps_rows AS (
+                SELECT row_number() OVER (ORDER BY event_id) - 1 AS r,
+                       value
+                FROM (SELECT event_id, value FROM events
+                      ORDER BY event_id LIMIT 48)
+            ), aps_m AS (
+                SELECT r % 4 AS uid, 10 * r + 60 * (r // 8) AS m,
+                       value,
+                       (r = 6 OR r = 33 OR r >= 36) AS b2
+                FROM aps_rows
+            ), aps_wm1 AS (
+                SELECT max(m) - 30 AS w FROM aps_m WHERE NOT b2
+            ), aps_surv AS (
+                SELECT * FROM aps_m
+                WHERE NOT b2 OR m + 45 > (SELECT w FROM aps_wm1)
+            ), aps_wmf AS (
+                SELECT max(m) - 30 AS w FROM aps_surv
+            ), aps_sess AS (
+                SELECT uid, m, value,
+                       sum(ns) OVER (PARTITION BY uid ORDER BY m
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM (
+                    SELECT uid, m, value,
+                           CASE WHEN prev IS NULL OR m - prev >= 45
+                                THEN 1 ELSE 0 END AS ns
+                    FROM (SELECT uid, m, value,
+                                 lag(m) OVER (PARTITION BY uid
+                                              ORDER BY m) AS prev
+                          FROM aps_surv)
+                )
+            )
+            SELECT 'aps:' || uid || ':' || min(m) AS grp,
+                   CAST(NULL AS TIMESTAMP) AS wstart,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM aps_sess
+            GROUP BY uid, sid
+            HAVING max(m) + 45 <= (SELECT w FROM aps_wmf)
+        )
+        UNION ALL
         SELECT 'ses:' || user_id AS grp, min(ts) AS wstart,
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM (
