@@ -65,6 +65,7 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
                  min_quality: float = 0.0, max_dup2: float = 1.0,
                  max_topw: float = 1.0, min_tokens: int = 0,
                  langs: list[str] | None = None,
+                 langid_model=None,
                  redact_pii: bool = True,
                  dedup: str | None = "exact",
                  dedup_threshold: float = 0.5,
@@ -84,6 +85,11 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
     and dedups on cosine >= ``dedup_threshold`` inside deterministic
     IVF cells (raise ``n_clusters`` with corpus size).
 
+    ``langs`` filters by language: with ``langid_model`` (a fitted
+    ``llm.langid.NGramLangID``) the trained classifier decides
+    (CCNet's lead hygiene stage); without it the marker-word
+    ``text.language_id`` heuristic folds into the scan predicate.
+
     Optional curation stages, applied in pipeline order:
     - ``line_dedup_sep`` (e.g. ``"\\n"``): C4-style GLOBAL line dedup
       after doc-level dedup — first corpus occurrence of every line
@@ -100,7 +106,18 @@ def clean_corpus(docs: SparkDF, *, text_col: str = "text",
     plan that already persists)."""
     out = docs.filter(quality_predicate(
         text_col, min_quality=min_quality, max_dup2=max_dup2,
-        max_topw=max_topw, min_tokens=min_tokens, langs=langs))
+        max_topw=max_topw, min_tokens=min_tokens,
+        langs=None if langid_model is not None else langs))
+    if langid_model is not None and langs:
+        # trained langid (llm/langid.NGramLangID, CCNet's lead stage)
+        # replaces the marker-word heuristic when a fitted model is
+        # provided: score (narrow map, broadcast model), filter, drop
+        # the helper columns. Runs after the closed-form predicates
+        # so the hash+NB transform only sees rows that survived the
+        # cheap scan-folded filters.
+        out = (langid_model.predict(out, text_col)
+               .filter(F.col("lang_pred").isin(langs))
+               .drop("lang_pred", "lang_conf"))
     if redact_pii:
         out = out.withColumn(text_col, _pii.redact(F.col(text_col)))
         # the eval set must see the SAME redaction, or any shared

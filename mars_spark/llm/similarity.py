@@ -883,23 +883,29 @@ def pq_codebook(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
 
 def pq_encode(sdf: SparkDF, vec_col: str,
               codebook: list[list[list[float]]],
-              id_col: str = "vec_id") -> SparkDF:
-    """(id, codes: array<int>) — each row compressed to ``m`` small
-    codes (argmin subspace centroid; first-min tie-break matches the
-    SQL replay's (dist, c) ordering). One Arrow batch → m small
-    distance blocks via numpy broadcasting; at 100 TB this pass is
-    the index build. The m-byte logical code row (~64× smaller than
-    the float32 vector; stored as array<int>, so realized at rest via
-    parquet dictionary/bit-packing rather than in Spark memory) is
-    what lets the search-side scan stay RAM-resident."""
+              id_col: str = "vec_id",
+              keep_cols: tuple = ()) -> SparkDF:
+    """(id, [keep_cols...], codes: array<int>) — each row compressed
+    to ``m`` small codes (argmin subspace centroid; first-min
+    tie-break matches the SQL replay's (dist, c) ordering). One Arrow
+    batch → m small distance blocks via numpy broadcasting; at 100 TB
+    this pass is the index build. ``keep_cols`` pass extra columns
+    through the encode (e.g. the IVF ``cluster``) so callers don't
+    need a corpus-sized re-join on the id. The m-byte logical code
+    row (~64× smaller than the float32 vector; stored as array<int>,
+    so realized at rest via parquet dictionary/bit-packing rather
+    than in Spark memory) is what lets the search-side scan stay
+    RAM-resident."""
     import numpy as np
     import pandas as pd
 
     cents = [np.asarray(cb, dtype=np.float64) for cb in codebook]
     m = len(cents)
     ds = cents[0].shape[1]
-    id_type = dict(sdf.dtypes)[id_col]
-    base = sdf.select(F.col(id_col), to_double(F.col(vec_col)).alias("__e"))
+    dtypes = dict(sdf.dtypes)
+    base = sdf.select(F.col(id_col),
+                      *[F.col(c) for c in keep_cols],
+                      to_double(F.col(vec_col)).alias("__e"))
 
     def gen(batches):
         for pdf in batches:
@@ -915,11 +921,17 @@ def pq_encode(sdf: SparkDF, vec_col: str,
                 dist = ((xs[:, None, :] - cents[s][None, :, :]) ** 2
                         ).sum(axis=2)
                 codes[:, s] = np.argmin(dist, axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "codes": list(codes)})
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return base.mapInPandas(
-        gen, schema=f"{id_col} {id_type}, codes array<int>")
+    schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}"]
+        + [f"{c} {dtypes[c]}" for c in keep_cols]
+        + ["codes array<int>"])
+    return base.mapInPandas(gen, schema=schema)
 
 
 def pq_search(codes_df: SparkDF, codebook: list[list[list[float]]],
@@ -989,6 +1001,167 @@ def ivfpq_search(index: SparkDF, centroids: list[list[float]],
                     key=lambda i: -cos(centroids[i], query))[:n_probe]
     return pq_search(index.filter(F.col("cluster").isin(probes)),
                      codebook, query, k=k, id_col=id_col)
+
+
+def _residual_frame(assigned: SparkDF, centroids: list[list[float]],
+                    id_col: str = "vec_id") -> SparkDF:
+    """(id, cluster, r) where r = unit(x) − centroid[cluster] — one
+    Arrow pass (batch matrix minus gathered centroid rows); float
+    subtraction is exact, so residuals replay bit-identically in
+    numpy/SQL given the deterministic assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    id_type = dict(assigned.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["e"]])
+            r = e - cmat[pdf["cluster"].to_numpy()]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "r": [list(map(float, v)) for v in r],
+            })
+
+    return assigned.mapInPandas(
+        gen, f"{id_col} {id_type}, cluster int, r array<double>")
+
+
+def ivfadc_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
+                 m: int = 8, nbits: int = 4, id_col: str = "vec_id",
+                 refine: int = 0):
+    """FAISS's actual IVFADC layout (Jégou TPAMI'11 §IV): PQ encodes
+    the RESIDUAL unit(x) − centroid[cluster], not the raw vector.
+    Residuals concentrate around 0 with far less variance than the
+    vectors themselves, so the same m×2^nbits code budget spends its
+    resolution inside the cell — the standard accuracy step over
+    ivfpq_index's raw-vector codes (kept for its simpler oracle).
+    Returns (index_df = (id, cluster, codes), centroids, codebook);
+    write the index partitionBy(cluster) exactly like ivfpq. All
+    seeding stays deterministic (smallest-id IVF seeds, smallest-id
+    residual codebook seeds), so the whole index is bit-reproducible
+    and SQL-replayable; ``refine`` adds Lloyd iterations on the
+    residual codebook (pq_codebook refine semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    assigned, centroids = ivf_index_deterministic(
+        sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    d = cmat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    kcodes = 1 << nbits
+    # codebook seeds = residuals of the kcodes smallest ids — a
+    # TakeOrdered collect of kcodes rows, residuals computed on the
+    # driver; the refine=0 path never materializes corpus residuals
+    seed_rows = (assigned.orderBy(id_col).limit(kcodes)
+                 .select(id_col, "cluster", "e").collect())
+    if len(seed_rows) < kcodes:
+        raise ValueError(
+            f"ivfadc_index needs >= {kcodes} rows (2^nbits); "
+            f"got {len(seed_rows)}")
+    seed_rows = sorted(seed_rows, key=lambda r: r[id_col])
+    codebook = [[
+        [float(r["e"][s * ds + i] - cmat[r["cluster"]][s * ds + i])
+         for i in range(ds)]
+        for r in seed_rows] for s in range(m)]
+    if refine:
+        # Lloyd iterations need corpus residuals — materialize them
+        # for the training passes only — snapshot it once (same rationale as
+    # ivf_index_deterministic's localCheckpoint: don't re-run the
+    # Python stage per consumer)
+        res = _residual_frame(assigned, centroids,
+                              id_col=id_col).localCheckpoint()
+        codebook = pq_codebook(res, "r", id_col=id_col, m=m,
+                               nbits=nbits, refine=refine)
+
+    # fused residual + encode: ONE Arrow pass over the assigned
+    # frame (subtract the gathered centroid row, then m argmin
+    # blocks), cluster riding through — no second corpus
+    # materialization, no corpus-sized id re-join
+    cents = [np.asarray(cb, dtype=np.float64) for cb in codebook]
+    id_type = dict(assigned.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["e"]])
+            r = e - cmat[pdf["cluster"].to_numpy()]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = r[:, s * ds:(s + 1) * ds]
+                dist = ((xs[:, None, :] - cents[s][None, :, :]) ** 2
+                        ).sum(axis=2)
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "cluster": pdf["cluster"].to_numpy(),
+                                "codes": list(codes)})
+
+    index = assigned.mapInPandas(
+        gen, schema=f"{id_col} {id_type}, cluster int, "
+                    "codes array<int>")
+    return index, centroids, codebook
+
+
+def ivfadc_search(index: SparkDF, centroids: list[list[float]],
+                  codebook: list[list[list[float]]],
+                  query: list[float], k: int = 10, n_probe: int = 4,
+                  id_col: str = "vec_id") -> SparkDF:
+    """IVFADC top-k: probe the n_probe nearest cells; in each cell
+    the ADC table is built from the QUERY RESIDUAL unit(q) − that
+    cell's centroid (per-cell tables — the residual trick's cost is
+    n_probe driver-side table builds, still constant-sized). ONE
+    pruned scan: the isin(probes) filter prunes cluster partitions,
+    the per-cell table is selected by array_position(cluster) from a
+    2-level literal (m · n_probe · 2^nbits inlined doubles — pure
+    JVM, no Python, no union of per-cell jobs), and the top-k is a
+    single TakeOrderedAndProject. Distances approximate
+    ‖unit(q)−unit(x)‖², rank-equivalent to cosine."""
+    import math
+
+    q = [float(v) for v in query]
+    nq = math.sqrt(sum(x * x for x in q)) or 1.0
+    qu = [x / nq for x in q]
+
+    def dot(u, v):
+        return sum(a * b for a, b in zip(u, v))
+
+    probes = sorted(range(len(centroids)),
+                    key=lambda i: (-dot(centroids[i], qu), i))[:n_probe]
+    m = len(codebook)
+    ds = len(codebook[0][0])
+    # tables[p][s][c] = ‖(qu − centroid_p)[s] − codebook[s][c]‖²,
+    # sequential inner sums (the SQL fold order)
+    tables = []
+    for p in probes:
+        qr = [qu[i] - centroids[p][i] for i in range(len(qu))]
+        tables.append([
+            [sum((qr[s * ds + i] - c[i]) ** 2 for i in range(ds))
+             for c in codebook[s]]
+            for s in range(m)])
+    probe_arr = F.array(*[F.lit(int(p)) for p in probes])
+    prank = F.array_position(probe_arr, F.col("cluster")).cast("int")
+    dist = None
+    for s in range(m):
+        tbl2 = F.array(*[
+            F.array(*[F.lit(v) for v in tables[pi][s]])
+            for pi in range(len(probes))])
+        term = F.element_at(
+            F.element_at(tbl2, prank),
+            F.element_at(F.col("codes"), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (index.filter(F.col("cluster").isin([int(p) for p in probes]))
+            .select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+            .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k))
 
 
 # ------------------------------------------------------------------ SQ8

@@ -828,8 +828,13 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
     e = load(sf_dir, "events")
     f = e[e.user_id < 40][["user_id", "event_id", "value"]]
     f["v"] = f.value.where(f.value > 5.0)  # ~10% nulls to fill
-    filled = f.groupby("user_id").ffill(order_by="event_id")
-    filled = filled.groupby("user_id").bfill(order_by="event_id")
+    # r12: the fillna(method=...) METHOD FORM graduates — it is the
+    # documented pandas spelling of the same per-group window fill
+    # (delegates to ffill/bfill; reference groupby/fill.py:149)
+    filled = f.groupby("user_id").fillna(method="ffill",
+                                         order_by="event_id")
+    filled = filled.groupby("user_id").fillna(method="bfill",
+                                              order_by="event_id")
     agg = filled.groupby("user_id", as_index=False).agg(
         n=("event_id", "count"), v_sum=("v", "sum"))
 
@@ -870,8 +875,22 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # interpolated median of the raw value per user
     gmed = (f[["user_id", "value"]].groupby("user_id", as_index=False)
             .median().rename(columns={"value": "g_med"}))
+    # r12: two more convenience methods graduate. gb.sem — the
+    # std/sqrt(n) delegation over agg; gb.prod — over integer-exact
+    # factors ((event_id%3)+1 on an event_id%53 slice, product
+    # < 2^53) so the value is bit-identical in any engine and any
+    # accumulation order (a float product's last-ulp would depend on
+    # partition layout).
+    gsem = (f[["user_id", "value"]].groupby("user_id", as_index=False)
+            .sem().rename(columns={"value": "g_sem"}))
+    f2 = f[f.event_id % 53 == 0][["user_id", "event_id"]]
+    f2["pf"] = f2.event_id % 3 + 1
+    gprod = (f2[["user_id", "pf"]].groupby("user_id", as_index=False)
+             .prod().rename(columns={"pf": "g_prod"}))
     out = (agg.merge(rng, on="user_id").merge(samp, on="user_id")
-           .merge(interp, on="user_id").merge(gmed, on="user_id"))
+           .merge(interp, on="user_id").merge(gmed, on="user_id")
+           .merge(gsem, on="user_id")
+           .merge(gprod, on="user_id", how="left"))
     return out.to_spark().crossJoin(F.broadcast(desc)).select(
         "user_id", "n",
         F.round("v_sum", 4).alias("v_sum"),
@@ -879,6 +898,8 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round("v_med", 4).alias("v_med"),
         F.round("vi_sum", 4).alias("vi_sum"),
         F.round("g_med", 4).alias("g_med"),
+        F.round("g_sem", 4).alias("g_sem"),
+        F.col("g_prod").cast("double").alias("g_prod"),
         "n_samp", "desc_count", "desc_mean", "desc_std",
     )
 

@@ -460,8 +460,18 @@ OPS_ORACLES: dict[str, str] = {
                    round(quantile_cont(v, 0.5), 4) AS v_med,
                    -- gb.median convenience method on the RAW value
                    round(quantile_cont(value, 0.5), 4) AS g_med,
+                   -- gb.sem = stddev_samp / sqrt(count)
+                   round(stddev_samp(value)
+                         / sqrt(count(value)), 4) AS g_sem,
                    least(5, count(*)) AS n_samp
             FROM ff GROUP BY user_id
+        ), gp AS (
+            -- gb.prod over integer-exact factors ((event_id%3)+1 on
+            -- the event_id%53 slice; product < 2^53, bit-identical
+            -- in any accumulation order)
+            SELECT user_id,
+                   product(CAST(event_id % 3 + 1 AS DOUBLE)) AS g_prod
+            FROM f WHERE event_id % 53 = 0 GROUP BY user_id
         ), d AS (
             SELECT CAST(count(value) AS BIGINT) AS desc_count,
                    floor(avg(value) * 1e4 + 0.5) / 1e4 AS desc_mean,
@@ -498,8 +508,10 @@ OPS_ORACLES: dict[str, str] = {
             FROM itp_win GROUP BY user_id
         )
         SELECT user_id, n, v_sum, v_rng, v_med, vi_sum, g_med,
+               g_sem, g_prod,
                n_samp, desc_count, desc_mean, desc_std
         FROM ag CROSS JOIN d JOIN itp USING (user_id)
+        LEFT JOIN gp USING (user_id)
     """,
     "op_ewm_expanding": """
         WITH b AS (

@@ -1997,5 +1997,97 @@ PIPELINE_ORACLES: dict[str, str] = {
                             WHERE vec_id < 5) q1
             )
         ) WHERE rn <= 3
+        UNION ALL
+        -- IVFADC (residual PQ, ivfadc_index/search): full bit-level
+        -- replay — 16 smallest-id unit seeds, argmax-dot assignment
+        -- (first-max = smallest seed), residual r = e − seed, m=8
+        -- subspaces of 8 dims, codebook = residual subvectors of the
+        -- 16 smallest ids, codes = argmin (dist, c), query vec 0
+        -- probes its 4 nearest cells with PER-CELL tables from the
+        -- query residual; top-10 by (round(adc,6), id)
+        SELECT * FROM (
+            WITH au AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> x / sqrt(list_dot_product(
+                               embedding::DOUBLE[],
+                               embedding::DOUBLE[]))) AS e
+                FROM embeddings
+            ), aseeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+                       e AS se
+                FROM (SELECT vec_id, e FROM au
+                      ORDER BY vec_id LIMIT 16)
+            ), aasg AS (
+                SELECT vec_id, e, sid AS cluster FROM (
+                    SELECT u.vec_id, u.e, s.sid,
+                           row_number() OVER (
+                               PARTITION BY u.vec_id
+                               ORDER BY list_dot_product(u.e, s.se)
+                                            DESC,
+                                        s.sid ASC) AS rn
+                    FROM au u CROSS JOIN aseeds s
+                ) WHERE rn = 1
+            ), ares AS (
+                SELECT a.vec_id, a.cluster,
+                       list_transform(range(1, 65),
+                           i -> a.e[i] - s.se[i]) AS r
+                FROM aasg a JOIN aseeds s ON s.sid = a.cluster
+            ), apqids AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS c
+                FROM (SELECT vec_id FROM ares
+                      ORDER BY vec_id LIMIT 16)
+            ), asub AS (
+                SELECT vec_id, cluster, ss.s AS s,
+                       r[ss.s*8+1 : ss.s*8+8] AS sv
+                FROM ares, range(8) ss(s)
+            ), acb AS (
+                SELECT apqids.c, asub.s, asub.sv AS cent
+                FROM asub JOIN apqids USING (vec_id)
+            ), acdist AS (
+                SELECT asub.vec_id, asub.cluster, asub.s, acb.c,
+                       list_sum(list_transform(range(1, 9),
+                           i -> (asub.sv[i] - acb.cent[i])^2)) AS d
+                FROM asub JOIN acb USING (s)
+            ), acodes AS (
+                SELECT vec_id, cluster, s, c FROM (
+                    SELECT vec_id, cluster, s, c,
+                           row_number() OVER (
+                               PARTITION BY vec_id, s
+                               ORDER BY d, c) AS rn
+                    FROM acdist) WHERE rn = 1
+            ), aq AS (
+                SELECT e FROM au WHERE vec_id = 0
+            ), aprobes AS (
+                SELECT sid, se FROM (
+                    SELECT s.sid, s.se,
+                           row_number() OVER (
+                               ORDER BY list_dot_product(s.se, q.e)
+                                            DESC,
+                                        s.sid ASC) AS rn
+                    FROM aseeds s, aq q) WHERE rn <= 4
+            ), aqres AS (
+                SELECT p.sid, ss.s,
+                       list_transform(range(1, 9),
+                           i -> q.e[ss.s*8 + i] - p.se[ss.s*8 + i])
+                           AS qsv
+                FROM aprobes p, aq q, range(8) ss(s)
+            ), atab AS (
+                SELECT aqres.sid, aqres.s, acb.c,
+                       list_sum(list_transform(range(1, 9),
+                           i -> (aqres.qsv[i] - acb.cent[i])^2)) AS t
+                FROM aqres JOIN acb USING (s)
+            ), aadc AS (
+                SELECT acodes.vec_id, round(sum(atab.t), 6) AS ad
+                FROM acodes
+                JOIN atab ON atab.sid = acodes.cluster
+                         AND atab.s = acodes.s AND atab.c = acodes.c
+                GROUP BY acodes.vec_id
+            )
+            SELECT 'adc:' || CAST(vec_id AS VARCHAR) AS key,
+                   ad AS m1, CAST(NULL AS DOUBLE) AS m2
+            FROM aadc ORDER BY ad, vec_id LIMIT 10
+        )
     """,
 }

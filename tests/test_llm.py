@@ -2375,3 +2375,117 @@ def test_pq_codebook_lloyd_refine(spark):
     # collapse (same-centroid ties), so the honest claims are: refine
     # never hurts it, and the reconstruction error is what improves
     assert recall(cbr) >= recall(cb0)
+
+
+def test_ivfadc_residual_index_matches_numpy(spark):
+    """IVFADC (residual PQ): the full index — deterministic IVF
+    assignment, residual computation, smallest-id residual codebook,
+    codes, and per-cell residual-ADC search — replays exactly in
+    numpy; and the residual encoding reconstructs unit vectors with
+    LOWER error than raw-vector ivfpq at the same code budget."""
+    rng = np.random.default_rng(21)
+    # clustered data — the regime where residuals concentrate (the
+    # exact-replay assertions hold on any data; the accuracy claim
+    # at the end is a property of clustered corpora)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    X = (centers[rng.integers(0, 8, size=200)]
+         + rng.standard_normal((200, 16)) * 0.4)
+    X[:8] = centers + rng.standard_normal((8, 16)) * 0.4  # seed spread
+    pdf = pd.DataFrame({"vec_id": range(200),
+                        "embedding": [list(map(float, v)) for v in X]})
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    idx, cents, cb = S.ivfadc_index(sdf, "embedding", n_clusters=8,
+                                    m=4, nbits=4)
+    got = {r.vec_id: (r.cluster, list(r.codes)) for r in idx.collect()}
+
+    # numpy replay
+    U = X / np.linalg.norm(X, axis=1)[:, None]
+    seeds = U[:8]                       # smallest-id unit vectors
+    assert np.allclose(np.asarray(cents), seeds)
+    asg = (U @ seeds.T).argmax(axis=1)  # first-max tie-break
+    R = U - seeds[asg]
+    # codebook: per-subspace residual subvectors of the 16 smallest ids
+    for s in range(4):
+        for c in range(16):
+            assert np.allclose(cb[s][c], R[c][s * 4:(s + 1) * 4])
+    cbm = [np.asarray(cb[s]) for s in range(4)]
+    for i in range(200):
+        assert got[i][0] == asg[i], i
+        for s in range(4):
+            d = ((R[i][s * 4:(s + 1) * 4][None, :] - cbm[s]) ** 2).sum(1)
+            assert got[i][1][s] == int(d.argmin()), (i, s)
+
+    # search replay: query = row 123's raw vector
+    q = X[123]
+    qu = q / np.linalg.norm(q)
+    probes = np.lexsort((np.arange(8), -(seeds @ qu)))[:4]
+    cand = []
+    for p in probes:
+        qr = qu - seeds[p]
+        tabs = [((qr[s * 4:(s + 1) * 4][None, :] - cbm[s]) ** 2).sum(1)
+                for s in range(4)]
+        for i in np.nonzero(asg == p)[0]:
+            d = sum(float(tabs[s][got[i][1][s]]) for s in range(4))
+            cand.append((round(d, 6), i))
+    cand.sort()
+    exp = [i for _, i in cand[:10]]
+    res = S.ivfadc_search(idx, cents, cb, list(map(float, q)),
+                          k=10, n_probe=4).collect()
+    assert [r.vec_id for r in res] == exp
+    # the query's own row ranks first (its residual is its own code's
+    # nearest neighborhood; absolute ADC error on random gaussians is
+    # large by design — the value test is the exact replay above)
+    assert res[0].vec_id == 123
+
+    # residual coding beats raw-vector coding at the same budget
+    idx2, cents2, cb2 = S.ivfpq_index(sdf, "embedding", n_clusters=8,
+                                      m=4, nbits=4)
+    got2 = {r.vec_id: list(r.codes) for r in idx2.collect()}
+    cbm2 = [np.asarray(cb2[s]) for s in range(4)]
+
+    def recon_err_residual():
+        tot = 0.0
+        for i in range(200):
+            rec = seeds[asg[i]] + np.concatenate(
+                [cbm[s][got[i][1][s]] for s in range(4)])
+            tot += float(((U[i] - rec) ** 2).sum())
+        return tot
+
+    def recon_err_raw():
+        tot = 0.0
+        for i in range(200):
+            rec = np.concatenate(
+                [cbm2[s][got2[i][s]] for s in range(4)])
+            tot += float(((X[i] - rec) ** 2).sum())
+        return tot
+
+    # compare RELATIVE error (different spaces: unit vs raw norms)
+    rel_res = recon_err_residual() / float((U ** 2).sum())
+    rel_raw = recon_err_raw() / float((X ** 2).sum())
+    assert rel_res < rel_raw, (rel_res, rel_raw)
+
+
+def test_clean_corpus_trained_langid_stage(spark):
+    """clean_corpus(langid_model=..., langs=[...]) routes the language
+    filter through the trained classifier instead of the marker-word
+    heuristic: planted off-language docs drop, the schema is
+    unchanged (helper columns gone), and the stage composes with the
+    rest of the recipe."""
+    from mars_spark.llm.langid import NGramLangID
+    from mars_spark.llm.recipe import clean_corpus
+
+    words = {"en": ["the quick brown fox jumps over the lazy dog",
+                    "a careful analysis of the methods and results"],
+             "xx": ["zyxwv uvwxy zzyyx wxyzz yxwvu zzxxy vwxyz",
+                    "xyzzy wvuxy zyzzx uvzzy xwyzz zzwvu yxzzw"]}
+    rows = []
+    for i in range(80):
+        lang = "en" if i % 4 else "xx"
+        rows.append((i, lang, words[lang][i % 2] + f" tail{i % 3}"))
+    sdf = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    m = NGramLangID(n=3, n_features=512).fit(sdf, "text", "lang")
+    out = clean_corpus(sdf.drop("lang"), langid_model=m, langs=["en"],
+                       redact_pii=False, dedup=None, materialize=False)
+    assert out.columns == ["doc_id", "text"]
+    kept = [r.doc_id for r in out.select("doc_id").collect()]
+    assert sorted(kept) == [i for i in range(80) if i % 4 != 0]
