@@ -419,7 +419,13 @@ def knn_join(left: SparkDF, left_vec: str, right: SparkDF,
     (T = pairs_per_reducer), so every reducer scores ~T pairs and the
     replication factor follows the SMALLER side — a 100-row query
     table against 200k vectors gets Bl=1 (no replication of the big
-    side) instead of a fixed square grid.
+    side) instead of a fixed square grid. The adaptive sizing also
+    bounds the shuffle-hash BUILD side: each (p,q) reducer hashes
+    |R|/Br right rows in memory, and |R|/√T (√T=2000 at the default)
+    keeps that a few thousand vector rows. EXPLICIT block counts
+    bypass the bound — measured at 600k×64d vectors, Br=8 made the
+    75k-row build exceed the per-task memory share and fail the job
+    (SCALE.md r12); leave blocks unset unless you've sized them.
 
     The per-(left row, right block) partial top-k windows on
     (p, q, __lq) — a superset of the join keys, so the join's own
