@@ -2489,3 +2489,30 @@ def test_clean_corpus_trained_langid_stage(spark):
     assert out.columns == ["doc_id", "text"]
     kept = [r.doc_id for r in out.select("doc_id").collect()]
     assert sorted(kept) == [i for i in range(80) if i % 4 != 0]
+
+
+def test_ivfadc_persisted_index_roundtrip(spark, tmp_path):
+    """The IVFADC index persists through write_ivf_index's
+    partitionBy(cluster) layout and searches identically from the
+    read-back frame — and the read-back search plan filters on the
+    partition column (the scan prunes to probed cells)."""
+    rng = np.random.default_rng(31)
+    X = rng.standard_normal((120, 16))
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(120),
+        "embedding": [list(map(float, v)) for v in X]}))
+    idx, cents, cb = S.ivfadc_index(sdf, "embedding", n_clusters=8,
+                                    m=4, nbits=4)
+    q = list(map(float, X[77]))
+    before = [(r.vec_id, r.adc_dist) for r in
+              S.ivfadc_search(idx, cents, cb, q, k=5, n_probe=3)
+              .collect()]
+    path = str(tmp_path / "adc_idx")
+    S.write_ivf_index(idx, path)
+    back = S.read_ivf_index(spark, path)
+    search = S.ivfadc_search(back, cents, cb, q, k=5, n_probe=3)
+    after = [(r.vec_id, r.adc_dist) for r in search.collect()]
+    assert after == before
+    assert before[0][0] == 77
+    plan = search._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan  # the partition filter reached the scan
