@@ -1677,6 +1677,93 @@ def pq_search_queries(codes_df: SparkDF, codebook: list[list[list[float]]],
                     F.col("__d").alias("adc_dist")))
 
 
+def ivfadc_search_queries(index: SparkDF,
+                          centroids: list[list[float]],
+                          codebook: list[list[list[float]]],
+                          queries: SparkDF, k: int = 10,
+                          n_probe: int = 4,
+                          id_col: str = "vec_id",
+                          query_id_col: str = "query_id",
+                          query_vec_col: str = "q") -> SparkDF:
+    """Batched IVFADC: the bulk-retrieval form of ivfadc_search.
+    Per-query probe lists come from the literal centroid table
+    (driver-side dots); a BROADCAST (query_id, cluster) probe table
+    joins the (id, cluster, codes) index — dynamic partition pruning
+    on a cluster-partitioned index, the batched twin of the
+    single-query isin() pushdown. The residual ADC tables — one
+    m × 2^nbits block per (query, probed cell), built from
+    unit(q) − centroid(cell) — ship as one constant-sized tensor;
+    each surviving code row scores via a vectorized gather against
+    ITS (query, cell) block, per-batch partial top-k, tiny global
+    window. One pass over the probed code rows scores every query;
+    no vector column is read."""
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, Qn = _collect_queries(queries, query_id_col,
+                                   query_vec_col)
+    qid_type = dict(queries.dtypes)[query_id_col]
+    id_type = dict(index.dtypes)[id_col]
+    Qu = Q / Qn[:, None]
+    C = np.asarray(centroids, dtype=np.float64)
+    m = len(codebook)
+    ds = len(codebook[0][0])
+    CB = np.asarray(codebook, dtype=np.float64)   # m x 2^nbits x ds
+    sim = Qu @ C.T
+    probe_rows, tab_blocks, pair_index = [], [], {}
+    for j, qid in enumerate(qids):
+        order = sorted(range(len(centroids)),
+                       key=lambda c: (-sim[j, c], c))[:n_probe]
+        for cl in order:
+            probe_rows.append((qid, int(cl)))
+            qr = Qu[j] - C[cl]
+            blk = np.empty((m, CB.shape[1]), dtype=np.float64)
+            for s in range(m):
+                diff = qr[s * ds:(s + 1) * ds][None, :] - CB[s]
+                blk[s] = (diff * diff).sum(axis=1)
+            pair_index[(qid, int(cl))] = len(tab_blocks)
+            tab_blocks.append(blk)
+    T = np.stack(tab_blocks)                      # pairs x m x 2^nbits
+    spark = index.sparkSession
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, f"__pq {qid_type}, cluster int"))
+    surv = (index.join(probes, "cluster")
+            .select(F.col("__pq"), F.col("cluster").alias("__cl"),
+                    F.col(id_col).alias("__id"), "codes"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack([np.asarray(c, dtype=np.int64)
+                               for c in pdf["codes"]])
+            idx = np.asarray([pair_index[(q, int(cl))]
+                              for q, cl in zip(pdf["__pq"],
+                                               pdf["__cl"])])
+            d = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(m):
+                d += T[idx, s, codes[:, s]]
+            d = _round_half_away(d, 6)
+            out = pd.DataFrame({"__qid": pdf["__pq"].to_numpy(),
+                                "__cid": pdf["__id"].to_numpy(),
+                                "__d": d})
+            out = (out.sort_values(["__qid", "__d", "__cid"])
+                   .groupby("__qid", sort=False).head(k))
+            yield out
+
+    from pyspark.sql import Window
+
+    part = surv.mapInPandas(
+        gen, schema=f"__qid {qid_type}, __cid {id_type}, __d double")
+    w = (Window.partitionBy("__qid")
+         .orderBy(F.col("__d").asc(), F.col("__cid").asc()))
+    return (part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__cid").alias(id_col),
+                    F.col("__d").alias("adc_dist")))
+
+
 def sq8_search_queries(codes_df: SparkDF, mins: list[float],
                        maxs: list[float], queries: SparkDF, k: int = 10,
                        id_col: str = "vec_id",

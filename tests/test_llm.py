@@ -2516,3 +2516,35 @@ def test_ivfadc_persisted_index_roundtrip(spark, tmp_path):
     assert before[0][0] == 77
     plan = search._jdf.queryExecution().executedPlan().toString()
     assert "cluster" in plan  # the partition filter reached the scan
+
+
+def test_ivfadc_search_queries_matches_single(spark):
+    """Batched IVFADC equals the single-query path per query — same
+    probed cells, same residual ADC values (identical rounding on
+    this data), same (dist, id) order — and the probe table joins
+    BROADCAST (no shuffle of the index beyond its own layout)."""
+    rng = np.random.default_rng(41)
+    centers = rng.standard_normal((8, 16)) * 3.0
+    X = (centers[rng.integers(0, 8, size=240)]
+         + rng.standard_normal((240, 16)) * 0.5)
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(240),
+        "embedding": [list(map(float, v)) for v in X]}))
+    idx, cents, cb = S.ivfadc_index(sdf, "embedding", n_clusters=8,
+                                    m=4, nbits=4)
+    qdf = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1, 2],
+        "q": [list(map(float, X[i])) for i in (30, 141, 239)]}))
+    got = (S.ivfadc_search_queries(idx, cents, cb, qdf, k=6, n_probe=3)
+           .toPandas())
+    assert len(got) == 18
+    for qi, xi in ((0, 30), (1, 141), (2, 239)):
+        single = S.ivfadc_search(idx, cents, cb,
+                                 list(map(float, X[xi])),
+                                 k=6, n_probe=3).toPandas()
+        mine = got[got.query_id == qi].reset_index(drop=True)
+        assert list(mine.vec_id) == list(single.vec_id), qi
+        assert np.allclose(mine.adc_dist, single.adc_dist, atol=2e-6)
+    plan = (S.ivfadc_search_queries(idx, cents, cb, qdf, k=6)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
