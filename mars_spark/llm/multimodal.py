@@ -3,7 +3,8 @@
 The Spark-side machinery is real and tested: schema conventions, Arrow
 batch shape, mapInPandas signatures, partition sizing. DECODERS
 dispatch on content magic bytes: self-describing uncompressed formats
-decode FOR REAL with the stdlib (PCM WAV via ``wave``; 24-bit BMP and
+decode FOR REAL with the stdlib (PCM WAV via ``wave``; µ-law/A-law
+WAV via vectorized G.711 expanders; 24-bit BMP and
 binary PPM/PGM/PBM via struct parsing; non-interlaced 8-bit PNG via zlib +
 per-spec scanline unfiltering — see ``_png_pixels``; baseline-sequential
 JPEG via canonical Huffman + dequant + 8x8 IDCT + YCbCr, see
@@ -201,8 +202,86 @@ def _image_features(payload: bytes) -> np.ndarray:
                  float(b.mean()), float(gray.std())])
 
 
+def _g711_expand(data: np.ndarray, law: int) -> np.ndarray:
+    """G.711 companded byte → 16-bit-scaled linear (ITU-T G.711,
+    public formulation). law=7: µ-law (byte complemented; max
+    ±32124); law=6: A-law (byte XOR 0x55; bit 7 set = positive; max
+    ±32256). Vectorized over the whole payload."""
+    b = data.astype(np.int32)
+    if law == 7:
+        u = (~b) & 0xFF
+        sign = (u & 0x80) != 0
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        return np.where(sign, -mag, mag).astype(np.float64)
+    a = b ^ 0x55
+    pos = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp > 0,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+                   (mant << 4) + 8)
+    return np.where(pos, mag, -mag).astype(np.float64)
+
+
+def _riff_chunks(payload: bytes):
+    """Walk RIFF/WAVE chunks: yields (id, data); chunks pad to even
+    offsets per the spec."""
+    import struct
+
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        cid, ln = payload[pos:pos + 4], struct.unpack_from(
+            "<I", payload, pos + 4)[0]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            return
+        yield cid, data
+        pos += 8 + ln + (ln & 1)
+
+
+def _g711_wav_features(payload: bytes) -> np.ndarray | None:
+    """REAL decode for µ-law (format 7) / A-law (format 6) WAV —
+    telephony's standard codecs, which the stdlib ``wave`` module
+    rejects: manual RIFF parse + the vectorized G.711 expanders,
+    then the same feature stats as PCM. Returns None when the
+    payload isn't a G.711 WAV (caller falls through)."""
+    import struct
+
+    fmt = None
+    pcm = None
+    for cid, data in _riff_chunks(payload):
+        if cid == b"fmt " and len(data) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", data, 0)
+        elif cid == b"data":
+            pcm = data
+    if fmt is None or pcm is None:
+        return None
+    audio_format, nch, sr = fmt[0], fmt[1], fmt[2]
+    if audio_format not in (6, 7) or nch < 1 or sr == 0:
+        return None
+    x = _g711_expand(np.frombuffer(pcm, dtype=np.uint8), audio_format)
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    x = x / 32768.0
+    if not len(x):
+        return _pad([sr, nch, 0.0])
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(x))
+    bands = [float(b.mean()) if len(b) else 0.0
+             for b in np.array_split(spec, 8)]
+    return _pad([sr, nch, len(x) / sr, rms, peak, zcr] + bands)
+
+
 def _decode_audio(payload: bytes, modality: str) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        g711 = _g711_wav_features(payload)
+        if g711 is not None:
+            return g711
         return _wav_features(payload)
     return _fake_decode(payload, modality)  # compressed: needs ffmpeg
 

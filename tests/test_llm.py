@@ -2548,3 +2548,89 @@ def test_ivfadc_search_queries_matches_single(spark):
     plan = (S.ivfadc_search_queries(idx, cents, cb, qdf, k=6)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_jpeg_440_vertical_subsample(spark):
+    """4:4:0 sampling (1x2: chroma halved VERTICALLY only) decodes
+    with replication on the right axis — the transpose twin of the
+    4:2:2 case, closing the (h,v) sampling matrix."""
+    from mars_spark.llm.multimodal import jpeg_emit_baseline, _jpeg_pixels
+
+    # Y: 8 wide x 16 tall = two blocks stacked; chroma: one 8x8 block
+    yb = [[80] + [0] * 63, [160] + [0] * 63]
+    cbb = [[240] + [0] * 63]
+    crb = [[-240] + [0] * 63]
+    w, h, c, px = _jpeg_pixels(
+        jpeg_emit_baseline(8, 16, [(1, 2), (1, 1), (1, 1)],
+                           [yb, cbb, crb]))
+    assert (w, h, c) == (8, 16, 3)
+    Yv = np.where(np.arange(16) < 8, 138.0, 148.0)   # per ROW now
+    cbv, crv = 158.0 - 128, 98.0 - 128
+    expr = np.clip(np.floor(Yv + 1.402 * crv + 0.5), 0, 255)
+    expb = np.clip(np.floor(Yv + 1.772 * cbv + 0.5), 0, 255)
+    assert np.array_equal(px[:, 0, 0].astype(float), expr)
+    assert np.array_equal(px[:, 0, 2].astype(float), expb)
+
+
+def _mulaw_encode(x16):
+    """Independent test-side µ-law encoder (ITU G.711 segment
+    search) — exercises the repo decoder non-circularly."""
+    out = []
+    for v in x16:
+        v = int(v)
+        sign = 0x80 if v < 0 else 0
+        v = min(abs(v), 32635) + 0x84
+        exp = max(0, v.bit_length() - 8)
+        mant = (v >> (exp + 3)) & 0x0F
+        out.append((~(sign | (exp << 4) | mant)) & 0xFF)
+    return bytes(out)
+
+
+def test_g711_wav_decode(spark):
+    """µ-law / A-law WAV (telephony formats the stdlib wave module
+    rejects) decode for real: anchor bytes hit the published G.711
+    table values exactly, a µ-law-encoded sine round-trips within
+    companding error, and the header facts (sr, nch, duration) land
+    in the feature slots."""
+    import struct
+    from mars_spark.llm.multimodal import (_g711_expand, decode_features)
+
+    # exact table anchors (16-bit-scaled G.711)
+    mu = _g711_expand(np.frombuffer(
+        bytes([0x00, 0xFF, 0x80, 0x7F]), np.uint8), 7)
+    assert list(mu) == [-32124.0, 0.0, 32124.0, -0.0]
+    al = _g711_expand(np.frombuffer(
+        bytes([0x55, 0xD5, 0x2A, 0xAA]), np.uint8), 6)
+    assert list(al) == [-8.0, 8.0, -32256.0, 32256.0]
+
+    def wav(fmt_code, nch, sr, data):
+        fmt = struct.pack("<HHIIHH", fmt_code, nch, sr, sr * nch, nch, 8)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    sr, dur = 8000, 0.5
+    t = np.arange(int(sr * dur)) / sr
+    x = (0.4 * np.sin(2 * np.pi * 350 * t) * 32767).astype(np.int64)
+    enc = _mulaw_encode(x)
+    payload = wav(7, 1, sr, enc)
+    sdf = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), {})],
+        "id long, modality string, content binary, meta map<string,string>")
+    f = decode_features(sdf).toPandas().features[0]
+    assert f[0] == sr and f[1] == 1 and abs(f[2] - dur) < 1e-6
+    # decoded RMS within companding error of the analytic sine RMS
+    assert abs(f[3] - 0.4 / np.sqrt(2)) < 0.01
+    # and the decode really used the samples, not a hash (zcr of a
+    # 350 Hz sine at 8 kHz ~ 2*350/8000)
+    assert abs(f[5] - 2 * 350 / 8000) < 0.01
+
+    # A-law silence: all 0x55 bytes -> -8/32768 everywhere, rms tiny
+    pal = wav(6, 2, 16000, bytes([0x55]) * 3200)
+    sdf2 = spark.createDataFrame(
+        [(2, "audio", bytearray(pal), {})],
+        "id long, modality string, content binary, meta map<string,string>")
+    f2 = decode_features(sdf2).toPandas().features[0]
+    assert f2[0] == 16000 and f2[1] == 2
+    assert abs(f2[2] - 0.1) < 1e-6        # 1600 stereo frames
+    assert abs(f2[3] - 8 / 32768) < 1e-9  # constant -8 amplitude
