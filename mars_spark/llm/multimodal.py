@@ -48,9 +48,10 @@ FEATURE_DIM = 32
 
 def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
     """Deterministic stand-in for decoders that need absent codec libs
-    (JPEG/PNG/MP3/MP4 → PIL/ffmpeg/torchaudio): hash-seeded feature
-    vector. The surrounding Spark plumbing does not change when a real
-    decoder lands."""
+    (MP3/MP4/progressive-JPEG → ffmpeg/torchaudio/PIL): hash-seeded
+    feature vector. The surrounding Spark plumbing does not change
+    when a real decoder lands (the PNG, baseline-JPEG and G.711
+    decoders each landed exactly this way)."""
     import hashlib
 
     seed = int(hashlib.md5(payload or b"").hexdigest()[:8], 16)

@@ -1861,8 +1861,37 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
                             * (1 + 1e-12) + F.lit(0.5)).cast("long")
                     .alias("feat_dim"),
                     F.lit(None).cast("string").alias("resize")))
+    # r12: the REAL G.711 decoders (llm/multimodal.py
+    # _g711_wav_features — manual RIFF walk + vectorized µ-law/A-law
+    # expanders; the stdlib wave module rejects these formats) get
+    # closed-form strata: a µ-law mono WAV cycling the table-anchor
+    # bytes [0x00, 0xFF, 0x80] (linear −32124/0/+32124) and an A-law
+    # stereo WAV of constant 0x55 bytes (linear −8). sr/nch/duration/
+    # rms/peak/zcr are exact arithmetic the oracle restates.
+    g711 = spark.createDataFrame(
+        [(50, "audio", bytearray(_fixture_wav_g711(7)), {"n_frames": "1"}),
+         (60, "audio", bytearray(_fixture_wav_g711(6)), {"n_frames": "1"})],
+        "id long, modality string, content binary, "
+        "meta map<string,string>")
+    g711_rows = (decode_features(g711)
+                 .select("id",
+                         F.posexplode(F.slice("features", 1, 6))
+                         .alias("pos", "val"))
+                 .select(
+                     (F.lit(1000000) + F.col("id") * 100 + F.col("pos"))
+                     .cast("long").alias("id"),
+                     F.when(F.col("id") == 50, F.lit("mu"))
+                     .otherwise(F.lit("al")).alias("modality"),
+                     F.col("pos").cast("long").alias("n_frames"),
+                     F.when(F.col("id") == 50, F.lit(300))
+                     .otherwise(F.lit(3200)).cast("long")
+                     .alias("n_bytes"),
+                     F.floor(F.col("val").cast("double") * 1e4
+                             * (1 + 1e-12) + F.lit(0.5)).cast("long")
+                     .alias("feat_dim"),
+                     F.lit(None).cast("string").alias("resize")))
     return (roll.unionByName(png_rows).unionByName(pnm_rows)
-            .unionByName(jpg_rows))
+            .unionByName(jpg_rows).unionByName(g711_rows))
 
 
 def _fixture_pgm(w: int, h: int) -> bytes:
@@ -1944,6 +1973,25 @@ _JPG_GRAY_P = [(80, 24, 16, 8), (-160, -32, 40, 16),
 _JPG_YDC = [80, 160, -80, 240, 40, -200, 320, 120]
 _JPG_CB = [(96, 32), (-64, 0)]
 _JPG_CR = [-128, 192]
+
+
+def _fixture_wav_g711(fmt_code: int) -> bytes:
+    """G.711 WAV fixtures with closed-form features: fmt 7 = µ-law
+    mono 8 kHz, 300 bytes cycling the table anchors [0x00,0xFF,0x80]
+    (linear −32124/0/+32124 → rms/peak/zcr exact arithmetic); fmt 6 =
+    A-law stereo 16 kHz, 3200 constant 0x55 bytes (linear −8)."""
+    import struct
+
+    if fmt_code == 7:
+        nch, sr = 1, 8000
+        data = bytes([0x00, 0xFF, 0x80] * 100)
+    else:
+        nch, sr = 2, 16000
+        data = bytes([0x55]) * 3200
+    fmt = struct.pack("<HHIIHH", fmt_code, nch, sr, sr * nch, nch, 8)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _fixture_jpg_gray() -> bytes:

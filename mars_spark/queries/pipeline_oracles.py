@@ -613,6 +613,42 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(NULL AS VARCHAR) AS resize
             FROM cvals
         )
+        UNION ALL
+        -- G.711 strata: µ-law mono fixture cycles the table anchors
+        -- [0x00,0xFF,0x80] (linear -32124/0/+32124), so rms =
+        -- sqrt(200·(32124/32768)²/300), peak = 32124/32768, and zcr
+        -- over 299 signbit diffs of the 1,0,0 pattern = 199/299;
+        -- A-law stereo fixture is constant 0x55 (linear -8):
+        -- rms = peak = 8/32768, zcr 0. Exact arithmetic restated
+        -- through the same float32 + 4dp-floor roundtrip.
+        SELECT * FROM (
+            WITH gvals AS (
+                SELECT 50 AS fid, 'mu' AS md, 300 AS nb, 0 AS pos,
+                       8000.0 AS val
+                UNION ALL SELECT 50, 'mu', 300, 1, 1.0
+                UNION ALL SELECT 50, 'mu', 300, 2, 300.0 / 8000
+                UNION ALL SELECT 50, 'mu', 300, 3,
+                    sqrt((200 * (32124.0/32768.0) * (32124.0/32768.0))
+                         / 300)
+                UNION ALL SELECT 50, 'mu', 300, 4, 32124.0/32768.0
+                UNION ALL SELECT 50, 'mu', 300, 5, 199.0/299
+                UNION ALL SELECT 60, 'al', 3200, 0, 16000.0
+                UNION ALL SELECT 60, 'al', 3200, 1, 2.0
+                UNION ALL SELECT 60, 'al', 3200, 2, 1600.0 / 16000
+                UNION ALL SELECT 60, 'al', 3200, 3, 8.0/32768.0
+                UNION ALL SELECT 60, 'al', 3200, 4, 8.0/32768.0
+                UNION ALL SELECT 60, 'al', 3200, 5, 0.0
+            )
+            SELECT CAST(1000000 + fid * 100 + pos AS BIGINT) AS id,
+                   md AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(nb AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM gvals
+        )
     """,
     "op_tensor": """
         WITH mm AS (
