@@ -826,11 +826,111 @@ def _decode_image(payload: bytes, modality: str) -> np.ndarray:
     return _fake_decode(payload, modality)
 
 
+# ---------------------------------------------------------- MJPEG AVI
+def _avi_mjpeg_features(payload: bytes) -> np.ndarray | None:
+    """REAL video decode for MJPEG-in-AVI (RIFF 'AVI ' container,
+    '00dc'/'00db' frame chunks holding baseline JPEGs — the classic
+    self-describing motion format; public RIFF/AVI layout): parses
+    the main header for fps/frame count/dimensions, decodes up to 3
+    sampled frames (first/middle/last) through ``_jpeg_pixels``, and
+    emits [w, h, c, r̄, ḡ, b̄, gray-std, n_frames, fps] where the
+    channel stats average over the sampled frames. Returns None when
+    the payload isn't an AVI (caller falls through to the stub)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal avih
+        while pos + 8 <= end:
+            cid, ln = buf[pos:pos + 4], struct.unpack_from(
+                "<I", buf, pos + 4)[0]
+            body_end = pos + 8 + ln
+            if body_end > end:
+                return
+            if cid == b"LIST":
+                walk(buf, pos + 12, body_end)
+            elif cid == b"avih" and ln >= 40:
+                avih = struct.unpack_from("<10I", buf, pos + 8)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(buf[pos + 8:body_end])
+            pos = body_end + (ln & 1)
+
+    walk(payload, 12, len(payload))
+    if avih is None or not frames:
+        return None
+    usec_pf, n_frames = avih[0], avih[4]
+    w_hdr, h_hdr = avih[8], avih[9]
+    fps = 1e6 / usec_pf if usec_pf else 0.0
+    n = len(frames)
+    picks = sorted({0, n // 2, n - 1})
+    decoded = []
+    for i in picks:
+        dec = _jpeg_pixels(frames[i])
+        if dec is not None:
+            decoded.append(dec)
+    if not decoded:
+        return None
+    w, h, c, _ = decoded[0]
+    if (w_hdr and w != w_hdr) or (h_hdr and h != h_hdr):
+        # header/frame disagreement: trust the decoded frames
+        pass
+    rs, gs, bs, gstd = [], [], [], []
+    for _, _, cc, px in decoded:
+        p = px.astype(np.float64)
+        if cc == 1:
+            r = g = b = p[..., 0]
+        else:
+            r, g, b = p[..., 0], p[..., 1], p[..., 2]
+        rs.append(r.mean())
+        gs.append(g.mean())
+        bs.append(b.mean())
+        gstd.append((0.299 * r + 0.587 * g + 0.114 * b).std())
+    k = float(len(decoded))
+    return _pad([w, h, c, sum(rs) / k, sum(gs) / k, sum(bs) / k,
+                 sum(gstd) / k, float(n_frames or n), float(fps)])
+
+
+def avi_emit_mjpeg(jpeg_frames: list, w: int, h: int,
+                   fps: float = 10.0) -> bytes:
+    """Emit a minimal valid MJPEG AVI from encoded JPEG frames — the
+    test-vector generator for ``_avi_mjpeg_features`` (pairs with
+    ``jpeg_emit_baseline``; container-writing for real corpora is out
+    of scope)."""
+    import struct
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack("<10I", int(1e6 / fps), 0, 0, 0,
+                       len(jpeg_frames), 0, 1, 0, w, h)
+    avih += b"\x00" * 16
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f)
+                                 for f in jpeg_frames))
+    return b"RIFF" + struct.pack(
+        "<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def _decode_video(payload: bytes, modality: str) -> np.ndarray:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        feat = _avi_mjpeg_features(payload)
+        if feat is not None:
+            return feat
+    return _fake_decode(payload, modality)  # MP4 etc: needs ffmpeg
+
+
 DECODERS = {
     "image": _decode_image,  # REAL for BMP/PPM/PGM/PBM/PNG-8bit/baseline-JPEG
-    "audio": _decode_audio,  # REAL for PCM WAV; stub for MP3/OGG (ffmpeg absent)
-    "video": _fake_decode,   # stub: containers need ffmpeg — frame fan-out
-                             # shape is real (frame_sample_plan)
+    "audio": _decode_audio,  # REAL for PCM/mu-law/A-law WAV; stub for MP3/OGG
+    "video": _decode_video,  # REAL for MJPEG-AVI; stub for MP4 (ffmpeg absent)
 }
 
 

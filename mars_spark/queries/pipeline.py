@@ -1890,8 +1890,30 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
                              * (1 + 1e-12) + F.lit(0.5)).cast("long")
                      .alias("feat_dim"),
                      F.lit(None).cast("string").alias("resize")))
+    # r12: the MJPEG-AVI video decoder (llm/multimodal.py
+    # _avi_mjpeg_features — RIFF walk + per-frame _jpeg_pixels,
+    # first/middle/last frame sampling) gets a closed-form stratum:
+    # 7 DC-only gray frames whose constant pixel values make every
+    # emitted slot exact arithmetic the oracle restates.
+    avi_rows = (decode_features(spark.createDataFrame(
+        [(70, "video", bytearray(_fixture_avi_mjpeg()),
+          {"n_frames": "7"})],
+        "id long, modality string, content binary, "
+        "meta map<string,string>"))
+        .select(F.posexplode(F.slice("features", 1, 9))
+                .alias("pos", "val"))
+        .select(
+            (F.lit(1007000) + F.col("pos")).cast("long").alias("id"),
+            F.lit("avi").alias("modality"),
+            F.col("pos").cast("long").alias("n_frames"),
+            F.lit(7).cast("long").alias("n_bytes"),
+            F.floor(F.col("val").cast("double") * 1e4
+                    * (1 + 1e-12) + F.lit(0.5)).cast("long")
+            .alias("feat_dim"),
+            F.lit(None).cast("string").alias("resize")))
     return (roll.unionByName(png_rows).unionByName(pnm_rows)
-            .unionByName(jpg_rows).unionByName(g711_rows))
+            .unionByName(jpg_rows).unionByName(g711_rows)
+            .unionByName(avi_rows))
 
 
 def _fixture_pgm(w: int, h: int) -> bytes:
@@ -1992,6 +2014,24 @@ def _fixture_wav_g711(fmt_code: int) -> bytes:
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# per-frame DC coefficients of the AVI fixture (constant gray frames
+# at pixel 128 + dc/8; the sampler reads frames 0, 3, 6)
+_AVI_DCS = [80, -160, 320, -40, 160, -240, 240]
+
+
+def _fixture_avi_mjpeg() -> bytes:
+    """MJPEG AVI: 7 DC-only gray 16x8 frames (constant pixels
+    138,108,168,123,148,98,158), 12.5 fps — sampled frames 0/3/6 give
+    mean (138+123+158)/3, gray std 0."""
+    from mars_spark.llm.multimodal import (avi_emit_mjpeg,
+                                           jpeg_emit_baseline)
+
+    frames = [jpeg_emit_baseline(16, 8, [(1, 1)],
+                                 [[[d] + [0] * 63, [d] + [0] * 63]])
+              for d in _AVI_DCS]
+    return avi_emit_mjpeg(frames, 16, 8, fps=12.5)
 
 
 def _fixture_jpg_gray() -> bytes:

@@ -649,6 +649,32 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(NULL AS VARCHAR) AS resize
             FROM gvals
         )
+        UNION ALL
+        -- MJPEG-AVI stratum: 7 DC-only 16x8 gray frames (constant
+        -- pixel 128 + dc/8), sampler reads frames 0/3/6 -> channel
+        -- means (138+123+158)/3, gray std 0, n_frames 7, fps 12.5
+        SELECT * FROM (
+            WITH avals AS (
+                SELECT 0 AS pos, 16.0 AS val
+                UNION ALL SELECT 1, 8.0
+                UNION ALL SELECT 2, 1.0
+                UNION ALL SELECT 3, (138.0 + 123.0 + 158.0) / 3
+                UNION ALL SELECT 4, (138.0 + 123.0 + 158.0) / 3
+                UNION ALL SELECT 5, (138.0 + 123.0 + 158.0) / 3
+                UNION ALL SELECT 6, 0.0
+                UNION ALL SELECT 7, 7.0
+                UNION ALL SELECT 8, 12.5
+            )
+            SELECT CAST(1007000 + pos AS BIGINT) AS id,
+                   'avi' AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(7 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM avals
+        )
     """,
     "op_tensor": """
         WITH mm AS (

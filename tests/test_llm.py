@@ -2634,3 +2634,37 @@ def test_g711_wav_decode(spark):
     assert f2[0] == 16000 and f2[1] == 2
     assert abs(f2[2] - 0.1) < 1e-6        # 1600 stereo frames
     assert abs(f2[3] - 8 / 32768) < 1e-9  # constant -8 amplitude
+
+
+def test_mjpeg_avi_video_decode(spark):
+    """The video modality decodes for REAL for MJPEG-in-AVI: header
+    facts (w, h, n_frames, fps) and frame-sampled channel means land
+    in the feature slots, matching the closed-form DC-only frames;
+    non-AVI video payloads still route to the deterministic stub."""
+    from mars_spark.llm.multimodal import (avi_emit_mjpeg,
+                                           decode_features,
+                                           jpeg_emit_baseline)
+
+    # 5 gray 8x8 DC-only frames: constant pixel 128 + dc/8
+    dcs = [80, -160, 320, -40, 160]   # pixels 138,108,168,123,148
+    frames = [jpeg_emit_baseline(8, 8, [(1, 1)], [[[d] + [0] * 63]])
+              for d in dcs]
+    avi = avi_emit_mjpeg(frames, 8, 8, fps=10.0)
+    rows = [
+        (1, "video", bytearray(avi), {"n_frames": "5"}),
+        (2, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"), {}),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "id long, modality string, content binary, meta map<string,string>")
+    out = decode_features(sdf).toPandas().set_index("id").features
+    f = out[1]
+    assert f[0] == 8.0 and f[1] == 8.0 and f[2] == 1.0
+    # sampled frames = first/middle/last = dcs 0,2,4 -> mean of
+    # constant planes (138+168+148)/3
+    exp = (138 + 168 + 148) / 3
+    assert abs(f[3] - exp) < 1e-4 and abs(f[4] - exp) < 1e-4
+    assert f[6] == 0.0                       # constant frames: std 0
+    assert f[7] == 5.0 and f[8] == 10.0      # n_frames, fps
+    assert len(out[2]) == 32                  # mp4 -> stub, no crash
+    assert not (out[2][7] == 5.0 and out[2][8] == 10.0)
