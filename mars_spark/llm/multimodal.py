@@ -823,7 +823,160 @@ def _decode_image(payload: bytes, modality: str) -> np.ndarray:
         return _png_features(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_features(payload)  # REAL baseline SOF0/SOF1
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_features(payload)   # REAL LZW first frame
     return _fake_decode(payload, modality)
+
+
+# ------------------------------------------------------------------ GIF
+def _gif_pixels(payload: bytes):
+    """REAL GIF decode with the stdlib alone (GIF87a/89a, public
+    spec): logical screen descriptor + color tables, extension-block
+    skip, LZW decompression (variable code width, clear/EOI,
+    KwKwK case), 4-pass de-interlace. Decodes the FIRST frame;
+    returns (w, h, 3, HxWx3 uint8) or None for malformed/exotic
+    variants (caller falls back to the stub). Thumbnail-scale
+    payloads inside a UDF, like the other pure-python decoders."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    if len(payload) < 13:
+        return None
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        pos += 3 * n
+
+    def skip_subblocks(p):
+        while p < len(payload):
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+        return p
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:              # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:            # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            _l, _t, w, h, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:      # local color table
+                n = 2 << (iflags & 7)
+                ct = payload[pos:pos + 3 * n]
+                if len(ct) < 3 * n:
+                    return None
+                pos += 3 * n
+            if ct is None or w == 0 or h == 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload):
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                data += payload[pos:pos + ln]
+                pos += ln
+            idx = _gif_lzw(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            arr = np.asarray(idx[:w * h], dtype=np.int32)
+            if arr.max() >= len(pal):
+                return None
+            px = pal[arr].reshape(h, w, 3)
+            if iflags & 0x40:      # interlaced: 4-pass row order
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                out = np.empty_like(px)
+                out[order] = px
+                px = out
+            return w, h, 3, px
+        elif b == 0x3B:
+            return None            # trailer before any image
+        else:
+            return None
+    return None
+
+
+def _gif_lzw(data: bytes, min_code: int, n_pixels: int):
+    """GIF LZW decompression (LSB-first bit packing, variable code
+    width 3..12, CLEAR resets the dictionary, KwKwK handled).
+    Returns the index stream or None on a corrupt stream."""
+    if not (2 <= min_code <= 11):
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        next_code = eoi + 1
+
+    width = min_code + 1
+    next_code = eoi + 1
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < next_code and code < len(table) \
+                    and (code < clear or table[code]):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]      # KwKwK
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def _gif_features(payload: bytes) -> np.ndarray:
+    dec = _gif_pixels(payload)
+    if dec is None:
+        return _fake_decode(payload, "image")
+    w, h, c, px = dec
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return _pad([w, h, c, float(r.mean()), float(g.mean()),
+                 float(b.mean()), float(gray.std())])
 
 
 # ---------------------------------------------------------- MJPEG AVI

@@ -1911,9 +1911,30 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
                     * (1 + 1e-12) + F.lit(0.5)).cast("long")
             .alias("feat_dim"),
             F.lit(None).cast("string").alias("resize")))
+    # r12: the GIF decoder (llm/multimodal.py _gif_pixels — LZW with
+    # variable code width, clear/EOI, KwKwK, de-interlace) gets a
+    # closed-form stratum: a 4-color 9x7 grid (palette index
+    # (3x+5y)%4) emitted with a trivial clear-per-pixel fixed-width
+    # LZW stream; the oracle restates the palette-mapped channels
+    # with range() arithmetic like the PNG stratum.
+    gif_rows = (decode_features(spark.createDataFrame(
+        [(80, "image", bytearray(_fixture_gif()), {"n_frames": "1"})],
+        "id long, modality string, content binary, "
+        "meta map<string,string>"))
+        .select(F.posexplode(F.slice("features", 1, 7))
+                .alias("pos", "val"))
+        .select(
+            (F.lit(1008000) + F.col("pos")).cast("long").alias("id"),
+            F.lit("gif").alias("modality"),
+            F.col("pos").cast("long").alias("n_frames"),
+            F.lit(63).cast("long").alias("n_bytes"),
+            F.floor(F.col("val").cast("double") * 1e4
+                    * (1 + 1e-12) + F.lit(0.5)).cast("long")
+            .alias("feat_dim"),
+            F.lit(None).cast("string").alias("resize")))
     return (roll.unionByName(png_rows).unionByName(pnm_rows)
             .unionByName(jpg_rows).unionByName(g711_rows)
-            .unionByName(avi_rows))
+            .unionByName(avi_rows).unionByName(gif_rows))
 
 
 def _fixture_pgm(w: int, h: int) -> bytes:
@@ -1995,6 +2016,54 @@ _JPG_GRAY_P = [(80, 24, 16, 8), (-160, -32, 40, 16),
 _JPG_YDC = [80, 160, -80, 240, 40, -200, 320, 120]
 _JPG_CB = [(96, 32), (-64, 0)]
 _JPG_CR = [-128, 192]
+
+
+# the GIF stratum's palette — shared between the fixture builder and
+# the SQL oracle's VALUES list
+_GIF_PALETTE = [(250, 10, 30), (10, 250, 60), (20, 40, 250),
+                (200, 200, 0)]
+
+
+def _fixture_gif() -> bytes:
+    """GIF89a 9x7, 4-color palette, pixel index (3x+5y) mod 4 —
+    emitted as a trivial fixed-width LZW stream (CLEAR before every
+    pixel code, valid per the spec) so the fixture needs no LZW
+    compressor; the repo decoder handles the repeated clears on its
+    normal variable-width path."""
+    import struct
+
+    w, h, mc = 9, 7, 2
+    clear, eoi, width = 1 << mc, (1 << mc) + 1, mc + 1
+    acc = nbits = 0
+    data = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for y in range(h):
+        for x in range(w):
+            put(clear)
+            put((x * 3 + y * 5) % 4)
+    put(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # GCT 2^2
+    for r, g, b in _GIF_PALETTE:
+        out += bytes([r, g, b])
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([mc])
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3B"
+    return bytes(out)
 
 
 def _fixture_wav_g711(fmt_code: int) -> bytes:

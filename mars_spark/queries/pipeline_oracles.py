@@ -675,6 +675,45 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(NULL AS VARCHAR) AS resize
             FROM avals
         )
+        UNION ALL
+        -- GIF stratum: 9x7 grid of palette index (3x+5y)%4 mapped
+        -- through the 4-color table, restated with range()
+        -- arithmetic (float32 + 4dp-floor roundtrip as everywhere)
+        SELECT * FROM (
+            WITH gpal AS (
+                SELECT * FROM (VALUES (0, 250.0, 10.0, 30.0),
+                                      (1, 10.0, 250.0, 60.0),
+                                      (2, 20.0, 40.0, 250.0),
+                                      (3, 200.0, 200.0, 0.0))
+                    AS t(ci, r, g, b)
+            ), gifpx AS (
+                SELECT p.r, p.g, p.b
+                FROM range(9) t1(x), range(7) t2(y)
+                JOIN gpal p ON p.ci = (x * 3 + y * 5) % 4
+            ), gifst AS (
+                SELECT avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+                       stddev_pop(0.299 * r + 0.587 * g + 0.114 * b)
+                           AS gs
+                FROM gifpx
+            ), gifv AS (
+                SELECT 0 AS pos, 9.0 AS val
+                UNION ALL SELECT 1, 7.0
+                UNION ALL SELECT 2, 3.0
+                UNION ALL SELECT 3, mr FROM gifst
+                UNION ALL SELECT 4, mg FROM gifst
+                UNION ALL SELECT 5, mb FROM gifst
+                UNION ALL SELECT 6, gs FROM gifst
+            )
+            SELECT CAST(1008000 + pos AS BIGINT) AS id,
+                   'gif' AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(63 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM gifv
+        )
     """,
     "op_tensor": """
         WITH mm AS (
