@@ -883,13 +883,22 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # partition layout).
     gsem = (f[["user_id", "value"]].groupby("user_id", as_index=False)
             .sem().rename(columns={"value": "g_sem"}))
+    # gb.skew / gb.kurt — Spark's population central-moment forms
+    # (skew = m3/m2^1.5, kurt = m4/m2^2 − 3); the oracle replays them
+    # two-pass (per-group mean join, then central moments) which is
+    # the well-conditioned formulation
+    gskw = (f[["user_id", "value"]].groupby("user_id", as_index=False)
+            .skew().rename(columns={"value": "g_skew"}))
+    gkrt = (f[["user_id", "value"]].groupby("user_id", as_index=False)
+            .kurt().rename(columns={"value": "g_kurt"}))
     f2 = f[f.event_id % 53 == 0][["user_id", "event_id"]]
     f2["pf"] = f2.event_id % 3 + 1
     gprod = (f2[["user_id", "pf"]].groupby("user_id", as_index=False)
              .prod().rename(columns={"pf": "g_prod"}))
     out = (agg.merge(rng, on="user_id").merge(samp, on="user_id")
            .merge(interp, on="user_id").merge(gmed, on="user_id")
-           .merge(gsem, on="user_id")
+           .merge(gsem, on="user_id").merge(gskw, on="user_id")
+           .merge(gkrt, on="user_id")
            .merge(gprod, on="user_id", how="left"))
     return out.to_spark().crossJoin(F.broadcast(desc)).select(
         "user_id", "n",
@@ -899,6 +908,8 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round("vi_sum", 4).alias("vi_sum"),
         F.round("g_med", 4).alias("g_med"),
         F.round("g_sem", 4).alias("g_sem"),
+        F.round("g_skew", 4).alias("g_skew"),
+        F.round("g_kurt", 4).alias("g_kurt"),
         F.col("g_prod").cast("double").alias("g_prod"),
         "n_samp", "desc_count", "desc_mean", "desc_std",
     )

@@ -472,6 +472,21 @@ OPS_ORACLES: dict[str, str] = {
             SELECT user_id,
                    product(CAST(event_id % 3 + 1 AS DOUBLE)) AS g_prod
             FROM f WHERE event_id % 53 = 0 GROUP BY user_id
+        ), gmean AS (
+            SELECT user_id, avg(value) AS mu FROM f GROUP BY user_id
+        ), gmom AS (
+            -- gb.skew / gb.kurt: Spark's POPULATION central-moment
+            -- forms, replayed two-pass (mean join, then moments) —
+            -- the well-conditioned formulation
+            SELECT f.user_id,
+                   round(avg(pow(value - mu, 3))
+                         / pow(avg(pow(value - mu, 2)), 1.5), 4)
+                       AS g_skew,
+                   round(avg(pow(value - mu, 4))
+                         / pow(avg(pow(value - mu, 2)), 2) - 3, 4)
+                       AS g_kurt
+            FROM f JOIN gmean USING (user_id)
+            GROUP BY f.user_id
         ), d AS (
             SELECT CAST(count(value) AS BIGINT) AS desc_count,
                    floor(avg(value) * 1e4 + 0.5) / 1e4 AS desc_mean,
@@ -508,9 +523,10 @@ OPS_ORACLES: dict[str, str] = {
             FROM itp_win GROUP BY user_id
         )
         SELECT user_id, n, v_sum, v_rng, v_med, vi_sum, g_med,
-               g_sem, g_prod,
+               g_sem, g_skew, g_kurt, g_prod,
                n_samp, desc_count, desc_mean, desc_std
         FROM ag CROSS JOIN d JOIN itp USING (user_id)
+        JOIN gmom USING (user_id)
         LEFT JOIN gp USING (user_id)
     """,
     "op_ewm_expanding": """
