@@ -891,6 +891,17 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
             .skew().rename(columns={"value": "g_skew"}))
     gkrt = (f[["user_id", "value"]].groupby("user_id", as_index=False)
             .kurt().rename(columns={"value": "g_kurt"}))
+    # gb.all / gb.any on derived predicates with real per-group
+    # variation (value > 1 holds almost everywhere; value > its
+    # median only sometimes)
+    fb = f[["user_id", "value"]]
+    fb["hi"] = fb.value > 500.0
+    fb["lo"] = fb.value > 1.0
+    fb = fb[["user_id", "hi", "lo"]]
+    gany = (fb.groupby("user_id", as_index=False).any()
+            .rename(columns={"hi": "g_any", "lo": "_drop1"}))
+    gall = (fb.groupby("user_id", as_index=False).all()
+            .rename(columns={"lo": "g_all", "hi": "_drop2"}))
     f2 = f[f.event_id % 53 == 0][["user_id", "event_id"]]
     f2["pf"] = f2.event_id % 3 + 1
     gprod = (f2[["user_id", "pf"]].groupby("user_id", as_index=False)
@@ -899,6 +910,8 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
            .merge(interp, on="user_id").merge(gmed, on="user_id")
            .merge(gsem, on="user_id").merge(gskw, on="user_id")
            .merge(gkrt, on="user_id")
+           .merge(gany[["user_id", "g_any"]], on="user_id")
+           .merge(gall[["user_id", "g_all"]], on="user_id")
            .merge(gprod, on="user_id", how="left"))
     return out.to_spark().crossJoin(F.broadcast(desc)).select(
         "user_id", "n",
@@ -910,6 +923,8 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round("g_sem", 4).alias("g_sem"),
         F.round("g_skew", 4).alias("g_skew"),
         F.round("g_kurt", 4).alias("g_kurt"),
+        F.col("g_any").cast("boolean").alias("g_any"),
+        F.col("g_all").cast("boolean").alias("g_all"),
         F.col("g_prod").cast("double").alias("g_prod"),
         "n_samp", "desc_count", "desc_mean", "desc_std",
     )

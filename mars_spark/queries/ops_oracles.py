@@ -487,6 +487,12 @@ OPS_ORACLES: dict[str, str] = {
                        AS g_kurt
             FROM f JOIN gmean USING (user_id)
             GROUP BY f.user_id
+        ), gbool AS (
+            -- gb.any / gb.all on derived predicates
+            SELECT user_id,
+                   bool_or(value > 500.0) AS g_any,
+                   bool_and(value > 1.0) AS g_all
+            FROM f GROUP BY user_id
         ), d AS (
             SELECT CAST(count(value) AS BIGINT) AS desc_count,
                    floor(avg(value) * 1e4 + 0.5) / 1e4 AS desc_mean,
@@ -523,10 +529,11 @@ OPS_ORACLES: dict[str, str] = {
             FROM itp_win GROUP BY user_id
         )
         SELECT user_id, n, v_sum, v_rng, v_med, vi_sum, g_med,
-               g_sem, g_skew, g_kurt, g_prod,
+               g_sem, g_skew, g_kurt, g_any, g_all, g_prod,
                n_samp, desc_count, desc_mean, desc_std
         FROM ag CROSS JOIN d JOIN itp USING (user_id)
         JOIN gmom USING (user_id)
+        JOIN gbool USING (user_id)
         LEFT JOIN gp USING (user_id)
     """,
     "op_ewm_expanding": """
