@@ -825,7 +825,101 @@ def _decode_image(payload: bytes, modality: str) -> np.ndarray:
         return _jpeg_features(payload)  # REAL baseline SOF0/SOF1
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_features(payload)   # REAL LZW first frame
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_features(payload)  # REAL uncompressed baseline
     return _fake_decode(payload, modality)
+
+
+# ----------------------------------------------------------------- TIFF
+def _tiff_pixels(payload: bytes):
+    """REAL TIFF decode with the stdlib alone (TIFF 6.0 baseline,
+    public spec): both byte orders (II/MM), first IFD, SHORT/LONG
+    tag values (inline or offset), multi-strip assembly. Scope:
+    UNCOMPRESSED (Compression=1), 8 bits per sample, chunky planar,
+    1 or 3 samples per pixel (gray / RGB). Anything else (LZW/
+    PackBits/JPEG-in-TIFF, 16-bit, planar, tiles) returns None and
+    falls back to the stub."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    if len(payload) < 8:
+        return None
+    ifd_off, = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return None
+    n_ent, = struct.unpack_from(e + "H", payload, ifd_off)
+    tags = {}
+    for i in range(n_ent):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(payload):
+            return None
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        if total <= 4:
+            off = base + 8
+        else:
+            off, = struct.unpack_from(e + "I", payload, base + 8)
+        if off + total > len(payload):
+            return None
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = struct.unpack_from(e + fmt * cnt, payload, off)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    bps = tags.get(258, (8,))
+    planar = one(284, 1)
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if (not w or not h or comp != 1 or planar != 1
+            or spp not in (1, 3) or any(b != 8 for b in bps)
+            or photo not in (0, 1, 2) or offs is None):
+        return None
+    need = w * h * spp
+    if cnts is None:
+        cnts = (need,)
+    data = bytearray()
+    for o, c in zip(offs, cnts):
+        if o + c > len(payload):
+            return None
+        data += payload[o:o + c]
+        if len(data) >= need:
+            break
+    if len(data) < need:
+        return None
+    px = np.frombuffer(bytes(data), np.uint8,
+                       count=need).reshape(h, w, spp)
+    if photo == 0:                 # WhiteIsZero: invert
+        px = 255 - px
+    return w, h, spp, px
+
+
+def _tiff_features(payload: bytes) -> np.ndarray:
+    dec = _tiff_pixels(payload)
+    if dec is None:
+        return _fake_decode(payload, "image")
+    w, h, c, px = dec
+    px = px.astype(np.float64)
+    if c == 1:
+        r = g = b = px[..., 0]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return _pad([w, h, c, float(r.mean()), float(g.mean()),
+                 float(b.mean()), float(gray.std())])
 
 
 # ------------------------------------------------------------------ GIF

@@ -1778,163 +1778,68 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.max(F.octet_length("content")).cast("long").alias("n_bytes"),
         F.max(F.size("features")).cast("long").alias("feat_dim"),
         F.max(F.element_at("meta", "resize")).alias("resize"))
-    # r10: the REAL PNG decoder (llm/multimodal.py _png_pixels —
-    # stdlib zlib inflate + RFC 2083 unfiltering) gets its own
-    # driver stratum: a fixture PNG whose pixel channels follow a
-    # closed-form grid and whose 7 scanlines cycle through ALL five
-    # filter types is decoded through the SAME Arrow decode path;
-    # the first 7 feature slots (w, h, c, r/g/b means, gray std) pin
-    # the recovered pixels exactly, and the oracle restates them
-    # with range() arithmetic (float32 round-trip on both sides).
-    png = _fixture_png(9, 7)
-    pngdf = spark.createDataFrame(
-        [(0, "image", bytearray(png), {"n_frames": "1"})],
+    # r10-r12: every REAL-decoder fixture stratum (PNG scanline
+    # filters; PGM/PBM; baseline JPEG gray + 4:2:0 color; G.711
+    # mu-law/A-law; MJPEG-AVI; GIF LZW; baseline TIFF) decodes
+    # through ONE shared Arrow pass — a single mapInPandas stage for
+    # all ten fixtures instead of one per family (each extra Python
+    # stage measured ~1 s at sf0.1) — then splits into per-family
+    # rows by fixture id (uniform id scheme 1000000 + fid*100 + pos).
+    # Each family's closed-form pixel/sample restatement lives in
+    # pipeline_oracles.op_multimodal.
+    fixtures = spark.createDataFrame(
+        [(0, "image", bytearray(_fixture_png(9, 7)), {"n_frames": "1"}),
+         (10, "image", bytearray(_fixture_pgm(9, 7)), {"n_frames": "1"}),
+         (20, "image", bytearray(_fixture_pbm(9, 7)), {"n_frames": "1"}),
+         (30, "image", bytearray(_fixture_jpg_gray()),
+          {"n_frames": "1"}),
+         (40, "image", bytearray(_fixture_jpg_color()),
+          {"n_frames": "1"}),
+         (50, "audio", bytearray(_fixture_wav_g711(7)),
+          {"n_frames": "1"}),
+         (60, "audio", bytearray(_fixture_wav_g711(6)),
+          {"n_frames": "1"}),
+         (70, "video", bytearray(_fixture_avi_mjpeg()),
+          {"n_frames": "1"}),
+         (80, "image", bytearray(_fixture_gif()), {"n_frames": "1"}),
+         (90, "image", bytearray(_fixture_tiff(9, 7)),
+          {"n_frames": "1"})],
         "id long, modality string, content binary, "
         "meta map<string,string>")
-    png_rows = (decode_features(pngdf)
-                .select(F.posexplode(F.slice("features", 1, 7))
-                        .alias("pos", "val"))
-                .select(
-                    (F.lit(1000000) + F.col("pos")).cast("long")
-                    .alias("id"),
-                    F.lit("png").alias("modality"),
-                    F.col("pos").cast("long").alias("n_frames"),
-                    F.lit(63).cast("long").alias("n_bytes"),
-                    F.floor(F.col("val").cast("double") * 1e4
-                            * (1 + 1e-12) + F.lit(0.5)).cast("long")
-                    .alias("feat_dim"),
-                    F.lit(None).cast("string").alias("resize")))
-    # r11: the PGM (P5) and PBM (P4) decoders get the same treatment —
-    # closed-form fixtures ((13x+7y) mod 256 grayscale grid; (x+y)
-    # parity checkerboard with byte-aligned 1-bit rows) decoded
-    # through the SAME Arrow path, first 7 feature slots pinned, the
-    # oracle restating pixels with range() arithmetic + float32
-    # round-trip.
-    pnm = spark.createDataFrame(
-        [(10, "image", bytearray(_fixture_pgm(9, 7)), {"n_frames": "1"}),
-         (20, "image", bytearray(_fixture_pbm(9, 7)), {"n_frames": "1"})],
-        "id long, modality string, content binary, "
-        "meta map<string,string>")
-    pnm_rows = (decode_features(pnm)
-                .select("id",
-                        F.posexplode(F.slice("features", 1, 7))
-                        .alias("pos", "val"))
-                .select(
-                    (F.lit(1000000) + F.col("id") * 100 + F.col("pos"))
-                    .cast("long").alias("id"),
-                    F.when(F.col("id") == 10, F.lit("pgm"))
-                    .otherwise(F.lit("pbm")).alias("modality"),
-                    F.col("pos").cast("long").alias("n_frames"),
-                    F.lit(63).cast("long").alias("n_bytes"),
-                    F.floor(F.col("val").cast("double") * 1e4
-                            * (1 + 1e-12) + F.lit(0.5)).cast("long")
-                    .alias("feat_dim"),
-                    F.lit(None).cast("string").alias("resize")))
-    # r12: the REAL baseline-JPEG decoder (llm/multimodal.py
-    # _jpeg_pixels — canonical Huffman + dequant + 8x8 IDCT + YCbCr)
-    # gets two strata: a gray 16x16 whose per-block DC + (4,0)/(0,4)/
-    # (4,4) AC coefficients have the exact ±F/8 sign-pattern IDCT
-    # (all multiples of 8 -> integer pixels, no cos() in the oracle),
-    # and a 32x16 4:2:0 color fixture with a real RST0 restart
-    # between its two MCUs and an AC on the Cb plane (pins chroma
-    # upsampling by replication + the JFIF conversion rounding).
-    # Both decode through the SAME Arrow path; first 7 feature slots
-    # pinned; the oracle restates the pixels with range() arithmetic.
-    jpg = spark.createDataFrame(
-        [(30, "image", bytearray(_fixture_jpg_gray()), {"n_frames": "1"}),
-         (40, "image", bytearray(_fixture_jpg_color()), {"n_frames": "1"})],
-        "id long, modality string, content binary, "
-        "meta map<string,string>")
-    jpg_rows = (decode_features(jpg)
-                .select("id",
-                        F.posexplode(F.slice("features", 1, 7))
-                        .alias("pos", "val"))
-                .select(
-                    (F.lit(1000000) + F.col("id") * 100 + F.col("pos"))
-                    .cast("long").alias("id"),
-                    F.when(F.col("id") == 30, F.lit("jpg"))
-                    .otherwise(F.lit("jpgc")).alias("modality"),
-                    F.col("pos").cast("long").alias("n_frames"),
-                    F.when(F.col("id") == 30, F.lit(256))
-                    .otherwise(F.lit(512)).cast("long").alias("n_bytes"),
-                    F.floor(F.col("val").cast("double") * 1e4
-                            * (1 + 1e-12) + F.lit(0.5)).cast("long")
-                    .alias("feat_dim"),
-                    F.lit(None).cast("string").alias("resize")))
-    # r12: the REAL G.711 decoders (llm/multimodal.py
-    # _g711_wav_features — manual RIFF walk + vectorized µ-law/A-law
-    # expanders; the stdlib wave module rejects these formats) get
-    # closed-form strata: a µ-law mono WAV cycling the table-anchor
-    # bytes [0x00, 0xFF, 0x80] (linear −32124/0/+32124) and an A-law
-    # stereo WAV of constant 0x55 bytes (linear −8). sr/nch/duration/
-    # rms/peak/zcr are exact arithmetic the oracle restates.
-    g711 = spark.createDataFrame(
-        [(50, "audio", bytearray(_fixture_wav_g711(7)), {"n_frames": "1"}),
-         (60, "audio", bytearray(_fixture_wav_g711(6)), {"n_frames": "1"})],
-        "id long, modality string, content binary, "
-        "meta map<string,string>")
-    g711_rows = (decode_features(g711)
-                 .select("id",
-                         F.posexplode(F.slice("features", 1, 6))
-                         .alias("pos", "val"))
-                 .select(
-                     (F.lit(1000000) + F.col("id") * 100 + F.col("pos"))
-                     .cast("long").alias("id"),
-                     F.when(F.col("id") == 50, F.lit("mu"))
-                     .otherwise(F.lit("al")).alias("modality"),
-                     F.col("pos").cast("long").alias("n_frames"),
-                     F.when(F.col("id") == 50, F.lit(300))
-                     .otherwise(F.lit(3200)).cast("long")
-                     .alias("n_bytes"),
-                     F.floor(F.col("val").cast("double") * 1e4
-                             * (1 + 1e-12) + F.lit(0.5)).cast("long")
-                     .alias("feat_dim"),
-                     F.lit(None).cast("string").alias("resize")))
-    # r12: the MJPEG-AVI video decoder (llm/multimodal.py
-    # _avi_mjpeg_features — RIFF walk + per-frame _jpeg_pixels,
-    # first/middle/last frame sampling) gets a closed-form stratum:
-    # 7 DC-only gray frames whose constant pixel values make every
-    # emitted slot exact arithmetic the oracle restates.
-    avi_rows = (decode_features(spark.createDataFrame(
-        [(70, "video", bytearray(_fixture_avi_mjpeg()),
-          {"n_frames": "7"})],
-        "id long, modality string, content binary, "
-        "meta map<string,string>"))
-        .select(F.posexplode(F.slice("features", 1, 9))
-                .alias("pos", "val"))
-        .select(
-            (F.lit(1007000) + F.col("pos")).cast("long").alias("id"),
-            F.lit("avi").alias("modality"),
-            F.col("pos").cast("long").alias("n_frames"),
-            F.lit(7).cast("long").alias("n_bytes"),
-            F.floor(F.col("val").cast("double") * 1e4
-                    * (1 + 1e-12) + F.lit(0.5)).cast("long")
-            .alias("feat_dim"),
-            F.lit(None).cast("string").alias("resize")))
-    # r12: the GIF decoder (llm/multimodal.py _gif_pixels — LZW with
-    # variable code width, clear/EOI, KwKwK, de-interlace) gets a
-    # closed-form stratum: a 4-color 9x7 grid (palette index
-    # (3x+5y)%4) emitted with a trivial clear-per-pixel fixed-width
-    # LZW stream; the oracle restates the palette-mapped channels
-    # with range() arithmetic like the PNG stratum.
-    gif_rows = (decode_features(spark.createDataFrame(
-        [(80, "image", bytearray(_fixture_gif()), {"n_frames": "1"})],
-        "id long, modality string, content binary, "
-        "meta map<string,string>"))
-        .select(F.posexplode(F.slice("features", 1, 7))
-                .alias("pos", "val"))
-        .select(
-            (F.lit(1008000) + F.col("pos")).cast("long").alias("id"),
-            F.lit("gif").alias("modality"),
-            F.col("pos").cast("long").alias("n_frames"),
-            F.lit(63).cast("long").alias("n_bytes"),
-            F.floor(F.col("val").cast("double") * 1e4
-                    * (1 + 1e-12) + F.lit(0.5)).cast("long")
-            .alias("feat_dim"),
-            F.lit(None).cast("string").alias("resize")))
-    return (roll.unionByName(png_rows).unionByName(pnm_rows)
-            .unionByName(jpg_rows).unionByName(g711_rows)
-            .unionByName(avi_rows).unionByName(gif_rows))
+    nslots = (F.when(F.col("id").isin(50, 60), F.lit(6))
+              .when(F.col("id") == 70, F.lit(9)).otherwise(F.lit(7)))
+    mod = (F.when(F.col("id") == 0, F.lit("png"))
+           .when(F.col("id") == 10, F.lit("pgm"))
+           .when(F.col("id") == 20, F.lit("pbm"))
+           .when(F.col("id") == 30, F.lit("jpg"))
+           .when(F.col("id") == 40, F.lit("jpgc"))
+           .when(F.col("id") == 50, F.lit("mu"))
+           .when(F.col("id") == 60, F.lit("al"))
+           .when(F.col("id") == 70, F.lit("avi"))
+           .when(F.col("id") == 80, F.lit("gif"))
+           .otherwise(F.lit("tif")))
+    nbytes = (F.when(F.col("id") == 30, F.lit(256))
+              .when(F.col("id") == 40, F.lit(512))
+              .when(F.col("id") == 50, F.lit(300))
+              .when(F.col("id") == 60, F.lit(3200))
+              .when(F.col("id") == 70, F.lit(7))
+              .otherwise(F.lit(63)))
+    fixture_rows = (decode_features(fixtures)
+                    .select("id",
+                            F.posexplode(F.slice("features", 1, 9))
+                            .alias("pos", "val"))
+                    .filter(F.col("pos") < nslots)
+                    .select(
+                        (F.lit(1000000) + F.col("id") * 100
+                         + F.col("pos")).cast("long").alias("id"),
+                        mod.alias("modality"),
+                        F.col("pos").cast("long").alias("n_frames"),
+                        nbytes.cast("long").alias("n_bytes"),
+                        F.floor(F.col("val").cast("double") * 1e4
+                                * (1 + 1e-12) + F.lit(0.5))
+                        .cast("long").alias("feat_dim"),
+                        F.lit(None).cast("string").alias("resize")))
+    return roll.unionByName(fixture_rows)
 
 
 def _fixture_pgm(w: int, h: int) -> bytes:
@@ -2064,6 +1969,56 @@ def _fixture_gif() -> bytes:
         out += bytes([len(blk)]) + blk
     out += b"\x00\x3B"
     return bytes(out)
+
+
+def _fixture_tiff(w: int, h: int) -> bytes:
+    """Little-endian baseline TIFF (uncompressed, 2 strips) whose RGB
+    channels are the SAME closed-form grid as _fixture_png — the
+    oracle reuses that restatement verbatim."""
+    import struct
+
+    px = bytes(((x * 29 + y * 31) % 256 if ch == 0 else
+                (x * 17 + y * 5 + 100) % 256 if ch == 1 else
+                (x * 3 + y * 23 + 200) % 256)
+               for y in range(h) for x in range(w) for ch in range(3))
+    rows_per_strip = h // 2 + (h % 2)
+    stride = w * 3
+    strips = [px[:rows_per_strip * stride], px[rows_per_strip * stride:]]
+    n_tags = 10
+    ifd_off = 8
+    aux_off = ifd_off + 2 + 12 * n_tags + 4
+    aux = bytearray()
+
+    def aux_put(fmt, vals):
+        off = aux_off + len(aux)
+        aux.extend(struct.pack("<" + fmt * len(vals), *vals))
+        return off
+
+    bps_off = aux_put("H", (8, 8, 8))
+    so_off = aux_put("I", (0, 0))
+    sc_off = aux_put("I", tuple(len(s) for s in strips))
+    data_start = aux_off + len(aux)
+    struct.pack_into("<II", aux, so_off - aux_off,
+                     data_start, data_start + len(strips[0]))
+
+    def entry(tag, typ, cnt, value, short_inline=False):
+        b = struct.pack("<HHI", tag, typ, cnt)
+        if short_inline:
+            return b + struct.pack("<HH", value, 0)
+        return b + struct.pack("<I", value)
+
+    entries = [
+        entry(256, 4, 1, w), entry(257, 4, 1, h),
+        entry(258, 3, 3, bps_off),
+        entry(259, 3, 1, 1, True), entry(262, 3, 1, 2, True),
+        entry(273, 4, 2, so_off), entry(277, 3, 1, 3, True),
+        entry(278, 4, 1, rows_per_strip),
+        entry(279, 4, 2, sc_off), entry(284, 3, 1, 1, True),
+    ]
+    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
+           + struct.pack("<I", 0))
+    return (b"II" + struct.pack("<HI", 42, 8) + ifd + bytes(aux)
+            + b"".join(strips))
 
 
 def _fixture_wav_g711(fmt_code: int) -> bytes:

@@ -714,6 +714,41 @@ PIPELINE_ORACLES: dict[str, str] = {
                    CAST(NULL AS VARCHAR) AS resize
             FROM gifv
         )
+        UNION ALL
+        -- TIFF stratum: the decoder recovers the SAME channel grid
+        -- as the PNG fixture — identical restatement, tif ids
+        SELECT * FROM (
+            WITH tpx AS (
+                SELECT CAST((x * 29 + y * 31) % 256 AS DOUBLE) AS r,
+                       CAST((x * 17 + y * 5 + 100) % 256 AS DOUBLE)
+                           AS g,
+                       CAST((x * 3 + y * 23 + 200) % 256 AS DOUBLE)
+                           AS b
+                FROM range(9) t1(x), range(7) t2(y)
+            ), tst AS (
+                SELECT avg(r) AS mr, avg(g) AS mg, avg(b) AS mb,
+                       stddev_pop(0.299 * r + 0.587 * g + 0.114 * b)
+                           AS gs
+                FROM tpx
+            ), tvals AS (
+                SELECT 0 AS pos, 9.0 AS val
+                UNION ALL SELECT 1, 7.0
+                UNION ALL SELECT 2, 3.0
+                UNION ALL SELECT 3, mr FROM tst
+                UNION ALL SELECT 4, mg FROM tst
+                UNION ALL SELECT 5, mb FROM tst
+                UNION ALL SELECT 6, gs FROM tst
+            )
+            SELECT CAST(1009000 + pos AS BIGINT) AS id,
+                   'tif' AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(63 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM tvals
+        )
     """,
     "op_tensor": """
         WITH mm AS (

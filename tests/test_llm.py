@@ -2757,3 +2757,116 @@ def test_gif_decode_real(spark):
     assert abs(out[1][3] - exp[..., 0].mean()) < 1e-3
     assert len(out[2]) == 32
     assert not (out[2][0] == 9.0 and out[2][1] == 7.0)
+
+
+def _tiff_emit(w, h, px_bytes, spp, endian="<", n_strips=2,
+               compression=1, photometric=None):
+    """Independent test-side baseline-TIFF emitter: header, one IFD
+    with SHORT/LONG values (inline and offset forms), multi-strip
+    data layout, both byte orders."""
+    import struct
+
+    e = endian
+    photometric = (2 if spp == 3 else 1) if photometric is None \
+        else photometric
+    rows_per_strip = max(1, h // n_strips + (1 if h % n_strips else 0))
+    strips = []
+    stride = w * spp
+    for y0 in range(0, h, rows_per_strip):
+        strips.append(px_bytes[y0 * stride:
+                               min(h, y0 + rows_per_strip) * stride])
+    # layout: header(8) + IFD + bps-array + strip offsets/counts + data
+    n_tags = 10
+    ifd_off = 8
+    ifd_len = 2 + 12 * n_tags + 4
+    aux_off = ifd_off + ifd_len
+    aux = bytearray()
+    def aux_put(fmt, vals):
+        nonlocal aux
+        off = aux_off + len(aux)
+        aux += struct.pack(e + fmt * len(vals), *vals)
+        return off
+    bps_vals = tuple([8] * spp)
+    bps_off = aux_put("H", bps_vals) if spp > 2 else None
+    data_off = None  # fill after aux known — two-pass: compute sizes
+    so_off = aux_put("I", tuple([0] * len(strips)))  # placeholder
+    sc_off = aux_put("I", tuple(len(s) for s in strips))
+    data_start = aux_off + len(aux)
+    offsets = []
+    pos = data_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    struct.pack_into(e + "I" * len(strips), aux,
+                     so_off - aux_off, *offsets)
+
+    def entry(tag, typ, cnt, value, offset_form=False):
+        b = struct.pack(e + "HHI", tag, typ, cnt)
+        if offset_form:
+            return b + struct.pack(e + "I", value)
+        if typ == 3 and cnt == 1:
+            return b + struct.pack(e + "HH", value, 0)
+        return b + struct.pack(e + "I", value)
+
+    entries = [
+        entry(256, 4, 1, w), entry(257, 4, 1, h),
+        (entry(258, 3, spp, bps_off, True) if spp > 2
+         else entry(258, 3, 1, 8)),
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, photometric),
+        entry(273, 4, len(strips), so_off, True),
+        entry(277, 3, 1, spp),
+        entry(278, 4, 1, rows_per_strip),
+        entry(279, 4, len(strips), sc_off, True),
+        entry(284, 3, 1, 1),
+    ]
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) \
+        + struct.pack(e + "I", 0)
+    magic = b"II*\x00" if e == "<" else b"MM\x00*"
+    head = magic[:2] + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    return head + ifd + bytes(aux) + b"".join(s for s in strips)
+
+
+def test_tiff_decode_real(spark):
+    """Baseline uncompressed TIFF decodes for real in BOTH byte
+    orders, multi-strip, gray and RGB; WhiteIsZero inverts; an
+    LZW-compressed TIFF (and truncation) degrade to the stub."""
+    from mars_spark.llm.multimodal import _tiff_pixels, decode_features
+
+    w, h = 9, 7
+    rgb = bytes(((x * 29 + y * 31) % 256 if ch == 0 else
+                 (x * 17 + y * 5 + 100) % 256 if ch == 1 else
+                 (x * 3 + y * 23 + 200) % 256)
+                for y in range(h) for x in range(w) for ch in range(3))
+    for endian in ("<", ">"):
+        dec = _tiff_pixels(_tiff_emit(w, h, rgb, 3, endian, n_strips=3))
+        assert dec is not None, endian
+        dw, dh, dc, px = dec
+        assert (dw, dh, dc) == (w, h, 3)
+        exp = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(px, exp), endian
+
+    gray = bytes((x * 13 + y * 7) % 256
+                 for y in range(h) for x in range(w))
+    dec = _tiff_pixels(_tiff_emit(w, h, gray, 1))
+    assert dec is not None and dec[2] == 1
+    assert np.array_equal(dec[3][..., 0],
+                          np.frombuffer(gray, np.uint8).reshape(h, w))
+    # WhiteIsZero (photometric 0) inverts
+    dec0 = _tiff_pixels(_tiff_emit(w, h, gray, 1, photometric=0))
+    assert np.array_equal(dec0[3], 255 - dec[3])
+
+    rows = [
+        (1, "image", bytearray(_tiff_emit(w, h, rgb, 3)), {}),
+        (2, "image", bytearray(_tiff_emit(w, h, rgb, 3,
+                                          compression=5)), {}),
+        (3, "image", bytearray(_tiff_emit(w, h, rgb, 3)[:40]), {}),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "id long, modality string, content binary, meta map<string,string>")
+    out = decode_features(sdf).toPandas().set_index("id").features
+    assert out[1][0] == 9.0 and out[1][1] == 7.0 and out[1][2] == 3.0
+    for i in (2, 3):
+        assert len(out[i]) == 32
+        assert not (out[i][0] == 9.0 and out[i][1] == 7.0)
