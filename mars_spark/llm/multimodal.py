@@ -244,11 +244,12 @@ def _riff_chunks(payload: bytes):
 
 
 def _g711_wav_features(payload: bytes) -> np.ndarray | None:
-    """REAL decode for µ-law (format 7) / A-law (format 6) WAV —
-    telephony's standard codecs, which the stdlib ``wave`` module
-    rejects: manual RIFF parse + the vectorized G.711 expanders,
-    then the same feature stats as PCM. Returns None when the
-    payload isn't a G.711 WAV (caller falls through)."""
+    """REAL decode for the WAV format codes the stdlib ``wave``
+    module rejects: µ-law (7) / A-law (6) via the vectorized G.711
+    expanders, and IEEE-float (3, 32- or 64-bit — the DAW-export
+    format) read directly; then the same feature stats as PCM.
+    Returns None when the payload isn't one of these (caller falls
+    through to the ``wave`` path)."""
     import struct
 
     fmt = None
@@ -260,13 +261,24 @@ def _g711_wav_features(payload: bytes) -> np.ndarray | None:
             pcm = data
     if fmt is None or pcm is None:
         return None
-    audio_format, nch, sr = fmt[0], fmt[1], fmt[2]
-    if audio_format not in (6, 7) or nch < 1 or sr == 0:
+    audio_format, nch, sr, _, _, bits = fmt
+    if audio_format not in (3, 6, 7) or nch < 1 or sr == 0:
         return None
-    x = _g711_expand(np.frombuffer(pcm, dtype=np.uint8), audio_format)
-    if nch > 1:
-        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
-    x = x / 32768.0
+    if audio_format == 3:
+        dt = {32: np.float32, 64: np.float64}.get(bits)
+        if dt is None:
+            return None
+        nbytes = (len(pcm) // np.dtype(dt).itemsize
+                  * np.dtype(dt).itemsize)
+        x = np.frombuffer(pcm[:nbytes], dtype=dt).astype(np.float64)
+        if nch > 1:
+            x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    else:
+        x = _g711_expand(np.frombuffer(pcm, dtype=np.uint8),
+                         audio_format)
+        if nch > 1:
+            x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        x = x / 32768.0
     if not len(x):
         return _pad([sr, nch, 0.0])
     rms = float(np.sqrt(np.mean(x * x)))
@@ -830,6 +842,31 @@ def _decode_image(payload: bytes, modality: str) -> np.ndarray:
     return _fake_decode(payload, modality)
 
 
+def _packbits_decode(data: bytes):
+    """PackBits RLE (TIFF 6.0 §9, the Apple/TIFF classic): n in
+    0..127 copies n+1 literal bytes; n in -127..-1 repeats the next
+    byte 1−n times; -128 is a no-op. Returns None on truncation."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b == 128:
+            continue
+        if b < 128:
+            if i + b + 1 > n:
+                return None
+            out += data[i:i + b + 1]
+            i += b + 1
+        else:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out)
+
+
 # ----------------------------------------------------------------- TIFF
 def _tiff_pixels(payload: bytes):
     """REAL TIFF decode with the stdlib alone (TIFF 6.0 baseline,
@@ -884,7 +921,7 @@ def _tiff_pixels(payload: bytes):
     planar = one(284, 1)
     offs = tags.get(273)
     cnts = tags.get(279)
-    if (not w or not h or comp != 1 or planar != 1
+    if (not w or not h or comp not in (1, 32773) or planar != 1
             or spp not in (1, 3) or any(b != 8 for b in bps)
             or photo not in (0, 1, 2) or offs is None):
         return None
@@ -895,7 +932,12 @@ def _tiff_pixels(payload: bytes):
     for o, c in zip(offs, cnts):
         if o + c > len(payload):
             return None
-        data += payload[o:o + c]
+        strip = payload[o:o + c]
+        if comp == 32773:          # PackBits RLE (TIFF 6.0 §9)
+            strip = _packbits_decode(strip)
+            if strip is None:
+                return None
+        data += strip
         if len(data) >= need:
             break
     if len(data) < need:

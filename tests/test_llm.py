@@ -2870,3 +2870,105 @@ def test_tiff_decode_real(spark):
     for i in (2, 3):
         assert len(out[i]) == 32
         assert not (out[i][0] == 9.0 and out[i][1] == 7.0)
+
+
+def test_packbits_tiff_and_float_wav(spark):
+    """Two more stdlib-rejected real-world variants decode for real:
+    (a) PackBits-compressed TIFF (TIFF 6.0 §9 RLE — literal runs,
+    repeat runs, the -128 no-op) recovers the exact pixel grid;
+    (b) IEEE-float WAV (format 3, 32- and 64-bit) reads samples
+    directly with exact header facts and RMS."""
+    import struct
+    from mars_spark.llm.multimodal import (_packbits_decode,
+                                           _tiff_pixels,
+                                           decode_features)
+
+    # PackBits unit anchors
+    assert _packbits_decode(bytes([2, 65, 66, 67])) == b"ABC"
+    assert _packbits_decode(bytes([254, 9])) == b"\x09\x09\x09"
+    assert _packbits_decode(bytes([128, 0, 88])) == b"X"
+    assert _packbits_decode(bytes([254])) is None   # truncated run
+
+    # a PackBits TIFF: take the plain emitter's output and rewrite
+    # its strips through a tiny packer (repeat runs where possible)
+    w, h = 9, 7
+    gray = bytes((x * 13 + y * 7) % 256
+                 for y in range(h) for x in range(w))
+
+    def pack(row):
+        out = bytearray()
+        i = 0
+        while i < len(row):
+            j = i
+            while j + 1 < len(row) and row[j + 1] == row[i] \
+                    and j - i < 126:
+                j += 1
+            if j > i:        # repeat run
+                out += bytes([257 - (j - i + 1), row[i]])
+                i = j + 1
+            else:            # literal run of 1
+                out += bytes([0, row[i]])
+                i += 1
+        return bytes(out)
+
+    strips = [pack(gray[y * w:(y + 1) * w]) for y in range(h)]
+    # hand-build the TIFF: one strip per row, PackBits compression
+    n_tags = 10
+    aux_off = 8 + 2 + 12 * n_tags + 4
+    aux = bytearray()
+    so_off = aux_off + len(aux)
+    aux += struct.pack("<" + "I" * h, *([0] * h))
+    sc_off = aux_off + len(aux)
+    aux += struct.pack("<" + "I" * h, *[len(s) for s in strips])
+    pos = aux_off + len(aux)
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    struct.pack_into("<" + "I" * h, aux, so_off - aux_off, *offs)
+
+    def entry(tag, typ, cnt, value, short_inline=False):
+        b = struct.pack("<HHI", tag, typ, cnt)
+        return b + (struct.pack("<HH", value, 0) if short_inline
+                    else struct.pack("<I", value))
+
+    entries = [
+        entry(256, 4, 1, w), entry(257, 4, 1, h),
+        entry(258, 3, 1, 8, True), entry(259, 3, 1, 32773, True),
+        entry(262, 3, 1, 1, True), entry(273, 4, h, so_off),
+        entry(277, 3, 1, 1, True), entry(278, 4, 1, 1),
+        entry(279, 4, h, sc_off), entry(284, 3, 1, 1, True),
+    ]
+    tif = (b"II" + struct.pack("<HI", 42, 8)
+           + struct.pack("<H", len(entries)) + b"".join(entries)
+           + struct.pack("<I", 0) + bytes(aux) + b"".join(strips))
+    dec = _tiff_pixels(tif)
+    assert dec is not None
+    assert np.array_equal(dec[3][..., 0],
+                          np.frombuffer(gray, np.uint8).reshape(h, w))
+
+    # float WAV: 0.25-amplitude sine, both widths
+    sr, dur = 8000, 0.25
+    t = np.arange(int(sr * dur)) / sr
+    x = (0.25 * np.sin(2 * np.pi * 500 * t))
+    rows = []
+    for i, (code_bits, arr) in enumerate(
+            ((32, x.astype(np.float32)), (64, x.astype(np.float64)))):
+        data = arr.tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, sr,
+                          sr * code_bits // 8, code_bits // 8,
+                          code_bits)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        rows.append((i, "audio",
+                     bytearray(b"RIFF" + struct.pack("<I", len(body))
+                               + body), {}))
+    sdf = spark.createDataFrame(
+        rows,
+        "id long, modality string, content binary, meta map<string,string>")
+    out = decode_features(sdf).toPandas().set_index("id").features
+    for i in (0, 1):
+        f = out[i]
+        assert f[0] == sr and f[1] == 1 and abs(f[2] - dur) < 1e-6
+        assert abs(f[3] - 0.25 / np.sqrt(2)) < 1e-3
+        assert abs(f[4] - 0.25) < 1e-3
