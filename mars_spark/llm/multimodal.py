@@ -842,6 +842,59 @@ def _decode_image(payload: bytes, modality: str) -> np.ndarray:
     return _fake_decode(payload, modality)
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int):
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing,
+    256 byte roots, ClearCode 256 / EOI 257, 9→12-bit codes with
+    the TIFF 'EarlyChange' width bump (one code earlier than GIF).
+    Returns the byte stream or None on corruption."""
+    clear, eoi = 256, 257
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+
+    reset()
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < next_code and code < len(table) \
+                    and (code < 256 or table[code]):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                # TIFF EarlyChange: bump one code before the table
+                # actually fills the current width
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= max_out:
+                return bytes(out)
+    return bytes(out)
+
+
 def _packbits_decode(data: bytes):
     """PackBits RLE (TIFF 6.0 §9, the Apple/TIFF classic): n in
     0..127 copies n+1 literal bytes; n in -127..-1 repeats the next
@@ -921,10 +974,13 @@ def _tiff_pixels(payload: bytes):
     planar = one(284, 1)
     offs = tags.get(273)
     cnts = tags.get(279)
-    if (not w or not h or comp not in (1, 32773) or planar != 1
+    predictor = one(317, 1)
+    if (not w or not h or comp not in (1, 5, 32773) or planar != 1
             or spp not in (1, 3) or any(b != 8 for b in bps)
-            or photo not in (0, 1, 2) or offs is None):
+            or photo not in (0, 1, 2) or offs is None
+            or predictor not in (1, 2)):
         return None
+    rows_per_strip = one(278, h)
     need = w * h * spp
     if cnts is None:
         cnts = (need,)
@@ -935,13 +991,21 @@ def _tiff_pixels(payload: bytes):
         strip = payload[o:o + c]
         if comp == 32773:          # PackBits RLE (TIFF 6.0 §9)
             strip = _packbits_decode(strip)
-            if strip is None:
-                return None
+        elif comp == 5:            # TIFF LZW (TIFF 6.0 §13)
+            strip = _tiff_lzw_decode(
+                strip, min(need, rows_per_strip * w * spp))
+        if strip is None:
+            return None
         data += strip
         if len(data) >= need:
             break
     if len(data) < need:
         return None
+    if predictor == 2:             # horizontal differencing
+        arr = (np.frombuffer(bytes(data), np.uint8, count=need)
+               .reshape(h, w, spp).astype(np.int32))
+        arr = arr.cumsum(axis=1) & 0xFF
+        data = arr.astype(np.uint8).tobytes()
     px = np.frombuffer(bytes(data), np.uint8,
                        count=need).reshape(h, w, spp)
     if photo == 0:                 # WhiteIsZero: invert

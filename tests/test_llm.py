@@ -2855,11 +2855,15 @@ def test_tiff_decode_real(spark):
     # WhiteIsZero (photometric 0) inverts
     dec0 = _tiff_pixels(_tiff_emit(w, h, gray, 1, photometric=0))
     assert np.array_equal(dec0[3], 255 - dec[3])
+    # raw (non-LZW) bytes under compression=5 are a corrupt LZW
+    # stream -> clean None, not garbage pixels
+    assert _tiff_pixels(_tiff_emit(w, h, gray, 1,
+                                   compression=5)) is None
 
     rows = [
         (1, "image", bytearray(_tiff_emit(w, h, rgb, 3)), {}),
         (2, "image", bytearray(_tiff_emit(w, h, rgb, 3,
-                                          compression=5)), {}),
+                                          compression=7)), {}),
         (3, "image", bytearray(_tiff_emit(w, h, rgb, 3)[:40]), {}),
     ]
     sdf = spark.createDataFrame(
@@ -2972,3 +2976,80 @@ def test_packbits_tiff_and_float_wav(spark):
         assert f[0] == sr and f[1] == 1 and abs(f[2] - dur) < 1e-6
         assert abs(f[3] - 0.25 / np.sqrt(2)) < 1e-3
         assert abs(f[4] - 0.25) < 1e-3
+
+
+def test_tiff_lzw_and_predictor(spark):
+    """TIFF-variant LZW (MSB-first, clear=256/EOI=257, EarlyChange)
+    and the horizontal-differencing predictor decode for real — fed
+    by an independent clear-per-symbol 9-bit emitter (width never
+    grows past 9 because CLEAR resets before the table fills)."""
+    import struct
+    from mars_spark.llm.multimodal import _tiff_lzw_decode, _tiff_pixels
+
+    def lzw_pack(row):
+        acc = nbits = 0
+        out = bytearray()
+        def put(code):
+            nonlocal acc, nbits
+            acc = (acc << 9) | code
+            nbits += 9
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        for b in row:
+            put(256)
+            put(b)
+        put(257)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    assert _tiff_lzw_decode(lzw_pack(b"hello world"), 11) == b"hello world"
+
+    w, h = 9, 7
+    gray = bytes((x * 13 + y * 7) % 256
+                 for y in range(h) for x in range(w))
+
+    def tiff_lzw(pixels, predictor=1):
+        rows = [pixels[y * w:(y + 1) * w] for y in range(h)]
+        if predictor == 2:
+            rows = [bytes([(r[0])] + [(r[i] - r[i - 1]) & 0xFF
+                                      for i in range(1, w)])
+                    for r in rows]
+        strips = [lzw_pack(r) for r in rows]
+        n_tags = 11
+        aux_off = 8 + 2 + 12 * n_tags + 4
+        aux = bytearray()
+        so_off = aux_off
+        aux += struct.pack("<" + "I" * h, *([0] * h))
+        sc_off = aux_off + len(aux)
+        aux += struct.pack("<" + "I" * h, *[len(s) for s in strips])
+        pos = aux_off + len(aux)
+        offs = []
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        struct.pack_into("<" + "I" * h, aux, 0, *offs)
+
+        def entry(tag, typ, cnt, value, short_inline=False):
+            b = struct.pack("<HHI", tag, typ, cnt)
+            return b + (struct.pack("<HH", value, 0) if short_inline
+                        else struct.pack("<I", value))
+
+        entries = [
+            entry(256, 4, 1, w), entry(257, 4, 1, h),
+            entry(258, 3, 1, 8, True), entry(259, 3, 1, 5, True),
+            entry(262, 3, 1, 1, True), entry(273, 4, h, so_off),
+            entry(277, 3, 1, 1, True), entry(278, 4, 1, 1),
+            entry(279, 4, h, sc_off), entry(284, 3, 1, 1, True),
+            entry(317, 3, 1, predictor, True),
+        ]
+        return (b"II" + struct.pack("<HI", 42, 8)
+                + struct.pack("<H", len(entries)) + b"".join(entries)
+                + struct.pack("<I", 0) + bytes(aux) + b"".join(strips))
+
+    exp = np.frombuffer(gray, np.uint8).reshape(h, w)
+    dec = _tiff_pixels(tiff_lzw(gray))
+    assert dec is not None and np.array_equal(dec[3][..., 0], exp)
+    dec2 = _tiff_pixels(tiff_lzw(gray, predictor=2))
+    assert dec2 is not None and np.array_equal(dec2[3][..., 0], exp)
