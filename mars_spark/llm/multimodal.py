@@ -305,9 +305,10 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 def _png_pixels(payload: bytes):
     """REAL PNG decode with the stdlib alone (zlib inflate + per-spec
     scanline unfiltering — RFC 2083 §6): non-interlaced 8-bit
-    gray / gray+alpha / RGB / RGBA. Returns (w, h, channels, HxWxC
-    uint8 array), or None for variants out of scope (16-bit,
-    palette, Adam7), which fall back to the deterministic stub.
+    gray / gray+alpha / RGB / RGBA / palette (PLTE indices mapped
+    to RGB). Returns (w, h, channels, HxWxC uint8 array), or None
+    for variants out of scope (16-bit, Adam7 interlace), which fall
+    back to the deterministic stub.
     Filters Up/None vectorize; Sub/Average/Paeth recurrences run as
     per-pixel loops — this decodes THUMBNAIL-scale payloads inside a
     UDF, not a media farm."""
@@ -316,7 +317,7 @@ def _png_pixels(payload: bytes):
 
     if payload[:8] != _PNG_MAGIC:
         return None
-    pos, idat, meta = 8, [], None
+    pos, idat, meta, plte = 8, [], None, None
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
         data = payload[pos + 8:pos + 8 + ln]
@@ -326,6 +327,8 @@ def _png_pixels(payload: bytes):
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data)
             meta = (w, h, depth, ctype, interlace)
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -334,8 +337,10 @@ def _png_pixels(payload: bytes):
     if meta is None or not idat:
         return None
     w, h, depth, ctype, interlace = meta
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if depth != 8 or channels is None or interlace != 0 or w * h == 0:
+        return None
+    if ctype == 3 and (plte is None or len(plte) % 3):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
@@ -376,6 +381,12 @@ def _png_pixels(payload: bytes):
         else:
             return None
         out[y] = rec
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if idx.max() >= len(pal):
+            return None
+        return w, h, 3, pal[idx]
     return w, h, channels, out.reshape(h, w, channels)
 
 

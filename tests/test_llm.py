@@ -3053,3 +3053,47 @@ def test_tiff_lzw_and_predictor(spark):
     assert dec is not None and np.array_equal(dec[3][..., 0], exp)
     dec2 = _tiff_pixels(tiff_lzw(gray, predictor=2))
     assert dec2 is not None and np.array_equal(dec2[3][..., 0], exp)
+
+
+def test_png_palette_decode(spark):
+    """Palette PNG (color type 3, PLTE) decodes for real: indices map
+    through the palette to RGB; an index past the palette end fails
+    cleanly to the stub."""
+    import struct
+    import zlib
+    from mars_spark.llm.multimodal import _png_pixels
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    w, h = 9, 7
+    palette = [(250, 10, 30), (10, 250, 60), (20, 40, 250),
+               (200, 200, 0)]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter None
+        raw += bytes((x * 3 + y * 5) % 4 for x in range(w))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    dec = _png_pixels(png)
+    assert dec is not None
+    dw, dh, dc, px = dec
+    assert (dw, dh, dc) == (w, h, 3)
+    exp = np.array([palette[(x * 3 + y * 5) % 4]
+                    for y in range(h) for x in range(w)],
+                   np.uint8).reshape(h, w, 3)
+    assert np.array_equal(px, exp)
+
+    # out-of-range index -> clean None
+    bad_raw = bytearray(raw)
+    bad_raw[1] = 9
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(bytes(bad_raw)))
+           + chunk(b"IEND", b""))
+    assert _png_pixels(bad) is None
