@@ -271,6 +271,9 @@ def _g711_wav_features(payload: bytes) -> np.ndarray | None:
         nbytes = (len(pcm) // np.dtype(dt).itemsize
                   * np.dtype(dt).itemsize)
         x = np.frombuffer(pcm[:nbytes], dtype=dt).astype(np.float64)
+        # corrupt float payloads can hold nan/inf bit patterns —
+        # sanitize so one bad sample can't poison the feature row
+        x = np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
         if nch > 1:
             x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
     else:

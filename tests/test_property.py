@@ -1008,3 +1008,28 @@ def test_sq8_train_wide_dim_bounded_plan(spark):
             .groupBy("pos").agg(F.min("x"), F.max("x"))
             ._jdf.queryExecution().executedPlan().toString())
     assert len(plan) < 20_000
+
+
+@given(data=st.binary(min_size=0, max_size=300),
+       prefix=st.sampled_from([
+           b"", b"BM", b"P6\n", b"P5\n", b"P4\n",
+           b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0",
+           b"GIF89a", b"GIF87a", b"II*\x00", b"MM\x00*",
+           b"RIFF\x20\x00\x00\x00WAVE", b"RIFF\x20\x00\x00\x00AVI ",
+       ]))
+@_settings
+def test_decoder_fuzz_never_raises(spark, data, prefix):
+    """Every decoder magic prefix followed by arbitrary bytes decodes
+    WITHOUT raising (clean fallback to the stub or a real parse) —
+    the property that keeps one corrupt file from failing a 100 TB
+    stage. Pure-python layer (the Spark path shares it via
+    decode_features' dispatch)."""
+    from mars_spark.llm import multimodal as M
+
+    payload = prefix + data
+    for fn, modality in ((M._decode_image, "image"),
+                         (M._decode_audio, "audio"),
+                         (M._decode_video, "video")):
+        out = fn(payload, modality)
+        assert out.shape == (32,)
+        assert np.isfinite(out).all(), modality
