@@ -73,10 +73,15 @@ def _wav_features(payload: bytes) -> np.ndarray:
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload)) as w:
-        sr, nch = w.getframerate(), w.getnchannels()
-        nframes, sw = w.getnframes(), w.getsampwidth()
-        raw = w.readframes(nframes)
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            sr, nch = w.getframerate(), w.getnchannels()
+            nframes, sw = w.getnframes(), w.getsampwidth()
+            raw = w.readframes(nframes)
+    except Exception:   # malformed RIFF: wave raises wave.Error,
+        return _fake_decode(payload, "audio")  # EOFError, RuntimeError
+    if nch < 1:
+        return _fake_decode(payload, "audio")
     dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
     if dt is not None:
         x = np.frombuffer(raw, dtype=dt).astype(np.float64)
@@ -125,7 +130,10 @@ def _pnm_header(payload: bytes, n_ints: int):
             end += 1
         if end == pos or end >= len(payload):  # truncated header
             return None
-        parts.append(int(payload[pos:end]))
+        try:
+            parts.append(int(payload[pos:end]))
+        except ValueError:                     # non-digit header token
+            return None
         pos = end
     return parts, pos + 1  # single whitespace after the last int
 
