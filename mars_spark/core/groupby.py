@@ -21,9 +21,25 @@ from pyspark.sql import functions as F
 
 from mars_spark.core.series import Series
 
-# pandas agg-func name → Spark function. Note: pandas skew/kurt are
-# *sample* statistics with bias correction; Spark's skewness/kurtosis
-# are population moments — documented difference (SURVEY.md §7 risks).
+# pandas agg-func name → Spark function. pandas skew/kurt are *sample*
+# statistics (G1/G2 bias corrections); Spark's skewness/kurtosis are
+# population moments, so those two entries apply the same corrections
+# frame.py:1272/1285 use — df.skew() and df.groupby(k).skew() agree on
+# identical data (reference: Mars groupby delegates to pandas
+# skew(bias=False), mars/dataframe/groupby/aggregation.py).
+
+
+def _skew_g1(c):
+    n = F.count(c).cast("double")
+    return F.when(n > 2, F.skewness(c) * F.sqrt(n * (n - 1)) / (n - 2))
+
+
+def _kurt_g2(c):
+    n = F.count(c).cast("double")
+    return F.when(n > 3, (n - 1) / ((n - 2) * (n - 3))
+                  * ((n + 1) * F.kurtosis(c) + 6))
+
+
 _AGG_FUNCS: dict[str, Callable] = {
     "sum": F.sum,
     "prod": F.product,
@@ -38,8 +54,8 @@ _AGG_FUNCS: dict[str, Callable] = {
     "var": F.var_samp,
     "std": F.stddev_samp,
     "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
-    "skew": F.skewness,
-    "kurt": F.kurtosis,
+    "skew": _skew_g1,
+    "kurt": _kurt_g2,
     "nunique": F.countDistinct,
     "any": lambda c: F.max(c.cast("boolean")),
     "all": lambda c: F.min(c.cast("boolean")),

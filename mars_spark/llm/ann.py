@@ -53,13 +53,19 @@ class AnnIndex:
               id_col: str = "vec_id") -> "AnnIndex":
         """Build an index of the chosen kind. ``n_clusters`` defaults
         to the corpus-scaled max(16, n/256) — the knob that keeps
-        probe joins linear in corpus size (SCALE.md r11)."""
+        probe joins linear in corpus size (SCALE.md r11). Sizing it
+        needs one count() action; to avoid recomputing an uncached
+        upstream lineage for that count AND again for the build, the
+        input is localCheckpointed first (same snapshot discipline as
+        ivf_index_deterministic). Callers that already know the corpus
+        size can pass ``n_clusters`` explicitly and skip both."""
         if kind not in _KINDS:
             raise ValueError(f"kind must be one of {_KINDS}")
         if kind == "bq1":
             words, th = S.bq1_index(sdf, vec_col, id_col=id_col)
             return cls(kind, words, {"thresholds": list(th)}, id_col)
         if n_clusters is None:
+            sdf = sdf.localCheckpoint()
             n_clusters = max(16, sdf.count() // 256)
         if kind == "flat":
             assigned, cents = S.ivf_index_deterministic(

@@ -1080,9 +1080,9 @@ def ivfadc_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
         for r in seed_rows] for s in range(m)]
     if refine:
         # Lloyd iterations need corpus residuals — materialize them
-        # for the training passes only — snapshot it once (same rationale as
-    # ivf_index_deterministic's localCheckpoint: don't re-run the
-    # Python stage per consumer)
+        # for the training passes only — snapshot it once (same
+        # rationale as ivf_index_deterministic's localCheckpoint:
+        # don't re-run the Python stage per consumer)
         res = _residual_frame(assigned, centroids,
                               id_col=id_col).localCheckpoint()
         codebook = pq_codebook(res, "r", id_col=id_col, m=m,

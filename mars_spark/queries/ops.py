@@ -883,10 +883,10 @@ def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # partition layout).
     gsem = (f[["user_id", "value"]].groupby("user_id", as_index=False)
             .sem().rename(columns={"value": "g_sem"}))
-    # gb.skew / gb.kurt — Spark's population central-moment forms
-    # (skew = m3/m2^1.5, kurt = m4/m2^2 − 3); the oracle replays them
-    # two-pass (per-group mean join, then central moments) which is
-    # the well-conditioned formulation
+    # gb.skew / gb.kurt — pandas SAMPLE statistics (G1/G2 corrections
+    # over Spark's population moments, core/groupby.py _skew_g1/
+    # _kurt_g2), so df.skew() and df.groupby(k).skew() agree; the
+    # oracle replays the same two-pass corrected form
     gskw = (f[["user_id", "value"]].groupby("user_id", as_index=False)
             .skew().rename(columns={"value": "g_skew"}))
     gkrt = (f[["user_id", "value"]].groupby("user_id", as_index=False)

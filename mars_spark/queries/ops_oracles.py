@@ -475,15 +475,23 @@ OPS_ORACLES: dict[str, str] = {
         ), gmean AS (
             SELECT user_id, avg(value) AS mu FROM f GROUP BY user_id
         ), gmom AS (
-            -- gb.skew / gb.kurt: Spark's POPULATION central-moment
-            -- forms, replayed two-pass (mean join, then moments) —
-            -- the well-conditioned formulation
+            -- gb.skew / gb.kurt: pandas SAMPLE statistics (G1/G2
+            -- bias corrections over the population central moments),
+            -- replayed two-pass (mean join, then moments) — the
+            -- well-conditioned formulation, correction factors
+            -- applied exactly as core/groupby.py _skew_g1/_kurt_g2 do
             SELECT f.user_id,
                    round(avg(pow(value - mu, 3))
-                         / pow(avg(pow(value - mu, 2)), 1.5), 4)
+                         / pow(avg(pow(value - mu, 2)), 1.5)
+                         * sqrt(count(*) * (count(*) - 1.0))
+                         / (count(*) - 2.0), 4)
                        AS g_skew,
-                   round(avg(pow(value - mu, 4))
-                         / pow(avg(pow(value - mu, 2)), 2) - 3, 4)
+                   round((count(*) - 1.0)
+                         / ((count(*) - 2.0) * (count(*) - 3.0))
+                         * ((count(*) + 1.0)
+                            * (avg(pow(value - mu, 4))
+                               / pow(avg(pow(value - mu, 2)), 2) - 3)
+                            + 6), 4)
                        AS g_kurt
             FROM f JOIN gmean USING (user_id)
             GROUP BY f.user_id
