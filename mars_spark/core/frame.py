@@ -920,15 +920,24 @@ class DataFrame:
     def corr_matrix(self, cols=None, method: str = "pearson") -> "DataFrame":
         """All-pairs correlation matrix (reference:
         mars/dataframe/statistics/corr.py:29 computes the full matrix;
-        frame.corr(c1,c2) is the pairwise fast path). ONE distributed
-        agg pass computes every pairwise corr; the k×k scalar result is
-        reshaped driver-side (bounded by column count, not rows)."""
-        if method != "pearson":
-            raise NotImplementedError(method)
+        frame.corr(c1,c2) is the pairwise fast path). pearson: ONE
+        distributed agg pass computes every pairwise corr; the k×k
+        scalar result is reshaped driver-side (bounded by column
+        count, not rows). spearman: when no column has nulls, each
+        column is replaced by its average-method rank (k rank passes)
+        and the same one-agg pearson matrix runs on the ranked frame;
+        with nulls present, pandas' pairwise-complete deletion means
+        ranks differ per pair, so each pair is computed exactly via
+        operators/corr.spearman_pair. kendall: always per-pair (the
+        weighted concordance count is pair-specific by nature)."""
+        if method not in ("pearson", "spearman", "kendall"):
+            raise ValueError(f"corr_matrix: unknown method {method!r}")
         cols = list(cols) if cols else [
             c for c, t in self._sdf.dtypes
             if c in self.columns and t in (
                 "double", "float", "int", "bigint", "smallint", "tinyint")]
+        if method != "pearson":
+            return self._rank_corr_matrix(cols, method)
         exprs = []
         for i, a in enumerate(cols):
             for b in cols[i:]:
@@ -945,6 +954,36 @@ class DataFrame:
                       else None for b in cols]) for a in cols]
         schema = "col string, " + ", ".join(f"`{b}` double" for b in cols)
         return DataFrame(spark.createDataFrame(data, schema), index=["col"])
+
+    def _rank_corr_matrix(self, cols: list[str],
+                          method: str) -> "DataFrame":
+        """spearman/kendall matrix body (see corr_matrix docstring)."""
+        from mars_spark.operators.corr import (kendall_pair,
+                                               spearman_matrix_ranks,
+                                               spearman_pair)
+
+        spark = self._sdf.sparkSession
+        if method == "spearman":
+            nulls = self._sdf.agg(*[
+                F.sum(F.col(c).isNull().cast("bigint")).alias(c)
+                for c in cols]).collect()[0]
+            if all((nulls[c] or 0) == 0 for c in cols):
+                ranked = spearman_matrix_ranks(
+                    self._sdf.select(*cols), cols)
+                return DataFrame(ranked, index=[]).corr_matrix(
+                    cols, method="pearson")
+        fn = spearman_pair if method == "spearman" else kendall_pair
+        vals = {}
+        for i, a in enumerate(cols):
+            vals[(a, a)] = 1.0
+            for b in cols[i + 1:]:
+                v = fn(self._sdf, a, b)
+                vals[(a, b)] = v
+                vals[(b, a)] = v
+        data = [(a, *[vals[(a, b)] for b in cols]) for a in cols]
+        schema = "col string, " + ", ".join(f"`{b}` double" for b in cols)
+        return DataFrame(spark.createDataFrame(data, schema),
+                         index=["col"])
 
     def pivot_table(self, index, columns, values, aggfunc="mean") -> "DataFrame":
         from mars_spark.core.groupby import _AGG_FUNCS
@@ -1311,9 +1350,13 @@ class DataFrame:
 
     def corrwith(self, other: "DataFrame", method: str = "pearson"):
         """pandas df.corrwith: per-common-column correlation after
-        index alignment — ONE join + ONE agg for all columns."""
-        if method != "pearson":
-            raise NotImplementedError("corrwith: pearson only")
+        index alignment — pearson is ONE join + ONE agg for all
+        columns; spearman/kendall reuse the joined frame and compute
+        each column pair through operators/corr.py (rank statistics
+        are pair-specific under pairwise-complete deletion, so they
+        cannot fold into one agg)."""
+        if method not in ("pearson", "spearman", "kendall"):
+            raise ValueError(f"corrwith: unknown method {method!r}")
         import pandas as pd
 
         j, common = self._aligned_join(other)
@@ -1321,9 +1364,16 @@ class DataFrame:
                "tinyint", "decimal")
         dt = dict(self._sdf.dtypes)
         cols = [c for c in common if dt[c].startswith(num)]
-        row = j.agg(*[F.corr(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
-                      .alias(c) for c in cols]).collect()[0]
-        return pd.Series({c: row[c] for c in cols})
+        if method == "pearson":
+            row = j.agg(*[F.corr(F.col(f"__l_{c}"), F.col(f"__r_{c}"))
+                          .alias(c) for c in cols]).collect()[0]
+            return pd.Series({c: row[c] for c in cols})
+        from mars_spark.operators.corr import kendall_pair, spearman_pair
+
+        fn = spearman_pair if method == "spearman" else kendall_pair
+        j = j.localCheckpoint()  # one snapshot feeds every pair pass
+        return pd.Series({c: fn(j, f"__l_{c}", f"__r_{c}")
+                          for c in cols})
 
     # ------------------------------------------------ frame arithmetic
     def _aligned_join(self, other: "DataFrame"):
@@ -1692,7 +1742,16 @@ class DataFrame:
         return self._sdf.distinct().count()
 
     def corr(self, c1: str, c2: str, method: str = "pearson") -> float:
-        """mars/dataframe/statistics/corr.py:29"""
+        """Pairwise correlation, pandas method set (reference
+        mars/dataframe/statistics/corr.py:29): pearson stays Spark's
+        one-agg stat.corr; spearman/kendall route through
+        operators/corr.py (rank+pearson / weighted pair count)."""
+        if method in ("spearman", "kendall"):
+            from mars_spark.operators.corr import (kendall_pair,
+                                                   spearman_pair)
+
+            fn = spearman_pair if method == "spearman" else kendall_pair
+            return fn(self._sdf, c1, c2)
         return self._sdf.stat.corr(c1, c2, method)
 
     def cov(self, c1: str, c2: str) -> float:

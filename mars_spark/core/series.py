@@ -1102,20 +1102,35 @@ class Series:
         return sdf.agg(F.corr("__a", "__b")).collect()[0][0]
 
     def corr(self, other: "Series", method: str = "pearson"):
-        """Pearson correlation with another series — same-frame pairs
-        are one aggregate; cross-frame pairs align on the index
+        """Correlation with another series — pearson / spearman /
+        kendall, the pandas method set (reference
+        mars/dataframe/statistics/corr.py:29). Same-frame pearson
+        pairs are one aggregate; spearman ranks both sides
+        (operators/corr.py) and kendall runs the tie-corrected
+        weighted pair count. Cross-frame pairs align on the index
         first."""
-        if method != "pearson":
-            raise NotImplementedError("corr: pearson only")
+        if method not in ("pearson", "spearman", "kendall"):
+            raise ValueError(f"corr: unknown method {method!r}")
         if isinstance(other, Series) and other._frame is self._frame:
-            return self._agg_scalar(F.corr(self._col, other._col))
-        from mars_spark.operators.align import align_series
+            if method == "pearson":
+                return self._agg_scalar(F.corr(self._col, other._col))
+            pair_sdf = self._frame._sdf.select(
+                self._col.alias("__a"), other._col.alias("__b"))
+        else:
+            from mars_spark.operators.align import align_series
 
-        pair = align_series(self, other, lambda a, b: F.struct(
-            a.alias("a"), b.alias("b")), name="__pair")
-        sdf = pair._frame._sdf.select(pair._col.alias("__p"))
-        return sdf.agg(
-            F.corr(F.col("__p.a"), F.col("__p.b"))).collect()[0][0]
+            pair = align_series(self, other, lambda a, b: F.struct(
+                a.alias("a"), b.alias("b")), name="__pair")
+            pair_sdf = (pair._frame._sdf.select(pair._col.alias("__p"))
+                        .select(F.col("__p.a").alias("__a"),
+                                F.col("__p.b").alias("__b")))
+        if method == "pearson":
+            return pair_sdf.agg(
+                F.corr("__a", "__b")).collect()[0][0]
+        from mars_spark.operators.corr import kendall_pair, spearman_pair
+
+        fn = spearman_pair if method == "spearman" else kendall_pair
+        return fn(pair_sdf, "__a", "__b")
 
     def describe(self, percentiles=(0.25, 0.5, 0.75)):
         """mars/dataframe/base/describe.py Series form — ONE aggregate

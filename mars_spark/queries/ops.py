@@ -102,13 +102,26 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
             .memory_usage(deep=True)
         return float(sum(v for v in mu.values() if v is not None))
 
-    with ThreadPoolExecutor(max_workers=6) as ex:
+    # r13: Spearman + Kendall graduate (operators/corr.py; reference
+    # mars/dataframe/statistics/corr.py:29 honors method=). Spearman
+    # over the full table is rank+pearson (scales like any groupBy);
+    # Kendall pairs the two DISCRETE columns (50 quantities × 11
+    # discounts), so the distinct-pair compression bounds its O(m²)
+    # concordance join at ~550 value pairs at ANY corpus size — the
+    # oracle replays the identical weighted-pair formula in SQL
+    from mars_spark.operators.corr import kendall_pair, spearman_pair
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
         f_sem = ex.submit(qty.sem)
         f_skew = ex.submit(qty.skew)
         f_kurt = ex.submit(qty.kurt)
         f_mt = ex.submit(lambda: oi.okey2.check_monotonic(strict=True))
         f_mf = ex.submit(lambda: oi.o_totalprice.is_monotonic_increasing)
         f_mem = ex.submit(_mem)
+        f_csp = ex.submit(
+            lambda: spearman_pair(sdf, "l_quantity", "l_extendedprice"))
+        f_ckd = ex.submit(
+            lambda: kendall_pair(sdf, "l_quantity", "l_discount"))
         glob = glob.select(
             "*",
             F.lit(r6f(f_sem.result())).alias("sem_qty"),
@@ -118,6 +131,8 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
             F.lit(bool(f_mf.result())).alias("mono_price"),
             F.lit(num_cols).alias("num_cols"),
             F.lit(float(f_mem.result())).alias("mem_ck"),
+            F.lit(r6f(f_csp.result())).alias("corr_sp"),
+            F.lit(r6f(f_ckd.result())).alias("corr_kd"),
         )
     return per_flag.join(F.broadcast(glob))
 

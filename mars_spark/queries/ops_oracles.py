@@ -57,9 +57,47 @@ OPS_ORACLES: dict[str, str] = {
                         + sum(strlen(o_orderpriority))
                         AS DOUBLE) AS mem_ck
             FROM orders
+        ), sprank AS (
+            -- Spearman = pearson on average-method ranks: min-rank
+            -- + (ties−1)/2, exactly operators/rank.py's prefix form
+            SELECT rank() OVER (ORDER BY l_quantity)
+                   + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0
+                       AS rq,
+                   rank() OVER (ORDER BY l_extendedprice)
+                   + (count(*) OVER (PARTITION BY l_extendedprice) - 1)
+                     / 2.0 AS rp
+            FROM lineitem
+        ), sp AS (
+            SELECT round(corr(rq, rp), 6) AS corr_sp FROM sprank
+        ), kg AS (
+            -- Kendall tau-b replay over the SAME distinct-value-pair
+            -- compression the Spark side uses (operators/corr.py):
+            -- discrete quantity × discount keeps m ~ 550 pairs
+            SELECT l_quantity AS x, l_discount AS y,
+                   count(*)::DOUBLE AS w
+            FROM lineitem GROUP BY 1, 2
+        ), kn AS (
+            SELECT sum(w) AS n,
+                   (SELECT sum(c * (c - 1) / 2.0) FROM (
+                        SELECT sum(w) AS c FROM kg GROUP BY x)) AS n1,
+                   (SELECT sum(c * (c - 1) / 2.0) FROM (
+                        SELECT sum(w) AS c FROM kg GROUP BY y)) AS n2
+            FROM kg
+        ), kpq AS (
+            SELECT coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+                                     THEN a.w * b.w END), 0) AS p,
+                   coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+                                     THEN a.w * b.w END), 0) AS q
+            FROM kg a JOIN kg b
+              ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+        ), kd AS (
+            SELECT round((p - q) / sqrt((n * (n - 1) / 2.0 - n1)
+                                        * (n * (n - 1) / 2.0 - n2)), 6)
+                       AS corr_kd
+            FROM kpq CROSS JOIN kn
         )
         SELECT * FROM per_flag CROSS JOIN tot CROSS JOIN mono
-                   CROSS JOIN mem
+                   CROSS JOIN mem CROSS JOIN sp CROSS JOIN kd
     """,
     "op_set_ops": """
         SELECT 'both' AS op, nationkey, CAST(1 AS BIGINT) AS n
