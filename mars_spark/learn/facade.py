@@ -1011,6 +1011,16 @@ def label_propagation(df, features: str, label: str, id_col: str,
     budget; identical output either way because each round is a
     deterministic fixed-point map (a converged labeling reproduces
     itself).
+
+    Materialization policy (r13): per-round localCheckpoints exist to
+    truncate lineage, but each one is an eager job whose fixed stage
+    cost dominates small/medium inputs — so rounds snapshot only when
+    the convergence check needs an action anyway, or every 4th round
+    for lineage control; a short check_convergence=False run is ONE
+    lazy plan executed at the consumer's action. The edge list keeps
+    its snapshot (it feeds every round; recomputing the n² window
+    per round is real work at scale), the seed projection does not
+    (it is a column select off the cached source).
     """
     from pyspark.sql import Window
 
@@ -1031,9 +1041,9 @@ def label_propagation(df, features: str, label: str, id_col: str,
              .filter(F.col("__rn") <= n_neighbors)
              .select("src", "dst")
              .localCheckpoint())
-    seeds = base.select("id", "y").localCheckpoint()
+    seeds = base.select("id", "y")
     labels = seeds
-    for _ in range(max_iter):
+    for it in range(max_iter):
         votes = (edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
                  .filter(F.col("y").isNotNull())
                  .groupBy("src", "y")
@@ -1044,8 +1054,9 @@ def label_propagation(df, features: str, label: str, id_col: str,
                 .select(F.col("src").alias("id"), F.col("y").alias("py")))
         new_labels = (seeds.join(prop, on="id", how="left")
                       .select("id", F.coalesce(seeds.y, F.col("py"))
-                              .alias("y"))
-                      .localCheckpoint())
+                              .alias("y")))
+        if check_convergence or (it + 1) % 4 == 0:
+            new_labels = new_labels.localCheckpoint()
         if check_convergence:
             changed = (new_labels.alias("n").join(labels.alias("o"), "id")
                        .filter(F.col("n.y").eqNullSafe(F.col("o.y")) == False)  # noqa: E712
