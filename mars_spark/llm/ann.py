@@ -50,10 +50,19 @@ class AnnIndex:
     def build(cls, sdf: SparkDF, vec_col: str, kind: str = "adc",
               n_clusters: int | None = None, m: int = 8,
               nbits: int = 4, refine: int = 0,
+              coarse_refine: int = 0,
               id_col: str = "vec_id") -> "AnnIndex":
         """Build an index of the chosen kind. ``n_clusters`` defaults
         to the corpus-scaled max(16, n/256) — the knob that keeps
-        probe joins linear in corpus size (SCALE.md r11). Sizing it
+        probe joins linear in corpus size (SCALE.md r11).
+        ``coarse_refine=N`` runs N Lloyd iterations on the coarse
+        quantizer (ivf_index_deterministic's trained path) — seeds
+        alone give recall 1.0 on uniformly spread corpora, but on
+        CLUSTERED data a trained quantizer balances the cells and
+        buys recall at the same n_probe (SCALE.md r13 measurement);
+        every iteration stays deterministic (smallest-id seeds,
+        first-max argmax), so a refined index is still
+        bit-reproducible. Sizing it
         needs one count() action; to avoid recomputing an uncached
         upstream lineage for that count AND again for the build, the
         input is localCheckpointed first (same snapshot discipline as
@@ -69,22 +78,25 @@ class AnnIndex:
             n_clusters = max(16, sdf.count() // 256)
         if kind == "flat":
             assigned, cents = S.ivf_index_deterministic(
-                sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+                sdf, vec_col, n_clusters=n_clusters, id_col=id_col,
+                refine=coarse_refine)
             return cls(kind, assigned, {"centroids": cents}, id_col)
         if kind == "pq":
             idx, cents, cb = S.ivfpq_index(
                 sdf, vec_col, n_clusters=n_clusters, m=m, nbits=nbits,
-                id_col=id_col)
+                id_col=id_col, coarse_refine=coarse_refine)
             return cls(kind, idx, {"centroids": cents, "codebook": cb},
                        id_col)
         if kind == "adc":
             idx, cents, cb = S.ivfadc_index(
                 sdf, vec_col, n_clusters=n_clusters, m=m, nbits=nbits,
-                id_col=id_col, refine=refine)
+                id_col=id_col, refine=refine,
+                coarse_refine=coarse_refine)
             return cls(kind, idx, {"centroids": cents, "codebook": cb},
                        id_col)
         idx, cents, mins, maxs = S.ivfsq8_index(
-            sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+            sdf, vec_col, n_clusters=n_clusters, id_col=id_col,
+            coarse_refine=coarse_refine)
         return cls(kind, idx, {"centroids": cents, "mins": mins,
                                "maxs": maxs}, id_col)
 

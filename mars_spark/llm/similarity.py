@@ -510,7 +510,7 @@ def similarity_self_join(sdf: SparkDF, vec_col: str, threshold: float,
 def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
                             n_clusters: int = 16,
                             id_col: str = "vec_id",
-                            refine: bool = False):
+                            refine: int = 0):
     """Deterministic IVF coarse quantizer: seed centroids are the
     vectors with the n_clusters smallest ids (a fixed 'random' subset —
     standard IVF seeding), refined by ONE Lloyd step computed as a
@@ -574,26 +574,36 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
         # the assigned table partitioned by cluster instead
         # (partition pruning).
         return _assign(base, seeds).localCheckpoint(), seeds
-    # one Lloyd refinement: per-cluster mean, computed distributed and
-    # collected at centroid size (n_clusters x dim scalars)
-    first = _assign(base, seeds)
-    means = (
-        first.select("cluster", F.posexplode("e").alias("pos", "v"))
-        .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
-        .collect()
-    )
+    # Lloyd refinement (r13 generalizes the bool to int(refine)
+    # iterations -- the trained-coarse-quantizer path AnnIndex
+    # defaults can ride): each round is one distributed
+    # per-(cluster, dim) mean collected at centroid size
+    # (n_clusters x dim scalars), then a re-assign; empty clusters
+    # keep their previous centroid (standard Lloyd convention, keeps
+    # the cluster-id domain stable for the partitioned store). The
+    # base projection is snapshotted once so the N assignment passes
+    # re-read checkpoint blocks instead of re-running the scan.
     import math
-    cent = {c: list(seeds[c]) for c in range(len(seeds))}
-    acc: dict[int, dict[int, float]] = {}
-    for r in means:
-        acc.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-    for c, dims in acc.items():
-        vec = [dims[i] for i in range(len(seeds[0]))]
-        nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
-        cent[c] = [x / nrm for x in vec]
-    centroids = [cent[c] for c in range(len(seeds))]
+
+    n_iter = int(refine)
+    base = base.localCheckpoint()
+    centroids = [list(v) for v in seeds]
+    for _ in range(n_iter):
+        first = _assign(base, centroids)
+        means = (
+            first.select("cluster", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for c, dims in acc.items():
+            vec = [dims[i] for i in range(len(centroids[0]))]
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            centroids[c] = [x / nrm for x in vec]
     assigned = _assign(base, centroids)
-    return assigned, centroids
+    return assigned.localCheckpoint(), centroids
 
 
 def ivf_assign(sdf: SparkDF, vec_col: str,
@@ -970,7 +980,8 @@ def pq_search(codes_df: SparkDF, codebook: list[list[list[float]]],
 
 
 def ivfpq_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
-                m: int = 8, nbits: int = 4, id_col: str = "vec_id"):
+                m: int = 8, nbits: int = 4, id_col: str = "vec_id",
+                coarse_refine: int = 0):
     """The production ANN index shape (FAISS-style IVF+PQ, both from
     the public formulations): coarse IVF cells for probe pruning plus
     PQ codes for in-cell scanning. Returns (index_df, centroids,
@@ -980,7 +991,8 @@ def ivfpq_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
     vectors, multiplicative savings. Both components keep their
     deterministic seeding, so the whole index is bit-reproducible."""
     assigned, centroids = ivf_index_deterministic(
-        sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+        sdf, vec_col, n_clusters=n_clusters, id_col=id_col,
+        refine=coarse_refine)
     codebook = pq_codebook(sdf, vec_col, id_col=id_col, m=m, nbits=nbits)
     codes = pq_encode(sdf, vec_col, codebook, id_col=id_col)
     index = assigned.select(id_col, "cluster").join(codes, id_col)
@@ -1040,7 +1052,7 @@ def _residual_frame(assigned: SparkDF, centroids: list[list[float]],
 
 def ivfadc_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
                  m: int = 8, nbits: int = 4, id_col: str = "vec_id",
-                 refine: int = 0):
+                 refine: int = 0, coarse_refine: int = 0):
     """FAISS's actual IVFADC layout (Jégou TPAMI'11 §IV): PQ encodes
     the RESIDUAL unit(x) − centroid[cluster], not the raw vector.
     Residuals concentrate around 0 with far less variance than the
@@ -1057,7 +1069,8 @@ def ivfadc_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
     import pandas as pd
 
     assigned, centroids = ivf_index_deterministic(
-        sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+        sdf, vec_col, n_clusters=n_clusters, id_col=id_col,
+        refine=coarse_refine)
     cmat = np.asarray(centroids, dtype=np.float64)
     d = cmat.shape[1]
     if d % m:
@@ -1282,7 +1295,7 @@ def sq8_index(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
 
 
 def ivfsq8_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
-                 id_col: str = "vec_id"):
+                 id_col: str = "vec_id", coarse_refine: int = 0):
     """IVF + SQ8 composition (the ivfpq_index twin at the other point
     on the compression/recall curve): coarse cells for probe pruning,
     1-byte-per-dim codes for the in-cell scan. Returns (index_df,
@@ -1291,7 +1304,8 @@ def ivfsq8_index(sdf: SparkDF, vec_col: str, n_clusters: int = 16,
     touches n_probe/k of the data while reading 4×-compressed codes,
     at higher recall than PQ's subspace codebooks."""
     assigned, centroids = ivf_index_deterministic(
-        sdf, vec_col, n_clusters=n_clusters, id_col=id_col)
+        sdf, vec_col, n_clusters=n_clusters, id_col=id_col,
+        refine=coarse_refine)
     codes, mins, maxs = sq8_index(sdf, vec_col, id_col=id_col)
     index = assigned.select(id_col, "cluster").join(codes, id_col)
     return index, centroids, mins, maxs
