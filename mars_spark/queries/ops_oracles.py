@@ -424,7 +424,8 @@ OPS_ORACLES: dict[str, str] = {
                -- grid: every distinct score owns its own bucket
                -- (floor((k/1000)/0.999*1000) = k for k<999), so the
                -- parity is an expected constant
-               CAST(1 AS BIGINT) AS roc_binned_eq
+               CAST(1 AS BIGINT) AS roc_binned_eq,
+               vu.vu_n, vsh.vu_sh, vet.vu_et0, vet.vu_et1, vu.vu_ok
         FROM base CROSS JOIN a CROSS JOIN reg
         CROSS JOIN (
             -- KFold md5 hash folds (learn/extras.py): fold =
@@ -474,6 +475,25 @@ OPS_ORACLES: dict[str, str] = {
             FROM (SELECT value,
                          substr(md5('11|' || event_id), 1, 6) AS k
                   FROM events)) sp
+        -- r13 graduations: validation utils (vu_n = the consistent
+        -- length both slices share; vu_ok pins check_array/check_X_y
+        -- completing), learn.shuffle (first-5 sum under the SAME
+        -- md5('0' || US || id) permutation key), ExecutableTuple
+        -- (two aggregates collected as one unit)
+        CROSS JOIN (
+            SELECT count(*)::BIGINT AS vu_n,
+                   CAST(1 AS BIGINT) AS vu_ok
+            FROM events WHERE event_id < 500) vu
+        CROSS JOIN (
+            SELECT sum(event_id)::BIGINT AS vu_sh FROM (
+                SELECT event_id FROM events WHERE event_id < 500
+                ORDER BY md5(concat_ws(chr(31), '0',
+                                       CAST(event_id AS VARCHAR)))
+                LIMIT 5)) vsh
+        CROSS JOIN (
+            SELECT count(*)::BIGINT AS vu_et0,
+                   floor(sum(value) * 1e4 + 0.5) / 1e4 AS vu_et1
+            FROM events WHERE event_id < 200) vet
     """,
     "op_groupby_rowops": """
         WITH f AS (
