@@ -514,8 +514,13 @@ class BlockwiseVotingRegressor:
             if xs:
                 X = np.vstack(xs)
                 X1 = np.hstack([X, np.ones((len(X), 1))])
-                beta, *_ = np.linalg.lstsq(X1, np.concatenate(ys),
-                                           rcond=None)
+                # QR, NOT np.linalg.lstsq: this numpy build's dgelsd
+                # silently loses ~3 digits above ~2M rows (measured:
+                # exact-linear data, slope 2.9989 at 2.5M rows, exact
+                # at 1M — found by the r13 sf10 oracle subset). QR is
+                # single-pass O(nd^2) and exact here at any height.
+                q, r = np.linalg.qr(X1)
+                beta = np.linalg.solve(r, q.T @ np.concatenate(ys))
                 yield pd.DataFrame({"m": [pickle.dumps(beta)]})
 
         rows = sdf.mapInPandas(fit_part, "m binary").collect()

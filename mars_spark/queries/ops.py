@@ -739,7 +739,11 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         bv = X.BlockwiseVotingRegressor().fit(lin, ["s"], "yl")
         bmse = L.mean_squared_error(
             MDF(bv.predict(lin)), "yl", "prediction")
-        return (fb2, auc_trap, sizes, int(bmse < 1e-12),
+        # gate 1e-9, not 1e-12: the recovery is algebraically exact,
+        # but float64 normal-equation accumulation over multi-million-
+        # row partitions carries ~1e-11 mse at sf10 (found by the r13
+        # sf10 oracle subset) — still 'exact' vs the O(1) label var
+        return (fb2, auc_trap, sizes, int(bmse < 1e-9),
                 roc_binned_eq)
 
     def _gbm():
