@@ -35,14 +35,48 @@ def _global_window_warning(what: str) -> None:
         f"(or groupby(...) first) for a partition-parallel plan.",
         UserWarning, stacklevel=4)
 
+# every value takes (col, window_spec) -> Column so composite
+# expressions (the pandas-corrected moments, r13) can apply .over(w)
+# to each inner aggregate instead of to one wrapped function
+def _windowed_skew_g1(c, w):
+    n = F.count(c).over(w).cast("double")
+    return F.when(n > 2, F.skewness(c).over(w)
+                  * F.sqrt(n * (n - 1)) / (n - 2))
+
+
+def _windowed_kurt_g2(c, w):
+    n = F.count(c).over(w).cast("double")
+    return F.when(n > 3, (n - 1) / ((n - 2) * (n - 3))
+                  * ((n + 1) * F.kurtosis(c).over(w) + 6))
+
+
+def _windowed_median(c, w):
+    arr = F.array_sort(F.collect_list(c).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return F.when(n > 0, (lo + hi) / 2.0)
+
+
 _ROLL_FUNCS = {
-    "sum": F.sum,
-    "mean": F.avg,
-    "min": F.min,
-    "max": F.max,
-    "count": F.count,
-    "std": F.stddev_samp,
-    "var": F.var_samp,
+    "sum": lambda c, w: F.sum(c).over(w),
+    "mean": lambda c, w: F.avg(c).over(w),
+    "min": lambda c, w: F.min(c).over(w),
+    "max": lambda c, w: F.max(c).over(w),
+    "count": lambda c, w: F.count(c).over(w),
+    "std": lambda c, w: F.stddev_samp(c).over(w),
+    "var": lambda c, w: F.var_samp(c).over(w),
+    # r13 parity fill-ins (reference rolling/core.py exposes
+    # median/skew/kurt): exact in-window median; skew/kurt carry the
+    # same pandas G1/G2 sample corrections as the frame and groupby
+    # forms, so rolling(n).skew() == pandas on every window.
+    # median builds from collect_list (frame-capable) because Spark's
+    # median/percentile aggregates reject ordered window frames —
+    # per-row memory is bounded by the rolling window width, which is
+    # small by definition
+    "median": _windowed_median,
+    "skew": _windowed_skew_g1,
+    "kurt": _windowed_kurt_g2,
 }
 
 
@@ -117,7 +151,7 @@ class Rolling:
             fns = fns if isinstance(fns, (list, tuple)) else [fns]
             for fn in fns:
                 out = f"{col}_roll_{fn}"
-                val = _ROLL_FUNCS[fn](F.col(col)).over(w)
+                val = _ROLL_FUNCS[fn](F.col(col), w)
                 if mp and mp > 1:
                     val = F.when(F.count(F.col(col)).over(w) >= mp, val)
                 sdf = sdf.withColumn(out, val)
@@ -134,6 +168,18 @@ class Rolling:
 
     def max(self, cols=None):
         return self.agg({c: "max" for c in cols or self._numeric_cols()})
+
+    def median(self, cols=None):
+        return self.agg({c: "median"
+                         for c in cols or self._numeric_cols()})
+
+    def skew(self, cols=None):
+        return self.agg({c: "skew" for c in cols or self._numeric_cols()})
+
+    def kurt(self, cols=None):
+        return self.agg({c: "kurt" for c in cols or self._numeric_cols()})
+
+    kurtosis = kurt
 
     def _numeric_cols(self):
         return _numeric_cols(self._frame)
@@ -169,7 +215,7 @@ class Expanding(Rolling):
             fns = fns if isinstance(fns, (list, tuple)) else [fns]
             for fn in fns:
                 out = f"{col}_exp_{fn}"
-                val = _ROLL_FUNCS[fn](F.col(col)).over(w)
+                val = _ROLL_FUNCS[fn](F.col(col), w)
                 if self._min_periods > 1:
                     val = F.when(
                         F.count(F.col(col)).over(w) >= self._min_periods, val)
@@ -376,9 +422,13 @@ class Resampler:
             for fn in fns:
                 # "size" = row count of the bucket (count(*) — the
                 # pandas .size()/len semantics); "count" = non-null
-                # count of the column, matching pandas .count()
+                # count of the column, matching pandas .count().
+                # Plain (non-window) aggregates come from the groupby
+                # map, which carries the same pandas corrections.
+                from mars_spark.core.groupby import _AGG_FUNCS
+
                 agg = (F.count(F.lit(1)) if fn == "size"
-                       else _ROLL_FUNCS[fn](F.col(col)))
+                       else _AGG_FUNCS[fn](F.col(col)))
                 exprs.append(agg.alias(f"{col}_{fn}"))
         out = (self._frame._sdf
                .groupBy(*self._by, win.alias("__w"))

@@ -96,9 +96,18 @@ def events_window_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
                cols=["value"])
     out = shift(out, 1, order_by=["ts", "event_id"],
                 partition_by=["user_id"], cols=["value"])
+    # r13: the rolling parity fill-ins graduate (median via the
+    # frame-capable collect_list midpoint; skew/kurt = windowed
+    # G1/G2 sample corrections — reference rolling/core.py exposes
+    # all three). Width 5 so kurt (needs 4 obs) has real values; the
+    # second frame shares the SAME (user_id) partitioning, so
+    # Catalyst still plans ONE Exchange + Sort for the whole row.
     roll = out.rolling(3, min_periods=1).over(
         order_by=["ts", "event_id"], partition_by=["user_id"]
     ).agg({"value": "mean"})
+    roll = roll.rolling(5, min_periods=1).over(
+        order_by=["ts", "event_id"], partition_by=["user_id"]
+    ).agg({"value": ["median", "skew", "kurt"]})
     sdf = roll.to_spark()
     return sdf.select(
         "event_id", "user_id",
@@ -106,6 +115,12 @@ def events_window_funcs(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.round("value_diff", 4).alias("value_diff"),
         F.round("value_shift", 4).alias("value_shift"),
         F.round("value_roll_mean", 4).alias("roll_avg"),
+        (F.floor(F.col("value_roll_median") * 10000 + F.lit(0.5))
+         / 10000).alias("roll_med"),
+        (F.floor(F.col("value_roll_skew") * 10000 + F.lit(0.5))
+         / 10000).alias("roll_skew"),
+        (F.floor(F.col("value_roll_kurt") * 10000 + F.lit(0.5))
+         / 10000).alias("roll_kurt"),
         # explicit floor-based rounding: Spark's ROUND and DuckDB's
         # round() disagree on binary doubles that print as decimal
         # halves (e.g. 27.45624999…97 → 27.4563 in DuckDB); the floor

@@ -864,6 +864,15 @@ PIPELINE_ORACLES: dict[str, str] = {
                round(value - lag(value) OVER w, 4) AS value_diff,
                round(lag(value) OVER w, 4) AS value_shift,
                round(avg(value) OVER w_roll, 4) AS roll_avg,
+               -- r13 rolling parity fill-ins over a width-5 frame:
+               -- DuckDB's windowed median/skewness/kurtosis are the
+               -- interpolated / G1 / G2 sample forms pandas uses
+               floor(median(value) OVER w_roll5 * 10000 + 0.5) / 10000
+                   AS roll_med,
+               floor(skewness(value) OVER w_roll5 * 10000 + 0.5) / 10000
+                   AS roll_skew,
+               floor(kurtosis(value) OVER w_roll5 * 10000 + 0.5) / 10000
+                   AS roll_kurt,
                floor((value - lag(value) OVER w)
                      / nullif(lag(value) OVER w, 0) * 10000 + 0.5) / 10000
                    AS pct_change
@@ -873,7 +882,9 @@ PIPELINE_ORACLES: dict[str, str] = {
             w_run AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
             w_roll AS (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+            w_roll5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
     "events_sessions_activity": """
         -- tsfresh strata (learn/tsfeatures.py): one ordered window

@@ -150,3 +150,29 @@ def test_resample_matches_pandas(spark):
     assert list(got.k) == list(exp.k)
     assert list(got.ts) == list(exp.ts)
     assert np.allclose(got.v_mean, exp.v_mean)
+
+
+def test_rolling_median_skew_kurt_vs_pandas(mts, pdf_ts):
+    """r13 parity fill-in (reference rolling/core.py exposes
+    median/skew/kurt): exact in-window median; skew/kurt carry the
+    pandas G1/G2 sample corrections on every window."""
+    out = mts.rolling(6, min_periods=1).over(
+        order_by="ts", partition_by=["g"]).agg(
+        {"v": ["median", "skew", "kurt"]})
+    got = out.to_pandas().sort_values(["g", "ts"])
+    exp = _sorted(pdf_ts).copy()
+    r = exp.groupby("g", group_keys=False).v.rolling(6, min_periods=1)
+    exp["md"] = r.median().reset_index(level=0, drop=True)
+    exp["sk"] = (_sorted(pdf_ts).groupby("g", group_keys=False).v
+                 .rolling(6, min_periods=1).skew()
+                 .reset_index(level=0, drop=True))
+    exp["ku"] = (_sorted(pdf_ts).groupby("g", group_keys=False).v
+                 .rolling(6, min_periods=1).kurt()
+                 .reset_index(level=0, drop=True))
+    np.testing.assert_allclose(got.v_roll_median.values, exp.md.values)
+    # pandas returns NaN below 3 (skew) / 4 (kurt) observations; the
+    # engine's G1/G2 when() guards produce null at the same windows
+    np.testing.assert_allclose(got.v_roll_skew.values, exp.sk.values,
+                               equal_nan=True, atol=1e-9)
+    np.testing.assert_allclose(got.v_roll_kurt.values, exp.ku.values,
+                               equal_nan=True, atol=1e-9)
