@@ -385,18 +385,12 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
     # pathological here, the default layout is the fast one.
     qdf = spark.createDataFrame(
         qrows, "doc_id long, text string, label double")
-    _, holdout = train_score_split(qdf, "text", "label", "doc_id",
-                                   n_features=1024, max_iter=8)
-    qc = (holdout.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg((F.col("quality_pred") == F.col("label"))
-              .cast("double")).alias("acc"))
-        .select(F.lit("qcls").alias("lang"),
-                F.lit("holdout").alias("pred_lang"),
-                F.col("n").alias("n_docs"),
-                F.round("acc", 2).alias("avg_tokens"),
-                F.lit(None).cast("double").alias("avg_chars"),
-                F.lit(None).cast("double").alias("avg_quality")))
+
+    def _qc_fit():
+        _, h = train_score_split(qdf, "text", "label", "doc_id",
+                                 n_features=1024, max_iter=8)
+        return h
+
     # r12: trained language identification (llm/langid.py — the
     # CCNet/fastText shape: hashed char-trigram counts + multinomial
     # NaiveBayes, one aggregation pass to fit). Murmur hashing has no
@@ -421,10 +415,35 @@ def docs_text_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
                                    "379015$")))
     lcorp = lbase.select("doc_id", llang.alias("lang"),
                          ltxt.alias("t"))
-    lid_model = NGramLangID(n=3, n_features=2048).fit(
-        lcorp.filter(F.col("doc_id") % 2 == 0), "t", "lang")
-    lpred = lid_model.predict(
-        lcorp.filter(F.col("doc_id") % 2 == 1), "t")
+    def _lid_fit():
+        model = NGramLangID(n=3, n_features=2048).fit(
+            lcorp.filter(F.col("doc_id") % 2 == 0), "t", "lang")
+        return model.predict(lcorp.filter(F.col("doc_id") % 2 == 1),
+                             "t")
+
+    # the two MLlib fits (LBFGS logistic + one-pass NaiveBayes) are
+    # independent eager driver sequences — run them from a thread
+    # pool (op_learn_metrics pattern; pyspark.ml imported before the
+    # pool to avoid the first-import race)
+    import pyspark.ml.classification  # noqa: F401
+    import pyspark.ml.feature  # noqa: F401
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fq = _ex.submit(_qc_fit)
+        _fl = _ex.submit(_lid_fit)
+        holdout = _fq.result()
+        lpred = _fl.result()
+    qc = (holdout.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("quality_pred") == F.col("label"))
+              .cast("double")).alias("acc"))
+        .select(F.lit("qcls").alias("lang"),
+                F.lit("holdout").alias("pred_lang"),
+                F.col("n").alias("n_docs"),
+                F.round("acc", 2).alias("avg_tokens"),
+                F.lit(None).cast("double").alias("avg_chars"),
+                F.lit(None).cast("double").alias("avg_quality")))
     lrows = lpred.select(
         F.lit("lid").alias("lang"),
         F.concat(F.lit("d"), F.col("doc_id").cast("string"))
