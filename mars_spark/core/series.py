@@ -1101,18 +1101,20 @@ class Series:
                                       lagged.alias("__b"))
         return sdf.agg(F.corr("__a", "__b")).collect()[0][0]
 
-    def corr(self, other: "Series", method: str = "pearson"):
+    def corr(self, other: "Series", method: str = "pearson",
+             min_periods: int | None = None):
         """Correlation with another series — pearson / spearman /
         kendall, the pandas method set (reference
         mars/dataframe/statistics/corr.py:29). Same-frame pearson
         pairs are one aggregate; spearman ranks both sides
         (operators/corr.py) and kendall runs the tie-corrected
         weighted pair count. Cross-frame pairs align on the index
-        first."""
+        first. ``min_periods`` follows pandas: None when fewer
+        pairwise-complete observations exist."""
         if method not in ("pearson", "spearman", "kendall"):
             raise ValueError(f"corr: unknown method {method!r}")
         if isinstance(other, Series) and other._frame is self._frame:
-            if method == "pearson":
+            if method == "pearson" and not min_periods:
                 return self._agg_scalar(F.corr(self._col, other._col))
             pair_sdf = self._frame._sdf.select(
                 self._col.alias("__a"), other._col.alias("__b"))
@@ -1125,12 +1127,21 @@ class Series:
                         .select(F.col("__p.a").alias("__a"),
                                 F.col("__p.b").alias("__b")))
         if method == "pearson":
-            return pair_sdf.agg(
-                F.corr("__a", "__b")).collect()[0][0]
+            row = pair_sdf.agg(
+                F.corr("__a", "__b").alias("c"),
+                F.count(F.when(F.col("__a").isNotNull()
+                               & F.col("__b").isNotNull(), 1))
+                .alias("n")).collect()[0]
+            if min_periods and int(row["n"]) < min_periods:
+                return None
+            return row["c"]
         from mars_spark.operators.corr import kendall_pair, spearman_pair
 
-        fn = spearman_pair if method == "spearman" else kendall_pair
-        return fn(pair_sdf, "__a", "__b")
+        if method == "spearman":
+            return spearman_pair(pair_sdf, "__a", "__b",
+                                 min_periods=min_periods)
+        return kendall_pair(pair_sdf, "__a", "__b",
+                            min_periods=min_periods)
 
     def describe(self, percentiles=(0.25, 0.5, 0.75)):
         """mars/dataframe/base/describe.py Series form — ONE aggregate

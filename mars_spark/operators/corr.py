@@ -44,17 +44,25 @@ def _pair_frame(sdf: SparkDF, ca: str, cb: str) -> SparkDF:
             .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
 
 
-def spearman_pair(sdf: SparkDF, ca: str, cb: str) -> float | None:
+def spearman_pair(sdf: SparkDF, ca: str, cb: str,
+                  min_periods: int | None = None) -> float | None:
     """Spearman rho of two columns: average-method ranks over the
-    pairwise-complete rows, then one Pearson aggregate."""
+    pairwise-complete rows, then one Pearson aggregate.
+    ``min_periods`` follows pandas corr: None when fewer
+    pairwise-complete observations exist."""
     d = _pair_frame(sdf, ca, cb)
     d = add_rank(d, "x", method="average", out="__rx")
     d = add_rank(d, "y", method="average", out="__ry")
-    return d.agg(F.corr("__rx", "__ry")).collect()[0][0]
+    row = d.agg(F.corr("__rx", "__ry").alias("c"),
+                F.count(F.lit(1)).alias("n")).collect()[0]
+    if min_periods and int(row["n"]) < min_periods:
+        return None
+    return row["c"]
 
 
 def kendall_pair(sdf: SparkDF, ca: str, cb: str,
-                 max_items: int = 20_000) -> float | None:
+                 max_items: int = 20_000,
+                 min_periods: int | None = None) -> float | None:
     """Kendall tau-b of two columns (exact, tie-corrected).
 
     tau_b = (P − Q) / sqrt((n0 − n1)(n0 − n2)) with
@@ -78,7 +86,7 @@ def kendall_pair(sdf: SparkDF, ca: str, cb: str,
     # marginal tie counts from the compressed frame (exact integers)
     row = g.agg(F.sum("w").alias("n")).collect()[0]
     n = int(row["n"])
-    if n < 2:
+    if n < 2 or (min_periods and n < min_periods):
         return None
     tx = (g.groupBy("x").agg(F.sum("w").alias("c"))
           .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("t"))

@@ -1103,3 +1103,23 @@ def test_corrwith_rank_methods_and_kendall_guard(spark):
         {"x": rng.randn(300), "y": rng.randn(300)}))
     with _pt.raises(ValueError, match="max_items"):
         kendall_pair(big.to_spark(), "x", "y", max_items=100)
+
+
+def test_series_corr_min_periods(spark):
+    """pandas corr(min_periods=N): None/NaN when fewer
+    pairwise-complete observations exist, for all three methods."""
+    import numpy as np
+    import pandas as pd
+
+    p = pd.DataFrame({"a": [1.0, 2, 3, np.nan, 5],
+                      "b": [2.0, 1, np.nan, 4, 6]})
+    f = ms.from_pandas(p)
+    # 3 pairwise-complete rows
+    got = f.a.corr(f.b, min_periods=4)
+    assert got is None or (isinstance(got, float) and np.isnan(got))
+    exp = p.a.corr(p.b, min_periods=3)
+    assert abs(f.a.corr(f.b, min_periods=3) - exp) < 1e-12
+    for m in ("spearman", "kendall"):
+        got = f.a.corr(f.b, method=m, min_periods=4)
+        assert got is None
+        assert f.a.corr(f.b, method=m, min_periods=3) is not None
