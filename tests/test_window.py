@@ -176,3 +176,29 @@ def test_rolling_median_skew_kurt_vs_pandas(mts, pdf_ts):
                                equal_nan=True, atol=1e-9)
     np.testing.assert_allclose(got.v_roll_kurt.values, exp.ku.values,
                                equal_nan=True, atol=1e-9)
+
+
+def test_expanding_median_skew_kurt_vs_pandas(spark):
+    """The r13 rolling fill-ins flow through Expanding (shared agg
+    map + unbounded-preceding frame) — pinned vs pandas expanding,
+    including the <3/<4-observation NaN prefix."""
+    rng = np.random.RandomState(2)
+    p = pd.DataFrame({"g": ["a"] * 20 + ["b"] * 20,
+                      "i": list(range(20)) * 2,
+                      "v": rng.randn(40)})
+    f = ms.from_pandas(p)
+    out = (f.expanding(min_periods=1).over(order_by="i",
+                                           partition_by=["g"])
+           .agg({"v": ["median", "skew", "kurt"]}).to_pandas()
+           .sort_values(["g", "i"]))
+    exp = p.sort_values(["g", "i"]).copy()
+    r = exp.groupby("g", group_keys=False).v
+    exp["md"] = r.expanding(1).median().reset_index(level=0, drop=True)
+    exp["sk"] = r.expanding(1).skew().reset_index(level=0, drop=True)
+    exp["ku"] = r.expanding(1).kurt().reset_index(level=0, drop=True)
+    np.testing.assert_allclose(out.v_exp_median.values, exp.md.values,
+                               equal_nan=True)
+    np.testing.assert_allclose(out.v_exp_skew.values, exp.sk.values,
+                               equal_nan=True, atol=1e-9)
+    np.testing.assert_allclose(out.v_exp_kurt.values, exp.ku.values,
+                               equal_nan=True, atol=1e-9)
