@@ -973,13 +973,21 @@ class DataFrame:
                 return DataFrame(ranked, index=[]).corr_matrix(
                     cols, method="pearson")
         fn = spearman_pair if method == "spearman" else kendall_pair
-        vals = {}
-        for i, a in enumerate(cols):
-            vals[(a, a)] = 1.0
-            for b in cols[i + 1:]:
-                v = fn(self._sdf, a, b)
-                vals[(a, b)] = v
-                vals[(b, a)] = v
+        # each pair statistic is an independent sequence of driver
+        # actions — submit them from a thread pool so the k(k-1)/2
+        # pairs' stages interleave instead of serializing
+        from concurrent.futures import ThreadPoolExecutor
+
+        pairs = [(a, b) for i, a in enumerate(cols)
+                 for b in cols[i + 1:]]
+        vals = {(a, a): 1.0 for a in cols}
+        if pairs:
+            with ThreadPoolExecutor(
+                    max_workers=min(8, len(pairs))) as ex:
+                for (a, b), v in zip(pairs, ex.map(
+                        lambda p: fn(self._sdf, p[0], p[1]), pairs)):
+                    vals[(a, b)] = v
+                    vals[(b, a)] = v
         data = [(a, *[vals[(a, b)] for b in cols]) for a in cols]
         schema = "col string, " + ", ".join(f"`{b}` double" for b in cols)
         return DataFrame(spark.createDataFrame(data, schema),
@@ -1372,8 +1380,12 @@ class DataFrame:
 
         fn = spearman_pair if method == "spearman" else kendall_pair
         j = j.localCheckpoint()  # one snapshot feeds every pair pass
-        return pd.Series({c: fn(j, f"__l_{c}", f"__r_{c}")
-                          for c in cols})
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(cols) or 1)) as ex:
+            out = list(ex.map(
+                lambda c: fn(j, f"__l_{c}", f"__r_{c}"), cols))
+        return pd.Series(dict(zip(cols, out)))
 
     # ------------------------------------------------ frame arithmetic
     def _aligned_join(self, other: "DataFrame"):
