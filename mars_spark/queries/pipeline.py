@@ -722,8 +722,36 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # segmentation (word-level determinism makes the join exact).
     from mars_spark.llm import bpe as B
 
-    bm = B.learn_bpe(sp_orig, "text", num_merges=8, with_counts=True,
-                     num_partitions=1)
+    # r13: the row's four independent eager build units — the BPE
+    # train (histogram collect + driver trainer), the two physical
+    # shard exports, and the end-to-end clean_corpus rollup (its
+    # snapshot jobs) — run from a thread pool instead of serially
+    # (the op_stats/op_learn_metrics pattern; each unit's inputs are
+    # already defined, outputs consumed below)
+    import os as _os
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mars_spark.llm.packing import write_shards
+
+    slc = d.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") < 3500))
+    shard_dir = (f"/tmp/ms_shards_{_os.getpid()}_"
+                 + sf_dir.strip("/").replace("/", "_"))
+    with ThreadPoolExecutor(max_workers=4) as _ex:
+        _f_bm = _ex.submit(
+            lambda: B.learn_bpe(sp_orig, "text", num_merges=8,
+                                with_counts=True, num_partitions=1))
+        _f_nd = _ex.submit(
+            lambda: write_shards(slc, f"{shard_dir}/docs", "doc_id",
+                                 docs_per_shard=29))
+        _f_nt = _ex.submit(
+            lambda: write_shards(slc, f"{shard_dir}/tok", "doc_id",
+                                 token_budget=1500, text_col="text"))
+        _f_cc = _ex.submit(lambda: _clean_corpus_rollup(spark, sf_dir))
+        bm = _f_bm.result()
+        n_d = _f_nd.result()
+        n_t = _f_nt.result()
+        cc = _f_cc.result()
     bpe_rows = spark.createDataFrame(
         [("bpe", f"{a}|{b}", i + 1, float(c))
          for i, (a, b, c) in enumerate(bm)],
@@ -744,27 +772,11 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     # disk round-trip; 'shard'/'nd' pins the returned shard-dir
     # counts. The oracle states both assignments in closed form
     # (0-based rank // 29; exclusive running token sum // 1500).
-    import os as _os
-
-    from mars_spark.llm.packing import write_shards
-
-    # fixed-size slice (id < 3500 caps it at 500 docs from sf0.1 up):
-    # the stratum pins the sizing-rule CORRECTNESS; its cost must not
-    # grow with sf or the row would write thousands of shard dirs at
-    # sf30 (the 100 TB scale path for the underlying prefix-sum is
-    # covered by the tok stratum and SCALE.md)
-    slc = d.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") < 3500))
-    # deterministic per-(pid, sf_dir) path, NOT mkdtemp: write_shards
-    # overwrites, so repeated bench passes re-exercise the real write
-    # into the SAME directory instead of accumulating a shard copy
-    # per invocation in /tmp (the _INC_STAGED staging discipline,
-    # minus the write-once guard — the write IS the thing under test)
-    shard_dir = (f"/tmp/ms_shards_{_os.getpid()}_"
-                 + sf_dir.strip("/").replace("/", "_"))
-    n_d = write_shards(slc, f"{shard_dir}/docs", "doc_id",
-                       docs_per_shard=29)
-    n_t = write_shards(slc, f"{shard_dir}/tok", "doc_id",
-                       token_budget=1500, text_col="text")
+    # (slice fixed-size — id < 3500 caps it at 500 docs from sf0.1 up
+    # so the stratum pins sizing-rule CORRECTNESS without writing
+    # thousands of shard dirs at sf30; deterministic per-(pid,
+    # sf_dir) path, NOT mkdtemp — write_shards overwrites, repeated
+    # bench passes re-exercise the real write into the SAME dir)
 
     def _shard_rows(tag: str, path: str) -> SparkDF:
         return (spark.read.parquet(path)
@@ -781,7 +793,6 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
              .unionByName(spark.createDataFrame(
                  [("shard", "nd", n_d, float(n_t))],
                  "grp string, k string, n long, v double")))
-    cc = _clean_corpus_rollup(spark, sf_dir)
     cchyg = cc.select(F.lit("cchyg").alias("grp"),
                       F.col("source").alias("k"),
                       F.col("n_kept").alias("n"),
