@@ -917,7 +917,9 @@ class DataFrame:
                             out._index)
         return out
 
-    def corr_matrix(self, cols=None, method: str = "pearson") -> "DataFrame":
+    def corr_matrix(self, cols=None, method: str = "pearson",
+                    max_items: int = 20_000,
+                    approx: bool = False) -> "DataFrame":
         """All-pairs correlation matrix (reference:
         mars/dataframe/statistics/corr.py:29 computes the full matrix;
         frame.corr(c1,c2) is the pairwise fast path). pearson: ONE
@@ -926,10 +928,13 @@ class DataFrame:
         count, not rows). spearman: when no column has nulls, each
         column is replaced by its average-method rank (k rank passes)
         and the same one-agg pearson matrix runs on the ranked frame;
-        with nulls present, pandas' pairwise-complete deletion means
-        ranks differ per pair, so each pair is computed exactly via
-        operators/corr.spearman_pair. kendall: always per-pair (the
-        weighted concordance count is pair-specific by nature)."""
+        with nulls present, pairwise-complete ranks for ALL pairs
+        come from one multi-weight prefix pass per column + ONE
+        aggregate (operators/corr.spearman_matrix_nulls — O(k) jobs,
+        not k²). kendall: per-pair by nature (the weighted
+        concordance count is pair-specific); ``max_items`` bounds
+        each pair's distinct-value join and ``approx=True`` switches
+        oversize pairs to the deterministic rank-binned tau."""
         if method not in ("pearson", "spearman", "kendall"):
             raise ValueError(f"corr_matrix: unknown method {method!r}")
         cols = list(cols) if cols else [
@@ -937,11 +942,29 @@ class DataFrame:
             if c in self.columns and t in (
                 "double", "float", "int", "bigint", "smallint", "tinyint")]
         if method != "pearson":
-            return self._rank_corr_matrix(cols, method)
+            return self._rank_corr_matrix(cols, method,
+                                          max_items=max_items,
+                                          approx=approx)
+        # manual pair-complete pearson with try_divide, NOT F.corr:
+        # under ANSI one zero-variance pair aborts the whole agg with
+        # DIVIDE_BY_ZERO; try_divide yields null → NaN for just that
+        # entry (pandas parity: constant / <2-valid columns are NaN,
+        # including their own diagonal)
         exprs = []
         for i, a in enumerate(cols):
             for b in cols[i:]:
-                exprs.append(F.corr(a, b).alias(f"{a}__{b}"))
+                if a == b:
+                    va = F.var_pop(F.col(a).cast("double"))
+                    exprs.append(F.try_divide(va, va)
+                                 .alias(f"{a}__{b}"))
+                    continue
+                both = F.col(a).isNotNull() & F.col(b).isNotNull()
+                xa = F.when(both, F.col(a).cast("double"))
+                xb = F.when(both, F.col(b).cast("double"))
+                exprs.append(F.try_divide(
+                    F.covar_pop(xa, xb),
+                    F.stddev_pop(xa) * F.stddev_pop(xb))
+                    .alias(f"{a}__{b}"))
         row = self._sdf.agg(*exprs).collect()[0]
         vals = {}
         for i, a in enumerate(cols):
@@ -955,24 +978,46 @@ class DataFrame:
         schema = "col string, " + ", ".join(f"`{b}` double" for b in cols)
         return DataFrame(spark.createDataFrame(data, schema), index=["col"])
 
-    def _rank_corr_matrix(self, cols: list[str],
-                          method: str) -> "DataFrame":
+    def _rank_corr_matrix(self, cols: list[str], method: str,
+                          max_items: int = 20_000,
+                          approx: bool = False) -> "DataFrame":
         """spearman/kendall matrix body (see corr_matrix docstring)."""
         from mars_spark.operators.corr import (kendall_pair,
+                                               spearman_matrix_nulls,
                                                spearman_matrix_ranks,
                                                spearman_pair)
 
         spark = self._sdf.sparkSession
+        counts = self._sdf.agg(
+            F.count(F.lit(1)).alias("__n_total__"),
+            *[F.count(F.col(c)).alias(c) for c in cols]).collect()[0]
+        n_total = int(counts["__n_total__"])
+        valid = {c: int(counts[c] or 0) for c in cols}
+        # pandas parity: a column with <2 valid observations has NaN
+        # everywhere INCLUDING its own diagonal
+        diag = {c: (1.0 if valid[c] >= 2 else float("nan"))
+                for c in cols}
         if method == "spearman":
-            nulls = self._sdf.agg(*[
-                F.sum(F.col(c).isNull().cast("bigint")).alias(c)
-                for c in cols]).collect()[0]
-            if all((nulls[c] or 0) == 0 for c in cols):
+            if all(valid[c] == n_total for c in cols):
                 ranked = spearman_matrix_ranks(
                     self._sdf.select(*cols), cols)
-                return DataFrame(ranked, index=[]).corr_matrix(
+                out = DataFrame(ranked, index=[]).corr_matrix(
                     cols, method="pearson")
-        fn = spearman_pair if method == "spearman" else kendall_pair
+                if all(v >= 2 for v in valid.values()):
+                    return out
+            else:
+                vals, _valid = spearman_matrix_nulls(self._sdf, cols)
+                for a in cols:
+                    vals[(a, a)] = diag[a]
+                data = [(a, *[vals[(a, b)] for b in cols])
+                        for a in cols]
+                schema = ("col string, "
+                          + ", ".join(f"`{b}` double" for b in cols))
+                return DataFrame(spark.createDataFrame(data, schema),
+                                 index=["col"])
+        fn = (spearman_pair if method == "spearman"
+              else lambda s, a, b: kendall_pair(
+                  s, a, b, max_items=max_items, approx=approx))
         # each pair statistic is an independent sequence of driver
         # actions — submit them from a thread pool so the k(k-1)/2
         # pairs' stages interleave instead of serializing
@@ -980,7 +1025,7 @@ class DataFrame:
 
         pairs = [(a, b) for i, a in enumerate(cols)
                  for b in cols[i + 1:]]
-        vals = {(a, a): 1.0 for a in cols}
+        vals = {(a, a): diag[a] for a in cols}
         if pairs:
             with ThreadPoolExecutor(
                     max_workers=min(8, len(pairs))) as ex:
@@ -1356,13 +1401,15 @@ class DataFrame:
         return {c: (False if v is None else bool(v))
                 for c, v in raw.items()}
 
-    def corrwith(self, other: "DataFrame", method: str = "pearson"):
+    def corrwith(self, other: "DataFrame", method: str = "pearson",
+                 max_items: int = 20_000, approx: bool = False):
         """pandas df.corrwith: per-common-column correlation after
         index alignment — pearson is ONE join + ONE agg for all
         columns; spearman/kendall reuse the joined frame and compute
         each column pair through operators/corr.py (rank statistics
         are pair-specific under pairwise-complete deletion, so they
-        cannot fold into one agg)."""
+        cannot fold into one agg). ``max_items``/``approx`` reach
+        the kendall pair guard (see operators/corr.kendall_pair)."""
         if method not in ("pearson", "spearman", "kendall"):
             raise ValueError(f"corrwith: unknown method {method!r}")
         import pandas as pd
@@ -1378,7 +1425,9 @@ class DataFrame:
             return pd.Series({c: row[c] for c in cols})
         from mars_spark.operators.corr import kendall_pair, spearman_pair
 
-        fn = spearman_pair if method == "spearman" else kendall_pair
+        fn = (spearman_pair if method == "spearman"
+              else lambda s, a, b: kendall_pair(
+                  s, a, b, max_items=max_items, approx=approx))
         j = j.localCheckpoint()  # one snapshot feeds every pair pass
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1753,18 +1802,30 @@ class DataFrame:
     def nunique_rows(self) -> int:
         return self._sdf.distinct().count()
 
-    def corr(self, c1: str, c2: str, method: str = "pearson") -> float:
+    def corr(self, c1: str, c2: str, method: str = "pearson",
+             max_items: int = 20_000, approx: bool = False) -> float:
         """Pairwise correlation, pandas method set (reference
         mars/dataframe/statistics/corr.py:29): pearson stays Spark's
         one-agg stat.corr; spearman/kendall route through
-        operators/corr.py (rank+pearson / weighted pair count)."""
-        if method in ("spearman", "kendall"):
-            from mars_spark.operators.corr import (kendall_pair,
-                                                   spearman_pair)
+        operators/corr.py (rank+pearson / weighted pair count).
+        kendall on high-cardinality pairs: raise ``max_items`` or
+        pass ``approx=True`` for the deterministic rank-binned tau
+        (operators/corr.kendall_pair docstring)."""
+        if method == "spearman":
+            from mars_spark.operators.corr import spearman_pair
 
-            fn = spearman_pair if method == "spearman" else kendall_pair
-            return fn(self._sdf, c1, c2)
-        return self._sdf.stat.corr(c1, c2, method)
+            return spearman_pair(self._sdf, c1, c2)
+        if method == "kendall":
+            from mars_spark.operators.corr import kendall_pair
+
+            return kendall_pair(self._sdf, c1, c2,
+                                max_items=max_items, approx=approx)
+        try:
+            return self._sdf.stat.corr(c1, c2, method)
+        except Exception as e:  # ANSI: zero variance → NaN
+            if "DIVIDE_BY_ZERO" not in str(e):
+                raise
+            return float("nan")
 
     def cov(self, c1: str, c2: str) -> float:
         return self._sdf.stat.cov(c1, c2)

@@ -1102,20 +1102,30 @@ class Series:
         return sdf.agg(F.corr("__a", "__b")).collect()[0][0]
 
     def corr(self, other: "Series", method: str = "pearson",
-             min_periods: int | None = None):
+             min_periods: int | None = None,
+             max_items: int = 20_000, approx: bool = False):
         """Correlation with another series — pearson / spearman /
         kendall, the pandas method set (reference
         mars/dataframe/statistics/corr.py:29). Same-frame pearson
         pairs are one aggregate; spearman ranks both sides
         (operators/corr.py) and kendall runs the tie-corrected
         weighted pair count. Cross-frame pairs align on the index
-        first. ``min_periods`` follows pandas: None when fewer
-        pairwise-complete observations exist."""
+        first. ``min_periods`` follows pandas: NaN when fewer
+        pairwise-complete observations exist. kendall on
+        high-cardinality pairs: raise ``max_items`` or pass
+        ``approx=True`` for the deterministic rank-binned tau
+        (operators/corr.kendall_pair docstring)."""
         if method not in ("pearson", "spearman", "kendall"):
             raise ValueError(f"corr: unknown method {method!r}")
         if isinstance(other, Series) and other._frame is self._frame:
             if method == "pearson" and not min_periods:
-                return self._agg_scalar(F.corr(self._col, other._col))
+                try:
+                    v = self._agg_scalar(F.corr(self._col, other._col))
+                except Exception as e:  # ANSI: zero variance → NaN
+                    if "DIVIDE_BY_ZERO" not in str(e):
+                        raise
+                    v = None
+                return float("nan") if v is None else float(v)
             pair_sdf = self._frame._sdf.select(
                 self._col.alias("__a"), other._col.alias("__b"))
         else:
@@ -1127,21 +1137,27 @@ class Series:
                         .select(F.col("__p.a").alias("__a"),
                                 F.col("__p.b").alias("__b")))
         if method == "pearson":
-            row = pair_sdf.agg(
-                F.corr("__a", "__b").alias("c"),
-                F.count(F.when(F.col("__a").isNotNull()
-                               & F.col("__b").isNotNull(), 1))
-                .alias("n")).collect()[0]
+            try:
+                row = pair_sdf.agg(
+                    F.corr("__a", "__b").alias("c"),
+                    F.count(F.when(F.col("__a").isNotNull()
+                                   & F.col("__b").isNotNull(), 1))
+                    .alias("n")).collect()[0]
+            except Exception as e:  # ANSI: zero variance → NaN
+                if "DIVIDE_BY_ZERO" not in str(e):
+                    raise
+                return float("nan")
             if min_periods and int(row["n"]) < min_periods:
-                return None
-            return row["c"]
+                return float("nan")
+            return float("nan") if row["c"] is None else float(row["c"])
         from mars_spark.operators.corr import kendall_pair, spearman_pair
 
         if method == "spearman":
             return spearman_pair(pair_sdf, "__a", "__b",
                                  min_periods=min_periods)
         return kendall_pair(pair_sdf, "__a", "__b",
-                            min_periods=min_periods)
+                            min_periods=min_periods,
+                            max_items=max_items, approx=approx)
 
     def describe(self, percentiles=(0.25, 0.5, 0.75)):
         """mars/dataframe/base/describe.py Series form — ONE aggregate

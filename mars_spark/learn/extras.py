@@ -520,7 +520,21 @@ class BlockwiseVotingRegressor:
                 # at 1M — found by the r13 sf10 oracle subset). QR is
                 # single-pass O(nd^2) and exact here at any height.
                 q, r = np.linalg.qr(X1)
-                beta = np.linalg.solve(r, q.T @ np.concatenate(ys))
+                yv = np.concatenate(ys)
+                # Rank-deficient blocks (a feature constant within the
+                # partition is collinear with the intercept column)
+                # make R singular; fall back to the min-norm lstsq
+                # solution there instead of raising inside the UDF.
+                diag = np.abs(np.diag(r))
+                tol = max(X1.shape) * np.finfo(np.float64).eps * (
+                    diag.max() if len(diag) else 0.0)
+                if not len(diag) or diag.min() <= tol:
+                    beta = np.linalg.lstsq(X1, yv, rcond=None)[0]
+                else:
+                    try:
+                        beta = np.linalg.solve(r, q.T @ yv)
+                    except np.linalg.LinAlgError:
+                        beta = np.linalg.lstsq(X1, yv, rcond=None)[0]
                 yield pd.DataFrame({"m": [pickle.dumps(beta)]})
 
         rows = sdf.mapInPandas(fit_part, "m binary").collect()

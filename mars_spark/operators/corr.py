@@ -19,11 +19,18 @@ rank methods are built from primitives the repo already owns:
   counts (one groupBy), and the quadratic join runs over the m
   distinct pairs with multiplicative weights, not the n rows. For
   continuous data m ≈ n, so a guard raises beyond ``max_items``
-  distinct pairs with guidance to pre-aggregate/sample — at 100 TB a
-  sampled tau is the honest answer, silently shipping an n² shuffle
-  is not. All pair/tie counts are exact integers, so the statistic
-  replays bit-identically in any engine (the DuckDB oracle uses the
-  same formula over the same integer counts).
+  distinct pairs — at 100 TB silently shipping an n² shuffle is not
+  an option. ``approx=True`` instead quantile-bins both sides to
+  ``floor(sqrt(max_items))`` rank buckets (exact min-ranks from the
+  distributed rank machinery — deterministic, engine-replayable
+  integer arithmetic, NO sketch) and returns the exact tau-b of the
+  binned data. All pair/tie counts are exact integers, so both the
+  exact and the binned statistic replay bit-identically in any
+  engine (the DuckDB oracle uses the same formula over the same
+  integer counts).
+
+Degenerate inputs (no pairwise-complete rows, zero variance,
+min_periods unmet) return ``float('nan')`` — pandas parity, not None.
 """
 
 from __future__ import annotations
@@ -34,6 +41,8 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 from mars_spark.operators.rank import add_rank
+
+_NAN = float("nan")
 
 
 def _pair_frame(sdf: SparkDF, ca: str, cb: str) -> SparkDF:
@@ -53,41 +62,84 @@ def spearman_pair(sdf: SparkDF, ca: str, cb: str,
     d = _pair_frame(sdf, ca, cb)
     d = add_rank(d, "x", method="average", out="__rx")
     d = add_rank(d, "y", method="average", out="__ry")
-    row = d.agg(F.corr("__rx", "__ry").alias("c"),
-                F.count(F.lit(1)).alias("n")).collect()[0]
+    try:
+        row = d.agg(F.corr("__rx", "__ry").alias("c"),
+                    F.count(F.lit(1)).alias("n")).collect()[0]
+    except Exception as e:  # ANSI DIVIDE_BY_ZERO: zero rank variance
+        if "DIVIDE_BY_ZERO" not in str(e):
+            raise
+        return _NAN
     if min_periods and int(row["n"]) < min_periods:
-        return None
-    return row["c"]
+        return _NAN
+    return _NAN if row["c"] is None else float(row["c"])
 
 
 def kendall_pair(sdf: SparkDF, ca: str, cb: str,
                  max_items: int = 20_000,
-                 min_periods: int | None = None) -> float | None:
-    """Kendall tau-b of two columns (exact, tie-corrected).
+                 min_periods: int | None = None,
+                 approx: bool = False) -> float:
+    """Kendall tau-b of two columns (tie-corrected).
 
     tau_b = (P − Q) / sqrt((n0 − n1)(n0 − n2)) with
     n0 = n(n−1)/2, n1/n2 = Σ t(t−1)/2 over x/y tie groups, P/Q the
     concordant/discordant pair counts. The pair join runs over
     DISTINCT (x, y) value pairs weighted by their multiplicities;
-    ``max_items`` bounds that distinct count (the join is O(m²)) —
-    beyond it, pre-bin or sample the input and call again.
+    ``max_items`` bounds that distinct count (the join is O(m²)).
+
+    Beyond the bound: with ``approx=False`` raise (never silently
+    ship an n² shuffle); with ``approx=True`` deterministically
+    quantile-bin both sides to B = floor(sqrt(max_items)) rank
+    buckets — bucket = floor((min_rank−1)·B/n), exact distributed
+    min-ranks, integer arithmetic — and return the exact tau-b of
+    the binned data (≤ B² ≤ max_items distinct pairs at ANY corpus
+    size). The binned tau is itself deterministic and replays
+    bit-identically in SQL.
     """
     d = _pair_frame(sdf, ca, cb)
     g = (d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
          .localCheckpoint())  # reused by 3 aggregates + the pair join
     m = g.count()
     if m == 0:
-        return None
+        return _NAN
     if m > max_items:
-        raise ValueError(
-            f"kendall: {m} distinct value pairs exceeds max_items="
-            f"{max_items} (the concordance join is O(m^2)); pre-bin "
-            "or sample the inputs, or raise max_items explicitly")
+        if not approx:
+            raise ValueError(
+                f"kendall: {m} distinct value pairs exceeds max_items="
+                f"{max_items} (the concordance join is O(m^2)); pass "
+                "approx=True for a deterministic rank-binned tau, "
+                "pre-bin or sample the inputs, or raise max_items "
+                "(Series.corr/DataFrame.corr/corr_matrix/corrwith all "
+                "accept max_items= and approx=)")
+        nrow = g.agg(F.sum("w").alias("n")).collect()[0]
+        n_all = int(nrow["n"])
+        bins = max(2, int(math.isqrt(max_items)))
+        # rank the COMPRESSED frame (m rows, weight-aware prefix
+        # sums give the row-level min-rank), then re-compress on the
+        # bucket pair. add_rank on the weighted frame: min-rank of a
+        # value v = 1 + Σ w over values < v — do it directly here.
+        from mars_spark.operators.rank import prefix_stats
+
+        for side in ("x", "y"):
+            pv = (g.groupBy(F.col(side).alias("__v"))
+                  .agg(F.sum("w").alias("__cnt")))
+            stats = prefix_stats(pv, "__v", "__cnt")
+            # bucket = (min_rank−1)·B div n — pure INTEGER division
+            # (`div`), so the bucket ids replay bit-identically in
+            # any engine (no float-quotient rounding to reason about)
+            stats = stats.select(
+                F.col("__v"),
+                F.expr(f"(__before * {bins}) div {n_all}")
+                .cast("bigint").alias(f"__b{side}"))
+            g = (g.join(F.broadcast(stats), g[side] == stats["__v"])
+                 .drop("__v"))
+        g = (g.groupBy(F.col("__bx").alias("x"), F.col("__by").alias("y"))
+             .agg(F.sum("w").alias("w"))
+             .localCheckpoint())
     # marginal tie counts from the compressed frame (exact integers)
     row = g.agg(F.sum("w").alias("n")).collect()[0]
     n = int(row["n"])
     if n < 2 or (min_periods and n < min_periods):
-        return None
+        return _NAN
     tx = (g.groupBy("x").agg(F.sum("w").alias("c"))
           .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("t"))
           .collect()[0]["t"])
@@ -119,8 +171,91 @@ def kendall_pair(sdf: SparkDF, ca: str, cb: str,
     n0 = n * (n - 1) / 2.0
     denom = math.sqrt((n0 - n1) * (n0 - n2))
     if denom == 0.0:
-        return None
+        return _NAN
     return (p - q) / denom
+
+
+def spearman_matrix_nulls(sdf: SparkDF, cols: list[str]):
+    """Null-tolerant Spearman matrix in O(k) passes + ONE aggregate
+    (replaces the old per-pair fallback: k(k−1)/2 sequential rank
+    jobs — 1225 at k=50).
+
+    pandas pairwise-complete semantics: for pair (a, b) each side is
+    ranked over the rows where BOTH are non-null. Key identity: the
+    average rank of a row's a-value within the (a,b)-complete subset
+    is derivable from per-VALUE prefix counts of a alone —
+
+        min_rank  = (#a<v, a non-null) − (#a<v, b null) + 1
+        tie size  = (#a=v) − (#a=v, b null)
+        avg rank  = (before_all − before_bnull) + (tie + 1) / 2
+
+    so ONE groupBy per ordering column a (counting, per distinct
+    a-value, the total rows and each other column's null rows) plus
+    one shared multi-weight prefix pass (rank.prefix_stats_multi)
+    yields the pair-complete ranks of a vs EVERY b simultaneously.
+    k such passes + k value-joins + one aggregate of k(k−1)/2
+    F.corr's finish the whole matrix — job count linear in k,
+    independent of null patterns.
+
+    Returns (vals, valid) — vals[(a, b)] the rho (float, NaN when
+    undefined), valid[a] the column's non-null count (diagonal is
+    1.0 only when ≥ 2 valid observations, pandas parity).
+    """
+    from mars_spark.operators.rank import prefix_stats_multi
+
+    k = len(cols)
+    out = sdf.select(*[F.col(c).alias(f"__c{i}")
+                       for i, c in enumerate(cols)])
+    names = [f"__c{i}" for i in range(k)]
+    for ia, a in enumerate(names):
+        others = [ib for ib in range(k) if ib != ia]
+        pv = (out.filter(F.col(a).isNotNull())
+              .groupBy(F.col(a).alias("__v"))
+              .agg(F.count(F.lit(1)).alias("__cnt"),
+                   *[F.sum(F.col(names[ib]).isNull().cast("bigint"))
+                     .alias(f"__nb{ib}") for ib in others]))
+        stats = prefix_stats_multi(
+            pv, "__v", ["__cnt"] + [f"__nb{ib}" for ib in others])
+        out = (out.join(stats, out[a] == stats["__v"], "left")
+               .drop("__v"))
+        for ib in others:
+            rank = ((F.col("__before___cnt")
+                     - F.col(f"__before___nb{ib}"))
+                    + (F.col("__cnt") - F.col(f"__nb{ib}") + 1) / 2.0)
+            out = out.withColumn(
+                f"__r_{ia}_{ib}",
+                F.when(F.col(a).isNotNull()
+                       & F.col(names[ib]).isNotNull(),
+                       rank.cast("double")))
+        out = out.drop("__cnt", "__before___cnt",
+                       *[f"__nb{ib}" for ib in others],
+                       *[f"__before___nb{ib}" for ib in others])
+    # manual pearson (try_divide) rather than F.corr: under ANSI a
+    # single zero-variance pair would abort the ENTIRE matrix agg
+    # with DIVIDE_BY_ZERO; try_divide yields null → NaN for just
+    # that pair (pandas parity). Rank columns are already null
+    # unless BOTH sides are non-null, so the aggregates are
+    # pair-complete by construction.
+    def _pearson(ra: str, rb: str):
+        return F.try_divide(
+            F.covar_pop(ra, rb),
+            F.stddev_pop(ra) * F.stddev_pop(rb))
+
+    aggs = [_pearson(f"__r_{ia}_{ib}", f"__r_{ib}_{ia}")
+            .alias(f"p_{ia}_{ib}")
+            for ia in range(k) for ib in range(ia + 1, k)]
+    aggs += [F.count(names[ia]).alias(f"n_{ia}") for ia in range(k)]
+    row = out.agg(*aggs).collect()[0]
+    vals: dict[tuple[str, str], float] = {}
+    valid: dict[str, int] = {c: int(row[f"n_{i}"])
+                             for i, c in enumerate(cols)}
+    for ia in range(k):
+        for ib in range(ia + 1, k):
+            v = row[f"p_{ia}_{ib}"]
+            v = _NAN if v is None else float(v)
+            vals[(cols[ia], cols[ib])] = v
+            vals[(cols[ib], cols[ia])] = v
+    return vals, valid
 
 
 def spearman_matrix_ranks(sdf: SparkDF, cols: list[str]) -> SparkDF:

@@ -111,6 +111,62 @@ def prefix_stats(per_value: SparkDF, value_col: str, weight_col: str,
     return (stats, (acc, dacc)) if with_total else stats
 
 
+def prefix_stats_multi(per_value: SparkDF, value_col: str,
+                       weight_cols: list[str],
+                       ascending: bool = True) -> SparkDF:
+    """``prefix_stats`` generalized to SEVERAL weight columns sharing
+    one range partitioning: adds ``__before_<w>`` (exclusive prefix
+    sum in value order) for each ``w`` in ``weight_cols``. One
+    repartitionByRange + one per-partition-subtotal job total — the
+    per-weight work is only extra window-sum columns inside the same
+    codegen'd projection. Powers the one-pass null-tolerant Spearman
+    matrix (operators/corr.py), where each ordering column needs
+    prefix counts of every OTHER column's null indicator."""
+    order = (F.col(value_col).asc() if ascending
+             else F.col(value_col).desc())
+    d = (per_value.repartitionByRange(order)
+         .sortWithinPartitions(order)
+         .localCheckpoint())
+    d = d.withColumn("__pid", F.spark_partition_id())
+    offs = (d.groupBy("__pid")
+            .agg(*[F.sum(w).alias(w) for w in weight_cols])
+            .orderBy("__pid").collect())
+    acc = {w: 0 for w in weight_cols}
+    cum: dict[str, dict[int, int]] = {w: {} for w in weight_cols}
+    for r in offs:
+        pid = int(r["__pid"])
+        for w in weight_cols:
+            cum[w][pid] = acc[w]
+            acc[w] += int(r[w] or 0)
+    if not offs:
+        for w in weight_cols:
+            d = d.withColumn(f"__before_{w}",
+                             F.lit(0).cast("bigint"))
+        return d.drop("__pid")
+    win = (Window.partitionBy("__pid").orderBy(order)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if len(offs) <= _OFFSET_LITERAL_MAX:
+        offc = {w: F.create_map(*[F.lit(x) for kv in cum[w].items()
+                                  for x in kv])[F.col("__pid")]
+                for w in weight_cols}
+        joined = d
+    else:
+        off_tbl = F.broadcast(d.sparkSession.createDataFrame(
+            [(p, *[cum[w][p] for w in weight_cols])
+             for p in sorted(cum[weight_cols[0]])],
+            "__pid int, " + ", ".join(
+                f"`__off_{w}` bigint" for w in weight_cols)))
+        joined = d.join(off_tbl, "__pid", "left")
+        offc = {w: F.coalesce(F.col(f"__off_{w}"), F.lit(0))
+                for w in weight_cols}
+    for w in weight_cols:
+        joined = joined.withColumn(
+            f"__before_{w}",
+            (offc[w] + F.sum(w).over(win) - F.col(w)).cast("bigint"))
+    return joined.drop("__pid",
+                       *[f"__off_{w}" for w in weight_cols])
+
+
 def add_ranks(sdf: SparkDF, col: str, methods: dict[str, str],
               ascending: bool = True,
               order_col: str | None = None) -> SparkDF:

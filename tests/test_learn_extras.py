@@ -197,6 +197,24 @@ def test_blockwise_and_bagging_classifier(spark, rng):
     assert (pb.y == pb.prediction).mean() == 1.0
 
 
+def test_blockwise_regressor_rank_deficient_block(spark, rng):
+    """r14 (ADVICE): a partition where a feature is constant is
+    collinear with the intercept column — QR's R is singular there.
+    The fit must fall back to the min-norm lstsq solution for that
+    block instead of raising LinAlgError inside the UDF."""
+    n = 120
+    x1 = rng.normal(0, 1, n)
+    pdf = pd.DataFrame({
+        # x2 constant on the whole frame -> constant in EVERY block
+        "x1": x1, "x2": np.full(n, 3.0), "y": 2 * x1 + 5})
+    bdf = spark.createDataFrame(pdf).repartition(3)
+    bv = L.BlockwiseVotingRegressor().fit(bdf, ["x1", "x2"], "y")
+    assert len(bv.models_) == 3
+    pred = bv.predict(bdf).toPandas()
+    # min-norm solution still reproduces y exactly on the fit data
+    assert ((pred.y - pred.prediction) ** 2).mean() < 1e-12
+
+
 def test_make_low_rank_matrix(spark):
     lr = L.make_low_rank_matrix(spark, 60, n_features=8,
                                 effective_rank=2, seed=3)
