@@ -111,6 +111,33 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     # oracle replays the identical weighted-pair formula in SQL
     from mars_spark.operators.corr import kendall_pair, spearman_pair
 
+    # r14: the CONTINUOUS-pair kendall graduates via approx=True —
+    # exact min-ranks bin both sides to B = isqrt(400) = 20 rank
+    # buckets (pure integer arithmetic), and the exact tau-b of the
+    # binned data replays bit-identically in SQL. This is the 100 TB
+    # answer for kendall on continuous columns (the exact O(m²) form
+    # is guarded); forced on at every sf so the oracle replays one
+    # code path.
+    def _kd_binned():
+        return kendall_pair(sdf, "l_extendedprice", "l_quantity",
+                            max_items=400, approx=True)
+
+    # r14: ungrouped rolling graduates — rolling(5).sum() over the
+    # WHOLE lineitem table with NO partition_by: the boundary-exchange
+    # tiling (operators/window.py) range-partitions on the order key
+    # and pads each partition with its predecessors' tails instead of
+    # planning a global single-partition WindowExec. l_quantity is
+    # integer-valued, so the checksum of all rolling sums is exact in
+    # any engine / any aggregation order.
+    def _roll_ug():
+        lif = li[["l_orderkey", "l_linenumber", "l_quantity"]]
+        r = lif.rolling(5, min_periods=1).over(
+            order_by=["l_orderkey", "l_linenumber"]).agg(
+            {"l_quantity": "sum"})
+        row = r.to_spark().agg(
+            F.sum("l_quantity_roll_sum").alias("s")).collect()[0]
+        return float(row["s"])
+
     with ThreadPoolExecutor(max_workers=8) as ex:
         f_sem = ex.submit(qty.sem)
         f_skew = ex.submit(qty.skew)
@@ -122,6 +149,8 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
             lambda: spearman_pair(sdf, "l_quantity", "l_extendedprice"))
         f_ckd = ex.submit(
             lambda: kendall_pair(sdf, "l_quantity", "l_discount"))
+        f_kdb = ex.submit(_kd_binned)
+        f_rug = ex.submit(_roll_ug)
         glob = glob.select(
             "*",
             F.lit(r6f(f_sem.result())).alias("sem_qty"),
@@ -133,6 +162,8 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
             F.lit(float(f_mem.result())).alias("mem_ck"),
             F.lit(r6f(f_csp.result())).alias("corr_sp"),
             F.lit(r6f(f_ckd.result())).alias("corr_kd"),
+            F.lit(r6f(f_kdb.result())).alias("corr_kd_bin"),
+            F.lit(float(f_rug.result())).alias("roll_ug_sum"),
         )
     return per_flag.join(F.broadcast(glob))
 

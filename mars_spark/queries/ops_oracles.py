@@ -95,9 +95,63 @@ OPS_ORACLES: dict[str, str] = {
                                         * (n * (n - 1) / 2.0 - n2)), 6)
                        AS corr_kd
             FROM kpq CROSS JOIN kn
+        ), kb AS (
+            -- r14 binned kendall replay (approx=True, max_items=400):
+            -- distinct value pairs of the CONTINUOUS pair, then each
+            -- side bucketed by (min_rank-1)*20 // n — exact integer
+            -- arithmetic identical to operators/corr.py's prefix form
+            SELECT l_extendedprice AS x, l_quantity AS y,
+                   count(*)::BIGINT AS w
+            FROM lineitem GROUP BY 1, 2
+        ), kb_n AS (
+            SELECT sum(w)::BIGINT AS n FROM kb
+        ), kbx AS (
+            SELECT x, (coalesce(sum(wx) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) * 20)
+                      // (SELECT n FROM kb_n) AS bx
+            FROM (SELECT x, sum(w)::BIGINT AS wx FROM kb GROUP BY x)
+        ), kby AS (
+            SELECT y, (coalesce(sum(wy) OVER (ORDER BY y
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) * 20)
+                      // (SELECT n FROM kb_n) AS yb
+            FROM (SELECT y, sum(w)::BIGINT AS wy FROM kb GROUP BY y)
+        ), kg2 AS (
+            SELECT kbx.bx AS x, kby.yb AS y, sum(kb.w)::DOUBLE AS w
+            FROM kb JOIN kbx USING (x) JOIN kby USING (y)
+            GROUP BY 1, 2
+        ), kn2 AS (
+            SELECT sum(w) AS n,
+                   (SELECT sum(c * (c - 1) / 2.0) FROM (
+                        SELECT sum(w) AS c FROM kg2 GROUP BY x)) AS n1,
+                   (SELECT sum(c * (c - 1) / 2.0) FROM (
+                        SELECT sum(w) AS c FROM kg2 GROUP BY y)) AS n2
+            FROM kg2
+        ), kpq2 AS (
+            SELECT coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+                                     THEN a.w * b.w END), 0) AS p,
+                   coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+                                     THEN a.w * b.w END), 0) AS q
+            FROM kg2 a JOIN kg2 b
+              ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+        ), kd2 AS (
+            SELECT round((p - q) / sqrt((n * (n - 1) / 2.0 - n1)
+                                        * (n * (n - 1) / 2.0 - n2)), 6)
+                       AS corr_kd_bin
+            FROM kpq2 CROSS JOIN kn2
+        ), rug AS (
+            -- r14 ungrouped rolling(5).sum checksum: integer-valued
+            -- quantities keep the total exact in any engine/order
+            SELECT sum(rs)::DOUBLE AS roll_ug_sum FROM (
+                SELECT sum(l_quantity) OVER (
+                    ORDER BY l_orderkey, l_linenumber
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rs
+                FROM lineitem)
         )
         SELECT * FROM per_flag CROSS JOIN tot CROSS JOIN mono
                    CROSS JOIN mem CROSS JOIN sp CROSS JOIN kd
+                   CROSS JOIN kd2 CROSS JOIN rug
     """,
     "op_set_ops": """
         SELECT 'both' AS op, nationkey, CAST(1 AS BIGINT) AS n
