@@ -7,11 +7,12 @@ decode FOR REAL with the stdlib (PCM WAV via ``wave``; µ-law/A-law
 WAV via vectorized G.711 expanders; 24-bit BMP and
 binary PPM/PGM/PBM via struct parsing; non-interlaced 8-bit PNG via zlib +
 per-spec scanline unfiltering — see ``_png_pixels``; baseline-sequential
-JPEG via canonical Huffman + dequant + 8x8 IDCT + YCbCr, see
-``_jpeg_pixels``); the remaining compressed formats (MP3/MP4, progressive
-JPEG) still fall back to a deterministic fake because their codec libs
-(ffmpeg/torchaudio) aren't in this container — swap those in without
-touching any Spark code.
+JPEG via canonical Huffman + dequant + 8x8 IDCT + YCbCr, and — r14 —
+PROGRESSIVE (SOF2) JPEG via full spectral-selection +
+successive-approximation scan accumulation, see ``_jpeg_pixels``); the
+remaining compressed formats (MP3/MP4) still fall back to a
+deterministic fake because their codec libs (ffmpeg/torchaudio) aren't
+in this container — swap those in without touching any Spark code.
 
 Schema convention for a multimodal table::
 
@@ -48,9 +49,9 @@ FEATURE_DIM = 32
 
 def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
     """Deterministic stand-in for decoders that need absent codec libs
-    (MP3/MP4/progressive-JPEG → ffmpeg/torchaudio/PIL): hash-seeded
-    feature vector. The surrounding Spark plumbing does not change
-    when a real decoder lands (the PNG, baseline-JPEG and G.711
+    (MP3/MP4 → ffmpeg/torchaudio): hash-seeded feature vector. The
+    surrounding Spark plumbing does not change when a real decoder
+    lands (the PNG, baseline-JPEG, progressive-JPEG and G.711
     decoders each landed exactly this way)."""
     import hashlib
 
@@ -417,14 +418,17 @@ def _png_features(payload: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------- JPEG
-# Baseline-sequential JPEG (SOF0/SOF1) decoded for real with
-# stdlib + numpy: marker parse -> canonical Huffman decode ->
-# dequantize -> zigzag -> 8x8 IDCT -> chroma upsample -> YCbCr->RGB.
-# Public formulation throughout (ITU-T T.81 / JFIF). Out-of-scope
-# variants (progressive SOF2, arithmetic coding, 12-bit precision,
-# 16-bit quant tables, sampling factors > 2) return None and fall
-# back to the deterministic stub. Like _png_pixels this decodes
-# THUMBNAIL-scale payloads inside a UDF, not a media farm.
+# Baseline-sequential JPEG (SOF0/SOF1) and — r14 — progressive
+# huffman JPEG (SOF2) decoded for real with stdlib + numpy: marker
+# parse -> canonical Huffman decode -> (progressive: per-scan
+# coefficient accumulation across spectral bands and successive-
+# approximation bits, T.81 Annex G) -> dequantize -> zigzag -> 8x8
+# IDCT -> chroma upsample -> YCbCr->RGB. Public formulation
+# throughout (ITU-T T.81 / JFIF). Out-of-scope variants (arithmetic
+# coding, lossless/hierarchical SOFs, 12-bit precision, 16-bit quant
+# tables, sampling factors > 2) return None and fall back to the
+# deterministic stub. Like _png_pixels this decodes THUMBNAIL-scale
+# payloads inside a UDF, not a media farm.
 
 _JPEG_ZIGZAG = []  # k-th entropy coefficient -> (row, col) in the block
 for _s in range(15):
@@ -494,10 +498,11 @@ class _JpegBits:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _jpeg_entropy_segments(payload: bytes, pos: int) -> list:
+def _jpeg_entropy_segments(payload: bytes, pos: int):
     """Split the post-SOS byte stream into restart segments: FF00
     unstuffs to FF, RST0-7 delimit segments, any other marker ends
-    the scan."""
+    the scan. Returns (segments, end position) — progressive streams
+    resume marker parsing at the end position for the next scan."""
     segs, cur = [], bytearray()
     n = len(payload)
     while pos < n:
@@ -517,7 +522,7 @@ def _jpeg_entropy_segments(payload: bytes, pos: int) -> list:
         else:
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
 
 
 def _jpeg_decode_block(bits: _JpegBits, dc_lut: dict, ac_lut: dict,
@@ -546,14 +551,207 @@ def _jpeg_decode_block(bits: _JpegBits, dc_lut: dict, ac_lut: dict,
     return _JPEG_A.T @ coef @ _JPEG_A, pred
 
 
+def _jpeg_finish(w: int, h: int, comps: list, planes: list):
+    """Shared tail of both JPEG paths: crop each component plane to
+    its true size, level-shift with the pinned rounding rule
+    clip(floor(x + 128.5), 0, 255), replication-upsample the chroma,
+    and convert with the JFIF constants."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        p = np.clip(np.floor(planes[ci][:chh, :cw] + 128.5), 0, 255)
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0),
+                      hmax // ch, axis=1)[:h, :w]
+        out.append(p)
+    if len(out) == 1:
+        px = out[0][..., None].astype(np.uint8)
+        return w, h, 1, px
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb], axis=-1)
+    px = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return w, h, 3, px
+
+
+def _jpeg_prog_scan(payload: bytes, body_end: int, data: bytes,
+                    frame, coefs: list, huff: dict, dri: int) -> int:
+    """Decode ONE progressive scan (T.81 §G.2) into the per-component
+    zigzag coefficient arrays. Handles all four scan kinds — DC first
+    (DPCM << Al), DC refinement (one raw bit ORs in bit Al), AC first
+    (run-length + EOBn end-of-band runs, values << Al), AC refinement
+    (the Annex G.1.2.3 correction-bit walk) — interleaved (DC, ns>1)
+    and non-interleaved units, with restart intervals resetting DC
+    predictors and the EOB run. Returns the payload position after
+    the entropy data. Raises ValueError on malformed streams (the
+    caller maps that to the deterministic stub)."""
+    w, h, comps = frame
+    ns = data[0]
+    sel = []
+    for si in range(ns):
+        sel.append((data[1 + 2 * si], data[2 + 2 * si] >> 4,
+                    data[2 + 2 * si] & 15))
+    ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+    ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+    if ss > se or se > 63 or al > 13:
+        raise ValueError("bad progressive scan header")
+    segs, endpos = _jpeg_entropy_segments(payload, body_end)
+    if len(segs) > 1 and not dri:
+        raise ValueError("RST without DRI")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    cindex = {c[0]: i for i, c in enumerate(comps)}
+    bits = _JpegBits(segs[0])
+    seg_i = 0
+
+    if ss == 0:                                   # ---- DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0] * len(comps)
+        if ns > 1:                                # interleaved MCU walk
+            units = []
+            for mcu in range(mx * my):
+                blks = []
+                for cs, td, _ in sel:
+                    ci = cindex[cs]
+                    _, ch, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blks.append((ci, (mcu // mx) * cv + by,
+                                         (mcu % mx) * ch + bx, td))
+                units.append(blks)
+        else:
+            cs, td, _ = sel[0]
+            ci = cindex[cs]
+            _, ch, cv, _ = comps[ci]
+            cw = -(-w * ch // hmax)
+            chh = -(-h * cv // vmax)
+            bw = -(-cw // 8)
+            bh = -(-chh // 8)
+            units = [[(ci, r, c, td)] for r in range(bh)
+                     for c in range(bw)]
+        for ui, blks in enumerate(units):
+            if dri and ui and ui % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart segment")
+                bits = _JpegBits(segs[seg_i])
+                preds = [0] * len(comps)
+            for ci, r, c, td in blks:
+                blk = coefs[ci][r, c]
+                if ah == 0:
+                    t = bits.huff(huff[(0, td)])
+                    preds[ci] += bits.extend(t)
+                    blk[0] = preds[ci] << al
+                else:
+                    if bits.read(1):
+                        blk[0] |= 1 << al
+        return endpos
+
+    # ---- AC scan: single component only (T.81 G.2 requirement)
+    if ns != 1:
+        raise ValueError("interleaved AC scan")
+    cs, _, ta = sel[0]
+    ci = cindex[cs]
+    _, ch, cv, _ = comps[ci]
+    cw = -(-w * ch // hmax)
+    chh = -(-h * cv // vmax)
+    bw = -(-cw // 8)
+    bh = -(-chh // 8)
+    lut = huff[(1, ta)]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for r in range(bh):
+        for c in range(bw):
+            if dri and unit and unit % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart segment")
+                bits = _JpegBits(segs[seg_i])
+                eobrun = 0
+            unit += 1
+            blk = coefs[ci][r, c]
+            if ah == 0:                           # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = bits.huff(lut)
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr < 15:               # EOBn
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += bits.read(rr)
+                            break
+                        k += 16                   # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = bits.extend(s) << al
+                    k += 1
+                continue
+            # AC refinement scan (G.1.2.3 correction-bit walk)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = bits.huff(lut)
+                    rr, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if rr < 15:               # EOBn: corrections
+                            eobrun = (1 << rr)    # below, then run
+                            if rr:
+                                eobrun += bits.read(rr)
+                            break
+                        # rr == 15: ZRL — skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError("refine size != 1")
+                        val = p1 if bits.read(1) else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if bits.read(1) and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        if bits.read(1) and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+    return endpos
+
+
 def _jpeg_pixels(payload: bytes):
-    """Decode a baseline-sequential JPEG. Returns (w, h, ncomp,
-    HxWxC uint8) or None for out-of-scope variants / malformed
-    streams. Pinned rounding rules (replayed by the op_multimodal
-    oracle): samples = clip(floor(idct + 128.5), 0, 255) per
-    component plane; chroma upsampling is pixel replication
-    (plane[y//sy, x//sx]); RGB = clip(floor(ycbcr_conv + 0.5)) with
-    the JFIF constants (1.402 / 0.344136 / 0.714136 / 1.772)."""
+    """Decode a baseline-sequential (SOF0/SOF1) or progressive (SOF2,
+    huffman, r14) JPEG. Returns (w, h, ncomp, HxWxC uint8) or None
+    for out-of-scope variants / malformed streams. Pinned rounding
+    rules (replayed by the op_multimodal oracle): samples =
+    clip(floor(idct + 128.5), 0, 255) per component plane; chroma
+    upsampling is pixel replication (plane[y//sy, x//sx]); RGB =
+    clip(floor(ycbcr_conv + 0.5)) with the JFIF constants
+    (1.402 / 0.344136 / 0.714136 / 1.772). Progressive scans
+    accumulate integer coefficients per component (successive
+    approximation is exact integer arithmetic), so a fully-refined
+    progressive stream reproduces the baseline pixels bit-for-bit."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -564,13 +762,43 @@ def _jpeg_pixels(payload: bytes):
     dri = 0
     pos = 2
     n = len(payload)
+    progressive = False
+    coefs: list = []
+    scanned = False
     try:
-        while pos + 4 <= n:
+        while pos + 2 <= n:
             if payload[pos] != 0xFF:
                 return None
             m = payload[pos + 1]
             pos += 2
-            if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD7:
+            if m == 0xD9:
+                if progressive and scanned:
+                    # end of a progressive stream: dequantize the
+                    # accumulated coefficients, IDCT, finish
+                    w, h, comps = frame
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    planes = []
+                    for ci, (cid, ch, cv, tq) in enumerate(comps):
+                        grid = coefs[ci]
+                        bh, bw = grid.shape[0], grid.shape[1]
+                        plane = np.zeros((bh * 8, bw * 8))
+                        quant = qt[tq]
+                        for r in range(bh):
+                            for c in range(bw):
+                                mat = np.zeros((8, 8))
+                                blk = grid[r, c]
+                                for k in range(64):
+                                    if blk[k]:
+                                        zr, zc = _JPEG_ZIGZAG[k]
+                                        mat[zr, zc] = blk[k] * quant[k]
+                                plane[r * 8:r * 8 + 8,
+                                      c * 8:c * 8 + 8] = (
+                                    _JPEG_A.T @ mat @ _JPEG_A)
+                        planes.append(plane)
+                    return _jpeg_finish(w, h, comps, planes)
+                continue
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
                 continue
             if pos + 2 > n:
                 return None
@@ -589,7 +817,7 @@ def _jpeg_pixels(payload: bytes):
                     qt[tq] = np.frombuffer(
                         data, np.uint8, 64, i).astype(np.float64)
                     i += 64
-            elif m in (0xC0, 0xC1):             # SOF0/SOF1: baseline huff
+            elif m in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2
                 prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
                 if prec != 8 or nc not in (1, 3) or w * h == 0:
                     return None
@@ -602,8 +830,16 @@ def _jpeg_pixels(payload: bytes):
                         return None
                     comps.append([cid, ch, cv, tq])
                 frame = (w, h, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                       0xCD, 0xCE, 0xCF):       # non-baseline SOF
+                if m == 0xC2:                   # progressive: integer
+                    progressive = True          # coef accumulators
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mx = -(-w // (8 * hmax))
+                    my = -(-h // (8 * vmax))
+                    coefs = [np.zeros((my * c[2], mx * c[1], 64),
+                                      dtype=np.int64) for c in comps]
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):       # non-huffman/lossless
                 return None
             elif m == 0xC4:                     # DHT
                 i = 0
@@ -619,6 +855,11 @@ def _jpeg_pixels(payload: bytes):
             elif m == 0xDA:                     # SOS: decode the scan
                 if frame is None:
                     return None
+                if progressive:
+                    pos = _jpeg_prog_scan(payload, body_end, data,
+                                          frame, coefs, huff, dri)
+                    scanned = True
+                    continue
                 w, h, comps = frame
                 ns = data[0]
                 if ns != len(comps):            # non-interleaved scan
@@ -633,7 +874,7 @@ def _jpeg_pixels(payload: bytes):
                 my = -(-h // (8 * vmax))
                 planes = [np.zeros((my * c[2] * 8, mx * c[1] * 8))
                           for c in comps]
-                segs = _jpeg_entropy_segments(payload, body_end)
+                segs, _ = _jpeg_entropy_segments(payload, body_end)
                 bits = _JpegBits(segs[0])
                 seg_i = 0
                 preds = [0] * len(comps)
@@ -655,27 +896,12 @@ def _jpeg_pixels(payload: bytes):
                                 r0 = (mr * cv + by) * 8
                                 c0 = (mc * ch + bx) * 8
                                 planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
-                out = []
-                for ci, (cid, ch, cv, tq) in enumerate(comps):
-                    cw = -(-w * ch // hmax)
-                    chh = -(-h * cv // vmax)
-                    p = np.clip(np.floor(
-                        planes[ci][:chh, :cw] + 128.5), 0, 255)
-                    p = np.repeat(np.repeat(p, vmax // cv, axis=0),
-                                  hmax // ch, axis=1)[:h, :w]
-                    out.append(p)
-                if len(out) == 1:
-                    px = out[0][..., None].astype(np.uint8)
-                    return w, h, 1, px
-                y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-                rgb = np.stack([
-                    y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=-1)
-                px = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
-                return w, h, 3, px
+                return _jpeg_finish(w, h, comps, planes)
             pos = body_end
     except (ValueError, KeyError, IndexError, struct.error):
+        import os
+        if os.environ.get("MARS_SPARK_JPEG_DEBUG"):
+            raise
         return None
     return None
 
@@ -831,6 +1057,211 @@ def jpeg_emit_baseline(w: int, h: int, comps: list, blocks: list,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_emit_progressive(w: int, h: int, comps: list, blocks: list,
+                          scans: list, quant=None) -> bytes:
+    """Emit a valid progressive (SOF2) JPEG from ALREADY-QUANTIZED
+    zigzag coefficients — the SOF2 counterpart of jpeg_emit_baseline
+    (T.81 Annex G encoder: DC/AC first + successive-approximation
+    refinement token streams, EOBn end-of-band runs, correction
+    bits). Exists so the progressive decoder is verifiable with
+    closed-form fixtures; corpus-scale encoding is out of scope.
+
+    comps: [(ch, cv)] sampling factors. blocks: per component, 64-int
+    zigzag lists in the component's MCU-grid raster order
+    ((my·cv)×(mx·ch) blocks row-major — the decoder's storage order).
+    scans: [(comp_indices, Ss, Se, Ah, Al)]; DC scans may interleave
+    several components, AC scans take exactly one. Successive
+    approximation must step one bit at a time (Ah = Al + 1 on
+    refinements) — T.81's own constraint. Huffman tables are emitted
+    per scan (canonical, one code length)."""
+    import struct
+
+    quant = [1] * 64 if quant is None else list(quant)
+    nc = len(comps)
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+
+    def comp_dims(ci):
+        ch, cv = comps[ci]
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-cw // 8), -(-chh // 8)   # bw, bh (true grid)
+
+    def grid_block(ci, r, c):
+        ch, cv = comps[ci]
+        return blocks[ci][r * (mx * ch) + c]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(payload_) + 2) + payload_)
+
+    out += seg(0xDB, bytes([0x00]) + bytes(quant))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (ch, cv) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += seg(0xC2, sof)
+
+    def canonical(symbols):
+        syms = sorted(symbols)
+        ln = max(4, (len(syms)).bit_length())
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        return counts, syms, {s: (ln, i) for i, s in enumerate(syms)}
+
+    for comp_ids, ss, se, ah, al in scans:
+        toks = []           # ("s", sym) huffman / ("b", val, nbits)
+
+        if ss == 0:                              # ---- DC scan
+            preds = {ci: 0 for ci in comp_ids}
+            units = []
+            if len(comp_ids) > 1:
+                for mcu in range(mx * my):
+                    for ci in comp_ids:
+                        ch, cv = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                units.append((ci,
+                                              (mcu // mx) * cv + by,
+                                              (mcu % mx) * ch + bx))
+            else:
+                ci = comp_ids[0]
+                bw, bh = comp_dims(ci)
+                units = [(ci, r, c) for r in range(bh)
+                         for c in range(bw)]
+            for ci, r, c in units:
+                v = grid_block(ci, r, c)[0] >> al   # arithmetic shift
+                if ah == 0:
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s, bb = _jpeg_category(diff)
+                    toks.append(("s", s))
+                    if s:
+                        toks.append(("b", bb, s))
+                else:
+                    toks.append(("b", v & 1, 1))
+            tc = 0
+        else:                                    # ---- AC scan
+            ci = comp_ids[0]
+            bw, bh = comp_dims(ci)
+            eobrun = 0
+            be: list = []                        # buffered corrections
+
+            def flush_eob():
+                nonlocal eobrun, be
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    toks.append(("s", rr << 4))
+                    if rr:
+                        toks.append(("b", eobrun - (1 << rr), rr))
+                    for bit in be:
+                        toks.append(("b", bit, 1))
+                    eobrun, be = 0, []
+
+            for r in range(bh):
+                for c in range(bw):
+                    blk = grid_block(ci, r, c)
+                    if ah == 0:                  # first scan of band
+                        band = []
+                        for k in range(ss, se + 1):
+                            v = blk[k]
+                            av = abs(v) >> al
+                            band.append(av if v >= 0 else -av)
+                        last = -1
+                        for i, v in enumerate(band):
+                            if v:
+                                last = i
+                        if last < 0:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+                            continue
+                        flush_eob()
+                        run = 0
+                        for v in band[:last + 1]:
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                toks.append(("s", 0xF0))
+                                run -= 16
+                            s, bb = _jpeg_category(v)
+                            toks.append(("s", (run << 4) | s))
+                            toks.append(("b", bb, s))
+                            run = 0
+                        if last < se - ss:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+                        continue
+                    # refinement scan (G.1.2.3 encoder walk)
+                    ab = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+                    eob = -1
+                    for i, t in enumerate(ab):
+                        if t == 1:
+                            eob = i
+                    rr = 0
+                    br: list = []
+                    for i, t in enumerate(ab):
+                        if t == 0:
+                            rr += 1
+                            continue
+                        while rr > 15 and i <= eob:
+                            flush_eob()
+                            toks.append(("s", 0xF0))
+                            rr -= 16
+                            for bit in br:
+                                toks.append(("b", bit, 1))
+                            br = []
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        flush_eob()
+                        toks.append(("s", (rr << 4) | 1))
+                        toks.append(("b",
+                                     1 if blk[ss + i] > 0 else 0, 1))
+                        for bit in br:
+                            toks.append(("b", bit, 1))
+                        br = []
+                        rr = 0
+                    if rr > 0 or br:
+                        eobrun += 1
+                        be.extend(br)
+                        if eobrun == 0x7FFF or len(be) > 900:
+                            flush_eob()
+            flush_eob()
+            tc = 1
+
+        syms = {sym for kind, *rest in toks if kind == "s"
+                for sym in [rest[0]]}
+        if syms:
+            counts, slist, tab = canonical(syms)
+            out += seg(0xC4, bytes([(tc << 4)]) + bytes(counts)
+                       + bytes(slist))
+        else:
+            tab = {}
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])   # both table ids are 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        wtr = _JpegBitWriter()
+        for tok in toks:
+            if tok[0] == "s":
+                ln, code = tab[tok[1]]
+                wtr.put(code, ln)
+            else:
+                _, val, nb = tok
+                wtr.put(val, nb)
+        wtr.pad()
+        out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
 

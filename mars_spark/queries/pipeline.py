@@ -1897,6 +1897,8 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
           {"n_frames": "1"}),
          (80, "image", bytearray(_fixture_gif()), {"n_frames": "1"}),
          (90, "image", bytearray(_fixture_tiff(9, 7)),
+          {"n_frames": "1"}),
+         (100, "image", bytearray(_fixture_jpg_prog()),
           {"n_frames": "1"})],
         "id long, modality string, content binary, "
         "meta map<string,string>")
@@ -1911,12 +1913,14 @@ def op_multimodal(spark: SparkSession, sf_dir: str) -> SparkDF:
            .when(F.col("id") == 60, F.lit("al"))
            .when(F.col("id") == 70, F.lit("avi"))
            .when(F.col("id") == 80, F.lit("gif"))
+           .when(F.col("id") == 100, F.lit("pjpg"))
            .otherwise(F.lit("tif")))
     nbytes = (F.when(F.col("id") == 30, F.lit(256))
               .when(F.col("id") == 40, F.lit(512))
               .when(F.col("id") == 50, F.lit(300))
               .when(F.col("id") == 60, F.lit(3200))
               .when(F.col("id") == 70, F.lit(7))
+              .when(F.col("id") == 100, F.lit(291))
               .otherwise(F.lit(63)))
     fixture_rows = (decode_features(fixtures)
                     .select("id",
@@ -2166,6 +2170,38 @@ def _fixture_jpg_gray() -> bytes:
         b[0], b[10], b[14], b[39] = dc, f40, f04, f44
         blocks.append(b)
     return jpeg_emit_baseline(16, 16, [(1, 1)], [blocks])
+
+
+_PJPG_P = [(13, 5, -7, 3), (-9, 6, 4, 0), (21, -3, 5, -5), (7, 2, 1, 1)]
+
+
+def _fixture_jpg_prog() -> bytes:
+    """PROGRESSIVE (SOF2) 16x16 gray fixture (r14): the same
+    coefficient structure as the baseline gray stratum but quant=8 at
+    the coded zigzag positions (0/10/14/39) so raw coefficients can be
+    ODD — exercising real refinement bits — while the dequantized
+    contribution stays coef·8/8 = coef, integer-exact. Six scans:
+    DC first (Al=1), two AC spectral bands first (Al=1), DC refine,
+    two AC band refines. Block b1 has an empty high band (EOB run in
+    the 21-63 scan) and b3 carries ±1 coefficients that surface ONLY
+    in the refinement scans (newly-significant path). Fully refined,
+    the pixels equal the closed form 128 + dc + s·f terms the oracle
+    restates — bit-identical to an equivalent baseline stream."""
+    from mars_spark.llm.multimodal import jpeg_emit_progressive
+
+    q = [1] * 64
+    for k in (0, 10, 14, 39):
+        q[k] = 8
+    blocks = []
+    for dc, f40, f04, f44 in _PJPG_P:
+        b = [0] * 64
+        b[0], b[10], b[14], b[39] = dc, f40, f04, f44
+        blocks.append(b)
+    scans = [([0], 0, 0, 0, 1), ([0], 1, 20, 0, 1),
+             ([0], 21, 63, 0, 1), ([0], 0, 0, 1, 0),
+             ([0], 1, 20, 1, 0), ([0], 21, 63, 1, 0)]
+    return jpeg_emit_progressive(16, 16, [(1, 1)], [blocks], scans,
+                                 quant=q)
 
 
 def _fixture_jpg_color() -> bytes:

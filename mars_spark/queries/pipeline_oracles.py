@@ -550,6 +550,52 @@ PIPELINE_ORACLES: dict[str, str] = {
             FROM jvals
         )
         UNION ALL
+        -- progressive-JPEG gray stratum (r14, SOF2 successive
+        -- approximation + spectral selection, six scans): quant=8 at
+        -- the coded zigzag positions folds the dequantized IDCT to
+        -- pixel = 128 + dc + s·f terms with the RAW (odd)
+        -- coefficients — same sign-pattern closed form, no /8
+        SELECT * FROM (
+            WITH pjsgn AS (
+                SELECT i, CAST(1 - 2 * (((i + 1) // 2) % 2) AS DOUBLE)
+                           AS s
+                FROM range(8) t(i)
+            ), pjp AS (
+                SELECT * FROM (VALUES (0, 13, 5, -7, 3),
+                                      (1, -9, 6, 4, 0),
+                                      (2, 21, -3, 5, -5),
+                                      (3, 7, 2, 1, 1))
+                    AS t(bi, dc, f40, f04, f44)
+            ), pjpx AS (
+                SELECT least(255.0, greatest(0.0,
+                           128 + dc + sx.s * f40 + sy.s * f04
+                           + sx.s * sy.s * f44)) AS v
+                FROM range(16) t1(gx), range(16) t2(gy)
+                JOIN pjp ON pjp.bi = (gx // 8) * 2 + (gy // 8)
+                JOIN pjsgn sx ON sx.i = gx % 8
+                JOIN pjsgn sy ON sy.i = gy % 8
+            ), pjst AS (
+                SELECT avg(v) AS m, stddev_pop(v) AS sd FROM pjpx
+            ), pjvals AS (
+                SELECT 0 AS pos, 16.0 AS val
+                UNION ALL SELECT 1, 16.0
+                UNION ALL SELECT 2, 1.0
+                UNION ALL SELECT 3, m FROM pjst
+                UNION ALL SELECT 4, m FROM pjst
+                UNION ALL SELECT 5, m FROM pjst
+                UNION ALL SELECT 6, sd FROM pjst
+            )
+            SELECT CAST(1010000 + pos AS BIGINT) AS id,
+                   'pjpg' AS modality,
+                   CAST(pos AS BIGINT) AS n_frames,
+                   CAST(291 AS BIGINT) AS n_bytes,
+                   CAST(floor(CAST(CAST(val AS REAL) AS DOUBLE) * 1e4
+                              * (1 + 1e-12) + 0.5) AS BIGINT)
+                       AS feat_dim,
+                   CAST(NULL AS VARCHAR) AS resize
+            FROM pjvals
+        )
+        UNION ALL
         -- baseline-JPEG 4:2:0 color stratum (32x16, DRI=1): Y from
         -- the 8 DC-only blocks, Cb with a (4,0) AC in MCU 0 on the
         -- SUBSAMPLED plane (row gx//2, col gy//2, replication
