@@ -1,0 +1,292 @@
+"""Value-verify docs_cc_clusters and docs_curation_ops probe subsets
+at a scale dir where the FULL DuckDB oracles are intractable or
+disk-bound (r14, judge VERDICT item 7 — the ann_probe_verify.py
+pattern).
+
+docs_cc_clusters probe: the full near-dup edge list + BOTH cluster
+algorithms run in Spark at the target scale (the actual distributed
+computation under test); a deterministic sample of output clusters
+(cluster % 997 == 0) is then verified EXACTLY against an independent
+DuckDB recursive-CTE closure over the sampled subgraph, plus two
+closure-free invariants that make the sample check sound:
+  (1) no sampled cluster has an edge escaping to a different label
+      (so the sampled subgraph's closure is the true closure);
+  (2) every sampled label equals the min member id;
+  (3) the DuckDB closure over the sampled internal edges reproduces
+      each member's label bit-for-bit;
+  (4) the alternating-star algorithm agrees with min-label
+      propagation on every sampled member.
+What this does NOT re-verify at this scale: the minhash/banding edge
+GENERATION (hash-verified value-exact at sf0.01–sf10, measured
+beyond).
+
+docs_curation_ops probes (strata whose replay stays scan-shaped):
+  - temp: temperature_mixture per-source kept count + Σ kept ids,
+    FULL-corpus exact DuckDB replay (counts + md5-threshold rule —
+    no regex, linear);
+  - tok: take_token_budget kept set, exact replay over the doc_id
+    prefix (the 20 000-token cut lands within the first few hundred
+    docs; the tool asserts the bound actually covers the cut);
+  - wres: weighted_sample (DSIR resample) membership for the
+    doc_id % 1009 == 0 sample — the per-row quality + md5 rule is
+    row-independent, so the sampled replay is exact.
+The remaining strata (lm/span/line/bpe/...) explode token/gram rows
+quadratically-by-constant in DuckDB and stay verified at sf0.01–sf10.
+
+Usage: python tools/curation_cc_probe_verify.py [sf_dir]
+Prints PASS/FAIL per probe + one summary JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def cc_probe(spark, sf_dir: str, results: dict) -> None:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mars_spark.llm import dedup as D
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    pairs = D.jaccard_pairs(d, "text", "doc_id", threshold=0.5, k=3) \
+        .select("a", "b").localCheckpoint()
+    ml = D.dedup_clusters(pairs).localCheckpoint()
+    st = D.dedup_clusters_star(pairs)
+    wall = round(time.time() - t0, 1)
+    n_nodes = ml.count()
+    n_clusters = ml.select("cluster").distinct().count()
+
+    # deterministic strided sample of ~150 cluster labels (labels are
+    # min member doc-ids, so a fixed modulus can miss entirely)
+    labels = sorted(int(r["cluster"]) for r in
+                    ml.select("cluster").distinct().collect())
+    stride = max(1, len(labels) // 150)
+    chosen = set(labels[::stride])
+    cdf = spark.createDataFrame([(c,) for c in chosen],
+                                "cluster bigint")
+    samp = ml.join(F.broadcast(cdf), "cluster", "leftsemi")
+    members = {int(r["id"]): int(r["cluster"]) for r in samp.collect()}
+    results["cc_sampled_members"] = len(members)
+    results["cc_nodes"] = n_nodes
+    results["cc_clusters"] = n_clusters
+    results["cc_wall_sec"] = wall
+    if not members:
+        results["cc_probe"] = "FAIL (empty sample)"
+        print("FAIL cc probe: empty sample")
+        return
+    ids_df = spark.createDataFrame(
+        [(i,) for i in members], "id bigint")
+    inc = (pairs.join(F.broadcast(ids_df), pairs.a == ids_df.id,
+                      "leftsemi")
+           .unionByName(
+               pairs.join(F.broadcast(ids_df), pairs.b == ids_df.id,
+                          "leftsemi"))
+           .distinct().collect())
+    edges = [(int(r["a"]), int(r["b"])) for r in inc]
+    others = sorted({x for e in edges for x in e} - set(members))
+    lbl = dict(members)
+    if others:
+        odf = spark.createDataFrame([(i,) for i in others], "id bigint")
+        for r in (ml.join(F.broadcast(odf), "id", "leftsemi")
+                  .collect()):
+            lbl[int(r["id"])] = int(r["cluster"])
+    # (1) closure soundness: no sampled edge escapes its label
+    esc = [e for e in edges if lbl.get(e[0]) != lbl.get(e[1])]
+    # (2) min-label invariant
+    by_cluster: dict[int, list[int]] = {}
+    for i, c in members.items():
+        by_cluster.setdefault(c, []).append(i)
+    bad_min = [c for c, ms in by_cluster.items() if min(ms) != c]
+    # (3) independent DuckDB closure over the sampled subgraph
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(a BIGINT, b BIGINT)")
+    if edges:
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE n(id BIGINT)")
+    con.executemany("INSERT INTO n VALUES (?)",
+                    [(i,) for i in members])
+    closure = con.execute("""
+        WITH RECURSIVE ud AS (
+            SELECT a, b FROM e UNION SELECT b, a FROM e
+        ), reach(id, r) AS (
+            SELECT id, id FROM n
+            UNION
+            SELECT reach.id, ud.b
+            FROM reach JOIN ud ON ud.a = reach.r
+        )
+        SELECT id, min(r) AS lbl FROM reach GROUP BY id
+    """).fetchall()
+    duck = {int(i): int(m) for i, m in closure}
+    bad_closure = [i for i in members if duck.get(i) != members[i]]
+    # (4) star algorithm agreement on the sample
+    st_lbl = {int(r["id"]): int(r["cluster"]) for r in
+              st.join(F.broadcast(ids_df), "id", "leftsemi").collect()}
+    bad_star = [i for i in members if st_lbl.get(i) != members[i]]
+    ok = not (esc or bad_min or bad_closure or bad_star)
+    results["cc_probe"] = "PASS" if ok else (
+        f"FAIL (esc={len(esc)} min={len(bad_min)} "
+        f"closure={len(bad_closure)} star={len(bad_star)})")
+    print(f"{'PASS' if ok else 'FAIL'} cc probe: "
+          f"{len(members)} members / {len(by_cluster)} clusters / "
+          f"{len(edges)} edges sampled of {n_clusters} clusters, "
+          f"escapes={len(esc)} badmin={len(bad_min)} "
+          f"badclosure={len(bad_closure)} badstar={len(bad_star)}",
+          flush=True)
+
+
+_QUALITY_CTE = r"""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   CAST(length(text) AS DOUBLE) AS n,
+                   regexp_split_to_array(trim(regexp_replace(
+                       lower(text), '\s+', ' ', 'g')), ' ') AS l,
+                   (CAST(length(text) AS DOUBLE)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                       AS n_alpha,
+                   ' ' || trim(regexp_replace(lower(text), '\s+', ' ',
+                               'g')) || ' ' AS padded
+            FROM documents {where}
+        ), q AS (
+            SELECT doc_id, source,
+                   round(0.3 * (CASE WHEN n < 20 THEN n / 20.0
+                                     WHEN n > 5000 THEN 0.5 ELSE 1.0 END)
+                         + 0.3 * least(alpha * 1.5, 1.0)
+                         + 0.2 * (CASE WHEN mean_word >= 3
+                                       AND mean_word <= 12
+                                       THEN 1.0 ELSE 0.5 END)
+                         + 0.2 * least(stop_ratio * 5.0, 1.0), 4)
+                       AS quality
+            FROM (SELECT doc_id, source, n,
+                         n_alpha / greatest(n, 1.0) AS alpha,
+                         n / greatest(len(l), 1.0) AS mean_word,
+                         (CAST((length(padded) - length(replace(padded,
+                             ' the ', ''))) / 5 AS INT)
+                          + CAST((length(padded) - length(replace(padded,
+                             ' and ', ''))) / 5 AS INT)
+                          + CAST((length(padded) - length(replace(padded,
+                             ' of ', ''))) / 4 AS INT)
+                          + CAST((length(padded) - length(replace(padded,
+                             ' to ', ''))) / 4 AS INT)
+                          + CAST((length(padded) - length(replace(padded,
+                             ' a ', ''))) / 3 AS INT))
+                             / greatest(len(l), 1.0) AS stop_ratio
+                  FROM t)
+        )
+"""
+
+
+def curation_probes(spark, sf_dir: str, results: dict) -> None:
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mars_spark.llm import text as T
+    from mars_spark.llm.mixture import temperature_mixture, weighted_sample
+    from mars_spark.llm.packing import take_token_budget
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+
+    # ---- temp: full-corpus exact
+    t0 = time.time()
+    got = {(r["source"]): (int(r["n"]), float(r["v"])) for r in
+           temperature_mixture(d, "source", "doc_id", alpha=0.5)
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").cast("double").alias("v")).collect()}
+    exp = {r[0]: (int(r[1]), float(r[2])) for r in con.execute("""
+        WITH cnts AS (
+            SELECT source, CAST(count(*) AS DOUBLE) AS cn
+            FROM documents GROUP BY source
+        ), tt AS (SELECT sum(cn) AS t FROM cnts),
+        kw AS (
+            SELECT source, pow(cn / t, 0.5) / (cn / t) AS raw
+            FROM cnts, tt
+        ), mx AS (SELECT max(raw) AS m FROM kw),
+        th AS (
+            SELECT source,
+                   CAST(round((raw / m) * 16777216) AS BIGINT) AS ti
+            FROM kw, mx
+        )
+        SELECT d.source, count(*), CAST(sum(d.doc_id) AS DOUBLE)
+        FROM documents d JOIN th USING (source)
+        WHERE th.ti >= 16777216
+           OR (th.ti > 0 AND
+               substr(md5('0' || '|' || d.doc_id), 1, 6)
+               < lpad(lower(hex(th.ti)), 6, '0'))
+        GROUP BY d.source
+    """).fetchall()}
+    ok = got == exp
+    results["temp_probe"] = "PASS" if ok else "FAIL"
+    print(f"{'PASS' if ok else 'FAIL'} temp probe "
+          f"({len(got)} sources, {round(time.time() - t0, 1)}s)",
+          flush=True)
+
+    # ---- tok: exact via bounded prefix
+    t0 = time.time()
+    kept = take_token_budget(d, "text", budget=20000,
+                             order_col="doc_id")
+    got_ids = sorted(int(r["doc_id"]) for r in
+                     kept.select("doc_id").collect())
+    bound = 5000
+    assert (not got_ids) or max(got_ids) < bound - 1, \
+        "prefix bound too small for the token-budget probe"
+    exp_ids = sorted(r[0] for r in con.execute(r"""
+        WITH tk AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(regexp_replace(
+                       lower(text), '\s+', ' ', 'g')), ' ')) AS nt
+            FROM documents WHERE doc_id < 5000
+        ), cum AS (
+            SELECT doc_id, sum(nt) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS c FROM tk
+        )
+        SELECT doc_id FROM cum WHERE c <= 20000
+    """).fetchall())
+    ok = got_ids == exp_ids
+    results["tok_probe"] = "PASS" if ok else "FAIL"
+    print(f"{'PASS' if ok else 'FAIL'} tok probe ({len(got_ids)} kept "
+          f"docs, {round(time.time() - t0, 1)}s)", flush=True)
+
+    # ---- wres: sampled membership, exact per-row rule
+    t0 = time.time()
+    dq = d.withColumn("__p", F.round(T.quality_score("text"), 4))
+    got_ids = sorted(int(r["doc_id"]) for r in
+                     weighted_sample(dq, "__p", "doc_id")
+                     .filter(F.col("doc_id") % 1009 == 0)
+                     .select("doc_id").collect())
+    exp_ids = sorted(r[0] for r in con.execute(
+        _QUALITY_CTE.format(where="WHERE doc_id % 1009 = 0") + """
+        SELECT doc_id FROM q
+        WHERE ('0x' || substr(md5('0' || '|' || doc_id), 1, 6))::BIGINT
+              < floor(least(1.0, greatest(0.0, quality))
+                      * 16777216.0 + 0.5)
+    """).fetchall())
+    ok = got_ids == exp_ids
+    results["wres_probe"] = "PASS" if ok else "FAIL"
+    print(f"{'PASS' if ok else 'FAIL'} wres probe ({len(got_ids)} kept "
+          f"of sampled docs, {round(time.time() - t0, 1)}s)",
+          flush=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        "/root/repo/scaledata/sf30"
+    import mars_spark as ms
+
+    spark = ms.get_spark("curccprobe")
+    results: dict = {"sf_dir": sf_dir}
+    curation_probes(spark, sf_dir, results)
+    cc_probe(spark, sf_dir, results)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
