@@ -62,12 +62,18 @@ def cc_probe(spark, sf_dir: str, results: dict) -> None:
     n_nodes = ml.count()
     n_clusters = ml.select("cluster").distinct().count()
 
-    # deterministic strided sample of ~150 cluster labels (labels are
-    # min member doc-ids, so a fixed modulus can miss entirely)
-    labels = sorted(int(r["cluster"]) for r in
-                    ml.select("cluster").distinct().collect())
+    # deterministic sample: ~150 strided cluster labels (labels are
+    # min member doc-ids, so a fixed modulus can miss entirely) PLUS
+    # the 20 largest clusters — near-dup graphs are pair-dominated,
+    # and the closure check must also see real multi-node components
+    sizes = {int(r["cluster"]): int(r["n"]) for r in
+             ml.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    labels = sorted(sizes)
     stride = max(1, len(labels) // 150)
     chosen = set(labels[::stride])
+    chosen |= {c for c, _ in sorted(sizes.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))[:20]}
     cdf = spark.createDataFrame([(c,) for c in chosen],
                                 "cluster bigint")
     samp = ml.join(F.broadcast(cdf), "cluster", "leftsemi")
@@ -283,7 +289,8 @@ def main():
 
     spark = ms.get_spark("curccprobe")
     results: dict = {"sf_dir": sf_dir}
-    curation_probes(spark, sf_dir, results)
+    if "--cc-only" not in sys.argv:
+        curation_probes(spark, sf_dir, results)
     cc_probe(spark, sf_dir, results)
     print(json.dumps(results), flush=True)
 
