@@ -1690,21 +1690,30 @@ class DataFrame:
         """Frame-wide running aggregates replacing each numeric column
         in place (pandas df.cumsum() semantics; the suffixing
         primitives live in operators/window.py). NaN rows stay NaN
-        (pandas passthrough) while the running state skips them."""
+        (pandas passthrough) while the running state skips them.
+        Ungrouped (r14): per-range-partition prefixes + driver-carried
+        subtotals instead of a global single-partition window."""
         from pyspark.sql import Window
 
-        from mars_spark.operators.window import _numeric_cols, _order_cols
+        from mars_spark.operators.window import (_numeric_cols,
+                                                 _order_cols,
+                                                 _running_ungrouped)
 
         order = _order_cols(self, order_by)
-        w = (Window.partitionBy(*(partition_by or []))
+        targets = [c for c in _numeric_cols(self) if c not in order]
+        if not partition_by:
+            run_kind = {"cumsum": "sum", "cumprod": "prod",
+                        "cummin": "min", "cummax": "max"}[kind]
+            sdf = _running_ungrouped(self._sdf, order, targets,
+                                     run_kind, "", gate_nonnull=True)
+            return DataFrame(sdf, self._index)
+        w = (Window.partitionBy(*partition_by)
              .orderBy(*[F.col(c) for c in order])
              .rowsBetween(Window.unboundedPreceding, 0))
         fn = {"cumsum": F.sum, "cumprod": F.product,
               "cummin": F.min, "cummax": F.max}[kind]
         sdf = self._sdf
-        for c in _numeric_cols(self):
-            if c in order:
-                continue
+        for c in targets:
             sdf = sdf.withColumn(
                 c, F.when(F.col(c).isNotNull(), fn(F.col(c)).over(w)))
         return DataFrame(sdf, self._index)

@@ -564,63 +564,220 @@ class Expanding(Rolling):
         return DataFrame(out.drop("__pid"), self._frame._index)
 
 
+def _ungrouped_lag_frame(sdf, order: list[str], periods: int):
+    """Boundary-exchange frame for UNGROUPED lag/lead (r14): each
+    range partition is padded with the |periods| trailing rows of its
+    predecessors (lag) or leading rows of its successors (lead), so
+    the per-partition window sees exactly what a global window would.
+    Returns (padded frame, window spec, helper cols to drop)."""
+    base = _range_partitioned(sdf, order)
+    k = max(abs(periods), 1)
+    rows = (base.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy("__pid").collect())
+    pids = [int(r["__pid"]) for r in rows]
+    cnt = {int(r["__pid"]): int(r["c"]) for r in rows}
+    specs = []
+    if periods >= 0:                       # lag: predecessors' tails
+        for i, p in enumerate(pids):
+            need, j = k, i - 1
+            while need > 0 and j >= 0:
+                take = min(need, cnt[pids[j]])
+                if take:
+                    specs.append((pids[j], p, take))
+                need -= take
+                j -= 1
+        wpos = (Window.partitionBy("__pid")
+                .orderBy(*[F.col(c).desc() for c in order]))
+    else:                                  # lead: successors' heads
+        for i, p in enumerate(pids):
+            need, j = k, i + 1
+            while need > 0 and j < len(pids):
+                take = min(need, cnt[pids[j]])
+                if take:
+                    specs.append((pids[j], p, take))
+                need -= take
+                j += 1
+        wpos = (Window.partitionBy("__pid")
+                .orderBy(*[F.col(c).asc() for c in order]))
+    base = base.withColumn("__rpos", F.row_number().over(wpos))
+    main = (base.withColumn("__tgt", F.col("__pid"))
+            .withColumn("__pad", F.lit(False)))
+    if specs:
+        tbl = F.broadcast(base.sparkSession.createDataFrame(
+            specs, "__pid int, __tgt int, __lim bigint"))
+        pads = (base.join(tbl, "__pid")
+                .filter(F.col("__rpos") <= F.col("__lim"))
+                .withColumn("__pad", F.lit(True)).drop("__lim"))
+        u = main.unionByName(pads)
+    else:
+        u = main
+    w = Window.partitionBy("__tgt").orderBy(*[F.col(c) for c in order])
+    return u, w, ["__pid", "__rpos", "__tgt", "__pad"]
+
+
+def _lag_windowed(frame: DataFrame, order: list[str], partition_by,
+                  periods: int, add_cols):
+    """Shared body of shift/diff/pct_change: grouped → ordinary keyed
+    window; ungrouped → boundary-exchange pads (no global
+    single-partition WindowExec, r14). ``add_cols(sdf, w) -> sdf``
+    applies the caller's lag expressions."""
+    if partition_by:
+        w = (Window.partitionBy(*partition_by)
+             .orderBy(*[F.col(c) for c in order]))
+        return add_cols(frame._sdf, w)
+    u, w, helpers = _ungrouped_lag_frame(frame._sdf, order, periods)
+    u = add_cols(u, w)
+    return u.filter(~F.col("__pad")).drop(*helpers)
+
+
 def shift(frame: DataFrame, periods: int = 1, order_by=None,
           partition_by=None, cols=None, suffix: str = "_shift") -> DataFrame:
     """reference: mars/dataframe/base/shift.py:31. Mars exchanges
-    boundary rows between chunks; lag/lead over a sorted window is the
-    built-in equivalent."""
+    boundary rows between chunks; grouped shift is lag/lead over a
+    keyed window, ungrouped shift rebuilds the same boundary exchange
+    over a range partitioning (r14 — no global window)."""
     order = _order_cols(frame, order_by)
-    w = (Window.partitionBy(*(partition_by or []))
-         .orderBy(*[F.col(c) for c in order]))
     fn = (lambda c: F.lag(c, periods)) if periods >= 0 else (
         lambda c: F.lead(c, -periods))
-    sdf = frame._sdf
-    for c in cols or [x for x in frame.columns if x not in order]:
-        sdf = sdf.withColumn(c + suffix, fn(F.col(c)).over(w))
-    return DataFrame(sdf, frame._index)
+    targets = cols or [x for x in frame.columns if x not in order]
+
+    def add_cols(sdf, w):
+        for c in targets:
+            sdf = sdf.withColumn(c + suffix, fn(F.col(c)).over(w))
+        return sdf
+
+    return DataFrame(_lag_windowed(frame, order, partition_by,
+                                   periods, add_cols), frame._index)
 
 
 def diff(frame: DataFrame, periods: int = 1, order_by=None,
          partition_by=None, cols=None) -> DataFrame:
     """reference: mars/dataframe/base/diff.py:29 → col - lag(col, n)"""
     order = _order_cols(frame, order_by)
-    w = (Window.partitionBy(*(partition_by or []))
-         .orderBy(*[F.col(c) for c in order]))
-    sdf = frame._sdf
     num = ("int", "bigint", "double", "float", "smallint", "tinyint")
     targets = cols or [c for c, t in frame._sdf.dtypes
                        if any(t.startswith(n) for n in num) and c not in order]
-    for c in targets:
-        sdf = sdf.withColumn(c + "_diff", F.col(c) - F.lag(F.col(c), periods).over(w))
-    return DataFrame(sdf, frame._index)
+
+    def add_cols(sdf, w):
+        for c in targets:
+            sdf = sdf.withColumn(
+                c + "_diff", F.col(c) - F.lag(F.col(c), periods).over(w))
+        return sdf
+
+    return DataFrame(_lag_windowed(frame, order, partition_by,
+                                   periods, add_cols), frame._index)
 
 
 def pct_change(frame: DataFrame, periods: int = 1, order_by=None,
                partition_by=None, cols=None) -> DataFrame:
     """reference: mars/dataframe/base/pct_change.py → col/lag(col) - 1"""
     order = _order_cols(frame, order_by)
-    w = (Window.partitionBy(*(partition_by or []))
-         .orderBy(*[F.col(c) for c in order]))
-    sdf = frame._sdf
-    for c in cols or []:
-        # try_divide: a zero previous value yields null (not an ANSI
-        # error — Spark 4 runs ANSI-on by default)
-        sdf = sdf.withColumn(
-            c + "_pct",
-            F.try_divide(F.col(c), F.lag(F.col(c), periods).over(w)) - 1)
-    return DataFrame(sdf, frame._index)
+    targets = cols or []
+
+    def add_cols(sdf, w):
+        for c in targets:
+            # try_divide: a zero previous value yields null (not an
+            # ANSI error — Spark 4 runs ANSI-on by default)
+            sdf = sdf.withColumn(
+                c + "_pct",
+                F.try_divide(F.col(c),
+                             F.lag(F.col(c), periods).over(w)) - 1)
+        return sdf
+
+    return DataFrame(_lag_windowed(frame, order, partition_by,
+                                   periods, add_cols), frame._index)
+
+
+_RUN_AGGS = {"sum": F.sum, "prod": F.product,
+             "min": F.min, "max": F.max}
+
+
+def _running_ungrouped(sdf, order: list[str], cols: list[str],
+                       kind: str, out_suffix: str,
+                       gate_nonnull: bool | None = None):
+    """UNGROUPED running sum/product/min/max via per-partition
+    prefixes + driver-carried subtotals (r14) — the
+    set_sequence_index prefix scheme; no global single-partition
+    window. ``out_suffix=''`` replaces each column in place (the
+    df.cum* method form); ``gate_nonnull`` forces pandas
+    NaN-passthrough gating (default: prod/min/max gate, sum does not
+    — matching the grouped operator forms)."""
+    if kind not in _RUN_AGGS:
+        raise ValueError(kind)
+    base = _range_partitioned(sdf, order)
+    aggf = _RUN_AGGS[kind]
+    tot = (base.groupBy("__pid")
+           .agg(*[aggf(F.col(c).cast("double")).alias(f"t{i}")
+                  for i, c in enumerate(cols)])
+           .orderBy("__pid").collect())
+    additive = kind in ("sum", "prod")
+    ident = 0.0 if kind == "sum" else 1.0
+    carries = []
+    for i in range(len(cols)):
+        cum: dict[int, float] = {}
+        acc = ident if additive else None
+        for r in tot:
+            p = int(r["__pid"])
+            if additive:
+                if acc != ident:
+                    cum[p] = acc
+            elif acc is not None:
+                cum[p] = acc
+            v = r[f"t{i}"]
+            if v is not None:
+                v = float(v)
+                if kind == "sum":
+                    acc = acc + v
+                elif kind == "prod":
+                    acc = acc * v
+                elif kind == "min":
+                    acc = v if acc is None else min(acc, v)
+                else:
+                    acc = v if acc is None else max(acc, v)
+        carries.append(cum)
+    wp = (Window.partitionBy("__pid")
+          .orderBy(*[F.col(c) for c in order])
+          .rowsBetween(Window.unboundedPreceding, 0))
+    gate = gate_nonnull if gate_nonnull is not None else kind != "sum"
+    out = base
+    for i, c in enumerate(cols):
+        run = aggf(F.col(c)).over(wp)
+        cmap = _carry_map(carries[i])
+        if kind == "sum":
+            carry = F.coalesce(cmap, F.lit(0.0))
+            val = F.coalesce(run, F.lit(0.0)) + carry
+            if not gate:
+                # null only before any value AND with no carry
+                val = F.when(run.isNotNull() | (carry != 0.0), val)
+        elif kind == "prod":
+            val = F.coalesce(run, F.lit(1.0)) \
+                * F.coalesce(cmap, F.lit(1.0))
+        elif kind == "min":
+            val = F.least(run, cmap)     # least/greatest skip nulls
+        else:
+            val = F.greatest(run, cmap)
+        if gate:
+            val = F.when(F.col(c).isNotNull(), val)
+        out = out.withColumn(c + out_suffix, val)
+    return out.drop("__pid")
 
 
 def cumsum(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
     """reference: mars/dataframe/reduction/cumsum.py:21 — Mars computes
     per-chunk cumulatives plus carried summaries (reduction/core.py:453);
-    an ordered running-frame window is the one-liner equivalent."""
+    grouped = an ordered running-frame window; ungrouped = the same
+    per-chunk-prefix + carried-subtotal scheme rebuilt over a range
+    partitioning (r14 — no global window)."""
     order = _order_cols(frame, order_by)
-    w = (Window.partitionBy(*(partition_by or []))
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not partition_by:
+        return DataFrame(_running_ungrouped(
+            frame._sdf, order, cols, "sum", "_cumsum"), frame._index)
+    w = (Window.partitionBy(*partition_by)
          .orderBy(*[F.col(c) for c in order])
          .rowsBetween(Window.unboundedPreceding, 0))
     sdf = frame._sdf
-    for c in ([cols] if isinstance(cols, str) else cols):
+    for c in cols:
         sdf = sdf.withColumn(c + "_cumsum", F.sum(F.col(c)).over(w))
     return DataFrame(sdf, frame._index)
 
@@ -630,13 +787,19 @@ def cumprod(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
     product. F.product is a first-class Spark aggregate, so the window
     form handles signs and zeros natively (no exp/ln round-trip, exact
     match with DuckDB's product() window); pandas NaN-passthrough
-    semantics via the isNotNull gate like the other cum* ops."""
+    semantics via the isNotNull gate like the other cum* ops.
+    Ungrouped: per-partition running products × driver-carried
+    partition products (r14 — no global window)."""
     order = _order_cols(frame, order_by)
-    w = (Window.partitionBy(*(partition_by or []))
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not partition_by:
+        return DataFrame(_running_ungrouped(
+            frame._sdf, order, cols, "prod", "_cumprod"), frame._index)
+    w = (Window.partitionBy(*partition_by)
          .orderBy(*[F.col(c) for c in order])
          .rowsBetween(Window.unboundedPreceding, 0))
     sdf = frame._sdf
-    for c in ([cols] if isinstance(cols, str) else cols):
+    for c in cols:
         sdf = sdf.withColumn(
             c + "_cumprod",
             F.when(F.col(c).isNotNull(), F.product(F.col(c)).over(w)))
@@ -668,22 +831,23 @@ def ewm_agg(frame: DataFrame, col: str, alpha: float, order_by,
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
     prefix = prefix or f"{col}_ewm"
     sdf = frame._sdf
-    if not keys and tuple(stats) == ("mean",) and adjust:
-        # r14: distributed exact ungrouped EWM mean. adjust=True's
-        # numerator/denominator are LINEAR decay recurrences
-        # (num_t = (1-α)num_{t-1} + x_t, den same with the observed
-        # indicator), so per-partition scans compose across a range
-        # partitioning with a geometric carry — Mars's per-chunk
-        # partial + decay-weight combine (ewm/aggregation.py:207)
-        # expressed as two Arrow passes and a P-row driver combine.
-        # adjust=False renormalizes its state after every observation
-        # (pandas old_wt reset), which does NOT compose linearly —
-        # it stays on the sequential path below.
-        out = _ewm_ungrouped_mean(sdf, col, alpha, order,
-                                  f"{prefix}_mean")
+    if not keys and adjust:
+        # r14: distributed exact ungrouped EWM. adjust=True's decay
+        # sums S_w, S_w², S_wx, S_wx² are all LINEAR recurrences
+        # (S_t = d·S_{t-1} + contribution, d = 1−α, and d² for S_w²),
+        # so per-partition scans compose across a range partitioning
+        # with geometric carries — Mars's per-chunk partial +
+        # decay-weight combine (ewm/aggregation.py:207) expressed as
+        # two Arrow passes and a P-row driver combine. mean =
+        # S_wx/S_w; var(bias) = S_wx2/S_w − mean²; var(unbiased) ×
+        # S_w²/(S_w²−S_w2). adjust=False renormalizes its state
+        # after every observation (pandas old_wt reset), which does
+        # NOT compose linearly — it stays on the sequential path.
+        out = _ewm_ungrouped(sdf, col, alpha, order, stats, bias,
+                             prefix)
         return DataFrame(out, frame._index)
     if not keys:
-        _global_window_warning("ewm (var/std or adjust=False)")
+        _global_window_warning("ewm (adjust=False)")
         sdf = sdf.withColumn("__g", F.lit(0))
         keys = ["__g"]
 
@@ -709,24 +873,35 @@ def ewm_agg(frame: DataFrame, col: str, alpha: float, order_by,
     return DataFrame(res, frame._index)
 
 
-def _ewm_ungrouped_mean(sdf, col: str, alpha: float, order: list[str],
-                        out_name: str):
-    """Distributed exact ungrouped EWM mean, adjust=True (see ewm_agg).
+def _ewm_ungrouped(sdf, col: str, alpha: float, order: list[str],
+                   stats, bias: bool, prefix: str):
+    """Distributed exact ungrouped EWM mean/var/std, adjust=True
+    (see ewm_agg).
 
-    Pass 1 collects one (rows, num_end, den_end) summary per range
-    partition; the driver folds them into exclusive carries
-    C_p = num_end_{p-1} + (1−α)^{m_{p-1}}·C_{p-1} (P rows — bounded).
-    Pass 2 recomputes the local decay scans (pandas' C ewm.sum kernel)
-    and adds (1−α)^{pos+1}·C_p — exact because both num and den are
-    linear in the carried state; (1−α)^m underflow to 0.0 is the
-    correct limit (contributions beyond ~4000/α rows are below double
-    resolution). NaN rows decay num/den without contributing — pandas
-    ignore_na=False absolute-position semantics."""
+    Pass 1 collects one (rows, Sw_end, Sw2_end, Swx_end, Swx2_end)
+    summary per range partition; the driver folds them into
+    exclusive carries C_p = S_end_{p-1} + d^{m_{p-1}}·C_{p-1} (d² for
+    the Sw2 chain; P rows — bounded). Pass 2 recomputes the local
+    decay scans (pandas' C ewm.sum kernel; Sw2 is an ewm-sum at
+    alpha' = 1−(1−α)²) and adds d^{pos+1}·C_p — exact because every
+    sum is linear in the carried state; d^m underflow to 0.0 is the
+    correct limit (contributions beyond ~4000/α rows are below
+    double resolution). NaN rows decay the sums without contributing
+    — pandas ignore_na=False absolute-position semantics.
+
+    mean = Swx/Sw. var(bias=True) = Swx2/Sw − mean² (clamped ≥ 0);
+    var(bias=False) scales by Sw²/(Sw² − Sw2), NaN with <2
+    observations — pandas' own weighted-moment identities. Precision
+    note: the moment form loses ~log10(mean²/var) digits when
+    |mean| ≫ std (pandas' sequential kernel centers incrementally);
+    pre-center the column if that regime matters."""
     import numpy as np
     import pandas as pd
 
     decay = 1.0 - alpha
+    alpha2 = 1.0 - decay * decay          # ewm-sum rate for Σ w²
     base = _range_partitioned(sdf, order)
+    need_var = any(st in ("var", "std") for st in stats)
 
     def summarize(batches):
         parts = [p for p in batches if len(p)]
@@ -737,27 +912,39 @@ def _ewm_ungrouped_mean(sdf, col: str, alpha: float, order: list[str],
         m = len(x)
         wts = decay ** np.arange(m - 1, -1, -1.0)
         obs = ~np.isnan(x)
+        xo = x[obs]
+        wo = wts[obs]
         yield pd.DataFrame({
             "p": [int(pdf["__pid"].iloc[0])], "m": [m],
-            "ne": [float(np.dot(wts[obs], x[obs]))],
-            "de": [float(wts[obs].sum())]})
+            "sw": [float(wo.sum())],
+            "sw2": [float((wo * wo).sum())],
+            "swx": [float(np.dot(wo, xo))],
+            "swx2": [float(np.dot(wo, xo * xo))]})
 
     srows = base.mapInPandas(
-        summarize, "p int, m bigint, ne double, de double").collect()
-    info = {int(r["p"]): (int(r["m"]), float(r["ne"]), float(r["de"]))
+        summarize,
+        "p int, m bigint, sw double, sw2 double, swx double, "
+        "swx2 double").collect()
+    info = {int(r["p"]): (int(r["m"]), float(r["sw"]), float(r["sw2"]),
+                          float(r["swx"]), float(r["swx2"]))
             for r in srows}
-    carry: dict[int, tuple[float, float]] = {}
-    cn = cd = 0.0
+    carry: dict[int, tuple] = {}
+    cw = c2 = cx = cx2 = 0.0
     for p in sorted(info):
-        m, ne, de = info[p]
-        if cd != 0.0 or cn != 0.0:
-            carry[p] = (cn, cd)
+        m, sw, sw2, swx, swx2 = info[p]
+        if any(v != 0.0 for v in (cw, c2, cx, cx2)):
+            carry[p] = (cw, c2, cx, cx2)
         f = decay ** m
-        cn = ne + f * cn
-        cd = de + f * cd
+        f2 = (decay * decay) ** m
+        cw = sw + f * cw
+        c2 = sw2 + f2 * c2
+        cx = swx + f * cx
+        cx2 = swx2 + f * cx2
 
+    out_cols = [f"{prefix}_{st}" for st in stats]
     schema = ", ".join(f"`{n}` {t}" for n, t in base.dtypes
-                       if n != "__pid") + f", `{out_name}` double"
+                       if n != "__pid") + "".join(
+        f", `{c}` double" for c in out_cols)
 
     def compute(batches):
         parts = [p for p in batches if len(p)]
@@ -766,21 +953,46 @@ def _ewm_ungrouped_mean(sdf, col: str, alpha: float, order: list[str],
         pdf = pd.concat(parts, ignore_index=True)
         pid = int(pdf["__pid"].iloc[0])
         x = pdf[col].to_numpy("float64")
-        s = pd.Series(np.where(np.isnan(x), 0.0, x))
-        num = s.ewm(alpha=alpha, adjust=True, ignore_na=False) \
-            .sum().to_numpy()
-        den = pd.Series((~np.isnan(x)).astype("float64")) \
-            .ewm(alpha=alpha, adjust=True, ignore_na=False) \
-            .sum().to_numpy()
-        c_n, c_d = carry.get(pid, (0.0, 0.0))
-        if c_d != 0.0 or c_n != 0.0:
-            f = decay ** (np.arange(len(x)) + 1.0)
-            num = num + f * c_n
-            den = den + f * c_d
+        obs = (~np.isnan(x)).astype("float64")
+        xf = np.where(np.isnan(x), 0.0, x)
+
+        def esum(vals, a):
+            return pd.Series(vals).ewm(
+                alpha=a, adjust=True, ignore_na=False).sum().to_numpy()
+
+        sw = esum(obs, alpha)
+        swx = esum(xf, alpha)
+        sw2 = esum(obs, alpha2) if need_var else None
+        swx2 = esum(xf * xf, alpha) if need_var else None
+        c_w, c_2, c_x, c_x2 = carry.get(pid, (0.0, 0.0, 0.0, 0.0))
+        if any(v != 0.0 for v in (c_w, c_2, c_x, c_x2)):
+            k = np.arange(len(x)) + 1.0
+            f = decay ** k
+            sw = sw + f * c_w
+            swx = swx + f * c_x
+            if need_var:
+                sw2 = sw2 + (decay * decay) ** k * c_2
+                swx2 = swx2 + f * c_x2
         with np.errstate(invalid="ignore", divide="ignore"):
-            y = np.where(den > 0.0, num / den, np.nan)
+            mean = np.where(sw > 0.0, swx / sw, np.nan)
+            if need_var:
+                vb = np.maximum(
+                    np.where(sw > 0.0, swx2 / sw, np.nan)
+                    - mean * mean, 0.0)
+                if bias:
+                    var = vb
+                else:
+                    den = sw * sw - sw2
+                    var = np.where(den > 0.0, vb * sw * sw / den,
+                                   np.nan)
         pdf = pdf.drop(columns=["__pid"])
-        pdf[out_name] = y
+        for st, oc in zip(stats, out_cols):
+            if st == "mean":
+                pdf[oc] = mean
+            elif st == "var":
+                pdf[oc] = var
+            else:
+                pdf[oc] = np.sqrt(var)
         yield pdf
 
     return base.mapInPandas(compute, schema)

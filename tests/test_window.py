@@ -385,14 +385,74 @@ def test_ungrouped_ewm_mean_distributed_vs_pandas(spark):
     f = ms.from_pandas(p, num_partitions=8)
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
-        got = (ewm_agg(f, "v", alpha=0.12, order_by="i")
+        got = (ewm_agg(f, "v", alpha=0.12, order_by="i",
+                       stats=("mean", "var", "std"))
                .to_pandas().sort_values("i"))
-    exp = p.v.ewm(alpha=0.12, adjust=True, ignore_na=False).mean()
-    np.testing.assert_allclose(got.v_ewm_mean.values, exp.values,
+    ew = p.v.ewm(alpha=0.12, adjust=True, ignore_na=False)
+    np.testing.assert_allclose(got.v_ewm_mean.values, ew.mean().values,
                                equal_nan=True, atol=1e-12)
+    np.testing.assert_allclose(got.v_ewm_var.values, ew.var().values,
+                               equal_nan=True, atol=1e-9)
+    np.testing.assert_allclose(got.v_ewm_std.values, ew.std().values,
+                               equal_nan=True, atol=1e-9)
     with pytest.warns(UserWarning, match="single-partition"):
         got = (ewm_agg(f, "v", alpha=0.3, order_by="i", adjust=False)
                .to_pandas().sort_values("i"))
     exp = p.v.ewm(alpha=0.3, adjust=False, ignore_na=False).mean()
     np.testing.assert_allclose(got.v_ewm_mean.values, exp.values,
                                equal_nan=True, atol=1e-12)
+
+
+def test_ungrouped_shift_diff_pct_cum_distributed(spark):
+    """r14: the shift family and running aggregates are
+    boundary-exchange / prefix-carry distributed when ungrouped —
+    values match pandas over multiple partitions, including lead
+    (negative periods), nulls, and the in-place df.cum* method
+    forms."""
+    from mars_spark.operators.window import (cumprod, cumsum, diff,
+                                             pct_change, shift)
+
+    rng = np.random.RandomState(17)
+    n = 160
+    p = pd.DataFrame({"i": np.arange(n),
+                      "v": rng.randn(n).round(3) + 2.0})
+    p.loc[rng.choice(n, 12, replace=False), "v"] = np.nan
+    f = ms.from_pandas(p, num_partitions=7)
+
+    got = (shift(f, 2, order_by="i", cols=["v"])
+           .to_pandas().sort_values("i"))
+    np.testing.assert_allclose(got.v_shift.values, p.v.shift(2).values,
+                               equal_nan=True)
+    got = (shift(f, -3, order_by="i", cols=["v"])
+           .to_pandas().sort_values("i"))
+    np.testing.assert_allclose(got.v_shift.values,
+                               p.v.shift(-3).values, equal_nan=True)
+    got = (diff(f, 1, order_by="i", cols=["v"])
+           .to_pandas().sort_values("i"))
+    np.testing.assert_allclose(got.v_diff.values, p.v.diff(1).values,
+                               equal_nan=True, atol=1e-12)
+    got = (pct_change(f, 1, order_by="i", cols=["v"])
+           .to_pandas().sort_values("i"))
+    np.testing.assert_allclose(
+        got.v_pct.values, p.v.pct_change(fill_method=None).values,
+        equal_nan=True, atol=1e-12)
+    got = (cumsum(f, "v", order_by="i").to_pandas().sort_values("i"))
+    exp = p.v.cumsum()          # skips NaN in the running state
+    mask = ~p.v.isna().values   # operator form emits running at NaN
+    np.testing.assert_allclose(got.v_cumsum.values[mask],
+                               exp.values[mask], atol=1e-10)
+    got = cumprod(f, "v", order_by="i").to_pandas().sort_values("i")
+    exp = p.v.cumprod()
+    np.testing.assert_allclose(got.v_cumprod.values, exp.values,
+                               equal_nan=True, rtol=1e-9)
+    # in-place method forms incl. cummin/cummax
+    fi = ms.from_pandas(p, num_partitions=6).set_index("i")
+    got = fi.cumsum().to_pandas().sort_values("i")
+    np.testing.assert_allclose(got.v.values, p.v.cumsum().values,
+                               equal_nan=True, atol=1e-10)
+    got = fi.cummin().to_pandas().sort_values("i")
+    np.testing.assert_allclose(got.v.values, p.v.cummin().values,
+                               equal_nan=True)
+    got = fi.cummax().to_pandas().sort_values("i")
+    np.testing.assert_allclose(got.v.values, p.v.cummax().values,
+                               equal_nan=True)
