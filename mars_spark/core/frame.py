@@ -1643,19 +1643,26 @@ class DataFrame:
               cols=None) -> "DataFrame":
         """mars/dataframe/missing/fillna.py (method='ffill'):
         last(ignorenulls) over the running window. Order defaults to
-        the engine's order carrier; without partition_by this is a
-        global-order window — partition at scale (groupby.ffill is the
-        partitioned form)."""
+        the engine's order carrier; without partition_by the fill is
+        boundary-carry distributed over a range partitioning (r14) —
+        no global single-partition window."""
         from pyspark.sql import Window
 
-        from mars_spark.operators.window import _order_cols
+        from mars_spark.operators.window import (
+            _order_cols, fill_directional_ungrouped)
 
         order = _order_cols(self, order_by)
-        w = (Window.partitionBy(*(partition_by or []))
+        targets = cols or [x for x in self.columns if x not in order]
+        if not partition_by:
+            # r14: running last-non-null per range partition + a
+            # driver-carried boundary value — no global window
+            return DataFrame(fill_directional_ungrouped(
+                self._sdf, order, targets, forward=True), self._index)
+        w = (Window.partitionBy(*partition_by)
              .orderBy(*[F.col(c) for c in order])
              .rowsBetween(Window.unboundedPreceding, 0))
         sdf = self._sdf
-        for c in cols or [x for x in self.columns if x not in order]:
+        for c in targets:
             sdf = sdf.withColumn(
                 c, F.last(F.col(c), ignorenulls=True).over(w))
         return DataFrame(sdf, self._index)
@@ -1664,14 +1671,19 @@ class DataFrame:
               cols=None) -> "DataFrame":
         from pyspark.sql import Window
 
-        from mars_spark.operators.window import _order_cols
+        from mars_spark.operators.window import (
+            _order_cols, fill_directional_ungrouped)
 
         order = _order_cols(self, order_by)
-        w = (Window.partitionBy(*(partition_by or []))
+        targets = cols or [x for x in self.columns if x not in order]
+        if not partition_by:
+            return DataFrame(fill_directional_ungrouped(
+                self._sdf, order, targets, forward=False), self._index)
+        w = (Window.partitionBy(*partition_by)
              .orderBy(*[F.col(c) for c in order])
              .rowsBetween(0, Window.unboundedFollowing))
         sdf = self._sdf
-        for c in cols or [x for x in self.columns if x not in order]:
+        for c in targets:
             sdf = sdf.withColumn(
                 c, F.first(F.col(c), ignorenulls=True).over(w))
         return DataFrame(sdf, self._index)

@@ -1036,9 +1036,17 @@ class Series:
     def _order_window(self, partition_by=None):
         from pyspark.sql import Window
 
-        from mars_spark.operators.window import _order_cols
+        from mars_spark.operators.window import (_global_window_warning,
+                                                 _order_cols)
 
         order = _order_cols(self._frame, None)
+        if not partition_by:
+            # the Series method forms ride the owning frame's plan
+            # (the _extend/_origin fast path), which pins them to a
+            # window expression — the frame-level operators
+            # (operators/window.py shift/diff/cumsum/…) are the
+            # boundary-exchange-distributed ungrouped forms
+            _global_window_warning("Series shift/diff/cum* method form")
         return (Window.partitionBy(*(partition_by or []))
                 .orderBy(*[F.col(c) for c in order]))
 

@@ -762,6 +762,57 @@ def _running_ungrouped(sdf, order: list[str], cols: list[str],
     return out.drop("__pid")
 
 
+def fill_directional_ungrouped(sdf, order: list[str],
+                               cols: list[str], forward: bool):
+    """UNGROUPED ffill/bfill without a global window (r14): running
+    last/first non-null per range partition + a driver-carried
+    boundary value per column (the last non-null of all preceding
+    partitions / first of all following). One tiny per-partition
+    summary job (max_by/min_by on the order key over non-null rows),
+    then the per-partition window + a coalesce."""
+    base = _range_partitioned(sdf, order)
+    okey = F.struct(*[F.col(c) for c in order])
+    pick = F.max_by if forward else F.min_by
+    summaries = (base.groupBy("__pid")
+                 .agg(*[pick(F.col(c),
+                             F.when(F.col(c).isNotNull(), okey))
+                        .alias(f"v{i}")
+                        for i, c in enumerate(cols)])
+                 .orderBy("__pid").collect())
+    if not forward:
+        summaries = list(reversed(summaries))
+    carries: list[dict[int, object]] = []
+    for i in range(len(cols)):
+        cum: dict[int, object] = {}
+        acc = None
+        for r in summaries:
+            p = int(r["__pid"])
+            if acc is not None:
+                cum[p] = acc
+            if r[f"v{i}"] is not None:
+                acc = r[f"v{i}"]
+        carries.append(cum)
+    if forward:
+        wp = (Window.partitionBy("__pid")
+              .orderBy(*[F.col(c) for c in order])
+              .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        wp = (Window.partitionBy("__pid")
+              .orderBy(*[F.col(c) for c in order])
+              .rowsBetween(0, Window.unboundedFollowing))
+    out = base
+    for i, c in enumerate(cols):
+        run = (F.last(F.col(c), ignorenulls=True) if forward
+               else F.first(F.col(c), ignorenulls=True)).over(wp)
+        cum = carries[i]
+        if cum:
+            cmap = F.create_map(*[F.lit(x) for kv in cum.items()
+                                  for x in kv])[F.col("__pid")]
+            run = F.coalesce(run, cmap.cast(dict(base.dtypes)[c]))
+        out = out.withColumn(c, run)
+    return out.drop("__pid")
+
+
 def cumsum(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
     """reference: mars/dataframe/reduction/cumsum.py:21 — Mars computes
     per-chunk cumulatives plus carried summaries (reduction/core.py:453);

@@ -456,3 +456,24 @@ def test_ungrouped_shift_diff_pct_cum_distributed(spark):
     got = fi.cummax().to_pandas().sort_values("i")
     np.testing.assert_allclose(got.v.values, p.v.cummax().values,
                                equal_nan=True)
+
+
+def test_ungrouped_ffill_bfill_distributed(spark):
+    """r14: ungrouped ffill/bfill fill across range-partition
+    boundaries via driver-carried edge values — matches pandas, no
+    global window (a null run spanning several partitions must pull
+    the value from partitions further back/forward)."""
+    rng = np.random.RandomState(3)
+    n = 120
+    p = pd.DataFrame({"i": np.arange(n), "v": rng.randn(n)})
+    # long null runs so fills must cross partition boundaries
+    p.loc[10:55, "v"] = np.nan
+    p.loc[90:110, "v"] = np.nan
+    p.loc[:2, "v"] = np.nan          # leading nulls stay null on ffill
+    f = ms.from_pandas(p, num_partitions=10).set_index("i")
+    got = f.ffill().to_pandas().sort_values("i")
+    np.testing.assert_allclose(got.v.values, p.v.ffill().values,
+                               equal_nan=True)
+    got = f.bfill().to_pandas().sort_values("i")
+    np.testing.assert_allclose(got.v.values, p.v.bfill().values,
+                               equal_nan=True)
