@@ -678,13 +678,54 @@ OPS_ORACLES: dict[str, str] = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        / (i + 1) AS em
             FROM b
+        ), ug AS (
+            -- r14 ungrouped dims: GLOBAL event_id order over the
+            -- user_id < 10 slice; the engine side distributes via
+            -- boundary pads / prefix + geometric carries, the oracle
+            -- replays plain global windows + the scaled-prefix EWM
+            -- closed forms (safe: power(0.8, -i) needs i < ~3300)
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY event_id) - 1 AS i
+            FROM events WHERE user_id < 10
+        ), ugs AS (
+            SELECT event_id, value, i,
+                   sum(value * power(0.8, -i)) OVER w AS scx,
+                   sum(value * value * power(0.8, -i)) OVER w AS scx2,
+                   sum(value) OVER w AS cs,
+                   lag(value) OVER (ORDER BY i) AS sh,
+                   last_value(CASE WHEN value >= 50 THEN value END
+                              IGNORE NULLS) OVER w AS fl
+            FROM ug
+            WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ), ugv AS (
+            SELECT event_id, i, cs, sh, fl,
+                   (1 - power(0.8, i + 1)) / 0.2 AS sw,
+                   (1 - power(0.64, i + 1)) / 0.36 AS sw2,
+                   scx * power(0.8, i) AS swx,
+                   scx2 * power(0.8, i) AS swx2
+            FROM ugs
+        ), ugr AS (
+            SELECT event_id,
+                   floor(swx / sw * 1e4 + 0.5 + 1e-6) / 1e4 AS ug_ewm,
+                   CASE WHEN sw * sw - sw2 > 0 THEN
+                       floor(greatest(swx2 / sw - (swx / sw) * (swx / sw),
+                                      0.0) * sw * sw / (sw * sw - sw2)
+                             * 1e4 + 0.5 + 1e-6) / 1e4
+                   END AS ug_ewm_var,
+                   floor(sh * 1e4 + 0.5 + 1e-6) / 1e4 AS ug_shift,
+                   floor(cs * 1e4 + 0.5 + 1e-6) / 1e4 AS ug_cumsum,
+                   floor(fl * 1e4 + 0.5 + 1e-6) / 1e4 AS ug_ffill
+            FROM ugv
         )
-        SELECT user_id, event_id,
+        SELECT s.user_id, s.event_id,
                floor(sc * power(0.8, i) * 0.2 / (1 - power(0.8, i + 1))
                      * 1e4 + 0.5 + 1e-6) / 1e4 AS ewm_mean,
                floor(es * 1e4 + 0.5 + 1e-6) / 1e4 AS exp_sum,
-               floor(em * 1e4 + 0.5 + 1e-6) / 1e4 AS exp_mean
-        FROM s
+               floor(em * 1e4 + 0.5 + 1e-6) / 1e4 AS exp_mean,
+               ugr.ug_ewm, ugr.ug_ewm_var, ugr.ug_shift,
+               ugr.ug_cumsum, ugr.ug_ffill
+        FROM s LEFT JOIN ugr USING (event_id)
     """,
     "op_series_misc": """
         WITH f AS (SELECT * FROM part WHERE p_partkey < 80),
