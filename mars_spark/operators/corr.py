@@ -204,57 +204,111 @@ def spearman_matrix_nulls(sdf: SparkDF, cols: list[str]):
     from mars_spark.operators.rank import prefix_stats_multi
 
     k = len(cols)
-    out = sdf.select(*[F.col(c).alias(f"__c{i}")
-                       for i, c in enumerate(cols)])
     names = [f"__c{i}" for i in range(k)]
-    for ia, a in enumerate(names):
+    base = (sdf.select(*[F.col(c).alias(n)
+                         for c, n in zip(cols, names)])
+            .withColumn("__rid", F.monotonically_increasing_id())
+            .localCheckpoint())   # one stable row id for every pass
+    # One skinny LONG frame per ordering column — (rid, ia, ib,
+    # rank) — instead of k chained joins onto one ever-wider frame:
+    # the chained form made Catalyst re-analyze an O(k^2)-column
+    # plan k times (measured super-cubic driver-side: k=16 57 s,
+    # k=24 348 s). Here every branch is base JOIN (small per-value
+    # stats) -> explode, the union is k branches of depth 2, and the
+    # pair statistics come from ONE self-join on (rid, ia, ib) —
+    # plan size O(k), data volume k(k-1)*n long rows (inherent to a
+    # k x k pairwise-complete rank matrix).
+    def _one_long(ia: int):
+        # per-column stats pass = a localCheckpoint + an offsets
+        # collect (driver-synchronous) — submit all k from a thread
+        # pool so their stages interleave instead of serializing.
+        # Expressions are SQL text (one F.expr each), not Column
+        # trees: the O(k²) per-Column py4j round-trips otherwise
+        # dominate the driver wall (round-2 lesson).
+        a = names[ia]
         others = [ib for ib in range(k) if ib != ia]
-        pv = (out.filter(F.col(a).isNotNull())
+        pv = (base.filter(F.col(a).isNotNull())
               .groupBy(F.col(a).alias("__v"))
-              .agg(F.count(F.lit(1)).alias("__cnt"),
-                   *[F.sum(F.col(names[ib]).isNull().cast("bigint"))
-                     .alias(f"__nb{ib}") for ib in others]))
+              .agg(F.expr("count(1)").alias("__cnt"),
+                   *[F.expr(f"sum(cast(({names[ib]} is null) as "
+                            "bigint))").alias(f"__nb{ib}")
+                     for ib in others]))
         stats = prefix_stats_multi(
             pv, "__v", ["__cnt"] + [f"__nb{ib}" for ib in others])
-        out = (out.join(stats, out[a] == stats["__v"], "left")
-               .drop("__v"))
+        # snap the (small, per-distinct-value) stats table: without
+        # this every union branch re-embeds the k-weight window +
+        # offset-map machinery and the UNION's analysis/codegen goes
+        # quadratic-in-k on the driver (measured: 155 s of the k=50
+        # wall was the union evaluation)
+        stats = stats.localCheckpoint()
+        j = base.join(stats, base[a] == stats["__v"], "left")
+        parts = []
         for ib in others:
-            rank = ((F.col("__before___cnt")
-                     - F.col(f"__before___nb{ib}"))
-                    + (F.col("__cnt") - F.col(f"__nb{ib}") + 1) / 2.0)
-            out = out.withColumn(
-                f"__r_{ia}_{ib}",
-                F.when(F.col(a).isNotNull()
-                       & F.col(names[ib]).isNotNull(),
-                       rank.cast("double")))
-        out = out.drop("__cnt", "__before___cnt",
-                       *[f"__nb{ib}" for ib in others],
-                       *[f"__before___nb{ib}" for ib in others])
-    # manual pearson (try_divide) rather than F.corr: under ANSI a
-    # single zero-variance pair would abort the ENTIRE matrix agg
-    # with DIVIDE_BY_ZERO; try_divide yields null → NaN for just
-    # that pair (pandas parity). Rank columns are already null
-    # unless BOTH sides are non-null, so the aggregates are
-    # pair-complete by construction.
-    def _pearson(ra: str, rb: str):
-        return F.try_divide(
-            F.covar_pop(ra, rb),
-            F.stddev_pop(ra) * F.stddev_pop(rb))
+            parts.append(
+                f"named_struct('ia', {ia}, 'ib', {ib}, 'r', "
+                f"CASE WHEN {a} IS NOT NULL AND {names[ib]} IS NOT "
+                f"NULL THEN CAST((__before___cnt - __before___nb{ib})"
+                f" + (__cnt - __nb{ib} + 1) / 2.0 AS DOUBLE) END)")
+        # materialize the branch (skinny (rid, ia, ib, r) rows, the
+        # k²·n volume the pair statistics inherently need): the
+        # thread pool overlaps the k branch jobs, and the UNION
+        # becomes 50 leaf scans instead of one 2450-CASE plan whose
+        # analysis alone took most of the k=50 wall
+        return (j.select("__rid",
+                         F.expr("explode(array(" + ", ".join(parts)
+                                + "))").alias("e"))
+                .select("__rid", "e.ia", "e.ib", "e.r")
+                .filter(F.col("r").isNotNull())
+                .localCheckpoint())
 
-    aggs = [_pearson(f"__r_{ia}_{ib}", f"__r_{ib}_{ia}")
-            .alias(f"p_{ia}_{ib}")
-            for ia in range(k) for ib in range(ia + 1, k)]
-    aggs += [F.count(names[ia]).alias(f"n_{ia}") for ia in range(k)]
-    row = out.agg(*aggs).collect()[0]
-    vals: dict[tuple[str, str], float] = {}
-    valid: dict[str, int] = {c: int(row[f"n_{i}"])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, k)) as ex:
+        longs = list(ex.map(_one_long, range(k)))
+    u = longs[0]
+    for nxt in longs[1:]:
+        u = u.unionByName(nxt)
+    # (no union snapshot needed: the branches are already
+    # materialized leaves, so the self-join's two reads are cheap
+    # block scans)
+    lhs = u.filter(F.col("ia") < F.col("ib"))
+    rhs = (u.filter(F.col("ia") > F.col("ib"))
+           .select("__rid", F.col("ib").alias("ia"),
+                   F.col("ia").alias("ib"), F.col("r").alias("rb")))
+    pairs = lhs.join(rhs, ["__rid", "ia", "ib"])
+    # manual pearson (try_divide) rather than F.corr: under ANSI a
+    # zero-variance pair would abort the aggregate with
+    # DIVIDE_BY_ZERO; try_divide yields null -> NaN for just that
+    # pair (pandas parity). Rows are pair-complete by construction
+    # (null ranks were filtered before the union).
+    g = pairs.groupBy("ia", "ib").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sx"), F.sum("rb").alias("sy"),
+        F.sum(F.col("r") * F.col("rb")).alias("sxy"),
+        F.sum(F.col("r") * F.col("r")).alias("sx2"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sy2"))
+    rows = g.select(
+        "ia", "ib",
+        F.try_divide(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.sqrt(F.col("n") * F.col("sx2")
+                   - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("sy2")
+                     - F.col("sy") * F.col("sy"))).alias("rho")
+    ).collect()
+    counts = base.agg(*[F.count(names[i]).alias(f"n_{i}")
+                        for i in range(k)]).collect()[0]
+    valid: dict[str, int] = {c: int(counts[f"n_{i}"])
                              for i, c in enumerate(cols)}
+    vals: dict[tuple[str, str], float] = {}
     for ia in range(k):
         for ib in range(ia + 1, k):
-            v = row[f"p_{ia}_{ib}"]
-            v = _NAN if v is None else float(v)
-            vals[(cols[ia], cols[ib])] = v
-            vals[(cols[ib], cols[ia])] = v
+            vals[(cols[ia], cols[ib])] = _NAN
+            vals[(cols[ib], cols[ia])] = _NAN
+    for r in rows:
+        v = _NAN if r["rho"] is None else float(r["rho"])
+        vals[(cols[int(r["ia"])], cols[int(r["ib"])])] = v
+        vals[(cols[int(r["ib"])], cols[int(r["ia"])])] = v
     return vals, valid
 
 

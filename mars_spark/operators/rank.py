@@ -146,9 +146,14 @@ def prefix_stats_multi(per_value: SparkDF, value_col: str,
     win = (Window.partitionBy("__pid").orderBy(order)
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     if len(offs) <= _OFFSET_LITERAL_MAX:
-        offc = {w: F.create_map(*[F.lit(x) for kv in cum[w].items()
-                                  for x in kv])[F.col("__pid")]
-                for w in weight_cols}
+        # map literals as ONE F.expr per weight, not 2·P F.lit
+        # columns: with many weights × partitions the per-Column py4j
+        # round-trips dominated the whole pass (round-2 lesson)
+        offc = {w: F.expr(
+            "map(" + ", ".join(f"{p}, {v}L"
+                               for p, v in cum[w].items()) + ")"
+            + "[__pid]")
+            for w in weight_cols}
         joined = d
     else:
         off_tbl = F.broadcast(d.sparkSession.createDataFrame(
