@@ -99,3 +99,39 @@ def test_flagship_scan_prunes_columns(spark):
     assert m, "no ReadSchema in tpch_q01 plan"
     ncols = len([c for c in m.group(1).split(",") if ":" in c])
     assert ncols <= 8, f"tpch_q01 scan reads {ncols} columns"
+
+
+def test_ungrouped_windows_never_plan_single_partition(spark):
+    """r14: the boundary-exchange / prefix-carry machinery must keep
+    ungrouped rolling/expanding/shift/cumsum/ffill plans free of the
+    single-partition global-window shape (Exchange SinglePartition
+    feeding a Window). The pad/carry designs partition by __tgt/__pid
+    instead — a regression here silently reintroduces the one-task
+    bottleneck this round removed."""
+    import numpy as np
+    import pandas as pd
+
+    import mars_spark as ms
+    from mars_spark.operators.window import cumsum, ewm_agg, shift
+
+    p = pd.DataFrame({"i": np.arange(64), "v": np.arange(64) * 1.0})
+    f = ms.from_pandas(p, num_partitions=4)
+
+    def plan_of(df):
+        return df._sdf._jdf.queryExecution().executedPlan().toString()
+
+    bad = re.compile(r"Exchange SinglePartition[\s\S]{0,400}?Window")
+    plans = {
+        "rolling": plan_of(f.rolling(5, min_periods=1)
+                           .over(order_by="i").agg({"v": "sum"})),
+        "expanding": plan_of(f.expanding(min_periods=1)
+                             .over(order_by="i").agg({"v": "sum"})),
+        "shift": plan_of(shift(f, 1, order_by=["i"], cols=["v"])),
+        "cumsum": plan_of(cumsum(f, "v", order_by=["i"])),
+        "ffill": plan_of(f.set_index("i").ffill()),
+        "ewm": plan_of(ewm_agg(f, "v", alpha=0.3, order_by="i")),
+    }
+    for name, plan in plans.items():
+        assert not bad.search(plan), (
+            f"ungrouped {name} plans a single-partition window")
+        assert "CartesianProduct" not in plan, name
