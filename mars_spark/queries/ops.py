@@ -126,16 +126,22 @@ def op_stats(spark: SparkSession, sf_dir: str) -> SparkDF:
     # WHOLE lineitem table with NO partition_by: the boundary-exchange
     # tiling (operators/window.py) range-partitions on the order key
     # and pads each partition with its predecessors' tails instead of
-    # planning a global single-partition WindowExec. l_quantity is
-    # integer-valued, so the checksum of all rolling sums is exact in
-    # any engine / any aggregation order.
+    # planning a global single-partition WindowExec. The input is
+    # pre-aggregated to one row per (l_orderkey, l_linenumber) FIRST:
+    # the raw pairs are NOT unique (14M duplicates at sf10 — caught
+    # by a numpy replay that disagreed by exactly the tail-tie
+    # ambiguity), and a rows-frame over tied order keys is
+    # tie-order-dependent; the grouped key is strictly unique at
+    # every sf, so the integer checksum is engine- and layout-exact.
     def _roll_ug():
-        lif = li[["l_orderkey", "l_linenumber", "l_quantity"]]
+        lif = (li[["l_orderkey", "l_linenumber", "l_quantity"]]
+               .groupby(["l_orderkey", "l_linenumber"],
+                        as_index=False)
+               .agg(q=("l_quantity", "sum")))
         r = lif.rolling(5, min_periods=1).over(
-            order_by=["l_orderkey", "l_linenumber"]).agg(
-            {"l_quantity": "sum"})
+            order_by=["l_orderkey", "l_linenumber"]).agg({"q": "sum"})
         row = r.to_spark().agg(
-            F.sum("l_quantity_roll_sum").alias("s")).collect()[0]
+            F.sum("q_roll_sum").alias("s")).collect()[0]
         return float(row["s"])
 
     with ThreadPoolExecutor(max_workers=8) as ex:

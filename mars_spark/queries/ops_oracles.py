@@ -141,13 +141,18 @@ OPS_ORACLES: dict[str, str] = {
                        AS corr_kd_bin
             FROM kpq2 CROSS JOIN kn2
         ), rug AS (
-            -- r14 ungrouped rolling(5).sum checksum: integer-valued
-            -- quantities keep the total exact in any engine/order
+            -- r14 ungrouped rolling(5).sum checksum over the
+            -- UNIQUE-keyed (orderkey, linenumber) aggregate: raw
+            -- pairs duplicate (tie-order-dependent rows frame), the
+            -- grouped key is strictly unique so the integer total
+            -- is exact in any engine / any layout
             SELECT sum(rs)::DOUBLE AS roll_ug_sum FROM (
-                SELECT sum(l_quantity) OVER (
+                SELECT sum(q) OVER (
                     ORDER BY l_orderkey, l_linenumber
                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rs
-                FROM lineitem)
+                FROM (SELECT l_orderkey, l_linenumber,
+                             sum(l_quantity) AS q
+                      FROM lineitem GROUP BY 1, 2))
         )
         SELECT * FROM per_flag CROSS JOIN tot CROSS JOIN mono
                    CROSS JOIN mem CROSS JOIN sp CROSS JOIN kd
