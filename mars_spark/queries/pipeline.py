@@ -2256,7 +2256,28 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     B = [[((i * 4 + j) % 7 - 3) / 3.0 for j in range(4)]
          for i in range(64)]
     mm = MT.matmul(emb.select("vec_id", "embedding"), "embedding", B)
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    # r14 linalg-completion strata (the rest of the
+    # mars/tensor/linalg list: norm / tensordot / solve / inv / lu /
+    # randomized_svd). The solve slice keeps every aggregate
+    # integer-exact: two small integer features ((q mod 7)+1,
+    # linenumber) over a deterministic 1/199 orderkey slice, so AᵀA,
+    # Aᵀb, the Cramér determinant and numerators are exact BIGINTs in
+    # both engines and the driver-side LAPACK solutions can be
+    # checked as round(x·det) == integer.
+    qm = (F.col("l_quantity").cast("long") % 7 + 1).cast("double")
+    sl = (li.filter(F.col("l_orderkey") % 199 == 0)
+          .select(F.array(qm, F.col("l_linenumber").cast("double"))
+                  .alias("v"),
+                  (F.col("l_partkey").cast("long") % 23)
+                  .cast("double").alias("b")))
+    tdc = [float(j % 5 - 2) for j in range(64)]  # exact small ints
+    tdv = MT.tensordot(emb.select("vec_id", "embedding"),
+                       "embedding", tdc, out_col="y")
+    ydf = MT.tensordot(
+        emb.select(F.col("embedding").alias("__x"), "embedding"),
+        "embedding", B, axes=1, out_col="__y")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
         f_hist = ex.submit(MT.histogram, li, "l_extendedprice", 10)
         f_pct = ex.submit(MT.percentile, li, "l_quantity",
                           [0.25, 0.5, 0.75])
@@ -2264,9 +2285,29 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
         f_mm = ex.submit(
             mm.agg(*[F.sum(F.element_at("y", j + 1)).alias(f"s{j}")
                      for j in range(4)]).collect)
+        f_fro = ex.submit(MT.norm, emb, "embedding", "fro")
+        f_m1 = ex.submit(MT.norm, emb, "embedding", 1)
+        f_minf = ex.submit(MT.norm, emb, "embedding", float("inf"))
+        f_q2 = ex.submit(MT.norm, li, "l_quantity")
+        f_q1 = ex.submit(MT.norm, li, "l_quantity", 1)
+        f_qinf = ex.submit(MT.norm, li, "l_quantity", float("inf"))
+        f_td = ex.submit(tdv.agg(F.sum("y").alias("s")).collect)
+        f_xty = ex.submit(MT.tensordot, ydf, "__y", "__y", "rows")
+        f_slv = ex.submit(MT.solve, sl, vec_col="v", b_col="b",
+                          return_parts=True)
+        f_rs = ex.submit(MT.randomized_svd, emb, "embedding", 2,
+                         10, 2, 7)
         hist, pct = f_hist.result(), f_pct.result()
         g = f_g.result()
         mrow = f_mm.result()[0]
+        nrm_fro, nrm_m1, nrm_minf = (f_fro.result(), f_m1.result(),
+                                     f_minf.result())
+        nrm_q2, nrm_q1, nrm_qinf = (f_q2.result(), f_q1.result(),
+                                    f_qinf.result())
+        td_sum = float(f_td.result()[0]["s"])
+        xty = f_xty.result()
+        slv_x, slv_g, slv_atb = f_slv.result()
+        rs_s, _rs_v = f_rs.result()
     rows = []
     for i, (lo, hi, n) in enumerate(hist):
         rows.append((f"hist:{i}", r6(lo), r6(hi), int(n)))
@@ -2298,6 +2339,70 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     for i in range(4):
         for j in range(4):
             rows.append((f"qtq:{i}:{j}", r4(float(gq[i, j])), None, None))
+    # r14 linalg-completion emission. norms: the lineitem-quantity
+    # vector norms are integer/sqrt-of-integer exact; the embedding
+    # matrix norms round at 1e-4 with ~1e-6 float-sum headroom.
+    import numpy as np
+
+    rows.append(("nrm:fro", r4(nrm_fro), None, None))
+    rows.append(("nrm:m1", r4(nrm_m1), None, None))
+    rows.append(("nrm:minf", r4(nrm_minf), None, None))
+    rows.append(("nrm:q2", r6(nrm_q2), None, None))
+    rows.append(("nrm:q1", None, None, int(round(nrm_q1))))
+    rows.append(("nrm:qinf", None, None, int(round(nrm_qinf))))
+    # tensordot: vector-rhs JVM dot checksum + the row-axis
+    # column×column contraction YᵀY (Y = V·B), both list-arithmetic
+    # replayable
+    rows.append(("tdot:v", r4(td_sum), None, None))
+    for i in range(2):
+        for j in range(2):
+            rows.append((f"xty:{i}:{j}", r4(float(xty[i, j])),
+                         None, None))
+    # solve / inv / lu over the exact-integer 2×2 normal equations:
+    # det and the Cramér numerators are exact integers; LAPACK's
+    # float solutions re-integerize via round(x·det) with ≫2×
+    # headroom at the slice's magnitudes (|err| ≲ cond·eps·|x|·det
+    # ≈ 1e-6 here)
+    g00, g01, g11 = (int(slv_g[0, 0]), int(slv_g[0, 1]),
+                     int(slv_g[1, 1]))
+    b0, b1 = int(slv_atb[0]), int(slv_atb[1])
+    det = g00 * g11 - g01 * g01
+
+    def ri(x: float) -> int:
+        import math as _m
+
+        return int(_m.floor(x + 0.5))
+
+    rows.append(("slv:det", None, None, det))
+    rows.append(("slv:x0", None, None, ri(float(slv_x[0]) * det)))
+    rows.append(("slv:x1", None, None, ri(float(slv_x[1]) * det)))
+    iv = MT.inv(slv_g)
+    rows.append(("inv:00", None, None, ri(float(iv[0, 0]) * det)))
+    rows.append(("inv:01", None, None, ri(float(iv[0, 1]) * det)))
+    rows.append(("inv:11", None, None, ri(float(iv[1, 1]) * det)))
+    # lu: pivot flag is integer-deterministic (|g10| vs |g00| on
+    # positive integers); L10·pivot re-integerizes to the non-pivot
+    # element and U11·pivot to ±det (sign = det of the permutation)
+    _lp, ll, uu = MT.lu(slv_g)
+    pivoted = 1 if abs(g01) > abs(g00) else 0
+    pv = g01 if pivoted else g00
+    rows.append(("lu:p", None, None, pivoted))
+    rows.append(("lu:l10", None, None, ri(float(ll[1, 0]) * pv)))
+    rows.append(("lu:u11", None, None, ri(float(uu[1, 1]) * pv)))
+    # randomized_svd property contract. The embedding spectrum is
+    # nearly FLAT (σ₁/σ₄ ≈ 1.04), the worst case for a randomized
+    # range finder, so a tight σ match would be dishonest; what IS
+    # exact math: Ritz values of a projected subspace never exceed
+    # the true σ (interlacing), the returned σ are decreasing, and V
+    # is orthonormal. Lower bound at 0.5·σ has ~2× margin (measured
+    # 0.976·σ with n_iter=2, oversampling 10 on this spectrum).
+    ev = np.sqrt(np.maximum(np.sort(np.linalg.eigvalsh(g))[::-1][:2],
+                            0.0))
+    ok = (bool(np.all(rs_s <= ev * (1.0 + 1e-9)))
+          and bool(np.all(rs_s >= 0.5 * ev))
+          and rs_s[0] >= rs_s[1] > 0.0
+          and bool(np.allclose(_rs_v.T @ _rs_v, np.eye(2), atol=1e-8)))
+    rows.append(("rsvd:ok", 1.0 if ok else 0.0, None, None))
     return spark.createDataFrame(
         rows, "grp string, v1 double, v2 double, n long")
 

@@ -862,6 +862,76 @@ PIPELINE_ORACLES: dict[str, str] = {
                             * (((i * 4 + r2.j) % 7 - 3) / 3.0)))) AS s
             FROM embeddings, range(4) r2(j)
             GROUP BY 1
+        ), nrm AS (
+            -- r14 linalg completion: Frobenius / max-row-abs-sum of
+            -- the embedding matrix, exact integer vector norms of
+            -- l_quantity (sqrt of an exact BIGINT sum is an IEEE
+            -- correctly-rounded double in both engines)
+            SELECT (SELECT sqrt(sum(list_sum(list_transform(embedding,
+                        e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))
+                    FROM embeddings) AS fro,
+                   (SELECT max(list_sum(list_transform(embedding,
+                        e -> abs(CAST(e AS DOUBLE)))))
+                    FROM embeddings) AS minf,
+                   (SELECT max(s) FROM (
+                        SELECT sum(abs(CAST(list_extract(embedding,
+                                   CAST(r.j + 1 AS INT)) AS DOUBLE)))
+                                   AS s
+                        FROM embeddings, range(64) r(j)
+                        GROUP BY r.j)) AS m1,
+                   (SELECT sqrt(CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE))
+                    FROM lineitem) AS q2,
+                   (SELECT sum(CAST(l_quantity AS BIGINT))
+                    FROM lineitem) AS q1,
+                   (SELECT max(CAST(l_quantity AS BIGINT))
+                    FROM lineitem) AS qinf
+        ), tdv AS (
+            -- tensordot vector-rhs dot checksum, c[i] = i%5 - 2
+            SELECT sum(list_sum(list_transform(range(0, 64),
+                       i -> CAST(list_extract(embedding,
+                                CAST(i + 1 AS INT)) AS DOUBLE)
+                            * CAST(i % 5 - 2 AS DOUBLE)))) AS s
+            FROM embeddings
+        ), xty AS (
+            -- row-axis column x column contraction: (V.B)t(V.B)
+            -- leading 2x2 — per-row closed form, no 64x64 gramian
+            SELECT r1.i AS i, r2.j AS j,
+                   sum(list_sum(list_transform(range(0, 64),
+                       t -> CAST(list_extract(embedding,
+                                CAST(t + 1 AS INT)) AS DOUBLE)
+                            * (((t * 4 + r1.i) % 7 - 3) / 3.0)))
+                     * list_sum(list_transform(range(0, 64),
+                       t -> CAST(list_extract(embedding,
+                                CAST(t + 1 AS INT)) AS DOUBLE)
+                            * (((t * 4 + r2.j) % 7 - 3) / 3.0)))) AS v
+            FROM embeddings, range(2) r1(i), range(2) r2(j)
+            GROUP BY 1, 2
+        ), slvd AS (
+            -- exact-integer 2x2 normal equations over the 1/199
+            -- orderkey slice: Cramér det/numerators, adjugate, and
+            -- the partial-pivot LU's re-integerized entries
+            SELECT g00, g01, g11, b0, b1,
+                   g00 * g11 - g01 * g01 AS det,
+                   b0 * g11 - b1 * g01 AS x0n,
+                   b1 * g00 - b0 * g01 AS x1n,
+                   CASE WHEN abs(g01) > abs(g00) THEN 1 ELSE 0
+                        END AS lup,
+                   CASE WHEN abs(g01) > abs(g00) THEN g00 ELSE g01
+                        END AS lul10,
+                   CASE WHEN abs(g01) > abs(g00)
+                        THEN -(g00 * g11 - g01 * g01)
+                        ELSE g00 * g11 - g01 * g01 END AS luu11
+            FROM (
+                SELECT sum(q * q) AS g00, sum(q * ln) AS g01,
+                       sum(ln * ln) AS g11, sum(q * b) AS b0,
+                       sum(ln * b) AS b1
+                FROM (
+                    SELECT CAST(l_quantity AS BIGINT) % 7 + 1 AS q,
+                           CAST(l_linenumber AS BIGINT) AS ln,
+                           CAST(l_partkey AS BIGINT) % 23 AS b
+                    FROM lineitem
+                    WHERE CAST(l_orderkey AS BIGINT) % 199 = 0))
         )
         SELECT 'hist:' || x.i AS grp,
                floor((x.lo + CAST(x.i AS DOUBLE) * x.w) * 1e6 + 0.5) / 1e6 AS v1,
@@ -903,6 +973,44 @@ PIPELINE_ORACLES: dict[str, str] = {
                CASE WHEN r1.i = r2.j THEN 1.0 ELSE 0.0 END AS v1,
                CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
         FROM range(4) r1(i), range(4) r2(j)
+        UNION ALL
+        SELECT 'nrm:' || t.k AS grp, t.v AS v1,
+               CAST(NULL AS DOUBLE) AS v2, t.n AS n
+        FROM nrm, LATERAL (VALUES
+            ('fro', floor(fro * 1e4 + 0.5) / 1e4, CAST(NULL AS BIGINT)),
+            ('m1', floor(m1 * 1e4 + 0.5) / 1e4, CAST(NULL AS BIGINT)),
+            ('minf', floor(minf * 1e4 + 0.5) / 1e4,
+             CAST(NULL AS BIGINT)),
+            ('q2', floor(q2 * 1e6 + 0.5) / 1e6, CAST(NULL AS BIGINT)),
+            ('q1', CAST(NULL AS DOUBLE), q1),
+            ('qinf', CAST(NULL AS DOUBLE), qinf)) t(k, v, n)
+        UNION ALL
+        SELECT 'tdot:v' AS grp, floor(s * 1e4 + 0.5) / 1e4 AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+        FROM tdv
+        UNION ALL
+        SELECT 'xty:' || i || ':' || j AS grp,
+               floor(v * 1e4 + 0.5) / 1e4 AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+        FROM xty
+        UNION ALL
+        SELECT 'slv:' || t.k AS grp, CAST(NULL AS DOUBLE) AS v1,
+               CAST(NULL AS DOUBLE) AS v2, t.n AS n
+        FROM slvd, LATERAL (VALUES
+            ('det', det), ('x0', x0n), ('x1', x1n)) t(k, n)
+        UNION ALL
+        SELECT 'inv:' || t.k AS grp, CAST(NULL AS DOUBLE) AS v1,
+               CAST(NULL AS DOUBLE) AS v2, t.n AS n
+        FROM slvd, LATERAL (VALUES
+            ('00', g11), ('01', -g01), ('11', g00)) t(k, n)
+        UNION ALL
+        SELECT 'lu:' || t.k AS grp, CAST(NULL AS DOUBLE) AS v1,
+               CAST(NULL AS DOUBLE) AS v2, t.n AS n
+        FROM slvd, LATERAL (VALUES
+            ('p', lup), ('l10', lul10), ('u11', luu11)) t(k, n)
+        UNION ALL
+        SELECT 'rsvd:ok' AS grp, 1.0 AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
     """,
     "events_window_funcs": """
         SELECT event_id, user_id,

@@ -8,6 +8,12 @@ deterministic hashing), element-wise ufuncs (→ Column math, §2.8),
 reductions/statistics (→ aggregates, percentile), and distributed
 linear algebra for the learn facade (→ MLlib linalg: RowMatrix SVD /
 Gramian; mars/tensor/linalg/ has cholesky/qr/svd/… tiled by hand).
+
+The full mars/tensor/linalg ten-op list (cholesky, qr, svd, lu,
+solve, norm, matmul, tensordot, inv, randomized_svd) is covered at
+the facade's tall-skinny shapes (r14): the n×d data stays
+row-partitioned on the cluster, every reduction is per-batch gemm
+partials (d×d / d×l), and only gram-sized work runs on the driver.
 """
 
 from __future__ import annotations
@@ -183,6 +189,282 @@ def cholesky(g) -> "object":
     import numpy as np
 
     return np.linalg.cholesky(np.asarray(g, dtype=np.float64))
+
+
+def _cross_partials(sdf: SparkDF, left_col: str, right_col: str):
+    """Σ rows ``lᵀ·r`` of two array columns — one gemm per Arrow
+    batch, one (dl×dr) partial per partition, summed on the driver
+    (the cross-column generalization of ``gramian``; same bounded
+    driver-collect contract). Returns numpy (dl, dr) or None for an
+    empty frame."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__l"]])
+            y = np.vstack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__r"]])
+            p = x.T @ y
+            acc = p if acc is None else acc + p
+        if acc is not None:
+            yield pd.DataFrame({"g": [acc.ravel().tolist()],
+                                "dl": [acc.shape[0]]})
+
+    partials = (sdf.select(F.col(left_col).alias("__l"),
+                           F.col(right_col).alias("__r"))
+                .mapInPandas(gen, schema="g array<double>, dl int")
+                .collect())
+    if not partials:
+        return None
+    dl = int(partials[0]["dl"])
+    mats = np.stack([np.asarray(r["g"], dtype=np.float64).reshape(dl, -1)
+                     for r in partials])
+    return mats.sum(axis=0)
+
+
+def norm(sdf: SparkDF, col: str, ord=None) -> float:
+    """Matrix / vector norm with numpy semantics
+    (mars/tensor/linalg/norm.py). A scalar column is a length-n
+    vector — ord None/2 = sqrt(Σx²), 1 = Σ|x|, inf = max|x|, each ONE
+    distributed aggregate. An array column is an n×d matrix —
+    None/'fro' = Frobenius (one agg of per-row square sums),
+    1 / inf = max column / row absolute sum (a d-wide per-partition
+    partial / one agg), 2 / 'nuc' = spectral / nuclear norm via the
+    d×d Gramian's eigenvalues (driver-side, gram-sized like
+    ``cholesky``). Every formulation is a single data pass."""
+    import math
+
+    import numpy as np
+
+    is_array = dict(sdf.dtypes)[col].startswith("array")
+    c = F.col(col)
+    if not is_array:
+        if ord in (None, 2):
+            v = sdf.agg(F.sum(c.cast("double") * c).alias("s")
+                        ).collect()[0]["s"]
+            return math.sqrt(float(v or 0.0))
+        if ord == 1:
+            v = sdf.agg(F.sum(F.abs(c)).alias("s")).collect()[0]["s"]
+            return float(v or 0.0)
+        if ord == float("inf"):
+            v = sdf.agg(F.max(F.abs(c)).alias("s")).collect()[0]["s"]
+            return float(v or 0.0)
+        raise NotImplementedError(f"vector norm ord={ord!r}")
+    if ord in (None, "fro"):
+        sq = F.aggregate(c, F.lit(0.0),
+                         lambda a, x: a + x.cast("double") * x)
+        v = sdf.agg(F.sum(sq).alias("s")).collect()[0]["s"]
+        return math.sqrt(float(v or 0.0))
+    if ord == float("inf"):
+        rs = F.aggregate(c, F.lit(0.0),
+                         lambda a, x: a + F.abs(x.cast("double")))
+        v = sdf.agg(F.max(rs).alias("s")).collect()[0]["s"]
+        return float(v or 0.0)
+    if ord == 1:
+        # max column abs-sum: d-wide per-partition partials (the
+        # gramian collect contract), never an n×d explode shuffle
+        import pandas as pd
+
+        def gen(batches):
+            acc = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.abs(np.vstack([np.asarray(v, dtype=np.float64)
+                                      for v in pdf["__v"]])).sum(axis=0)
+                acc = x if acc is None else acc + x
+            if acc is not None:
+                yield pd.DataFrame({"s": [acc.tolist()]})
+
+        parts = (sdf.select(c.alias("__v"))
+                 .mapInPandas(gen, schema="s array<double>").collect())
+        if not parts:
+            return 0.0
+        return float(np.stack([np.asarray(r["s"]) for r in parts])
+                     .sum(axis=0).max())
+    if ord in (2, "nuc"):
+        g = gramian(sdf, col)
+        if g is None:
+            return 0.0
+        vals = np.sqrt(np.maximum(np.linalg.eigvalsh(g), 0.0))
+        return float(vals.max() if ord == 2 else vals.sum())
+    raise NotImplementedError(f"matrix norm ord={ord!r}")
+
+
+def inv(g):
+    """Driver-side inverse of a small d×d matrix — gram-sized like
+    ``cholesky``. mars/tensor/linalg/inv.py tiles block-LU over
+    chunked square matrices; at tall-skinny shapes every inverse this
+    engine needs is of a d×d Gramian / R factor, a driver
+    computation."""
+    import numpy as np
+
+    return np.linalg.inv(np.asarray(g, dtype=np.float64))
+
+
+def lu(g):
+    """Partial-pivot LU of a small d×d matrix, driver-side and
+    numpy-only (scipy is deliberately not a dependency). Returns
+    (P, L, U) with ``A = P @ L @ U`` — the mars convention
+    (mars/tensor/linalg/lu.py). Doolittle elimination with row
+    pivoting; the reference tiles the same factorization blockwise."""
+    import numpy as np
+
+    a = np.asarray(g, dtype=np.float64).copy()
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError("lu expects a square matrix")
+    perm = np.arange(n)
+    for k in range(n):
+        piv = int(np.argmax(np.abs(a[k:, k]))) + k
+        if piv != k:
+            a[[k, piv]] = a[[piv, k]]
+            perm[[k, piv]] = perm[[piv, k]]
+        if a[k, k] != 0.0:
+            a[k + 1:, k] /= a[k, k]
+            a[k + 1:, k + 1:] -= np.outer(a[k + 1:, k], a[k, k + 1:])
+    lo = np.tril(a, -1) + np.eye(n)
+    up = np.triu(a)
+    p = np.zeros((n, n))
+    p[perm, np.arange(n)] = 1.0  # rows were permuted: A = Pᵀrows·L·U
+    return p, lo, up
+
+
+def solve(a, b=None, *, vec_col: str | None = None,
+          b_col: str | None = None, return_parts: bool = False):
+    """Solve ``A·x = b`` (mars/tensor/linalg/solve.py). Two shapes:
+
+    - ``solve(G, rhs)`` with driver-side d×d input: plain LAPACK
+      (gram-sized, like ``cholesky``/``inv``).
+    - ``solve(sdf, vec_col=..., b_col=...)`` with a tall-skinny array
+      column A and a scalar column b: the normal-equations solution
+      ``x = (AᵀA)⁻¹·Aᵀb`` — exact for square consistent systems,
+      least-squares otherwise (the only solve shape a 100 TB pipeline
+      runs against row-partitioned data). ONE data pass: the gramian
+      of the augmented [A | b] rows carries AᵀA, Aᵀb and bᵀb
+      together; the d×d solve is driver-side, with an lstsq fallback
+      for rank-deficient Gramians (a partition-constant feature must
+      degrade to the min-norm solution, not a LinAlgError).
+
+    ``return_parts=True`` (distributed shape) also returns
+    ``(AᵀA, Aᵀb)`` so callers can audit the exact aggregates."""
+    import numpy as np
+
+    if vec_col is None:
+        g = np.asarray(a, dtype=np.float64)
+        return np.linalg.solve(g, np.asarray(b, dtype=np.float64))
+    aug = a.select(F.concat(
+        F.col(vec_col).cast("array<double>"),
+        F.array(F.col(b_col).cast("double"))).alias("__ab"))
+    gb = gramian(aug, "__ab")
+    if gb is None:
+        raise ValueError("solve on an empty frame")
+    g, atb = gb[:-1, :-1], gb[:-1, -1]
+    try:
+        x = np.linalg.solve(g, atb)
+    except np.linalg.LinAlgError:
+        x = np.linalg.lstsq(g, atb, rcond=None)[0]
+    return (x, g, atb) if return_parts else x
+
+
+def tensordot(sdf: SparkDF, vec_col: str, b, axes=1, out_col: str = "y"):
+    """Tensor contraction over the facade's supported shapes
+    (mars/tensor/linalg/tensordot.py tiles the general form into
+    blockwise products + tree-sums; Spark-side, the shapes a
+    row-partitioned pipeline runs are):
+
+    - ``b`` names ANOTHER array column and ``axes`` contracts the row
+      axis (``axes=([0],[0])`` or ``"rows"``): returns the (dl×dr)
+      numpy matrix ``Σ rows lᵀ·r`` via per-batch gemm partials —
+      ``gramian`` is the ``b == vec_col`` special case.
+    - ``b`` is a driver-side d×m matrix, ``axes=1`` (or
+      ``([1],[0])``): delegates to ``matmul`` — one narrow gemm map.
+    - ``b`` is a driver-side length-d vector, ``axes=1``: per-row dot
+      product as ONE codegen'd JVM expression column (no Python in
+      the hot path).
+
+    General ndarray contractions are out of scope (SURVEY §2.9)."""
+    import numpy as np
+
+    rows_axes = (axes == "rows" or (isinstance(axes, (tuple, list))
+                 and tuple(map(tuple, axes)) == ((0,), (0,))))
+    if isinstance(b, str):
+        if not rows_axes:
+            raise NotImplementedError(
+                "column×column tensordot supports only row-axis "
+                "contraction (axes=([0],[0]))")
+        return _cross_partials(sdf, vec_col, b)
+    bm = np.asarray(b, dtype=np.float64)
+    mat_axes = (axes == 1 or (isinstance(axes, (tuple, list))
+                and tuple(map(tuple, axes)) == ((1,), (0,))))
+    if not mat_axes:
+        raise NotImplementedError(f"tensordot axes={axes!r} out of "
+                                  "facade scope (SURVEY §2.9)")
+    if bm.ndim == 2:
+        return matmul(sdf, vec_col, bm, out_col=out_col)
+    if bm.ndim == 1:
+        terms = " + ".join(
+            f"CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE) "
+            f"* ({float(v)!r})" for j, v in enumerate(bm))
+        return sdf.withColumn(out_col, F.expr(terms))
+    raise NotImplementedError("tensordot rhs must be 1-D or 2-D")
+
+
+def randomized_svd(sdf: SparkDF, vec_col: str, k: int,
+                   n_oversamples: int = 10, n_iter: int = 2,
+                   seed: int = 42):
+    """Top-k randomized SVD (Halko–Martinsson–Tropp range finder; the
+    reference reaches the same algorithm through sklearn's
+    ``randomized_svd`` per chunk — mars/learn/decomposition/_pca.py).
+    The n×d data never leaves the cluster and Y = A·Mₜ is never
+    materialized: every power iteration folds into the d×l driver
+    matrix Mₜ₊₁ = orth((AᵀA)·Mₜ), computed as ONE pass of per-batch
+    ``xᵀ·(x·Mₜ)`` partials; the final pass emits YᵀY and YᵀA
+    together over the augmented [x·M | x] rows. Driver work is
+    d×l / l×d only (l = k + n_oversamples). Deterministic for a given
+    seed. Returns ``(s, V)`` like ``svd``."""
+    import numpy as np
+
+    d_row = sdf.select(F.size(F.col(vec_col)).alias("d")).first()
+    if d_row is None:
+        raise ValueError("randomized_svd on an empty frame")
+    d = int(d_row["d"])
+    ell = min(d, k + n_oversamples)
+    m = np.random.RandomState(seed).standard_normal((d, ell))
+    m, _ = np.linalg.qr(m)
+
+    for _ in range(max(0, int(n_iter))):
+        # Mₜ₊₁ ∝ (AᵀA)·Mₜ via one pass: partials of xᵀ·(x·Mₜ)
+        ydf = matmul(sdf.select(F.col(vec_col).alias("__x"),
+                                F.col(vec_col)), vec_col,
+                     m, out_col="__y")
+        p = _cross_partials(ydf, "__x", "__y")
+        if p is None:
+            raise ValueError("randomized_svd on an empty frame")
+        m, _ = np.linalg.qr(p)
+    # final pass: YᵀY and YᵀA from one augmented cross-partial —
+    # [x·M | x] against itself would be (l+d)², so contract
+    # [x·M] against [x·M | x] instead: (l × (l+d)) partials
+    ydf = matmul(sdf.select(F.col(vec_col).alias("__x"),
+                            F.col(vec_col)), vec_col, m, out_col="__y")
+    aug = ydf.select(
+        F.col("__y").cast("array<double>").alias("__y"),
+        F.concat(F.col("__y").cast("array<double>"),
+                 F.col("__x").cast("array<double>")).alias("__ya"))
+    p = _cross_partials(aug, "__y", "__ya")
+    gy, yta = p[:, :ell], p[:, ell:]
+    # Cholesky-QR of the implicit Y: B = QᵀA = R⁻ᵀ·(YᵀA)
+    import numpy.linalg as npl
+
+    r = npl.cholesky(gy).T
+    bmat = npl.solve(r.T, yta)
+    _, s, vt = npl.svd(bmat, full_matrices=False)
+    return s[:k], vt[:k].T
 
 
 def qr(sdf: SparkDF, vec_col: str, q_col: str = "q", gram=None):

@@ -87,3 +87,133 @@ def test_gramian_empty_frame(spark):
     pdf = pd.DataFrame({"rid": [1], "v": [[1.0, 2.0]]})
     sdf = spark.createDataFrame(pdf).filter("rid < 0")
     assert Tn.gramian(sdf, "v") is None
+
+
+def test_norm_vector_and_matrix(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(200)
+    A = rng.standard_normal((80, 4))
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "rid": range(80), "s": x[:80],
+        "v": [list(map(float, r)) for r in A]}))
+    xs = x[:80]
+    assert abs(Tn.norm(sdf, "s") - np.linalg.norm(xs)) < 1e-9
+    assert abs(Tn.norm(sdf, "s", 1) - np.linalg.norm(xs, 1)) < 1e-9
+    assert abs(Tn.norm(sdf, "s", float("inf"))
+               - np.linalg.norm(xs, np.inf)) < 1e-12
+    assert abs(Tn.norm(sdf, "v") - np.linalg.norm(A)) < 1e-9
+    assert abs(Tn.norm(sdf, "v", "fro") - np.linalg.norm(A, "fro")) < 1e-9
+    assert abs(Tn.norm(sdf, "v", 1) - np.linalg.norm(A, 1)) < 1e-9
+    assert abs(Tn.norm(sdf, "v", float("inf"))
+               - np.linalg.norm(A, np.inf)) < 1e-9
+    assert abs(Tn.norm(sdf, "v", 2) - np.linalg.norm(A, 2)) < 1e-8
+    assert abs(Tn.norm(sdf, "v", "nuc") - np.linalg.norm(A, "nuc")) < 1e-8
+
+
+def test_lu_inv_solve(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(11)
+    for n in (2, 3, 5):
+        g = rng.standard_normal((n, n))
+        P, L, U = Tn.lu(g)
+        np.testing.assert_allclose(P @ L @ U, g, atol=1e-12)
+        assert np.allclose(L, np.tril(L)) and np.allclose(U, np.triu(U))
+        np.testing.assert_allclose(
+            Tn.inv(g) @ g, np.eye(n), atol=1e-9)
+        rhs = rng.standard_normal(n)
+        np.testing.assert_allclose(Tn.solve(g, rhs),
+                                   np.linalg.solve(g, rhs), atol=1e-9)
+
+    # distributed least-squares solve: normal equations vs lstsq
+    A = rng.standard_normal((120, 3))
+    beta = np.array([2.0, -1.0, 0.5])
+    b = A @ beta + 0.01 * rng.standard_normal(120)
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "v": [list(map(float, r)) for r in A], "b": b}))
+    x, G, atb = Tn.solve(sdf, vec_col="v", b_col="b", return_parts=True)
+    np.testing.assert_allclose(G, A.T @ A, rtol=1e-9)
+    np.testing.assert_allclose(atb, A.T @ b, rtol=1e-9)
+    np.testing.assert_allclose(x, np.linalg.lstsq(A, b, rcond=None)[0],
+                               atol=1e-8)
+
+    # rank-deficient: constant zero feature must fall back to lstsq,
+    # not raise (the r13 ADVICE OLS lesson, same contract here)
+    A2 = A.copy()
+    A2[:, 2] = 0.0
+    sdf2 = spark.createDataFrame(pd.DataFrame({
+        "v": [list(map(float, r)) for r in A2], "b": b}))
+    x2 = Tn.solve(sdf2, vec_col="v", b_col="b")
+    np.testing.assert_allclose(
+        x2[:2], np.linalg.lstsq(A2, b, rcond=None)[0][:2], atol=1e-6)
+
+
+def test_tensordot_forms(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(21)
+    A = rng.standard_normal((60, 4))
+    B2 = rng.standard_normal((60, 3))
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "rid": range(60),
+        "a": [list(map(float, r)) for r in A],
+        "b": [list(map(float, r)) for r in B2]}))
+
+    # column×column row-axis contraction (cross-gramian)
+    got = Tn.tensordot(sdf, "a", "b", axes=([0], [0]))
+    np.testing.assert_allclose(got, A.T @ B2, rtol=1e-9)
+    got2 = Tn.tensordot(sdf, "a", "b", axes="rows")
+    np.testing.assert_allclose(got2, A.T @ B2, rtol=1e-9)
+    # gramian is the self special case
+    np.testing.assert_allclose(Tn.tensordot(sdf, "a", "a", axes="rows"),
+                               A.T @ A, rtol=1e-9)
+
+    # matrix rhs delegates to matmul
+    M = rng.standard_normal((4, 2))
+    out = (Tn.tensordot(sdf, "a", M, axes=1, out_col="y").toPandas()
+           .sort_values("rid"))
+    np.testing.assert_allclose(np.vstack(out.y.to_numpy()), A @ M,
+                               rtol=1e-12)
+
+    # vector rhs: pure-JVM expression dot (no Python stage)
+    c = rng.standard_normal(4)
+    out1 = (Tn.tensordot(sdf, "a", c, axes=1, out_col="y").toPandas()
+            .sort_values("rid"))
+    np.testing.assert_allclose(out1.y.to_numpy(), A @ c, rtol=1e-12)
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        Tn.tensordot(sdf, "a", "b", axes=1)
+    with pytest.raises(NotImplementedError):
+        Tn.tensordot(sdf, "a", np.zeros((2, 2, 2)), axes=1)
+
+
+def test_randomized_svd_matches_exact(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(5)
+    # decaying spectrum: rank-8 signal + small noise in 16 dims
+    base = rng.standard_normal((400, 8)) * np.linspace(8, 1, 8)
+    A = base @ rng.standard_normal((8, 16))
+    A += 0.01 * rng.standard_normal(A.shape)
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "v": [list(map(float, r)) for r in A]}))
+    s_exact = np.linalg.svd(A, compute_uv=False)
+    s, V = Tn.randomized_svd(sdf, "v", k=4, n_iter=2, seed=7)
+    np.testing.assert_allclose(s, s_exact[:4], rtol=1e-4)
+    # V columns orthonormal and deterministic for the seed
+    np.testing.assert_allclose(V.T @ V, np.eye(4), atol=1e-8)
+    s2, V2 = Tn.randomized_svd(sdf, "v", k=4, n_iter=2, seed=7)
+    np.testing.assert_allclose(s, s2, rtol=0)
+    np.testing.assert_allclose(V, V2, rtol=0)
