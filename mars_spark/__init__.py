@@ -127,6 +127,41 @@ def from_records(records, columns=None):
                                                  columns=columns))
 
 
+def from_tensor(tensor, index=None, columns=None, name=None):
+    """reference: mars/dataframe/datasource/from_tensor.py:42
+    (DataFrameFromTensor) and :555 (SeriesFromTensor) — ndarray →
+    frame (2-D, columns default 0..m−1) or Series (1-D), parallelized
+    through the Arrow createDataFrame path like from_pandas. An
+    ``index`` lands as the frame's index (set_index), matching the
+    reference's index-tensor support."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(tensor)
+    if arr.ndim == 1:
+        pdf = pd.DataFrame({name or "0": arr})
+        if index is not None:
+            pdf["index"] = np.asarray(index)
+        f = from_pandas(pdf)
+        if index is not None:
+            f = f.set_index("index")
+        s = f[name or "0"]
+        s.name = name
+        return s
+    if arr.ndim != 2:
+        raise ValueError("from_tensor supports 1-D and 2-D input "
+                         "(the reference's frame/series shapes)")
+    cols = ([str(c) for c in columns] if columns is not None
+            else [str(j) for j in range(arr.shape[1])])
+    pdf = pd.DataFrame(arr, columns=cols)
+    if index is not None:
+        pdf["index"] = np.asarray(index)
+    f = from_pandas(pdf)
+    if index is not None:
+        f = f.set_index("index")
+    return f
+
+
 def read_sql_query(sql_query: str, url: str, **kwargs):
     """reference: mars/dataframe/datasource/read_sql.py read_sql_query
     — a query pushes down as a JDBC dbtable subquery."""
@@ -140,7 +175,7 @@ def read_sql_table(table: str, url: str, **kwargs):
 
 
 __all__ += ["to_numeric", "to_datetime", "isna", "isnull", "notna",
-            "notnull", "melt", "unique", "from_records",
+            "notnull", "melt", "unique", "from_records", "from_tensor",
             "read_sql_query", "read_sql_table"]
 
 # module-level eval + CustomReduction (reference exports both from

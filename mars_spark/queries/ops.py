@@ -1400,6 +1400,30 @@ def op_io_roundtrip(spark: SparkSession, sf_dir: str) -> SparkDF:
     outs.append(shuffled.to_spark().agg(
         F.count(F.lit(1)).alias("n_shuf"),
         F.sum("event_id").alias("sum_id_shuf")))
+    # r14: from_records / from_tensor (the last §2.1 datasource
+    # constructors without a driver oracle —
+    # mars/dataframe/datasource/from_records.py:29,
+    # from_tensor.py:42,555). Contents are closed-form in i, so the
+    # oracle restates each aggregate from range()
+    import numpy as _np
+
+    recs = [(i, (i * i) % 13) for i in range(37)]
+    outs.append(_ms.from_records(recs, columns=["i", "r"])
+                .to_spark().agg(
+                    F.count(F.lit(1)).alias("n_fr"),
+                    F.sum(F.col("i") * F.col("r")).alias("sum_fr")))
+    mat = _np.arange(48, dtype=_np.int64).reshape(16, 3) % 7
+    outs.append(_ms.from_tensor(mat, columns=["a", "b", "c"])
+                .to_spark().agg(
+                    F.count(F.lit(1)).alias("n_ft"),
+                    F.sum(F.col("a") + F.col("b") * 2 + F.col("c") * 3)
+                    .alias("sum_ft")))
+    sv = _ms.from_tensor(
+        _np.array([(i * i) % 11 for i in range(29)], dtype=_np.int64),
+        name="v")
+    outs.append(sv.to_frame().to_spark().agg(
+        F.count(F.lit(1)).alias("n_fts"),
+        F.sum("v").alias("sum_fts")))
     outs.append(sql_out)
     out = outs[0]
     for o in outs[1:]:

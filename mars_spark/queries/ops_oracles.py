@@ -852,6 +852,23 @@ OPS_ORACLES: dict[str, str] = {
             SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s,
                    round(sum(value), 2) AS sv
             FROM events WHERE event_id % 97 = 0
+        ), fr_agg AS (
+            -- r14 from_records: (i, i*i mod 13) over range(37)
+            SELECT count(*) AS n,
+                   CAST(sum(x * ((x * x) % 13)) AS BIGINT) AS s
+            FROM generate_series(0, 36) t(x)
+        ), ft_agg AS (
+            -- r14 from_tensor 2-D: row i = ((3i)%7, (3i+1)%7,
+            -- (3i+2)%7); checksum a + 2b + 3c
+            SELECT count(*) AS n,
+                   CAST(sum((3 * x) % 7 + 2 * ((3 * x + 1) % 7)
+                            + 3 * ((3 * x + 2) % 7)) AS BIGINT) AS s
+            FROM generate_series(0, 15) t(x)
+        ), fts_agg AS (
+            -- r14 from_tensor 1-D (Series): i*i mod 11 over range(29)
+            SELECT count(*) AS n,
+                   CAST(sum((x * x) % 11) AS BIGINT) AS s
+            FROM generate_series(0, 28) t(x)
         )
         SELECT agg.n AS n_csv, sum_id AS sum_id_csv,
                sum_value AS sum_value_csv,
@@ -863,9 +880,13 @@ OPS_ORACLES: dict[str, str] = {
                dr_agg.n AS n_dr, dr_agg.s AS sum_dr,
                fp_agg.n AS n_fp, CAST(fp_agg.s AS DOUBLE) AS sum_fp,
                agg.n AS n_shuf, sum_id AS sum_id_shuf,
+               fr_agg.n AS n_fr, fr_agg.s AS sum_fr,
+               ft_agg.n AS n_ft, ft_agg.s AS sum_ft,
+               fts_agg.n AS n_fts, fts_agg.s AS sum_fts,
                sql_agg.n AS n_sql, sql_agg.s AS sum_id_sql,
                sql_agg.sv AS sum_value_sql
-        FROM agg, range_agg, dr_agg, fp_agg, sql_agg
+        FROM agg, range_agg, dr_agg, fp_agg, sql_agg, fr_agg, ft_agg,
+             fts_agg
     """,
     "op_knn_kmeans": """
         WITH X AS (

@@ -102,3 +102,41 @@ def test_load_cache_isolation(spark):
     # values still come through the cached plan
     n = b.to_spark().count()
     assert n > 0 and load(sf, "orders").to_spark().count() == n
+
+
+def test_from_tensor_shapes(spark):
+    import numpy as np
+
+    import mars_spark as ms
+
+    mat = np.arange(12, dtype=np.int64).reshape(4, 3)
+    f = ms.from_tensor(mat, columns=["a", "b", "c"])
+    got = f.to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(got.columns) == ["a", "b", "c"]
+    np.testing.assert_array_equal(got.to_numpy(), mat)
+
+    # default columns are stringified positions (reference parity)
+    f2 = ms.from_tensor(mat)
+    assert list(f2.to_pandas().columns) == ["0", "1", "2"]
+
+    # 1-D -> Series; aggregate round-trips exactly
+    s = ms.from_tensor(np.array([3, 1, 4, 1, 5], dtype=np.int64),
+                       name="v")
+    assert s.name == "v"
+    assert int(s.sum()) == 14
+
+    # index lands as the frame's index column (the engine keeps the
+    # index as a column — to_pandas does not re-materialize it as the
+    # pandas index; same contract as set_index)
+    fi = ms.from_tensor(mat, index=np.array([10, 20, 30, 40]),
+                        columns=["a", "b", "c"])
+    pdf = fi.to_pandas()
+    assert sorted(pdf["index"].tolist()) == [10, 20, 30, 40]
+    aligned = pdf.sort_values("index").reset_index(drop=True)
+    np.testing.assert_array_equal(aligned[["a", "b", "c"]].to_numpy(),
+                                  mat)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ms.from_tensor(np.zeros((2, 2, 2)))
