@@ -53,18 +53,93 @@ def _prime_session(spark) -> None:
             .rowsBetween(-2, 0)).alias("s")).count()
 
     def _mllib():
-        # MLlib class loading + first fit
+        # MLlib class loading + first fit — one tiny fit per
+        # estimator FAMILY the corpus uses (each family JITs its own
+        # aggregation/tree codegen on first use: r14 cold profiling
+        # billed ~6 s to op_learn_metrics and ~5 s to
+        # docs_text_metrics' NaiveBayes before this)
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.clustering import KMeans as _KM
+        from pyspark.ml.classification import (
+            LogisticRegression as _LoR, NaiveBayes as _NB)
+        from pyspark.ml.feature import PCA as _PCA
+        from pyspark.ml.regression import (
+            GBTRegressor as _GBT, GeneralizedLinearRegression as _GLR,
+            LinearRegression as _LiR, RandomForestRegressor as _RF)
 
         va = VectorAssembler(inputCols=["v"], outputCol="features")
-        _KM(k=2, maxIter=1, seed=1).fit(
-            va.transform(sdf.limit(8).withColumn(
-                "v", F.col("v").cast("double"))))
+        tr = va.transform(sdf.limit(8).withColumn(
+            "v", F.col("v").cast("double")))
+        tr = tr.withColumn("label", (F.col("v") % 2).cast("double"))
+        tr = tr.cache()
+        tr.count()
+        _KM(k=2, maxIter=1, seed=1).fit(tr)
+        _LiR(maxIter=1).fit(tr)
+        _LoR(maxIter=1).fit(tr)
+        _NB().fit(tr)
+        _RF(numTrees=1, maxDepth=1, seed=1).fit(tr)
+        _GBT(maxIter=1, maxDepth=1, seed=1).fit(tr)
+        _GLR(maxIter=1).fit(tr)
+        _PCA(k=1, inputCol="features", outputCol="pc").fit(tr)
+        tr.unpersist()
+
+    def _jdbc():
+        # embedded Derby boots its whole engine on the first
+        # connection (~2 s billed to op_io_roundtrip before this);
+        # an in-memory database warms the driver + dialect paths
+        # without touching disk
+        url = "jdbc:derby:memory:ms_bench_warm;create=true"
+        (sdf.limit(4).write.format("jdbc").option("url", url)
+         .option("dbtable", "warmup").mode("overwrite").save())
+        (spark.read.format("jdbc").option("url", url)
+         .option("dbtable", "warmup").load().count())
+
+    def _ckpt_sort():
+        # first localCheckpoint initializes block-manager storage;
+        # a global orderBy exercises RangePartitioning sampling —
+        # both first-use session costs the iterative rows hit
+        sdf.localCheckpoint(eager=True).count()
+        sdf.orderBy("v").count()
+
+    def _state_udf():
+        # applyInPandasWithState has its OWN Python-runner and
+        # state-serialization format, separate from the three SQL
+        # streaming shapes below (r14: ~3 s billed to
+        # op_stream_stateful's first lifecycle before this)
+        import tempfile as _tf
+
+        import pandas as _pd
+
+        def upd(key, pdfs, state):
+            (n,) = state.get if state.exists else (0,)
+            for p in pdfs:
+                n += len(p)
+            state.update((n,))
+            yield _pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        with _tf.TemporaryDirectory() as td:
+            src = f"{td}/src"
+            spark.range(4).select(
+                F.current_timestamp().alias("ts"),
+                (F.col("id") % 2).cast("string").alias("k")
+            ).write.parquet(src)
+            q = (spark.readStream.schema("ts timestamp, k string")
+                 .parquet(src)
+                 .groupBy("k")
+                 .applyInPandasWithState(
+                     upd, "k string, n long", "n long",
+                     "append", "NoTimeout")
+                 .writeStream.format("noop")
+                 .option("checkpointLocation", f"{td}/ck")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(60)
 
     _step(_arrow)
     _step(_window)
     _step(_mllib)
+    _step(_jdbc)
+    _step(_ckpt_sort)
+    _step(_state_udf)
     try:
         # Structured Streaming: state store + checkpoint machinery,
         # in the exact executor shapes the corpus rows use — windowed

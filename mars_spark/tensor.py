@@ -69,6 +69,49 @@ def random_vectors(n: int, dim: int, seed: int = 42, name: str = "vec",
         "id", u.alias(name))
 
 
+def arange(start, stop=None, step=1, name: str = "x",
+           num_partitions: int | None = None) -> SparkDF:
+    """mars/tensor/datasource/arange.py analog — spark.range IS the
+    distributed arithmetic-sequence constructor."""
+    if stop is None:
+        start, stop = 0, start
+    return _spark().range(int(start), int(stop), int(step),
+                          num_partitions).withColumnRenamed("id", name)
+
+
+def linspace(start: float, stop: float, num: int = 50,
+             endpoint: bool = True, name: str = "x",
+             num_partitions: int | None = None) -> SparkDF:
+    """mars/tensor/datasource/linspace.py analog — an exact affine
+    map over spark.range (generated distributed, the id→value
+    expression runs in codegen)."""
+    div = (num - 1) if endpoint else num
+    step = (float(stop) - float(start)) / div if div else 0.0
+    return _spark().range(0, num, 1, num_partitions).select(
+        "id", (F.lit(float(start)) + F.col("id") * F.lit(step))
+        .alias(name))
+
+
+def ones(n: int, name: str = "x",
+         num_partitions: int | None = None) -> SparkDF:
+    """mars/tensor/datasource/ones.py analog (column form)."""
+    return full(n, 1.0, name, num_partitions)
+
+
+def zeros(n: int, name: str = "x",
+          num_partitions: int | None = None) -> SparkDF:
+    """mars/tensor/datasource/zeros.py analog (column form)."""
+    return full(n, 0.0, name, num_partitions)
+
+
+def full(n: int, fill_value, name: str = "x",
+         num_partitions: int | None = None) -> SparkDF:
+    """mars/tensor/datasource/full.py analog — constant column over a
+    distributed range (never driver-materialized)."""
+    return _spark().range(0, n, 1, num_partitions).select(
+        "id", F.lit(fill_value).alias(name))
+
+
 # -------------------------------------------------- statistics (§2.9)
 def percentile(sdf: SparkDF, col: str, q) -> list[float]:
     """Exact percentile (mars/tensor/statistics/percentile.py). At

@@ -217,3 +217,25 @@ def test_randomized_svd_matches_exact(spark):
     s2, V2 = Tn.randomized_svd(sdf, "v", k=4, n_iter=2, seed=7)
     np.testing.assert_allclose(s, s2, rtol=0)
     np.testing.assert_allclose(V, V2, rtol=0)
+
+
+def test_creation_analogs(spark):
+    from mars_spark import tensor as Tn
+
+    a = Tn.arange(10, name="v").toPandas().v.sort_values().tolist()
+    assert a == list(range(10))
+    a2 = Tn.arange(3, 12, 3, name="v").toPandas().v.sort_values().tolist()
+    assert a2 == [3, 6, 9]
+
+    ls = (Tn.linspace(0.0, 1.0, 5).toPandas()
+          .sort_values("id").x.tolist())
+    np.testing.assert_allclose(ls, np.linspace(0.0, 1.0, 5), atol=1e-12)
+    le = (Tn.linspace(0.0, 1.0, 4, endpoint=False).toPandas()
+          .sort_values("id").x.tolist())
+    np.testing.assert_allclose(le, np.linspace(0.0, 1.0, 4,
+                                               endpoint=False),
+                               atol=1e-12)
+
+    assert Tn.ones(7).toPandas().x.tolist() == [1.0] * 7
+    assert Tn.zeros(4).toPandas().x.tolist() == [0.0] * 4
+    assert Tn.full(3, 2.5).toPandas().x.tolist() == [2.5] * 3
