@@ -2277,10 +2277,32 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
         emb.select(F.col("embedding").alias("__x"), "embedding"),
         "embedding", B, axes=1, out_col="__y")
 
+    # r14 statistics/spatial facade strata: weighted average (exact
+    # integer sums → one deterministic division), ptp, bincount (two
+    # independent linear functionals of the counts list pin the whole
+    # list), digitize (integer bucket-index sum), and a cityblock
+    # pdist checksum over a 40-row slice (zip_with |a−b| folds in the
+    # same dimension order in both engines — no gemm-trick
+    # cancellation, unlike euclidean)
+    emb40 = emb.filter(F.col("vec_id") < 40).select("vec_id",
+                                                    "embedding")
+    dig_edges = [20000.0, 40000.0, 60000.0]
+
     with ThreadPoolExecutor(max_workers=8) as ex:
         f_hist = ex.submit(MT.histogram, li, "l_extendedprice", 10)
         f_pct = ex.submit(MT.percentile, li, "l_quantity",
                           [0.25, 0.5, 0.75])
+        f_avgw = ex.submit(MT.average, li, "l_quantity",
+                           "l_linenumber")
+        f_ptp = ex.submit(MT.ptp, li, "l_extendedprice")
+        f_binc = ex.submit(MT.bincount, li, "l_linenumber")
+        f_dig = ex.submit(
+            MT.digitize(li, "l_extendedprice", dig_edges)
+            .agg(F.sum("bucket").alias("s")).collect)
+        f_pd = ex.submit(
+            MT.pdist(emb40, "vec_id", "embedding", metric="cityblock")
+            .agg(F.sum("dist").alias("s"),
+                 F.count(F.lit(1)).alias("n")).collect)
         f_g = ex.submit(MT.gramian, emb, "embedding")
         f_mm = ex.submit(
             mm.agg(*[F.sum(F.element_at("y", j + 1)).alias(f"s{j}")
@@ -2300,6 +2322,10 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
         hist, pct = f_hist.result(), f_pct.result()
         g = f_g.result()
         mrow = f_mm.result()[0]
+        st_avgw, st_ptp, st_binc = (f_avgw.result(), f_ptp.result(),
+                                    f_binc.result())
+        st_dig = int(f_dig.result()[0]["s"])
+        pd_row = f_pd.result()[0]
         nrm_fro, nrm_m1, nrm_minf = (f_fro.result(), f_m1.result(),
                                      f_minf.result())
         nrm_q2, nrm_q1, nrm_qinf = (f_q2.result(), f_q1.result(),
@@ -2344,6 +2370,17 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     # matrix norms round at 1e-4 with ~1e-6 float-sum headroom.
     import numpy as np
 
+    rows.append(("st:avgw", r6(st_avgw), None, None))
+    rows.append(("st:ptp", r4(st_ptp), None, None))
+    # two linear functionals pin the bincount list: Σ(i+3)²·cᵢ and
+    # the list length (both integer-exact in any engine)
+    rows.append(("st:binc", None, None,
+                 sum((i + 3) * (i + 3) * c
+                     for i, c in enumerate(st_binc))))
+    rows.append(("st:bincn", None, None, len(st_binc)))
+    rows.append(("st:dig", None, None, st_dig))
+    rows.append(("sp:pd", r4(float(pd_row["s"])), None,
+                 int(pd_row["n"])))
     rows.append(("nrm:fro", r4(nrm_fro), None, None))
     rows.append(("nrm:m1", r4(nrm_m1), None, None))
     rows.append(("nrm:minf", r4(nrm_minf), None, None))

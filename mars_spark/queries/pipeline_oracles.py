@@ -862,6 +862,47 @@ PIPELINE_ORACLES: dict[str, str] = {
                             * (((i * 4 + r2.j) % 7 - 3) / 3.0)))) AS s
             FROM embeddings, range(4) r2(j)
             GROUP BY 1
+        ), st AS (
+            -- r14 statistics facade: weighted average (exact BIGINT
+            -- sums, one deterministic division), ptp, the two
+            -- bincount functionals, digitize bucket-index sum
+            SELECT (SELECT CAST(sum(CAST(l_quantity AS BIGINT)
+                                   * CAST(l_linenumber AS BIGINT))
+                               AS DOUBLE)
+                          / CAST(sum(CAST(l_linenumber AS BIGINT))
+                                 AS DOUBLE)
+                    FROM lineitem) AS avgw,
+                   (SELECT CAST(max(l_extendedprice) AS DOUBLE)
+                         - CAST(min(l_extendedprice) AS DOUBLE)
+                    FROM lineitem) AS ptp,
+                   (SELECT sum((CAST(l_linenumber AS BIGINT) + 3)
+                               * (CAST(l_linenumber AS BIGINT) + 3))
+                    FROM lineitem) AS binc,
+                   (SELECT max(CAST(l_linenumber AS BIGINT)) + 1
+                    FROM lineitem) AS bincn,
+                   (SELECT sum(CASE WHEN CAST(l_extendedprice AS
+                                             DOUBLE) >= 20000 THEN 1
+                                    ELSE 0 END
+                             + CASE WHEN CAST(l_extendedprice AS
+                                             DOUBLE) >= 40000 THEN 1
+                                    ELSE 0 END
+                             + CASE WHEN CAST(l_extendedprice AS
+                                             DOUBLE) >= 60000 THEN 1
+                                    ELSE 0 END)
+                    FROM lineitem) AS dig
+        ), spd AS (
+            -- cityblock pdist over the vec_id<40 slice: per-dim
+            -- |a−b| in double, folded in dimension order
+            SELECT sum(list_sum(list_transform(range(0, 64),
+                       t -> abs(CAST(list_extract(a.embedding,
+                                  CAST(t + 1 AS INT)) AS DOUBLE)
+                              - CAST(list_extract(b.embedding,
+                                  CAST(t + 1 AS INT)) AS DOUBLE)))))
+                       AS s,
+                   count(*) AS n
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 40 AND b.vec_id < 40
         ), nrm AS (
             -- r14 linalg completion: Frobenius / max-row-abs-sum of
             -- the embedding matrix, exact integer vector norms of
@@ -973,6 +1014,21 @@ PIPELINE_ORACLES: dict[str, str] = {
                CASE WHEN r1.i = r2.j THEN 1.0 ELSE 0.0 END AS v1,
                CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
         FROM range(4) r1(i), range(4) r2(j)
+        UNION ALL
+        SELECT 'st:' || t.k AS grp, t.v AS v1,
+               CAST(NULL AS DOUBLE) AS v2, t.n AS n
+        FROM st, LATERAL (VALUES
+            ('avgw', floor(avgw * 1e6 + 0.5) / 1e6,
+             CAST(NULL AS BIGINT)),
+            ('ptp', floor(ptp * 1e4 + 0.5) / 1e4,
+             CAST(NULL AS BIGINT)),
+            ('binc', CAST(NULL AS DOUBLE), binc),
+            ('bincn', CAST(NULL AS DOUBLE), bincn),
+            ('dig', CAST(NULL AS DOUBLE), dig)) t(k, v, n)
+        UNION ALL
+        SELECT 'sp:pd' AS grp, floor(s * 1e4 + 0.5) / 1e4 AS v1,
+               CAST(NULL AS DOUBLE) AS v2, n AS n
+        FROM spd
         UNION ALL
         SELECT 'nrm:' || t.k AS grp, t.v AS v1,
                CAST(NULL AS DOUBLE) AS v2, t.n AS n

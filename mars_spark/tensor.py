@@ -140,6 +140,140 @@ def histogram(sdf: SparkDF, col: str, bins: int = 10) -> list[tuple]:
             for i in range(bins)]
 
 
+def average(sdf: SparkDF, col: str, weights_col: str | None = None
+            ) -> float:
+    """mars/tensor/statistics/average.py — (weighted) mean as ONE
+    aggregate; Σwx/Σw keeps the combine associative."""
+    c = F.col(col).cast("double")
+    if weights_col is None:
+        row = sdf.agg(F.avg(c).alias("a")).collect()[0]
+        return float(row["a"])
+    w = F.col(weights_col).cast("double")
+    row = sdf.agg(F.sum(c * w).alias("n"),
+                  F.sum(w).alias("d")).collect()[0]
+    return float(row["n"]) / float(row["d"])
+
+
+def ptp(sdf: SparkDF, col: str) -> float:
+    """mars/tensor/statistics/ptp.py — peak-to-peak (max − min), one
+    aggregate pass."""
+    row = sdf.agg(F.max(F.col(col).cast("double")).alias("hi"),
+                  F.min(F.col(col).cast("double")).alias("lo")
+                  ).collect()[0]
+    return float(row["hi"]) - float(row["lo"])
+
+
+def bincount(sdf: SparkDF, col: str, minlength: int = 0) -> list[int]:
+    """mars/tensor/statistics/bincount.py — counts of non-negative
+    ints. Distributed groupBy-count; the collected result is bounded
+    by max(col)+1 entries (the same driver contract as numpy's
+    output array)."""
+    rows = (sdf.groupBy(F.col(col).cast("long").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    by_v = {int(r["v"]): int(r["n"]) for r in rows}
+    if any(v < 0 for v in by_v):
+        raise ValueError("bincount requires non-negative values")
+    size = max(max(by_v, default=-1) + 1, minlength)
+    return [by_v.get(i, 0) for i in range(size)]
+
+
+def digitize(sdf: SparkDF, col: str, bins, right: bool = False,
+             out_col: str = "bucket") -> SparkDF:
+    """mars/tensor/statistics/digitize.py — numpy.digitize semantics
+    (monotonically increasing bins): index = #{b ≤ x} (right=False)
+    or #{b < x}. A size(filter(<literal array>)) Column — stays
+    JVM-side, no shuffle, no UDF."""
+    edges = [float(b) for b in bins]
+    if any(b > a for a, b in zip(edges[1:], edges)):
+        raise ValueError("bins must be monotonically increasing")
+    arr = F.array(*[F.lit(b) for b in edges])
+    x = F.col(col).cast("double")
+    cmp = (lambda b: b < x) if right else (lambda b: b <= x)
+    return sdf.withColumn(out_col, F.size(F.filter(arr, cmp)))
+
+
+# ---------------------------------------------------- spatial (§2.9)
+def cdist(sdf: SparkDF, vec_col: str, y, id_col: str,
+          metric: str = "euclidean") -> SparkDF:
+    """mars/tensor/spatial/distance/cdist.py at the Spark shape: the
+    right side is a driver-small matrix (the broadcastable case every
+    100 TB pipeline actually runs row-wise) — delegates to the learn
+    facade's per-batch-gemm pairwise kernel, returning the
+    (id, y_idx, dist) long frame. For big×big use
+    llm.similarity.knn_join (blocked theta-join, neither side
+    collected)."""
+    from mars_spark.learn.pairwise import pairwise_distances
+
+    return pairwise_distances(sdf, [list(map(float, r)) for r in y],
+                              vec_col, id_col, metric=metric)
+
+
+def pdist(sdf: SparkDF, id_col: str, vec_col: str,
+          metric: str = "euclidean", max_rows: int = 20_000) -> SparkDF:
+    """mars/tensor/spatial/distance/pdist.py — all unordered pairs
+    within one frame, returned LONG-FORM (id_i, id_j, dist with
+    id_i < id_j) instead of numpy's condensed vector (a 100 TB engine
+    must never promise an O(n²) driver array). The n² pair space is
+    real, so a documented ``max_rows`` guard rejects unbounded input
+    — raise it explicitly, or use llm.similarity.knn_join /
+    neardup_pairs for the pruned forms. Broadcast self-join: one scan
+    of the frame against its broadcast copy."""
+    n = sdf.count()
+    if n > max_rows:
+        raise ValueError(
+            f"pdist over {n} rows is an O(n²) pair explosion; pass "
+            f"max_rows>={n} explicitly if you mean it, or use "
+            "llm.similarity.knn_join for top-k / threshold forms")
+    # cast up-front: float32 element arithmetic rounds per-op, so the
+    # fold must run in double to be replayable against any engine
+    left = sdf.select(F.col(id_col).alias("id_i"),
+                      F.col(vec_col).cast("array<double>")
+                      .alias("__vi"))
+    right = sdf.select(F.col(id_col).alias("id_j"),
+                       F.col(vec_col).cast("array<double>")
+                       .alias("__vj"))
+    j = left.join(F.broadcast(right), F.col("id_i") < F.col("id_j"))
+    if metric == "euclidean":
+        d = F.sqrt(F.aggregate(
+            F.zip_with("__vi", "__vj", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v))
+    elif metric == "sqeuclidean":
+        d = F.aggregate(
+            F.zip_with("__vi", "__vj", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+    elif metric == "cityblock":
+        d = F.aggregate(
+            F.zip_with("__vi", "__vj", lambda a, b: F.abs(a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+    elif metric == "cosine":
+        dot = F.aggregate(F.zip_with("__vi", "__vj",
+                                     lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        nrm = (lambda c: F.sqrt(F.aggregate(
+            F.transform(c, lambda a: a * a), F.lit(0.0),
+            lambda acc, v: acc + v)))
+        d = 1.0 - F.try_divide(dot, nrm("__vi") * nrm("__vj"))
+    else:
+        raise NotImplementedError(f"pdist metric {metric!r}")
+    return j.select("id_i", "id_j", d.alias("dist"))
+
+
+def squareform(pairs: SparkDF, ids=None) -> SparkDF:
+    """mars/tensor/spatial/distance/squareform.py (condensed →
+    square direction) at the Spark shape: mirror the (i, j) long
+    frame into both orders and add the zero diagonal — the square
+    matrix STAYS a distributed long frame (i, j, dist), never a
+    driver array."""
+    up = pairs.select("id_i", "id_j", "dist")
+    lo = pairs.select(F.col("id_j").alias("id_i"),
+                      F.col("id_i").alias("id_j"), "dist")
+    diag = (pairs.select(F.col("id_i").alias("k"))
+            .union(pairs.select(F.col("id_j").alias("k"))).distinct()
+            .select(F.col("k").alias("id_i"), F.col("k").alias("id_j"),
+                    F.lit(0.0).alias("dist")))
+    return up.unionByName(lo).unionByName(diag)
+
+
 # ------------------------------------------------------ linalg (§2.9)
 def gramian(sdf: SparkDF, vec_col: str):
     """Aᵀ·A of a tall-skinny matrix stored as an array column — ONE

@@ -239,3 +239,89 @@ def test_creation_analogs(spark):
     assert Tn.ones(7).toPandas().x.tolist() == [1.0] * 7
     assert Tn.zeros(4).toPandas().x.tolist() == [0.0] * 4
     assert Tn.full(3, 2.5).toPandas().x.tolist() == [2.5] * 3
+
+
+def test_statistics_extras(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 9, 200)
+    w = rng.random(200) + 0.1
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "v": x.astype("int64"), "w": w}))
+    assert abs(Tn.average(sdf, "v") - x.mean()) < 1e-9
+    assert abs(Tn.average(sdf, "v", "w") - np.average(x, weights=w)) < 1e-9
+    assert Tn.ptp(sdf, "v") == np.ptp(x)
+    assert Tn.bincount(sdf, "v") == list(np.bincount(x))
+    assert Tn.bincount(sdf, "v", minlength=15) == list(
+        np.bincount(x, minlength=15))
+
+    bins = [2.0, 4.0, 7.0]
+    got = (Tn.digitize(sdf, "v", bins).toPandas()
+           .sort_index().bucket.to_numpy())
+    # row order from toPandas isn't the pandas index order — compare
+    # per-value (digitize is a pure function of v)
+    vd = Tn.digitize(sdf, "v", bins).toPandas()
+    exp = np.digitize(vd.v.to_numpy(), bins)
+    np.testing.assert_array_equal(vd.bucket.to_numpy(), exp)
+    vr = Tn.digitize(sdf, "v", bins, right=True).toPandas()
+    np.testing.assert_array_equal(
+        vr.bucket.to_numpy(), np.digitize(vr.v.to_numpy(), bins,
+                                          right=True))
+
+
+def test_spatial_facade(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    try:
+        from scipy.spatial.distance import cdist as sp_cdist
+        have_scipy = True
+    except ImportError:
+        have_scipy = False
+
+    rng = np.random.default_rng(17)
+    A = rng.standard_normal((30, 4))
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "rid": range(30), "v": [list(map(float, r)) for r in A]}))
+    Y = rng.standard_normal((3, 4))
+    got = (Tn.cdist(sdf, "v", Y, "rid").toPandas()
+           .sort_values(["rid", "y_idx"]))
+    exp = np.sqrt(((A[:, None, :] - Y[None, :, :]) ** 2).sum(-1))
+    np.testing.assert_allclose(
+        got.dist.to_numpy().reshape(30, 3), exp, rtol=1e-9)
+    if have_scipy:
+        np.testing.assert_allclose(got.dist.to_numpy().reshape(30, 3),
+                                   sp_cdist(A, Y), rtol=1e-9)
+
+    for metric in ("euclidean", "sqeuclidean", "cityblock", "cosine"):
+        pz = (Tn.pdist(sdf, "rid", "v", metric=metric).toPandas()
+              .sort_values(["id_i", "id_j"]))
+        assert len(pz) == 30 * 29 // 2
+        i = pz.id_i.to_numpy()
+        j = pz.id_j.to_numpy()
+        diff = A[i] - A[j]
+        if metric == "euclidean":
+            exp = np.sqrt((diff ** 2).sum(1))
+        elif metric == "sqeuclidean":
+            exp = (diff ** 2).sum(1)
+        elif metric == "cityblock":
+            exp = np.abs(diff).sum(1)
+        else:
+            exp = 1 - (A[i] * A[j]).sum(1) / (
+                np.linalg.norm(A[i], axis=1)
+                * np.linalg.norm(A[j], axis=1))
+        np.testing.assert_allclose(pz.dist.to_numpy(), exp, atol=1e-9)
+
+    pz = Tn.pdist(sdf, "rid", "v")
+    sq = Tn.squareform(pz).toPandas()
+    assert len(sq) == 30 * 29 + 30  # both triangles + diagonal
+    assert (sq[sq.id_i == sq.id_j].dist == 0.0).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        Tn.pdist(sdf, "rid", "v", max_rows=10)
