@@ -2287,6 +2287,23 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     emb40 = emb.filter(F.col("vec_id") < 40).select("vec_id",
                                                     "embedding")
     dig_edges = [20000.0, 40000.0, 60000.0]
+    # r14 distributed FFT stratum (4-step Cooley–Tukey, two bounded
+    # shuffles): the period-7 ramp over N = 3584 = 7·2⁹ has a
+    # closed-form spectrum — DC = 512·21, Parseval power = 512·91,
+    # spikes only at k = 512·m with |X| = 1792/sin(πm/7) (geometric-
+    # sum identity Σ t·ωᵗ = n/(ω−1)), zero elsewhere — all statable
+    # in SQL without a DFT
+    sig = spark.range(3584).select(
+        F.col("id").alias("j"), (F.col("id") % 7).cast("double")
+        .alias("re"))
+    fx = MT.fft(sig, "j", "re", n=3584)
+    mag2 = F.col("re") * F.col("re") + F.col("im") * F.col("im")
+    fft_agg = fx.agg(
+        F.sum(F.when(F.col("k") == 0, F.col("re"))).alias("dc"),
+        (F.sum(mag2) / F.lit(3584.0)).alias("par"),
+        F.max(F.when(F.col("k") % 512 != 0, mag2)).alias("off"),
+        *[F.sum(F.when(F.col("k") == 512 * m, F.sqrt(mag2)))
+          .alias(f"s{m}") for m in (1, 2, 3)])
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         f_hist = ex.submit(MT.histogram, li, "l_extendedprice", 10)
@@ -2303,6 +2320,7 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
             MT.pdist(emb40, "vec_id", "embedding", metric="cityblock")
             .agg(F.sum("dist").alias("s"),
                  F.count(F.lit(1)).alias("n")).collect)
+        f_fft = ex.submit(fft_agg.collect)
         f_g = ex.submit(MT.gramian, emb, "embedding")
         f_mm = ex.submit(
             mm.agg(*[F.sum(F.element_at("y", j + 1)).alias(f"s{j}")
@@ -2326,6 +2344,7 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
                                     f_binc.result())
         st_dig = int(f_dig.result()[0]["s"])
         pd_row = f_pd.result()[0]
+        fft_row = f_fft.result()[0]
         nrm_fro, nrm_m1, nrm_minf = (f_fro.result(), f_m1.result(),
                                      f_minf.result())
         nrm_q2, nrm_q1, nrm_qinf = (f_q2.result(), f_q1.result(),
@@ -2381,6 +2400,15 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     rows.append(("st:dig", None, None, st_dig))
     rows.append(("sp:pd", r4(float(pd_row["s"])), None,
                  int(pd_row["n"])))
+    import math as _math
+
+    rows.append(("fft:dc", None, None,
+                 int(_math.floor(float(fft_row["dc"]) + 0.5))))
+    rows.append(("fft:par", r4(float(fft_row["par"])), None, None))
+    rows.append(("fft:off", r4(float(fft_row["off"])), None, None))
+    for m in (1, 2, 3):
+        rows.append((f"fft:s{m}", r4(float(fft_row[f"s{m}"])),
+                     None, None))
     rows.append(("nrm:fro", r4(nrm_fro), None, None))
     rows.append(("nrm:m1", r4(nrm_m1), None, None))
     rows.append(("nrm:minf", r4(nrm_minf), None, None))

@@ -1030,6 +1030,23 @@ PIPELINE_ORACLES: dict[str, str] = {
                CAST(NULL AS DOUBLE) AS v2, n AS n
         FROM spd
         UNION ALL
+        -- distributed 4-step FFT of the period-7 ramp over
+        -- N = 3584 = 7*2^9: DC = 512*21, Parseval power = 512*91,
+        -- spikes |X[512m]| = 1792/sin(pi*m/7) (geometric-sum
+        -- identity), zero off-spike — no DFT needed to state them
+        SELECT 'fft:' || t.k AS grp, t.v AS v1,
+               CAST(NULL AS DOUBLE) AS v2, t.n AS n
+        FROM (VALUES
+            ('dc', CAST(NULL AS DOUBLE), CAST(10752 AS BIGINT)),
+            ('par', 46592.0, CAST(NULL AS BIGINT)),
+            ('off', 0.0, CAST(NULL AS BIGINT)),
+            ('s1', floor(1792.0 / sin(pi() * 1 / 7) * 1e4 + 0.5)
+                   / 1e4, CAST(NULL AS BIGINT)),
+            ('s2', floor(1792.0 / sin(pi() * 2 / 7) * 1e4 + 0.5)
+                   / 1e4, CAST(NULL AS BIGINT)),
+            ('s3', floor(1792.0 / sin(pi() * 3 / 7) * 1e4 + 0.5)
+                   / 1e4, CAST(NULL AS BIGINT))) t(k, v, n)
+        UNION ALL
         SELECT 'nrm:' || t.k AS grp, t.v AS v1,
                CAST(NULL AS DOUBLE) AS v2, t.n AS n
         FROM nrm, LATERAL (VALUES

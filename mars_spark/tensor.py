@@ -192,6 +192,125 @@ def digitize(sdf: SparkDF, col: str, bins, right: bool = False,
     return sdf.withColumn(out_col, F.size(F.filter(arr, cmp)))
 
 
+# -------------------------------------------------------- fft (§2.9)
+def _fft_factor(n: int) -> int:
+    """Largest divisor of n that is ≤ √n (n1 of the 4-step split)."""
+    best = 1
+    i = 1
+    while i * i <= n:
+        if n % i == 0:
+            best = i
+        i += 1
+    return best
+
+
+def fft(sdf: SparkDF, id_col: str, re_col: str,
+        im_col: str | None = None, n: int | None = None,
+        inverse: bool = False, _single_group_cap: int = 1 << 22
+        ) -> SparkDF:
+    """Distributed 1-D DFT of a length-N signal stored as
+    (index, re[, im]) rows — the four-step Cooley–Tukey decomposition
+    (mars/tensor/fft/ runs numpy FFT per chunk and recombines; the
+    same N = n1·n2 splitting, Spark-shaped):
+
+    1. inner FFTs: group by j1 = j mod n1 → n1 groups of n2 rows,
+       ``np.fft`` per group (one applyInPandas),
+    2. twiddle: multiply by ω_N^(j1·k2) — pure Column cos/sin,
+    3. outer FFTs: group by k2 → n2 groups of n1 rows (second
+       applyInPandas),
+    4. output index k = k2 + n2·k1.
+
+    Two shuffles, each group bounded at ~√N — at N = 10¹² a group is
+    10⁶ complex values, executor-sized. Returns (k, re, im). A prime
+    N cannot split; below ``_single_group_cap`` it falls back to one
+    group (documented driver-memory-sized guard), above it the caller
+    must pad (classic Bluestein territory — out of facade scope).
+    ``inverse=True`` computes the unscaled-conjugate form and divides
+    by N (numpy ifft convention)."""
+    import numpy as np
+    import pandas as pd
+
+    if n is None:
+        n = sdf.count()
+    if n == 0:
+        raise ValueError("fft of an empty frame")
+    n1 = _fft_factor(n)
+    sign = 1.0 if inverse else -1.0
+    base = sdf.select(
+        F.col(id_col).cast("long").alias("__j"),
+        F.col(re_col).cast("double").alias("re"),
+        (F.col(im_col).cast("double") if im_col is not None
+         else F.lit(0.0)).alias("im"))
+    if n1 == 1:
+        if n > _single_group_cap:
+            raise ValueError(
+                f"N={n} is prime and exceeds the single-group cap "
+                f"({_single_group_cap}): pad the signal to a "
+                "composite length (zero-pad or Bluestein) before "
+                "calling fft")
+
+        def whole(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__j")
+            z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
+            zz = np.fft.ifft(z) * len(z) if inverse else np.fft.fft(z)
+            return pd.DataFrame({"k": np.arange(len(z)),
+                                 "re": zz.real, "im": zz.imag})
+
+        out = (base.withColumn("__g", F.lit(0)).groupBy("__g")
+               .applyInPandas(whole, "k long, re double, im double"))
+        if inverse:
+            out = out.select("k", (F.col("re") / n).alias("re"),
+                             (F.col("im") / n).alias("im"))
+        return out
+    n2 = n // n1
+
+    def inner(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one column of the n1×n2 view: x[j1 + n1·j2] over j2
+        pdf = pdf.sort_values("__j2")
+        z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
+        zz = np.fft.ifft(z) * len(z) if inverse else np.fft.fft(z)
+        return pd.DataFrame({"__j1": pdf["__j1"].to_numpy(),
+                             "__k2": np.arange(len(z)),
+                             "re": zz.real, "im": zz.imag})
+
+    def outer(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__j1")
+        z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
+        zz = np.fft.ifft(z) * len(z) if inverse else np.fft.fft(z)
+        return pd.DataFrame({"__k2": pdf["__k2"].to_numpy(),
+                             "__k1": np.arange(len(z)),
+                             "re": zz.real, "im": zz.imag})
+
+    a = (base.select((F.col("__j") % n1).alias("__j1"),
+                     (F.col("__j") / n1).cast("long").alias("__j2"),
+                     "re", "im")
+         .groupBy("__j1")
+         .applyInPandas(inner,
+                        "__j1 long, __k2 long, re double, im double"))
+    ang = (F.lit(sign * 2.0 * 3.141592653589793) / n
+           * F.col("__j1") * F.col("__k2"))
+    c, s = F.cos(ang), F.sin(ang)
+    b = a.select(
+        "__j1", "__k2",
+        (F.col("re") * c - F.col("im") * s).alias("re"),
+        (F.col("re") * s + F.col("im") * c).alias("im"))
+    x = (b.groupBy("__k2")
+         .applyInPandas(outer,
+                        "__k2 long, __k1 long, re double, im double")
+         .select((F.col("__k2") + F.col("__k1") * n2).alias("k"),
+                 "re", "im"))
+    if inverse:
+        x = x.select("k", (F.col("re") / n).alias("re"),
+                     (F.col("im") / n).alias("im"))
+    return x
+
+
+def ifft(sdf: SparkDF, id_col: str, re_col: str,
+         im_col: str | None = None, n: int | None = None) -> SparkDF:
+    """Inverse DFT (numpy ifft convention — see ``fft``)."""
+    return fft(sdf, id_col, re_col, im_col, n=n, inverse=True)
+
+
 # ---------------------------------------------------- spatial (§2.9)
 def cdist(sdf: SparkDF, vec_col: str, y, id_col: str,
           metric: str = "euclidean") -> SparkDF:

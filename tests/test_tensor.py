@@ -325,3 +325,45 @@ def test_spatial_facade(spark):
 
     with pytest.raises(ValueError):
         Tn.pdist(sdf, "rid", "v", max_rows=10)
+
+
+def test_fft_matches_numpy(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(23)
+    for N in (12, 60, 128, 13):  # composite splits + prime fallback
+        xr = rng.standard_normal(N)
+        xi = rng.standard_normal(N)
+        sdf = spark.createDataFrame(pd.DataFrame({
+            "j": range(N), "re": xr, "im": xi}))
+        got = (Tn.fft(sdf, "j", "re", "im").toPandas()
+               .sort_values("k"))
+        exp = np.fft.fft(xr + 1j * xi)
+        np.testing.assert_allclose(got.re.to_numpy(), exp.real,
+                                   atol=1e-9)
+        np.testing.assert_allclose(got.im.to_numpy(), exp.imag,
+                                   atol=1e-9)
+        # real-input form (im omitted)
+        sdf_r = spark.createDataFrame(pd.DataFrame({
+            "j": range(N), "re": xr}))
+        got_r = (Tn.fft(sdf_r, "j", "re").toPandas().sort_values("k"))
+        exp_r = np.fft.fft(xr)
+        np.testing.assert_allclose(got_r.re.to_numpy(), exp_r.real,
+                                   atol=1e-9)
+        # ifft round-trips
+        back = (Tn.ifft(Tn.fft(sdf, "j", "re", "im"), "k", "re", "im")
+                .toPandas().sort_values("k"))
+        np.testing.assert_allclose(back.re.to_numpy(), xr, atol=1e-9)
+        np.testing.assert_allclose(back.im.to_numpy(), xi, atol=1e-9)
+
+    import pytest
+
+    # prime beyond the single-group cap must refuse, with advice
+    from pyspark.sql import functions as F
+
+    big = spark.range(3).select(F.col("id").alias("j"),
+                                F.lit(1.0).alias("re"))
+    with pytest.raises(ValueError, match="pad the signal"):
+        Tn.fft(big, "j", "re", n=4_194_319, _single_group_cap=1000)
