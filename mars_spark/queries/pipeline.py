@@ -2230,9 +2230,15 @@ def op_tensor(spark: SparkSession, sf_dir: str) -> SparkDF:
     gemm partials; 4×4 corner emitted, rounded — the float64 sum is
     order-stable to well inside 1e-4), and the linalg trio (r9):
     Cholesky-QR's R corner, matmul column checksums, and the QᵀQ = I
-    orthonormality contract. Long-form (grp, v1, v2, n) rows built on
-    the driver from the facade's returns — each facade call is itself
-    distributed."""
+    orthonormality contract. r14 completes every named §2.9 family:
+    the rest of the linalg ten (norm / tensordot / solve / inv / lu /
+    randomized_svd — exact-integer Cramér, adjugate and pivot
+    replays; an interlacing property contract for rsvd), the
+    statistics list (weighted average / ptp / bincount / digitize),
+    the spatial trio (cityblock pdist checksum over a 40-row slice),
+    and the distributed 4-step FFT (closed-form period-7 spectrum).
+    Long-form (grp, v1, v2, n) rows built on the driver from the
+    facade's returns — each facade call is itself distributed."""
     import math
 
     from mars_spark import tensor as MT

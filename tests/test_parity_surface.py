@@ -341,3 +341,25 @@ def test_groupby_conveniences_match_pandas(spark):
     got = hf.groupby("k").fillna(method="ffill", order_by="t") \
         .to_spark().orderBy("k", "t").toPandas()
     assert list(got.v) == [1.0, 1.0, 2.0]
+
+
+def test_tensor_facade_surface_no_gaps():
+    """Every named §2.9 facade op stays present: the full
+    mars/tensor/linalg ten, the statistics list, the spatial trio,
+    creation analogs, and the distributed fft pair. Fails on any
+    future removal (same contract as the docs sweep above)."""
+    from mars_spark import tensor as mt
+
+    linalg = ["cholesky", "qr", "svd", "lu", "solve", "norm",
+              "matmul", "tensordot", "inv", "randomized_svd",
+              "gramian"]
+    statistics = ["percentile", "histogram", "average", "ptp",
+                  "bincount", "digitize"]
+    spatial = ["cdist", "pdist", "squareform"]
+    creation = ["arange", "linspace", "ones", "zeros", "full",
+                "rand", "randn", "randint", "random_vectors"]
+    fft_ops = ["fft", "ifft"]
+    missing = [n for n in (linalg + statistics + spatial + creation
+                           + fft_ops)
+               if not callable(getattr(mt, n, None))]
+    assert not missing, f"tensor facade lost ops: {missing}"
