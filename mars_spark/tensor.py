@@ -311,6 +311,60 @@ def ifft(sdf: SparkDF, id_col: str, re_col: str,
     return fft(sdf, id_col, re_col, im_col, n=n, inverse=True)
 
 
+def rfft(sdf: SparkDF, id_col: str, re_col: str,
+         n: int | None = None) -> SparkDF:
+    """Real-input DFT: the non-redundant half spectrum
+    k ∈ [0, ⌊N/2⌋] (numpy rfft output contract). Runs the full
+    4-step transform and prunes — the conjugate-symmetry halving is
+    a constant-factor optimization the distributed form doesn't
+    need; the OUTPUT contract is what callers depend on."""
+    if n is None:
+        n = sdf.count()
+    return fft(sdf, id_col, re_col, None, n=n).filter(
+        F.col("k") <= n // 2)
+
+
+def irfft(sdf: SparkDF, id_col: str, re_col: str, im_col: str,
+          n: int) -> SparkDF:
+    """Inverse of ``rfft``: rebuild the conjugate-symmetric full
+    spectrum from the half (mirror k → N−k with negated imaginary
+    part), then one inverse transform; the imaginary output is ~0 by
+    construction and dropped (numpy irfft contract). ``n`` is the
+    ORIGINAL signal length (the half spectrum doesn't determine
+    parity)."""
+    half = sdf.select(F.col(id_col).cast("long").alias("k"),
+                      F.col(re_col).cast("double").alias("re"),
+                      F.col(im_col).cast("double").alias("im"))
+    mirror = (half.filter((F.col("k") > 0) & (F.col("k") < n - F.col("k")))
+              .select((F.lit(n) - F.col("k")).alias("k"), "re",
+                      (-F.col("im")).alias("im")))
+    full = half.filter(F.col("k") <= n // 2).unionByName(mirror)
+    out = fft(full, "k", "re", "im", n=n, inverse=True)
+    return out.select("k", "re")
+
+
+def fftfreq(n: int, d: float = 1.0,
+            num_partitions: int | None = None) -> SparkDF:
+    """numpy.fftfreq as a distributed column: k/(d·n) for
+    k < ⌈n/2⌉, else (k−n)/(d·n)."""
+    k = F.col("id")
+    f = F.when(k < (n + 1) // 2, k / (d * n)).otherwise(
+        (k - n) / (d * n))
+    return _spark().range(0, n, 1, num_partitions).select(
+        k.alias("k"), f.alias("freq"))
+
+
+def fftshift(sdf: SparkDF, k_col: str, n: int,
+             out_col: str = "k_shifted") -> SparkDF:
+    """numpy.fftshift as pure index arithmetic: the zero-frequency
+    bin moves to the center — input bin k lands at position
+    (k + ⌊n/2⌋) mod n, applied to the INDEX column (no data
+    movement; downstream sorts/joins on the new index plan their own
+    exchange)."""
+    return sdf.withColumn(
+        out_col, (F.col(k_col) + n // 2) % n)
+
+
 # ---------------------------------------------------- spatial (§2.9)
 def cdist(sdf: SparkDF, vec_col: str, y, id_col: str,
           metric: str = "euclidean") -> SparkDF:

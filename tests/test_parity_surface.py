@@ -358,7 +358,8 @@ def test_tensor_facade_surface_no_gaps():
     spatial = ["cdist", "pdist", "squareform"]
     creation = ["arange", "linspace", "ones", "zeros", "full",
                 "rand", "randn", "randint", "random_vectors"]
-    fft_ops = ["fft", "ifft"]
+    fft_ops = ["fft", "ifft", "rfft", "irfft", "fftfreq",
+               "fftshift"]
     missing = [n for n in (linalg + statistics + spatial + creation
                            + fft_ops)
                if not callable(getattr(mt, n, None))]

@@ -367,3 +367,43 @@ def test_fft_matches_numpy(spark):
                                 F.lit(1.0).alias("re"))
     with pytest.raises(ValueError, match="pad the signal"):
         Tn.fft(big, "j", "re", n=4_194_319, _single_group_cap=1000)
+
+
+def test_fft_variants(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(29)
+    for N in (16, 15):
+        x = rng.standard_normal(N)
+        sdf = spark.createDataFrame(pd.DataFrame({
+            "j": range(N), "re": x}))
+        # rfft: non-redundant half, values match numpy
+        got = Tn.rfft(sdf, "j", "re").toPandas().sort_values("k")
+        exp = np.fft.rfft(x)
+        assert len(got) == N // 2 + 1
+        np.testing.assert_allclose(got.re.to_numpy(), exp.real,
+                                   atol=1e-9)
+        np.testing.assert_allclose(got.im.to_numpy(), exp.imag,
+                                   atol=1e-9)
+        # irfft round-trips the original signal
+        half = spark.createDataFrame(pd.DataFrame({
+            "k": range(N // 2 + 1), "re": exp.real, "im": exp.imag}))
+        back = Tn.irfft(half, "k", "re", "im", n=N).toPandas()
+        back = back.sort_values("k")
+        np.testing.assert_allclose(back.re.to_numpy(), x, atol=1e-9)
+
+        # fftfreq matches numpy
+        fr_sdf = Tn.fftfreq(N, d=0.25)
+        fr = fr_sdf.toPandas().sort_values("k")
+        np.testing.assert_allclose(fr.freq.to_numpy(),
+                                   np.fft.fftfreq(N, d=0.25),
+                                   atol=1e-12)
+        # fftshift index map: input bin k lands where numpy puts it
+        sh = (Tn.fftshift(fr_sdf, "k", N).toPandas()
+              .sort_values("k_shifted"))
+        np.testing.assert_allclose(sh.freq.to_numpy(),
+                                   np.fft.fftshift(
+                                       np.fft.fftfreq(N, d=0.25)),
+                                   atol=1e-12)
