@@ -222,11 +222,13 @@ def fft(sdf: SparkDF, id_col: str, re_col: str,
 
     Two shuffles, each group bounded at ~√N — at N = 10¹² a group is
     10⁶ complex values, executor-sized. Returns (k, re, im). A prime
-    N cannot split; below ``_single_group_cap`` it falls back to one
-    group (documented driver-memory-sized guard), above it the caller
-    must pad (classic Bluestein territory — out of facade scope).
-    ``inverse=True`` computes the unscaled-conjugate form and divides
-    by N (numpy ifft convention)."""
+    (or badly-factoring) N cannot split into bounded groups; below
+    ``_single_group_cap`` it falls back to one group, above it the
+    transform re-expresses as Bluestein's chirp-z — three of these
+    same FFTs at a power-of-two length M ≥ 2N−1 (``_bluestein``), so
+    EVERY length runs distributed. ``inverse=True`` computes the
+    unscaled-conjugate form and divides by N (numpy ifft
+    convention)."""
     import numpy as np
     import pandas as pd
 
@@ -241,13 +243,11 @@ def fft(sdf: SparkDF, id_col: str, re_col: str,
         F.col(re_col).cast("double").alias("re"),
         (F.col(im_col).cast("double") if im_col is not None
          else F.lit(0.0)).alias("im"))
+    if max(n1, n // n1) > _single_group_cap:
+        # prime or badly-factoring length: groups would exceed the
+        # cap — run the chirp-z re-expression instead
+        return _bluestein(base, n, inverse, _single_group_cap)
     if n1 == 1:
-        if n > _single_group_cap:
-            raise ValueError(
-                f"N={n} is prime and exceeds the single-group cap "
-                f"({_single_group_cap}): pad the signal to a "
-                "composite length (zero-pad or Bluestein) before "
-                "calling fft")
 
         def whole(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__j")
@@ -303,6 +303,75 @@ def fft(sdf: SparkDF, id_col: str, re_col: str,
         x = x.select("k", (F.col("re") / n).alias("re"),
                      (F.col("im") / n).alias("im"))
     return x
+
+
+def _bluestein(base: SparkDF, n: int, inverse: bool,
+               cap: int) -> SparkDF:
+    """Chirp-z re-expression of a length-n DFT (Bluestein 1968) for
+    prime / badly-factoring lengths: X[k] = w[k]·(a ⊛ b)[k] with
+    a[j] = x[j]·w[j], w[j] = e^(−iπ·j²/n), b[m] = e^(+iπ·m²/n) — the
+    linear convolution runs as THREE of this module's own 4-step
+    FFTs at the power-of-two length M ≥ 2n−1 (which always splits
+    into ~√M groups) plus one pointwise join. Chirp angles use the
+    exact integer j² mod 2n (the chirp has period 2n in j²), so no
+    trig-argument precision is lost at any n < 2³¹. ``base`` carries
+    (__j, re, im); forward only — the inverse conjugates around it."""
+    import math
+
+    if inverse:
+        conj_in = base.select("__j", "re", (-F.col("im")).alias("im"))
+        out = _bluestein(conj_in, n, False, cap)
+        return out.select(
+            "k", (F.col("re") / n).alias("re"),
+            (-F.col("im") / n).alias("im"))
+    if n >= 1 << 31:
+        raise ValueError("bluestein chirp needs j² in a long: "
+                         "n must be < 2^31")
+    m = 1
+    while m < 2 * n - 1:
+        m <<= 1
+    spark = _spark()
+    scale = math.pi / n
+
+    def chirp(j_col, sign: float):
+        jj = (j_col * j_col) % (2 * n)
+        ang = F.lit(sign * scale) * jj
+        return F.cos(ang), F.sin(ang)
+
+    wc, ws = chirp(F.col("__j"), -1.0)
+    a = base.select(
+        "__j",
+        (F.col("re") * wc - F.col("im") * ws).alias("re"),
+        (F.col("re") * ws + F.col("im") * wc).alias("im"))
+    zeros = spark.range(n, m).select(
+        F.col("id").alias("__j"), F.lit(0.0).alias("re"),
+        F.lit(0.0).alias("im"))
+    a_pad = a.unionByName(zeros)
+    # b wrapped for circular convolution: index m−q aliases −q; the
+    # guarded when() keeps q² inside long range on inactive rows
+    q = F.least(F.col("id"), F.lit(m) - F.col("id"))
+    active = q < n
+    bqq = F.when(active, (q * q) % (2 * n)).otherwise(F.lit(0))
+    bang = F.lit(scale) * bqq
+    b_pad = spark.range(m).select(
+        F.col("id").alias("__j"),
+        F.when(active, F.cos(bang)).otherwise(F.lit(0.0)).alias("re"),
+        F.when(active, F.sin(bang)).otherwise(F.lit(0.0)).alias("im"))
+    fa = fft(a_pad, "__j", "re", "im", n=m, _single_group_cap=cap)
+    fb = fft(b_pad, "__j", "re", "im", n=m, _single_group_cap=cap)
+    prod = (fa.alias("a").join(fb.alias("b"), "k")
+            .select(F.col("k").alias("__j"),
+                    (F.col("a.re") * F.col("b.re")
+                     - F.col("a.im") * F.col("b.im")).alias("re"),
+                    (F.col("a.re") * F.col("b.im")
+                     + F.col("a.im") * F.col("b.re")).alias("im")))
+    conv = fft(prod, "__j", "re", "im", n=m, inverse=True,
+               _single_group_cap=cap)
+    kc, ks = chirp(F.col("k"), -1.0)
+    return (conv.filter(F.col("k") < n)
+            .select("k",
+                    (F.col("re") * kc - F.col("im") * ks).alias("re"),
+                    (F.col("re") * ks + F.col("im") * kc).alias("im")))
 
 
 def ifft(sdf: SparkDF, id_col: str, re_col: str,

@@ -358,15 +358,28 @@ def test_fft_matches_numpy(spark):
         np.testing.assert_allclose(back.re.to_numpy(), xr, atol=1e-9)
         np.testing.assert_allclose(back.im.to_numpy(), xi, atol=1e-9)
 
-    import pytest
-
-    # prime beyond the single-group cap must refuse, with advice
-    from pyspark.sql import functions as F
-
-    big = spark.range(3).select(F.col("id").alias("j"),
-                                F.lit(1.0).alias("re"))
-    with pytest.raises(ValueError, match="pad the signal"):
-        Tn.fft(big, "j", "re", n=4_194_319, _single_group_cap=1000)
+    # prime / badly-factoring lengths beyond the single-group cap
+    # route through Bluestein (three power-of-two FFTs) — force the
+    # path with a tiny cap and compare against numpy
+    for N in (101, 106):  # prime; 2x53 lopsided composite
+        xr = rng.standard_normal(N)
+        xi = rng.standard_normal(N)
+        sdf = spark.createDataFrame(pd.DataFrame({
+            "j": range(N), "re": xr, "im": xi}))
+        got = (Tn.fft(sdf, "j", "re", "im", _single_group_cap=50)
+               .toPandas().sort_values("k"))
+        exp = np.fft.fft(xr + 1j * xi)
+        np.testing.assert_allclose(got.re.to_numpy(), exp.real,
+                                   atol=1e-8)
+        np.testing.assert_allclose(got.im.to_numpy(), exp.imag,
+                                   atol=1e-8)
+        back = (Tn.fft(
+            spark.createDataFrame(pd.DataFrame({
+                "j": range(N), "re": exp.real, "im": exp.imag})),
+            "j", "re", "im", inverse=True, _single_group_cap=50)
+            .toPandas().sort_values("k"))
+        np.testing.assert_allclose(back.re.to_numpy(), xr, atol=1e-8)
+        np.testing.assert_allclose(back.im.to_numpy(), xi, atol=1e-8)
 
 
 def test_fft_variants(spark):
