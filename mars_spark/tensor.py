@@ -423,6 +423,23 @@ def fftfreq(n: int, d: float = 1.0,
         k.alias("k"), f.alias("freq"))
 
 
+def rfftfreq(n: int, d: float = 1.0,
+             num_partitions: int | None = None) -> SparkDF:
+    """numpy.rfftfreq — the non-negative frequencies k/(d·n) for
+    k ∈ [0, ⌊n/2⌋]."""
+    k = F.col("id")
+    return _spark().range(0, n // 2 + 1, 1, num_partitions).select(
+        k.alias("k"), (k / (d * n)).alias("freq"))
+
+
+def ifftshift(sdf: SparkDF, k_col: str, n: int,
+              out_col: str = "k_shifted") -> SparkDF:
+    """Inverse of ``fftshift``: input bin k lands at position
+    (k + ⌈n/2⌉) mod n (undoes fftshift for any n, odd included)."""
+    return sdf.withColumn(
+        out_col, (F.col(k_col) + (n + 1) // 2) % n)
+
+
 def fftshift(sdf: SparkDF, k_col: str, n: int,
              out_col: str = "k_shifted") -> SparkDF:
     """numpy.fftshift as pure index arithmetic: the zero-frequency

@@ -420,3 +420,15 @@ def test_fft_variants(spark):
                                    np.fft.fftshift(
                                        np.fft.fftfreq(N, d=0.25)),
                                    atol=1e-12)
+        # ifftshift undoes it (odd n is the asymmetric case)
+        unsh = (Tn.ifftshift(
+            Tn.fftshift(fr_sdf, "k", N).select("k_shifted", "freq"),
+            "k_shifted", N).toPandas().sort_values("k_shifted"))
+        np.testing.assert_allclose(unsh.freq.to_numpy(),
+                                   np.fft.fftfreq(N, d=0.25),
+                                   atol=1e-12)
+        # rfftfreq
+        rf = Tn.rfftfreq(N, d=0.25).toPandas().sort_values("k")
+        np.testing.assert_allclose(rf.freq.to_numpy(),
+                                   np.fft.rfftfreq(N, d=0.25),
+                                   atol=1e-12)
