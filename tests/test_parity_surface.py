@@ -359,7 +359,7 @@ def test_tensor_facade_surface_no_gaps():
     creation = ["arange", "linspace", "ones", "zeros", "full",
                 "rand", "randn", "randint", "random_vectors"]
     fft_ops = ["fft", "ifft", "rfft", "irfft", "fftfreq",
-               "rfftfreq", "fftshift", "ifftshift"]
+               "rfftfreq", "fftshift", "ifftshift", "fft2", "ifft2"]
     missing = [n for n in (linalg + statistics + spatial + creation
                            + fft_ops)
                if not callable(getattr(mt, n, None))]

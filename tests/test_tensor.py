@@ -432,3 +432,32 @@ def test_fft_variants(spark):
         np.testing.assert_allclose(rf.freq.to_numpy(),
                                    np.fft.rfftfreq(N, d=0.25),
                                    atol=1e-12)
+
+
+def test_fft2_matches_numpy(spark):
+    import pandas as pd
+
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(31)
+    r, c = 12, 9
+    xr = rng.standard_normal((r, c))
+    xi = rng.standard_normal((r, c))
+    rows = [(i, j, xr[i, j], xi[i, j])
+            for i in range(r) for j in range(c)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["i", "j", "re", "im"]))
+    got = (Tn.fft2(sdf, "i", "j", "re", "im").toPandas()
+           .sort_values(["ki", "kj"]))
+    exp = np.fft.fft2(xr + 1j * xi)
+    np.testing.assert_allclose(
+        got.re.to_numpy().reshape(r, c), exp.real, atol=1e-9)
+    np.testing.assert_allclose(
+        got.im.to_numpy().reshape(r, c), exp.imag, atol=1e-9)
+    back = (Tn.ifft2(Tn.fft2(sdf, "i", "j", "re", "im"),
+                     "ki", "kj", "re", "im").toPandas()
+            .sort_values(["ki", "kj"]))
+    np.testing.assert_allclose(
+        back.re.to_numpy().reshape(r, c), xr, atol=1e-9)
+    np.testing.assert_allclose(
+        back.im.to_numpy().reshape(r, c), xi, atol=1e-9)
