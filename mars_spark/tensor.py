@@ -282,11 +282,14 @@ def fft(sdf: SparkDF, id_col: str, re_col: str,
                              "re": zz.real, "im": zz.imag})
 
     a = (base.select((F.col("__j") % n1).alias("__j1"),
-                     (F.col("__j") / n1).cast("long").alias("__j2"),
+                     F.expr(f"__j div {n1}").alias("__j2"),
                      "re", "im")
          .groupBy("__j1")
          .applyInPandas(inner,
                         "__j1 long, __k2 long, re double, im double"))
+    # j1·k2 < n1·n2 = n, so the integer product stays in a long for
+    # any n < 2⁶² and the twiddle phase is already < 2π — no range
+    # reduction concerns at any supported scale
     ang = (F.lit(sign * 2.0 * 3.141592653589793) / n
            * F.col("__j1") * F.col("__k2"))
     c, s = F.cos(ang), F.sin(ang)
