@@ -443,7 +443,9 @@ def fft2(sdf: SparkDF, i_col: str, j_col: str, re_col: str,
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(pos_col)
             z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
-            zz = (np.fft.ifft(z) * len(z)) if inverse else np.fft.fft(z)
+            # scaled ifft per axis: the two passes compose to the
+            # full 1/(r·c) normalization with no extra job
+            zz = np.fft.ifft(z) if inverse else np.fft.fft(z)
             return pd.DataFrame({
                 key_col: pdf[key_col].to_numpy(),
                 out_pos: np.arange(len(z)),
@@ -462,19 +464,8 @@ def fft2(sdf: SparkDF, i_col: str, j_col: str, re_col: str,
     out = (rows.groupBy("__kj")
            .applyInPandas(axis_fft("__kj", "__i", "__ki"),
                           "__kj long, __ki long, re double, im double"))
-    out = out.select(F.col("__ki").alias("ki"),
-                     F.col("__kj").alias("kj"), "re", "im")
-    if inverse:
-        # each axis pass already divided by its length via np.ifft?
-        # no — the unscaled form is used above; normalize once by r·c
-        # computed from the data (one tiny agg)
-        dims = sdf.agg(
-            F.countDistinct(F.col(i_col)).alias("r"),
-            F.countDistinct(F.col(j_col)).alias("c")).collect()[0]
-        n = int(dims["r"]) * int(dims["c"])
-        out = out.select("ki", "kj", (F.col("re") / n).alias("re"),
-                         (F.col("im") / n).alias("im"))
-    return out
+    return out.select(F.col("__ki").alias("ki"),
+                      F.col("__kj").alias("kj"), "re", "im")
 
 
 def ifft2(sdf: SparkDF, i_col: str, j_col: str, re_col: str,
