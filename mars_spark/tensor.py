@@ -151,6 +151,9 @@ def average(sdf: SparkDF, col: str, weights_col: str | None = None
     w = F.col(weights_col).cast("double")
     row = sdf.agg(F.sum(c * w).alias("n"),
                   F.sum(w).alias("d")).collect()[0]
+    if row["d"] is None:
+        raise ZeroDivisionError(
+            "average of an empty frame (numpy parity)")
     return float(row["n"]) / float(row["d"])
 
 
@@ -160,20 +163,36 @@ def ptp(sdf: SparkDF, col: str) -> float:
     row = sdf.agg(F.max(F.col(col).cast("double")).alias("hi"),
                   F.min(F.col(col).cast("double")).alias("lo")
                   ).collect()[0]
+    if row["hi"] is None:
+        raise ValueError("ptp of an empty frame (numpy parity)")
     return float(row["hi"]) - float(row["lo"])
 
 
-def bincount(sdf: SparkDF, col: str, minlength: int = 0) -> list[int]:
+def bincount(sdf: SparkDF, col: str, minlength: int = 0,
+             max_size: int = 1 << 22) -> list[int]:
     """mars/tensor/statistics/bincount.py — counts of non-negative
     ints. Distributed groupBy-count; the collected result is bounded
-    by max(col)+1 entries (the same driver contract as numpy's
-    output array)."""
-    rows = (sdf.groupBy(F.col(col).cast("long").alias("v"))
+    by max(col)+1 entries (numpy's own output contract). A cheap
+    min/max pre-pass rejects negatives and driver-array-sized maxima
+    BEFORE the distinct collect (the same explicit-escape-hatch rule
+    as kendall's max_items / pdist's max_rows)."""
+    c = F.col(col).cast("long")
+    pre = sdf.agg(F.min(c).alias("lo"), F.max(c).alias("hi")
+                  ).collect()[0]
+    if pre["lo"] is None:
+        return [0] * minlength
+    if int(pre["lo"]) < 0:
+        raise ValueError("bincount requires non-negative values")
+    if int(pre["hi"]) + 1 > max_size:
+        raise ValueError(
+            f"bincount output would have {int(pre['hi']) + 1} "
+            f"entries (> max_size={max_size}) — the numpy contract "
+            "is a dense array up to max(col); pass max_size "
+            "explicitly if you mean it")
+    rows = (sdf.groupBy(c.alias("v"))
             .agg(F.count(F.lit(1)).alias("n")).collect())
     by_v = {int(r["v"]): int(r["n"]) for r in rows}
-    if any(v < 0 for v in by_v):
-        raise ValueError("bincount requires non-negative values")
-    size = max(max(by_v, default=-1) + 1, minlength)
+    size = max(int(pre["hi"]) + 1, minlength)
     return [by_v.get(i, 0) for i in range(size)]
 
 
@@ -251,6 +270,11 @@ def fft(sdf: SparkDF, id_col: str, re_col: str,
 
         def whole(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__j")
+            if len(pdf) != n:
+                raise ValueError(
+                    f"fft: {len(pdf)} rows for declared length {n} — "
+                    "the index must be exactly 0..n-1 (no gaps or "
+                    "duplicates)")
             z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
             zz = np.fft.ifft(z) * len(z) if inverse else np.fft.fft(z)
             return pd.DataFrame({"k": np.arange(len(z)),
@@ -265,8 +289,16 @@ def fft(sdf: SparkDF, id_col: str, re_col: str,
     n2 = n // n1
 
     def inner(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one column of the n1×n2 view: x[j1 + n1·j2] over j2
+        # one column of the n1×n2 view: x[j1 + n1·j2] over j2. The
+        # length check turns an index-contract violation (gaps or
+        # duplicate ids) into an error instead of a silently wrong
+        # transform.
         pdf = pdf.sort_values("__j2")
+        if len(pdf) != n2:
+            raise ValueError(
+                f"fft: group j1={int(pdf['__j1'].iloc[0])} has "
+                f"{len(pdf)} rows, expected {n2} — the index must "
+                "be exactly 0..n-1 (no gaps or duplicates)")
         z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
         zz = np.fft.ifft(z) * len(z) if inverse else np.fft.fft(z)
         return pd.DataFrame({"__j1": pdf["__j1"].to_numpy(),
@@ -275,6 +307,11 @@ def fft(sdf: SparkDF, id_col: str, re_col: str,
 
     def outer(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__j1")
+        if len(pdf) != n1:
+            raise ValueError(
+                f"fft: group k2={int(pdf['__k2'].iloc[0])} has "
+                f"{len(pdf)} rows, expected {n1} — the index must "
+                "be exactly 0..n-1 (no gaps or duplicates)")
         z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
         zz = np.fft.ifft(z) * len(z) if inverse else np.fft.fft(z)
         return pd.DataFrame({"__k2": pdf["__k2"].to_numpy(),

@@ -461,3 +461,31 @@ def test_fft2_matches_numpy(spark):
         back.re.to_numpy().reshape(r, c), xr, atol=1e-9)
     np.testing.assert_allclose(
         back.im.to_numpy().reshape(r, c), xi, atol=1e-9)
+
+
+def test_guards_and_empty_parity(spark):
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mars_spark import tensor as Tn
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0]})).filter("v < 0")
+    with pytest.raises(ZeroDivisionError):
+        Tn.average(empty.withColumnRenamed("v", "c")
+                   .withColumn("w", F.lit(1.0)), "c", "w")
+    with pytest.raises(ValueError, match="empty"):
+        Tn.ptp(empty, "v")
+    assert Tn.bincount(empty, "v", minlength=3) == [0, 0, 0]
+
+    small = spark.createDataFrame(pd.DataFrame({"v": [0, 1, 1 << 30]}))
+    with pytest.raises(ValueError, match="max_size"):
+        Tn.bincount(small, "v")
+
+    # fft index-contract violations error instead of silently
+    # mis-transforming
+    gap = spark.createDataFrame(pd.DataFrame({
+        "j": [0, 1, 2, 4, 5, 6], "re": [1.0] * 6}))
+    with pytest.raises(Exception, match="gaps or duplicates"):
+        Tn.fft(gap, "j", "re", n=6).collect()
