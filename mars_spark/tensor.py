@@ -397,8 +397,15 @@ def _bluestein(base: SparkDF, n: int, inverse: bool,
         F.col("id").alias("__j"),
         F.when(active, F.cos(bang)).otherwise(F.lit(0.0)).alias("re"),
         F.when(active, F.sin(bang)).otherwise(F.lit(0.0)).alias("im"))
-    fa = fft(a_pad, "__j", "re", "im", n=m, _single_group_cap=cap)
-    fb = fft(b_pad, "__j", "re", "im", n=m, _single_group_cap=cap)
+    # the internal transforms MUST take the 4-step path: a cap below
+    # M's own ~√M split would recurse straight back into Bluestein
+    # (M doubles each level — unbounded). Power-of-two M splits into
+    # groups of ≤ 2·√M, so that is the effective floor.
+    inner_cap = max(cap, 2 * int(m ** 0.5) + 1)
+    fa = fft(a_pad, "__j", "re", "im", n=m,
+             _single_group_cap=inner_cap)
+    fb = fft(b_pad, "__j", "re", "im", n=m,
+             _single_group_cap=inner_cap)
     prod = (fa.alias("a").join(fb.alias("b"), "k")
             .select(F.col("k").alias("__j"),
                     (F.col("a.re") * F.col("b.re")
@@ -406,7 +413,7 @@ def _bluestein(base: SparkDF, n: int, inverse: bool,
                     (F.col("a.re") * F.col("b.im")
                      + F.col("a.im") * F.col("b.re")).alias("im")))
     conv = fft(prod, "__j", "re", "im", n=m, inverse=True,
-               _single_group_cap=cap)
+               _single_group_cap=inner_cap)
     kc, ks = chirp(F.col("k"), -1.0)
     return (conv.filter(F.col("k") < n)
             .select("k",

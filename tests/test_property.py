@@ -1081,3 +1081,72 @@ def test_decoder_adversarial_containers_never_raise(spark):
     assert M._tiff_pixels(tif) is None
     out = M._decode_image(tif, "image")
     assert out.shape == (32,) and np.isfinite(out).all()
+
+
+@_settings
+@given(seed=st.integers(0, 10_000),
+       n=st.integers(4, 40), d=st.integers(1, 6))
+def test_tensor_solve_norm_match_numpy(spark, seed, n, d):
+    """r14 linalg facade: the one-pass augmented-gramian solve equals
+    numpy lstsq on random tall systems (incl. rank-deficient via a
+    zeroed column), and every norm order matches numpy."""
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, d))
+    if seed % 3 == 0 and d > 1:
+        A[:, -1] = 0.0  # rank-deficient → lstsq fallback path
+    b = rng.standard_normal(n)
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "v": [list(map(float, r)) for r in A], "b": b}))
+    x = Tn.solve(sdf, vec_col="v", b_col="b")
+    exp = np.linalg.lstsq(A, b, rcond=None)[0]
+    # compare predictions, not coefficients: rank-deficient systems
+    # have non-unique solutions but a unique projection A·x
+    np.testing.assert_allclose(A @ x, A @ exp, atol=1e-6)
+
+    assert abs(Tn.norm(sdf, "v") - np.linalg.norm(A)) < 1e-8
+    assert abs(Tn.norm(sdf, "v", 1) - np.linalg.norm(A, 1)) < 1e-8
+    assert abs(Tn.norm(sdf, "v", float("inf"))
+               - np.linalg.norm(A, np.inf)) < 1e-8
+
+
+@_settings
+@given(seed=st.integers(0, 10_000), n=st.integers(2, 48))
+def test_tensor_fft_linearity_and_parseval(spark, seed, n):
+    """r14 distributed FFT properties over random lengths (composite,
+    prime, tiny): matches numpy, satisfies Parseval, and the 4-step /
+    single-group / Bluestein paths agree (forced via caps)."""
+    from mars_spark import tensor as Tn
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(n)
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "j": range(n), "re": x}))
+    got = Tn.fft(sdf, "j", "re", n=n).toPandas().sort_values("k")
+    exp = np.fft.fft(x)
+    np.testing.assert_allclose(got.re.to_numpy(), exp.real, atol=1e-8)
+    np.testing.assert_allclose(got.im.to_numpy(), exp.imag, atol=1e-8)
+    # Parseval
+    power = float((got.re ** 2 + got.im ** 2).sum()) / n
+    np.testing.assert_allclose(power, float((x ** 2).sum()), rtol=1e-9)
+    # force Bluestein (cap=1 makes every split unusable) — identical
+    blu = (Tn.fft(sdf, "j", "re", n=n, _single_group_cap=1)
+           .toPandas().sort_values("k"))
+    np.testing.assert_allclose(blu.re.to_numpy(), exp.real, atol=1e-7)
+    np.testing.assert_allclose(blu.im.to_numpy(), exp.imag, atol=1e-7)
+
+
+@_settings
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+       edges=st.lists(st.integers(-40, 40), min_size=1, max_size=6,
+                      unique=True),
+       right=st.booleans())
+def test_tensor_digitize_matches_numpy(spark, vals, edges, right):
+    from mars_spark import tensor as Tn
+
+    bins = sorted(edges)
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = Tn.digitize(sdf, "v", bins, right=right).toPandas()
+    exp = np.digitize(got.v.to_numpy(), bins, right=right)
+    np.testing.assert_array_equal(got.bucket.to_numpy(), exp)
