@@ -138,6 +138,17 @@ def from_tensor(tensor, index=None, columns=None, name=None):
     import pandas as pd
 
     arr = np.asarray(tensor)
+    if index is not None:
+        # the index lands as a column named 'index' (the engine's
+        # index-as-column contract) — a data column with that name
+        # would be silently clobbered, so refuse the collision
+        clash = (columns is not None and "index" in
+                 [str(c) for c in columns]) or name == "index"
+        if clash:
+            raise ValueError(
+                "from_tensor with an index cannot also have a "
+                "column/Series named 'index' (the index occupies "
+                "that column)")
     if arr.ndim == 1:
         pdf = pd.DataFrame({name or "0": arr})
         if index is not None:

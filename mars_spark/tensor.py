@@ -75,6 +75,17 @@ def arange(start, stop=None, step=1, name: str = "x",
     distributed arithmetic-sequence constructor."""
     if stop is None:
         start, stop = 0, start
+    if any(isinstance(v, float) for v in (start, stop, step)):
+        # float form: affine map over a counted range (numpy arange
+        # semantics — int() truncation here would silently corrupt)
+        import math
+
+        if step == 0:
+            raise ValueError("arange step must be nonzero")
+        num = max(0, math.ceil((stop - start) / step))
+        return _spark().range(0, num, 1, num_partitions).select(
+            "id", (F.lit(float(start)) + F.col("id")
+                   * F.lit(float(step))).alias(name))
     return _spark().range(int(start), int(stop), int(step),
                           num_partitions).withColumnRenamed("id", name)
 
@@ -147,6 +158,9 @@ def average(sdf: SparkDF, col: str, weights_col: str | None = None
     c = F.col(col).cast("double")
     if weights_col is None:
         row = sdf.agg(F.avg(c).alias("a")).collect()[0]
+        if row["a"] is None:
+            raise ZeroDivisionError(
+                "average of an empty frame (numpy parity)")
         return float(row["a"])
     w = F.col(weights_col).cast("double")
     row = sdf.agg(F.sum(c * w).alias("n"),
@@ -175,8 +189,11 @@ def bincount(sdf: SparkDF, col: str, minlength: int = 0,
     by max(col)+1 entries (numpy's own output contract). A cheap
     min/max pre-pass rejects negatives and driver-array-sized maxima
     BEFORE the distinct collect (the same explicit-escape-hatch rule
-    as kendall's max_items / pdist's max_rows)."""
+    as kendall's max_items / pdist's max_rows). NULLs are skipped
+    (they have no integer bin; min/max already ignore them, so the
+    group pass must too or the driver-side int() crashes)."""
     c = F.col(col).cast("long")
+    sdf = sdf.filter(c.isNotNull())
     pre = sdf.agg(F.min(c).alias("lo"), F.max(c).alias("hi")
                   ).collect()[0]
     if pre["lo"] is None:
@@ -486,6 +503,15 @@ def fft2(sdf: SparkDF, i_col: str, j_col: str, re_col: str,
     def axis_fft(key_col, pos_col, out_pos):
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(pos_col)
+            pos = pdf[pos_col].to_numpy()
+            # same index-contract guard as the 1-D fft: a missing or
+            # duplicated cell must error, not silently mis-transform
+            if len(pos) == 0 or pos[0] != 0 or pos[-1] != len(pos) - 1 \
+                    or (len(pos) > 1 and (pos[1:] == pos[:-1]).any()):
+                raise ValueError(
+                    f"fft2: axis positions for "
+                    f"{key_col}={int(pdf[key_col].iloc[0])} are not "
+                    "exactly 0..len-1 (gaps or duplicates)")
             z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
             # scaled ifft per axis: the two passes compose to the
             # full 1/(r·c) normalization with no extra job
@@ -617,14 +643,26 @@ def squareform(pairs: SparkDF, ids=None) -> SparkDF:
     square direction) at the Spark shape: mirror the (i, j) long
     frame into both orders and add the zero diagonal — the square
     matrix STAYS a distributed long frame (i, j, dist), never a
-    driver array."""
+    driver array. ``ids`` (an iterable of row ids) supplies the
+    diagonal universe explicitly — required whenever a point can be
+    absent from every pair (a single-row pdist, isolated points),
+    since the pair frame alone cannot name it."""
     up = pairs.select("id_i", "id_j", "dist")
     lo = pairs.select(F.col("id_j").alias("id_i"),
                       F.col("id_i").alias("id_j"), "dist")
-    diag = (pairs.select(F.col("id_i").alias("k"))
-            .union(pairs.select(F.col("id_j").alias("k"))).distinct()
-            .select(F.col("k").alias("id_i"), F.col("k").alias("id_j"),
-                    F.lit(0.0).alias("dist")))
+    if ids is not None:
+        spark = _spark()
+        diag = spark.createDataFrame(
+            [(i,) for i in ids], "id_i long").select(
+            "id_i", F.col("id_i").alias("id_j"),
+            F.lit(0.0).alias("dist"))
+    else:
+        diag = (pairs.select(F.col("id_i").alias("k"))
+                .union(pairs.select(F.col("id_j").alias("k")))
+                .distinct()
+                .select(F.col("k").alias("id_i"),
+                        F.col("k").alias("id_j"),
+                        F.lit(0.0).alias("dist")))
     return up.unionByName(lo).unionByName(diag)
 
 
@@ -989,11 +1027,23 @@ def randomized_svd(sdf: SparkDF, vec_col: str, k: int,
                  F.col("__x").cast("array<double>")).alias("__ya"))
     p = _cross_partials(aug, "__y", "__ya")
     gy, yta = p[:, :ell], p[:, ell:]
-    # Cholesky-QR of the implicit Y: B = QᵀA = R⁻ᵀ·(YᵀA)
+    # Cholesky-QR of the implicit Y: B = QᵀA = R⁻ᵀ·(YᵀA). A sketch
+    # whose columns are linearly dependent (rank(A) < l — e.g. a
+    # corpus of near-duplicate vectors) makes YᵀY singular; mirror
+    # solve()'s contract (degrade, don't LinAlgError) by
+    # orthonormalizing through the eigen-decomposition instead,
+    # dropping the null directions.
     import numpy.linalg as npl
 
-    r = npl.cholesky(gy).T
-    bmat = npl.solve(r.T, yta)
+    try:
+        r = npl.cholesky(gy).T
+        bmat = npl.solve(r.T, yta)
+    except npl.LinAlgError:
+        vals, vecs = npl.eigh(gy)
+        keep = vals > max(vals.max(), 0.0) * 1e-12
+        if not keep.any():
+            raise ValueError("randomized_svd of an all-zero matrix")
+        bmat = (vecs[:, keep] / np.sqrt(vals[keep])).T @ yta
     _, s, vt = npl.svd(bmat, full_matrices=False)
     return s[:k], vt[:k].T
 

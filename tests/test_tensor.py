@@ -489,3 +489,67 @@ def test_guards_and_empty_parity(spark):
         "j": [0, 1, 2, 4, 5, 6], "re": [1.0] * 6}))
     with pytest.raises(Exception, match="gaps or duplicates"):
         Tn.fft(gap, "j", "re", n=6).collect()
+
+
+def test_review_fixes(spark):
+    """r14 self-review findings: float arange, empty-average parity,
+    null-tolerant bincount, fft2 index guard, rank-deficient rsvd,
+    squareform ids, from_tensor index-name collision."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    import mars_spark as ms
+    from mars_spark import tensor as Tn
+
+    # float arange matches numpy (no int truncation)
+    a = (Tn.arange(1.5, 4.5, name="v").toPandas()
+         .sort_values("id").v.to_numpy())
+    np.testing.assert_allclose(a, np.arange(1.5, 4.5), atol=1e-12)
+    a2 = (Tn.arange(0.0, 1.0, 0.25, name="v").toPandas()
+          .sort_values("id").v.to_numpy())
+    np.testing.assert_allclose(a2, np.arange(0.0, 1.0, 0.25),
+                               atol=1e-12)
+    with pytest.raises(ValueError, match="nonzero"):
+        Tn.arange(0.0, 1.0, 0.0)
+
+    # unweighted average on empty: same numpy-parity error as the
+    # weighted branch
+    empty = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0]})).filter("v < 0")
+    with pytest.raises(ZeroDivisionError):
+        Tn.average(empty, "v")
+
+    # bincount skips NULLs instead of TypeError-ing on the null group
+    nl = spark.createDataFrame(pd.DataFrame({
+        "v": pd.array([1, 2, None, 2], dtype="Int64")}))
+    assert Tn.bincount(nl, "v") == [0, 1, 2]
+
+    # fft2 rejects gaps (missing cell) instead of mis-transforming
+    cells = [(i, j, 1.0) for i in range(3) for j in range(3)
+             if not (i == 1 and j == 2)]
+    bad = spark.createDataFrame(
+        pd.DataFrame(cells, columns=["i", "j", "re"]))
+    with pytest.raises(Exception, match="gaps or duplicates"):
+        Tn.fft2(bad, "i", "j", "re").collect()
+
+    # rank-deficient randomized_svd degrades instead of LinAlgError
+    one = np.ones(8)
+    dup = spark.createDataFrame(pd.DataFrame({
+        "v": [list(one)] * 50}))
+    s, V = Tn.randomized_svd(dup, "v", k=1, n_oversamples=4, seed=3)
+    np.testing.assert_allclose(s[0], np.sqrt(50 * 8), rtol=1e-9)
+
+    # squareform ids covers points absent from every pair
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_i": [0], "id_j": [1], "dist": [2.0]}))
+    sq = Tn.squareform(pairs, ids=[0, 1, 2]).toPandas()
+    assert len(sq) == 2 + 3
+    assert set(sq[sq.id_i == sq.id_j].id_i) == {0, 1, 2}
+
+    # from_tensor refuses the 'index' name collision
+    with pytest.raises(ValueError, match="named 'index'"):
+        ms.from_tensor(np.zeros((2, 2)), index=[1, 2],
+                       columns=["index", "b"])
+    with pytest.raises(ValueError, match="named 'index'"):
+        ms.from_tensor(np.zeros(3), index=[1, 2, 3], name="index")
