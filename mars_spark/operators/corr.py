@@ -58,13 +58,42 @@ def spearman_pair(sdf: SparkDF, ca: str, cb: str,
     """Spearman rho of two columns: average-method ranks over the
     pairwise-complete rows, then one Pearson aggregate.
     ``min_periods`` follows pandas corr: None when fewer
-    pairwise-complete observations exist."""
-    d = _pair_frame(sdf, ca, cb)
-    d = add_rank(d, "x", method="average", out="__rx")
-    d = add_rank(d, "y", method="average", out="__ry")
+    pairwise-complete observations exist.
+
+    r14 (optimization): the two rank passes are independent, so their
+    per-value stats tables (value → average rank, the same
+    ``__before + (cnt+1)/2`` closed form add_rank uses) are built
+    CONCURRENTLY from a single snapshot of the pairwise-complete
+    projection, then both joined in one plan. Same ranks, same
+    Pearson — the serial chain of two full add_rank passes (each with
+    its own eager prefix job) becomes one snapshot + two overlapped
+    small-stats passes (guide §2.6)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mars_spark.operators.rank import prefix_stats
+
+    # one snapshot: the frame is scanned by both stats passes and the
+    # final join; without it each consumer re-runs the scan + filter
+    d = _pair_frame(sdf, ca, cb).localCheckpoint()
+
+    def _avg_rank_map(side: str):
+        pv = (d.groupBy(F.col(side).alias("__v"))
+              .agg(F.count(F.lit(1)).alias("__cnt")))
+        st = prefix_stats(pv, "__v", "__cnt")
+        return st.select(
+            F.col("__v").alias(f"__v{side}"),
+            (F.col("__before") + (F.col("__cnt") + 1) / 2.0)
+            .cast("double").alias(f"__r{side}"))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fx = ex.submit(_avg_rank_map, "x")
+        fy = ex.submit(_avg_rank_map, "y")
+        sx, sy = fx.result(), fy.result()
+    dd = (d.join(sx, d["x"] == sx["__vx"])
+          .join(sy, d["y"] == sy["__vy"]))
     try:
-        row = d.agg(F.corr("__rx", "__ry").alias("c"),
-                    F.count(F.lit(1)).alias("n")).collect()[0]
+        row = dd.agg(F.corr("__rx", "__ry").alias("c"),
+                     F.count(F.lit(1)).alias("n")).collect()[0]
     except Exception as e:  # ANSI DIVIDE_BY_ZERO: zero rank variance
         if "DIVIDE_BY_ZERO" not in str(e):
             raise
@@ -96,13 +125,73 @@ def kendall_pair(sdf: SparkDF, ca: str, cb: str,
     bit-identically in SQL.
     """
     d = _pair_frame(sdf, ca, cb)
-    g = (d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
-         .localCheckpoint())  # reused by 3 aggregates + the pair join
-    m = g.count()
-    if m == 0:
-        return _NAN
-    if m > max_items:
-        if not approx:
+    if approx:
+        # r14 (optimization): decide + bin from the RAW pair frame.
+        # The old path materialized the distinct-(x,y) table first —
+        # for continuous data m ≈ n, so that was a full-width shuffle
+        # + checkpoint bought purely to count it, followed by two
+        # SERIAL stats-join rounds over the same n-row frame. Now one
+        # snapshot + one aggregate makes the decision, the two
+        # per-side bucket maps build CONCURRENTLY (they are
+        # independent — guide §2.6), and one join+groupBy compresses
+        # straight to ≤ B² bucket pairs: the n-row frame is shuffled
+        # zero times (per-side groupBys are map-side-combined
+        # distinct-value aggregates). Buckets use the identical
+        # integer arithmetic ((min_rank−1)·B div n), so the binned
+        # tau is bit-identical to the previous form.
+        d = d.localCheckpoint()
+        arow = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("x"), F.col("y")).alias("m")
+        ).collect()[0]
+        n_all, m = int(arow["n"]), int(arow["m"])
+        if m == 0:
+            return _NAN
+        if m > max_items:
+            bins = max(2, int(math.isqrt(max_items)))
+            bound = bins * bins
+            from concurrent.futures import ThreadPoolExecutor
+
+            from mars_spark.operators.rank import prefix_stats
+
+            def _bucket_map(side: str):
+                pv = (d.groupBy(F.col(side).alias("__v"))
+                      .agg(F.count(F.lit(1)).alias("__cnt")))
+                stats = prefix_stats(pv, "__v", "__cnt")
+                # bucket = (min_rank−1)·B div n — pure INTEGER
+                # division (`div`), so the bucket ids replay
+                # bit-identically in any engine
+                return stats.select(
+                    F.col("__v").alias(f"__v{side}"),
+                    F.expr(f"(__before * {bins}) div {n_all}")
+                    .cast("bigint").alias(f"__b{side}"))
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fx = ex.submit(_bucket_map, "x")
+                fy = ex.submit(_bucket_map, "y")
+                sx, sy = fx.result(), fy.result()
+            g = (d.join(sx, d["x"] == sx["__vx"])
+                 .join(sy, d["y"] == sy["__vy"])
+                 .groupBy(F.col("__bx").alias("x"),
+                          F.col("__by").alias("y"))
+                 .agg(F.count(F.lit(1)).alias("w")))
+        else:
+            bound = m
+            g = d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
+        # the compressed frame is ≤ bound ≤ max_items rows; finish on
+        # the driver only when the O(bound²) numpy sweep is cheap
+        rows = g.collect() if bound <= _DRIVER_FINISH_CAP else None
+        if rows is None:
+            g, n = g.localCheckpoint(), n_all
+    else:
+        g = (d.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
+             .localCheckpoint())  # reused by the finish aggregates
+        grow = g.agg(F.count(F.lit(1)).alias("m"),
+                     F.sum("w").alias("n")).collect()[0]
+        m = int(grow["m"])
+        if m == 0:
+            return _NAN
+        if m > max_items:
             raise ValueError(
                 f"kendall: {m} distinct value pairs exceeds max_items="
                 f"{max_items} (the concordance join is O(m^2)); pass "
@@ -110,34 +199,59 @@ def kendall_pair(sdf: SparkDF, ca: str, cb: str,
                 "pre-bin or sample the inputs, or raise max_items "
                 "(Series.corr/DataFrame.corr/corr_matrix/corrwith all "
                 "accept max_items= and approx=)")
-        nrow = g.agg(F.sum("w").alias("n")).collect()[0]
-        n_all = int(nrow["n"])
-        bins = max(2, int(math.isqrt(max_items)))
-        # rank the COMPRESSED frame (m rows, weight-aware prefix
-        # sums give the row-level min-rank), then re-compress on the
-        # bucket pair. add_rank on the weighted frame: min-rank of a
-        # value v = 1 + Σ w over values < v — do it directly here.
-        from mars_spark.operators.rank import prefix_stats
+        n = int(grow["n"])
+        rows = g.collect() if m <= _DRIVER_FINISH_CAP else None
+    if rows is not None:
+        # r14 (optimization): the compressed frame is provably small
+        # (≤ _DRIVER_FINISH_CAP distinct pairs / ≤ B² buckets), so the
+        # tie counts and the O(m²) concordance sweep finish on the
+        # driver in one vectorized numpy pass — replacing FOUR
+        # driver-synchronous Spark jobs (n agg, two tie aggs, the
+        # pair-join agg) with the one collect above. Identical
+        # arithmetic: integer weights, double products, the same
+        # tau-b closed form (guide §5: driver work is fine when the
+        # data is bounded by construction).
+        return _tau_b_driver(rows, min_periods)
+    return _tau_b_plan(g, n, min_periods)
 
-        for side in ("x", "y"):
-            pv = (g.groupBy(F.col(side).alias("__v"))
-                  .agg(F.sum("w").alias("__cnt")))
-            stats = prefix_stats(pv, "__v", "__cnt")
-            # bucket = (min_rank−1)·B div n — pure INTEGER division
-            # (`div`), so the bucket ids replay bit-identically in
-            # any engine (no float-quotient rounding to reason about)
-            stats = stats.select(
-                F.col("__v"),
-                F.expr(f"(__before * {bins}) div {n_all}")
-                .cast("bigint").alias(f"__b{side}"))
-            g = (g.join(F.broadcast(stats), g[side] == stats["__v"])
-                 .drop("__v"))
-        g = (g.groupBy(F.col("__bx").alias("x"), F.col("__by").alias("y"))
-             .agg(F.sum("w").alias("w"))
-             .localCheckpoint())
-    # marginal tie counts from the compressed frame (exact integers)
-    row = g.agg(F.sum("w").alias("n")).collect()[0]
-    n = int(row["n"])
+
+# bound on the driver-side O(m²) finish: 2048² pair masks are ~32 MB
+# of transient numpy — trivial; beyond it the plan-side join runs
+_DRIVER_FINISH_CAP = 2048
+
+
+def _tau_b_driver(rows, min_periods) -> float:
+    """Exact tau-b from collected (x, y, w) distinct-pair rows."""
+    import numpy as np
+
+    n = sum(int(r["w"]) for r in rows)
+    if n < 2 or (min_periods and n < min_periods):
+        return _NAN
+    xs = np.array([r["x"] for r in rows], dtype=np.float64)
+    ys = np.array([r["y"] for r in rows], dtype=np.float64)
+    ws = np.array([r["w"] for r in rows], dtype=np.float64)
+    _, xinv = np.unique(xs, return_inverse=True)
+    _, yinv = np.unique(ys, return_inverse=True)
+    cx = np.bincount(xinv, weights=ws)
+    cy = np.bincount(yinv, weights=ws)
+    n1 = float((cx * (cx - 1) / 2.0).sum())
+    n2 = float((cy * (cy - 1) / 2.0).sum())
+    xlt = xs[:, None] < xs[None, :]
+    ylt = ys[:, None] < ys[None, :]
+    ygt = ys[:, None] > ys[None, :]
+    ww = ws[:, None] * ws[None, :]
+    p = float(ww[xlt & ylt].sum())
+    q = float(ww[xlt & ygt].sum())
+    n0 = n * (n - 1) / 2.0
+    denom = math.sqrt((n0 - n1) * (n0 - n2))
+    if denom == 0.0:
+        return _NAN
+    return (p - q) / denom
+
+
+def _tau_b_plan(g: SparkDF, n: int, min_periods) -> float:
+    """Plan-side tau-b finish over a snapshotted distinct-pair frame —
+    the path for m beyond the driver cap (still ≤ max_items)."""
     if n < 2 or (min_periods and n < min_periods):
         return _NAN
     tx = (g.groupBy("x").agg(F.sum("w").alias("c"))
