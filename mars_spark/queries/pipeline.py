@@ -619,7 +619,16 @@ def docs_curation_ops(spark: SparkSession, sf_dir: str) -> SparkDF:
     from mars_spark.llm.mixture import cap_per_key
 
     d = load(sf_dir, "documents").to_spark()
-    dq = d.withColumn("__q", T.quality_score("text"))
+    # r14 (optimization): lazy-snapshot the quality-scored corpus —
+    # three strata (best/cap/wres) consume __q, and the union's
+    # branches are separate subtrees Catalyst does not dedupe, so the
+    # multi-regex quality_score chain ran 3× per evaluation (guide
+    # §2.4: share one computation). eager=False defers the
+    # materialization into the row's own (overlapped) evaluation
+    # instead of a serial head job; block puts are idempotent, so a
+    # branch race at worst recomputes what it recomputed before.
+    dq = (d.withColumn("__q", T.quality_score("text"))
+          .localCheckpoint(eager=False))
 
     best = (D.best_in_cluster_dedup(dq, "text", "doc_id", "__q")
             .groupBy("source")
