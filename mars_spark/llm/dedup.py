@@ -416,6 +416,42 @@ def minhash_dedup(sdf: SparkDF, text_col: str, id_col: str,
     return sdf.join(drop, on=id_col, how="left_anti")
 
 
+class _shuffle_width:
+    """Temporarily pin ``spark.sql.shuffle.partitions`` for an
+    iterative driver loop (the streaming `_state_partitions`
+    discipline applied to batch iteration). The CC loops materialize
+    every round via localCheckpoint, which executes through the RDD
+    path and so never benefits from AQE partition coalescing — each
+    round inherited the full batch shuffle width (measured 64-65
+    tasks per in-loop job on a KB-sized edge list at sf0.1, ~10 jobs
+    per round of pure task-launch overhead). Width is derived from
+    the MEASURED edge count (scale-adaptive: clamps to the session
+    width at real scale, shrinks to a few tasks on small graphs).
+    Restores the previous width on exit, exception-safe."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+# target rows per in-loop shuffle partition: CC state rows are two
+# bigints, so 64k rows ≈ 1 MB — far below a task's fixed cost until
+# well past this
+_ITER_ROWS_PER_PARTITION = 65_536
+
+
+def _iter_width(sdf: SparkDF, n_rows: int) -> int:
+    cur = int(sdf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    need = -(-max(n_rows, 1) // _ITER_ROWS_PER_PARTITION)
+    return max(1, min(cur, need))
+
+
 def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
     """Connected components over near-dup pairs (a, b) → (id, cluster)
     with cluster = min id reachable. Iterative min-label propagation:
@@ -445,12 +481,17 @@ def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
     # unreliable executors use checkpoint() to HDFS instead.
     p = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
          .localCheckpoint())
+    # count over the checkpointed blocks (cheap) sizes the loop's
+    # shuffle width — see _shuffle_width
+    width = _iter_width(p, p.count() * 2)
     edges = p.unionByName(
-        p.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    labels = (edges.select(F.col("x").alias("id"))
-              .distinct()
-              .withColumn("cluster", F.col("id"))
-              .localCheckpoint())
+        p.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).repartition(width, "y").localCheckpoint()
+    with _shuffle_width(p.sparkSession, width):
+        labels = (edges.select(F.col("x").alias("id"))
+                  .distinct()
+                  .withColumn("cluster", F.col("id"))
+                  .localCheckpoint())
     # Both in-loop joins are data-sized × data-sized (labels grows
     # with the corpus), so they are pinned to shuffle-hash joins: a
     # 100x-scale sweep (SCALE.md sf10) showed Spark electing to
@@ -460,30 +501,35 @@ def dedup_clusters(pairs: SparkDF, max_iter: int = 10) -> SparkDF:
     # and at cluster scale a billion-row label broadcast is never
     # right. Shuffle-hash (not sort-merge) because each round's join
     # is a few heavy keys joined once — no sort amortization.
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels.hint("shuffle_hash"), edges.y == labels.id)
-            .groupBy("x").agg(F.min("cluster").alias("nbr_min"))
-        )
-        # Carry a per-row changed flag through the SAME plan so the
-        # convergence test is a cheap agg over the checkpointed result
-        # instead of a second join against the previous labels (one
-        # shuffle join per round instead of two).
-        new_min = F.least(F.col("cluster"),
-                          F.coalesce(F.col("nbr_min"), F.col("cluster")))
-        new_labels = (
-            labels.join(neighbor_min.hint("shuffle_hash"),
-                        labels.id == neighbor_min.x, "left")
-            .select(
-                "id",
-                new_min.alias("cluster"),
-                (new_min < F.col("cluster")).cast("long").alias("__chg__"),
+    with _shuffle_width(p.sparkSession, width):
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels.hint("shuffle_hash"),
+                           edges.y == labels.id)
+                .groupBy("x").agg(F.min("cluster").alias("nbr_min"))
             )
-        ).localCheckpoint()
-        changed = new_labels.agg(F.sum("__chg__")).collect()[0][0]
-        labels = new_labels.drop("__chg__")
-        if not changed:
-            break
+            # Carry a per-row changed flag through the SAME plan so
+            # the convergence test is a cheap agg over the
+            # checkpointed result instead of a second join against
+            # the previous labels (one shuffle join per round
+            # instead of two).
+            new_min = F.least(
+                F.col("cluster"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster")))
+            new_labels = (
+                labels.join(neighbor_min.hint("shuffle_hash"),
+                            labels.id == neighbor_min.x, "left")
+                .select(
+                    "id",
+                    new_min.alias("cluster"),
+                    (new_min < F.col("cluster")).cast("long")
+                    .alias("__chg__"),
+                )
+            ).localCheckpoint()
+            changed = new_labels.agg(F.sum("__chg__")).collect()[0][0]
+            labels = new_labels.drop("__chg__")
+            if not changed:
+                break
     return labels
 
 
@@ -516,36 +562,44 @@ def dedup_clusters_star(pairs: SparkDF, max_iter: int = 25) -> SparkDF:
     p = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
          .filter(F.col("x") != F.col("y")).distinct()
          .localCheckpoint())
-    nodes = (p.select(F.col("x").alias("id"))
-             .unionByName(p.select(F.col("y").alias("id")))
-             .distinct().localCheckpoint())
-    edges, prev = p, None
-    for _ in range(max_iter):
-        sym = edges.unionByName(
-            edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
-        lmin = (sym.groupBy("x")
-                .agg(F.least(F.min("y"), F.first("x")).alias("m")))
-        large = (sym.filter(F.col("y") > F.col("x"))
-                 .join(lmin.hint("shuffle_hash"), "x")
-                 .select(F.col("y").alias("x"), F.col("m").alias("y"))
-                 .distinct())
-        smin = (large.groupBy("x")
-                .agg(F.least(F.min("y"), F.first("x")).alias("m")))
-        small = (large.join(smin.hint("shuffle_hash"), "x")
-                 .select(F.col("y").alias("x"), F.col("m").alias("y"))
-                 .unionByName(smin.select("x", F.col("m").alias("y")))
-                 .filter(F.col("x") != F.col("y"))
-                 .distinct())
-        edges = small.localCheckpoint()
-        lbl = edges.groupBy("x").agg(F.min("y").alias("c"))
-        if prev is not None:
-            diff = (lbl.withColumnRenamed("c", "cn")
-                    .join(prev.hint("shuffle_hash"), "x", "full_outer")
-                    .filter(~F.col("cn").eqNullSafe(F.col("c")))
-                    .limit(1).count())
-            if diff == 0:
-                break
-        prev = lbl.localCheckpoint()
+    # measured edge count sizes the loop's shuffle width (see
+    # _shuffle_width — localCheckpoint rounds never see AQE coalescing)
+    width = _iter_width(p, p.count() * 2)
+    with _shuffle_width(p.sparkSession, width):
+        nodes = (p.select(F.col("x").alias("id"))
+                 .unionByName(p.select(F.col("y").alias("id")))
+                 .distinct().localCheckpoint())
+        edges, prev = p, None
+        for _ in range(max_iter):
+            sym = edges.unionByName(
+                edges.select(F.col("y").alias("x"),
+                             F.col("x").alias("y")))
+            lmin = (sym.groupBy("x")
+                    .agg(F.least(F.min("y"), F.first("x")).alias("m")))
+            large = (sym.filter(F.col("y") > F.col("x"))
+                     .join(lmin.hint("shuffle_hash"), "x")
+                     .select(F.col("y").alias("x"),
+                             F.col("m").alias("y"))
+                     .distinct())
+            smin = (large.groupBy("x")
+                    .agg(F.least(F.min("y"), F.first("x")).alias("m")))
+            small = (large.join(smin.hint("shuffle_hash"), "x")
+                     .select(F.col("y").alias("x"),
+                             F.col("m").alias("y"))
+                     .unionByName(smin.select("x", F.col("m").alias("y")))
+                     .filter(F.col("x") != F.col("y"))
+                     .distinct())
+            edges = small.localCheckpoint()
+            lbl = edges.groupBy("x").agg(F.min("y").alias("c"))
+            if prev is not None:
+                diff = (lbl.withColumnRenamed("c", "cn")
+                        .join(prev.hint("shuffle_hash"), "x",
+                              "full_outer")
+                        .filter(~F.col("cn").eqNullSafe(F.col("c")))
+                        .limit(1).count())
+                if diff == 0:
+                    break
+            prev = lbl.localCheckpoint()
     final = prev if prev is not None else (
         edges.groupBy("x").agg(F.min("y").alias("c")))
     return (nodes.join(
