@@ -1170,7 +1170,17 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
                  .select("e").collect()][0]
         return assigned, centroids, query
 
-    def _pq_branch():
+    def _q_raw():
+        # r14 (optimization): the PQ/SQ8/BQ1 branches each collected
+        # the identical raw query vector — one shared fetch future
+        # replaces three duplicate jobs (guide §2.4: share one
+        # computation)
+        return [float(v) for v in
+                e.filter(F.col("vec_id") == 0)
+                .select(S.to_double(F.col("embedding")).alias("q"))
+                .collect()[0]["q"]]
+
+    def _pq_branch(f_q):
         # the oracle's codebook-seed CTE hardcodes LIMIT 16 = 2^nbits
         # (pipeline_oracles.py "pqids"); assert the pin so a future
         # nbits change here cannot silently diverge from the replay
@@ -1178,45 +1188,35 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
         assert (1 << _nbits) == 16, "oracle pqids CTE pins LIMIT 16"
         cb = S.pq_codebook(e, "embedding", m=8, nbits=_nbits)
         codes = S.pq_encode(e, "embedding", cb)
-        q_raw = [float(v) for v in
-                 e.filter(F.col("vec_id") == 0)
-                 .select(S.to_double(F.col("embedding")).alias("q"))
-                 .collect()[0]["q"]]
-        return S.pq_search(codes, cb, q_raw, k=10).localCheckpoint()
+        return S.pq_search(codes, cb, f_q.result(),
+                           k=10).localCheckpoint()
 
-    def _sq8_branch():
+    def _sq8_branch(f_q):
         # r11: 8-bit scalar quantization (similarity.sq8_*) — one
         # codegen'd min/max pass trains the per-dim bounds, encode is
         # a pure-JVM affine projection (no Python anywhere, unlike
         # PQ's numpy argmin), ADC search reads only the 1-byte codes.
         # The oracle replays bounds, codes and ADC top-10 in SQL.
         codes, mins, maxs = S.sq8_index(e, "embedding")
-        q_raw = [float(v) for v in
-                 e.filter(F.col("vec_id") == 0)
-                 .select(S.to_double(F.col("embedding")).alias("q"))
-                 .collect()[0]["q"]]
-        return S.sq8_search(codes, mins, maxs, q_raw,
+        return S.sq8_search(codes, mins, maxs, f_q.result(),
                             k=10).localCheckpoint()
 
-    def _bq1_branch():
+    def _bq1_branch(f_q):
         # r11: 1-bit binary quantization (similarity.bq1_*/
         # hamming_search) — midpoint thresholds from the same
         # order-exact min/max pass, 32-dims-per-BIGINT packing, and
         # Hamming top-10 as pure-JVM bit_count(xor) arithmetic. The
         # oracle replays thresholds, bits and the Hamming top-10.
         words, th = S.bq1_index(e, "embedding")
-        q_raw = [float(v) for v in
-                 e.filter(F.col("vec_id") == 0)
-                 .select(S.to_double(F.col("embedding")).alias("q"))
-                 .collect()[0]["q"]]
-        qw = S.bq1_encode_query(q_raw, th)
+        qw = S.bq1_encode_query(f_q.result(), th)
         return S.hamming_search(words, qw, k=10).localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_q = ex.submit(_q_raw)
         f_ivf = ex.submit(_ivf_branch)
-        f_pq = ex.submit(_pq_branch)
-        f_sq8 = ex.submit(_sq8_branch)
-        f_bq1 = ex.submit(_bq1_branch)
+        f_pq = ex.submit(_pq_branch, f_q)
+        f_sq8 = ex.submit(_sq8_branch, f_q)
+        f_bq1 = ex.submit(_bq1_branch, f_q)
         assigned, centroids, query = f_ivf.result()
         pq_top = f_pq.result()
         sq8_top = f_sq8.result()
