@@ -1674,8 +1674,13 @@ def events_stream_windows(spark: SparkSession, sf_dir: str) -> SparkDF:
     seq = _STREAM_SEQ[0]
 
     # start all three queries before awaiting any — independent sinks
-    # run concurrently (shared source files, separate state stores)
-    with _state_partitions(spark, 8):
+    # run concurrently (shared source files, separate state stores).
+    # r14 (optimization): width 8 -> 4 — six concurrent lifecycles
+    # each init one state store per partition; key cardinalities here
+    # are 4-20, and an alternating-order same-JVM A/B measured the
+    # row at 3.0-3.3 s (w4) vs 4.0-4.7 s (w8). Production sizing
+    # guidance unchanged (see _state_partitions).
+    with _state_partitions(spark, 4):
         queries = [
             _start_bounded(
                 tumbling_agg(src, "ts", "1 hour", ["event_type"], aggs,
@@ -1781,7 +1786,10 @@ def op_stream_stateful(spark: SparkSession, sf_dir: str) -> SparkDF:
     _STREAM_SEQ[0] += 1
     seq = _STREAM_SEQ[0]
 
-    with _state_partitions(spark, 8):
+    # r14 (optimization): 8 -> 4, same measurement as
+    # events_stream_windows (1.6 vs 1.7-2.4 s alternating A/B); key
+    # spaces here are 4-1000
+    with _state_partitions(spark, 4):
         tot = running_totals(
             src.filter(F.col("user_id") < 100)
             .select("user_id", "value", "ts"),
