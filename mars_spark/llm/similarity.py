@@ -533,9 +533,17 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
     # n_clusters SMALLEST ids, not ids < n_clusters: sparse/offset id
     # spaces would silently undersize the centroid list under the
     # filter form (same fix as pq_codebook); cluster label = rank of
-    # the seed id, 0-based
-    seed_rows = (base.orderBy(id_col).limit(n_clusters)
-                 .select(id_col, "e").collect())
+    # the seed id, 0-based.
+    # r14 (optimization): take the top-k FIRST, normalize after — the
+    # projected form evaluated the Arrow-batched unit() over EVERY
+    # row just to collect n_clusters seeds (a full Python stage per
+    # index build; measured as the row's biggest single job). Same
+    # expression on the k surviving rows → identical seeds.
+    seed_rows = (sdf.select(F.col(id_col),
+                            to_double(F.col(vec_col)).alias("__r"))
+                 .orderBy(id_col).limit(n_clusters)
+                 .select(F.col(id_col), unit(F.col("__r")).alias("e"))
+                 .collect())
     if not seed_rows:
         raise ValueError("ivf_index_deterministic: empty input")
     # fewer rows than n_clusters: degrade to one cluster per row
@@ -840,9 +848,13 @@ def pq_codebook(sdf: SparkDF, vec_col: str, id_col: str = "vec_id",
     k = 1 << nbits
     # k SMALLEST ids, not ids < k: sparse/offset id spaces would
     # silently undersize the codebook under the filter form
-    rows = (sdf.select(F.col(id_col).alias("i"),
-                       to_double(F.col(vec_col)).alias("e"))
-            .orderBy("i").limit(k).collect())
+    # top-k first, cast-transform after (r14): the projected form
+    # evaluated the interpreted per-element cast over every row just
+    # to collect 2^nbits seeds (same fix as the IVF seed collect)
+    rows = (sdf.select(F.col(id_col).alias("i"), F.col(vec_col))
+            .orderBy("i").limit(k)
+            .select("i", to_double(F.col(vec_col)).alias("e"))
+            .collect())
     if len(rows) < k:
         raise ValueError(
             f"pq_codebook needs >= {k} rows (2^nbits); got {len(rows)}")
