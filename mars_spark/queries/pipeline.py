@@ -845,8 +845,14 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
         F.col("sig").cast("long").alias("k"),
         F.lit(None).cast("long").alias("v"))
     d = load(sf_dir, "documents").to_spark()
+    # r14 (optimization): the fingerprint store feeds the batch
+    # anti-join AND the stream-static join (which re-evaluates its
+    # static side per micro-batch) — snapshot the md5-fingerprint
+    # pass once instead of re-running the normalize+md5 chain per
+    # consumer (guide §2.4)
     store = D.exact_dedup_keys(
-        d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id").select("fp")
+        d.filter(F.col("doc_id") % 2 == 0), "text",
+        "doc_id").select("fp").localCheckpoint(eager=False)
     surv = D.incremental_dedup(
         d.filter(F.col("doc_id") % 2 == 1), store, "text", "doc_id")
     c = surv.filter(F.col("doc_id") < 400).select(
