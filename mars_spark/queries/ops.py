@@ -716,7 +716,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         planted = spark.createDataFrame(
             [(1000001, [100.0, 120.0]), (1000002, [-90.0, 80.0]),
              (1000003, [150.0, -110.0])],
-            "event_id long, x array<double>").coalesce(1)
+            "event_id long, x array<double>")
         # persist the 103-row pool: fit() runs count + ONE
         # all-trees Bernoulli-draw collect against it, and scores()
         # scans it again (3 scans of a cached single batch beat 3
@@ -808,14 +808,8 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
             x1 = ((i * 37) % 100) / 100.0
             rows.append((float(x0), float(x1),
                          1.0 if x0 >= 0.55 else 0.0))
-        # r14 (optimization): a 120-row driver fixture materializes as
-        # 32 LocalTableScan partitions; every boosting iteration's
-        # jobs then schedule 32 near-empty tasks. coalesce(4) (narrow,
-        # no shuffle) cuts the fit's task count ~8× — measured 1.0 →
-        # 0.65 s solo — and the contract oracle is layout-robust by
-        # design (expected constants, verified at 1/7/32 partitions)
         sep = spark.createDataFrame(
-            rows, "x0 double, x1 double, y double").coalesce(4).persist()
+            rows, "x0 double, x1 double, y double").persist()
         try:
             m = G.GBTClassifier(n_estimators=5, max_depth=3,
                                 max_bins=64, seed=7
@@ -827,7 +821,7 @@ def op_learn_metrics(spark: SparkSession, sf_dir: str) -> SparkDF:
         imp = m.feature_importances_
         step = spark.createDataFrame(
             [(float(i % 4), float([10, 20, 40, 80][i % 4]))
-             for i in range(80)], "x double, y double").coalesce(4)
+             for i in range(80)], "x double, y double")
         dtr = G.DecisionTreeRegressor(max_depth=3).fit(step, ["x"], "y")
         dmse = L.mean_squared_error(MDF(dtr.predict(step)), "y",
                                     "prediction")
