@@ -257,6 +257,7 @@ class DataFrame:
         snapshot = self.copy()
         out = Series(snapshot, F.col(column), column)
         self._sdf = self._sdf.drop(column)
+        self._drop_range_shadow()
         return out
 
     @property
@@ -373,6 +374,7 @@ class DataFrame:
                     cols = [c for c in self._sdf.columns
                             if c != key] + [key]
                     self._sdf = base.select(*cols)
+                    self._drop_range_shadow()
                     return
                 if origin_sdf is not None:
                     # rides an extension of some OTHER plan: align on
@@ -388,6 +390,38 @@ class DataFrame:
         else:
             col = F.lit(value)
         self._sdf = self._sdf.withColumn(key, col)
+        self._carry_range_shadow(key, col)
+
+    def _carry_range_shadow(self, key: str, col) -> None:
+        """Keep the ungrouped-window chain token (see
+        operators/window._range_partitioned) alive through a plain
+        in-place column assignment: the same expression extends the
+        shadow plan, so a following ungrouped op still reuses the
+        clustered layout. Dropped when the assignment could diverge
+        between the two plans (an order column overwrite, or a
+        non-deterministic expression evaluated independently)."""
+        tok = getattr(self, "_range_layout", None)
+        if tok is None:
+            return
+        shadow = tok[1]
+        if shadow is not None and key not in tok[0]:
+            try:
+                if not col._jc.expr().deterministic():
+                    shadow = None
+                else:
+                    shadow = shadow.withColumn(key, col)
+            except Exception:
+                shadow = None
+        else:
+            shadow = None
+        self._range_layout = (tok[0], shadow, tok[2], tok[3])
+
+    def _drop_range_shadow(self) -> None:
+        """Invalidate the chain token's reusable shadow (keeps cache
+        ownership so the finalizer still fires on GC)."""
+        tok = getattr(self, "_range_layout", None)
+        if tok is not None and tok[1] is not None:
+            self._range_layout = (tok[0], None, tok[2], tok[3])
 
     def _setitem_aligned(self, key: str, value) -> None:
         """Assignment of a Series from another frame (or from a stale
@@ -423,6 +457,7 @@ class DataFrame:
         cols = [c for c in self._sdf.columns if c != key]
         joined = self._sdf.select(*cols).join(vsdf, on=li, how="left")
         self._sdf = joined.select(*cols, F.col("__setitem_v").alias(key))
+        self._drop_range_shadow()
 
     # ------------------------------------------------------- projections
     def assign(self, **kwargs) -> "DataFrame":
@@ -484,6 +519,7 @@ class DataFrame:
         sdf = self._sdf.withColumn(column, col)
         self._sdf = sdf.select(*self._index,
                                *[F.col(c) for c in cols])
+        self._drop_range_shadow()
 
     def astype(self, dtypes: dict | str) -> "DataFrame":
         sdf = self._sdf
@@ -1654,10 +1690,12 @@ class DataFrame:
         order = _order_cols(self, order_by)
         targets = cols or [x for x in self.columns if x not in order]
         if not partition_by:
-            # r14: running last-non-null per range partition + a
-            # driver-carried boundary value — no global window
-            return DataFrame(fill_directional_ungrouped(
-                self._sdf, order, targets, forward=True), self._index)
+            # r14: running last-non-null per bucket + a driver-carried
+            # boundary value — no global window, and the prefix pass
+            # reuses the bucket exchange (chain-aware, see
+            # operators/window._range_partitioned)
+            return fill_directional_ungrouped(
+                self, order, targets, forward=True)
         w = (Window.partitionBy(*partition_by)
              .orderBy(*[F.col(c) for c in order])
              .rowsBetween(Window.unboundedPreceding, 0))
@@ -1677,8 +1715,8 @@ class DataFrame:
         order = _order_cols(self, order_by)
         targets = cols or [x for x in self.columns if x not in order]
         if not partition_by:
-            return DataFrame(fill_directional_ungrouped(
-                self._sdf, order, targets, forward=False), self._index)
+            return fill_directional_ungrouped(
+                self, order, targets, forward=False)
         w = (Window.partitionBy(*partition_by)
              .orderBy(*[F.col(c) for c in order])
              .rowsBetween(0, Window.unboundedFollowing))
@@ -1716,9 +1754,8 @@ class DataFrame:
         if not partition_by:
             run_kind = {"cumsum": "sum", "cumprod": "prod",
                         "cummin": "min", "cummax": "max"}[kind]
-            sdf = _running_ungrouped(self._sdf, order, targets,
-                                     run_kind, "", gate_nonnull=True)
-            return DataFrame(sdf, self._index)
+            return _running_ungrouped(self, order, targets,
+                                      run_kind, "", gate_nonnull=True)
         w = (Window.partitionBy(*partition_by)
              .orderBy(*[F.col(c) for c in order])
              .rowsBetween(Window.unboundedPreceding, 0))

@@ -38,9 +38,11 @@ per-row collect_list arrays whose state grows with the window span.
 from __future__ import annotations
 
 import warnings
+import weakref
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mars_spark.core.frame import DataFrame
 
@@ -134,20 +136,176 @@ def _order_cols(frame: DataFrame, order_by):
     return [order_by] if isinstance(order_by, str) else list(order_by)
 
 
-def _range_partitioned(sdf, order: list[str]):
-    """Range-partition + sort on the order key and snap the layout
-    (localCheckpoint: pad assignment and the window pass must see the
-    SAME partitioning). Width = the input's partition count (explicit,
-    so AQE can't coalesce a small frame to one partition and mask the
-    boundary logic; at scale it preserves the scan/shuffle
-    parallelism the input already has). Returns the frame with a
-    ``__pid`` column."""
+def _layout_of(frame, order: list[str]):
+    """The chain token a previous ungrouped op on the same order key
+    published on ``frame``: ``(order, shadow plan incl __pid,
+    cache finalizer | None, cached JVM frame | None)``. The shadow is
+    ``frame._sdf`` plus the ``__pid`` bucket column, still carrying
+    the clustered-by-__pid partitioning claim — reusing it costs ZERO
+    new shuffles and zero sample jobs. A None shadow anchors cache
+    ownership only (published by layout-destroying paths)."""
+    if frame is None:
+        return None
+    tok = getattr(frame, "_range_layout", None)
+    if tok is not None and tok[0] == tuple(order) and tok[1] is not None:
+        return tok
+    return None
+
+
+def _bucket_bounds(sdf, key_name: str, width: int) -> list:
+    """``width-1`` ascending cut points for the first order column
+    from a deterministic uniform sample (seeded rand + TakeOrdered —
+    one bounded job, any orderable type; the DataFrame-native form of
+    RangePartitioner's reservoir sample). Duplicate cut points (heavy
+    ties) collapse, shrinking the bucket count — ties never split."""
+    if width <= 1:
+        return []
+    rows = (sdf.select(F.col(key_name).alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .orderBy(F.rand(17)).limit(width * 64).collect())
+    ks = sorted(r["__k"] for r in rows)
+    if not ks:
+        return []
+    step = len(ks) / float(width)
+    bounds: list = []
+    for i in range(1, width):
+        v = ks[min(int(i * step), len(ks) - 1)]
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+    return bounds
+
+
+def _plan_width(sdf, cap: int) -> int:
+    """Bucket count from the optimizer's size estimate: ceil(bytes /
+    advisory partition size), clamped to [1, cap]. Planning-time only —
+    the previous ``sdf.rdd.getNumPartitions()`` form materialized the
+    upstream query stages under AQE (a full extra evaluation of the
+    input, ~1-2 s per ungrouped op at sf0.1) just to read a width."""
+    try:
+        jqe = sdf._jdf.queryExecution()
+        size = int(str(jqe.optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        size = 0
+    if size <= 0:
+        return 1
+    try:
+        adv = sdf.sparkSession.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        u = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        s = str(adv).strip().lower().rstrip("b")
+        adv_bytes = (int(s[:-1]) * u[s[-1]] if s and s[-1] in u
+                     else int(s))
+    except Exception:
+        adv_bytes = 64 << 20
+    return max(1, min(-(-size // max(adv_bytes, 1)), max(cap, 1)))
+
+
+def _pid_search_expr(key, bounds: list):
+    """``#{b in bounds : key >= b}`` as a balanced comparison tree —
+    O(log B) comparisons per row (binary search over the ascending cut
+    points; a linear fold would be an O(n·B) scan at B = thousands of
+    input partitions). Nulls land in bucket 0, matching NULLS FIRST."""
+    def build(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(key >= F.lit(bounds[mid]), build(mid + 1, hi))
+                .otherwise(build(lo, mid)))
+    return F.when(key.isNull(), F.lit(0)).otherwise(
+        build(0, len(bounds)))
+
+
+def _range_partitioned(sdf, order: list[str], frame=None):
+    """Cluster the frame by a monotone bucket id ``__pid`` computed
+    from sampled cut points of the first order column (count of cut
+    points <= key; nulls -> bucket 0, matching NULLS FIRST).
+
+    Shape (r14 optimization — one full shuffle instead of two):
+
+    - ``__pid`` is a PURE FUNCTION of the row value, so any recompute
+      reassigns identical buckets — no localCheckpoint needed to pin
+      the layout, and the driver-carried maps (pads / prefix
+      subtotals) keyed on ``__pid`` stay valid across re-evaluation.
+    - ``repartitionByRange(B, "__pid")`` + ``sortWithinPartitions`` +
+      ``persist`` keeps the partitioning AND ordering claims visible
+      through InMemoryTableScan, so every per-bucket window /
+      groupBy("__pid") pass in the op reuses the ONE exchange with no
+      Sort. The previous localCheckpoint form erased the metadata
+      (Scan ExistingRDD => unknown partitioning) and EnsureRequirements
+      re-shuffled the FULL frame per op (plan-verified: Exchange
+      hashpartitioning(__pid) under every ungrouped Window).
+    - when ``frame`` carries a matching layout token (published by a
+      previous ungrouped op in a chain), its shadow plan is returned:
+      no new shuffle and no sample job for ops 2..n of a chain.
+
+    Width = the input's partition count, as before (preserves the
+    parallelism the input already has; scale-adaptive by
+    construction). The cache is owned by the op's RESULT frame
+    (weakref.finalize -> unpersist on GC) — the lifecycle
+    localCheckpoint blocks had via the ContextCleaner."""
+    tok = _layout_of(frame, order)
+    if tok is not None:
+        return tok[1]
     ocols = [F.col(c) for c in order]
-    width = max(sdf.rdd.getNumPartitions(), 1)
-    base = (sdf.repartitionByRange(width, *ocols)
-            .sortWithinPartitions(*ocols)
-            .localCheckpoint())
-    return base.withColumn("__pid", F.spark_partition_id())
+    conf = sdf.sparkSession.conf
+    try:
+        cap = int(conf.get("mars.ungrouped.maxBuckets", "4096"))
+    except Exception:
+        cap = 4096
+    try:
+        forced = int(conf.get("mars.ungrouped.buckets", "0"))
+    except Exception:
+        forced = 0
+    # cap bounds the driver sample (64·B rows) and the comparison-tree
+    # size; production clusters raise it via conf when >4096-way
+    # ungrouped-window parallelism is actually profitable. ``buckets``
+    # pins the width outright (tests use it to force the multi-bucket
+    # pad paths on tiny fixtures; 0 = derive from plan stats).
+    width = forced if forced > 0 else _plan_width(sdf, cap)
+    bounds = _bucket_bounds(sdf, order[0], width)
+    key = F.col(order[0])
+    if bounds:
+        pid = _pid_search_expr(key, bounds)
+    else:
+        pid = F.lit(0)
+    # hash, not repartitionByRange, on the bucket id: RBR would run its
+    # own sample job — a third full evaluation of the upstream plan
+    # (measured +30% on the op_stats rolling stratum). HashPartitioning
+    # satisfies every downstream ClusteredDistribution(__pid) just the
+    # same; bucket→partition collisions only co-locate a few buckets
+    # per task (per-__pid folds are placement-independent).
+    base = (sdf.withColumn("__pid", pid.cast("int"))
+            .repartition(len(bounds) + 1, F.col("__pid"))
+            .sortWithinPartitions("__pid", *ocols)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    base._ms_fresh_cache = True
+    return base
+
+
+def _publish_layout(result: DataFrame, order: list[str], shadow,
+                    base, src_frame) -> DataFrame:
+    """Attach the chain token to ``result`` and settle cache
+    ownership: a fresh persist is released when ``result`` is
+    GC'd; a reused chain steals the predecessor's finalizer so the
+    cache survives ``g = op(g, ...)`` rebinding. ``shadow=None``
+    anchors ownership without publishing a reusable layout."""
+    fin = jdf = None
+    if getattr(base, "_ms_fresh_cache", False):
+        jdf = base._jdf
+    else:
+        tok = (getattr(src_frame, "_range_layout", None)
+               if src_frame is not None else None)
+        if tok is not None and tok[2] is not None and tok[2].detach():
+            jdf = tok[3]
+    if jdf is not None:
+        def _release(jdf=jdf):
+            try:
+                jdf.unpersist(False)
+            except Exception:
+                pass
+        fin = weakref.finalize(result, _release)
+    result._range_layout = (tuple(order), shadow, fin, jdf)
+    return result
 
 
 def _apply_pandas_offset_median(sdf, keys: list[str], epoch_col: str,
@@ -271,7 +429,7 @@ class Rolling:
         """Boundary-exchange ungrouped rolling (module docstring)."""
         order = _order_cols(self._frame, self._order_by)
         is_int = isinstance(self._window, int)
-        base = _range_partitioned(self._frame._sdf, order)
+        base = _range_partitioned(self._frame._sdf, order, self._frame)
         spark = base.sparkSession
         helper_cols = ["__pid", "__tgt", "__pad"]
         if is_int:
@@ -297,14 +455,17 @@ class Rolling:
                     j -= 1
             wdesc = (Window.partitionBy("__pid")
                      .orderBy(*[F.col(c).desc() for c in order]))
-            base = base.withColumn("__rpos", F.row_number().over(wdesc))
+            # keep ``base`` = the persisted frame (cache ownership in
+            # _publish_layout needs the exact cached plan); build the
+            # padded union from the derived ``b``
+            b = base.withColumn("__rpos", F.row_number().over(wdesc))
             pad_cond = F.col("__rpos") <= F.col("__lim")
             helper_cols.append("__rpos")
         else:
             secs = _offset_seconds(self._window)
-            base = base.withColumn(
+            b = base.withColumn(
                 "__key", F.col(order[0]).cast("timestamp").cast("long"))
-            rows = (base.groupBy("__pid")
+            rows = (b.groupBy("__pid")
                     .agg(F.min("__key").alias("mn"),
                          F.max("__key").alias("mx"))
                     .orderBy("__pid").collect())
@@ -324,12 +485,12 @@ class Rolling:
                     pad_specs.append((q, p, thresh))
             pad_cond = F.col("__key") >= F.col("__lim")
             helper_cols.append("__key")
-        main = (base.withColumn("__tgt", F.col("__pid"))
+        main = (b.withColumn("__tgt", F.col("__pid"))
                 .withColumn("__pad", F.lit(False)))
         if pad_specs:
             tbl = F.broadcast(spark.createDataFrame(
                 pad_specs, "__pid int, __tgt int, __lim bigint"))
-            pads = (base.join(tbl, "__pid")
+            pads = (b.join(tbl, "__pid")
                     .filter(pad_cond)
                     .withColumn("__pad", F.lit(True))
                     .drop("__lim"))
@@ -357,12 +518,21 @@ class Rolling:
                     val = F.when(F.count(F.col(col)).over(w) >= mp, val)
                 u = u.withColumn(out, val)
         if med_specs:
-            # per-__tgt pandas medians: each padded range partition is
-            # one bounded group — parallel, unlike a global collect
+            # per-__tgt pandas medians: each padded bucket is one
+            # bounded group — parallel, unlike a global collect. The
+            # applyInPandas shuffle erases the clustered layout, so
+            # this branch anchors cache ownership without publishing
+            # a reusable token.
             u = _apply_pandas_offset_median(
                 u, ["__tgt"], "__key", secs, med_specs, mp)
-        out = u.filter(~F.col("__pad")).drop(*helper_cols)
-        return DataFrame(out, self._frame._index)
+            out = u.filter(~F.col("__pad")).drop(*helper_cols)
+            res = DataFrame(out, self._frame._index)
+            return _publish_layout(res, order, None, base, self._frame)
+        keep = [c for c in u.columns if c not in set(helper_cols)]
+        shadow = (u.filter(~F.col("__pad"))
+                  .select(*keep, F.col("__tgt").alias("__pid")))
+        res = DataFrame(shadow.drop("__pid"), self._frame._index)
+        return _publish_layout(res, order, shadow, base, self._frame)
 
     def sum(self, cols=None):
         return self.agg({c: "sum" for c in cols or self._numeric_cols()})
@@ -492,9 +662,11 @@ class Expanding(Rolling):
         return out.drop("__g") if "__g" in out.columns else out
 
     def _agg_ungrouped_moments(self, spec: dict) -> DataFrame:
-        """Distributed ungrouped expanding via prefix + carry."""
+        """Distributed ungrouped expanding via prefix + carry; the
+        subtotal groupBy and the prefix window both reuse the base's
+        clustered layout (no second shuffle, r14 optimization)."""
         order = _order_cols(self._frame, self._order_by)
-        base = _range_partitioned(self._frame._sdf, order)
+        base = _range_partitioned(self._frame._sdf, order, self._frame)
         cols = list(spec.keys())
         aggs = []
         for i, c in enumerate(cols):
@@ -561,16 +733,21 @@ class Expanding(Rolling):
                 gate = n_g >= max(mp, 2 if fn in need2 else 1)
                 out = out.withColumn(f"{c}_exp_{fn}",
                                      F.when(gate, forms[fn]))
-        return DataFrame(out.drop("__pid"), self._frame._index)
+        res = DataFrame(out.drop("__pid"), self._frame._index)
+        return _publish_layout(res, order, out, base, self._frame)
 
 
-def _ungrouped_lag_frame(sdf, order: list[str], periods: int):
+def _ungrouped_lag_frame(frame: DataFrame, order: list[str],
+                         periods: int):
     """Boundary-exchange frame for UNGROUPED lag/lead (r14): each
-    range partition is padded with the |periods| trailing rows of its
+    bucket is padded with the |periods| trailing rows of its
     predecessors (lag) or leading rows of its successors (lead), so
-    the per-partition window sees exactly what a global window would.
-    Returns (padded frame, window spec, helper cols to drop)."""
-    base = _range_partitioned(sdf, order)
+    the per-bucket window sees exactly what a global window would.
+    The count summary and the __rpos ranking reuse the base's
+    clustered layout (r14 optimization); only the padded union still
+    pays its own exchange on __tgt. Returns (padded frame, window
+    spec, helper cols to drop, base)."""
+    base = _range_partitioned(frame._sdf, order, frame)
     k = max(abs(periods), 1)
     rows = (base.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
             .orderBy("__pid").collect())
@@ -599,35 +776,44 @@ def _ungrouped_lag_frame(sdf, order: list[str], periods: int):
                 j += 1
         wpos = (Window.partitionBy("__pid")
                 .orderBy(*[F.col(c).asc() for c in order]))
-    base = base.withColumn("__rpos", F.row_number().over(wpos))
-    main = (base.withColumn("__tgt", F.col("__pid"))
+    # keep ``base`` = the persisted frame (cache ownership in
+    # _publish_layout needs the exact cached plan)
+    b = base.withColumn("__rpos", F.row_number().over(wpos))
+    main = (b.withColumn("__tgt", F.col("__pid"))
             .withColumn("__pad", F.lit(False)))
     if specs:
         tbl = F.broadcast(base.sparkSession.createDataFrame(
             specs, "__pid int, __tgt int, __lim bigint"))
-        pads = (base.join(tbl, "__pid")
+        pads = (b.join(tbl, "__pid")
                 .filter(F.col("__rpos") <= F.col("__lim"))
                 .withColumn("__pad", F.lit(True)).drop("__lim"))
         u = main.unionByName(pads)
     else:
         u = main
     w = Window.partitionBy("__tgt").orderBy(*[F.col(c) for c in order])
-    return u, w, ["__pid", "__rpos", "__tgt", "__pad"]
+    return u, w, ["__pid", "__rpos", "__tgt", "__pad"], base
 
 
 def _lag_windowed(frame: DataFrame, order: list[str], partition_by,
-                  periods: int, add_cols):
+                  periods: int, add_cols) -> DataFrame:
     """Shared body of shift/diff/pct_change: grouped → ordinary keyed
     window; ungrouped → boundary-exchange pads (no global
     single-partition WindowExec, r14). ``add_cols(sdf, w) -> sdf``
-    applies the caller's lag expressions."""
+    applies the caller's lag expressions. The ungrouped result
+    carries the layout token (``__tgt`` is the bucket id of every
+    surviving row), so a following ungrouped op on the same order key
+    skips its shuffle entirely."""
     if partition_by:
         w = (Window.partitionBy(*partition_by)
              .orderBy(*[F.col(c) for c in order]))
-        return add_cols(frame._sdf, w)
-    u, w, helpers = _ungrouped_lag_frame(frame._sdf, order, periods)
+        return DataFrame(add_cols(frame._sdf, w), frame._index)
+    u, w, helpers, base = _ungrouped_lag_frame(frame, order, periods)
     u = add_cols(u, w)
-    return u.filter(~F.col("__pad")).drop(*helpers)
+    keep = [c for c in u.columns if c not in set(helpers)]
+    shadow = (u.filter(~F.col("__pad"))
+              .select(*keep, F.col("__tgt").alias("__pid")))
+    res = DataFrame(shadow.drop("__pid"), frame._index)
+    return _publish_layout(res, order, shadow, base, frame)
 
 
 def shift(frame: DataFrame, periods: int = 1, order_by=None,
@@ -646,8 +832,7 @@ def shift(frame: DataFrame, periods: int = 1, order_by=None,
             sdf = sdf.withColumn(c + suffix, fn(F.col(c)).over(w))
         return sdf
 
-    return DataFrame(_lag_windowed(frame, order, partition_by,
-                                   periods, add_cols), frame._index)
+    return _lag_windowed(frame, order, partition_by, periods, add_cols)
 
 
 def diff(frame: DataFrame, periods: int = 1, order_by=None,
@@ -664,8 +849,7 @@ def diff(frame: DataFrame, periods: int = 1, order_by=None,
                 c + "_diff", F.col(c) - F.lag(F.col(c), periods).over(w))
         return sdf
 
-    return DataFrame(_lag_windowed(frame, order, partition_by,
-                                   periods, add_cols), frame._index)
+    return _lag_windowed(frame, order, partition_by, periods, add_cols)
 
 
 def pct_change(frame: DataFrame, periods: int = 1, order_by=None,
@@ -684,27 +868,29 @@ def pct_change(frame: DataFrame, periods: int = 1, order_by=None,
                              F.lag(F.col(c), periods).over(w)) - 1)
         return sdf
 
-    return DataFrame(_lag_windowed(frame, order, partition_by,
-                                   periods, add_cols), frame._index)
+    return _lag_windowed(frame, order, partition_by, periods, add_cols)
 
 
 _RUN_AGGS = {"sum": F.sum, "prod": F.product,
              "min": F.min, "max": F.max}
 
 
-def _running_ungrouped(sdf, order: list[str], cols: list[str],
-                       kind: str, out_suffix: str,
-                       gate_nonnull: bool | None = None):
-    """UNGROUPED running sum/product/min/max via per-partition
+def _running_ungrouped(frame: DataFrame, order: list[str],
+                       cols: list[str], kind: str, out_suffix: str,
+                       gate_nonnull: bool | None = None) -> DataFrame:
+    """UNGROUPED running sum/product/min/max via per-bucket
     prefixes + driver-carried subtotals (r14) — the
     set_sequence_index prefix scheme; no global single-partition
-    window. ``out_suffix=''`` replaces each column in place (the
+    window, and (r14 optimization) no second shuffle: the prefix
+    window and the subtotal groupBy both reuse the base's clustered
+    layout. ``out_suffix=''`` replaces each column in place (the
     df.cum* method form); ``gate_nonnull`` forces pandas
     NaN-passthrough gating (default: prod/min/max gate, sum does not
     — matching the grouped operator forms)."""
     if kind not in _RUN_AGGS:
         raise ValueError(kind)
-    base = _range_partitioned(sdf, order)
+    sdf = frame._sdf
+    base = _range_partitioned(sdf, order, frame)
     aggf = _RUN_AGGS[kind]
     tot = (base.groupBy("__pid")
            .agg(*[aggf(F.col(c).cast("double")).alias(f"t{i}")
@@ -759,18 +945,21 @@ def _running_ungrouped(sdf, order: list[str], cols: list[str],
         if gate:
             val = F.when(F.col(c).isNotNull(), val)
         out = out.withColumn(c + out_suffix, val)
-    return out.drop("__pid")
+    res = DataFrame(out.drop("__pid"), frame._index)
+    return _publish_layout(res, order, out, base, frame)
 
 
-def fill_directional_ungrouped(sdf, order: list[str],
-                               cols: list[str], forward: bool):
+def fill_directional_ungrouped(frame: DataFrame, order: list[str],
+                               cols: list[str],
+                               forward: bool) -> DataFrame:
     """UNGROUPED ffill/bfill without a global window (r14): running
-    last/first non-null per range partition + a driver-carried
-    boundary value per column (the last non-null of all preceding
-    partitions / first of all following). One tiny per-partition
-    summary job (max_by/min_by on the order key over non-null rows),
-    then the per-partition window + a coalesce."""
-    base = _range_partitioned(sdf, order)
+    last/first non-null per bucket + a driver-carried boundary value
+    per column (the last non-null of all preceding buckets / first of
+    all following). One tiny per-bucket summary job (max_by/min_by on
+    the order key over non-null rows), then the per-bucket window + a
+    coalesce — both reusing the base's clustered layout (no second
+    shuffle, r14 optimization)."""
+    base = _range_partitioned(frame._sdf, order, frame)
     okey = F.struct(*[F.col(c) for c in order])
     pick = F.max_by if forward else F.min_by
     summaries = (base.groupBy("__pid")
@@ -810,7 +999,8 @@ def fill_directional_ungrouped(sdf, order: list[str],
                                   for x in kv])[F.col("__pid")]
             run = F.coalesce(run, cmap.cast(dict(base.dtypes)[c]))
         out = out.withColumn(c, run)
-    return out.drop("__pid")
+    res = DataFrame(out.drop("__pid"), frame._index)
+    return _publish_layout(res, order, out, base, frame)
 
 
 def cumsum(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
@@ -822,8 +1012,7 @@ def cumsum(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
     order = _order_cols(frame, order_by)
     cols = [cols] if isinstance(cols, str) else list(cols)
     if not partition_by:
-        return DataFrame(_running_ungrouped(
-            frame._sdf, order, cols, "sum", "_cumsum"), frame._index)
+        return _running_ungrouped(frame, order, cols, "sum", "_cumsum")
     w = (Window.partitionBy(*partition_by)
          .orderBy(*[F.col(c) for c in order])
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -844,8 +1033,7 @@ def cumprod(frame: DataFrame, cols, order_by, partition_by=None) -> DataFrame:
     order = _order_cols(frame, order_by)
     cols = [cols] if isinstance(cols, str) else list(cols)
     if not partition_by:
-        return DataFrame(_running_ungrouped(
-            frame._sdf, order, cols, "prod", "_cumprod"), frame._index)
+        return _running_ungrouped(frame, order, cols, "prod", "_cumprod")
     w = (Window.partitionBy(*partition_by)
          .orderBy(*[F.col(c) for c in order])
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -894,9 +1082,14 @@ def ewm_agg(frame: DataFrame, col: str, alpha: float, order_by,
         # S_w²/(S_w²−S_w2). adjust=False renormalizes its state
         # after every observation (pandas old_wt reset), which does
         # NOT compose linearly — it stays on the sequential path.
-        out = _ewm_ungrouped(sdf, col, alpha, order, stats, bias,
-                             prefix)
-        return DataFrame(out, frame._index)
+        out, base = _ewm_ungrouped(sdf, col, alpha, order, stats,
+                                   bias, prefix, frame)
+        res = DataFrame(out, frame._index)
+        # mapInPandas re-keys the output attributes, so the clustered
+        # layout claim cannot survive into a reusable token — anchor
+        # cache ownership only (a following ungrouped op rebuilds its
+        # base with one shuffle over this op's cached one).
+        return _publish_layout(res, order, None, base, frame)
     if not keys:
         _global_window_warning("ewm (adjust=False)")
         sdf = sdf.withColumn("__g", F.lit(0))
@@ -925,7 +1118,7 @@ def ewm_agg(frame: DataFrame, col: str, alpha: float, order_by,
 
 
 def _ewm_ungrouped(sdf, col: str, alpha: float, order: list[str],
-                   stats, bias: bool, prefix: str):
+                   stats, bias: bool, prefix: str, frame=None):
     """Distributed exact ungrouped EWM mean/var/std, adjust=True
     (see ewm_agg).
 
@@ -951,26 +1144,33 @@ def _ewm_ungrouped(sdf, col: str, alpha: float, order: list[str],
 
     decay = 1.0 - alpha
     alpha2 = 1.0 - decay * decay          # ewm-sum rate for Σ w²
-    base = _range_partitioned(sdf, order)
+    base = _range_partitioned(sdf, order, frame)
     need_var = any(st in ("var", "std") for st in stats)
 
+    # rows arrive bucket-contiguous and key-sorted (the base is
+    # range-partitioned on __pid and sorted within partitions; pandas
+    # groupby preserves intra-group row order), but a physical
+    # partition is not assumed to hold exactly one bucket — both
+    # passes fold per __pid group, keyed by bucket id.
     def summarize(batches):
         parts = [p for p in batches if len(p)]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        x = pdf[col].to_numpy("float64")
-        m = len(x)
-        wts = decay ** np.arange(m - 1, -1, -1.0)
-        obs = ~np.isnan(x)
-        xo = x[obs]
-        wo = wts[obs]
-        yield pd.DataFrame({
-            "p": [int(pdf["__pid"].iloc[0])], "m": [m],
-            "sw": [float(wo.sum())],
-            "sw2": [float((wo * wo).sum())],
-            "swx": [float(np.dot(wo, xo))],
-            "swx2": [float(np.dot(wo, xo * xo))]})
+        recs = []
+        for pid, grp in pdf.groupby("__pid", sort=True):
+            x = grp[col].to_numpy("float64")
+            m = len(x)
+            wts = decay ** np.arange(m - 1, -1, -1.0)
+            obs = ~np.isnan(x)
+            xo = x[obs]
+            wo = wts[obs]
+            recs.append((int(pid), m, float(wo.sum()),
+                         float((wo * wo).sum()),
+                         float(np.dot(wo, xo)),
+                         float(np.dot(wo, xo * xo))))
+        yield pd.DataFrame(
+            recs, columns=["p", "m", "sw", "sw2", "swx", "swx2"])
 
     srows = base.mapInPandas(
         summarize,
@@ -1002,51 +1202,55 @@ def _ewm_ungrouped(sdf, col: str, alpha: float, order: list[str],
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        pid = int(pdf["__pid"].iloc[0])
-        x = pdf[col].to_numpy("float64")
-        obs = (~np.isnan(x)).astype("float64")
-        xf = np.where(np.isnan(x), 0.0, x)
+        outs = []
+        for pid, grp in pdf.groupby("__pid", sort=True):
+            x = grp[col].to_numpy("float64")
+            obs = (~np.isnan(x)).astype("float64")
+            xf = np.where(np.isnan(x), 0.0, x)
 
-        def esum(vals, a):
-            return pd.Series(vals).ewm(
-                alpha=a, adjust=True, ignore_na=False).sum().to_numpy()
+            def esum(vals, a):
+                return pd.Series(vals).ewm(
+                    alpha=a, adjust=True,
+                    ignore_na=False).sum().to_numpy()
 
-        sw = esum(obs, alpha)
-        swx = esum(xf, alpha)
-        sw2 = esum(obs, alpha2) if need_var else None
-        swx2 = esum(xf * xf, alpha) if need_var else None
-        c_w, c_2, c_x, c_x2 = carry.get(pid, (0.0, 0.0, 0.0, 0.0))
-        if any(v != 0.0 for v in (c_w, c_2, c_x, c_x2)):
-            k = np.arange(len(x)) + 1.0
-            f = decay ** k
-            sw = sw + f * c_w
-            swx = swx + f * c_x
-            if need_var:
-                sw2 = sw2 + (decay * decay) ** k * c_2
-                swx2 = swx2 + f * c_x2
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean = np.where(sw > 0.0, swx / sw, np.nan)
-            if need_var:
-                vb = np.maximum(
-                    np.where(sw > 0.0, swx2 / sw, np.nan)
-                    - mean * mean, 0.0)
-                if bias:
-                    var = vb
+            sw = esum(obs, alpha)
+            swx = esum(xf, alpha)
+            sw2 = esum(obs, alpha2) if need_var else None
+            swx2 = esum(xf * xf, alpha) if need_var else None
+            c_w, c_2, c_x, c_x2 = carry.get(
+                int(pid), (0.0, 0.0, 0.0, 0.0))
+            if any(v != 0.0 for v in (c_w, c_2, c_x, c_x2)):
+                k = np.arange(len(x)) + 1.0
+                f = decay ** k
+                sw = sw + f * c_w
+                swx = swx + f * c_x
+                if need_var:
+                    sw2 = sw2 + (decay * decay) ** k * c_2
+                    swx2 = swx2 + f * c_x2
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = np.where(sw > 0.0, swx / sw, np.nan)
+                if need_var:
+                    vb = np.maximum(
+                        np.where(sw > 0.0, swx2 / sw, np.nan)
+                        - mean * mean, 0.0)
+                    if bias:
+                        var = vb
+                    else:
+                        den = sw * sw - sw2
+                        var = np.where(den > 0.0, vb * sw * sw / den,
+                                       np.nan)
+            grp = grp.drop(columns=["__pid"])
+            for st, oc in zip(stats, out_cols):
+                if st == "mean":
+                    grp[oc] = mean
+                elif st == "var":
+                    grp[oc] = var
                 else:
-                    den = sw * sw - sw2
-                    var = np.where(den > 0.0, vb * sw * sw / den,
-                                   np.nan)
-        pdf = pdf.drop(columns=["__pid"])
-        for st, oc in zip(stats, out_cols):
-            if st == "mean":
-                pdf[oc] = mean
-            elif st == "var":
-                pdf[oc] = var
-            else:
-                pdf[oc] = np.sqrt(var)
-        yield pdf
+                    grp[oc] = np.sqrt(var)
+            outs.append(grp)
+        yield pd.concat(outs, ignore_index=True)
 
-    return base.mapInPandas(compute, schema)
+    return base.mapInPandas(compute, schema), base
 
 
 def ewm_mean(frame: DataFrame, col: str, alpha: float, order_by,

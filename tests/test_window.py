@@ -16,6 +16,18 @@ def mts(spark, pdf_ts):
     return ms.from_pandas(pdf_ts, num_partitions=4)
 
 
+@pytest.fixture
+def buckets(spark):
+    """Pin the ungrouped-window bucket width: the auto width derives
+    from plan size stats (operators/window._plan_width), which sees the
+    tiny test fixtures as one bucket — the conf forces the multi-bucket
+    pad/carry paths these tests exist to exercise."""
+    def set_(n: int):
+        spark.conf.set("mars.ungrouped.buckets", str(n))
+    yield set_
+    spark.conf.unset("mars.ungrouped.buckets")
+
+
 def _sorted(pdf_ts):
     return pdf_ts.sort_values(["g", "ts"])
 
@@ -208,10 +220,11 @@ def test_expanding_median_skew_kurt_vs_pandas(spark):
 # ungrouped windows are boundary-exchange-distributed, not a global
 # single-partition WindowExec (judge VERDICT r13 item 2)
 
-def test_ungrouped_rolling_int_distributed_vs_pandas(spark):
+def test_ungrouped_rolling_int_distributed_vs_pandas(spark, buckets):
     """Ungrouped int rolling over multiple range partitions: pads span
     partitions (input width 8 over 200 rows, window 7 > some partition
     tails), values bit-match pandas, and NO global-window warning."""
+    buckets(8)
     import warnings
 
     rng = np.random.RandomState(9)
@@ -234,9 +247,10 @@ def test_ungrouped_rolling_int_distributed_vs_pandas(spark):
                                equal_nan=True, atol=1e-9)
 
 
-def test_ungrouped_rolling_window_wider_than_partitions(spark):
+def test_ungrouped_rolling_window_wider_than_partitions(spark, buckets):
     """Window spanning several tiny range partitions: the pad walk
     must gather predecessors from MULTIPLE partitions back."""
+    buckets(16)
     p = pd.DataFrame({"i": np.arange(40), "v": np.arange(40) * 1.0})
     f = ms.from_pandas(p, num_partitions=16)   # ~2-3 rows/partition
     got = (f.rolling(11, min_periods=1).over(order_by="i")
@@ -245,13 +259,14 @@ def test_ungrouped_rolling_window_wider_than_partitions(spark):
     np.testing.assert_allclose(got.v_roll_sum.values, exp.values)
 
 
-def test_ungrouped_offset_rolling_median_distributed(spark):
+def test_ungrouped_offset_rolling_median_distributed(spark, buckets):
     """Ungrouped offset rolling incl. median: median routes through
     the per-range-partition pandas skiplist path (bounded state), the
     other stats stay JVM window aggregates; both match pandas under
     SQL RANGE tie semantics (all timestamp peers share one frame —
     pandas' positional tie handling is aligned by broadcasting the
     per-tie-group last value)."""
+    buckets(6)
     import warnings
 
     rng = np.random.RandomState(4)
@@ -310,10 +325,11 @@ def test_grouped_offset_rolling_median_pandas_route(spark):
         equal_nan=True, atol=1e-12)
 
 
-def test_ungrouped_expanding_moments_distributed(spark):
+def test_ungrouped_expanding_moments_distributed(spark, buckets):
     """Ungrouped expanding sum/count/mean/min/max/var/std via
     per-partition prefixes + driver carries — matches pandas, no
     global-window warning."""
+    buckets(7)
     import warnings
 
     rng = np.random.RandomState(13)
@@ -369,11 +385,12 @@ def test_grouped_expanding_median_pandas_route(spark):
                                atol=1e-12)
 
 
-def test_ungrouped_ewm_mean_distributed_vs_pandas(spark):
+def test_ungrouped_ewm_mean_distributed_vs_pandas(spark, buckets):
     """Ungrouped EWM mean adjust=True: per-partition decay scans +
     geometric carries — exact vs pandas across partitions and NaNs;
     adjust=False stays on the (warning) sequential path but is still
     correct."""
+    buckets(8)
     import warnings
 
     from mars_spark.operators.window import ewm_agg
@@ -403,12 +420,13 @@ def test_ungrouped_ewm_mean_distributed_vs_pandas(spark):
                                equal_nan=True, atol=1e-12)
 
 
-def test_ungrouped_shift_diff_pct_cum_distributed(spark):
+def test_ungrouped_shift_diff_pct_cum_distributed(spark, buckets):
     """r14: the shift family and running aggregates are
     boundary-exchange / prefix-carry distributed when ungrouped —
     values match pandas over multiple partitions, including lead
     (negative periods), nulls, and the in-place df.cum* method
     forms."""
+    buckets(7)
     from mars_spark.operators.window import (cumprod, cumsum, diff,
                                              pct_change, shift)
 
@@ -458,11 +476,12 @@ def test_ungrouped_shift_diff_pct_cum_distributed(spark):
                                equal_nan=True)
 
 
-def test_ungrouped_ffill_bfill_distributed(spark):
+def test_ungrouped_ffill_bfill_distributed(spark, buckets):
     """r14: ungrouped ffill/bfill fill across range-partition
     boundaries via driver-carried edge values — matches pandas, no
     global window (a null run spanning several partitions must pull
     the value from partitions further back/forward)."""
+    buckets(10)
     rng = np.random.RandomState(3)
     n = 120
     p = pd.DataFrame({"i": np.arange(n), "v": rng.randn(n)})
