@@ -405,11 +405,31 @@ class DataFrame:
             return
         shadow = tok[1]
         if shadow is not None and key not in tok[0]:
+            # Spark 4 removed Column.expr(), so determinism must be
+            # read off the ANALYZED extension (the unresolved
+            # ColumnNode reports UnresolvedFunction children as
+            # deterministic regardless of the function). Two guards:
+            # the extension must stay a pure Project over the shadow
+            # (a Window/generator between them could hide
+            # non-determinism behind an AttributeReference), and every
+            # resolved project entry named ``key`` must be
+            # deterministic.
             try:
-                if not col._jc.expr().deterministic():
-                    shadow = None
-                else:
-                    shadow = shadow.withColumn(key, col)
+                ext = shadow.withColumn(key, col)
+                qe = ext._jdf.queryExecution().analyzed()
+                base = shadow._jdf.queryExecution().analyzed()
+                ok = (qe.children().size() == 1
+                      and qe.children().apply(0).sameResult(base))
+                if ok:
+                    exprs = qe.expressions()
+                    seen = False
+                    for i in range(exprs.size()):
+                        e = exprs.apply(i)
+                        if e.name() == key:
+                            seen = True
+                            ok = ok and e.deterministic()
+                    ok = ok and seen
+                shadow = ext if ok else None
             except Exception:
                 shadow = None
         else:

@@ -496,3 +496,54 @@ def test_ungrouped_ffill_bfill_distributed(spark, buckets):
     got = f.bfill().to_pandas().sort_values("i")
     np.testing.assert_allclose(got.v.values, p.v.bfill().values,
                                equal_nan=True)
+
+
+def test_setitem_carries_ungrouped_chain_token(spark, buckets):
+    """r14: a deterministic __setitem__ between two ungrouped window
+    ops extends the chain token's shadow plan instead of dropping it
+    (pre-fix, the Spark-3 Column.expr() determinism probe raised on
+    Spark 4 and killed the token on EVERY assignment, forcing the
+    following op to re-bucket: one extra Exchange + Sort). Pins: the
+    token survives a deterministic assignment, dies on a
+    non-deterministic one and on an order-column overwrite, and the
+    carried chain's values still match pandas."""
+    buckets(6)
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(11)
+    n = 140
+    p = pd.DataFrame({"i": np.arange(n), "v": rng.randn(n).round(3)})
+    f = ms.from_pandas(p, num_partitions=6)
+
+    g = cumsum(f, "v", order_by="i")
+    tok = g._range_layout
+    assert tok is not None and tok[1] is not None
+
+    # deterministic assignment: shadow carried, key added to the shadow
+    g["w"] = g.v_cumsum.where(g.v_cumsum >= 0)
+    tok2 = g._range_layout
+    assert tok2[1] is not None
+    assert "w" in tok2[1].columns
+
+    # a following same-order op reuses the carried shadow: its result
+    # token holds the SAME cached JVM frame (no re-bucket, no new cache)
+    g2 = g.ffill(order_by="i", cols=["w"])
+    tok3 = g2._range_layout
+    assert tok3 is not None and tok3[3] is not None
+    assert tok3[3].equals(tok2[3])
+
+    got = g2.to_pandas().sort_values("i")
+    exp_cum = p.v.cumsum()
+    exp_w = exp_cum.where(exp_cum >= 0).ffill()
+    np.testing.assert_allclose(got.w.values, exp_w.values,
+                               equal_nan=True, atol=1e-10)
+
+    # non-deterministic assignment kills the shadow
+    h = cumsum(f, "v", order_by="i")
+    h["r"] = F.rand(7)
+    assert h._range_layout[1] is None
+
+    # overwriting the order column kills it too
+    k = cumsum(f, "v", order_by="i")
+    k["i"] = k.v_cumsum
+    assert k._range_layout[1] is None
