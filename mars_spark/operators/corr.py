@@ -215,13 +215,30 @@ def kendall_pair(sdf: SparkDF, ca: str, cb: str,
     return _tau_b_plan(g, n, min_periods)
 
 
-# bound on the driver-side O(m²) finish: 2048² pair masks are ~32 MB
-# of transient numpy — trivial; beyond it the plan-side join runs
-_DRIVER_FINISH_CAP = 2048
+# bound on the driver-side finish. r14: the concordance sweep is
+# Knight's O(m log m) Fenwick form (was O(m²) pair masks), so the cap
+# rises 2048 → 65536 and EVERY default path finishes on the driver —
+# including binned kendall at the default max_items=20000 (B² = 19881
+# bucket pairs), which previously ran a 4-job plan-side finish with an
+# O(m²) broadcast pair join. The plan-side path remains only for
+# user-raised max_items beyond the cap (guide §5: driver work is fine
+# when the data is bounded by construction — 65536 rows ≈ 1.5 MB).
+_DRIVER_FINISH_CAP = 65536
 
 
 def _tau_b_driver(rows, min_periods) -> float:
-    """Exact tau-b from collected (x, y, w) distinct-pair rows."""
+    """Exact tau-b from collected (x, y, w) distinct-pair rows.
+
+    r14 (optimization): P and Q come from a weighted inversion sweep
+    (Knight 1966) — x-groups ascending, a Fenwick tree over dense
+    y-ranks accumulates the weight of already-passed groups, so each
+    row reads its concordant (#y below) and discordant (#y above)
+    mass in O(log m). All arithmetic is exact integers (weights are
+    counts), so P/Q/n1/n2 are the same integers the O(m²) mask form
+    produced and the returned tau is bit-identical. Rows with NaN on
+    either side contribute to n and to the tie terms exactly as
+    before (every comparison against NaN is false, so they never
+    reach P/Q) — preserved by sweeping only the NaN-free subset."""
     import numpy as np
 
     n = sum(int(r["w"]) for r in rows)
@@ -236,12 +253,51 @@ def _tau_b_driver(rows, min_periods) -> float:
     cy = np.bincount(yinv, weights=ws)
     n1 = float((cx * (cx - 1) / 2.0).sum())
     n2 = float((cy * (cy - 1) / 2.0).sum())
-    xlt = xs[:, None] < xs[None, :]
-    ylt = ys[:, None] < ys[None, :]
-    ygt = ys[:, None] > ys[None, :]
-    ww = ws[:, None] * ws[None, :]
-    p = float(ww[xlt & ylt].sum())
-    q = float(ww[xlt & ygt].sum())
+    ok = ~(np.isnan(xs) | np.isnan(ys))
+    xv = xs[ok]
+    yv = ys[ok]
+    wv = ws[ok].astype(np.int64)
+    order = np.lexsort((yv, xv))
+    xv, yv, wv = xv[order], yv[order], wv[order]
+    _, yrk = np.unique(yv, return_inverse=True)
+    yrk = yrk.astype(np.int64) + 1          # Fenwick is 1-indexed
+    k = int(yrk.max()) if len(yrk) else 0
+    tree = [0] * (k + 1)
+
+    def _add(i: int, w: int) -> None:
+        while i <= k:
+            tree[i] += w
+            i += i & -i
+
+    def _pre(i: int) -> int:                # Σ weight at ranks ≤ i
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & -i
+        return s
+
+    p_i = 0
+    q_i = 0
+    seen = 0                                # total weight inserted
+    m = len(xv)
+    i = 0
+    while i < m:
+        j = i
+        while j < m and xv[j] == xv[i]:
+            j += 1
+        for t in range(i, j):               # query before inserting
+            r = int(yrk[t])
+            w = int(wv[t])
+            below = _pre(r - 1)
+            at_or_below = _pre(r)
+            p_i += w * below
+            q_i += w * (seen - at_or_below)
+        for t in range(i, j):               # then insert the x-group
+            _add(int(yrk[t]), int(wv[t]))
+            seen += int(wv[t])
+        i = j
+    p = float(p_i)
+    q = float(q_i)
     n0 = n * (n - 1) / 2.0
     denom = math.sqrt((n0 - n1) * (n0 - n2))
     if denom == 0.0:

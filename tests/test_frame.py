@@ -1222,3 +1222,85 @@ def test_kendall_approx_binned_and_max_items_plumbing(spark):
     fk = ms.from_pandas(pk).set_index("k")
     cw = fk.corrwith(fk, method="kendall", max_items=1600, approx=True)
     assert abs(cw["x"] - 1.0) < 1e-12
+
+
+def test_kendall_fenwick_finish_exact_and_plan_parity(spark):
+    """r14 (optimization): _tau_b_driver's Knight/Fenwick sweep is
+    bit-identical to the O(m²) mask form it replaced (exact integer
+    arithmetic, including ties and NaN rows, which count in n and the
+    tie terms but never reach P/Q), and the raised driver cap returns
+    the same tau the plan-side finish computes on the default binned
+    path (B² = 19881 bucket pairs used to run the 4-job plan join)."""
+    import math
+
+    import numpy as np
+
+    from mars_spark.operators import corr as C
+
+    def _mask_tau(rows, min_periods=None):
+        # the pre-r14 O(m²) mask finish, verbatim
+        import math as _m
+        n = sum(int(r["w"]) for r in rows)
+        if n < 2 or (min_periods and n < min_periods):
+            return float("nan")
+        xs = np.array([r["x"] for r in rows], dtype=np.float64)
+        ys = np.array([r["y"] for r in rows], dtype=np.float64)
+        ws = np.array([r["w"] for r in rows], dtype=np.float64)
+        _, xinv = np.unique(xs, return_inverse=True)
+        _, yinv = np.unique(ys, return_inverse=True)
+        cx = np.bincount(xinv, weights=ws)
+        cy = np.bincount(yinv, weights=ws)
+        n1 = float((cx * (cx - 1) / 2.0).sum())
+        n2 = float((cy * (cy - 1) / 2.0).sum())
+        xlt = xs[:, None] < xs[None, :]
+        ylt = ys[:, None] < ys[None, :]
+        ygt = ys[:, None] > ys[None, :]
+        ww = ws[:, None] * ws[None, :]
+        p = float(ww[xlt & ylt].sum())
+        q = float(ww[xlt & ygt].sum())
+        n0 = n * (n - 1) / 2.0
+        denom = _m.sqrt((n0 - n1) * (n0 - n2))
+        if denom == 0.0:
+            return float("nan")
+        return (p - q) / denom
+
+    rng = np.random.RandomState(3)
+    for trial in range(8):
+        m = int(rng.randint(2, 400))
+        xs = rng.randint(0, max(2, m // 3), m).astype(float)
+        ys = rng.randint(0, max(2, m // 2), m).astype(float)
+        if trial % 3 == 0:          # NaN rows: n/tie-only, no P/Q
+            xs[rng.choice(m, max(1, m // 10), replace=False)] = np.nan
+        ws = rng.randint(1, 9, m)
+        seen = set()
+        rows = []
+        for x, y, w in zip(xs, ys, ws):
+            if (x, y) in seen:      # rows are DISTINCT (x, y) pairs
+                continue
+            seen.add((x, y))
+            rows.append({"x": float(x), "y": float(y), "w": int(w)})
+        got = C._tau_b_driver(rows, None)
+        exp = _mask_tau(rows)
+        if math.isnan(exp):
+            assert math.isnan(got), trial
+        else:
+            assert got == exp, trial   # bit-identical, not approx
+
+    # driver-vs-plan parity on the default binned path: 30k distinct
+    # pairs > max_items -> B = 141 rank bins, bound 19881 <= the new
+    # cap -> Fenwick driver finish; forcing the old plan finish (cap
+    # monkeypatched to 0) must produce the identical tau
+    import pandas as pd
+
+    n = 30_000
+    x = rng.randn(n)
+    p = pd.DataFrame({"x": x, "y": 0.6 * x + rng.randn(n)})
+    sdf = ms.from_pandas(p, num_partitions=8).to_spark()
+    a = C.kendall_pair(sdf, "x", "y", approx=True)
+    old_cap = C._DRIVER_FINISH_CAP
+    try:
+        C._DRIVER_FINISH_CAP = 0
+        b = C.kendall_pair(sdf, "x", "y", approx=True)
+    finally:
+        C._DRIVER_FINISH_CAP = old_cap
+    assert a == b
