@@ -417,7 +417,15 @@ class DataFrame:
             try:
                 ext = shadow.withColumn(key, col)
                 qe = ext._jdf.queryExecution().analyzed()
-                base = shadow._jdf.queryExecution().analyzed()
+                # the shadow's analyzed plan only changes when the
+                # shadow does — cache it on the DataFrame so an
+                # assignment-heavy loop pays ONE analysis round-trip
+                # per assignment (the extension), not two (r15,
+                # advisor item)
+                base = getattr(shadow, "_ms_analyzed", None)
+                if base is None:
+                    base = shadow._jdf.queryExecution().analyzed()
+                    shadow._ms_analyzed = base
                 ok = (qe.children().size() == 1
                       and qe.children().apply(0).sameResult(base))
                 if ok:
@@ -429,6 +437,8 @@ class DataFrame:
                             seen = True
                             ok = ok and e.deterministic()
                     ok = ok and seen
+                if ok:
+                    ext._ms_analyzed = qe
                 shadow = ext if ok else None
             except Exception:
                 shadow = None

@@ -47,10 +47,20 @@ _NAN = float("nan")
 
 def _pair_frame(sdf: SparkDF, ca: str, cb: str) -> SparkDF:
     """Pairwise-complete (x, y) projection — pandas corr drops rows
-    where either side is null before computing the statistic."""
+    where either side is null before computing the statistic.
+
+    NaN is dropped too (r15, advisor item): pandas treats a double NaN
+    like a missing value here, while Spark SQL orders NaN above every
+    double — without this filter the plan-side finish counted NaN rows
+    in P/Q/ties but the driver-side numpy finish silently excluded
+    them from P/Q only, so the two finishes disagreed and neither
+    matched pandas. Filtering makes driver and plan agree by
+    construction. isnan(NULL) is false, so the NaN predicate never
+    masks the null filter."""
     return (sdf.select(F.col(ca).cast("double").alias("x"),
                        F.col(cb).cast("double").alias("y"))
-            .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+            .filter(F.col("x").isNotNull() & F.col("y").isNotNull()
+                    & ~F.isnan("x") & ~F.isnan("y")))
 
 
 def spearman_pair(sdf: SparkDF, ca: str, cb: str,

@@ -1224,7 +1224,7 @@ def test_kendall_approx_binned_and_max_items_plumbing(spark):
     assert abs(cw["x"] - 1.0) < 1e-12
 
 
-def test_kendall_fenwick_finish_exact_and_plan_parity(spark):
+def test_kendall_fenwick_finish_exact_and_plan_parity(spark, monkeypatch):
     """r14 (optimization): _tau_b_driver's Knight/Fenwick sweep is
     bit-identical to the O(m²) mask form it replaced (exact integer
     arithmetic, including ties and NaN rows, which count in n and the
@@ -1297,10 +1297,56 @@ def test_kendall_fenwick_finish_exact_and_plan_parity(spark):
     p = pd.DataFrame({"x": x, "y": 0.6 * x + rng.randn(n)})
     sdf = ms.from_pandas(p, num_partitions=8).to_spark()
     a = C.kendall_pair(sdf, "x", "y", approx=True)
-    old_cap = C._DRIVER_FINISH_CAP
-    try:
-        C._DRIVER_FINISH_CAP = 0
+    # monkeypatch, not try/finally: guaranteed restoration even under
+    # teardown interrupts or parallel in-process execution (r15 advice)
+    with monkeypatch.context() as mp:
+        mp.setattr(C, "_DRIVER_FINISH_CAP", 0)
         b = C.kendall_pair(sdf, "x", "y", approx=True)
-    finally:
-        C._DRIVER_FINISH_CAP = old_cap
     assert a == b
+
+
+def test_corr_nan_pairwise_complete_vs_pandas(spark, monkeypatch):
+    """Double NaN behaves like null in spearman/kendall (r15 advisor
+    item): pandas drops NaN rows from n AND the tie terms; the NaN
+    filter in _pair_frame makes the driver- and plan-side kendall
+    finishes agree by construction (previously the plan finish counted
+    NaN rows in P/Q via Spark's NaN-above-all ordering while the numpy
+    driver finish excluded them from P/Q only)."""
+    import numpy as np
+    import pandas as pd
+
+    from mars_spark.operators import corr as C
+
+    rng = np.random.RandomState(3)
+    n = 400
+    x = rng.randint(0, 12, n).astype(float)
+    y = 0.7 * x + rng.randint(0, 8, n).astype(float)
+    x[rng.choice(n, 25, replace=False)] = np.nan
+    y[rng.choice(n, 25, replace=False)] = np.nan
+    p = pd.DataFrame({"x": x, "y": y})
+    sdf = ms.from_pandas(p, num_partitions=4).to_spark()
+    # expected values on the complete cases only (pandas' pairwise-
+    # complete semantics, stated without scipy: spearman = pearson of
+    # average ranks; kendall = tau-b by direct pair count)
+    c = p.dropna()
+    exp_rho = c["x"].rank().corr(c["y"].rank())
+    cx, cy = c["x"].to_numpy(), c["y"].to_numpy()
+    dx = np.sign(cx[:, None] - cx[None, :])
+    dy = np.sign(cy[:, None] - cy[None, :])
+    pq = float((dx * dy)[np.triu_indices(len(cx), 1)].sum())
+    m = len(cx)
+    n0 = m * (m - 1) / 2.0
+    n1 = sum(t * (t - 1) / 2.0
+             for t in pd.Series(cx).value_counts())
+    n2 = sum(t * (t - 1) / 2.0
+             for t in pd.Series(cy).value_counts())
+    exp_tau = pq / np.sqrt((n0 - n1) * (n0 - n2))
+    rho = C.spearman_pair(sdf, "x", "y")
+    assert abs(rho - exp_rho) < 1e-12
+    tau = C.kendall_pair(sdf, "x", "y")
+    assert abs(tau - exp_tau) < 1e-12
+    # exact-path driver/plan parity on NaN-bearing input
+    with monkeypatch.context() as mp:
+        mp.setattr(C, "_DRIVER_FINISH_CAP", 0)
+        tau_plan = C.kendall_pair(sdf, "x", "y")
+    assert tau_plan == tau
