@@ -507,6 +507,40 @@ def similarity_self_join(sdf: SparkDF, vec_col: str, threshold: float,
                              id_col=id_col)
 
 
+def ivf_seeds(sdf: SparkDF, vec_col: str, n_clusters: int,
+              id_col: str = "vec_id") -> list:
+    """The deterministic IVF seed centroids alone — the unit vectors
+    of the ``n_clusters`` smallest ids, cluster label = 0-based rank
+    of the seed id. Split out of ``ivf_index_deterministic`` (r15):
+    a caller whose assignment table is already staged on disk (the
+    streaming semantic-dedup store) only needs the centroid matrix —
+    rebuilding the full assignment per invocation paid an Arrow gemm
+    stage plus an eager localCheckpoint for nothing.
+
+    n_clusters SMALLEST ids, not ids < n_clusters: sparse/offset id
+    spaces would silently undersize the centroid list under the
+    filter form (same fix as pq_codebook).
+
+    r14 (optimization): take the top-k FIRST, normalize after — the
+    projected form evaluated the Arrow-batched unit() over EVERY row
+    just to collect n_clusters seeds (a full Python stage per index
+    build; measured as the row's biggest single job). Same expression
+    on the k surviving rows → identical seeds. Collects only
+    centroid-sized data (n_clusters × dim)."""
+    seed_rows = (sdf.select(F.col(id_col),
+                            to_double(F.col(vec_col)).alias("__r"))
+                 .orderBy(id_col).limit(n_clusters)
+                 .select(F.col(id_col), unit(F.col("__r")).alias("e"))
+                 .collect())
+    # fewer rows than n_clusters: degrade to one cluster per row
+    # (fewer clusters is semantically fine for IVF — unlike
+    # pq_codebook, whose 2^nbits code domain is fixed — and
+    # small-corpus callers like clean_corpus(dedup='semantic')
+    # cannot know the post-filter count to clamp themselves)
+    return [list(r["e"]) for r in
+            sorted(seed_rows, key=lambda r: r[id_col])]
+
+
 def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
                             n_clusters: int = 16,
                             id_col: str = "vec_id",
@@ -530,30 +564,9 @@ def ivf_index_deterministic(sdf: SparkDF, vec_col: str,
     centroid-sized data (n_clusters × dim)."""
     base = sdf.select(
         F.col(id_col), unit(to_double(F.col(vec_col))).alias("e"))
-    # n_clusters SMALLEST ids, not ids < n_clusters: sparse/offset id
-    # spaces would silently undersize the centroid list under the
-    # filter form (same fix as pq_codebook); cluster label = rank of
-    # the seed id, 0-based.
-    # r14 (optimization): take the top-k FIRST, normalize after — the
-    # projected form evaluated the Arrow-batched unit() over EVERY
-    # row just to collect n_clusters seeds (a full Python stage per
-    # index build; measured as the row's biggest single job). Same
-    # expression on the k surviving rows → identical seeds.
-    seed_rows = (sdf.select(F.col(id_col),
-                            to_double(F.col(vec_col)).alias("__r"))
-                 .orderBy(id_col).limit(n_clusters)
-                 .select(F.col(id_col), unit(F.col("__r")).alias("e"))
-                 .collect())
-    if not seed_rows:
+    seeds = ivf_seeds(sdf, vec_col, n_clusters, id_col=id_col)
+    if not seeds:
         raise ValueError("ivf_index_deterministic: empty input")
-    # fewer rows than n_clusters: degrade to one cluster per row
-    # (fewer clusters is semantically fine for IVF — unlike
-    # pq_codebook, whose 2^nbits code domain is fixed — and
-    # small-corpus callers like clean_corpus(dedup='semantic')
-    # cannot know the post-filter count to clamp themselves)
-    seeds = [list(r["e"]) for r in
-             sorted(seed_rows, key=lambda r: r[id_col])]
-
     def _assign(df, cents):
         import numpy as np
         import pandas as pd

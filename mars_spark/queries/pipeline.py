@@ -1049,13 +1049,24 @@ def docs_dedup_simhash(spark: SparkSession, sf_dir: str) -> SparkDF:
     # sf10 in the isolated lifecycle; this row timed out at sf10
     # before this knob)
     n_cells3 = max(16, ecorp.count() // 256)
-    asg3, cents3 = ivf_index_deterministic(ecorp, "embedding",
-                                           n_clusters=n_cells3)
     istage = (f"/tmp/ms_ivfstore_{_os.getpid()}_"
               + sf_dir.strip("/").replace("/", "_"))
     if istage not in _INC_STAGED or not _os.path.exists(istage):
+        # index not staged yet: build the full assignment table and
+        # write it partitionBy(cluster)
+        asg3, cents3 = ivf_index_deterministic(ecorp, "embedding",
+                                               n_clusters=n_cells3)
         write_ivf_index(asg3.select("vec_id", "cluster", "e"), istage)
         _INC_STAGED.add(istage)
+    else:
+        # staged already — the stream only needs the centroid matrix;
+        # rebuilding the assignment paid an Arrow gemm stage + eager
+        # localCheckpoint (~0.95 s/invocation measured) for a frame
+        # nothing consumed (r15). ivf_seeds is the exact seed
+        # computation ivf_index_deterministic runs.
+        from mars_spark.llm.similarity import ivf_seeds
+
+        cents3 = ivf_seeds(ecorp, "embedding", n_cells3)
     idx3 = spark.read.parquet(istage).select("cluster", "e")
     oddv = (emb.filter(F.col("vec_id") % 2 == 1)
             .select("vec_id", "embedding",
