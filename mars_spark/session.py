@@ -44,6 +44,17 @@ _DEFAULTS = {
     # ~0.1-0.5 s each on every subsequent pass). Static conf, read
     # once at codegen-cache construction.
     "spark.sql.codegen.cache.maxEntries": "5000",
+    # whole-stage-codegen fallback threshold, aligned to HotSpot's JIT
+    # HugeMethodLimit (8000 bytecode bytes): a generated method bigger
+    # than that is NEVER JIT-compiled, so the "compiled" stage runs as
+    # interpreted bytecode — slower than Spark's own interpreted
+    # expression path with its compiled-regex caching. The big
+    # regex-conjunction predicates (quality_predicate & co) hit this:
+    # measured 2.4 s -> 0.66 s on the clean_corpus filter stage and
+    # docs_curation_ops 7.4 -> 6.6 s, with every other corpus row flat
+    # (8-row interleaved A/B, values identical). Scale-independent:
+    # the JIT limit is a JVM constant, not a local-mode artifact.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
