@@ -1226,8 +1226,11 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
         # a pure-JVM affine projection (no Python anywhere, unlike
         # PQ's numpy argmin), ADC search reads only the 1-byte codes.
         # The oracle replays bounds, codes and ADC top-10 in SQL.
-        codes, mins, maxs = S.sq8_index(e, "embedding")
-        return S.sq8_search(codes, mins, maxs, f_q.result(),
+        # dim = the fetched query vector's length — saves sq8_train's
+        # per-invocation F.size().first() probe job (r15)
+        q = f_q.result()
+        codes, mins, maxs = S.sq8_index(e, "embedding", dim=len(q))
+        return S.sq8_search(codes, mins, maxs, q,
                             k=10).localCheckpoint()
 
     def _bq1_branch(f_q):
@@ -1236,8 +1239,9 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> SparkDF:
         # order-exact min/max pass, 32-dims-per-BIGINT packing, and
         # Hamming top-10 as pure-JVM bit_count(xor) arithmetic. The
         # oracle replays thresholds, bits and the Hamming top-10.
-        words, th = S.bq1_index(e, "embedding")
-        qw = S.bq1_encode_query(f_q.result(), th)
+        q = f_q.result()
+        words, th = S.bq1_index(e, "embedding", dim=len(q))
+        qw = S.bq1_encode_query(q, th)
         return S.hamming_search(words, qw, k=10).localCheckpoint()
 
     with ThreadPoolExecutor(max_workers=5) as ex:
