@@ -50,11 +50,19 @@ print(json.dumps({"t": round(time.time() - t0, 3), "rows": n}))
 """
 
 
-def run_one(name: str, sf_dir: str, timeout: int = 1200) -> dict:
+def run_one(name: str, sf_dir: str, timeout: int = 1200,
+            cpus: str | None = None) -> dict:
+    import os
+
+    env = dict(os.environ)
+    if cpus:
+        # core-scaling mode (r15, judge VERDICT item 7): the child's
+        # get_spark reads local[$SPARK_GRAFT_CPUS]
+        env["SPARK_GRAFT_CPUS"] = cpus
     try:
         p = subprocess.run(
             [sys.executable, "-c", CHILD, name, sf_dir],
-            capture_output=True, text=True, timeout=timeout)
+            capture_output=True, text=True, timeout=timeout, env=env)
     except subprocess.TimeoutExpired:
         # one slow point must not kill the whole matrix — the slope
         # summary for every OTHER query is the tool's purpose
@@ -73,6 +81,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", default=",".join(HEAVY))
     ap.add_argument("--sfs", default=",".join(d for _, d in DEFAULT_SFS))
+    ap.add_argument("--cpus", default=None,
+                    help="core count for the child JVMs (core-scaling "
+                         "mode: run once with 32, once with 8, compare)")
+    ap.add_argument("--timeout", type=int, default=1200)
     args = ap.parse_args()
     queries = args.queries.split(",")
     sf_dirs = args.sfs.split(",")
@@ -84,7 +96,8 @@ def main():
             sf = sf_dir.rstrip("/").split("sf")[-1]
             ts, rows = [], None
             for _ in range(args.reps):
-                r = run_one(name, sf_dir)
+                r = run_one(name, sf_dir, timeout=args.timeout,
+                            cpus=args.cpus)
                 if r["t"] < 0:
                     print(json.dumps({"q": name, "sf": sf, **r}),
                           flush=True)
