@@ -21,6 +21,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing target (upstream default stated explicitly).
+    # Per-stage parallelism is data-volume / advisory by design — at
+    # bench scale that is a handful of reduce tasks, at 100 TB it is
+    # thousands. Env-overridable for core-scaling probes.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_ADVISORY", "64m"),
     # runtime semi-join filtering (Mars: bloom_filter pre-join filter).
     # NOTE: runtimeFilter.semiJoinReduction hangs job execution on this
     # Spark 4.1.2 local build — do not enable it.
@@ -34,7 +40,13 @@ _DEFAULTS = {
     # --- shuffle sizing: tests run tiny; a real cluster should size
     # partitions so ~128MB each lands per reducer. AQE coalesces down. ---
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # scan split size: 128 MB default (the upstream default). On a real
+    # table the scan fans out over thousands of files; the local scale
+    # fixtures are ONE parquet file per table, so split size alone
+    # decides scan parallelism there — overridable for core-scaling
+    # probes without changing the production default.
+    "spark.sql.files.maxPartitionBytes":
+        os.environ.get("SPARK_GRAFT_MAXPART", "134217728"),
     # broadcast threshold: dimension tables (region/nation/supplier/part
     # at small SF) should broadcast; AQE can also convert at runtime.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
